@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver parquet corpus (TESTDATA.md) and the
+  * reference-shaped inputs (SURVEY §1, FIXTURES.md §A).
+  *
+  * Reference surface covered here: C3 (SQL reference-data source →
+  * parquet/csv stand-in), C4 (headerless CSV bulk load,
+  * reference `README.md:94`), C5 (multiline JSON batch source,
+  * reference `README.md:182`, `sample-orders.json:1-27`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet table from a driver scale-factor dir. Column pruning +
+    * predicate pushdown reach the scan because this is a plain
+    * declarative `spark.read.parquet` (verify via
+    * `.explain("formatted")` → `PushedFilters`/`ReadSchema`). */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The driver's `events` table stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark 4 rejects by default
+    * (PARQUET_TYPE_ILLEGAL). Read nanos as Long and truncate to
+    * microseconds — the same truncation DuckDB's `epoch_us` applies, so
+    * oracle comparisons on event time stay exact (the driver data is
+    * µs-aligned anyway). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Event schema of the reference's order stream — producer struct
+    * `orders-generator/main.go:104-108`, docs `README.md:47-53`.
+    * Always explicit on streams: never infer a schema from an
+    * unbounded source. */
+  val orderEventSchema: StructType = StructType(Seq(
+    StructField("orderID", StringType, nullable = false),
+    StructField("customerID", LongType, nullable = false),
+    StructField("amount", LongType, nullable = false)))
+
+  /** Reference table DDL — `customers.sql:4-8`. */
+  val customerRefSchema: StructType = StructType(Seq(
+    StructField("cust_id", IntegerType, nullable = false),
+    StructField("cust_name", StringType),
+    StructField("city", StringType)))
+
+  /** C4: headerless comma-separated bulk load (reference bcp flags
+    * `README.md:94`). */
+  def customersCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(customerRefSchema).option("header", "false").csv(path)
+
+  /** C5: the reference's offline test path — a multiline JSON array of
+    * order objects (`sample-orders.json`). Batch mode of the same plan
+    * the stream runs (stream/batch unification). */
+  def ordersJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").schema(orderEventSchema).json(path)
+}
