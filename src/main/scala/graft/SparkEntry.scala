@@ -46,6 +46,20 @@ object SparkEntry {
     "q_semi_join" -> ((s, d) => Analytics.customersWithOrders(
       t(s, d, "customer"), t(s, d, "orders"), "1-URGENT")),
     "q_union" -> ((s, d) => Analytics.unionKeys(t(s, d, "customer"), t(s, d, "orders"))),
+    // --- X3 text analysis ---
+    "x3_textstats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
+    "x3_bpe_tokens" -> ((s, d) => TextAnalysis.regexTokenCounts(t(s, d, "documents"))),
+    "x3_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
+    "x3_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
+    "x3_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(t(s, d, "documents"))),
+    // --- X1/X4 dedup ---
+    "x1_first_event" -> ((s, d) => Dedup.firstEventPerKey(t(s, d, "events"))),
+    "x1_fingerprint_dedup" -> ((s, d) => Dedup.fingerprintDedup(t(s, d, "documents"))),
+    "x4_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
+    "x4_minhash_pairs" -> ((s, d) => Dedup.minhashBandPairs(t(s, d, "documents"))),
+    "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(t(s, d, "documents"))),
+    "x4_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
+    "x4_simhash_topk" -> ((s, d) => Dedup.simhashTopK(t(s, d, "documents"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,5 +127,106 @@ object SparkEntry {
       """SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0
          UNION
          SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000""",
+    "x3_textstats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         round((length(text) - (len(string_split(text, ' ')) - 1)) /
+           CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+         FROM documents""",
+    "x3_bpe_tokens" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         AS n_bpe_tokens FROM documents""",
+    "x3_langid" ->
+      """WITH s AS (SELECT doc_id,
+           len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS s_en,
+           len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+           len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','que','es'))) AS s_es,
+           len(list_filter(string_split(text,' '), x -> x IN ('le','les','des','et','est'))) AS s_fr,
+           len(list_filter(string_split(text,' '), x -> x IN ('的','是','了','在','和'))) AS s_zh
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN s_en > 0 AND s_en >= s_en AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_de AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_es AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_fr AND s_fr >= s_zh THEN 'fr'
+                WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr AND s_zh >= s_zh THEN 'zh'
+                ELSE 'und' END AS lang_pred,
+           s_en
+         FROM s""",
+    "x3_quality" ->
+      """SELECT doc_id, round(
+           0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+           0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                  CAST(len(string_split(text,' ')) AS DOUBLE)) +
+           0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                  CAST(length(text) AS DOUBLE)), 6) AS quality
+         FROM documents""",
+    "x3_fingerprints" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+         list_reduce(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+           (a, b) -> (a * 31 + b) % 9007199254740881) AS fp_roll
+         FROM documents""",
+    "x1_first_event" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1""",
+    "x1_fingerprint_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY md5(text)""",
+    "x4_minhash_sig" ->
+      """WITH t AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM documents)
+         SELECT doc_id, CAST(i AS INTEGER) AS perm,
+           list_min(list_transform(hs, h -> ((2*i+1)*h + 12289*i + 7) % 2147483647)) AS minhash
+         FROM t, (SELECT unnest(range(16)) AS i)""",
+    "x4_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM documents),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((2*i+1)*h + 12289*i + 7) % 2147483647))) AS s
+           FROM t),
+         band AS (SELECT doc_id, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM sig, (SELECT unnest(range(4)) AS b))
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id""",
+    "x4_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         cnt AS (SELECT doc_id, len(shingles) AS ns FROM sh),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+           FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id)
+         SELECT doc_a, doc_b, n_inter,
+           round(n_inter / CAST(ca.ns + cb.ns - n_inter AS DOUBLE), 6) AS jaccard
+         FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+         ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "x4_simhash" ->
+      """WITH t AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+           FROM documents)
+         SELECT doc_id, list_reduce(list_transform(range(60), i ->
+           CASE WHEN list_reduce(list_transform(hs,
+                  h -> CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END), (a,b) -> a+b) > 0
+                THEN (1::BIGINT << i) ELSE 0::BIGINT END), (a,b) -> a+b) AS simhash
+         FROM t""",
+    "x4_simhash_topk" ->
+      """WITH t AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+           FROM documents),
+         sh AS (SELECT doc_id, list_reduce(list_transform(range(60), i ->
+             CASE WHEN list_reduce(list_transform(hs,
+                    h -> CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END), (a,b) -> a+b) > 0
+                  THEN (1::BIGINT << i) ELSE 0::BIGINT END), (a,b) -> a+b) AS simhash
+           FROM t)
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+         FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         ORDER BY hamming, doc_a, doc_b LIMIT 20""",
   )
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash.rolling_hash
+
+/** Text analysis for a training-data pipeline (SURVEY §2 X3): token
+  * stats, BPE-ish regex token counting, language ID (stopword n-gram
+  * heuristic), quality scoring, and content fingerprinting — all over
+  * the `documents` table.
+  *
+  * Everything is built from codegen'd `functions._` / higher-order
+  * array functions (no UDFs): per-row narrow transforms, zero shuffle,
+  * so at 100 TB these scale linearly with input splits and stay inside
+  * one WholeStageCodegen span.
+  *
+  * Oracle-parity convention: the driver corpus is clean single-space
+  * ASCII text, so `split(text, ' ')` in Spark ≡ `string_split(text,
+  * ' ')` in DuckDB; computed ints are cast to long (DuckDB len/length
+  * return BIGINT); fractional outputs are rounded identically on both
+  * sides.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Per-document token statistics. `avg_token_len` exploits the
+    * single-space invariant: total token chars = n_chars - (n_tokens-1). */
+  def textStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        round((length(col("text")) - (col("n_tokens") - 1)) /
+          col("n_tokens").cast("double"), 6).as("avg_token_len"))
+
+  /** BPE-ish tokenizer: greedy regex over letter-runs, digit-runs and
+    * single punctuation, the usual pre-tokenization step of byte-pair
+    * encoders. Counts only (the token table itself is `explode`-able
+    * downstream). */
+  def regexTokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("n_bpe_tokens"))
+
+  /** Stopword lists for the language-ID heuristic. Deliberately tiny
+    * and fixed: the heuristic must be reproducible in ANSI SQL. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def stopCount(lang: String): Column = {
+    val lits = stopwords(lang).map(lit)
+    size(filter(toks, t => t.isin(stopwords(lang): _*))).cast("long")
+  }
+
+  /** Language ID by stopword scoring with a fixed priority order on
+    * ties (en > de > es > fr > zh), 'und' when nothing matches. On real
+    * corpora the lists would be per-language character n-grams; the
+    * *operator shape* (argmax over per-language token scores) is the
+    * same. */
+  def langId(documents: DataFrame): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val scored = langs.foldLeft(documents) { (df, l) =>
+      df.withColumn(s"s_$l", stopCount(l))
+    }
+    val pred = langs.foldRight(lit("und"): Column) { (l, elseCol) =>
+      val geAll = langs.map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(col(s"s_$l") > 0 && geAll, lit(l)).otherwise(elseCol)
+    }
+    scored.select(col("doc_id"), pred.as("lang_pred"), col(s"s_en"))
+  }
+
+  /** Quality score ∈ [0,1]: length saturation + stopword density +
+    * alphabetic purity, the standard cheap pre-filter shape for LLM
+    * training corpora. Formula is written identically in the oracle SQL
+    * (operand order matters for float parity). */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("s_stop", size(filter(toks,
+        t => t.isin(stopwords("en"): _*))).cast("long"))
+      .withColumn("n_nonalpha",
+        length(regexp_replace(col("text"), "[a-z ]", "")).cast("long"))
+      .select(
+        col("doc_id"),
+        round(
+          lit(0.4) * least(lit(1.0), col("n_tokens") / lit(50.0)) +
+          lit(0.3) * (col("s_stop") / col("n_tokens").cast("double")) +
+          lit(0.3) * (lit(1.0) - col("n_nonalpha") / length(col("text")).cast("double")),
+          6).as("quality"))
+
+  /** Content fingerprints: cryptographic (md5, cross-engine stable) and
+    * the codegen'd polynomial rolling hash (graft.functions.RollingHash). */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      rolling_hash(col("text")).as("fp_roll"))
+}
