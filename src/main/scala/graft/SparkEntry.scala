@@ -60,6 +60,19 @@ object SparkEntry {
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(t(s, d, "documents"))),
     "x4_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "x4_simhash_topk" -> ((s, d) => Dedup.simhashTopK(t(s, d, "documents"))),
+    // --- X2 similarity search ---
+    "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
+    "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
+    "x2_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
+    "x2_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
+    // --- X5 multimodal ---
+    "x5_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, t(s, d, "documents"))),
+    "x5_mm_join" -> ((s, d) => Multimodal.docEmbeddingJoin(
+      t(s, d, "documents"), t(s, d, "embeddings"))),
+    // --- X6 event-time windows (batch flavor; streaming in graft.streaming) ---
+    "x6_tumbling" -> ((s, d) => Windows.tumbling(t(s, d, "events"))),
+    "x6_sliding" -> ((s, d) => Windows.sliding(t(s, d, "events"))),
+    "x6_sessions" -> ((s, d) => Windows.sessions(t(s, d, "events"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -228,5 +241,108 @@ object SparkEntry {
            bit_count(xor(x.simhash, y.simhash)) AS hamming
          FROM sh x JOIN sh y ON x.doc_id < y.doc_id
          ORDER BY hamming, doc_a, doc_b LIMIT 20""",
+    "x2_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         s AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s)
+         SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 5""",
+    "x2_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]),
+             (x,y) -> x+y) / (a.nrm * b.nrm), 6) AS cos
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         ORDER BY cos DESC, a_id, b_id LIMIT 20""",
+    "x2_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(4)) AS tt)),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM bb q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id
+           WHERE q.vec_id < 20),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s)
+         SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
+    "x2_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
+             SELECT t.vec_id, t.v, t.nrm, c.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (c.cn * t.nrm) DESC, c.c_id) AS ar
+             FROM n t, c) WHERE ar = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asg WHERE vec_id < 20),
+         s AS (SELECT q.q_id, t.vec_id AS n_id, t.cell AS cell,
+             list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*t.v[i]),
+               (x,y) -> x+y) / (q.qn * t.nrm) AS cos
+           FROM asg t JOIN q ON t.cell = q.cell AND t.vec_id <> q.q_id),
+         r AS (SELECT q_id, n_id, cell, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s)
+         SELECT q_id, n_id, cell, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
+    "x5_media_features" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+         round(list_reduce(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+           (x,y) -> x+y) / CAST(length(text) AS DOUBLE), 6) AS mean_byte,
+         list_max(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))) AS max_byte
+         FROM documents""",
+    "x5_mm_join" ->
+      """WITH emb AS (SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt(list_reduce(list_transform(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)), x -> x*x), (x,y) -> x+y)), 6) AS norm
+           FROM embeddings)
+         SELECT d.doc_id, d.lang, e.label, e.dim, e.norm
+         FROM documents d JOIN emb e ON d.doc_id = e.vec_id""",
+    "x6_tumbling" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS ws_us, event_type,
+         count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "x6_sliding" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL 30 minutes, ts) - k * INTERVAL 30 minutes AS ws,
+           event_type, value FROM events, (SELECT unnest([0, 1]) AS k))
+         SELECT epoch_us(ws) AS ws_us, event_type, count(*) AS n,
+           round(avg(value), 4) AS avg_value
+         FROM w GROUP BY 1, 2""",
+    "x6_sessions" ->
+      """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 300000000
+           THEN 1 ELSE 0 END AS new_session FROM x),
+         z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM y)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM z GROUP BY user_id, session_seq""",
   )
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table (SURVEY §2 X6), batch
+  * flavor — the identical expressions run under Structured Streaming
+  * with `withWatermark` (see graft.streaming); stream/batch unification
+  * means one implementation serves both.
+  *
+  * Window starts are emitted as epoch microseconds (bigint) for oracle
+  * parity (DuckDB `epoch_us`). Aggregates shuffle once on
+  * (window, key) with map-side partial aggregation.
+  */
+object Windows {
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+        col("n"), col("avg_value"))
+
+  /** Session windows per user with a fixed inactivity gap, batch
+    * gaps-and-islands formulation: a session starts where the gap from
+    * the previous event exceeds `gap`; the running sum of starts
+    * numbers the sessions. Streaming equivalent: `session_window(ts,
+    * gap)` (see graft.streaming.StreamOps). One shuffle on user_id. */
+  def sessions(events: DataFrame, gapMinutes: Int = 5): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity, Windows}
+import java.sql.Timestamp
+
+/** Semantics tests for X2/X5/X6 on hand-made inputs (value parity vs
+  * DuckDB is covered by the oracle). */
+class SimilarityWindowsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def embs(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  private val e = embs(
+    (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0f, 1f, 0f, 0f), 0),
+    (2L, Seq(1f, 0.01f, 0f, 0f), 0), (25L, Seq(0.99f, 0f, 0.01f, 0f), 1))
+
+  test("brute-force ANN ranks the near-parallel vector first") {
+    // dot/aggregate fold works for any dim; queries = vec_id < 20
+    val got = Similarity.annBruteForce(e, nQueries = 1, k = 3)
+      .select("n_id", "rank").as[(Long, Int)].collect().toMap
+    assert(got.find(_._2 == 1).map(_._1).exists(Set(2L, 25L)))
+    val top = Similarity.annBruteForce(e, nQueries = 1, k = 1)
+      .select("cos").as[Double].head()
+    assert(top > 0.99)
+  }
+
+  test("cosine top pairs puts the two near-parallel vectors first") {
+    val top = Similarity.cosinePairsTopK(e, 1).as[(Long, Long, Double)].head()
+    assert((top._1, top._2) === (0L, 2L) || (top._1, top._2) === (0L, 25L)
+      || (top._1, top._2) === (2L, 25L))
+    assert(top._3 > 0.99)
+  }
+
+  private val ev = Seq(
+    (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 7L, "click", 1.0),
+    (2L, Timestamp.valueOf("2024-01-01 00:50:00"), 7L, "click", 2.0),
+    (3L, Timestamp.valueOf("2024-01-01 01:10:00"), 7L, "click", 4.0),
+    (4L, Timestamp.valueOf("2024-01-01 00:12:00"), 8L, "view", 8.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("tumbling 1h windows aggregate by hour and type") {
+    val got = Windows.tumbling(ev)
+      .select("ws_us", "event_type", "n").as[(Long, String, Long)]
+      .collect().toSet
+    val h0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000
+    val h1 = Timestamp.valueOf("2024-01-01 01:00:00").getTime * 1000
+    assert(got === Set((h0, "click", 2L), (h1, "click", 1L), (h0, "view", 1L)))
+  }
+
+  test("sliding 1h/30m windows place each event in exactly two windows") {
+    val n = Windows.sliding(ev).agg(sum("n")).head.getLong(0)
+    assert(n === ev.count() * 2)
+  }
+
+  test("sessions split on the inactivity gap") {
+    // user 7: events at 00:10, 00:50, 01:10 with 5-min gap → 3 sessions
+    val got = Windows.sessions(ev, gapMinutes = 5)
+      .filter(col("user_id") === 7).count()
+    assert(got === 3)
+    val one = Windows.sessions(ev, gapMinutes = 60)
+      .filter(col("user_id") === 7).count()
+    assert(one === 1)
+  }
+
+  test("media decode stub computes byte statistics partition-wise") {
+    val docs = Seq((1L, "abc", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.mediaFeatures(spark, docs)
+      .as[(Long, Long, Double, Long)].head()
+    assert(f === ((1L, 3L, ('a' + 'b' + 'c') / 3.0, 'c'.toLong)))
+  }
+}
