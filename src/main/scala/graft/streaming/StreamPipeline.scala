@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.operators.Enrich
+import graft.sources.Tables
+
+/** The reference pipeline as Structured Streaming (SURVEY §3.2):
+  * Kafka-protocol source (C1) → JSON decode (C2) → stream-static
+  * broadcast join (C9) → projection (C8) → document-store-style sink
+  * with generated ids, partitioned by customer (C6).
+  *
+  * Connector choice is isolated behind [[OrderSource]] because the
+  * offline environment has no Event Hubs/Kafka broker: production uses
+  * [[KafkaOrders]]; tests use [[FileOrders]]/[[RateOrders]] — the
+  * downstream plan is byte-identical (stream/batch unification, the
+  * same flow the reference tests with `sample-orders.json`,
+  * `README.md:182`).
+  *
+  * No watermark and no state store anywhere in the core pipeline: a
+  * stream-static join is unbounded-state-free, and the static side is
+  * re-read every micro-batch — exactly ASA's periodically-refreshed
+  * reference data semantics (`README.md:145-153`).
+  */
+object StreamPipeline {
+
+  /** One stream source abstraction over the three input flavors. Each
+    * yields an `orders` streaming DataFrame with the event schema
+    * (orderID, customerID, amount). */
+  sealed trait OrderSource { def load(spark: SparkSession): DataFrame }
+
+  /** C1: Event Hubs over the Kafka wire protocol (reference
+    * `README.md:139-143`; SASL config is the deployment's concern).
+    * Value bytes decode via from_json with the explicit event schema —
+    * never schema inference on a stream. */
+  final case class KafkaOrders(bootstrap: String, topic: String) extends OrderSource {
+    def load(spark: SparkSession): DataFrame =
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load()
+        .select(from_json(col("value").cast("string"), Tables.orderEventSchema).as("o"))
+        .select("o.*")
+  }
+
+  /** C5 as a stream: JSON-lines files appearing in a directory — the
+    * offline stand-in for the broker, and the replay path for any
+    * landed raw data. */
+  final case class FileOrders(dir: String) extends OrderSource {
+    def load(spark: SparkSession): DataFrame =
+      spark.readStream.schema(Tables.orderEventSchema).json(dir)
+  }
+
+  /** C15–C17: rate-source generator reproducing the reference
+    * producer's distributions (`orders-generator/main.go:82-84`):
+    * customerID uniform 1..10000, amount uniform 20..499, configurable
+    * events/sec (the reference emits 1 every 3 s; load tests crank it). */
+  final case class RateOrders(rowsPerSecond: Int = 1) extends OrderSource {
+    def load(spark: SparkSession): DataFrame =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString).load()
+        .select(graft.gen.DataGen.orderColumns(col("value")): _*)
+  }
+
+  /** The flagship continuous query: decode → broadcast-enrich. */
+  def enriched(spark: SparkSession, source: OrderSource, customers: DataFrame): DataFrame =
+    Enrich.enrichReference(source.load(spark), customers)
+
+  /** C6: document-store-style sink — per-row generated `id` (Cosmos
+    * system `id`, reference `README.md:118`), physically clustered by
+    * the partition key `/customer_id` (`README.md:129`). foreachBatch
+    * gives upsert-shaped batch writes on any target; here parquet.
+    * `coalesceTo` caps files per batch (tiny-file control at scale). */
+  def writeEnriched(enriched: DataFrame, outDir: String, checkpointDir: String,
+                    coalesceTo: Int = 4): DataStreamWriter[org.apache.spark.sql.Row] =
+    enriched.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("id", expr("uuid()"))
+          .repartition(coalesceTo, col("customer_id"))
+          .write.mode("append").parquet(outDir)
+      }
+
+  /** C18: serialize enriched rows back to Kafka-shaped (key, value)
+    * pairs — message key = order id, like the reference producer
+    * (`main.go:88`). */
+  def toKafkaPayload(enriched: DataFrame): DataFrame =
+    enriched.select(
+      col("order_id").cast("string").as("key"),
+      to_json(struct(col("order_id"), col("customer_id"),
+        col("customer_name"), col("city"), col("purchase_amount"))).as("value"))
+
+  /** X1 streaming dedup: exactly-once semantics on the event id within
+    * the watermark horizon — state is bounded by the watermark, the
+    * only safe configuration at 100 TB/day. */
+  def dedupStream(orders: DataFrame, eventTimeCol: String, watermark: String): DataFrame =
+    orders.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("orderID")
+
+  /** X6 streaming: tumbling event-time windows with watermarked late
+    * data drop. Same expressions as the batch Windows.tumbling. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     width: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** X6 streaming session windows (native session_window operator). */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes",
+                    gap: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Convenience: start the full pipeline end-to-end. */
+  def run(spark: SparkSession, source: OrderSource, customers: DataFrame,
+          outDir: String, checkpointDir: String,
+          trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    writeEnriched(enriched(spark, source, customers), outDir, checkpointDir)
+      .trigger(trigger).start()
+}

@@ -12,5 +12,7 @@ object SparkTestBase {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  spark.sparkContext.setLogLevel("WARN")
+
   val sf0001 = "/root/testdata/sf0.001"
 }

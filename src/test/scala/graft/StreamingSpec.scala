@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.streaming.StreamPipeline
+import graft.gen.DataGen
+import java.nio.file.Files
+import java.sql.Timestamp
+
+case class OrderEvent(orderID: String, customerID: Long, amount: Long)
+case class UserEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                     event_type: String, value: Double)
+
+/** End-to-end Structured Streaming tests: the reference pipeline shape
+  * (source → decode → stream-static join → foreachBatch sink) driven
+  * through MemoryStream / file sources with processAllAvailable. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def customersHead = Seq(
+    (1, "Willis Collins", "Dallas"), (2, "Casey Brady", "Chicago"),
+    (3, "Walker Wong", "SanJose"), (4, "Randall Weeks", "SanDiego"),
+    (5, "Gerardo Dorsey", "Dallas")).toDF("cust_id", "cust_name", "city")
+
+  test("stream-static enrichment joins each micro-batch against the reference table") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[OrderEvent]
+    val enriched = graft.operators.Enrich.enrichReference(mem.toDF(), customersHead)
+    val q = enriched.writeStream.format("memory").queryName("enriched_mem")
+      .outputMode("append").start()
+    try {
+      mem.addData(OrderEvent("o1", 1, 182), OrderEvent("o2", 2, 33),
+        OrderEvent("o9", 99999, 7))
+      q.processAllAvailable()
+      val got = spark.table("enriched_mem")
+        .as[(String, Long, String, String, Long)].collect().toSet
+      assert(got === Set(("o1", 1L, "Willis Collins", "Dallas", 182L),
+        ("o2", 2L, "Casey Brady", "Chicago", 33L)))
+      // the plan must stay a broadcast join in streaming mode
+      mem.addData(OrderEvent("o3", 3, 170))
+      q.processAllAvailable()
+      assert(spark.table("enriched_mem").count() === 3)
+    } finally q.stop()
+  }
+
+  test("file-source pipeline writes id-stamped parquet partituioned by customer (C6)") {
+    val dir = Files.createTempDirectory("graft-stream")
+    val in = dir.resolve("in"); val out = dir.resolve("out"); val ck = dir.resolve("ck")
+    Files.createDirectories(in)
+    Files.writeString(in.resolve("batch1.json"),
+      """{"orderID":"a1","customerID":1,"amount":182}
+        |{"orderID":"a2","customerID":2,"amount":33}""".stripMargin)
+    val q = StreamPipeline.run(spark, StreamPipeline.FileOrders(in.toString),
+      customersHead, out.toString, ck.toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(out.toString)
+    assert(got.count() === 2)
+    assert(got.columns.contains("id"))
+    assert(got.select("id").distinct().count() === 2) // generated per-row ids
+    assert(got.filter(col("customer_id") === 1)
+      .select("customer_name").head.getString(0) === "Willis Collins")
+  }
+
+  test("streaming dedup keeps one row per order id within the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Long)]
+    val df = mem.toDF().toDF("orderID", "ts", "amount")
+    val q = StreamPipeline.dedupStream(df, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_mem")
+      .outputMode("append").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData(("d1", t, 1L), ("d1", t, 1L), ("d2", t, 2L))
+      q.processAllAvailable()
+      assert(spark.table("dedup_mem").count() === 2)
+    } finally q.stop()
+  }
+
+  test("streaming tumbling windows aggregate with watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("win_mem")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        UserEvent(1, Timestamp.valueOf("2024-01-01 00:01:00"), 7, "click", 1.0),
+        UserEvent(2, Timestamp.valueOf("2024-01-01 00:02:00"), 7, "click", 2.0),
+        UserEvent(3, Timestamp.valueOf("2024-01-01 00:07:00"), 7, "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("win_mem").select("n").as[Long].collect().sorted
+      assert(got.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming session windows split on the gap") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sess_mem")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        UserEvent(1, Timestamp.valueOf("2024-01-01 00:01:00"), 7, "click", 1.0),
+        UserEvent(2, Timestamp.valueOf("2024-01-01 00:03:00"), 7, "click", 1.0),
+        UserEvent(3, Timestamp.valueOf("2024-01-01 00:30:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_mem").count() === 2) // two sessions for user 7
+    } finally q.stop()
+  }
+
+  test("custom state: running per-user event count via mapGroupsWithState") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val counts = mem.toDS().groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[UserEvent], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (uid, n)
+      }
+    val q = counts.writeStream.format("memory").queryName("state_mem")
+      .outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1, Timestamp.valueOf("2024-01-01 00:01:00"), 7, "c", 1.0),
+        UserEvent(2, Timestamp.valueOf("2024-01-01 00:02:00"), 7, "c", 1.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(3, Timestamp.valueOf("2024-01-01 00:03:00"), 7, "c", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("state_mem").as[(Long, Long)].collect().map(_._2).max
+      assert(last === 3L)
+    } finally q.stop()
+  }
+
+  test("kafka payload round-trips through from_json (C18)") {
+    val enriched = Seq(("o1", 1L, "Willis Collins", "Dallas", 182L))
+      .toDF("order_id", "customer_id", "customer_name", "city", "purchase_amount")
+    val payload = StreamPipeline.toKafkaPayload(enriched)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_id string, customer_id long, customer_name string, city string, purchase_amount long")
+    val back = payload.select(from_json(col("value"), schema).as("o")).select("o.*")
+    assert(back.as[(String, Long, String, String, Long)].head() ===
+      (("o1", 1L, "Willis Collins", "Dallas", 182L)))
+  }
+
+  test("rate-source generator matches the reference distributions (C15-C17)") {
+    val df = DataGen.ordersBatch(spark, 2000)
+    val stats = df.agg(min("customerID"), max("customerID"), min("amount"),
+      max("amount"), countDistinct("orderID")).head
+    assert(stats.getLong(0) >= 1 && stats.getLong(1) <= 10000)
+    assert(stats.getLong(2) >= 20 && stats.getLong(3) <= 499)
+    assert(stats.getLong(4) === 2000)
+  }
+}
