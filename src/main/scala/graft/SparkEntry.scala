@@ -188,16 +188,22 @@ object SparkEntry {
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY md5(text)""",
     "x4_minhash_sig" ->
-      """WITH t AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
              s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
-           FROM documents)
+           FROM tk WHERE len(t) >= 3)
          SELECT doc_id, CAST(i AS INTEGER) AS perm,
            list_min(list_transform(hs, h -> ((2*i+1)*h + 12289*i + 7) % 2147483647)) AS minhash
          FROM t, (SELECT unnest(range(16)) AS i)""",
     "x4_minhash_pairs" ->
-      """WITH t AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
              s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
-           FROM documents),
+           FROM tk WHERE len(t) >= 3),
          sig AS (SELECT doc_id, list_transform(range(16),
              i -> list_min(list_transform(hs, h -> ((2*i+1)*h + 12289*i + 7) % 2147483647))) AS s
            FROM t),

@@ -68,7 +68,7 @@ object Multimodal {
       .withColumn("v", transform(col("embedding"), _.cast("double")))
       .select(col("vec_id"), col("label"),
         size(col("embedding")).cast("long").as("dim"),
-        round(sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)), 6)
+        round(sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))), 6)
           .as("norm"))
     documents.join(emb, documents("doc_id") === emb("vec_id"))
       .select(col("doc_id"), col("lang"), col("label"), col("dim"), col("norm"))

@@ -21,16 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Embedding as double array plus its L2 norm — one narrow pass. */
+  import graft.functions.DotProduct.dot_product
+
+  /** Embedding as double array plus its L2 norm — one narrow pass. The
+    * norm is the codegen'd DotProduct of the vector with itself (same
+    * sequential fold as the DuckDB oracle's list_reduce). */
   private def withVec(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("v", transform(col("embedding"), _.cast("double")))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
 
-  /** Sequential-fold dot product of two double arrays (matches DuckDB's
-    * list_reduce order). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product via the native codegen expression —
+    * no intermediate zipped array per pair (see graft.functions
+    * .DotProduct; the higher-order zip_with+aggregate form allocates
+    * one array per scored pair, which dominates O(n²) scoring). */
+  private def dot(a: Column, b: Column): Column = dot_product(a, b)
 
   /** X2 brute-force ANN: top-k neighbors by cosine for each query
     * vector (vec_id < nQueries), deterministic tie-break on neighbor
@@ -48,19 +53,81 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** X2 near-dup flavor: globally most-similar k pairs (a < b). The
-    * all-pairs compare is the exact baseline; LSH below is the scale
-    * path. */
+  /** Rounds exactly like Spark/DuckDB `round(x, 6)` (half away from
+    * zero) so driver-side selection ties break identically. */
+  private[operators] def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** X2 near-dup flavor: globally most-similar k pairs (a < b).
+    *
+    * Exact all-pairs scoring is O(n²·d) and only feasible when the
+    * vector set fits one node's memory — which it must for ANY exact
+    * all-pairs method — so this uses the mapPartitions escape hatch
+    * deliberately: broadcast the (id, vector, norm) table, score pairs
+    * in a tight JVM loop with a per-partition bounded heap, then take
+    * the global top-k. Joins materialize a 512-byte vector copy per
+    * scored pair and were ~40× slower. The 100 TB path is annLsh
+    * (candidates by bucket) feeding this scorer per bucket.
+    *
+    * The heap orders by ROUNDED cosine (then ids) — the same key the
+    * SQL oracle sorts by; raw-cosine ordering could select a different
+    * boundary pair when two cosines agree to 6 decimals. The dot/norm
+    * arithmetic is the same sequential fold as DotProduct, so scores
+    * are bit-identical to the plan-based operators. */
   def cosinePairsTopK(embeddings: DataFrame, k: Int = 20): DataFrame = {
-    val a = withVec(embeddings).select(col("vec_id").as("a_id"),
-      col("v").as("av"), col("nrm").as("an"))
-    val b = withVec(embeddings).select(col("vec_id").as("b_id"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos"))
-      .orderBy(col("cos").desc, col("a_id"), col("b_id"))
-      .limit(k)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val s = withVec(embeddings).select(col("vec_id"), col("v"), col("nrm"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Double], Double)]
+    val collected = s.collect()
+    // primitive/flat arrays: no tuple unboxing in the O(n²) loop
+    val bcIds = spark.sparkContext.broadcast(collected.map(_._1))
+    val bcVecs = spark.sparkContext.broadcast(collected.map(_._2))
+    val bcNrms = spark.sparkContext.broadcast(collected.map(_._3))
+    // "best" = highest cos, then smallest ids; under pairOrd the PQ max
+    // (its head) is therefore the WORST kept pair — the eviction victim.
+    val pairOrd: Ordering[(Double, Long, Long)] =
+      Ordering.Tuple3(Ordering[Double].reverse, Ordering[Long], Ordering[Long])
+    val local = s.mapPartitions { it =>
+      val ids = bcIds.value
+      val vecs = bcVecs.value
+      val nrms = bcNrms.value
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](pairOrd)
+      // worst kept pair mirrored in locals to keep the eviction test
+      // allocation-free
+      var wc = Double.NegativeInfinity; var wa = Long.MaxValue; var wb = Long.MaxValue
+      def syncWorst(): Unit = { val t = heap.head; wc = t._1; wa = t._2; wb = t._3 }
+      it.foreach { case (aId, av, an) =>
+        var j = 0
+        while (j < ids.length) {
+          val bId = ids(j)
+          if (bId > aId) {
+            val bv = vecs(j)
+            var acc = 0.0
+            var d = 0
+            val n = math.min(av.length, bv.length)
+            while (d < n) { acc += av(d) * bv(d); d += 1 }
+            val raw = acc / (an * nrms(j))
+            // round6 allocates a BigDecimal — only pay it for pairs
+            // that could enter the heap (rounding moves a value by at
+            // most 5e-7, so raw < wc - 1e-6 can never round up to ≥ wc)
+            if (heap.size < k || raw >= wc - 1e-6) {
+              val c = round6(raw)
+              if (heap.size < k) { heap.enqueue((c, aId, bId)); syncWorst() }
+              else if (c > wc || (c == wc && (aId < wa || (aId == wa && bId < wb)))) {
+                heap.dequeue(); heap.enqueue((c, aId, bId)); syncWorst()
+              }
+            }
+          }
+          j += 1
+        }
+      }
+      heap.iterator
+    }
+    local.toDF("cos", "a_id", "b_id")
+      .orderBy(col("cos").desc, col("a_id"), col("b_id")).limit(k)
+      .select(col("a_id"), col("b_id"), col("cos"))
   }
 
   /** Random-hyperplane LSH, 4 tables × 4 sign bits (OR-amplification:
@@ -70,15 +137,22 @@ object Similarity {
     * components come from a fixed LCG-style integer formula so the
     * oracle reproduces them exactly:
     * hp(p,d) = ((1103515245·(64p+d) + 12345) mod 2^31) / 2^31 − 0.5,
-    * plane p = table·4 + bit. */
-  private val bucketsExpr =
-    """transform(sequence(0, 3), tt ->
-      |  aggregate(sequence(0, 3), 0, (bk, j) -> bk + IF(
-      |    aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, d) -> acc +
-      |      element_at(v, d + 1) *
-      |      (CAST((CAST(1103515245 AS BIGINT) * ((tt * 4 + j) * 64 + d) + 12345)
-      |         % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)) > 0,
-      |    shiftleft(1, j), 0)))""".stripMargin
+    * plane p = table·4 + bit. The planes are baked in as LITERAL
+    * arrays so each sign bit is one codegen'd DotProduct — the
+    * equivalent nested higher-order lambda is interpreted per row and
+    * dominated the whole query. */
+  private def hyperplane(p: Int): Seq[Double] =
+    (0 until 64).map { d =>
+      ((1103515245L * (p * 64 + d) + 12345L) % 2147483648L).toDouble /
+        2147483648.0 - 0.5
+    }
+
+  private def bucketsCol: Column = array((0 until 4).map { tt =>
+    (0 until 4).map { j =>
+      when(dot_product(col("v"), typedlit(hyperplane(tt * 4 + j))) > 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }: _*)
 
   /** X2 LSH-bucketed ANN: queries (vec_id < nQueries) retrieve top-k by
     * cosine among vectors sharing a bucket in at least one of the 4
@@ -86,9 +160,10 @@ object Similarity {
     * distinct — never a crossJoin; at scale each (table, bucket) cell
     * is an independent partition of work. */
   def annLsh(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
-    val all = withVec(embeddings).withColumn("buckets", expr(bucketsExpr))
-    val buckets = all.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(col("buckets"))).toDF("vec_id", "v", "nrm", "tbl", "bucket")
+    val buckets = withVec(embeddings).withColumn("bkts", bucketsCol)
+      .select(col("vec_id"), posexplode(col("bkts")))
+      .toDF("vec_id", "tbl", "bucket")
+      .repartition(col("tbl"), col("bucket"))
     val q = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
     val cands = buckets.join(q, Seq("tbl", "bucket"))
