@@ -94,6 +94,12 @@ object StreamPipeline {
       to_json(struct(col("order_id"), col("customer_id"),
         col("customer_name"), col("city"), col("purchase_amount"))).as("value"))
 
+  /** C7: console/log sink — the debug path mirroring the reference
+    * generator's per-record logging (`main.go:93`). */
+  def consoleSink(df: DataFrame, rows: Int = 20): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("console").option("numRows", rows.toString)
+      .outputMode("append")
+
   /** X1 streaming dedup: exactly-once semantics on the event id within
     * the watermark horizon — state is bounded by the watermark, the
     * only safe configuration at 100 TB/day. */
