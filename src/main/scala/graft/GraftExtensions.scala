@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** SQL registration of the graft custom expressions, so `spark.sql`
+  * users get the same surface as the DataFrame API. Two entry points:
+  *
+  *  - session builder: `.withExtensions(new GraftExtensions)`
+  *  - live session: `GraftFunctions.register(spark)` (temp functions)
+  *
+  * Nothing in the core surface needs injected rules or strategies
+  * (SURVEY §4) — function registration is the only extension point the
+  * engine uses.
+  */
+object GraftFunctions {
+
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash", "rolling_hash(str) - polynomial rolling hash",
+      args => RollingHash(args.head, RollingHash.DefaultPrime)),
+    ("dot_product", "dot_product(a, b) - dot product of two double arrays",
+      args => DotProduct(args(0), args(1))),
+    ("word_shingles", "word_shingles(str, n) - distinct word n-gram shingles",
+      args => WordShingles(args(0), intArg(args(1)))),
+    ("shingle_hashes", "shingle_hashes(str, n, mod) - 60-bit md5 shingle hashes",
+      args => ShingleHashes(args(0), intArg(args(1)), longArg(args(2)))),
+    ("simhash", "simhash(hashes) - 60-bit simhash of a hash array",
+      args => SimHash(args.head, 60)),
+    ("minhash_sig", "minhash_sig(hashes, k, prime) - minhash signature array",
+      args => MinHashSig(args(0), intArg(args(1)), longArg(args(2)))))
+
+  /** Register as temp functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+
+  private def intArg(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+  private def longArg(e: Expression): Long =
+    e.eval(null).asInstanceOf[Number].longValue()
+}
+
+/** Builder-time flavor: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` or config `spark.sql.extensions=graft.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, usage, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+          "", "", "", "", "", "", "scala_udf"), b))
+    }
+}

@@ -46,6 +46,12 @@ object SparkEntry {
     "q_semi_join" -> ((s, d) => Analytics.customersWithOrders(
       t(s, d, "customer"), t(s, d, "orders"), "1-URGENT")),
     "q_union" -> ((s, d) => Analytics.unionKeys(t(s, d, "customer"), t(s, d, "orders"))),
+    "q_salted_join" -> ((s, d) => Scale.saltedRevenueByCity(
+      t(s, d, "orders"), t(s, d, "customer"))),
+    "q_rollup" -> ((s, d) => Scale.rollupSummary(t(s, d, "lineitem"))),
+    "q_agg_extras" -> ((s, d) => Scale.aggExtras(t(s, d, "lineitem"))),
+    "q_by_month" -> ((s, d) => Scale.ordersByMonth(t(s, d, "orders"))),
+    "q_string_funcs" -> ((s, d) => Scale.stringFuncs(t(s, d, "customer"))),
     // --- X3 text analysis ---
     "x3_textstats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
     "x3_bpe_tokens" -> ((s, d) => TextAnalysis.regexTokenCounts(t(s, d, "documents"))),
@@ -140,6 +146,32 @@ object SparkEntry {
       """SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0
          UNION
          SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000""",
+    "q_salted_join" ->
+      """SELECT c.c_mktsegment AS city, round(sum(o.o_totalprice), 4) AS total_purchase,
+         count(*) AS n
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment""",
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+         coalesce(l_linestatus, 'ALL') AS l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_agg_extras" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         round(stddev_samp(l_extendedprice), 4) AS sd_price,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_by_month" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m,
+         count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+         FROM orders GROUP BY 1, 2""",
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(substr(c_name, 1, 8)) AS prefix,
+         length(c_name) AS name_len,
+         concat_ws('-', c_mktsegment, c_nationkey) AS seg_nation,
+         regexp_replace(c_name, '[aeiou]', '', 'g') AS devoweled
+         FROM customer""",
     "x3_textstats" ->
       """SELECT doc_id, length(text) AS n_chars,
          len(string_split(text, ' ')) AS n_tokens,
@@ -195,7 +227,7 @@ object SparkEntry {
              s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
            FROM tk WHERE len(t) >= 3)
          SELECT doc_id, CAST(i AS INTEGER) AS perm,
-           list_min(list_transform(hs, h -> ((2*i+1)*h + 12289*i + 7) % 2147483647)) AS minhash
+           list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647)) AS minhash
          FROM t, (SELECT unnest(range(16)) AS i)""",
     "x4_minhash_pairs" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -205,7 +237,7 @@ object SparkEntry {
              s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
            FROM tk WHERE len(t) >= 3),
          sig AS (SELECT doc_id, list_transform(range(16),
-             i -> list_min(list_transform(hs, h -> ((2*i+1)*h + 12289*i + 7) % 2147483647))) AS s
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
            FROM t),
          band AS (SELECT doc_id, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
            FROM sig, (SELECT unnest(range(4)) AS b))

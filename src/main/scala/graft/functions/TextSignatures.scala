@@ -135,9 +135,15 @@ case class SimHash(child: Expression, bits: Int) extends KernelExpression {
   override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
 }
 
-/** MinHash signature: sig(i) = min over hashes h of
-  * ((2i+1)·h + 12289·i + 7) mod prime. Null entries (empty input)
-  * mirror `array_min` of an empty array. */
+/** MinHash signature: sig(i) = min over hashes h of (a_i·h + b_i) mod
+  * prime, with LCG-mixed permutation constants
+  * a_i = ((1103515245·(i+1) + 12345) mod (prime−1)) + 1,
+  * b_i = (1103515245·(i+17) + 54321) mod prime.
+  * Small sequential multipliers (2i+1) would let the globally smallest
+  * shingle hash win every permutation, collapsing the signature to an
+  * arithmetic progression — large mixed multipliers make each
+  * permutation's argmin independent, which is what LSH banding needs.
+  * Null entries (empty input) mirror `array_min` of an empty array. */
 case class MinHashSig(child: Expression, numPerms: Int, prime: Long)
     extends KernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
@@ -148,8 +154,8 @@ case class MinHashSig(child: Expression, numPerms: Int, prime: Long)
     val out = new Array[Any](numPerms)
     var i = 0
     while (i < numPerms) {
-      val a = 2L * i + 1
-      val b = 12289L * i + 7
+      val a = (1103515245L * (i + 1) + 12345L) % (prime - 1) + 1
+      val b = (1103515245L * (i + 17) + 54321L) % prime
       var best = Long.MaxValue
       var j = 0
       while (j < n) {

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.gen.DataGen
+import graft.operators.{Dedup, Enrich}
+
+/** Property tests (SURVEY §5): join totality against the dense
+  * reference table, aggregation invariants, dedup key uniqueness,
+  * fingerprint determinism. Each property evaluates a Spark job, so
+  * the case count is kept small. */
+object GraftProps extends Properties("graft") {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val customers = DataGen.customersBatch(spark, 10000, 4).cache()
+
+  // every generated customerID ∈ [1,10000] joins exactly one customer
+  // (mirrors main.go:82 against the dense cust_id domain)
+  property("enrichment join is total over the generated domain") =
+    forAll(Gen.choose(50, 300)) { n =>
+      val orders = DataGen.ordersBatch(spark, n, 4)
+        .withColumnRenamed("orderID", "o_orderkey")
+        .withColumnRenamed("customerID", "o_custkey")
+        .withColumnRenamed("amount", "o_totalprice")
+      val cust = customers.select(col("cust_id").cast("long").as("c_custkey"),
+        col("cust_name").as("c_name"), col("city").as("c_mktsegment"))
+      Enrich.enrich(orders, cust).count() == n.toLong
+    }
+
+  // Σ per-city sums == global sum
+  property("grouped sums add to the global sum") =
+    forAll(Gen.choose(100, 400)) { n =>
+      val df = DataGen.ordersBatch(spark, n, 4)
+      val global = df.agg(sum("amount")).head.getLong(0)
+      val grouped = df.groupBy(pmod(col("customerID"), lit(7)))
+        .agg(sum("amount").as("s")).agg(sum("s")).head.getLong(0)
+      global == grouped
+    }
+
+  // generated amounts stay in the reference domain [20,499]
+  property("generator respects reference domains") =
+    forAll(Gen.choose(100, 500)) { n =>
+      val r = DataGen.ordersBatch(spark, n, 4)
+        .agg(min("amount"), max("amount"), min("customerID"), max("customerID")).head
+      r.getLong(0) >= 20 && r.getLong(1) <= 499 &&
+        r.getLong(2) >= 1 && r.getLong(3) <= 10000
+    }
+
+  // dedup leaves exactly one row per key, the minimum ts one
+  property("first-event dedup keys are unique") =
+    forAll(Gen.choose(20, 100), Gen.choose(2, 5)) { (n, users) =>
+      val ev = (0 until n).map { i =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + (i * 37 % 50) * 1000L),
+          (i % users).toLong, if (i % 2 == 0) "click" else "view", 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val out = Dedup.firstEventPerKey(ev)
+      val keys = out.select("user_id", "event_type").distinct().count()
+      out.count() == keys &&
+        out.count() == ev.select("user_id", "event_type").distinct().count()
+    }
+
+  // identical texts always produce identical signatures
+  property("fingerprints are deterministic functions of content") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("spark", "table", "row", "scan", "agg"))) { ws =>
+      val text = ws.mkString(" ")
+      val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val fps = graft.operators.TextAnalysis.fingerprints(df)
+        .select("fp_md5", "fp_roll").as[(String, Long)].collect()
+      fps(0) == fps(1)
+    }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+import graft.sources.Tables
+
+class ScaleExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("salted join returns exactly the rows of the plain join") {
+    val orders = Tables(spark, SparkTestBase.sf0001, "orders")
+    val customer = Tables(spark, SparkTestBase.sf0001, "customer")
+    val plain = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_custkey").as[(Long, Long)].collect().sorted.toSeq
+    val salted = Scale.saltedJoin(orders, customer, "o_custkey", "c_custkey")
+      .select("o_orderkey", "c_custkey").as[(Long, Long)].collect().sorted.toSeq
+    assert(salted === plain)
+  }
+
+  test("rollup emits leaf, subtotal, and grand-total rows") {
+    val r = Scale.rollupSummary(Tables(spark, SparkTestBase.sf0001, "lineitem"))
+    val rows = r.collect()
+    assert(rows.exists(x => x.getString(0) == "ALL" && x.getString(1) == "ALL"))
+    val grand = r.filter($"l_returnflag" === "ALL" && $"l_linestatus" === "ALL")
+      .select("n").as[Long].head()
+    assert(grand === 6000L)
+  }
+
+  test("SQL users reach the custom expressions after registration") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head.getDouble(0) === 11.0)
+    val viaSql = spark.sql("SELECT rolling_hash('spark table')").head.getLong(0)
+    val viaDf = Seq("spark table").toDF("s")
+      .select(graft.functions.RollingHash.rolling_hash(col("s"))).head.getLong(0)
+    assert(viaSql === viaDf)
+    // full signature pipeline in pure SQL
+    val sig = spark.sql(
+      "SELECT simhash(shingle_hashes('a b c d e f', 1, 0))").head.getLong(0)
+    val viaOp = graft.operators.Dedup.simhash(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text")).select("simhash")
+      .as[Long].head()
+    assert(sig === viaOp)
+  }
+}
