@@ -58,6 +58,8 @@ object SparkEntry {
     "x3_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "x3_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     "x3_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(t(s, d, "documents"))),
+    "x3_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(t(s, d, "documents"))),
+    "x3_tfidf" -> ((s, d) => TextAnalysis.tfidf(t(s, d, "documents"))),
     // --- X1/X4 dedup ---
     "x1_first_event" -> ((s, d) => Dedup.firstEventPerKey(t(s, d, "events"))),
     "x1_fingerprint_dedup" -> ((s, d) => Dedup.fingerprintDedup(t(s, d, "documents"))),
@@ -212,6 +214,20 @@ object SparkEntry {
          list_reduce(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
            (a, b) -> (a * 31 + b) % 9007199254740881) AS fp_roll
          FROM documents""",
+    "x3_vocabulary" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token""",
+    "x3_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY doc_id, token),
+         dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM terms GROUP BY token),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+         SELECT t.doc_id, t.token, t.tf,
+           round(t.tf * ln(nd.n_docs / CAST(d.df AS DOUBLE)), 6) AS tfidf
+         FROM terms t JOIN dfs d ON t.token = d.token, nd""",
     "x1_first_event" ->
       """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id, event_type

@@ -39,8 +39,14 @@ object Similarity {
 
   /** X2 brute-force ANN: top-k neighbors by cosine for each query
     * vector (vec_id < nQueries), deterministic tie-break on neighbor
-    * id. Query side is broadcast; the big side streams. */
+    * id. Query side is broadcast; the big side streams. Per-group
+    * selection runs through the TopKByScore TypedImperativeAggregate:
+    * partial aggregation bounds map-side state to O(k) per query and
+    * ships k rows per (partition, query) through the shuffle — the
+    * window row_number() formulation would shuffle and sort EVERY
+    * scored candidate. */
   def annBruteForce(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
     val all = withVec(embeddings)
     val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -48,9 +54,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    scored.groupBy(col("q_id"))
+      .agg(top_k_by_score(col("cos"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("n_id"),
+        round(col("col.score"), 6).as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Rounds exactly like Spark/DuckDB `round(x, 6)` (half away from

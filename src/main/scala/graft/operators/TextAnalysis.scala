@@ -104,4 +104,28 @@ object TextAnalysis {
       col("doc_id"),
       md5(col("text")).as("fp_md5"),
       rolling_hash(col("text")).as("fp_roll"))
+
+  /** Corpus vocabulary with term and document frequencies — the
+    * explode-then-aggregate shape every corpus-level statistic uses.
+    * One shuffle on token (cardinality = vocabulary size). */
+  def vocabulary(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+
+  /** Per-(doc, token) TF-IDF: tf · ln(N/df). Document count and df come
+    * from broadcast-able aggregates; the ln ratio is identical libm
+    * math on both engines (rounded to 6 for safety). */
+  def tfidf(documents: DataFrame): DataFrame = {
+    val n = documents.select(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = documents.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfs = terms.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    terms.join(broadcast(dfs), "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf") * log(col("n_docs") / col("df").cast("double")), 6)
+          .as("tfidf"))
+  }
 }

@@ -29,6 +29,27 @@ class ScaleExtensionsSpec extends AnyFunSuite {
     assert(grand === 6000L)
   }
 
+  test("TopKByScore aggregate keeps the k best with deterministic ties") {
+    import graft.functions.TopKByScore.top_k_by_score
+    val df = Seq(
+      (1L, 0.9, 10L), (1L, 0.9, 7L), (1L, 0.5, 3L), (1L, 0.99, 4L),
+      (2L, 0.1, 1L)).toDF("g", "score", "id")
+    val got = df.groupBy($"g").agg(top_k_by_score($"score", $"id", 2).as("top"))
+      .select($"g", $"top").as[(Long, Seq[(Double, Long)])].collect().toMap
+    assert(got(1L) === Seq((0.99, 4L), (0.9, 7L))) // tie at 0.9 → lower id wins
+    assert(got(2L) === Seq((0.1, 1L)))
+  }
+
+  test("TopKByScore survives partial aggregation across many partitions") {
+    import graft.functions.TopKByScore.top_k_by_score
+    val df = spark.range(0, 1000, 1, 16)
+      .select(lit(1L).as("g"), (col("id") % 97).cast("double").as("score"), col("id"))
+    val top = df.groupBy($"g").agg(top_k_by_score($"score", $"id", 3).as("top"))
+      .select($"top").as[Seq[(Double, Long)]].head()
+    // best score is 96, attained first at ids 96, 193, 290 → lowest ids win
+    assert(top === Seq((96.0, 96L), (96.0, 193L), (96.0, 290L)))
+  }
+
   test("SQL users reach the custom expressions after registration") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))")

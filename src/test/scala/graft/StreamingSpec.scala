@@ -136,6 +136,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes exactly-once (no reprocessing)") {
+    val dir = Files.createTempDirectory("graft-ckpt")
+    val in = dir.resolve("in"); val out = dir.resolve("out"); val ck = dir.resolve("ck")
+    Files.createDirectories(in)
+    Files.writeString(in.resolve("b1.json"),
+      """{"orderID":"r1","customerID":1,"amount":10}""")
+    def runOnce(): Unit = {
+      val q = StreamPipeline.run(spark, StreamPipeline.FileOrders(in.toString),
+        customersHead, out.toString, ck.toString,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out.toString).count() === 1)
+    // second run, new file only: the checkpoint must skip b1.json
+    Files.writeString(in.resolve("b2.json"),
+      """{"orderID":"r2","customerID":2,"amount":20}""")
+    runOnce()
+    val rows = spark.read.parquet(out.toString)
+    assert(rows.count() === 2)
+    assert(rows.select("order_id").as[String].collect().toSet === Set("r1", "r2"))
+  }
+
   test("kafka payload round-trips through from_json (C18)") {
     val enriched = Seq(("o1", 1L, "Willis Collins", "Dallas", 182L))
       .toDF("order_id", "customer_id", "customer_name", "city", "purchase_amount")
