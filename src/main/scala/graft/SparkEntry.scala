@@ -77,6 +77,8 @@ object SparkEntry {
     "x5_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, t(s, d, "documents"))),
     "x5_mm_join" -> ((s, d) => Multimodal.docEmbeddingJoin(
       t(s, d, "documents"), t(s, d, "embeddings"))),
+    "x5_resize" -> ((s, d) => Multimodal.resizedSizes(t(s, d, "documents"))),
+    "x5_frames" -> ((s, d) => Multimodal.frameCounts(s, t(s, d, "documents"))),
     // --- X6 event-time windows (batch flavor; streaming in graft.streaming) ---
     "x6_tumbling" -> ((s, d) => Windows.tumbling(t(s, d, "events"))),
     "x6_sliding" -> ((s, d) => Windows.sliding(t(s, d, "events"))),
@@ -376,6 +378,12 @@ object SparkEntry {
            FROM embeddings)
          SELECT d.doc_id, d.lang, e.label, e.dim, e.norm
          FROM documents d JOIN emb e ON d.doc_id = e.vec_id""",
+    "x5_resize" ->
+      "SELECT doc_id, least(length(text), 100) AS rbytes FROM documents",
+    "x5_frames" ->
+      """SELECT doc_id,
+         (greatest(length(text) // 64, 1) + 3) // 4 AS n_frames
+         FROM documents""",
     "x6_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS ws_us, event_type,
          count(*) AS n, round(sum(value), 4) AS sum_value

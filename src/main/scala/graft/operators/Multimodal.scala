@@ -54,11 +54,50 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: a real implementation decodes the image and
+    * re-encodes at the target resolution; the deterministic fake keeps
+    * the contract (binary in, smaller binary out, byte budget =
+    * `targetBytes`) so the plan shape — narrow per-row binary
+    * transform, no shuffle — is the real thing. */
+  def resizeStub(media: DataFrame, targetBytes: Int): DataFrame =
+    media.withColumn("media_resized",
+      expr(s"CASE WHEN octet_length(media) <= $targetBytes THEN media " +
+        s"ELSE substring(media, 1, $targetBytes) END"))
+
+  /** STUB frame sampling: a real implementation pulls every k-th video
+    * frame; the fake slices every k-th fixed-size chunk of the blob.
+    * Output is one row per sampled "frame" with its index — the
+    * explode-shaped plumbing (one media row → many frame rows, frame
+    * count carried in metadata) is what matters at scale. */
+  def frameSampleStub(spark: SparkSession, media: DataFrame,
+                      chunkBytes: Int = 64, every: Int = 4): Dataset[(Long, Int, Array[Byte])] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nChunks = math.max(1, bytes.length / chunkBytes)
+        (0 until nChunks by every).map { f =>
+          (id, f, bytes.slice(f * chunkBytes, math.min((f + 1) * chunkBytes, bytes.length)))
+        }
+      }
+  }
+
   /** X5 query surface: decode features (rounded for oracle parity). */
   def mediaFeatures(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeStub(spark, mediaTable(documents)).toDF()
       .select(col("doc_id"), col("byte_len"),
         round(col("mean_byte"), 6).as("mean_byte"), col("max_byte"))
+
+  /** Query surface for the resize stub: output byte budget per doc. */
+  def resizedSizes(documents: DataFrame, targetBytes: Int = 100): DataFrame =
+    resizeStub(mediaTable(documents), targetBytes)
+      .select(col("doc_id"),
+        octet_length(col("media_resized")).cast("long").as("rbytes"))
+
+  /** Query surface for frame sampling: sampled-frame count per doc. */
+  def frameCounts(spark: SparkSession, documents: DataFrame): DataFrame = {
+    frameSampleStub(spark, mediaTable(documents)).toDF("doc_id", "frame", "chunk")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+  }
 
   /** X5 multimodal join: documents ⋈ embeddings on doc_id = vec_id with
     * vector metadata (dim + L2 norm). Both sides shuffle on the id (or

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+import graft.sources.Tables
+
+/** Physical-plan assertions — the properties that decide 100 TB
+  * behavior must not silently regress: filter pushdown into the scan,
+  * column pruning, broadcast join selection, partial aggregation. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, SparkTestBase.sf0001)
+      .queryExecution.explainString(FormattedMode)
+
+  test("equality filter pushes into the parquet scan (C10)") {
+    val p = planOf("c10_filter_city")
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("text stats scan reads only doc_id and text (column pruning)") {
+    val p = planOf("x3_textstats")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source"), read)
+  }
+
+  test("enrichment join is broadcast, aggregation is partial+final (C9/C12)") {
+    val p = planOf("c12_avg_by_city")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("ANN LSH candidate generation is a hash join, not a nested loop") {
+    val p = planOf("x2_ann_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("whole-stage codegen covers the pricing summary") {
+    // codegen spans only appear on the executed plan once AQE finalizes
+    val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), codegen)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("partial_sum"), p)
+  }
+}

@@ -73,4 +73,18 @@ class SimilarityWindowsSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Long)].head()
     assert(f === ((1L, 3L, ('a' + 'b' + 'c') / 3.0, 'c'.toLong)))
   }
+
+  test("resize stub caps blob size; frame sampling emits every k-th chunk") {
+    val docs = Seq((1L, "x" * 600, "en", "src0", 600L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaTable(docs)
+    val resized = Multimodal.resizeStub(media, 100)
+      .select(octet_length(col("media_resized"))).head.getInt(0)
+    assert(resized === 100)
+    val frames = Multimodal.frameSampleStub(spark, media, chunkBytes = 64, every = 4)
+      .collect()
+    // 600 bytes → 9 chunks → frames 0, 4, 8
+    assert(frames.map(_._2).toSeq === Seq(0, 4, 8))
+    assert(frames.forall(_._3.length <= 64))
+  }
 }
