@@ -56,10 +56,8 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "et", "est"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  private def stopCount(lang: String): Column = {
-    val lits = stopwords(lang).map(lit)
+  private def stopCount(lang: String): Column =
     size(filter(toks, t => t.isin(stopwords(lang): _*))).cast("long")
-  }
 
   /** Language ID by stopword scoring with a fixed priority order on
     * ties (en > de > es > fr > zh), 'und' when nothing matches. On real

@@ -48,10 +48,25 @@ object StreamPipeline {
 
   /** C5 as a stream: JSON-lines files appearing in a directory — the
     * offline stand-in for the broker, and the replay path for any
-    * landed raw data. */
-  final case class FileOrders(dir: String) extends OrderSource {
-    def load(spark: SparkSession): DataFrame =
-      spark.readStream.schema(Tables.orderEventSchema).json(dir)
+    * landed raw data. Malformed events are quarantined into a
+    * `_corrupt` column (PERMISSIVE mode) rather than failing the
+    * query — at production scale a poison message must never stop the
+    * pipeline; `quarantine=false` drops them silently. */
+  final case class FileOrders(dir: String, quarantine: Boolean = false)
+      extends OrderSource {
+    def load(spark: SparkSession): DataFrame = {
+      val schema =
+        if (quarantine) Tables.orderEventSchema.add("_corrupt", "string")
+        else Tables.orderEventSchema
+      val raw = spark.readStream
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(dir)
+      if (quarantine) raw
+      else raw.filter(col("orderID").isNotNull)
+        .select("orderID", "customerID", "amount")
+    }
   }
 
   /** C15–C17: rate-source generator reproducing the reference

@@ -50,6 +50,34 @@ class ScaleExtensionsSpec extends AnyFunSuite {
     assert(top === Seq((96.0, 96L), (96.0, 193L), (96.0, 290L)))
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh")
+    spark.conf.set("spark.sql.legacy.allowNonEmptyLocationInCTAS", "true")
+    val prev = spark.catalog.currentDatabase
+    val orders = Tables(spark, SparkTestBase.sf0001, "orders")
+    val customer = Tables(spark, SparkTestBase.sf0001, "customer")
+    orders.write.mode("overwrite")
+      .option("path", s"$wh/orders_b")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    customer.write.mode("overwrite")
+      .option("path", s"$wh/customer_b")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan) // bucket layout replaces the shuffle
+      assert(joined.count() === orders.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+      assert(prev === spark.catalog.currentDatabase)
+    }
+  }
+
   test("SQL users reach the custom expressions after registration") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))")

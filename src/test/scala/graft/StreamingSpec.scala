@@ -159,6 +159,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.select("order_id").as[String].collect().toSet === Set("r1", "r2"))
   }
 
+  test("malformed events are dropped, not fatal (corrupt-record handling)") {
+    val dir = Files.createTempDirectory("graft-corrupt")
+    val in = dir.resolve("in"); val out = dir.resolve("out"); val ck = dir.resolve("ck")
+    Files.createDirectories(in)
+    Files.writeString(in.resolve("b.json"),
+      """{"orderID":"g1","customerID":1,"amount":10}
+        |this is not json at all
+        |{"orderID":"g2","customerID":2,"amount":20}""".stripMargin)
+    val q = StreamPipeline.run(spark, StreamPipeline.FileOrders(in.toString),
+      customersHead, out.toString, ck.toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val rows = spark.read.parquet(out.toString)
+    assert(rows.count() === 2)
+    assert(rows.select("order_id").as[String].collect().toSet === Set("g1", "g2"))
+  }
+
+  test("stream-stream interval join correlates events within the window") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val views = MemoryStream[UserEvent]
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val v = views.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("vu"), col("ts").as("vts"), col("event_id").as("vid"))
+    val joined = c.join(v,
+      col("cu") === col("vu") &&
+        col("vts") >= col("cts") && col("vts") <= col("cts") + expr("INTERVAL 5 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssj_mem")
+      .outputMode("append").start()
+    try {
+      clicks.addData(UserEvent(1, Timestamp.valueOf("2024-01-01 00:00:00"), 7, "click", 1.0))
+      views.addData(
+        UserEvent(2, Timestamp.valueOf("2024-01-01 00:03:00"), 7, "view", 1.0),  // inside
+        UserEvent(3, Timestamp.valueOf("2024-01-01 00:09:00"), 7, "view", 1.0),  // outside
+        UserEvent(4, Timestamp.valueOf("2024-01-01 00:03:00"), 8, "view", 1.0))  // other user
+      q.processAllAvailable()
+      val got = spark.table("ssj_mem").select("cid", "vid").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("kafka payload round-trips through from_json (C18)") {
     val enriched = Seq(("o1", 1L, "Willis Collins", "Dallas", 182L))
       .toDF("order_id", "customer_id", "customer_name", "city", "purchase_amount")
