@@ -79,6 +79,12 @@ object SparkEntry {
       t(s, d, "documents"), t(s, d, "embeddings"))),
     "x5_resize" -> ((s, d) => Multimodal.resizedSizes(t(s, d, "documents"))),
     "x5_frames" -> ((s, d) => Multimodal.frameCounts(s, t(s, d, "documents"))),
+    "q_profile" -> ((s, d) => Profiling.profile(t(s, d, "events"),
+      Seq("event_id", "user_id", "event_type", "props"))),
+    // rows-only (no oracle): sketch internals are engine-specific; accuracy
+    // asserted in ProfilingSpec instead
+    "q_sketch_profile" -> ((s, d) => Profiling.sketchProfile(
+      t(s, d, "events"), "value", "user_id")),
     // --- X6 event-time windows (batch flavor; streaming in graft.streaming) ---
     "x6_tumbling" -> ((s, d) => Windows.tumbling(t(s, d, "events"))),
     "x6_sliding" -> ((s, d) => Windows.sliding(t(s, d, "events"))),
@@ -378,6 +384,19 @@ object SparkEntry {
            FROM embeddings)
          SELECT d.doc_id, d.lang, e.label, e.dim, e.norm
          FROM documents d JOIN emb e ON d.doc_id = e.vec_id""",
+    "q_profile" ->
+      """SELECT 'event_id' AS column, CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT event_id) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_s, CAST(max(event_id) AS VARCHAR) AS max_s FROM events
+         UNION ALL
+         SELECT 'user_id', CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events
+         UNION ALL
+         SELECT 'event_type', CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT event_type), min(event_type), max(event_type) FROM events
+         UNION ALL
+         SELECT 'props', CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT props), min(props), max(props) FROM events""",
     "x5_resize" ->
       "SELECT doc_id, least(length(text), 100) AS rbytes FROM documents",
     "x5_frames" ->

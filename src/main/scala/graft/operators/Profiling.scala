@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data profiling — the first pass any large-scale ingest runs: per
+  * column null counts, distinct cardinality, and min/max. One job
+  * computes all columns' aggregates in a single scan (one wide agg
+  * row, exploded to long format), so profiling 100 TB costs one pass
+  * regardless of column count.
+  *
+  * Long/string columns only in the oracle-checked surface: integer and
+  * string min/max render identically across engines, while float
+  * formatting does not.
+  */
+object Profiling {
+
+  /** Long-format profile of the named columns: (column, n_nulls,
+    * n_distinct, min_s, max_s). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pieces = cols.map { c =>
+      one.select(lit(c).as("column"), col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s"))
+    }
+    pieces.reduce(_ union _)
+  }
+
+  /** Sketch-based profile: HyperLogLog distinct estimates and
+    * approximate quantiles — the constant-memory versions of the exact
+    * statistics, for when even one exact count-distinct per column is
+    * too much state. Checked by accuracy bounds (not the hash oracle:
+    * sketch internals are engine-specific by design). */
+  def sketchProfile(df: DataFrame, numericCol: String, keyCol: String): DataFrame =
+    df.agg(
+      approx_count_distinct(col(keyCol)).as("approx_distinct"),
+      expr(s"approx_percentile($numericCol, array(0.5, 0.95, 0.99), 10000)")
+        .as("quantiles"),
+      count(lit(1)).as("n"))
+}

@@ -14,7 +14,10 @@ class CoreQueriesSpec extends AnyFunSuite {
   }
 
   test("every query has oracle SQL or is explicitly rows-only") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // sketches are engine-specific by design → rows-only check, accuracy
+    // asserted in ProfilingSpec
+    val rowsOnly = Set("q_sketch_profile")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 

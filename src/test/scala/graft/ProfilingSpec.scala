@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Profiling
+import graft.sources.Tables
+
+class ProfilingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("profile computes null/distinct/min/max per column in one scan") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+      .toDF("id", "s")
+    val p = Profiling.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("id") === (("id", 0L, 3L, "1", "3")))
+    assert(p("s") === (("s", 1L, 2L, "a", "b")))
+  }
+
+  test("sketch profile stays within HLL/quantile accuracy bounds") {
+    val events = Tables(spark, SparkTestBase.sf0001, "events")
+    val exactD = events.select(countDistinct("user_id")).head.getLong(0)
+    val exactMedian = events.selectExpr("percentile(value, 0.5)").head.getDouble(0)
+    val r = Profiling.sketchProfile(events, "value", "user_id").head
+    val approxD = r.getLong(0)
+    val quantiles = r.getSeq[Double](1)
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL estimate $approxD vs exact $exactD")
+    assert(math.abs(quantiles.head - exactMedian) / math.max(exactMedian, 1e-9) < 0.05,
+      s"approx median ${quantiles.head} vs exact $exactMedian")
+    assert(quantiles.length === 3 && quantiles.sorted === quantiles)
+  }
+}
