@@ -78,6 +78,7 @@ object SparkEntry {
     "x5_mm_join" -> ((s, d) => Multimodal.docEmbeddingJoin(
       t(s, d, "documents"), t(s, d, "embeddings"))),
     "x5_resize" -> ((s, d) => Multimodal.resizedSizes(t(s, d, "documents"))),
+    "x5_mm_search" -> ((s, d) => Multimodal.mediaSearch(t(s, d, "documents"))),
     "x5_frames" -> ((s, d) => Multimodal.frameCounts(s, t(s, d, "documents"))),
     "q_profile" -> ((s, d) => Profiling.profile(t(s, d, "events"),
       Seq("event_id", "user_id", "event_type", "props"))),
@@ -399,6 +400,21 @@ object SparkEntry {
            count(DISTINCT props), min(props), max(props) FROM events""",
     "x5_resize" ->
       "SELECT doc_id, least(length(text), 100) AS rbytes FROM documents",
+    "x5_mm_search" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i ->
+               CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0) AS v
+           FROM documents),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         s AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s)
+         SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
     "x5_frames" ->
       """SELECT doc_id,
          (greatest(length(text) // 64, 1) + 3) // 4 AS n_frames

@@ -99,6 +99,22 @@ object Multimodal {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
   }
 
+  /** STUB media embedding: a real pipeline runs an image/audio encoder
+    * here; the deterministic fake samples 64 bytes at stride 7 and
+    * scales to [0,1]. The downstream retrieval plan (embed → ANN) is
+    * exactly the production shape. */
+  def mediaEmbedding(documents: DataFrame, dim: Int = 64): DataFrame =
+    documents.select(col("doc_id").as("vec_id"), expr(
+      s"transform(sequence(0, ${dim - 1}), i -> " +
+        "CAST(ascii(substring(text, (i * 7) % length(text) + 1, 1)) AS DOUBLE) / 255.0)")
+      .as("v"))
+
+  /** X5 capstone: end-to-end multimodal retrieval — media blob →
+    * (stub) embedding → brute-force cosine top-k. Swap the stub encoder
+    * for a real one and this IS the retrieval pipeline. */
+  def mediaSearch(documents: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame =
+    Similarity.annOnVectors(mediaEmbedding(documents), nQueries, k)
+
   /** X5 multimodal join: documents ⋈ embeddings on doc_id = vec_id with
     * vector metadata (dim + L2 norm). Both sides shuffle on the id (or
     * broadcast when one side is small); norm is a narrow per-row fold. */

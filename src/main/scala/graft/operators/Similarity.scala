@@ -37,6 +37,20 @@ object Similarity {
     * one array per scored pair, which dominates O(n²) scoring). */
   private def dot(a: Column, b: Column): Column = dot_product(a, b)
 
+  /** Brute-force ANN over any (vec_id, v: array<double>) frame —
+    * shared by the embedding-table path and the multimodal media-search
+    * composition. */
+  def annOnVectors(vectors: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val all = vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** X2 brute-force ANN: top-k neighbors by cosine for each query
     * vector (vec_id < nQueries), deterministic tie-break on neighbor
     * id. Query side is broadcast; the big side streams. Per-group
@@ -46,7 +60,6 @@ object Similarity {
     * window row_number() formulation would shuffle and sort EVERY
     * scored candidate. */
   def annBruteForce(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
-    import graft.functions.TopKByScore.top_k_by_score
     val all = withVec(embeddings)
     val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -54,11 +67,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-    scored.groupBy(col("q_id"))
-      .agg(top_k_by_score(col("cos"), col("n_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), col("col.id").as("n_id"),
-        round(col("col.score"), 6).as("cos"), (col("pos") + 1).cast("int").as("rank"))
+    topKPerGroup(scored, k)
   }
 
   /** Rounds exactly like Spark/DuckDB `round(x, 6)` (half away from
@@ -184,9 +193,20 @@ object Similarity {
       .join(vecs.select(col("vec_id").as("n_id"), col("v"), col("nrm")), Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    topKPerGroup(scored, k)
+  }
+
+  /** Shared per-query top-k selection through the bounded-state
+    * TypedImperativeAggregate (O(k) partial state per group — see
+    * annBruteForce). Selection is on raw cos with id tie-break, output
+    * rounded: same rule as the oracle's row_number window. */
+  private def topKPerGroup(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    scored.groupBy(col("q_id"))
+      .agg(top_k_by_score(col("cos"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("n_id"),
+        round(col("col.score"), 6).as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** X2 IVF-flat ANN with fixed seed centroids (vec_id < nCells):
