@@ -403,7 +403,7 @@ object SparkEntry {
     "x5_mm_search" ->
       """WITH e AS (SELECT doc_id AS vec_id,
              list_transform(range(64), i ->
-               CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0) AS v
+               CAST(ord(text[(i * 7) % greatest(length(text), 1) + 1]) AS DOUBLE) / 255.0) AS v
            FROM documents),
          n AS (SELECT vec_id, v,
              sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),

@@ -104,9 +104,11 @@ object Multimodal {
     * scales to [0,1]. The downstream retrieval plan (embed → ANN) is
     * exactly the production shape. */
   def mediaEmbedding(documents: DataFrame, dim: Int = 64): DataFrame =
+    // greatest(..., 1): an empty blob must embed as zeros, not throw
+    // DIVIDE_BY_ZERO under ANSI mode (mirrored in the oracle SQL)
     documents.select(col("doc_id").as("vec_id"), expr(
       s"transform(sequence(0, ${dim - 1}), i -> " +
-        "CAST(ascii(substring(text, (i * 7) % length(text) + 1, 1)) AS DOUBLE) / 255.0)")
+        "CAST(ascii(substring(text, (i * 7) % greatest(length(text), 1) + 1, 1)) AS DOUBLE) / 255.0)")
       .as("v"))
 
   /** X5 capstone: end-to-end multimodal retrieval — media blob →

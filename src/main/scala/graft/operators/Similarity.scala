@@ -59,16 +59,8 @@ object Similarity {
     * ships k rows per (partition, query) through the shuffle — the
     * window row_number() formulation would shuffle and sort EVERY
     * scored candidate. */
-  def annBruteForce(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
-    val all = withVec(embeddings)
-    val q = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = all.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-    topKPerGroup(scored, k)
-  }
+  def annBruteForce(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame =
+    annOnVectors(withVec(embeddings).select(col("vec_id"), col("v")), nQueries, k)
 
   /** Rounds exactly like Spark/DuckDB `round(x, 6)` (half away from
     * zero) so driver-side selection ties break identically. */
