@@ -216,7 +216,7 @@ object SparkEntry {
            0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
                   CAST(len(string_split(text,' ')) AS DOUBLE)) +
            0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
-                  CAST(length(text) AS DOUBLE)), 6) AS quality
+                  CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
          FROM documents""",
     "x3_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp_md5,

@@ -37,6 +37,14 @@ object Similarity {
     * one array per scored pair, which dominates O(n²) scoring). */
   private def dot(a: Column, b: Column): Column = dot_product(a, b)
 
+  /** Cosine with a zero-norm guard: a zero vector has no direction, so
+    * its pairs score null and drop out of top-k (aggregates skip
+    * nulls) instead of throwing DIVIDE_BY_ZERO under ANSI mode. */
+  private def cosine(d: Column, n1: Column, n2: Column): Column = {
+    val den = n1 * n2
+    d / when(den =!= 0.0, den)
+  }
+
   /** Brute-force ANN over any (vec_id, v: array<double>) frame —
     * shared by the embedding-table path and the multimodal media-search
     * composition. */
@@ -47,7 +55,7 @@ object Similarity {
     val scored = all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
     topKPerGroup(scored, k)
   }
 
@@ -117,11 +125,14 @@ object Similarity {
             var d = 0
             val n = math.min(av.length, bv.length)
             while (d < n) { acc += av(d) * bv(d); d += 1 }
-            val raw = acc / (an * nrms(j))
+            val den = an * nrms(j)
+            val raw = acc / den
+            // den == 0 → zero-norm vector, pair has no cosine (matches
+            // the null-scoring guard in the plan-based operators);
             // round6 allocates a BigDecimal — only pay it for pairs
             // that could enter the heap (rounding moves a value by at
             // most 5e-7, so raw < wc - 1e-6 can never round up to ≥ wc)
-            if (heap.size < k || raw >= wc - 1e-6) {
+            if (den != 0.0 && (heap.size < k || raw >= wc - 1e-6)) {
               val c = round6(raw)
               if (heap.size < k) { heap.enqueue((c, aId, bId)); syncWorst() }
               else if (c > wc || (c == wc && (aId < wa || (aId == wa && bId < wb)))) {
@@ -184,7 +195,7 @@ object Similarity {
         col("nrm").as("qn")), Seq("q_id"))
       .join(vecs.select(col("vec_id").as("n_id"), col("v"), col("nrm")), Seq("n_id"))
       .select(col("q_id"), col("n_id"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
     topKPerGroup(scored, k)
   }
 
@@ -212,7 +223,7 @@ object Similarity {
     val cents = all.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val aw = Window.partitionBy(col("vec_id"))
-      .orderBy((dot(col("cv"), col("v")) / (col("cn") * col("nrm"))).desc, col("c_id"))
+      .orderBy(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last, col("c_id"))
     val assigned = all.crossJoin(broadcast(cents))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") === 1)
@@ -224,7 +235,7 @@ object Similarity {
     assigned.join(q, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), col("cell"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cell"),
         round(col("cos"), 6).as("cos"), col("rank"))

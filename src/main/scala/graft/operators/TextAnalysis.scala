@@ -92,7 +92,10 @@ object TextAnalysis {
         round(
           lit(0.4) * least(lit(1.0), col("n_tokens") / lit(50.0)) +
           lit(0.3) * (col("s_stop") / col("n_tokens").cast("double")) +
-          lit(0.3) * (lit(1.0) - col("n_nonalpha") / length(col("text")).cast("double")),
+          // greatest(...,1): empty text counts as perfectly alphabetic
+          // instead of throwing DIVIDE_BY_ZERO under ANSI mode
+          lit(0.3) * (lit(1.0) - col("n_nonalpha") /
+            greatest(length(col("text")), lit(1)).cast("double")),
           6).as("quality"))
 
   /** Content fingerprints: cryptographic (md5, cross-engine stable) and

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.operators._
+
+/** Degenerate-input sweep: every text/media operator must survive
+  * empty text, single characters, and documents shorter than the
+  * shingle width without throwing (Spark 4 runs ANSI mode by default,
+  * so accidental x/0 or overflow THROWS rather than nulling — exactly
+  * how the media-embedding modulo bug got in). */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq(
+    (1L, "", "en", "src0", 0L),
+    (2L, "x", "en", "src0", 1L),
+    (3L, "a b", "en", "src0", 3L), // 2 tokens < 3-gram width
+    (4L, "one two three four five", "en", "src0", 23L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("text analysis operators survive degenerate documents") {
+    assert(TextAnalysis.textStats(docs).count() === 4)
+    assert(TextAnalysis.regexTokenCounts(docs).count() === 4)
+    assert(TextAnalysis.langId(docs).count() === 4)
+    assert(TextAnalysis.qualityScore(docs).count() === 4)
+    assert(TextAnalysis.fingerprints(docs).count() === 4)
+    assert(TextAnalysis.vocabulary(docs).count() > 0)
+    assert(TextAnalysis.tfidf(docs).count() > 0)
+  }
+
+  test("dedup operators survive degenerate documents") {
+    assert(Dedup.fingerprintDedup(docs).count() === 4)
+    // docs 1-3 are below the 3-gram width → null minhash entries, but no throw
+    assert(Dedup.minhashSignatures(docs).count() === 4 * Dedup.NumPerms)
+    assert(Dedup.minhashBandPairs(docs).count() >= 0)
+    assert(Dedup.ngramJaccardTopK(docs, 3, 10).count() >= 0)
+    assert(Dedup.simhash(docs).count() === 4)
+    assert(Dedup.simhashTopK(docs, 5).count() > 0)
+  }
+
+  test("media stubs survive empty blobs") {
+    assert(Multimodal.mediaFeatures(spark, docs).count() === 4)
+    assert(Multimodal.resizedSizes(docs).count() === 4)
+    assert(Multimodal.frameCounts(spark, docs).count() === 4)
+    val search = Multimodal.mediaSearch(docs, nQueries = 3, k = 2)
+    assert(search.count() > 0) // empty-text doc embeds as zeros, query still runs
+  }
+
+  test("similarity operators survive tiny vector sets") {
+    val e = Seq((0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.annBruteForce(e, 2, 5).count() === 2) // k > candidates
+    assert(Similarity.cosinePairsTopK(e, 5).count() === 1)
+    assert(Similarity.annLsh(e, 2, 5).count() >= 0) // buckets may not collide
+  }
+}
