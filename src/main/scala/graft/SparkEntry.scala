@@ -107,11 +107,11 @@ object SparkEntry {
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE c.c_mktsegment = 'BUILDING'""",
     "c11_scalar_avg" ->
-      """SELECT round(avg(o.o_totalprice), 4) AS avg_purchase
+      """SELECT round(sum(o.o_totalprice), 4) / count(*) AS avg_purchase
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE c.c_mktsegment = 'BUILDING'""",
     "c12_avg_by_city" ->
-      """SELECT c.c_mktsegment AS city, round(avg(o.o_totalprice), 4) AS avg_purchase
+      """SELECT c.c_mktsegment AS city, round(sum(o.o_totalprice), 4) / count(*) AS avg_purchase
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY c.c_mktsegment""",
     "c13_sum_by_city" ->
@@ -127,8 +127,8 @@ object SparkEntry {
          round(sum(l_quantity), 4) AS sum_qty,
          round(sum(l_extendedprice), 4) AS sum_base_price,
          round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-         round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_discount), 6) AS avg_disc,
+         round(sum(l_quantity), 4) / count(*) AS avg_qty,
+         round(sum(l_discount), 4) / count(*) AS avg_disc,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q_window_topn" ->
@@ -427,7 +427,7 @@ object SparkEntry {
       """WITH w AS (SELECT time_bucket(INTERVAL 30 minutes, ts) - k * INTERVAL 30 minutes AS ws,
            event_type, value FROM events, (SELECT unnest([0, 1]) AS k))
          SELECT epoch_us(ws) AS ws_us, event_type, count(*) AS n,
-           round(avg(value), 4) AS avg_value
+           round(sum(value), 4) / count(*) AS avg_value
          FROM w GROUP BY 1, 2""",
     "x6_sessions" ->
       """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Average of ≤4-decimal data with a cross-engine-exact formulation:
+    * `round(sum, 4)` recovers the exact decimal sum on any engine
+    * (sums of 2-decimal data are 2-decimal rationals, so the rounding
+    * is lossless and boundary-free), and dividing identical doubles by
+    * identical counts yields bit-identical averages. No outer rounding:
+    * once the quotients are bit-identical, rounding only INTRODUCES
+    * divergence — Spark's round works on the double's shortest decimal
+    * representation while DuckDB rounds the exact binary value, and the
+    * two disagree exactly when a terminating average sits on the
+    * half-boundary (observed: 2089.93/32, whose shortest form is
+    * 65.3103125). */
+  private[operators] def exactAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(c), 4) / count(lit(1))
+
   /** C10 — equality filter (reference `README.md:231`). Pushed to scan. */
   def filterCity(enriched: DataFrame, city: String): DataFrame =
     enriched.filter(col("city") === city)
@@ -30,12 +44,12 @@ object Analytics {
     * (reference `README.md:234`). */
   def scalarAvg(enriched: DataFrame, city: String): DataFrame =
     filterCity(enriched, city)
-      .agg(round(avg(col("purchase_amount")), 4).as("avg_purchase"))
+      .agg(exactAvg(col("purchase_amount")).as("avg_purchase"))
 
   /** C12 — grouped AVG (reference `README.md:237-239`). */
   def avgByCity(enriched: DataFrame): DataFrame =
     enriched.groupBy(col("city"))
-      .agg(round(avg(col("purchase_amount")), 4).as("avg_purchase"))
+      .agg(exactAvg(col("purchase_amount")).as("avg_purchase"))
 
   /** C13 — grouped SUM (reference `README.md:242-244`). */
   def sumByCity(enriched: DataFrame): DataFrame =
@@ -57,8 +71,8 @@ object Analytics {
         round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** Window ranking: top-k orders per customer by totalprice.

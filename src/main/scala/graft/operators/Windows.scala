@@ -24,7 +24,7 @@ object Windows {
   /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
   def sliding(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"), Analytics.exactAvg(col("value")).as("avg_value"))
       .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
         col("n"), col("avg_value"))
 
