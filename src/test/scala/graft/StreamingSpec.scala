@@ -113,6 +113,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState: per-user running stats with typed ValueState") {
+    implicit val sc = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Double)]
+      val out = mem.toDS().groupByKey(_._2)
+        .transformWithState(new graft.streaming.UserStatsProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = out.writeStream.format("memory").queryName("tws_mem")
+        .outputMode("update").start()
+      try {
+        mem.addData((1L, 7L, 2.0), (2L, 7L, 3.0), (3L, 8L, 5.0))
+        q.processAllAvailable()
+        mem.addData((4L, 7L, 10.0))
+        q.processAllAvailable()
+        val last = spark.table("tws_mem").as[(Long, Long, Double)].collect()
+          .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+        assert(last(7L) === ((7L, 3L, 15.0))) // state survived across batches
+        assert(last(8L) === ((8L, 1L, 5.0)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("custom state: running per-user event count via mapGroupsWithState") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[UserEvent]
