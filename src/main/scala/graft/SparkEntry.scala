@@ -90,6 +90,8 @@ object SparkEntry {
     "x6_tumbling" -> ((s, d) => Windows.tumbling(t(s, d, "events"))),
     "x6_sliding" -> ((s, d) => Windows.sliding(t(s, d, "events"))),
     "x6_sessions" -> ((s, d) => Windows.sessions(t(s, d, "events"))),
+    "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
+    "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -429,6 +431,26 @@ object SparkEntry {
          SELECT epoch_us(ws) AS ws_us, event_type, count(*) AS n,
            round(sum(value), 4) / count(*) AS avg_value
          FROM w GROUP BY 1, 2""",
+    "x6_asof_join" ->
+      """WITH t AS (SELECT user_id, event_id, ts, event_type FROM events
+           WHERE event_type IN ('click', 'view')),
+         w AS (SELECT user_id, event_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_id,
+           last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+           FROM t)
+         SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us,
+           last_view_id, last_view_us
+         FROM w WHERE event_type = 'click'""",
+    "x6_interval_join" ->
+      """SELECT DISTINCT e1.user_id, e1.event_id AS a_id, e2.event_id AS b_id,
+         epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+         FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+           AND epoch_us(e2.ts) > epoch_us(e1.ts)
+           AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 60000000""",
     "x6_sessions" ->
       """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
