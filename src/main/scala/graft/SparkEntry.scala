@@ -52,6 +52,8 @@ object SparkEntry {
     "q_agg_extras" -> ((s, d) => Scale.aggExtras(t(s, d, "lineitem"))),
     "q_by_month" -> ((s, d) => Scale.ordersByMonth(t(s, d, "orders"))),
     "q_string_funcs" -> ((s, d) => Scale.stringFuncs(t(s, d, "customer"))),
+    "q_big_spenders" -> ((s, d) => Scale.bigSpenders(t(s, d, "orders"))),
+    "q_pivot" -> ((s, d) => Scale.statusPivot(t(s, d, "orders"))),
     // --- X3 text analysis ---
     "x3_textstats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
     "x3_bpe_tokens" -> ((s, d) => TextAnalysis.regexTokenCounts(t(s, d, "documents"))),
@@ -185,6 +187,17 @@ object SparkEntry {
          concat_ws('-', c_mktsegment, c_nationkey) AS seg_nation,
          regexp_replace(c_name, '[aeiou]', '', 'g') AS devoweled
          FROM customer""",
+    "q_big_spenders" ->
+      """WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS spend
+           FROM orders GROUP BY o_custkey),
+         thr AS (SELECT round(sum(spend), 4) / count(*) * 1.5 AS thr FROM spend)
+         SELECT s.o_custkey, s.spend FROM spend s, thr WHERE s.spend > thr.thr""",
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+         FROM orders GROUP BY o_orderpriority""",
     "x3_textstats" ->
       """SELECT doc_id, length(text) AS n_chars,
          len(string_split(text, ' ')) AS n_tokens,

@@ -66,6 +66,29 @@ object Scale {
         month(col("o_orderdate")).cast("long").as("m"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("revenue"))
 
+  /** CTE + scalar-subquery shape: customers whose spend exceeds 1.5×
+    * the mean customer spend. The threshold is a broadcast scalar
+    * (cross join of a 1-row aggregate); per-customer spend uses the
+    * cross-engine-exact round-of-sum form. */
+  def bigSpenders(orders: DataFrame): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("spend"))
+    val threshold = spend.agg(
+      (round(sum(col("spend")), 4) / count(lit(1)) * 1.5).as("thr"))
+    spend.crossJoin(broadcast(threshold))
+      .filter(col("spend") > col("thr"))
+      .select(col("o_custkey"), col("spend"))
+  }
+
+  /** CASE-based pivot: order counts by priority × status — the
+    * portable formulation of PIVOT (identical in ANSI SQL). */
+  def statusPivot(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"))
+
   /** Scalar string-function surface. */
   def stringFuncs(customer: DataFrame): DataFrame =
     customer.select(
