@@ -353,7 +353,7 @@ object SparkEntry {
                  (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
                     / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
                THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
-           FROM n, (SELECT unnest(range(4)) AS tt)),
+           FROM n, (SELECT unnest(range(8)) AS tt)),
          cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
            FROM bb q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
              AND t.vec_id <> q.vec_id

@@ -74,6 +74,24 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(f === ((1L, 3L, ('a' + 'b' + 'c') / 3.0, 'c'.toLong)))
   }
 
+  test("LSH recall vs brute force stays above the regression floor") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val bf = Similarity.annBruteForce(emb, 20, 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.annLsh(emb, 20, 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // keys.toSeq: mapping over the key SET would deduplicate equal
+    // per-query recall values before summing
+    val recall = bf.keys.toSeq.map { q =>
+      (bf(q) & lsh.getOrElse(q, Set.empty)).size.toDouble / bf(q).size
+    }.sum / bf.size
+    // deterministic data+hashes → deterministic recall; floor guards
+    // against silently degrading the bucketing (e.g. correlated planes)
+    assert(recall >= 0.4, f"LSH recall@3 dropped to $recall%.2f")
+  }
+
   test("resize stub caps blob size; frame sampling emits every k-th chunk") {
     val docs = Seq((1L, "x" * 600, "en", "src0", 600L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
