@@ -11,13 +11,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * expression — the hot inner loop of every similarity operator
   * (SURVEY §2 X2).
   *
-  * Semantically identical to
+  * Same sequential left fold as
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,x) -> acc+x)`
-  * (strict sequential left fold, so DuckDB `list_reduce` oracle parity
+  * over equal-length arrays (so DuckDB `list_reduce` oracle parity
   * holds bit-for-bit), but without materializing the zipped array: the
   * higher-order form allocates an intermediate array per row pair,
   * which dominates runtime on O(n²) pair scoring. This loop reads both
   * `ArrayData` buffers in place.
+  *
+  * Deliberate deviations from the higher-order form, for the fixed-dim
+  * embedding contract: mismatched lengths truncate to the shorter
+  * vector (zip_with would null-pad and yield NULL), and null ELEMENTS
+  * are unsupported (all internal producers build containsNull=false
+  * arrays).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

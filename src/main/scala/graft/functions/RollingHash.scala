@@ -23,10 +23,12 @@ case class RollingHash(child: Expression, prime: Long)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def checkInputDataTypes() = {
-    require(child.dataType == StringType, s"RollingHash needs a string child, got ${child.dataType}")
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash requires a string argument, got ${child.dataType.sql}")
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString

@@ -159,7 +159,11 @@ case class MinHashSig(child: Expression, numPerms: Int, prime: Long)
       var best = Long.MaxValue
       var j = 0
       while (j < n) {
-        val v = (a * hs.getLong(j) + b) % prime
+        // reduce the hash mod prime BEFORE multiplying: callers pass
+        // pre-reduced hashes (identity then), but a raw 60-bit hash
+        // times a ~2^31 multiplier would silently overflow Long
+        val hv = hs.getLong(j) % prime
+        val v = (a * hv + b) % prime
         if (v < best) best = v
         j += 1
       }

@@ -60,6 +60,14 @@ case class TopKByScore(scoreExpr: Expression, idExpr: Expression, k: Int,
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (scoreExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "top_k_by_score requires (double score, bigint id), got " +
+          s"(${scoreExpr.dataType.sql}, ${idExpr.dataType.sql})")
   override def dataType: DataType = ArrayType(new StructType()
     .add("score", DoubleType).add("id", LongType), containsNull = false)
 

@@ -27,8 +27,11 @@ import graft.sources.Tables
 object StreamPipeline {
 
   /** One stream source abstraction over the three input flavors. Each
-    * yields an `orders` streaming DataFrame with the event schema
-    * (orderID, customerID, amount). */
+    * yields an `orders` streaming DataFrame carrying at least the event
+    * schema (orderID, customerID, amount); `FileOrders(quarantine =
+    * true)` adds a `_corrupt` column for callers that route rejects to
+    * a dead-letter sink BEFORE enrichment — the enrichment join itself
+    * drops unparseable rows either way (null keys never match). */
   sealed trait OrderSource { def load(spark: SparkSession): DataFrame }
 
   /** C1: Event Hubs over the Kafka wire protocol (reference
@@ -88,7 +91,12 @@ object StreamPipeline {
     * system `id`, reference `README.md:118`), physically clustered by
     * the partition key `/customer_id` (`README.md:129`). foreachBatch
     * gives upsert-shaped batch writes on any target; here parquet.
-    * `coalesceTo` caps files per batch (tiny-file control at scale). */
+    * Each micro-batch writes its own `batch=<id>` directory with
+    * overwrite semantics, so a batch REPLAYED after a failure (run
+    * again before its checkpoint committed) overwrites its previous
+    * attempt instead of appending duplicates — the idempotence that
+    * makes foreachBatch exactly-once. `coalesceTo` caps files per
+    * batch (tiny-file control at scale). */
   def writeEnriched(enriched: DataFrame, outDir: String, checkpointDir: String,
                     coalesceTo: Int = 4): DataStreamWriter[org.apache.spark.sql.Row] =
     enriched.writeStream
@@ -97,7 +105,7 @@ object StreamPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("id", expr("uuid()"))
           .repartition(coalesceTo, col("customer_id"))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
 
   /** C18: serialize enriched rows back to Kafka-shaped (key, value)
