@@ -85,10 +85,18 @@ trait KernelExpression extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("kernelExpr", this, classOf[KernelExpression].getName)
-    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-      .javaType(dataType)
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val javaType = CodeGenerator.javaType(dataType)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = ($javaType) $ref.kernel($c);")
+      if (CodeGenerator.isPrimitiveType(dataType)) {
+        // kernel() returns a boxed value; a direct (long) cast of Object
+        // fails janino compilation and silently drops the whole stage to
+        // interpreted execution — unbox through the boxed type instead
+        val boxed = CodeGenerator.boxedType(dataType)
+        s"${ev.value} = (($boxed) $ref.kernel($c)).${javaType}Value();"
+      } else {
+        s"${ev.value} = ($javaType) $ref.kernel($c);"
+      })
   }
 }
 
