@@ -1,6 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 object Bench {
+  /** Consume a result so EVERY output column is evaluated: count()
+    * lets Catalyst prune unevaluated projections, silently timing a
+    * bare scan for narrow map-only queries. Hashing all columns into
+    * one aggregate forces full expression evaluation while returning
+    * O(1) rows to the driver. */
+  private def consume(df: DataFrame): Unit = {
+    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(sum("h")).collect()
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,10 +23,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JVM/codegen/parquet-reader initialization otherwise lands
     // entirely on whichever query happens to run first.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try consume(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

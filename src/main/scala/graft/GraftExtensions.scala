@@ -38,10 +38,17 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, b, "scala_udf")
     }
 
-  private def intArg(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue()
-  private def longArg(e: Expression): Long =
-    e.eval(null).asInstanceOf[Number].longValue()
+  /** Parameter positions take literals only (they size compiled
+    * kernels); a non-foldable argument must fail analysis with a clear
+    * message, not NPE at eval. */
+  private def constArg(e: Expression): Number = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"graft function parameter must be a constant expression, got: ${e.sql}")
+    e.eval(null).asInstanceOf[Number]
+  }
+  private def intArg(e: Expression): Int = constArg(e).intValue()
+  private def longArg(e: Expression): Long = constArg(e).longValue()
 }
 
 /** Builder-time flavor: `SparkSession.builder().withExtensions(new

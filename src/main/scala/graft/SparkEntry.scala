@@ -81,6 +81,7 @@ object SparkEntry {
       t(s, d, "documents"), t(s, d, "embeddings"))),
     "x5_resize" -> ((s, d) => Multimodal.resizedSizes(t(s, d, "documents"))),
     "x5_mm_search" -> ((s, d) => Multimodal.mediaSearch(t(s, d, "documents"))),
+    "x5_mm_search_lsh" -> ((s, d) => Multimodal.mediaSearchLsh(t(s, d, "documents"))),
     "x5_frames" -> ((s, d) => Multimodal.frameCounts(s, t(s, d, "documents"))),
     "q_profile" -> ((s, d) => Profiling.profile(t(s, d, "events"),
       Seq("event_id", "user_id", "event_type", "props"))),
@@ -288,8 +289,12 @@ object SparkEntry {
          sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
            FROM tk WHERE len(t) >= 3),
-         cnt AS (SELECT doc_id, len(shingles) AS ns FROM sh),
-         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         hot AS (SELECT shingle FROM inv0, nd GROUP BY shingle, n_docs
+           HAVING count(*) * 5 > n_docs AND count(*) > 25),
+         inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         cnt AS (SELECT doc_id, count(*) AS ns FROM inv GROUP BY doc_id),
          inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
            FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
            GROUP BY x.doc_id, y.doc_id)
@@ -372,13 +377,16 @@ object SparkEntry {
          n AS (SELECT vec_id, v,
              sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
          c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
-         asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
-             SELECT t.vec_id, t.v, t.nrm, c.c_id,
+         rk AS (SELECT t.vec_id, t.v, t.nrm, c.c_id,
                row_number() OVER (PARTITION BY t.vec_id ORDER BY
                  list_reduce(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*t.v[i]),
                    (x,y) -> x+y) / (c.cn * t.nrm) DESC, c.c_id) AS ar
-             FROM n t, c) WHERE ar = 1),
-         q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM asg WHERE vec_id < 20),
+             FROM n t, c),
+         asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM rk WHERE ar = 1),
+         prb AS (SELECT vec_id AS q_id, c_id AS cell FROM rk
+           WHERE ar <= 4 AND vec_id < 20),
+         q AS (SELECT p.q_id, p.cell, n.v AS qv, n.nrm AS qn
+           FROM prb p JOIN n ON n.vec_id = p.q_id),
          s AS (SELECT q.q_id, t.vec_id AS n_id, t.cell AS cell,
              list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*t.v[i]),
                (x,y) -> x+y) / (q.qn * t.nrm) AS cos
@@ -417,8 +425,8 @@ object SparkEntry {
       "SELECT doc_id, least(length(text), 100) AS rbytes FROM documents",
     "x5_mm_search" ->
       """WITH e AS (SELECT doc_id AS vec_id,
-             list_transform(range(64), i ->
-               CAST(ord(text[(i * 7) % greatest(length(text), 1) + 1]) AS DOUBLE) / 255.0) AS v
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
            FROM documents),
          n AS (SELECT vec_id, v,
              sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
@@ -426,6 +434,32 @@ object SparkEntry {
              list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
                (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
            FROM n q, n t WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s)
+         SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
+    "x5_mm_search_lsh" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM bb q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id
+           WHERE q.vec_id < 5),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
          r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank

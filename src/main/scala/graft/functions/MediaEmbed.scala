@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STUB media encoder as a compiled kernel (SURVEY §2 X5): `dim`
+  * doubles sampled from the payload at `stride`, scaled to [0, 1] —
+  * v(i) = codepoint(text[(i·stride) mod len]) / 255. A real pipeline
+  * runs an image/audio model here; the kernel keeps the retrieval plan
+  * (embed → ANN) production-shaped while staying reproducible in the
+  * DuckDB oracle (`ord(text[(i*7) % greatest(length(text),1) + 1])`).
+  *
+  * Implemented as a [[KernelExpression]] because the equivalent
+  * `transform(sequence(...), ...)` higher-order lambda is interpreted
+  * per element per row — 64 interpreted `ascii(substring(...))` calls
+  * per document dominated the media-search query (4.7 s of its driver
+  * bench time). The kernel walks the string's codepoints once and
+  * emits a primitive double array.
+  *
+  * Codepoints, not UTF-16 code units: DuckDB's `text[n]`/`ord` index
+  * and read codepoints, so surrogate pairs would diverge under a
+  * charAt formulation. An empty payload embeds as the zero vector
+  * (the oracle guards the same case explicitly).
+  */
+case class MediaEmbed(child: Expression, dim: Int, stride: Int)
+    extends KernelExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def kernel(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val out = new Array[Double](dim)
+    if (cps.length > 0) {
+      var i = 0
+      while (i < dim) {
+        out(i) = cps((i * stride) % cps.length).toDouble / 255.0
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MediaEmbed = copy(child = c)
+}
+
+object MediaEmbed {
+  def media_embed(text: Column, dim: Int, stride: Int): Column =
+    ColumnBridge.column(MediaEmbed(ColumnBridge.expression(text), dim, stride))
+}

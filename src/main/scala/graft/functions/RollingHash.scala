@@ -8,16 +8,19 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Document fingerprinting via a polynomial rolling hash (SURVEY §2
-  * X3): `acc := (acc * 31 + codeunit) mod P` left-folded over the
-  * string, P a prime below 2^53 so `acc * 31 + c` never overflows a
-  * signed 64-bit long.
+  * X3): `acc := (acc * 31 + codepoint) mod P` left-folded over the
+  * string's Unicode CODEPOINTS, P a prime below 2^53 so
+  * `acc * 31 + c` (c ≤ 0x10FFFF) never overflows a signed 64-bit long.
   *
   * Implemented as a native Catalyst `Expression` with `doGenCode` so it
   * participates in whole-stage codegen (no UDF boxing, no codegen
   * fallback) — this is the hot path of content-dedup over billions of
-  * documents. For ASCII text the result equals the DuckDB fold
+  * documents. Codepoints, not UTF-16 code units: DuckDB's
+  * `string_split(s,'')`/`ord` iterate codepoints, so a charAt fold
+  * would diverge on every non-Latin script and surrogate pair. The
+  * result equals the oracle fold
   * `list_reduce(list_transform(string_split(s,''), c -> ord(c)),
-  * (a,b) -> (a*31+b) % P)`, which is what the oracle runs.
+  * (a,b) -> (a*31+b) % P)` for ALL text.
   */
 case class RollingHash(child: Expression, prime: Long)
     extends UnaryExpression {
@@ -34,7 +37,11 @@ case class RollingHash(child: Expression, prime: Long)
     val s = input.asInstanceOf[UTF8String].toString
     var acc = 0L
     var i = 0
-    while (i < s.length) { acc = (acc * 31 + s.charAt(i)) % prime; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % prime
+      i += Character.charCount(cp)
+    }
     acc
   }
 
@@ -42,12 +49,16 @@ case class RollingHash(child: Expression, prime: Long)
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       val acc = ctx.freshName("acc")
       s"""
          |String $s = $c.toString();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $acc = ($acc * 31L + $s.charAt($i)) % ${prime}L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % ${prime}L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -54,18 +54,30 @@ object Dedup {
 
   import graft.functions.TextSignatureColumns._
 
+  /** Documents wide enough to carry at least one `n`-gram shingle.
+    * Shorter docs have NO shingle set, so they have no MinHash
+    * signature either — without this filter every short doc would get
+    * an all-null signature and an identical (empty) band key, pairing
+    * all short docs with each other. Matches the oracle's
+    * `WHERE len(t) >= n`. */
+  private def wideEnough(documents: DataFrame, n: Int): DataFrame =
+    documents.filter(size(split(col("text"), " ")) >= n)
+
   /** X4 MinHash signatures, long format (doc_id, perm, minhash), over
     * 3-gram shingles — shingles, not unigram tokens: unigram sets over
     * a small vocabulary are near-identical for every pair (52% of all
     * pairs collided on this corpus), while shingle sets track the
     * n-gram Jaccard measure the LSH candidates are later verified
-    * against. Permutation i is `h_i(x) = ((2i+1)·x + 12289i + 7) mod P`
-    * over the 60-bit md5 shingle hash; shingling/hashing/min run in the
-    * compiled kernels of graft.functions.TextSignatures (the
-    * higher-order-function formulation interprets a lambda per element
-    * and was ~4 s per pass at sf0.1). */
+    * against. Permutation constants are the LCG-mixed
+    * a_i/b_i documented on [[graft.functions.MinHashSig]] (which also
+    * explains why small sequential multipliers would degenerate);
+    * shingling/hashing/min run in the compiled kernels of
+    * graft.functions.TextSignatures (the higher-order-function
+    * formulation interprets a lambda per element and was ~4 s per pass
+    * at sf0.1). Docs shorter than the shingle width are excluded (they
+    * have no shingle set to sign). */
   def minhashSignatures(documents: DataFrame): DataFrame =
-    documents
+    wideEnough(documents, 3)
       .select(col("doc_id"),
         posexplode(minhash_sig(shingle_hashes(col("text"), 3, P), NumPerms, P)))
       .toDF("doc_id", "perm", "minhash")
@@ -78,7 +90,7 @@ object Dedup {
     * the band key doubles as the exchange both join sides reuse
     * (ReuseExchange), so signatures are computed once. */
   def minhashBandPairs(documents: DataFrame): DataFrame = {
-    val bands = documents
+    val bands = wideEnough(documents, 3)
       .withColumn("sig", minhash_sig(shingle_hashes(col("text"), 3, P), NumPerms, P))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)),
@@ -98,13 +110,33 @@ object Dedup {
     * near-dup measure and the verification stage behind MinHash/LSH
     * candidates. The repartition on shingle sits ABOVE the explode so
     * the materialized exchange holds finished (doc_id, shingle) rows;
-    * both self-join sides and the per-doc counts reuse that one
-    * exchange instead of re-evaluating the (interpreted,
-    * non-codegen) shingle lambda. */
-  def ngramJaccardTopK(documents: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
-    val inv = documents
+    * the hot-shingle scan, both self-join sides, and the per-doc counts
+    * reuse that one exchange instead of re-evaluating the (interpreted,
+    * non-codegen) shingle lambda.
+    *
+    * Hot-shingle cap: a shingle present in more than `1/freqCapInv` of
+    * the corpus (a stopword 3-gram, boilerplate) is dropped from the
+    * index BEFORE the self-join — such a shingle contributes ~n² join
+    * rows on one shuffle key (the skew that kills the query at 100×)
+    * while carrying no near-dup signal. Jaccard is then computed over
+    * the capped shingle universe on both engines (the oracle applies
+    * the identical integer-arithmetic cap). The hot set is tiny by
+    * construction, so the anti-join broadcasts. The absolute `minDf`
+    * floor keeps the relative cap meaningful on small corpora: a
+    * shingle in a few dozen docs cannot skew a shuffle, and without
+    * the floor a 3-doc corpus would declare every shingle hot. */
+  def ngramJaccardTopK(documents: DataFrame, n: Int = 3, k: Int = 20,
+                       freqCapInv: Int = 5, minDf: Int = 25): DataFrame = {
+    val inv0 = wideEnough(documents, n)
       .select(col("doc_id"), explode(word_shingles(col("text"), n)).as("shingle"))
       .repartition(col("shingle"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val hot = inv0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")) // shingles are distinct per doc ⇒ count = df
+      .crossJoin(nDocs)
+      .filter(col("df") * freqCapInv > col("n_docs") && col("df") > minDf)
+      .select(col("shingle"))
+    val inv = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
     val counts = inv.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     val inter = inv.alias("x").join(inv.alias("y"),
@@ -134,48 +166,93 @@ object Dedup {
       simhash64(shingle_hashes(col("text"), 1, 0L)).as("simhash"))
 
   /** SimHash near-dup: top-k closest pairs by Hamming distance on the
-    * 60-bit signatures (deterministic tie-break on ids).
+    * 60-bit signatures (deterministic tie-break on ids) — banded
+    * candidate generation with a PROVABLE exactness certificate.
     *
-    * Exact all-pairs Hamming is O(n²) and only feasible when the
-    * signature table (16 bytes/doc) fits one node — which any exact
-    * method requires — so this broadcasts the signatures and scores
-    * pairs in a tight xor/popcount loop with per-partition bounded
-    * heaps (a join formulation materializes rows per pair and is an
-    * order of magnitude slower). The 100 TB path bands the simhash
-    * bits exactly like MinHash LSH and verifies candidates only. */
-  def simhashTopK(documents: DataFrame, k: Int = 20): DataFrame = {
+    * The signature is sliced into `bands` bit-ranges; docs sharing any
+    * band value become candidates via a (band, key) equi-self-join —
+    * the same bucketed shape as [[minhashBandPairs]], never all-pairs.
+    * Pigeonhole guarantee: a pair at Hamming distance h < bands has
+    * some band with NO differing bit, so EVERY pair closer than
+    * `bands` is a candidate. If the verified top-k all sit below that
+    * bound (k pairs at h < bands exist), the banded top-k IS the exact
+    * global top-k — a near-dup corpus at any scale satisfies this. The
+    * certificate is checked on the k collected result rows (O(k)
+    * driver data); on the rare miss (no near-dup structure at all) it
+    * falls back to the distributed blocked exact scorer. */
+  def simhashTopK(documents: DataFrame, k: Int = 20, bands: Int = 6): DataFrame = {
+    val spark = documents.sparkSession
+    val width = 60 / bands
+    val sigs = simhash(documents)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)))
+      .toDF("doc_id", "simhash", "band", "key")
+      .repartition(col("band"), col("key"))
+    val top = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(k)
+    val rows = top.collect()
+    val certified = rows.length >= k && rows.forall(_.getLong(2) < bands)
+    if (certified)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
+    else simhashAllPairsTopK(documents, k)
+  }
+
+  /** Exact all-pairs SimHash top-k without banding assumptions: the
+    * fallback verifier behind [[simhashTopK]]'s certificate and the
+    * reference answer in tests. Block-partitioned self-pairs — each of
+    * the B(B+1)/2 block pairs scores its (n/B)² candidates in one task
+    * with a bounded heap, so memory per task is 2n/B signatures and
+    * nothing is ever collected to the driver; O(n²) work (inherent to
+    * exact all-pairs) distributes over the cluster. */
+  def simhashAllPairsTopK(documents: DataFrame, k: Int = 20, nBlocks: Int = 8): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val s = simhash(documents)
-      .repartition(spark.sparkContext.defaultParallelism).as[(Long, Long)]
-    val collected = s.collect()
-    // primitive arrays: the hot loop must not unbox tuples per pair
-    val bcIds = spark.sparkContext.broadcast(collected.map(_._1))
-    val bcSigs = spark.sparkContext.broadcast(collected.map(_._2))
-    // "best" = lowest hamming, then smallest ids; PQ head = worst kept
+    val B = nBlocks
+    // a row in block b is the LEFT side of block-pairs (b, j≥b) and the
+    // RIGHT side of (i<b, b): every unordered doc pair lands in exactly
+    // one block-pair group
+    val tagged = simhash(documents).as[(Long, Long)].flatMap { case (id, sig) =>
+      val b = (id % B).toInt
+      (b until B).iterator.map(j => (b, j, id, sig)) ++
+        (0 until b).iterator.map(i => (i, b, id, sig))
+    }
     val pairOrd: Ordering[(Long, Long, Long)] =
       Ordering.Tuple3(Ordering[Long], Ordering[Long], Ordering[Long])
-    val local = s.mapPartitions { it =>
-      val ids = bcIds.value
-      val sigs = bcSigs.value
+    val local = tagged.groupByKey(r => (r._1, r._2)).flatMapGroups {
+        (key: (Int, Int), it: Iterator[(Int, Int, Long, Long)]) =>
+      val (gi, gj) = key
+      val lIds = new scala.collection.mutable.ArrayBuffer[Long]
+      val lSigs = new scala.collection.mutable.ArrayBuffer[Long]
+      val rIds = new scala.collection.mutable.ArrayBuffer[Long]
+      val rSigs = new scala.collection.mutable.ArrayBuffer[Long]
+      it.foreach { case (_, _, id, sig) =>
+        if ((id % B).toInt == gi) { lIds += id; lSigs += sig }
+        else { rIds += id; rSigs += sig }
+      }
+      // diagonal groups carry each row once, on the left side
+      val (bIds, bSigs) = if (gi == gj) (lIds, lSigs) else (rIds, rSigs)
       val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Long)](pairOrd)
-      // worst kept pair mirrored in locals: the eviction test must not
-      // allocate a Tuple3 per candidate pair
-      var wh = Long.MaxValue; var wa = Long.MaxValue; var wb = Long.MaxValue
-      def syncWorst(): Unit = { val t = heap.head; wh = t._1; wa = t._2; wb = t._3 }
-      it.foreach { case (aId, aSig) =>
-        var j = 0
-        while (j < ids.length) {
-          val bId = ids(j)
-          if (bId > aId) {
-            val h = java.lang.Long.bitCount(aSig ^ sigs(j)).toLong
-            if (heap.size < k) { heap.enqueue((h, aId, bId)); syncWorst() }
-            else if (h < wh || (h == wh && (aId < wa || (aId == wa && bId < wb)))) {
-              heap.dequeue(); heap.enqueue((h, aId, bId)); syncWorst()
-            }
+      var i = 0
+      while (i < lIds.length) {
+        val aId = lIds(i); val aSig = lSigs(i)
+        var j = if (gi == gj) i + 1 else 0
+        while (j < bIds.length) {
+          val h = java.lang.Long.bitCount(aSig ^ bSigs(j)).toLong
+          val a = math.min(aId, bIds(j)); val b = math.max(aId, bIds(j))
+          if (heap.size < k) heap.enqueue((h, a, b))
+          else {
+            val w = heap.head
+            if (pairOrd.lt((h, a, b), w)) { heap.dequeue(); heap.enqueue((h, a, b)) }
           }
           j += 1
         }
+        i += 1
       }
       heap.iterator
     }

@@ -100,22 +100,30 @@ object Multimodal {
   }
 
   /** STUB media embedding: a real pipeline runs an image/audio encoder
-    * here; the deterministic fake samples 64 bytes at stride 7 and
-    * scales to [0,1]. The downstream retrieval plan (embed → ANN) is
-    * exactly the production shape. */
+    * here; the deterministic fake samples `dim` codepoints at stride 7
+    * and scales to [0,1], in the compiled
+    * [[graft.functions.MediaEmbed]] kernel (the higher-order-lambda
+    * formulation interpreted 64 `ascii(substring(...))` calls per row
+    * and dominated the media-search bench). The downstream retrieval
+    * plan (embed → ANN) is exactly the production shape. */
   def mediaEmbedding(documents: DataFrame, dim: Int = 64): DataFrame =
-    // greatest(..., 1): an empty blob must embed as zeros, not throw
-    // DIVIDE_BY_ZERO under ANSI mode (mirrored in the oracle SQL)
-    documents.select(col("doc_id").as("vec_id"), expr(
-      s"transform(sequence(0, ${dim - 1}), i -> " +
-        "CAST(ascii(substring(text, (i * 7) % greatest(length(text), 1) + 1, 1)) AS DOUBLE) / 255.0)")
-      .as("v"))
+    documents.select(col("doc_id").as("vec_id"),
+      graft.functions.MediaEmbed.media_embed(col("text"), dim, 7).as("v"))
 
   /** X5 capstone: end-to-end multimodal retrieval — media blob →
-    * (stub) embedding → brute-force cosine top-k. Swap the stub encoder
-    * for a real one and this IS the retrieval pipeline. */
+    * (stub) embedding → exact cosine top-k over the full corpus (the
+    * verification baseline; [[mediaSearchLsh]] is the bucketed scale
+    * path). Swap the stub encoder for a real one and this IS the
+    * retrieval pipeline. */
   def mediaSearch(documents: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame =
     Similarity.annOnVectors(mediaEmbedding(documents), nQueries, k)
+
+  /** X5 scale path: media blob → (stub) embedding → LSH-bucketed ANN.
+    * Candidates come from the (table, bucket) hash join of
+    * [[Similarity.annLshOnVectors]] — at 100 TB retrieval cost scales
+    * with bucket occupancy, never with corpus size × queries. */
+  def mediaSearchLsh(documents: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame =
+    Similarity.annLshOnVectors(mediaEmbedding(documents), nQueries, k)
 
   /** X5 multimodal join: documents ⋈ embeddings on doc_id = vec_id with
     * vector metadata (dim + L2 norm). Both sides shuffle on the id (or

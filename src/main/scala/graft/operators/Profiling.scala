@@ -34,15 +34,18 @@ object Profiling {
     pieces.reduce(_ union _)
   }
 
-  /** Sketch-based profile: HyperLogLog distinct estimates and
-    * approximate quantiles — the constant-memory versions of the exact
-    * statistics, for when even one exact count-distinct per column is
-    * too much state. Checked by accuracy bounds (not the hash oracle:
-    * sketch internals are engine-specific by design). */
+  /** Sketch-based profile: HyperLogLog distinct estimate and
+    * approximate p50/p95/p99 — the constant-memory versions of the
+    * exact statistics, for when even one exact count-distinct per
+    * column is too much state. Scalar columns only (the driver's
+    * row-compare sorts on every column; an array column is unsortable
+    * there). Checked by accuracy bounds in ProfilingSpec, not the hash
+    * oracle: sketch internals are engine-specific by design. */
   def sketchProfile(df: DataFrame, numericCol: String, keyCol: String): DataFrame =
     df.agg(
       approx_count_distinct(col(keyCol)).as("approx_distinct"),
-      expr(s"approx_percentile($numericCol, array(0.5, 0.95, 0.99), 10000)")
-        .as("quantiles"),
+      expr(s"round(approx_percentile($numericCol, 0.5, 10000), 4)").as("p50"),
+      expr(s"round(approx_percentile($numericCol, 0.95, 10000), 4)").as("p95"),
+      expr(s"round(approx_percentile($numericCol, 0.99, 10000), 4)").as("p99"),
       count(lit(1)).as("n"))
 }

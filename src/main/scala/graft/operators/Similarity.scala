@@ -75,73 +75,93 @@ object Similarity {
   private[operators] def round6(x: Double): Double =
     BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** X2 near-dup flavor: globally most-similar k pairs (a < b).
+  /** X2 near-dup flavor: globally most-similar k pairs (a < b) —
+    * exact, distributed, nothing collected to the driver.
     *
-    * Exact all-pairs scoring is O(n²·d) and only feasible when the
-    * vector set fits one node's memory — which it must for ANY exact
-    * all-pairs method — so this uses the mapPartitions escape hatch
-    * deliberately: broadcast the (id, vector, norm) table, score pairs
-    * in a tight JVM loop with a per-partition bounded heap, then take
-    * the global top-k. Joins materialize a 512-byte vector copy per
-    * scored pair and were ~40× slower. The 100 TB path is annLsh
-    * (candidates by bucket) feeding this scorer per bucket.
+    * Exact all-pairs scoring is O(n²·d) compute no matter how it is
+    * organized; what must NOT scale with n is per-node memory. The
+    * vector set is hashed into `nBlocks` blocks and every unordered
+    * block pair becomes one task: a row in block b ships to block
+    * pairs (b, j≥b) as the left side and (i<b, b) as the right, so
+    * each pair of vectors meets in exactly one task. Per-task memory
+    * is 2n/B vectors (pick B so a block pair fits an executor; the
+    * shuffle volume is n·B rows), and the O(n²) dot products spread
+    * over B(B+1)/2 independent tasks. Candidate pruning CANNOT replace
+    * exact scoring here: on an unstructured corpus (max pair cosine
+    * ~0.4) sign-LSH at any table count either misses top-20 pairs with
+    * material probability or generates ~all pairs as candidates — the
+    * approximate scale path is [[annLsh]], and this operator is the
+    * exact answer.
     *
     * The heap orders by ROUNDED cosine (then ids) — the same key the
     * SQL oracle sorts by; raw-cosine ordering could select a different
     * boundary pair when two cosines agree to 6 decimals. The dot/norm
     * arithmetic is the same sequential fold as DotProduct, so scores
     * are bit-identical to the plan-based operators. */
-  def cosinePairsTopK(embeddings: DataFrame, k: Int = 20): DataFrame = {
+  def cosinePairsTopK(embeddings: DataFrame, k: Int = 20, nBlocks: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val B = nBlocks
     val s = withVec(embeddings).select(col("vec_id"), col("v"), col("nrm"))
-      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Double], Double)]
-    val collected = s.collect()
-    // primitive/flat arrays: no tuple unboxing in the O(n²) loop
-    val bcIds = spark.sparkContext.broadcast(collected.map(_._1))
-    val bcVecs = spark.sparkContext.broadcast(collected.map(_._2))
-    val bcNrms = spark.sparkContext.broadcast(collected.map(_._3))
+    val tagged = s.flatMap { case (id, v, nrm) =>
+      val b = (id % B).toInt
+      (b until B).iterator.map(j => (b, j, id, v, nrm)) ++
+        (0 until b).iterator.map(i => (i, b, id, v, nrm))
+    }
     // "best" = highest cos, then smallest ids; under pairOrd the PQ max
     // (its head) is therefore the WORST kept pair — the eviction victim.
     val pairOrd: Ordering[(Double, Long, Long)] =
       Ordering.Tuple3(Ordering[Double].reverse, Ordering[Long], Ordering[Long])
-    val local = s.mapPartitions { it =>
-      val ids = bcIds.value
-      val vecs = bcVecs.value
-      val nrms = bcNrms.value
+    val local = tagged.groupByKey(r => (r._1, r._2)).flatMapGroups {
+        (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
+      val (gi, gj) = key
+      val lIds = new scala.collection.mutable.ArrayBuffer[Long]
+      val lVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]
+      val lNrms = new scala.collection.mutable.ArrayBuffer[Double]
+      val rIds = new scala.collection.mutable.ArrayBuffer[Long]
+      val rVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]
+      val rNrms = new scala.collection.mutable.ArrayBuffer[Double]
+      it.foreach { case (_, _, id, v, nrm) =>
+        if ((id % B).toInt == gi) { lIds += id; lVecs += v; lNrms += nrm }
+        else { rIds += id; rVecs += v; rNrms += nrm }
+      }
+      // diagonal groups carry each row once, on the left side
+      val (bIds, bVecs, bNrms) =
+        if (gi == gj) (lIds, lVecs, lNrms) else (rIds, rVecs, rNrms)
       val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](pairOrd)
       // worst kept pair mirrored in locals to keep the eviction test
       // allocation-free
       var wc = Double.NegativeInfinity; var wa = Long.MaxValue; var wb = Long.MaxValue
       def syncWorst(): Unit = { val t = heap.head; wc = t._1; wa = t._2; wb = t._3 }
-      it.foreach { case (aId, av, an) =>
-        var j = 0
-        while (j < ids.length) {
-          val bId = ids(j)
-          if (bId > aId) {
-            val bv = vecs(j)
-            var acc = 0.0
-            var d = 0
-            val n = math.min(av.length, bv.length)
-            while (d < n) { acc += av(d) * bv(d); d += 1 }
-            val den = an * nrms(j)
-            val raw = acc / den
-            // den == 0 → zero-norm vector, pair has no cosine (matches
-            // the null-scoring guard in the plan-based operators);
-            // round6 allocates a BigDecimal — only pay it for pairs
-            // that could enter the heap (rounding moves a value by at
-            // most 5e-7, so raw < wc - 1e-6 can never round up to ≥ wc)
-            if (den != 0.0 && (heap.size < k || raw >= wc - 1e-6)) {
-              val c = round6(raw)
-              if (heap.size < k) { heap.enqueue((c, aId, bId)); syncWorst() }
-              else if (c > wc || (c == wc && (aId < wa || (aId == wa && bId < wb)))) {
-                heap.dequeue(); heap.enqueue((c, aId, bId)); syncWorst()
-              }
+      var i = 0
+      while (i < lIds.length) {
+        val av = lVecs(i); val an = lNrms(i)
+        var j = if (gi == gj) i + 1 else 0
+        while (j < bIds.length) {
+          val bv = bVecs(j)
+          var acc = 0.0
+          var d = 0
+          val n = math.min(av.length, bv.length)
+          while (d < n) { acc += av(d) * bv(d); d += 1 }
+          val den = an * bNrms(j)
+          val raw = acc / den
+          // den == 0 → zero-norm vector, pair has no cosine (matches
+          // the null-scoring guard in the plan-based operators);
+          // round6 allocates a BigDecimal — only pay it for pairs
+          // that could enter the heap (rounding moves a value by at
+          // most 5e-7, so raw < wc - 1e-6 can never round up to ≥ wc)
+          if (den != 0.0 && (heap.size < k || raw >= wc - 1e-6)) {
+            val c = round6(raw)
+            val aId = math.min(lIds(i), bIds(j)); val bId = math.max(lIds(i), bIds(j))
+            if (heap.size < k) { heap.enqueue((c, aId, bId)); syncWorst() }
+            else if (c > wc || (c == wc && (aId < wa || (aId == wa && bId < wb)))) {
+              heap.dequeue(); heap.enqueue((c, aId, bId)); syncWorst()
             }
           }
           j += 1
         }
+        i += 1
       }
       heap.iterator
     }
@@ -186,8 +206,15 @@ object Similarity {
     * tables. Candidate generation is a hash join on (table, bucket) +
     * distinct — never a crossJoin; at scale each (table, bucket) cell
     * is an independent partition of work. */
-  def annLsh(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
-    val buckets = withVec(embeddings).withColumn("bkts", bucketsCol)
+  def annLsh(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame =
+    annLshOnVectors(withVec(embeddings).select(col("vec_id"), col("v")), nQueries, k)
+
+  /** LSH-bucketed ANN over any (vec_id, v: array<double>) frame —
+    * shared by the embedding-table path and the multimodal
+    * media-search composition (embed → bucketed retrieval). */
+  def annLshOnVectors(vectors: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val vn = vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    val buckets = vn.withColumn("bkts", bucketsCol)
       .select(col("vec_id"), posexplode(col("bkts")))
       .toDF("vec_id", "tbl", "bucket")
       .repartition(col("tbl"), col("bucket"))
@@ -196,11 +223,10 @@ object Similarity {
     val cands = buckets.join(q, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id")).distinct()
-    val vecs = withVec(embeddings)
     val scored = cands
-      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      .join(vn.select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn")), Seq("q_id"))
-      .join(vecs.select(col("vec_id").as("n_id"), col("v"), col("nrm")), Seq("n_id"))
+      .join(vn.select(col("vec_id").as("n_id"), col("v"), col("nrm")), Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
     topKPerGroup(scored, k)
@@ -221,23 +247,29 @@ object Similarity {
 
   /** X2 IVF-flat ANN with fixed seed centroids (vec_id < nCells):
     * every vector is assigned to its max-cosine centroid (tie → lowest
-    * centroid id); queries search only their own cell. At scale the
-    * cell id partitions the index — probing more cells = joining more
-    * cell ids, never a full scan. */
+    * centroid id); a query probes its `nProbe` closest cells (standard
+    * IVF multi-probe — single-probe recall was ~0.52 on this corpus
+    * because the nearest neighbor often sits just across a cell
+    * boundary). At scale the cell id partitions the index — probing
+    * more cells = joining more cell ids, never a full scan; candidate
+    * volume grows linearly in nProbe. */
   def annIvf(embeddings: DataFrame, nCells: Int = 8,
-             nQueries: Int = 20, k: Int = 3): DataFrame = {
+             nQueries: Int = 20, k: Int = 3, nProbe: Int = 4): DataFrame = {
     val all = withVec(embeddings)
     val cents = all.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last, col("c_id"))
-    val assigned = all.crossJoin(broadcast(cents))
+    val ranked = all.crossJoin(broadcast(cents))
       .withColumn("arank", row_number().over(aw))
-      .filter(col("arank") === 1)
+    val assigned = ranked.filter(col("arank") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
-    val q = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cell"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val q = probes.join(
+      all.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")),
+      Seq("q_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     assigned.join(q, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

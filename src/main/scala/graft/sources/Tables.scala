@@ -30,11 +30,26 @@ object Tables {
     * (PARQUET_TYPE_ILLEGAL). Read nanos as Long and truncate to
     * microseconds — the same truncation DuckDB's `epoch_us` applies, so
     * oracle comparisons on event time stay exact (the driver data is
-    * µs-aligned anyway). */
+    * µs-aligned anyway).
+    *
+    * The legacy-nanos flag is scoped to this read: it is restored to
+    * its previous value once the scan's plan is resolved, so other
+    * nanos-timestamp parquet reads in the session keep their own
+    * behavior. (Resolution happens at `spark.read`, eagerly — the
+    * DataFrame keeps the resolved schema afterwards.) */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Event schema of the reference's order stream — producer struct

@@ -32,8 +32,9 @@ class EdgeCaseSpec extends AnyFunSuite {
 
   test("dedup operators survive degenerate documents") {
     assert(Dedup.fingerprintDedup(docs).count() === 4)
-    // docs 1-3 are below the 3-gram width → null minhash entries, but no throw
-    assert(Dedup.minhashSignatures(docs).count() === 4 * Dedup.NumPerms)
+    // docs 1-3 are below the 3-gram width → no shingle set, no signature
+    // (matching the oracle's WHERE len(t) >= 3); only doc 4 is signed
+    assert(Dedup.minhashSignatures(docs).count() === 1 * Dedup.NumPerms)
     assert(Dedup.minhashBandPairs(docs).count() >= 0)
     assert(Dedup.ngramJaccardTopK(docs, 3, 10).count() >= 0)
     assert(Dedup.simhash(docs).count() === 4)

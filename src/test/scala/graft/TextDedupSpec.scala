@@ -22,6 +22,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("rolling hash folds codepoints, not UTF-16 units (ord parity)") {
+    val s = "héllo 😀 世界" // BMP accents, a surrogate pair, CJK
+    var expected = 0L
+    s.codePoints().forEach(cp =>
+      expected = (expected * 31 + cp) % RollingHash.DefaultPrime)
+    val got = docs((1L, s)).select(RollingHash.rolling_hash(col("text")))
+      .head.getLong(0)
+    assert(got === expected)
+  }
+
   test("identical documents share minhash signatures; disjoint ones do not") {
     val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "q r s t u v w x"))
