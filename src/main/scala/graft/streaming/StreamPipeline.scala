@@ -108,6 +108,93 @@ object StreamPipeline {
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
 
+  /** C6 upsert flavor: TRUE merge-on-key semantics, mirroring the
+    * reference sink's Cosmos upsert by partition key
+    * (`README.md:107-131`) — a re-delivered or updated order REPLACES
+    * its previous row instead of appending a duplicate.
+    *
+    * State layout is a key-bucketed LSM-style store:
+    * `outDir/bucket=<hash(key) mod nBuckets>/gen=<batchId>`. Each
+    * micro-batch merges ONLY its affected buckets — read the bucket's
+    * latest committed generation, last-write-wins on `keyCol`, write a
+    * new generation, retire the old — so per-batch work scales with
+    * the touched key range, not total state, and buckets spread the
+    * merge across the cluster. Replay-idempotent: a replayed batch
+    * merges from generations strictly OLDER than its own batchId, so a
+    * crashed attempt's half-written generation is overwritten, never
+    * merged twice. */
+  def upsertEnriched(enriched: DataFrame, outDir: String, checkpointDir: String,
+                     keyCol: String = "order_id",
+                     nBuckets: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+    enriched.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, outDir, batchId, keyCol, nBuckets)
+      }
+
+  /** One merge-on-key commit (the foreachBatch body, exposed for
+    * replay tests). */
+  def upsertBatch(batch: DataFrame, outDir: String, batchId: Long,
+                  keyCol: String = "order_id", nBuckets: Int = 8): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataCols = batch.columns
+    val keyed = batch
+      .withColumn("_bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+      .persist()
+    try {
+      // O(nBuckets) driver values, not data
+      val affected = keyed.select("_bucket").distinct()
+        .collect().map(_.getLong(0)).sorted
+      affected.foreach { b =>
+        val bucketDir = new Path(s"$outDir/bucket=$b")
+        val gens =
+          if (fs.exists(bucketDir))
+            fs.listStatus(bucketDir).map(_.getPath.getName)
+              .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+              .filter(_ < batchId) // replay: ignore own failed attempt
+          else Array.empty[Long]
+        val fresh = keyed.filter(col("_bucket") === b)
+          .select(dataCols.map(col): _*).withColumn("_pri", lit(1))
+        val all = if (gens.nonEmpty) {
+          fresh.unionByName(
+            spark.read.parquet(s"$outDir/bucket=$b/gen=${gens.max}")
+              .withColumn("_pri", lit(0)))
+        } else fresh
+        // last write wins per key; inside one batch the tie-break is the
+        // full payload (deterministic under replay, unlike dropDuplicates)
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col("_pri").desc +: dataCols.filterNot(_ == keyCol)
+            .map(c => col(c).desc): _*)
+        all.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .select(dataCols.map(col): _*)
+          .write.mode("overwrite").parquet(s"$outDir/bucket=$b/gen=$batchId")
+        gens.foreach(g => fs.delete(new Path(s"$outDir/bucket=$b/gen=$g"), true))
+      }
+    } finally keyed.unpersist()
+  }
+
+  /** Snapshot of the upserted store: the latest committed generation of
+    * every bucket — one row per key. */
+  def readUpserted(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+      .flatMap { b =>
+        val gens = fs.listStatus(b).map(_.getPath)
+          .filter(_.getName.startsWith("gen="))
+        if (gens.isEmpty) None
+        else Some(gens.maxBy(_.getName.stripPrefix("gen=").toLong).toString)
+      }
+    spark.read.parquet(latest.toIndexedSeq: _*)
+  }
+
   /** C18: serialize enriched rows back to Kafka-shaped (key, value)
     * pairs — message key = order id, like the reference producer
     * (`main.go:88`). */

@@ -65,6 +65,45 @@ class StreamingSpec extends AnyFunSuite {
       .select("customer_name").head.getString(0) === "Willis Collins")
   }
 
+  test("upsert sink merges on key: update, in-batch dup, and replay are all one row per key") {
+    val dir = Files.createTempDirectory("graft-upsert")
+    val out = dir.resolve("store").toString
+    def rows(t: (String, Long, Long)*) = t.toDF("order_id", "customer_id", "amount")
+    StreamPipeline.upsertBatch(rows(("a", 1L, 10L), ("b", 2L, 20L)), out, 0L)
+    assert(StreamPipeline.readUpserted(spark, out).count() === 2)
+    // batch 1: update b, insert c, duplicate d within the batch
+    val b1 = rows(("b", 2L, 99L), ("c", 3L, 30L), ("d", 4L, 1L), ("d", 4L, 5L))
+    StreamPipeline.upsertBatch(b1, out, 1L)
+    val snap = StreamPipeline.readUpserted(spark, out)
+    assert(snap.count() === 4)
+    assert(snap.filter(col("order_id") === "b").select("amount").head.getLong(0) === 99L)
+    assert(snap.filter(col("order_id") === "d").select("amount").head.getLong(0) === 5L)
+    // replay of batch 1 (crash before checkpoint commit): state unchanged
+    StreamPipeline.upsertBatch(b1, out, 1L)
+    val replayed = StreamPipeline.readUpserted(spark, out)
+    assert(replayed.count() === 4)
+    assert(replayed.filter(col("order_id") === "b").select("amount").head.getLong(0) === 99L)
+  }
+
+  test("upsert sink end-to-end: re-delivered order replaces its row") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[OrderEvent]
+    val dir = Files.createTempDirectory("graft-upsert-e2e")
+    val enriched = graft.operators.Enrich.enrichReference(mem.toDF(), customersHead)
+    val q = StreamPipeline.upsertEnriched(enriched, dir.resolve("store").toString,
+      dir.resolve("ck").toString).start()
+    try {
+      mem.addData(OrderEvent("o1", 1, 100))
+      q.processAllAvailable()
+      mem.addData(OrderEvent("o1", 1, 250), OrderEvent("o2", 2, 60))
+      q.processAllAvailable()
+      val snap = StreamPipeline.readUpserted(spark, dir.resolve("store").toString)
+      assert(snap.count() === 2)
+      assert(snap.filter(col("order_id") === "o1")
+        .select("purchase_amount").head.getLong(0) === 250L)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per order id within the watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, Long)]
