@@ -36,18 +36,29 @@ object StreamPipeline {
 
   /** C1: Event Hubs over the Kafka wire protocol (reference
     * `README.md:139-143`; SASL config is the deployment's concern).
-    * Value bytes decode via from_json with the explicit event schema —
-    * never schema inference on a stream. */
+    * Value bytes decode via [[decodeOrderBytes]] with the explicit
+    * event schema — never schema inference on a stream. */
   final case class KafkaOrders(bootstrap: String, topic: String) extends OrderSource {
     def load(spark: SparkSession): DataFrame =
-      spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", "latest")
-        .load()
-        .select(from_json(col("value").cast("string"), Tables.orderEventSchema).as("o"))
-        .select("o.*")
+      decodeOrderBytes(
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", bootstrap)
+          .option("subscribe", topic)
+          .option("startingOffsets", "latest")
+          .load())
   }
+
+  /** C2 consume-side decode of the reference producer's wire format
+    * (keyed binary JSON, `orders-generator/main.go:88-89,104-108`):
+    * Kafka-shaped rows (`value: binary`, plus whatever metadata columns
+    * the connector adds) → typed order events. Factored out of
+    * [[KafkaOrders]] so the decode contract is spec-testable offline —
+    * the container has no broker or Kafka jars, so this function IS the
+    * part of the consume path that can regress silently. */
+  def decodeOrderBytes(kafkaRows: DataFrame): DataFrame =
+    kafkaRows
+      .select(from_json(col("value").cast("string"), Tables.orderEventSchema).as("o"))
+      .select("o.*")
 
   /** C5 as a stream: JSON-lines files appearing in a directory — the
     * offline stand-in for the broker, and the replay path for any

@@ -266,6 +266,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kafka consume path decodes the reference producer's wire format (C1/C2)") {
+    implicit val sc = spark.sqlContext
+    // exactly the bytes orders-generator/main.go puts on the wire:
+    // message key = orderID, value = JSON-marshalled order struct
+    val wire = Seq(
+      ("k1".getBytes, """{"orderID":"k1","customerID":3,"amount":170}""".getBytes),
+      ("k2".getBytes, """{"orderID":"k2","customerID":1,"amount":42}""".getBytes),
+      ("bad".getBytes, """not json""".getBytes))
+      .toDF("key", "value")
+    val decoded = StreamPipeline.decodeOrderBytes(wire)
+    val good = decoded.filter(col("orderID").isNotNull)
+      .as[(String, Long, Long)].collect().toSet
+    assert(good === Set(("k1", 3L, 170L), ("k2", 1L, 42L)))
+    // poison message yields a null row, not a query failure
+    assert(decoded.count() === 3)
+    // and the decoded stream enriches like any other source (streaming)
+    val mem = MemoryStream[(Array[Byte], Array[Byte])]
+    val stream = StreamPipeline.decodeOrderBytes(mem.toDF().toDF("key", "value"))
+    val q = graft.operators.Enrich.enrichReference(stream, customersHead)
+      .writeStream.format("memory").queryName("kafka_decode_mem")
+      .outputMode("append").start()
+    try {
+      mem.addData(("k1".getBytes, """{"orderID":"k1","customerID":3,"amount":170}""".getBytes))
+      q.processAllAvailable()
+      assert(spark.table("kafka_decode_mem")
+        .select("order_id", "customer_name").as[(String, String)].head() ===
+        (("k1", "Walker Wong")))
+    } finally q.stop()
+  }
+
   test("kafka payload round-trips through from_json (C18)") {
     val enriched = Seq(("o1", 1L, "Willis Collins", "Dallas", 182L))
       .toDF("order_id", "customer_id", "customer_name", "city", "purchase_amount")
