@@ -62,6 +62,10 @@ object SparkEntry {
     "x3_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(t(s, d, "documents"))),
     "x3_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(t(s, d, "documents"))),
     "x3_tfidf" -> ((s, d) => TextAnalysis.tfidf(t(s, d, "documents"))),
+    "x3_group_concat" -> ((s, d) => TextAnalysis.groupConcat(t(s, d, "documents"))),
+    // --- X1 sampling / sharding ---
+    "x1_sample_split" -> ((s, d) => Sampling.sampleSplit(t(s, d, "documents"))),
+    "x1_pack_shards" -> ((s, d) => Sampling.packShards(t(s, d, "documents"))),
     // --- X1/X4 dedup ---
     "x1_first_event" -> ((s, d) => Dedup.firstEventPerKey(t(s, d, "events"))),
     "x1_fingerprint_dedup" -> ((s, d) => Dedup.fingerprintDedup(t(s, d, "documents"))),
@@ -253,6 +257,26 @@ object SparkEntry {
          SELECT t.doc_id, t.token, t.tf,
            round(t.tf * ln(nd.n_docs / CAST(d.df AS DOUBLE)), 6) AS tfidf
          FROM terms t JOIN dfs d ON t.token = d.token, nd""",
+    "x3_group_concat" ->
+      """SELECT lang, source, count(*) AS n_docs,
+         CAST(length(string_agg(text, ' ' ORDER BY doc_id)) AS BIGINT) AS cat_len,
+         md5(string_agg(text, ' ' ORDER BY doc_id)) AS cat_md5
+         FROM documents GROUP BY lang, source""",
+    "x1_sample_split" ->
+      """SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS pct,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents""",
+    "x1_pack_shards" ->
+      """SELECT doc_id, source, n_tokens,
+         CAST((cum - n_tokens) // 500 AS BIGINT) AS shard FROM (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM documents)""",
     "x1_first_event" ->
       """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id, event_type

@@ -129,4 +129,25 @@ object TextAnalysis {
         round(col("tf") * log(col("n_docs") / col("df").cast("double")), 6)
           .as("tfidf"))
   }
+
+  /** Ordered per-group corpus assembly: concatenate each (lang, source)
+    * group's documents in doc_id order — the context-assembly /
+    * shard-file-build step of a training pipeline. The concatenation
+    * order is pinned by sorting the collected (doc_id, text) structs,
+    * NOT by assuming collect_list arrival order (which is
+    * partition-nondeterministic); output carries length + md5 of the
+    * assembled text rather than the text itself. One shuffle on the
+    * group key; per-group state is the group's documents — at 100 TB
+    * the group key must be chosen so a group fits an executor (that is
+    * inherent to "assemble this group into one blob", not to the
+    * plan). */
+  def groupConcat(documents: DataFrame): DataFrame =
+    documents.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text"))).as("cat"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        length(col("cat")).cast("long").as("cat_len"),
+        md5(col("cat")).as("cat_md5"))
 }

@@ -85,6 +85,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got === Set(11L, 12L))
   }
 
+  test("hash split is deterministic, complete, and roughly 80/10/10") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val a = graft.operators.Sampling.sampleSplit(d)
+    val b = graft.operators.Sampling.sampleSplit(d)
+    // same assignment on re-run (retry/backfill safety), every doc assigned
+    assert(a.exceptAll(b).isEmpty && a.count() === d.count())
+    val frac = a.groupBy("split").count().as[(String, Long)].collect().toMap
+      .view.mapValues(_.toDouble / d.count()).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1, s"train frac $frac")
+    assert(frac.keySet === Set("train", "val", "test"))
+  }
+
+  test("shard packing respects the token budget per source") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val packed = graft.operators.Sampling.packShards(d, budget = 500L)
+    val perShard = packed.groupBy("source", "shard")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as(("mx")))
+      .as[(String, Long, Long, Long)].collect()
+    // a shard never exceeds budget + one document (the packing invariant)
+    assert(perShard.forall { case (_, _, tok, mx) => tok <= 500L + mx })
+    // shards are dense per source: 0..max with none skipped
+    val shards = packed.select("source", "shard").distinct()
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    assert(shards.values.forall(s => s.sameElements(0L to s.max)))
+  }
+
+  test("group concat is insensitive to input partitioning (order pinned by doc_id)") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val one = TextAnalysis.groupConcat(d.repartition(1))
+    val many = TextAnalysis.groupConcat(d.repartition(13))
+    assert(one.exceptAll(many).isEmpty && one.count() > 0)
+  }
+
   test("quality score stays within [0, 1]") {
     val q = TextAnalysis.qualityScore(
       docs((1L, "the a of short"), (2L, ("word " * 99).trim)))
