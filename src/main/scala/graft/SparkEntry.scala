@@ -74,6 +74,7 @@ object SparkEntry {
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(t(s, d, "documents"))),
     "x4_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "x4_simhash_topk" -> ((s, d) => Dedup.simhashTopK(t(s, d, "documents"))),
+    "x4_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(t(s, d, "embeddings"))),
     // --- X2 similarity search ---
     "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
@@ -348,6 +349,17 @@ object SparkEntry {
            bit_count(xor(x.simhash, y.simhash)) AS hamming
          FROM sh x JOIN sh y ON x.doc_id < y.doc_id
          ORDER BY hamming, doc_a, doc_b LIMIT 20""",
+    "x4_embedding_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         drops AS (SELECT DISTINCT b.vec_id AS b_id
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE round(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]),
+             (x,y) -> x+y) / (a.nrm * b.nrm), 6) >= 0.38)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT b_id FROM drops)""",
     "x2_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

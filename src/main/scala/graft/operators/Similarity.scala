@@ -98,17 +98,29 @@ object Similarity {
     * boundary pair when two cosines agree to 6 decimals. The dot/norm
     * arithmetic is the same sequential fold as DotProduct, so scores
     * are bit-identical to the plan-based operators. */
+  /** Block-pair replication for distributed exact all-pairs scoring: a
+    * row in block b is the LEFT side of block pairs (b, j≥b) and the
+    * RIGHT side of (i<b, b), so every unordered vector pair meets in
+    * exactly one (gi, gj) group. */
+  private def blockedTagged(embeddings: DataFrame, nBlocks: Int)
+      : org.apache.spark.sql.Dataset[(Int, Int, Long, Array[Double], Double)] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val B = nBlocks
+    withVec(embeddings).select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .flatMap { case (id, v, nrm) =>
+        val b = (id % B).toInt
+        (b until B).iterator.map(j => (b, j, id, v, nrm)) ++
+          (0 until b).iterator.map(i => (i, b, id, v, nrm))
+      }
+  }
+
   def cosinePairsTopK(embeddings: DataFrame, k: Int = 20, nBlocks: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val B = nBlocks
-    val s = withVec(embeddings).select(col("vec_id"), col("v"), col("nrm"))
-      .as[(Long, Array[Double], Double)]
-    val tagged = s.flatMap { case (id, v, nrm) =>
-      val b = (id % B).toInt
-      (b until B).iterator.map(j => (b, j, id, v, nrm)) ++
-        (0 until b).iterator.map(i => (i, b, id, v, nrm))
-    }
+    val tagged = blockedTagged(embeddings, nBlocks)
     // "best" = highest cos, then smallest ids; under pairOrd the PQ max
     // (its head) is therefore the WORST kept pair — the eviction victim.
     val pairOrd: Ordering[(Double, Long, Long)] =
@@ -168,6 +180,73 @@ object Similarity {
     local.toDF("cos", "a_id", "b_id")
       .orderBy(col("cos").desc, col("a_id"), col("b_id")).limit(k)
       .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** All pairs with ROUNDED cosine ≥ tau — the threshold flavor of the
+    * blocked exact scorer (same block-pair task structure, no heap;
+    * output size is data-dependent, so no driver state at all). The
+    * threshold compares the 6-decimal rounded cosine, the same value
+    * the oracle filters on, so boundary pairs land identically on both
+    * engines. */
+  def cosinePairsThreshold(embeddings: DataFrame, tau: Double,
+                           nBlocks: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val B = nBlocks
+    val tagged = blockedTagged(embeddings, nBlocks)
+    val local = tagged.groupByKey(r => (r._1, r._2)).flatMapGroups {
+        (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
+      val (gi, gj) = key
+      val lIds = new scala.collection.mutable.ArrayBuffer[Long]
+      val lVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]
+      val lNrms = new scala.collection.mutable.ArrayBuffer[Double]
+      val rIds = new scala.collection.mutable.ArrayBuffer[Long]
+      val rVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]
+      val rNrms = new scala.collection.mutable.ArrayBuffer[Double]
+      it.foreach { case (_, _, id, v, nrm) =>
+        if ((id % B).toInt == gi) { lIds += id; lVecs += v; lNrms += nrm }
+        else { rIds += id; rVecs += v; rNrms += nrm }
+      }
+      val (bIds, bVecs, bNrms) =
+        if (gi == gj) (lIds, lVecs, lNrms) else (rIds, rVecs, rNrms)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]
+      var i = 0
+      while (i < lIds.length) {
+        val av = lVecs(i); val an = lNrms(i)
+        var j = if (gi == gj) i + 1 else 0
+        while (j < bIds.length) {
+          val bv = bVecs(j)
+          var acc = 0.0
+          var d = 0
+          val n = math.min(av.length, bv.length)
+          while (d < n) { acc += av(d) * bv(d); d += 1 }
+          val den = an * bNrms(j)
+          // round only near-threshold candidates (rounding moves a
+          // value by < 1e-6); zero-norm vectors score no pair
+          if (den != 0.0 && acc / den >= tau - 1e-6) {
+            val c = round6(acc / den)
+            if (c >= tau)
+              out += ((math.min(lIds(i), bIds(j)), math.max(lIds(i), bIds(j)), c))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }
+    local.toDF("a_id", "b_id", "cos")
+  }
+
+  /** X4 embedding-cosine near-dup DEDUP decision: drop every vector
+    * that has a more-senior (lower-id) near-duplicate at cosine ≥ tau;
+    * survivors are the seniority-greedy representative set. One-pass
+    * semantics (NOT transitive closure): deterministic, oracle-exact,
+    * and the standard first-seen-wins rule of large-scale dedup. */
+  def embeddingDedup(embeddings: DataFrame, tau: Double = 0.38): DataFrame = {
+    val drops = cosinePairsThreshold(embeddings, tau)
+      .select(col("b_id")).distinct()
+    embeddings.select(col("vec_id"))
+      .join(drops, col("vec_id") === col("b_id"), "left_anti")
   }
 
   /** Number of LSH hash tables (OR-amplification factor). Measured
