@@ -29,6 +29,26 @@ class ScaleExtensionsSpec extends AnyFunSuite {
     assert(grand === 6000L)
   }
 
+  test("counting-median in aggExtras equals Spark's percentile aggregate") {
+    // aggExtras computes the exact interpolated median from value
+    // counts (codegen, O(|domain|) state) instead of the buffer-all
+    // percentile TypedImperativeAggregate; both must agree bit-for-bit
+    // on both parities (odd/even group sizes)
+    val li = Tables(spark, SparkTestBase.sf0001, "lineitem")
+    val ref = li.groupBy($"l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("m"))
+      .as[(String, Double)].collect().toMap
+    val got = Scale.aggExtras(li).select("l_returnflag", "median_qty")
+      .as[(String, Double)].collect().toMap
+    assert(got === ref)
+    val oddEven = Seq(("a", 1L), ("a", 2L), ("a", 4L), ("a", 9L), ("b", 1L),
+      ("b", 7L), ("b", 10L)).toDF("l_returnflag", "l_quantity")
+      .withColumn("l_partkey", lit(1L)).withColumn("l_extendedprice", lit(1.0))
+    val m = Scale.aggExtras(oddEven).select("l_returnflag", "median_qty")
+      .as[(String, Double)].collect().toMap
+    assert(m === Map("a" -> 3.0, "b" -> 7.0)) // even: interpolated midpoint
+  }
+
   test("TopKByScore aggregate keeps the k best with deterministic ties") {
     import graft.functions.TopKByScore.top_k_by_score
     val df = Seq(
