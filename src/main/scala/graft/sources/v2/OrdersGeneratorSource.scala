@@ -1,0 +1,138 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector generating the reference producer's order
+  * workload (`orders-generator/main.go:82-84,104-108`) as a
+  * first-class Spark source:
+  *
+  * {{{
+  *   spark.read.format("graft_orders")
+  *     .option("numRows", 1000000).option("numPartitions", 64).load()
+  * }}}
+  *
+  * This is the connector-integration axis of the engine (alongside the
+  * custom expressions and the TypedImperativeAggregate): Spark plans
+  * the scan like any table — `numPartitions` range splits become
+  * independent [[InputPartition]]s (the unit of cluster parallelism),
+  * and column pruning reaches the generator through
+  * [[SupportsPushDownRequiredColumns]], so `select(customerID)` never
+  * computes an md5 order id (visible as ReadSchema in
+  * `.explain("formatted")`).
+  *
+  * Generation is a pure function of the row id (md5-derived, same
+  * 60-bit integer construction as the dedup family) — NOT `rand()` —
+  * so any partitioning, retry, or speculative re-execution of a split
+  * produces identical rows. Distributions mirror the reference
+  * producer: customerID uniform in [1, 10000], amount uniform in
+  * [20, 499], orderID a 32-hex-char unique id.
+  */
+class OrdersGeneratorSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft_orders"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OrdersGeneratorSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    // properties arrive with the caller's original key case
+    val opts = new CaseInsensitiveStringMap(properties)
+    new OrdersGenTable(
+      opts.getOrDefault("numrows", "1000").toLong,
+      opts.getOrDefault("numpartitions", "4").toInt)
+  }
+}
+
+object OrdersGeneratorSource {
+  val schema: StructType = new StructType()
+    .add("orderID", StringType, nullable = false)
+    .add("customerID", LongType, nullable = false)
+    .add("amount", LongType, nullable = false)
+
+  /** 60-bit md5 integer of `tag:id` — deterministic, uniform, and the
+    * same construction the SQL surface exposes (`conv(substring(
+    * md5(x),1,15),16,10)`), so generated data is reproducible from
+    * pure SQL too. */
+  private[v2] def hash60(tag: String, id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val bytes = d.digest(s"$tag:$id".getBytes("UTF-8"))
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (bytes(i) & 0xffL); i += 1 }
+    (acc << 4) | ((bytes(7) & 0xf0L) >> 4)
+  }
+
+  private[v2] def orderId(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private[v2] def customerId(id: Long): Long = hash60("cust", id) % 10000L + 1L
+  private[v2] def amount(id: Long): Long = hash60("amt", id) % 480L + 20L
+}
+
+private[v2] class OrdersGenTable(numRows: Long, numPartitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_orders($numRows)"
+  override def schema(): StructType = OrdersGeneratorSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OrdersGenScanBuilder(numRows, numPartitions)
+}
+
+private[v2] class OrdersGenScanBuilder(numRows: Long, numPartitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = OrdersGeneratorSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // an empty projection (e.g. count(*)) still needs row COUNTS;
+    // keep the zero-column schema as-is, the reader emits empty rows
+    required = requiredSchema
+  override def build(): Scan = new OrdersGenScan(numRows, numPartitions, required)
+}
+
+private[v2] class OrdersGenScan(numRows: Long, numPartitions: Int,
+                                required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (numRows + numPartitions - 1) / numPartitions)
+    (0L until numRows by per)
+      .map(s => OrdersGenPartition(s, math.min(s + per, numRows)))
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OrdersGenReaderFactory(required)
+}
+
+private[v2] case class OrdersGenPartition(start: Long, end: Long)
+    extends InputPartition
+
+private[v2] class OrdersGenReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OrdersGenPartition]
+    // resolve the projection ONCE per split, not per row
+    val gens: Array[Long => Any] = required.fieldNames.map {
+      case "orderID" =>
+        (id: Long) => UTF8String.fromString(OrdersGeneratorSource.orderId(id))
+      case "customerID" => (id: Long) => OrdersGeneratorSource.customerId(id)
+      case "amount" => (id: Long) => OrdersGeneratorSource.amount(id)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    new PartitionReader[InternalRow] {
+      private var id = p.start - 1
+      override def next(): Boolean = { id += 1; id < p.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(gens.map(g => g(id)).toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

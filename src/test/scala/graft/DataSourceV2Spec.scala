@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/** The DataSource V2 order-generator connector: planning, pruning,
+  * determinism, and reference-producer distributions. */
+class DataSourceV2Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def orders(n: Long, parts: Int = 8) =
+    spark.read.format("graft_orders")
+      .option("numRows", n.toString).option("numPartitions", parts.toString)
+      .load()
+
+  test("short-name registration, row count, and split planning") {
+    val df = orders(1000, 8)
+    assert(df.count() === 1000)
+    assert(df.rdd.getNumPartitions === 8)
+    assert(df.columns.toSeq === Seq("orderID", "customerID", "amount"))
+  }
+
+  test("column pruning reaches the generator (ReadSchema shrinks)") {
+    val plan = orders(100).select("customerID").queryExecution.executedPlan
+    val scan = plan.collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.output.map(_.name) === Seq("customerID"))
+  }
+
+  test("generation is a pure function of the row id (retry-safe)") {
+    val a = orders(500, 4).collect().toSet
+    val b = orders(500, 16).collect().toSet // different splits, same rows
+    assert(a === b)
+    assert(a.size === 500) // orderIDs unique
+  }
+
+  test("distributions match the reference producer") {
+    val df = orders(20000, 8)
+    val (minC, maxC, meanC, minA, maxA) = df
+      .agg(min("customerID"), max("customerID"), avg("customerID"),
+        min("amount"), max("amount"))
+      .as[(Long, Long, Double, Long, Long)].head()
+    assert(minC >= 1L && maxC <= 10000L)
+    assert(math.abs(meanC - 5000.0) < 200.0, s"customerID mean $meanC")
+    assert(minA >= 20L && maxA <= 499L)
+    // the generated stream enriches against the generated customers
+    val customers = graft.gen.DataGen.customersBatch(spark, 10000)
+    val enriched = graft.operators.Enrich.enrichReference(
+      orders(1000, 4).withColumnRenamed("orderID", "orderID"), customers)
+    assert(enriched.count() === 1000)
+  }
+}
