@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
 object Profiling {
 
   /** Long-format profile of the named columns: (column, n_nulls,
-    * n_distinct, min_s, max_s). */
+    * n_distinct, min_s, max_s). The wide agg row unpivots through
+    * `stack`, NOT a union of per-column selects — a union re-plans the
+    * aggregation (and re-scans the table) once per branch, turning the
+    * one-pass promise into |cols| passes. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
@@ -26,12 +29,10 @@ object Profiling {
         max(col(c)).cast("string").as(s"${c}__max"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val pieces = cols.map { c =>
-      one.select(lit(c).as("column"), col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__distinct").as("n_distinct"),
-        col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s"))
-    }
-    pieces.reduce(_ union _)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct, min_s, max_s)")
   }
 
   /** Sketch-based profile: HyperLogLog distinct estimate and
