@@ -39,6 +39,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("banded simhash candidates join on (band, key), never all-pairs") {
+    // plan of the candidate pipeline (the registered query adds the
+    // certificate action on top of exactly this plan)
+    val docs = Tables(spark, SparkTestBase.sf0001, "documents")
+    val p = graft.operators.Dedup.simhashTopK(docs, 20)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("blocked exact pair scorers have no nested-loop join and no broadcast of the table") {
+    for (name <- Seq("x2_cosine_pairs", "x4_embedding_dedup")) {
+      val p = planOf(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name:\n$p")
+    }
+  }
+
+  test("sample split reads only doc_id and lang (column pruning)") {
+    val p = planOf("x1_sample_split")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("lang") &&
+      !read.contains("text"), read)
+  }
+
+  test("profile is one scan, not one per column") {
+    val p = planOf("q_profile")
+    // formatted mode prints each scan twice: tree node + detail block
+    assert("Scan parquet".r.findAllIn(p).size === 2, p)
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)
