@@ -183,6 +183,56 @@ case class MinHashSig(child: Expression, numPerms: Int, prime: Long)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** Sign-LSH bucket ids for a double vector: bucket of table t =
+  * Σ_j (1<<j) over bits j where dot(v, hyperplane(t·bits + j)) > 0,
+  * with the LCG-derived hyperplane components
+  * hp(p, d) = ((1103515245·(p·dim + d) + 12345) mod 2^31) / 2^31 − 0.5
+  * (reproduced literally by the DuckDB oracle; dots fold in ascending
+  * d, the same sequential order as DotProduct, so every sign decision
+  * is bit-identical).
+  *
+  * One compiled kernel instead of numTables·bits inline DotProduct
+  * expressions against 64-element literal arrays — the inline form
+  * generates thousands of lines of janino source per operator, paying
+  * seconds of codegen compile per query and blowing past JIT inlining
+  * budgets. */
+case class LshBuckets(child: Expression, numTables: Int, bitsPerTable: Int, dim: Int)
+    extends KernelExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(numTables * bitsPerTable) { p =>
+      Array.tabulate(dim) { d =>
+        ((1103515245L * (p * dim + d) + 12345L) % 2147483648L).toDouble /
+          2147483648.0 - 0.5
+      }
+    }
+
+  override def kernel(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var j = 0
+      while (j < bitsPerTable) {
+        val hp = planes(t * bitsPerTable + j)
+        var acc = 0.0
+        var d = 0
+        while (d < n) { acc += v.getDouble(d) * hp(d); d += 1 }
+        if (acc > 0) bucket |= 1 << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBuckets = copy(child = c)
+}
+
 object TextSignatureColumns {
   import ColumnBridge.{column => toCol, expression => toExpr}
   def word_shingles(text: Column, n: Int): Column = toCol(WordShingles(toExpr(text), n))
@@ -191,4 +241,6 @@ object TextSignatureColumns {
   def simhash64(hashes: Column, bits: Int = 60): Column = toCol(SimHash(toExpr(hashes), bits))
   def minhash_sig(hashes: Column, numPerms: Int, prime: Long): Column =
     toCol(MinHashSig(toExpr(hashes), numPerms, prime))
+  def lsh_buckets(v: Column, numTables: Int, bitsPerTable: Int, dim: Int): Column =
+    toCol(LshBuckets(toExpr(v), numTables, bitsPerTable, dim))
 }

@@ -263,22 +263,14 @@ object Similarity {
     * components come from a fixed LCG-style integer formula so the
     * oracle reproduces them exactly:
     * hp(p,d) = ((1103515245·(64p+d) + 12345) mod 2^31) / 2^31 − 0.5,
-    * plane p = table·4 + bit. The planes are baked in as LITERAL
-    * arrays so each sign bit is one codegen'd DotProduct — the
-    * equivalent nested higher-order lambda is interpreted per row and
-    * dominated the whole query. */
-  private def hyperplane(p: Int): Seq[Double] =
-    (0 until 64).map { d =>
-      ((1103515245L * (p * 64 + d) + 12345L) % 2147483648L).toDouble /
-        2147483648.0 - 0.5
-    }
-
-  private def bucketsCol: Column = array((0 until NumTables).map { tt =>
-    (0 until 4).map { j =>
-      when(dot_product(col("v"), typedlit(hyperplane(tt * 4 + j))) > 0,
-        lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-  }: _*)
+    * plane p = table·4 + bit. All 32 sign bits come from ONE compiled
+    * kernel expression (graft.functions.LshBuckets) — the previous
+    * form inlined 32 DotProducts against 64-element literal arrays,
+    * which generated thousands of janino lines per operator and paid
+    * seconds of codegen compile; the interpreted higher-order lambda
+    * before that was per-row interpreted and dominated the query. */
+  private def bucketsCol: Column =
+    graft.functions.TextSignatureColumns.lsh_buckets(col("v"), NumTables, 4, 64)
 
   /** X2 LSH-bucketed ANN: queries (vec_id < nQueries) retrieve top-k by
     * cosine among vectors sharing a bucket in at least one of the 4
