@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,7 +84,7 @@ private[v2] class OrdersGenTable(numRows: Long, numPartitions: Int)
   override def name(): String = s"graft_orders($numRows)"
   override def schema(): StructType = OrdersGeneratorSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OrdersGenScanBuilder(numRows, numPartitions)
 }
@@ -102,14 +103,82 @@ private[v2] class OrdersGenScan(numRows: Long, numPartitions: Int,
                                 required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (numRows + numPartitions - 1) / numPartitions)
-    (0L until numRows by per)
-      .map(s => OrdersGenPartition(s, math.min(s + per, numRows)))
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    OrdersGenScan.split(0L, numRows, numPartitions)
   override def createReaderFactory(): PartitionReaderFactory =
     new OrdersGenReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new OrdersGenMicroBatch(numRows, numPartitions, required, checkpointLocation)
+}
+
+private[v2] object OrdersGenScan {
+  def split(start: Long, end: Long, numPartitions: Int): Array[InputPartition] = {
+    val total = end - start
+    val per = math.max(1L, (total + numPartitions - 1) / numPartitions)
+    (start until end by per)
+      .map(s => OrdersGenPartition(s, math.min(s + per, end)))
+      .toArray
+  }
+}
+
+/** Streaming flavor: the row-id cursor IS the offset, so a micro-batch
+  * is a deterministic id range — replaying any (start, end) offset pair
+  * regenerates byte-identical rows, which makes the source exactly-once
+  * under checkpoint recovery by construction (the property the rate
+  * source has, with the reference producer's payload). `numRows` acts
+  * as rows-per-trigger; an AvailableNow run processes one such batch.
+  *
+  * The offered high-water is persisted in the source's checkpoint
+  * directory at OFFER time (`latestOffset`) and re-read on
+  * construction: a restarted query may snapshot `latestOffset()`
+  * BEFORE Spark hands the source its restored offset (the
+  * AvailableNow wrapper does exactly that), and `commit()` for a
+  * run's final batch only arrives at the NEXT run — so a source that
+  * counts in memory would re-offer the committed range and the
+  * restarted run would process an empty batch. Persisting at offer
+  * time means a crash between offer and commit SKIPS the unprocessed
+  * ids on restart — for a synthetic generator that is the right
+  * trade (never replay, ids are free); a source fronting real data
+  * would persist nothing and rely on the restored offset instead. */
+private[v2] class OrdersGenMicroBatch(rowsPerBatch: Long, numPartitions: Int,
+                                      required: StructType,
+                                      checkpointLocation: String) extends MicroBatchStream {
+  import org.apache.hadoop.fs.Path
+  private case class GenOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+  private val cursorPath = new Path(checkpointLocation, "graft_orders_cursor")
+  private val fs = cursorPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private var cursor: Long =
+    if (fs.exists(cursorPath)) {
+      val in = fs.open(cursorPath)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toLong
+      finally in.close()
+    } else 0L
+  private def persist(v: Long): Unit = {
+    val out = fs.create(cursorPath, true)
+    try out.write(v.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+  override def initialOffset(): Offset = GenOffset(0L)
+  override def latestOffset(): Offset = {
+    cursor += rowsPerBatch
+    persist(cursor)
+    GenOffset(cursor)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.toLong
+    cursor = math.max(cursor, v) // never re-offer data behind the restored offset
+    GenOffset(v)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    OrdersGenScan.split(start.asInstanceOf[GenOffset].v,
+      end.asInstanceOf[GenOffset].v, numPartitions)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OrdersGenReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[v2] case class OrdersGenPartition(start: Long, end: Long)
