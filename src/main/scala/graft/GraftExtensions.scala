@@ -29,7 +29,11 @@ object GraftFunctions {
     ("simhash", "simhash(hashes) - 60-bit simhash of a hash array",
       args => SimHash(args.head, 60)),
     ("minhash_sig", "minhash_sig(hashes, k, prime) - minhash signature array",
-      args => MinHashSig(args(0), intArg(args(1)), longArg(args(2)))))
+      args => MinHashSig(args(0), intArg(args(1)), longArg(args(2)))),
+    ("media_embed", "media_embed(str, dim, stride) - stub media embedding (ASCII-scaled codepoints)",
+      args => MediaEmbed(args(0), intArg(args(1)), intArg(args(2)))),
+    ("lsh_buckets", "lsh_buckets(vec, tables, bits, dim) - sign-LSH bucket ids per table",
+      args => LshBuckets(args(0), intArg(args(1)), intArg(args(2)), intArg(args(3)))))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit =

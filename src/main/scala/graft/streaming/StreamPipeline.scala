@@ -133,7 +133,16 @@ object StreamPipeline {
     * merge across the cluster. Replay-idempotent: a replayed batch
     * merges from generations strictly OLDER than its own batchId, so a
     * crashed attempt's half-written generation is overwritten, never
-    * merged twice. */
+    * merged twice.
+    *
+    * Sizing: each affected bucket is one merge job, so `nBuckets`
+    * should stay O(cluster parallelism) with bucket size set by state
+    * volume / nBuckets (a bucket's generation must be a comfortable
+    * job, not a tiny file). A key-space so hot that thousands of
+    * buckets are touched every batch wants the inverse layout —
+    * gen-major partitions with periodic compaction, i.e. a table
+    * format's MERGE — which this sink deliberately approximates from
+    * plain parquet primitives. */
   def upsertEnriched(enriched: DataFrame, outDir: String, checkpointDir: String,
                      keyCol: String = "order_id",
                      nBuckets: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =

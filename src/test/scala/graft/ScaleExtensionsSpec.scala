@@ -113,5 +113,19 @@ class ScaleExtensionsSpec extends AnyFunSuite {
       Seq((1L, "a b c d e f")).toDF("doc_id", "text")).select("simhash")
       .as[Long].head()
     assert(sig === viaOp)
+    // media embedding + LSH bucketing compose in pure SQL too
+    val buckets = spark.sql(
+      "SELECT lsh_buckets(media_embed('hello world', 64, 7), 8, 4, 64)")
+      .head.getSeq[Int](0)
+    val viaDf2 = Seq((1L, "hello world")).toDF("doc_id", "text")
+      .select(graft.functions.MediaEmbed.media_embed(col("text"), 64, 7).as("v"))
+      .select(graft.functions.TextSignatureColumns.lsh_buckets(col("v"), 8, 4, 64))
+      .head.getSeq[Int](0)
+    assert(buckets === viaDf2 && buckets.length === 8)
+    // non-constant kernel parameters must fail with a clear message
+    val err = intercept[Exception](
+      spark.sql("SELECT shingle_hashes('a b c', CAST(id AS INT), 0) FROM range(1)")
+        .collect())
+    assert(err.getMessage.contains("constant"), err.getMessage)
   }
 }
