@@ -85,6 +85,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got === Set(11L, 12L))
   }
 
+  test("kernel expressions compile under codegen with fallback disabled") {
+    // with fallback off, a janino compile failure (e.g. the primitive
+    // unbox bug that silently de-optimized SimHash in round 1) THROWS
+    // instead of dropping to interpreted execution
+    import graft.functions.TextSignatureColumns._
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val d = docs((1L, "a b c d e f"), (2L, "x y z"))
+      assert(Dedup.simhash(d).collect().length === 2) // long-returning kernel
+      assert(d.select(graft.functions.MediaEmbed.media_embed(col("text"), 8, 3))
+        .collect().length === 2)
+      assert(d.select(lsh_buckets(
+          graft.functions.MediaEmbed.media_embed(col("text"), 64, 7), 8, 4, 64))
+        .collect().length === 2)
+      assert(d.select(minhash_sig(shingle_hashes(col("text"), 1, 2147483647L),
+          4, 2147483647L)).collect().length === 2)
+      assert(d.select(graft.functions.RollingHash.rolling_hash(col("text")))
+        .collect().length === 2)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("hash split is deterministic, complete, and roughly 80/10/10") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val a = graft.operators.Sampling.sampleSplit(d)
