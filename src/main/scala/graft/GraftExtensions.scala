@@ -49,7 +49,13 @@ object GraftFunctions {
     if (!e.foldable)
       throw new IllegalArgumentException(
         s"graft function parameter must be a constant expression, got: ${e.sql}")
-    e.eval(null).asInstanceOf[Number]
+    e.eval(null) match {
+      case n: Number => n
+      case null => throw new IllegalArgumentException(
+        s"graft function parameter must not be NULL: ${e.sql}")
+      case other => throw new IllegalArgumentException(
+        s"graft function parameter must be numeric, got ${other.getClass.getSimpleName}: ${e.sql}")
+    }
   }
   private def intArg(e: Expression): Int = constArg(e).intValue()
   private def longArg(e: Expression): Long = constArg(e).longValue()

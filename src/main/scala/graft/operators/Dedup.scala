@@ -187,8 +187,10 @@ object Dedup {
     * guarantee pairs at h < 3. Near-dup top-k at corpus scale is
     * dominated by h ≤ 1 duplicates, so 3 bands certify with margin;
     * a sparse corpus that fails the certificate pays one exact pass. */
-  def simhashTopK(documents: DataFrame, k: Int = 20, bands: Int = 3): DataFrame = {
-    val spark = documents.sparkSession
+  /** The banded candidate pipeline behind [[simhashTopK]], as a lazy
+    * DataFrame (plan-inspectable; PlanSpec pins its join shape). */
+  def simhashBandedCandidatesTopK(documents: DataFrame, k: Int = 20,
+                                  bands: Int = 3): DataFrame = {
     val width = 60 / bands
     val sigs = simhash(documents)
     val banded = sigs.select(col("doc_id"), col("simhash"),
@@ -196,13 +198,18 @@ object Dedup {
           shiftright(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)))
       .toDF("doc_id", "simhash", "band", "key")
       .repartition(col("band"), col("key"))
-    val top = banded.alias("x").join(banded.alias("y"),
+    banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
       .orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(k)
+  }
+
+  def simhashTopK(documents: DataFrame, k: Int = 20, bands: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    val top = simhashBandedCandidatesTopK(documents, k, bands)
     val rows = top.collect()
     val certified = rows.length >= k && rows.forall(_.getLong(2) < bands)
     if (certified)
@@ -234,17 +241,23 @@ object Dedup {
     val local = tagged.groupByKey(r => (r._1, r._2)).flatMapGroups {
         (key: (Int, Int), it: Iterator[(Int, Int, Long, Long)]) =>
       val (gi, gj) = key
-      val lIds = new scala.collection.mutable.ArrayBuffer[Long]
-      val lSigs = new scala.collection.mutable.ArrayBuffer[Long]
-      val rIds = new scala.collection.mutable.ArrayBuffer[Long]
-      val rSigs = new scala.collection.mutable.ArrayBuffer[Long]
+      val lb = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+      val rb = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
       it.foreach { case (_, _, id, sig) =>
-        if ((id % B).toInt == gi) { lIds += id; lSigs += sig }
-        else { rIds += id; rSigs += sig }
+        if ((id % B).toInt == gi) lb += ((id, sig)) else rb += ((id, sig))
       }
+      // primitive arrays for the O(n²/B²) loop: the per-pair work is a
+      // single xor/popcount, so boxed element access would dominate
+      val lIds = lb.map(_._1).toArray; val lSigs = lb.map(_._2).toArray
       // diagonal groups carry each row once, on the left side
-      val (bIds, bSigs) = if (gi == gj) (lIds, lSigs) else (rIds, rSigs)
+      val (bIds, bSigs) =
+        if (gi == gj) (lIds, lSigs)
+        else (rb.map(_._1).toArray, rb.map(_._2).toArray)
       val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Long)](pairOrd)
+      // worst kept pair mirrored in locals: the eviction test must not
+      // allocate a Tuple3 per candidate pair
+      var wh = Long.MaxValue; var wa = Long.MaxValue; var wb = Long.MaxValue
+      def syncWorst(): Unit = { val t = heap.head; wh = t._1; wa = t._2; wb = t._3 }
       var i = 0
       while (i < lIds.length) {
         val aId = lIds(i); val aSig = lSigs(i)
@@ -252,10 +265,9 @@ object Dedup {
         while (j < bIds.length) {
           val h = java.lang.Long.bitCount(aSig ^ bSigs(j)).toLong
           val a = math.min(aId, bIds(j)); val b = math.max(aId, bIds(j))
-          if (heap.size < k) heap.enqueue((h, a, b))
-          else {
-            val w = heap.head
-            if (pairOrd.lt((h, a, b), w)) { heap.dequeue(); heap.enqueue((h, a, b)) }
+          if (heap.size < k) { heap.enqueue((h, a, b)); syncWorst() }
+          else if (h < wh || (h == wh && (a < wa || (a == wa && b < wb)))) {
+            heap.dequeue(); heap.enqueue((h, a, b)); syncWorst()
           }
           j += 1
         }

@@ -116,6 +116,26 @@ object Similarity {
       }
   }
 
+  /** Split a block-pair group into primitive-array sides (left =
+    * block gi, right = block gj; a diagonal group returns the left
+    * side as both). Shared preamble of the blocked scorers so the
+    * block-pair bookkeeping lives in exactly one place. */
+  private def groupSides(gi: Int, gj: Int, nBlocks: Int,
+      it: Iterator[(Int, Int, Long, Array[Double], Double)])
+    : (Array[Long], Array[Array[Double]], Array[Double],
+       Array[Long], Array[Array[Double]], Array[Double]) = {
+    val lb = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]
+    val rb = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]
+    it.foreach { case (_, _, id, v, nrm) =>
+      if ((id % nBlocks).toInt == gi) lb += ((id, v, nrm)) else rb += ((id, v, nrm))
+    }
+    val (lIds, lVecs, lNrms) =
+      (lb.map(_._1).toArray, lb.map(_._2).toArray, lb.map(_._3).toArray)
+    if (gi == gj) (lIds, lVecs, lNrms, lIds, lVecs, lNrms)
+    else (lIds, lVecs, lNrms,
+      rb.map(_._1).toArray, rb.map(_._2).toArray, rb.map(_._3).toArray)
+  }
+
   def cosinePairsTopK(embeddings: DataFrame, k: Int = 20, nBlocks: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -128,19 +148,7 @@ object Similarity {
     val local = tagged.groupByKey(r => (r._1, r._2)).flatMapGroups {
         (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
       val (gi, gj) = key
-      val lIds = new scala.collection.mutable.ArrayBuffer[Long]
-      val lVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]
-      val lNrms = new scala.collection.mutable.ArrayBuffer[Double]
-      val rIds = new scala.collection.mutable.ArrayBuffer[Long]
-      val rVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]
-      val rNrms = new scala.collection.mutable.ArrayBuffer[Double]
-      it.foreach { case (_, _, id, v, nrm) =>
-        if ((id % B).toInt == gi) { lIds += id; lVecs += v; lNrms += nrm }
-        else { rIds += id; rVecs += v; rNrms += nrm }
-      }
-      // diagonal groups carry each row once, on the left side
-      val (bIds, bVecs, bNrms) =
-        if (gi == gj) (lIds, lVecs, lNrms) else (rIds, rVecs, rNrms)
+      val (lIds, lVecs, lNrms, bIds, bVecs, bNrms) = groupSides(gi, gj, B, it)
       val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](pairOrd)
       // worst kept pair mirrored in locals to keep the eviction test
       // allocation-free
@@ -197,18 +205,7 @@ object Similarity {
     val local = tagged.groupByKey(r => (r._1, r._2)).flatMapGroups {
         (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
       val (gi, gj) = key
-      val lIds = new scala.collection.mutable.ArrayBuffer[Long]
-      val lVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]
-      val lNrms = new scala.collection.mutable.ArrayBuffer[Double]
-      val rIds = new scala.collection.mutable.ArrayBuffer[Long]
-      val rVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]
-      val rNrms = new scala.collection.mutable.ArrayBuffer[Double]
-      it.foreach { case (_, _, id, v, nrm) =>
-        if ((id % B).toInt == gi) { lIds += id; lVecs += v; lNrms += nrm }
-        else { rIds += id; rVecs += v; rNrms += nrm }
-      }
-      val (bIds, bVecs, bNrms) =
-        if (gi == gj) (lIds, lVecs, lNrms) else (rIds, rVecs, rNrms)
+      val (lIds, lVecs, lNrms, bIds, bVecs, bNrms) = groupSides(gi, gj, B, it)
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]
       var i = 0
       while (i < lIds.length) {

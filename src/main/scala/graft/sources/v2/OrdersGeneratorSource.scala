@@ -57,12 +57,21 @@ object OrdersGeneratorSource {
     .add("customerID", LongType, nullable = false)
     .add("amount", LongType, nullable = false)
 
+  // per-thread digest: MessageDigest.getInstance is a provider lookup,
+  // far too expensive per generated row (three hashes per row)
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+
   /** 60-bit md5 integer of `tag:id` — deterministic, uniform, and the
     * same construction the SQL surface exposes (`conv(substring(
     * md5(x),1,15),16,10)`), so generated data is reproducible from
     * pure SQL too. */
   private[v2] def hash60(tag: String, id: Long): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md.get()
+    d.reset()
     val bytes = d.digest(s"$tag:$id".getBytes("UTF-8"))
     var acc = 0L
     var i = 0
@@ -71,8 +80,17 @@ object OrdersGeneratorSource {
   }
 
   private[v2] def orderId(id: Long): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = md.get()
+    d.reset()
+    val bytes = d.digest(id.toString.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   private[v2] def customerId(id: Long): Long = hash60("cust", id) % 10000L + 1L
@@ -148,7 +166,10 @@ private[v2] class OrdersGenMicroBatch(rowsPerBatch: Long, numPartitions: Int,
     override def json(): String = v.toString
   }
   private val cursorPath = new Path(checkpointLocation, "graft_orders_cursor")
-  private val fs = cursorPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  // the session's hadoopConfiguration, NOT a bare Configuration: the
+  // checkpoint may live on object storage configured via spark.hadoop.*
+  private val fs = cursorPath.getFileSystem(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
   private var cursor: Long =
     if (fs.exists(cursorPath)) {
       val in = fs.open(cursorPath)

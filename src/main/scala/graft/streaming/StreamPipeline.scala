@@ -153,8 +153,26 @@ object StreamPipeline {
         upsertBatch(batch, outDir, batchId, keyCol, nBuckets)
       }
 
+  /** Generations of a bucket whose parquet write COMPLETED (the
+    * committer's _SUCCESS marker) — a generation torn by a mid-write
+    * crash must be invisible to both merges and readers. */
+  private def committedGens(fs: org.apache.hadoop.fs.FileSystem,
+                            bucketDir: org.apache.hadoop.fs.Path): Array[Long] =
+    if (fs.exists(bucketDir))
+      fs.listStatus(bucketDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("gen=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(_.getName.stripPrefix("gen=").toLong)
+    else Array.empty[Long]
+
   /** One merge-on-key commit (the foreachBatch body, exposed for
-    * replay tests). */
+    * replay tests). The generation merged FROM is retained until the
+    * NEXT batch supersedes it: deleting it eagerly would strand a
+    * replay — a batch that crashed after writing its generation but
+    * before its checkpoint commit re-runs, must merge from its
+    * pre-batch state again, and that state must still exist. Only
+    * generations older than the merge input are retired, so a bucket
+    * holds at most two generations. */
   def upsertBatch(batch: DataFrame, outDir: String, batchId: Long,
                   keyCol: String = "order_id", nBuckets: Int = 8): Unit = {
     import org.apache.hadoop.fs.Path
@@ -172,12 +190,8 @@ object StreamPipeline {
         .collect().map(_.getLong(0)).sorted
       affected.foreach { b =>
         val bucketDir = new Path(s"$outDir/bucket=$b")
-        val gens =
-          if (fs.exists(bucketDir))
-            fs.listStatus(bucketDir).map(_.getPath.getName)
-              .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
-              .filter(_ < batchId) // replay: ignore own failed attempt
-          else Array.empty[Long]
+        // replay: merge only from generations committed BEFORE this batch
+        val gens = committedGens(fs, bucketDir).filter(_ < batchId)
         val fresh = keyed.filter(col("_bucket") === b)
           .select(dataCols.map(col): _*).withColumn("_pri", lit(1))
         val all = if (gens.nonEmpty) {
@@ -193,13 +207,19 @@ object StreamPipeline {
         all.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
           .select(dataCols.map(col): _*)
           .write.mode("overwrite").parquet(s"$outDir/bucket=$b/gen=$batchId")
-        gens.foreach(g => fs.delete(new Path(s"$outDir/bucket=$b/gen=$g"), true))
+        // retire everything EXCEPT the generation just merged from — a
+        // replay of THIS batch still needs it
+        if (gens.nonEmpty)
+          gens.filter(_ != gens.max)
+            .foreach(g => fs.delete(new Path(s"$outDir/bucket=$b/gen=$g"), true))
       }
     } finally keyed.unpersist()
   }
 
-  /** Snapshot of the upserted store: the latest committed generation of
-    * every bucket — one row per key. */
+  /** Snapshot of the upserted store: the latest COMMITTED generation of
+    * every bucket — one row per key. Torn generations (no _SUCCESS) are
+    * skipped, so a reader racing a crashed writer sees the previous
+    * consistent state. */
   def readUpserted(spark: SparkSession, outDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(outDir)
@@ -207,10 +227,8 @@ object StreamPipeline {
     val latest = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("bucket="))
       .flatMap { b =>
-        val gens = fs.listStatus(b).map(_.getPath)
-          .filter(_.getName.startsWith("gen="))
-        if (gens.isEmpty) None
-        else Some(gens.maxBy(_.getName.stripPrefix("gen=").toLong).toString)
+        val gens = committedGens(fs, b)
+        if (gens.isEmpty) None else Some(s"$b/gen=${gens.max}")
       }
     spark.read.parquet(latest.toIndexedSeq: _*)
   }

@@ -40,12 +40,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("banded simhash candidates join on (band, key), never all-pairs") {
-    // plan of the candidate pipeline (the registered query adds the
-    // certificate action on top of exactly this plan)
+    // the LAZY candidate pipeline (simhashTopK collects it eagerly for
+    // the certificate, which would hide the join shape behind a
+    // LocalRelation) — the equi-join on the band key must be present
     val docs = Tables(spark, SparkTestBase.sf0001, "documents")
-    val p = graft.operators.Dedup.simhashTopK(docs, 20)
+    val p = graft.operators.Dedup.simhashBandedCandidatesTopK(docs, 20)
       .queryExecution.explainString(FormattedMode)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
   }
 
   test("blocked exact pair scorers have no nested-loop join and no broadcast of the table") {

@@ -83,6 +83,18 @@ class StreamingSpec extends AnyFunSuite {
     val replayed = StreamPipeline.readUpserted(spark, out)
     assert(replayed.count() === 4)
     assert(replayed.filter(col("order_id") === "b").select("amount").head.getLong(0) === 99L)
+    // the hard replay case: a carried-forward key shares the bucket with
+    // the updated key, and the batch's FIRST attempt completed (its
+    // generation exists) before the crash — the replay must re-merge
+    // from the pre-batch generation, not rebuild from batch rows alone
+    val out1 = dir.resolve("store1").toString
+    StreamPipeline.upsertBatch(rows(("a", 1L, 10L), ("b", 2L, 20L)), out1, 0L, nBuckets = 1)
+    StreamPipeline.upsertBatch(rows(("a", 1L, 99L)), out1, 1L, nBuckets = 1)
+    StreamPipeline.upsertBatch(rows(("a", 1L, 99L)), out1, 1L, nBuckets = 1) // replay
+    val s1 = StreamPipeline.readUpserted(spark, out1)
+    assert(s1.count() === 2) // key b survived the replay
+    assert(s1.filter(col("order_id") === "b").select("amount").head.getLong(0) === 20L)
+    assert(s1.filter(col("order_id") === "a").select("amount").head.getLong(0) === 99L)
   }
 
   test("upsert sink end-to-end: re-delivered order replaces its row") {
