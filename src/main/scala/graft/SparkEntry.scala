@@ -66,6 +66,8 @@ object SparkEntry {
     // --- X1 sampling / sharding ---
     "x1_sample_split" -> ((s, d) => Sampling.sampleSplit(t(s, d, "documents"))),
     "x1_pack_shards" -> ((s, d) => Sampling.packShards(t(s, d, "documents"))),
+    "x1_source_cap" -> ((s, d) => Sampling.sourceCap(t(s, d, "documents"))),
+    "x3_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(t(s, d, "documents"))),
     // --- X1/X4 dedup ---
     "x1_first_event" -> ((s, d) => Dedup.firstEventPerKey(t(s, d, "events"))),
     "x1_fingerprint_dedup" -> ((s, d) => Dedup.fingerprintDedup(t(s, d, "documents"))),
@@ -278,6 +280,25 @@ object SparkEntry {
              CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source
                ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
            FROM documents)""",
+    "x1_source_cap" ->
+      """SELECT doc_id, source, rn FROM (
+           SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source
+             ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                      doc_id) AS BIGINT) AS rn
+           FROM documents) WHERE rn <= 15""",
+    "x3_quality_filter" ->
+      """WITH q AS (SELECT doc_id, round(
+           0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+           0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                  CAST(len(string_split(text,' ')) AS DOUBLE)) +
+           0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                  CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM documents),
+         r AS (SELECT d.doc_id, d.lang, q.quality,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality, d.doc_id), 6) AS pr
+           FROM documents d JOIN q ON d.doc_id = q.doc_id)
+         SELECT doc_id, lang, quality, pr FROM r WHERE pr >= 0.5""",
     "x1_first_event" ->
       """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id, event_type

@@ -37,6 +37,20 @@ object Sampling {
           .when(col("pct") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** X1 per-source balancing cap: keep at most `cap` documents per
+    * source, chosen by hash order — a deterministic unbiased subset
+    * (head-of-table order would bias toward whatever the upstream
+    * writer emitted first; `rand()` would reshuffle on every retry).
+    * One window per source partition; no global ordering anywhere, so
+    * sources cap independently at any scale. */
+  def sourceCap(documents: DataFrame, cap: Int = 15): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(hash60(col("doc_id")), col("doc_id"))
+    documents.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+  }
+
   /** X3/X1 token-budget shard packing (sequence packing): documents are
     * packed in key order per source into shards of ~`budget` tokens —
     * shard id = preceding cumulative token count over the budget. One

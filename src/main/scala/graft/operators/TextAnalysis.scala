@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.RollingHash.rolling_hash
 
@@ -128,6 +129,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"),
         round(col("tf") * log(col("n_docs") / col("df").cast("double")), 6)
           .as("tfidf"))
+  }
+
+  /** X3 quality-percentile filtering: keep each language's better half
+    * (percent_rank ≥ minPr over the quality score) — the
+    * quality-threshold pruning stage of a training pipeline, balanced
+    * PER LANGUAGE so a high-resource language cannot crowd out the
+    * rest. The window partitions by lang (parallel, no global sort);
+    * rank ties break on doc_id so the kept set is deterministic. */
+  def qualityFilter(documents: DataFrame, minPr: Double = 0.5): DataFrame = {
+    val q = qualityScore(documents)
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+    documents.select(col("doc_id"), col("lang")).join(q, "doc_id")
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .filter(col("pr") >= minPr)
+      .select(col("doc_id"), col("lang"), col("quality"), col("pr"))
   }
 
   /** Ordered per-group corpus assembly: concatenate each (lang, source)
