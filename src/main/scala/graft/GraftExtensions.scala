@@ -51,6 +51,7 @@ object GraftFunctions {
         s"graft function parameter must be a constant expression, got: ${e.sql}")
     e.eval(null) match {
       case n: Number => n
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
       case null => throw new IllegalArgumentException(
         s"graft function parameter must not be NULL: ${e.sql}")
       case other => throw new IllegalArgumentException(

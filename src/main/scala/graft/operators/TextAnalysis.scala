@@ -80,8 +80,10 @@ object TextAnalysis {
   /** Quality score ∈ [0,1]: length saturation + stopword density +
     * alphabetic purity, the standard cheap pre-filter shape for LLM
     * training corpora. Formula is written identically in the oracle SQL
-    * (operand order matters for float parity). */
-  def qualityScore(documents: DataFrame): DataFrame =
+    * (operand order matters for float parity). `extraCols` ride along
+    * so callers needing more than (doc_id, quality) — qualityFilter
+    * wants lang — get ONE narrow projection, not a self-join. */
+  def qualityScore(documents: DataFrame, extraCols: Seq[String] = Nil): DataFrame =
     documents
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("s_stop", size(filter(toks,
@@ -89,7 +91,7 @@ object TextAnalysis {
       .withColumn("n_nonalpha",
         length(regexp_replace(col("text"), "[a-z ]", "")).cast("long"))
       .select(
-        col("doc_id"),
+        col("doc_id") +: extraCols.map(col) :+
         round(
           lit(0.4) * least(lit(1.0), col("n_tokens") / lit(50.0)) +
           lit(0.3) * (col("s_stop") / col("n_tokens").cast("double")) +
@@ -97,7 +99,7 @@ object TextAnalysis {
           // instead of throwing DIVIDE_BY_ZERO under ANSI mode
           lit(0.3) * (lit(1.0) - col("n_nonalpha") /
             greatest(length(col("text")), lit(1)).cast("double")),
-          6).as("quality"))
+          6).as("quality"): _*)
 
   /** Content fingerprints: cryptographic (md5, cross-engine stable) and
     * the codegen'd polynomial rolling hash (graft.functions.RollingHash). */
@@ -138,9 +140,8 @@ object TextAnalysis {
     * rest. The window partitions by lang (parallel, no global sort);
     * rank ties break on doc_id so the kept set is deterministic. */
   def qualityFilter(documents: DataFrame, minPr: Double = 0.5): DataFrame = {
-    val q = qualityScore(documents)
     val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
-    documents.select(col("doc_id"), col("lang")).join(q, "doc_id")
+    qualityScore(documents, extraCols = Seq("lang"))
       .withColumn("pr", round(percent_rank().over(w), 6))
       .filter(col("pr") >= minPr)
       .select(col("doc_id"), col("lang"), col("quality"), col("pr"))

@@ -166,10 +166,11 @@ private[v2] class OrdersGenMicroBatch(rowsPerBatch: Long, numPartitions: Int,
     override def json(): String = v.toString
   }
   private val cursorPath = new Path(checkpointLocation, "graft_orders_cursor")
-  // the session's hadoopConfiguration, NOT a bare Configuration: the
-  // checkpoint may live on object storage configured via spark.hadoop.*
+  // the SESSION hadoop conf (newHadoopConf merges spark.hadoop.* with
+  // runtime spark.conf.set overrides), NOT a bare Configuration: the
+  // checkpoint may live on object storage configured either way
   private val fs = cursorPath.getFileSystem(
-    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private var cursor: Long =
     if (fs.exists(cursorPath)) {
       val in = fs.open(cursorPath)

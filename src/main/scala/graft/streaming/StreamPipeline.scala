@@ -153,15 +153,28 @@ object StreamPipeline {
         upsertBatch(batch, outDir, batchId, keyCol, nBuckets)
       }
 
-  /** Generations of a bucket whose parquet write COMPLETED (the
-    * committer's _SUCCESS marker) — a generation torn by a mid-write
-    * crash must be invisible to both merges and readers. */
+  /** Marker written by the sink itself after a generation's parquet
+    * write returns — NOT the committer's _SUCCESS, which a cluster may
+    * disable (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`)
+    * and whose absence would then silently hide every generation. */
+  private val CommitMarker = "_graft_commit"
+
+  private def allGens(fs: org.apache.hadoop.fs.FileSystem,
+                      bucketDir: org.apache.hadoop.fs.Path): Array[Long] =
+    if (fs.exists(bucketDir))
+      fs.listStatus(bucketDir).map(_.getPath.getName)
+        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+    else Array.empty[Long]
+
+  /** Generations of a bucket whose write COMPLETED — a generation torn
+    * by a mid-write crash must be invisible to both merges and
+    * readers. */
   private def committedGens(fs: org.apache.hadoop.fs.FileSystem,
                             bucketDir: org.apache.hadoop.fs.Path): Array[Long] =
     if (fs.exists(bucketDir))
       fs.listStatus(bucketDir).map(_.getPath)
         .filter(p => p.getName.startsWith("gen=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
         .map(_.getName.stripPrefix("gen=").toLong)
     else Array.empty[Long]
 
@@ -207,11 +220,15 @@ object StreamPipeline {
         all.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
           .select(dataCols.map(col): _*)
           .write.mode("overwrite").parquet(s"$outDir/bucket=$b/gen=$batchId")
-        // retire everything EXCEPT the generation just merged from — a
-        // replay of THIS batch still needs it
-        if (gens.nonEmpty)
-          gens.filter(_ != gens.max)
-            .foreach(g => fs.delete(new Path(s"$outDir/bucket=$b/gen=$g"), true))
+        fs.create(new Path(s"$outDir/bucket=$b/gen=$batchId/$CommitMarker"), true)
+          .close()
+        // retire every older generation EXCEPT the one just merged from
+        // (a replay of THIS batch still needs it) — including torn
+        // directories from crashed attempts, which would otherwise leak
+        val mergedFrom = if (gens.nonEmpty) gens.max else -1L
+        allGens(fs, bucketDir)
+          .filter(g => g < batchId && g != mergedFrom)
+          .foreach(g => fs.delete(new Path(s"$outDir/bucket=$b/gen=$g"), true))
       }
     } finally keyed.unpersist()
   }
@@ -224,13 +241,19 @@ object StreamPipeline {
     import org.apache.hadoop.fs.Path
     val root = new Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val latest = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("bucket="))
-      .flatMap { b =>
-        val gens = committedGens(fs, b)
-        if (gens.isEmpty) None else Some(s"$b/gen=${gens.max}")
-      }
-    spark.read.parquet(latest.toIndexedSeq: _*)
+    val latest =
+      if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.startsWith("bucket="))
+          .flatMap { b =>
+            val gens = committedGens(fs, b)
+            if (gens.isEmpty) None else Some(s"$b/gen=${gens.max}")
+          }
+      else Array.empty[String]
+    // an uninitialized store (or one whose only write was torn) reads
+    // as an empty frame, not an error — the previous consistent state
+    if (latest.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(latest.toIndexedSeq: _*)
   }
 
   /** C18: serialize enriched rows back to Kafka-shaped (key, value)
