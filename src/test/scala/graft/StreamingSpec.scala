@@ -97,6 +97,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(s1.filter(col("order_id") === "a").select("amount").head.getLong(0) === 99L)
   }
 
+  test("upsert sink: torn generations are invisible to readers and retired by the next batch") {
+    val dir = Files.createTempDirectory("graft-upsert-torn")
+    val out = dir.resolve("store").toString
+    def rows(t: (String, Long, Long)*) = t.toDF("order_id", "customer_id", "amount")
+    // empty/uninitialized store reads as an empty frame, not an error
+    assert(StreamPipeline.readUpserted(spark, out).count() === 0)
+    StreamPipeline.upsertBatch(rows(("a", 1L, 10L)), out, 0L, nBuckets = 1)
+    // simulate a crash mid-write of batch 1: generation dir without the
+    // commit marker (half-written parquet)
+    val torn = java.nio.file.Paths.get(out, "bucket=0", "gen=1")
+    Files.createDirectories(torn)
+    Files.writeString(torn.resolve("part-00000.parquet"), "not parquet")
+    val snap = StreamPipeline.readUpserted(spark, out)
+    assert(snap.count() === 1) // reader sees the previous consistent state
+    assert(snap.select("amount").head.getLong(0) === 10L)
+    // the replay of batch 1 overwrites the torn dir and merges from gen=0
+    StreamPipeline.upsertBatch(rows(("b", 2L, 20L)), out, 1L, nBuckets = 1)
+    assert(StreamPipeline.readUpserted(spark, out).count() === 2)
+    // batch 2 retires gen=0 (merged-from gen=1 is retained for replay)
+    StreamPipeline.upsertBatch(rows(("a", 1L, 11L)), out, 2L, nBuckets = 1)
+    val gens = Files.list(java.nio.file.Paths.get(out, "bucket=0")).iterator()
+    val names = scala.collection.mutable.Buffer[String]()
+    while (gens.hasNext) names += gens.next().getFileName.toString
+    assert(names.toSet === Set("gen=1", "gen=2"), names)
+  }
+
   test("upsert sink end-to-end: re-delivered order replaces its row") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[OrderEvent]
