@@ -188,22 +188,55 @@ object Dedup {
     * dominated by h ≤ 1 duplicates, so 3 bands certify with margin;
     * a sparse corpus that fails the certificate pays one exact pass. */
   /** The banded candidate pipeline behind [[simhashTopK]], as a lazy
-    * DataFrame (plan-inspectable; PlanSpec pins its join shape). */
+    * DataFrame (plan-inspectable; PlanSpec pins its join shape).
+    *
+    * Identical signatures are COLLAPSED before the band join: a
+    * near-dup corpus concentrates its mass in identical-signature
+    * clusters, and banding those as individual rows puts a whole
+    * cluster in one (band, key) bucket — the join task then scales
+    * with cluster² (the skew that kills the query at 100×). Instead,
+    * each signature keeps only its k+1 smallest doc ids: any global
+    * top-k pair whose endpoint is NOT among its group's k+1 smallest
+    * is beaten by ≥ k pairs built from those smaller ids (same
+    * hamming, lexicographically smaller id pair), so the restriction
+    * loses nothing. Within-group pairs (hamming 0) are enumerated
+    * directly from the bounded rep arrays; cross-group candidates
+    * band-join over DISTINCT signatures — one row per signature no
+    * matter how many duplicates share it. */
   def simhashBandedCandidatesTopK(documents: DataFrame, k: Int = 20,
                                   bands: Int = 3): DataFrame = {
     val width = 60 / bands
     val sigs = simhash(documents)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val wSig = Window.partitionBy(col("simhash")).orderBy(col("doc_id"))
+    val repIds = sigs.withColumn("rn", row_number().over(wSig))
+      .filter(col("rn") <= k + 1)
+      .repartition(col("simhash"))
+    // h = 0 pairs inside a signature group: ≤ C(k+2, 2) per group
+    val within = repIds.alias("x").join(repIds.alias("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    // cross-group candidates over distinct signatures
+    val reps = repIds.groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val banded = reps.select(col("simhash"), col("ids"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)))
-      .toDF("doc_id", "simhash", "band", "key")
+      .toDF("simhash", "ids", "band", "key")
       .repartition(col("band"), col("key"))
-    banded.alias("x").join(banded.alias("y"),
+    val sigPairs = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash") < col("y.simhash"))
+      .select(col("x.ids").as("ids_a"), col("y.ids").as("ids_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      .distinct() // a signature pair can collide in several bands
+    val cross = sigPairs
+      .select(col("hamming"), explode(col("ids_a")).as("a"), col("ids_b"))
+      .select(col("hamming"), col("a"), explode(col("ids_b")).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+    within.unionByName(cross)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(k)
   }
 
