@@ -77,6 +77,7 @@ object SparkEntry {
     "x4_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "x4_simhash_topk" -> ((s, d) => Dedup.simhashTopK(t(s, d, "documents"))),
     "x4_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(t(s, d, "embeddings"))),
+    "x4_decontaminate" -> ((s, d) => Dedup.decontaminate(t(s, d, "documents"))),
     // --- X2 similarity search ---
     "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
@@ -370,6 +371,20 @@ object SparkEntry {
            bit_count(xor(x.simhash, y.simhash)) AS hamming
          FROM sh x JOIN sh y ON x.doc_id < y.doc_id
          ORDER BY hamming, doc_a, doc_b LIMIT 20""",
+    "x4_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_overlap
+           FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id
+           HAVING count(*) >= 5),
+         r AS (SELECT doc_id, bench_id, n_overlap, row_number() OVER (
+             PARTITION BY doc_id ORDER BY n_overlap DESC, bench_id) AS rk FROM ov)
+         SELECT doc_id, bench_id, n_overlap FROM r WHERE rk = 1""",
     "x4_embedding_dedup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

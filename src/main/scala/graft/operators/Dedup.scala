@@ -155,6 +155,32 @@ object Dedup {
       .limit(k)
   }
 
+  /** X4 benchmark decontamination: flag corpus documents whose 3-gram
+    * overlap with any single benchmark document reaches `minShingles`
+    * — the standard eval-set contamination check a training pipeline
+    * runs before releasing a corpus. Same inverted-index shape as
+    * [[ngramJaccardTopK]] (shingle equi-join, never all-pairs); the
+    * benchmark side is the small one, so at 100 TB it broadcasts and
+    * the corpus streams through map-side. Output is each contaminated
+    * doc's WORST offender: (doc_id, bench_id, n_overlap), tie-broken
+    * on bench_id. */
+  def decontaminate(documents: DataFrame, nBench: Long = 50,
+                    n: Int = 3, minShingles: Int = 5): DataFrame = {
+    val inv = wideEnough(documents, n)
+      .select(col("doc_id"), explode(word_shingles(col("text"), n)).as("shingle"))
+    val bench = inv.filter(col("doc_id") < nBench)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val overlap = inv.filter(col("doc_id") >= nBench)
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap")) // shingles are distinct per doc
+      .filter(col("n_overlap") >= minShingles)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_overlap").desc, col("bench_id"))
+    overlap.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("bench_id"), col("n_overlap"))
+  }
+
   /** X4 SimHash: 60-bit signature; bit i is the sign of the sum over
     * distinct tokens of ±1 according to bit i of the token hash.
     * Commutative integer sums ⇒ insensitive to token order (and to
