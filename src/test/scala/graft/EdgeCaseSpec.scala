@@ -37,6 +37,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.minhashSignatures(docs).count() === 1 * Dedup.NumPerms)
     assert(Dedup.minhashBandPairs(docs).count() >= 0)
     assert(Dedup.ngramJaccardTopK(docs, 3, 10).count() >= 0)
+    assert(Dedup.decontaminate(docs, nBench = 2).count() >= 0)
     assert(Dedup.simhash(docs).count() === 4)
     assert(Dedup.simhashTopK(docs, 5).count() > 0)
   }

@@ -66,6 +66,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(h((1L, 3L)) > 10L)
   }
 
+  test("decontamination flags the corpus doc overlapping a benchmark doc") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      (1L, bench), // benchmark side (doc_id < nBench)
+      (60L, bench + " iota"), // heavy overlap → flagged
+      (61L, "one two three four five six seven eight")) // disjoint → clean
+    val got = Dedup.decontaminate(d, nBench = 50, minShingles = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === Set(60L))
+    assert(got.head._2 === 1L && got.head._3 >= 5L)
+  }
+
   test("langid picks the dominant stopword language, 'und' when none") {
     val d = docs((1L, "der hund und die katze ist da"),
       (2L, "the cat of a dog and to go"), (3L, "xyz abc"))
