@@ -73,4 +73,61 @@ object GraftProps extends Properties("graft") {
         .select("fp_md5", "fp_roll").as[(String, Long)].collect()
       fps(0) == fps(1)
     }
+
+  // the blocked distributed scorer agrees with a naive driver-side
+  // computation on arbitrary small vector sets, at every block count
+  property("blocked cosine top-k pairs equal the naive answer") =
+    forAll(Gen.choose(3, 12), Gen.choose(1, 6), Gen.choose(1L, 999L)) { (n, blocks, seed) =>
+      val vecs = (0 until n).map { i =>
+        val r = new scala.util.Random(seed * 31 + i)
+        (i.toLong, Seq.fill(4)(r.nextFloat()), 0)
+      }.toDF("vec_id", "embedding", "label")
+      val got = graft.operators.Similarity.cosinePairsTopK(vecs, k = 3, nBlocks = blocks)
+        .as[(Long, Long, Double)].collect().toSeq
+      val vv = vecs.select("vec_id", "embedding")
+        .as[(Long, Seq[Float])].collect().map { case (id, e) =>
+          (id, e.map(_.toDouble).toArray)
+        }
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        BigDecimal(d / (na * nb))
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val naive = (for {
+        (a, av) <- vv; (b, bv) <- vv if a < b
+      } yield (a, b, cos(av, bv)))
+        .sortBy { case (a, b, c) => (-c, a, b) }.take(3).toSeq
+      got == naive
+    }
+
+  // the banded+certified simhash pipeline equals blocked exact all-pairs
+  // for every band count that divides 60
+  property("banded simhash candidates equal exact all-pairs") =
+    forAll(Gen.oneOf(2, 3, 4, 6), Gen.choose(1L, 999L)) { (bands, seed) =>
+      val words = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+      val r = new scala.util.Random(seed)
+      val d = (0 until 10).map { i =>
+        (i.toLong, Seq.fill(6)(words(r.nextInt(words.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val banded = Dedup.simhashTopK(d, k = 5, bands = bands)
+        .as[(Long, Long, Long)].collect().toSeq
+      val exact = Dedup.simhashAllPairsTopK(d, k = 5)
+        .as[(Long, Long, Long)].collect().toSeq
+      banded == exact
+    }
+
+  // hash-split assignment is a pure function of the key: any subset of
+  // the corpus assigns identically to the full corpus
+  property("hash split is consistent under subsetting") =
+    forAll(Gen.choose(5, 30), Gen.choose(1L, 999L)) { (n, seed) =>
+      val docs = (0 until n).map(i => (seed * 100 + i, "t", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val full = graft.operators.Sampling.sampleSplit(docs)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      val half = graft.operators.Sampling.sampleSplit(docs.filter(col("doc_id") % 2 === 0))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      half.forall { case (id, s) => full(id) == s }
+    }
 }
