@@ -1,15 +1,23 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
 object Bench {
   /** Consume a result so EVERY output column is evaluated: count()
     * lets Catalyst prune unevaluated projections, silently timing a
     * bare scan for narrow map-only queries. Hashing all columns into
     * one aggregate forces full expression evaluation while returning
-    * O(1) rows to the driver. */
+    * O(1) rows to the driver.
+    *
+    * The hashes combine with bit_xor, NOT sum: Long is closed under
+    * xor, whereas summing uniform 64-bit hashes overflows almost
+    * immediately and Spark 4's default ANSI mode turns that into an
+    * ARITHMETIC_OVERFLOW that kills the job mid-scan.
+    */
   private def consume(df: DataFrame): Unit = {
     df.select(xxhash64(df.columns.map(col): _*).as("h"))
-      .agg(sum("h")).collect()
+      .agg(expr("bit_xor(h)")).collect()
     ()
   }
   def main(args: Array[String]): Unit = {
@@ -24,15 +32,32 @@ object Bench {
     // Warm-up: JVM/codegen/parquet-reader initialization otherwise lands
     // entirely on whichever query happens to run first.
     try consume(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failed query is REPORTED, never swallowed: its time still counts
+    // (time-to-failure) but it carries an "errors" entry and decrements
+    // "ok", so a query broken only at bench scale cannot hide behind a
+    // normal-looking metric line.
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val err = try { consume(fn(spark, sfDir)); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = timed.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = timed.map(_._2).sum
+    val ok = timed.count(_._3.isEmpty)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"failed":${timed.size - ok},"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt interleaves Spark logs with stdout; also drop the metric on a
+    // clean channel (a file) so harnesses can parse it reliably.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
