@@ -93,10 +93,11 @@ object SparkEntry {
     "x5_frames" -> ((s, d) => Multimodal.frameCounts(s, t(s, d, "documents"))),
     "q_profile" -> ((s, d) => Profiling.profile(t(s, d, "events"),
       Seq("event_id", "user_id", "event_type", "props"))),
-    // rows-only (no oracle): sketch internals are engine-specific; accuracy
-    // asserted in ProfilingSpec instead
-    "q_sketch_profile" -> ((s, d) => Profiling.sketchProfile(
-      t(s, d, "events"), "value", "user_id")),
+    // exact interpolated quantiles from value counts (the sketch variant
+    // stays a library function with ProfilingSpec accuracy bounds — its
+    // internals are engine-specific and can never hash-match an oracle)
+    "q_quantile_profile" -> ((s, d) => Profiling.quantileProfile(
+      t(s, d, "events"), "value")),
     // --- X6 event-time windows (batch flavor; streaming in graft.streaming) ---
     "x6_tumbling" -> ((s, d) => Windows.tumbling(t(s, d, "events"))),
     "x6_sliding" -> ((s, d) => Windows.sliding(t(s, d, "events"))),
@@ -493,6 +494,12 @@ object SparkEntry {
          UNION ALL
          SELECT 'props', CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT props), min(props), max(props) FROM events""",
+    "q_quantile_profile" ->
+      """SELECT count(value) AS n, count(DISTINCT value) AS n_distinct,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+         FROM events""",
     "x5_resize" ->
       "SELECT doc_id, least(length(text), 100) AS rbytes FROM documents",
     "x5_mm_search" ->

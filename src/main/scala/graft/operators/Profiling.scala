@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data profiling — the first pass any large-scale ingest runs: per
@@ -33,6 +34,58 @@ object Profiling {
       s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct, min_s, max_s)")
+  }
+
+  /** Exact interpolated quantiles (p50/p95/p99) + exact distinct count
+    * of a bounded-domain numeric column, computed from VALUE COUNTS —
+    * the same trick as Scale.aggExtras' counting-median, generalized to
+    * arbitrary quantile fractions.
+    *
+    * Why not `percentile`: Spark's exact percentile is a
+    * TypedImperativeAggregate that buffers every row per group and
+    * forces non-codegen ObjectHashAggregate. Here the scan stays in
+    * whole-stage codegen: groupBy(value) holds O(|domain|) state with
+    * map-side partials, then the quantile is interpolated over the few
+    * counted rows. The global window over the counted rows runs in one
+    * partition — fine by construction, |domain| ≪ |rows| is the
+    * operator's precondition (use sketchProfile otherwise).
+    *
+    * Interpolation matches DuckDB `quantile_cont` BIT-FOR-BIT: rank
+    * r = q·(n−1), result = v[⌊r⌋]·(⌈r⌉−r) + v[⌈r⌉]·(r−⌊r⌋) — verified
+    * empirically that DuckDB uses this weighted-sum form, not the
+    * algebraically-equal-but-float-different lerp v[lo] + f·(v[hi]−v[lo]).
+    */
+  def quantileProfile(df: DataFrame, valueCol: String,
+                      quantiles: Seq[(String, Double)] =
+                        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val ranked = counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    // 0-based rank range [cum-cnt, cum) per value; a value contributes
+    // at floor(r) and/or ceil(r) when its range covers them. All other
+    // rows contribute exactly 0.0, so the sum's two payloads are the
+    // only inexact terms and addition of two doubles is commutative.
+    def covers(rank: Column) = col("cum") - col("cnt") <= rank && rank < col("cum")
+    val qAggs = quantiles.map { case (name, q) =>
+      val r = (col("n") - 1).cast("double") * lit(q)
+      val lo = floor(r)
+      val hi = ceil(r)
+      val wLo = when(lo === hi, lit(1.0)).otherwise(hi - r)
+      val wHi = when(lo === hi, lit(0.0)).otherwise(r - lo)
+      val contrib =
+        coalesce(when(covers(lo), col("v") * wLo), lit(0.0)) +
+          coalesce(when(covers(hi), col("v") * wHi), lit(0.0))
+      round(sum(contrib), 4).as(name)
+    }
+    val aggs =
+      max(col("n")).as("n") +: count(lit(1)).as("n_distinct") +: qAggs
+    ranked.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Sketch-based profile: HyperLogLog distinct estimate and

@@ -13,11 +13,8 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has oracle SQL or is explicitly rows-only") {
-    // sketches are engine-specific by design → rows-only check, accuracy
-    // asserted in ProfilingSpec
-    val rowsOnly = Set("q_sketch_profile")
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has oracle SQL") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 

@@ -19,6 +19,33 @@ class ProfilingSpec extends AnyFunSuite {
     assert(p("s") === (("s", 1L, 2L, "a", "b")))
   }
 
+  test("quantileProfile equals Spark's exact percentile and exact distinct") {
+    val events = Tables(spark, SparkTestBase.sf0001, "events")
+    val expected = events.agg(
+      count(col("value")).as("n"),
+      countDistinct(col("value")).as("nd"),
+      expr("round(percentile(value, 0.5), 4)"),
+      expr("round(percentile(value, 0.95), 4)"),
+      expr("round(percentile(value, 0.99), 4)")).head
+    val r = Profiling.quantileProfile(events, "value").head
+    assert(r.getLong(0) === expected.getLong(0))
+    assert(r.getLong(1) === expected.getLong(1))
+    assert(r.getDouble(2) === expected.getDouble(2))
+    assert(r.getDouble(3) === expected.getDouble(3))
+    assert(r.getDouble(4) === expected.getDouble(4))
+  }
+
+  test("quantileProfile handles nulls and a 1-row frame") {
+    val df = Seq(Some(10.0), None, Some(30.0), Some(20.0), None).toDF("x")
+    val r = Profiling.quantileProfile(df, "x").head
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 20.0) // r=1.0 lands exactly on the middle value
+    val one = Seq(42.5).toDF("x")
+    val r1 = Profiling.quantileProfile(one, "x").head
+    assert(r1.getDouble(2) === 42.5 && r1.getDouble(4) === 42.5)
+  }
+
   test("sketch profile stays within HLL/quantile accuracy bounds") {
     val events = Tables(spark, SparkTestBase.sf0001, "events")
     val exactD = events.select(countDistinct("user_id")).head.getLong(0)
