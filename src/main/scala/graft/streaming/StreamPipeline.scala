@@ -185,7 +185,18 @@ object StreamPipeline {
     * before its checkpoint commit re-runs, must merge from its
     * pre-batch state again, and that state must still exist. Only
     * generations older than the merge input are retired, so a bucket
-    * holds at most two generations. */
+    * holds at most two generations.
+    *
+    * ALL affected buckets merge in ONE Spark job: the bucket is a pure
+    * function of the key, so prior-generation rows re-derive their
+    * bucket from the key instead of from their directory, the union of
+    * every bucket's fresh+prior rows goes through one (key)-partitioned
+    * window, and one dynamic-partition-overwrite write lands every
+    * `bucket=b/gen=batchId` directory. Commit latency is a single
+    * cluster-wide job, not a driver loop of per-bucket jobs. Markers
+    * are created only after the whole job returns, so a mid-write crash
+    * leaves every touched generation torn (invisible), exactly as
+    * before. */
   def upsertBatch(batch: DataFrame, outDir: String, batchId: Long,
                   keyCol: String = "order_id", nBuckets: Int = 8): Unit = {
     import org.apache.hadoop.fs.Path
@@ -194,22 +205,26 @@ object StreamPipeline {
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataCols = batch.columns
-    val keyed = batch
-      .withColumn("_bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
-      .persist()
+    val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong))
+    val keyed = batch.withColumn("_bucket", bucketOf).persist()
     try {
       // O(nBuckets) driver values, not data
       val affected = keyed.select("_bucket").distinct()
         .collect().map(_.getLong(0)).sorted
-      affected.foreach { b =>
-        val bucketDir = new Path(s"$outDir/bucket=$b")
+      if (affected.nonEmpty) {
         // replay: merge only from generations committed BEFORE this batch
-        val gens = committedGens(fs, bucketDir).filter(_ < batchId)
-        val fresh = keyed.filter(col("_bucket") === b)
-          .select(dataCols.map(col): _*).withColumn("_pri", lit(1))
-        val all = if (gens.nonEmpty) {
+        val mergedFrom: Map[Long, Long] = affected.flatMap { b =>
+          val gens = committedGens(fs, new Path(s"$outDir/bucket=$b"))
+            .filter(_ < batchId)
+          if (gens.nonEmpty) Some(b -> gens.max) else None
+        }.toMap
+        val fresh = keyed.withColumn("_pri", lit(1))
+        val all = if (mergedFrom.nonEmpty) {
+          val priorPaths = mergedFrom.toSeq.sortBy(_._1)
+            .map { case (b, g) => s"$outDir/bucket=$b/gen=$g" }
           fresh.unionByName(
-            spark.read.parquet(s"$outDir/bucket=$b/gen=${gens.max}")
+            spark.read.parquet(priorPaths: _*)
+              .withColumn("_bucket", bucketOf)
               .withColumn("_pri", lit(0)))
         } else fresh
         // last write wins per key; inside one batch the tie-break is the
@@ -218,17 +233,27 @@ object StreamPipeline {
           .orderBy(col("_pri").desc +: dataCols.filterNot(_ == keyCol)
             .map(c => col(c).desc): _*)
         all.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-          .select(dataCols.map(col): _*)
-          .write.mode("overwrite").parquet(s"$outDir/bucket=$b/gen=$batchId")
-        fs.create(new Path(s"$outDir/bucket=$b/gen=$batchId/$CommitMarker"), true)
-          .close()
+          .select(dataCols.map(col) :+ col("_bucket").as("bucket")
+            :+ lit(batchId).as("gen"): _*)
+          .write.mode("overwrite")
+          // truncate ONLY the (bucket, gen) partitions this job writes —
+          // a replay overwrites its own torn generation; every other
+          // bucket's state is untouched
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket", "gen")
+          .parquet(outDir)
+        affected.foreach { b =>
+          fs.create(new Path(s"$outDir/bucket=$b/gen=$batchId/$CommitMarker"), true)
+            .close()
+        }
         // retire every older generation EXCEPT the one just merged from
         // (a replay of THIS batch still needs it) — including torn
         // directories from crashed attempts, which would otherwise leak
-        val mergedFrom = if (gens.nonEmpty) gens.max else -1L
-        allGens(fs, bucketDir)
-          .filter(g => g < batchId && g != mergedFrom)
-          .foreach(g => fs.delete(new Path(s"$outDir/bucket=$b/gen=$g"), true))
+        affected.foreach { b =>
+          allGens(fs, new Path(s"$outDir/bucket=$b"))
+            .filter(g => g < batchId && !mergedFrom.get(b).contains(g))
+            .foreach(g => fs.delete(new Path(s"$outDir/bucket=$b/gen=$g"), true))
+        }
       }
     } finally keyed.unpersist()
   }

@@ -97,6 +97,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(s1.filter(col("order_id") === "a").select("amount").head.getLong(0) === 99L)
   }
 
+  test("upsert sink merges all affected buckets in one write, not a per-bucket job loop") {
+    val dir = Files.createTempDirectory("graft-upsert-onejob")
+    val out = dir.resolve("store").toString
+    def rows(t: (String, Long, Long)*) = t.toDF("order_id", "customer_id", "amount")
+    val keys = (0 until 32).map(i => (s"k$i", i.toLong, i.toLong))
+    StreamPipeline.upsertBatch(rows(keys: _*), out, 0L)
+    val touched = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(touched === 8, "32 keys should hit all 8 default buckets")
+    // batch 1 touches all buckets again; count Spark jobs — the retired
+    // per-bucket driver loop paid >= nBuckets write jobs, the one-shot
+    // merge a small constant (scan/window/write + AQE stage jobs)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      StreamPipeline.upsertBatch(rows(keys.map(k => (k._1, k._2, k._3 + 100)): _*), out, 1L)
+      Thread.sleep(500) // listener bus is async
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs < 8, s"bucket merge ran $jobs jobs — looks like one job per bucket again")
+    val snap = StreamPipeline.readUpserted(spark, out)
+    assert(snap.count() === 32)
+    assert(snap.agg(sum(col("amount"))).head.getLong(0) ===
+      keys.map(_._3 + 100).sum)
+  }
+
   test("upsert sink: torn generations are invisible to readers and retired by the next batch") {
     val dir = Files.createTempDirectory("graft-upsert-torn")
     val out = dir.resolve("store").toString
