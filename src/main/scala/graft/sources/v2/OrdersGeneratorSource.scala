@@ -5,9 +5,9 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -39,20 +39,32 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class OrdersGeneratorSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft_orders"
+  // writes carry the frame's own schema into getTable
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    OrdersGeneratorSource.schema
+    Option(options.get("table")) match {
+      case Some(t) => GraftStore.schemaOf(t)
+      case None    => OrdersGeneratorSource.schema
+    }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     // properties arrive with the caller's original key case
     val opts = new CaseInsensitiveStringMap(properties)
-    new OrdersGenTable(
-      opts.getOrDefault("numrows", "1000").toLong,
-      opts.getOrDefault("numpartitions", "4").toInt)
+    Option(opts.get("table")) match {
+      case Some(t) =>
+        val s = if (schema != null && schema.nonEmpty) schema else GraftStore.schemaOf(t)
+        new GraftMemTable(t, s)
+      case None =>
+        new OrdersGenTable(
+          opts.getOrDefault("numrows", "1000").toLong,
+          opts.getOrDefault("numpartitions", "4").toInt)
+    }
   }
 }
 
 object OrdersGeneratorSource {
   val schema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
     .add("orderID", StringType, nullable = false)
     .add("customerID", LongType, nullable = false)
     .add("amount", LongType, nullable = false)
@@ -108,21 +120,64 @@ private[v2] class OrdersGenTable(numRows: Long, numPartitions: Int)
 }
 
 private[v2] class OrdersGenScanBuilder(numRows: Long, numPartitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = OrdersGeneratorSource.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var lo: Long = 0L
+  private var hi: Long = Long.MaxValue
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty projection (e.g. count(*)) still needs row COUNTS;
     // keep the zero-column schema as-is, the reader emits empty rows
     required = requiredSchema
-  override def build(): Scan = new OrdersGenScan(numRows, numPartitions, required)
+  /** Range predicates on `id` — the generator's row cursor — prune the
+    * id range EXACTLY, so split planning shrinks with the predicate and
+    * the accepted filters need no post-scan re-evaluation. Everything
+    * else (customerID/amount are hash functions of id) stays post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def bound(f: Filter): Boolean = f match {
+      case EqualTo("id", n: Number) =>
+        lo = math.max(lo, n.longValue); hi = math.min(hi, n.longValue + 1); true
+      case GreaterThan("id", n: Number) =>
+        lo = math.max(lo, n.longValue + 1); true
+      case GreaterThanOrEqual("id", n: Number) =>
+        lo = math.max(lo, n.longValue); true
+      case LessThan("id", n: Number) =>
+        hi = math.min(hi, n.longValue); true
+      case LessThanOrEqual("id", n: Number) =>
+        hi = math.min(hi, n.longValue + 1); true
+      case IsNotNull("id") => true // id is never null — trivially exact
+      case _ => false
+    }
+    val (acc, rest) = filters.partition(bound)
+    pushed = acc
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan =
+    new OrdersGenScan(numRows, numPartitions, required, lo, hi)
 }
 
 private[v2] class OrdersGenScan(numRows: Long, numPartitions: Int,
-                                required: StructType) extends Scan with Batch {
+                                required: StructType,
+                                lo: Long, hi: Long) extends Scan with Batch {
+  private val start = math.max(0L, lo)
+  private val end = math.min(numRows, hi)
   override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft_orders PushedIdRange: [$start, $end) of $numRows"
   override def toBatch: Batch = this
+  /** Split size stays anchored to numRows/numPartitions, so a predicate
+    * selecting a fraction of the id space plans proportionally FEWER
+    * splits rather than the same count of thinner ones. */
   override def planInputPartitions(): Array[InputPartition] =
-    OrdersGenScan.split(0L, numRows, numPartitions)
+    if (end <= start) Array.empty
+    else {
+      val per = math.max(1L, (numRows + numPartitions - 1) / numPartitions)
+      (start until end by per)
+        .map(s => OrdersGenPartition(s, math.min(s + per, end)))
+        .toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new OrdersGenReaderFactory(required)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -212,6 +267,7 @@ private[v2] class OrdersGenReaderFactory(required: StructType)
     val p = partition.asInstanceOf[OrdersGenPartition]
     // resolve the projection ONCE per split, not per row
     val gens: Array[Long => Any] = required.fieldNames.map {
+      case "id" => (id: Long) => id
       case "orderID" =>
         (id: Long) => UTF8String.fromString(OrdersGeneratorSource.orderId(id))
       case "customerID" => (id: Long) => OrdersGeneratorSource.customerId(id)
