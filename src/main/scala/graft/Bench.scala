@@ -44,7 +44,11 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // control chars (tabs, stray \r) inside exception text would break
+    // the JSON line even after taking the first linesIterator line
+    def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\p{Cntrl}]", " ") + "\""
     val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = timed.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")

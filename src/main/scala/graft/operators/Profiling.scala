@@ -83,8 +83,11 @@ object Profiling {
           coalesce(when(covers(hi), col("v") * wHi), lit(0.0))
       round(sum(contrib), 4).as(name)
     }
+    // empty/all-null input: zero counted rows → max(n) is NULL where the
+    // oracle's count(value) is 0; quantiles stay NULL on both engines
     val aggs =
-      max(col("n")).as("n") +: count(lit(1)).as("n_distinct") +: qAggs
+      coalesce(max(col("n")), lit(0L)).as("n") +:
+        count(lit(1)).as("n_distinct") +: qAggs
     ranked.agg(aggs.head, aggs.tail: _*)
   }
 

@@ -1,0 +1,136 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** In-memory table registry backing the `graft_orders` connector's
+  * WRITE path: `df.write.format("graft_orders").option("table", "t")`
+  * lands rows here, and `spark.read.format("graft_orders")
+  * .option("table", "t")` reads them back — the round-trip half of the
+  * connector axis (the generator half is [[OrdersGeneratorSource]]).
+  *
+  * This is a dev/test sink by design (the reference's document-store
+  * sink role, `README.md:107-131`, minus the managed service): rows
+  * live on the driver and travel inside [[WriterCommitMessage]]s /
+  * [[InputPartition]]s, exactly like Spark's own in-memory V2 test
+  * sources. Commit is all-or-nothing — rows only become visible in
+  * [[BatchWrite.commit]] after every task succeeded, so a failed or
+  * speculatively-re-executed task never half-publishes (each task's
+  * rows ride its OWN commit message; duplicates from speculation are
+  * resolved by Spark delivering one message per partition).
+  */
+object GraftStore {
+  private val tables = TrieMap.empty[String, (StructType, Vector[InternalRow])]
+
+  def schemaOf(name: String): StructType =
+    tables.get(name).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_orders in-memory table '$name' does not exist — write it first " +
+          "or pass an explicit schema"))
+
+  def rowsOf(name: String): Vector[InternalRow] =
+    tables.get(name).map(_._2).getOrElse(Vector.empty)
+
+  def exists(name: String): Boolean = tables.contains(name)
+
+  def append(name: String, schema: StructType, rows: Seq[InternalRow]): Unit =
+    tables.synchronized {
+      val cur = tables.get(name).map(_._2).getOrElse(Vector.empty)
+      tables.put(name, (schema, cur ++ rows))
+    }
+
+  def truncate(name: String, schema: StructType): Unit =
+    tables.put(name, (schema, Vector.empty))
+
+  def drop(name: String): Unit = tables.remove(name)
+}
+
+/** The table surfaced for `option("table", name)`: batch read + batch
+  * write (append / overwrite-as-truncate). */
+private[v2] class GraftMemTable(tableName: String, tschema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_mem($tableName)"
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new MemScan(tableName, tschema)
+    }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MemWriteBuilder(tableName, info.schema())
+}
+
+private[v2] class MemScan(table: String, tschema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = tschema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_mem($table)"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows = GraftStore.rowsOf(table)
+    if (rows.isEmpty) Array.empty
+    else rows.grouped(math.max(1, (rows.size + 7) / 8)).map(MemPartition(_)).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = MemReaderFactory
+}
+
+private[v2] case class MemPartition(rows: Seq[InternalRow]) extends InputPartition
+
+private[v2] object MemReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val it = partition.asInstanceOf[MemPartition].rows.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[v2] class MemWriteBuilder(table: String, wschema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  // mode("overwrite") plans TruncateAndAppend through here
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new MemBatchWrite(table, wschema, doTruncate)
+  }
+}
+
+private[v2] class MemBatchWrite(table: String, wschema: StructType, doTruncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    MemWriterFactory
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.iterator.flatMap(_.asInstanceOf[MemCommit].rows).toVector
+    if (doTruncate) GraftStore.truncate(table, wschema)
+    GraftStore.append(table, wschema, rows)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Task rows ride the commit message; UnsafeRow copies are
+  * self-contained and serializable, so this works beyond local mode. */
+private[v2] case class MemCommit(rows: Vector[InternalRow]) extends WriterCommitMessage
+
+private[v2] object MemWriterFactory extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = ArrayBuffer.empty[InternalRow]
+      // the incoming row buffer is REUSED per row — copy or corrupt
+      override def write(row: InternalRow): Unit = buf += row.copy()
+      override def commit(): WriterCommitMessage = MemCommit(buf.toVector)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}

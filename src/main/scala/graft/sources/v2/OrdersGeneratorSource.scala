@@ -180,8 +180,11 @@ private[v2] class OrdersGenScan(numRows: Long, numPartitions: Int,
     }
   override def createReaderFactory(): PartitionReaderFactory =
     new OrdersGenReaderFactory(required)
+  // accepted filters are removed from the streaming plan too — the
+  // micro-batch flavor must honor the same id range or silently
+  // return unfiltered rows
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new OrdersGenMicroBatch(numRows, numPartitions, required, checkpointLocation)
+    new OrdersGenMicroBatch(numRows, numPartitions, required, checkpointLocation, lo, hi)
 }
 
 private[v2] object OrdersGenScan {
@@ -215,7 +218,9 @@ private[v2] object OrdersGenScan {
   * would persist nothing and rely on the restored offset instead. */
 private[v2] class OrdersGenMicroBatch(rowsPerBatch: Long, numPartitions: Int,
                                       required: StructType,
-                                      checkpointLocation: String) extends MicroBatchStream {
+                                      checkpointLocation: String,
+                                      lo: Long = 0L,
+                                      hi: Long = Long.MaxValue) extends MicroBatchStream {
   import org.apache.hadoop.fs.Path
   private case class GenOffset(v: Long) extends Offset {
     override def json(): String = v.toString
@@ -249,9 +254,13 @@ private[v2] class OrdersGenMicroBatch(rowsPerBatch: Long, numPartitions: Int,
     cursor = math.max(cursor, v) // never re-offer data behind the restored offset
     GenOffset(v)
   }
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    OrdersGenScan.split(start.asInstanceOf[GenOffset].v,
-      end.asInstanceOf[GenOffset].v, numPartitions)
+  // clamp each batch's id range to the pushed [lo, hi): the offset
+  // cursor keeps advancing, batches outside the range plan empty
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = math.max(start.asInstanceOf[GenOffset].v, lo)
+    val e = math.min(end.asInstanceOf[GenOffset].v, hi)
+    if (e <= s) Array.empty else OrdersGenScan.split(s, e, numPartitions)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new OrdersGenReaderFactory(required)
   override def commit(end: Offset): Unit = ()

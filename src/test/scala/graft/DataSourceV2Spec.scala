@@ -19,7 +19,47 @@ class DataSourceV2Spec extends AnyFunSuite {
     val df = orders(1000, 8)
     assert(df.count() === 1000)
     assert(df.rdd.getNumPartitions === 8)
-    assert(df.columns.toSeq === Seq("orderID", "customerID", "amount"))
+    assert(df.columns.toSeq === Seq("id", "orderID", "customerID", "amount"))
+  }
+
+  test("id-range pushdown prunes split planning exactly") {
+    val df = orders(1000, 8).where($"id" >= 250 && $"id" < 500)
+    // filters fully absorbed: values exact with no post-scan re-filter
+    val (lo, hi, n) = df.agg(min("id"), max("id"), count("*"))
+      .as[(Long, Long, Long)].head()
+    assert((lo, hi, n) === (250L, 499L, 250L))
+    // split size stays numRows/numPartitions = 125 → 2 splits, not 8
+    assert(df.rdd.getNumPartitions === 2)
+    val scan = df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.description().contains("PushedIdRange: [250, 500)"))
+  }
+
+  test("mem-table write path round-trips byte-identical rows") {
+    val src = orders(300, 4)
+    src.write.format("graft_orders").option("table", "rt").mode("overwrite").save()
+    val back = spark.read.format("graft_orders").option("table", "rt").load()
+    assert(back.schema === src.schema)
+    assert(back.collect().toSet === src.collect().toSet)
+    src.write.format("graft_orders").option("table", "rt").mode("append").save()
+    assert(spark.read.format("graft_orders").option("table", "rt").load().count() === 600)
+    orders(10, 2).write.format("graft_orders").option("table", "rt").mode("overwrite").save()
+    assert(spark.read.format("graft_orders").option("table", "rt").load().count() === 10)
+    graft.sources.v2.GraftStore.drop("rt")
+  }
+
+  test("streaming read honors an id-range predicate (clamped batches)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-clamp")
+    val q = spark.readStream.format("graft_orders")
+      .option("numRows", "100").option("numPartitions", "4").load()
+      .where($"id" >= 20 && $"id" < 50)
+      .writeStream.format("memory").queryName("gclamp")
+      .option("checkpointLocation", dir.resolve("ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("gclamp").select("id").as[Long].collect().toSet
+    assert(got === (20L until 50L).toSet)
   }
 
   test("column pruning reaches the generator (ReadSchema shrinks)") {
