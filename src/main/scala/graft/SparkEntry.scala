@@ -432,10 +432,11 @@ object SparkEntry {
                     / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
                THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
            FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 20),
          cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
-           FROM bb q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
-             AND t.vec_id <> q.vec_id
-           WHERE q.vec_id < 20),
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id),
          s AS (SELECT c.q_id, c.n_id,
              list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
                (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
@@ -531,10 +532,11 @@ object SparkEntry {
                     / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
                THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
            FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 5),
          cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
-           FROM bb q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
-             AND t.vec_id <> q.vec_id
-           WHERE q.vec_id < 5),
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id),
          s AS (SELECT c.q_id, c.n_id,
              list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
                (x,y) -> x+y) / (q.nrm * t.nrm) AS cos

@@ -89,7 +89,7 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     }.sum / bf.size
     // deterministic data+hashes → deterministic recall; floor guards
     // against silently degrading the bucketing (e.g. correlated planes)
-    assert(recall >= 0.4, f"LSH recall@3 dropped to $recall%.2f")
+    assert(recall >= 0.85, f"LSH recall@3 dropped to $recall%.2f")
   }
 
   test("IVF multi-probe recall vs brute force stays above the regression floor") {
