@@ -63,6 +63,11 @@ object SparkEntry {
     "x3_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(t(s, d, "documents"))),
     "x3_tfidf" -> ((s, d) => TextAnalysis.tfidf(t(s, d, "documents"))),
     "x3_group_concat" -> ((s, d) => TextAnalysis.groupConcat(t(s, d, "documents"))),
+    "x3_repetition" -> ((s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"))),
+    // corpus has no real PII: plant deterministic doc_id-derived PII on
+    // both engines, then redact (see TextAnalysis.injectSyntheticPii)
+    "x3_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(
+      TextAnalysis.injectSyntheticPii(t(s, d, "documents")), "text2")),
     // --- X1 sampling / sharding ---
     "x1_sample_split" -> ((s, d) => Sampling.sampleSplit(t(s, d, "documents"))),
     "x1_pack_shards" -> ((s, d) => Sampling.packShards(t(s, d, "documents"))),
@@ -262,6 +267,37 @@ object SparkEntry {
          SELECT t.doc_id, t.token, t.tf,
            round(t.tf * ln(nd.n_docs / CAST(d.df AS DOUBLE)), 6) AS tfidf
          FROM terms t JOIN dfs d ON t.token = d.token, nd""",
+    "x3_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct FROM t),
+         b AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+           FROM t),
+         c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+         r AS (SELECT doc_id, bg, c, row_number() OVER (PARTITION BY doc_id
+             ORDER BY c DESC, bg) AS rn FROM c)
+         SELECT s.doc_id, s.n_tokens,
+           round(1.0 - s.n_distinct / CAST(s.n_tokens AS DOUBLE), 6) AS dup_token_frac,
+           r.bg AS top_bigram,
+           round(r.c / CAST(s.n_tokens - 1 AS DOUBLE), 6) AS top_bigram_frac
+         FROM s LEFT JOIN r ON r.doc_id = s.doc_id AND r.rn = 1""",
+    "x3_pii_redact" ->
+      """WITH p AS (SELECT doc_id, text
+             || CASE WHEN doc_id % 3 = 0 THEN ' u' || doc_id || '@mail.example.com' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN ' call 555-0142' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.99' ELSE '' END
+             AS text2
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text2, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text2,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g')) AS clean_md5
+         FROM p""",
     "x3_group_concat" ->
       """SELECT lang, source, count(*) AS n_docs,
          CAST(length(string_agg(text, ' ' ORDER BY doc_id)) AS BIGINT) AS cat_len,

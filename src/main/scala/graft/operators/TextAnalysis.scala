@@ -147,6 +147,87 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("quality"), col("pr"))
   }
 
+  /** PII patterns: (name, regex, replacement). The regexes avoid
+    * backslash escapes entirely (`[.]`, explicit classes) so the SAME
+    * pattern text is valid Java regex (Spark) and RE2 (DuckDB oracle)
+    * with identical match semantics — no lookarounds, no backrefs. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}", "<EMAIL>"),
+    ("phones", "[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ips", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"))
+
+  /** PII redaction — the scrubbing pass every training corpus runs
+    * before anything else. Per document: match counts per PII class
+    * (counted on the ORIGINAL text) and the md5 of the redacted text
+    * (classes replaced sequentially in [[piiPatterns]] order, so
+    * earlier replacements cannot create later matches). Narrow
+    * per-row regex work, zero shuffle, stays in whole-stage codegen. */
+  def piiRedact(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = piiPatterns.map { case (nm, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long").as(s"n_$nm")
+    }
+    val clean = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    documents.select(col("doc_id") +: counts :+ md5(clean).as("clean_md5"): _*)
+  }
+
+  /** Deterministic synthetic PII injection — the driver corpus is
+    * clean word-salad with no PII, so exercising [[piiRedact]] with
+    * nonzero counts requires planting some. Everything is a pure
+    * function of `doc_id`, reproduced verbatim in the oracle SQL, so
+    * the redaction stays hash-checkable end-to-end (docs divisible by
+    * 3 get an email, by 4 a phone, by 5 an ip). */
+  def injectSyntheticPii(documents: DataFrame): DataFrame =
+    documents.withColumn("text2", concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" u"), col("doc_id").cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit(" call 555-0142")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".99")))
+        .otherwise(lit(""))))
+
+  /** Gopher-style repetition signals — the cheap repetition screens a
+    * training pipeline applies before any model-based filter:
+    * duplicate-token fraction (1 − distinct/total) and the fraction of
+    * the document covered by its single most-frequent word bigram
+    * (ties broken lexicographically, so the kept bigram is
+    * deterministic). Bigrams come from a narrow zip of the token array
+    * with its own tail — no window sort over exploded tokens; the only
+    * shuffles key on (doc_id, bigram) and doc_id, whose cardinality
+    * grows with the corpus, so the plan re-partitions cleanly at
+    * 100 TB. Single-token documents have no bigram: NULL top_bigram /
+    * fraction via the left join, identical in the oracle. */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      toks.as("t"))
+    // zip t with its tail; the last slot pairs with NULL (concat → NULL)
+    // and is filtered — robust for 0/1-token docs where sequence() would
+    // run descending
+    val bigrams = filter(
+      zip_with(col("t"), slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val counts = base.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("bg"))
+    val top = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bg").as("top_bigram"), col("c").as("top_c"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens").cast("double"), 6)
+          .as("dup_token_frac"),
+        col("top_bigram"),
+        round(col("top_c") / (col("n_tokens") - 1).cast("double"), 6)
+          .as("top_bigram_frac"))
+  }
+
   /** Ordered per-group corpus assembly: concatenate each (lang, source)
     * group's documents in doc_id order — the context-assembly /
     * shard-file-build step of a training pipeline. The concatenation

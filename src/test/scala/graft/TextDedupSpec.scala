@@ -159,4 +159,39 @@ class TextDedupSpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(q.forall { case (_, s) => s >= 0.0 && s <= 1.0 })
   }
+
+  test("pii redaction counts and scrubs every class; clean text has no residual match") {
+    val d = docs(
+      (1L, "reach me at bob.smith@corp.example.org or 555-1234 from 192.168.0.1"),
+      (2L, "no pii here at all"))
+    val got = TextAnalysis.piiRedact(d)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0)._2 === 1L && got(0)._3 === 1L && got(0)._4 === 1L)
+    assert(got(1)._2 === 0L && got(1)._3 === 0L && got(1)._4 === 0L)
+    // doc 2 untouched: clean_md5 equals md5 of the original text
+    assert(got(1)._5 ===
+      d.filter(col("doc_id") === 2).select(md5(col("text"))).as[String].head())
+    // redacted doc 1 carries the placeholders and no residual matches
+    val clean = TextAnalysis.piiPatterns.foldLeft(
+      "reach me at bob.smith@corp.example.org or 555-1234 from 192.168.0.1") {
+      case (s, (_, pat, repl)) => s.replaceAll(pat, repl)
+    }
+    assert(clean === "reach me at <EMAIL> or <PHONE> from <IP>")
+    assert(TextAnalysis.piiPatterns.forall { case (_, pat, _) =>
+      pat.r.findFirstIn(clean).isEmpty
+    })
+  }
+
+  test("repetition stats: duplicate-token and top-bigram fractions on a constructed doc") {
+    // "a b a b a" → tokens 5, distinct 2, bigrams: "a b"×2, "b a"×2 → top
+    // bigram "a b" (tie broken lexicographically), frac 2/4
+    val got = TextAnalysis.repetitionStats(docs(
+      (1L, "a b a b a"), (2L, "all words differ here"), (3L, "solo")))
+      .as[(Long, Long, Double, Option[String], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got(0) === ((1L, 5L, 0.6, Some("a b"), Some(0.5))))
+    assert(got(1)._3 === 0.0 && got(1)._5 === Some(0.333333)) // round(1/3, 6)
+    // single-token doc: no bigram → NULLs, not a crash or a zero
+    assert(got(2) === ((3L, 1L, 0.0, None, None)))
+  }
 }
