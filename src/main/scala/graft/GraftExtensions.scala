@@ -33,7 +33,11 @@ object GraftFunctions {
     ("media_embed", "media_embed(str, dim, stride) - stub media embedding (ASCII-scaled codepoints)",
       args => MediaEmbed(args(0), intArg(args(1)), intArg(args(2)))),
     ("lsh_buckets", "lsh_buckets(vec, tables, bits, dim) - sign-LSH bucket ids per table",
-      args => LshBuckets(args(0), intArg(args(1)), intArg(args(2)), intArg(args(3)))))
+      args => LshBuckets(args(0), intArg(args(1)), intArg(args(2)), intArg(args(3)))),
+    // bare AggregateFunction: the analyzer wraps it (and handles
+    // DISTINCT) exactly as for built-in aggregates
+    ("top_k_by_score", "top_k_by_score(score, id, k) - top-k (score, id) structs per group, O(k) state",
+      args => TopKByScore(args(0), args(1), intArg(args(2)))))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit =

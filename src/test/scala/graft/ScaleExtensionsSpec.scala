@@ -128,4 +128,14 @@ class ScaleExtensionsSpec extends AnyFunSuite {
         .collect())
     assert(err.getMessage.contains("constant"), err.getMessage)
   }
+
+  test("top_k_by_score aggregates through pure SQL (analyzer wraps the bare AggregateFunction)") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT g, transform(top_k_by_score(s, i, 2), x -> x.id) AS ids FROM VALUES
+         (1, 0.5D, 10L), (1, 0.9D, 11L), (1, 0.7D, 12L), (2, 0.1D, 20L)
+         AS t(g, s, i) GROUP BY g ORDER BY g""")
+      .as[(Int, Seq[Long])].collect().toSeq
+    assert(got === Seq((1, Seq(11L, 12L)), (2, Seq(20L))))
+  }
 }
