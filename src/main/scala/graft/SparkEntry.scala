@@ -72,6 +72,7 @@ object SparkEntry {
     "x1_sample_split" -> ((s, d) => Sampling.sampleSplit(t(s, d, "documents"))),
     "x1_pack_shards" -> ((s, d) => Sampling.packShards(t(s, d, "documents"))),
     "x1_source_cap" -> ((s, d) => Sampling.sourceCap(t(s, d, "documents"))),
+    "x1_budget_select" -> ((s, d) => Sampling.budgetSelect(t(s, d, "documents"))),
     "x3_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(t(s, d, "documents"))),
     // --- X1/X4 dedup ---
     "x1_first_event" -> ((s, d) => Dedup.firstEventPerKey(t(s, d, "events"))),
@@ -324,6 +325,21 @@ object SparkEntry {
              ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
                       doc_id) AS BIGINT) AS rn
            FROM documents) WHERE rn <= 15""",
+    "x1_budget_select" ->
+      """WITH q AS (SELECT doc_id,
+             round(
+               0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+               0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                      CAST(len(string_split(text,' ')) AS DOUBLE)) +
+               0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                      CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
+         SELECT doc_id, quality, n_tokens, CAST(cum AS BIGINT) AS cum
+         FROM c WHERE cum - n_tokens < 10000""",
     "x3_quality_filter" ->
       """WITH q AS (SELECT doc_id, round(
            0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +

@@ -51,6 +51,69 @@ object Sampling {
       .filter(col("rn") <= cap)
   }
 
+  /** X1 global token-budget data selection: keep the highest-quality
+    * documents (quality desc, doc_id tie-break) until a GLOBAL token
+    * budget is exhausted — the "select the best N tokens for this
+    * training run" truncation step. A document is admitted while any
+    * budget remains before it (`cum − n_tokens < budget`), so output
+    * token mass lands in [budget, budget + max_doc).
+    *
+    * The global running sum is the scale problem: a bare
+    * `sum().over(Window.orderBy(...))` with no partition moves EVERY
+    * row to one partition (Spark warns exactly that). Instead this is
+    * the classic DISTRIBUTED PREFIX SUM:
+    *
+    *  1. range-repartition + sort within partitions on the selection
+    *     order (Spark's own distributed sort machinery);
+    *  2. one tiny job aggregates per-partition token sums — P values
+    *     to the driver (bounded by partition count, like the upsert
+    *     sink's bucket listing), prefix-summed into per-partition
+    *     START OFFSETS;
+    *  3. one narrow `mapPartitions` adds the offset to a local running
+    *     sum. Partitions whose offset already exceeds the budget emit
+    *     NOTHING without consuming input, and within a partition the
+    *     scan stops at the budget boundary (`takeWhile` — the running
+    *     sum is monotone), so total work is O(selected) + one sort.
+    *
+    * The partition id is captured INTO THE DATA (`spark_partition_id`
+    * projected before the persist), never read from `TaskContext` at
+    * run time: a caller's downstream re-tasking — a `coalesce(1)`
+    * write, AQE merging — runs many range partitions inside one task,
+    * where the task id would claim partition 0 for every row and
+    * silently zero all offsets. The sorted frame is persisted between
+    * the offset job and the output job: range boundaries come from
+    * sampling, and pids must come from the one materialization the
+    * offsets were computed against (at production scale, checkpoint
+    * or write the ranged frame instead). Results are deterministic
+    * (strict total order; engine-independent quality — the same
+    * formula the x3_quality oracle hash-matches). */
+  def budgetSelect(documents: DataFrame, tokenBudget: Long = 10000L): DataFrame = {
+    val spark = documents.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val scored = TextAnalysis.qualityScore(documents, extraCols = Seq("n_tokens"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    val ranged = scored
+      .repartitionByRange(parts, col("quality").desc, col("doc_id"))
+      .sortWithinPartitions(col("quality").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val sums = ranged.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = Array.ofDim[Long](parts + 1)
+    for (p <- 0 until parts) offsets(p + 1) = offsets(p) + sums.getOrElse(p, 0L)
+    val offDf = spark.createDataFrame(
+      (0 until parts).map(p => (p, offsets(p)))).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      // partitions that start past the budget are pruned wholesale
+      .join(broadcast(offDf.filter(col("off") < tokenBudget)), "pid")
+      .withColumn("cum", col("off") + sum(col("n_tokens")).over(w))
+      .filter(col("cum") - col("n_tokens") < tokenBudget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum"))
+  }
+
   /** X3/X1 token-budget shard packing (sequence packing): documents are
     * packed in key order per source into shards of ~`budget` tokens —
     * shard id = preceding cumulative token count over the budget. One

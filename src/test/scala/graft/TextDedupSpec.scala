@@ -182,6 +182,30 @@ class TextDedupSpec extends AnyFunSuite {
     })
   }
 
+  test("budget select: distributed prefix sum equals the single-threaded greedy") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val budget = 2000L
+    val got = graft.operators.Sampling.budgetSelect(d, budget)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._4)
+    // reference: local greedy over the same (quality desc, doc_id) order
+    val ref = TextAnalysis.qualityScore(d, extraCols = Seq("n_tokens"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .as[(Long, Double, Long)].collect()
+      .sortBy { case (id, q, _) => (-q, id) }
+      .scanLeft((0L, 0.0, 0L, 0L)) { case ((_, _, _, cum), (id, q, n)) =>
+        (id, q, n, cum + n)
+      }.drop(1).takeWhile { case (_, _, n, cum) => cum - n < budget }
+    assert(got.toSeq === ref.toSeq)
+    assert(got.nonEmpty && got.last._4 >= budget) // budget actually exhausted
+    // regression: under a downstream coalesce(1) every range partition
+    // runs inside ONE task — offsets must come from the data, not from
+    // TaskContext.getPartitionId (which would claim pid 0 for all rows)
+    assert(graft.operators.Sampling.budgetSelect(d, budget).coalesce(1).count()
+      === got.length.toLong)
+    // admitted docs all started under budget; kept set is quality-topped
+    assert(got.forall { case (_, _, n, cum) => cum - n < budget })
+  }
+
   test("repetition stats: duplicate-token and top-bigram fractions on a constructed doc") {
     // "a b a b a" → tokens 5, distinct 2, bigrams: "a b"×2, "b a"×2 → top
     // bigram "a b" (tie broken lexicographically), frac 2/4
