@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -30,6 +31,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object GraftStore {
   private val tables = TrieMap.empty[String, (StructType, Vector[InternalRow])]
+  private val epochs = TrieMap.empty[String, Long]
 
   def schemaOf(name: String): StructType =
     tables.get(name).map(_._1).getOrElse(
@@ -51,7 +53,20 @@ object GraftStore {
   def truncate(name: String, schema: StructType): Unit =
     tables.put(name, (schema, Vector.empty))
 
-  def drop(name: String): Unit = tables.remove(name)
+  def drop(name: String): Unit = { tables.remove(name); epochs.remove(name) }
+
+  /** Epoch-idempotent streaming append: Structured Streaming replays a
+    * micro-batch whose commit never finished, so a re-delivered epoch
+    * must be a no-op — exactly-once lands here, in the SINK's commit,
+    * not in the writer tasks. */
+  def appendEpoch(name: String, schema: StructType, epochId: Long,
+                  rows: Seq[InternalRow]): Unit =
+    tables.synchronized {
+      if (epochs.get(name).forall(_ < epochId)) {
+        append(name, schema, rows)
+        epochs.put(name, epochId)
+      }
+    }
 }
 
 /** The table surfaced for `option("table", name)`: batch read + batch
@@ -62,7 +77,7 @@ private[v2] class GraftMemTable(tableName: String, tschema: StructType)
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new MemScan(tableName, tschema)
@@ -104,7 +119,26 @@ private[v2] class MemWriteBuilder(table: String, wschema: StructType)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new MemBatchWrite(table, wschema, doTruncate)
+    override def toStreaming: StreamingWrite =
+      new MemStreamingWrite(table, wschema)
   }
+}
+
+/** Micro-batch sink flavor: same per-task buffering as the batch path,
+  * made exactly-once by [[GraftStore.appendEpoch]]'s epoch gate. */
+private[v2] class MemStreamingWrite(table: String, wschema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    MemStreamWriterFactory
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftStore.appendEpoch(table, wschema, epochId,
+      messages.iterator.flatMap(_.asInstanceOf[MemCommit].rows).toVector)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[v2] object MemStreamWriterFactory extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    MemWriterFactory.createWriter(partitionId, taskId)
 }
 
 private[v2] class MemBatchWrite(table: String, wschema: StructType, doTruncate: Boolean)

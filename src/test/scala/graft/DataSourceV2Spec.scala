@@ -48,6 +48,46 @@ class DataSourceV2Spec extends AnyFunSuite {
     graft.sources.v2.GraftStore.drop("rt")
   }
 
+  test("streaming write: generator source to mem-table sink, exactly-once across restarts") {
+    import graft.sources.v2.GraftStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-swrite")
+    val ck = dir.resolve("ck").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft_orders")
+        .option("numRows", "100").option("numPartitions", "4").load()
+        .writeStream.format("graft_orders").option("table", "sw")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      runOnce()
+      val readBack = spark.read.format("graft_orders").option("table", "sw").load()
+      assert(readBack.count() === 100)
+      // rows round-trip byte-identical vs the batch read of the same ids
+      assert(readBack.collect().toSet === orders(100, 4).collect().toSet)
+      // restart resumes the cursor: next 100 ids appended, none replayed
+      runOnce()
+      val all = spark.read.format("graft_orders").option("table", "sw").load()
+      assert(all.count() === 200)
+      assert(all.select("orderID").distinct().count() === 200)
+    } finally GraftStore.drop("sw")
+  }
+
+  test("streaming write commit is epoch-idempotent (replayed micro-batch is a no-op)") {
+    import graft.sources.v2.GraftStore
+    import org.apache.spark.sql.catalyst.InternalRow
+    val schema = new org.apache.spark.sql.types.StructType().add("x", "long")
+    try {
+      GraftStore.appendEpoch("ep", schema, 0L, Seq(InternalRow(1L)))
+      GraftStore.appendEpoch("ep", schema, 1L, Seq(InternalRow(2L)))
+      GraftStore.appendEpoch("ep", schema, 1L, Seq(InternalRow(2L))) // replay
+      GraftStore.appendEpoch("ep", schema, 0L, Seq(InternalRow(1L))) // stale
+      assert(GraftStore.rowsOf("ep").map(_.getLong(0)) === Vector(1L, 2L))
+    } finally GraftStore.drop("ep")
+  }
+
   test("streaming read honors an id-range predicate (clamped batches)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-clamp")
     val q = spark.readStream.format("graft_orders")
