@@ -318,6 +318,81 @@ object StreamPipeline {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
+  /** X6 streaming stream-stream interval join: each click pairs with
+    * the same user's views from the preceding `horizon` — the
+    * attribution join, with BOTH sides live streams (the flagship C9
+    * join is stream-static and stateless; this one buffers). State is
+    * bounded on both sides by the watermarks plus the join's time
+    * range: Spark derives how long a buffered view can still match
+    * (click.ts ∈ [view.ts, view.ts + horizon]) and evicts past it —
+    * the only state discipline that survives 100 TB/day. Append-mode
+    * output: a pair emits once both watermarks pass it. */
+  def streamStreamAttribution(views: DataFrame, clicks: DataFrame,
+                              watermark: String = "10 minutes",
+                              horizon: String = "5 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
+  /** X6 custom streaming state (flatMapGroupsWithState): per-user
+    * running counters that EMIT ONLY ON CHANGE-OF-BEHAVIOR — here, a
+    * row whenever a user's cumulative value crosses another multiple
+    * of `threshold` (the "milestone alerts" shape: fraud scoring,
+    * quota enforcement, lifetime-value tiers — none expressible as a
+    * windowed aggregate because state never resets).
+    *
+    * State per key is two longs (count, cumulative value), the
+    * smallest possible footprint, and is dropped after `timeout` of
+    * event-time silence via watermark timeouts — unbounded key
+    * populations (user ids at 100 TB) MUST have a state eviction
+    * policy or the store grows forever. */
+  def milestoneAlerts(events: DataFrame, threshold: Double = 100.0,
+                      watermark: String = "10 minutes",
+                      timeoutMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value")).as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (user: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+       state: GroupState[(Long, Double)]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          var (n, cum) = state.getOption.getOrElse((0L, 0.0))
+          val out = Iterator.newBuilder[(Long, Long, Double, Long)]
+          // micro-batch arrival order is not event-time order; sort the
+          // batch so milestones attribute to the right running prefix
+          it.toSeq.sortBy(e => (e._2.getTime, e._3)).foreach { e =>
+            val before = (cum / threshold).toLong
+            n += 1; cum += e._3
+            val after = (cum / threshold).toLong
+            if (after > before) out += ((user, n, cum, after))
+          }
+          state.update((n, cum))
+          // first batches run with watermark 0 (epoch) — an absolute
+          // timeout computed from it is in 1970 and already expired by
+          // the time real event times move the watermark, silently
+          // evicting live state; only arm the timer once the watermark
+          // is real
+          if (state.getCurrentWatermarkMs() > 0)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeoutMs)
+          out.result()
+        }
+    }.toDF("user_id", "n_events", "cum_value", "milestone")
+  }
+
   /** Convenience: start the full pipeline end-to-end. */
   def run(spark: SparkSession, source: OrderSource, customers: DataFrame,
           outDir: String, checkpointDir: String,

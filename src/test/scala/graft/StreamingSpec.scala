@@ -382,4 +382,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.getLong(2) >= 20 && stats.getLong(3) <= 499)
     assert(stats.getLong(4) === 2000)
   }
+
+  test("stream-stream interval join attributes clicks to preceding views (X6)") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[UserEvent]
+    val clicks = MemoryStream[UserEvent]
+    val q = StreamPipeline.streamStreamAttribution(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_mem")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        UserEvent(10, Timestamp.valueOf("2024-01-01 00:01:00"), 7, "view", 0.0),
+        UserEvent(11, Timestamp.valueOf("2024-01-01 00:20:00"), 7, "view", 0.0),
+        UserEvent(12, Timestamp.valueOf("2024-01-01 00:01:00"), 8, "view", 0.0))
+      clicks.addData(
+        // within 5 min of view 10, same user → attributed
+        UserEvent(20, Timestamp.valueOf("2024-01-01 00:03:00"), 7, "click", 1.0),
+        // 10 min after view 10 → outside horizon
+        UserEvent(21, Timestamp.valueOf("2024-01-01 00:11:00"), 7, "click", 1.0),
+        // right user-time window but different user → no pair
+        UserEvent(22, Timestamp.valueOf("2024-01-01 00:03:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      // advance both watermarks far past the pairs so append mode emits
+      // (distinct users, so the sentinels cannot pair with each other)
+      views.addData(UserEvent(13, Timestamp.valueOf("2024-01-01 02:00:00"), 1, "view", 0.0))
+      clicks.addData(UserEvent(23, Timestamp.valueOf("2024-01-01 02:00:00"), 2, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_mem").select("click_id", "view_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((20L, 10L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState milestone alerts: cross-threshold emission and batch-order independence (X6)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.milestoneAlerts(mem.toDF(), threshold = 10.0)
+      .writeStream.format("memory").queryName("mile_mem")
+      .outputMode("append").start()
+    try {
+      // deliberately out of event-time order within the batch
+      mem.addData(
+        UserEvent(2, Timestamp.valueOf("2024-01-01 00:02:00"), 7, "click", 6.0),
+        UserEvent(1, Timestamp.valueOf("2024-01-01 00:01:00"), 7, "click", 5.0),
+        UserEvent(3, Timestamp.valueOf("2024-01-01 00:03:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // sorted replay: 5.0 → 11.0 (crosses 10, milestone 1 at n=2) → 12.0
+      val got = spark.table("mile_mem")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(got === Set((7L, 2L, 11.0, 1L)))
+      // state persists across micro-batches: next event crosses 20
+      mem.addData(UserEvent(4, Timestamp.valueOf("2024-01-01 00:04:00"), 7, "click", 9.0))
+      q.processAllAvailable()
+      val got2 = spark.table("mile_mem")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(got2 === Set((7L, 2L, 11.0, 1L), (7L, 4L, 21.0, 2L)))
+    } finally q.stop()
+  }
 }
