@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Uniform batch write/read over Spark's built-in columnar and text
+  * formats — the storage-breadth axis of the source/sink surface
+  * (reference C3–C5 cover csv/json/jdbc reads; this adds the write
+  * side plus orc, and partitioned layouts for pruning).
+  *
+  * Format quirks handled here so callers cannot get them wrong:
+  *  - csv is written HEADERLESS (the reference's `bcp` load shape,
+  *    `customers.csv`) and must be read back with an explicit schema —
+  *    csv carries no types;
+  *  - json preserves values but not types (everything re-infers) — an
+  *    explicit read schema restores longs vs doubles exactly;
+  *  - parquet/orc are self-describing and support predicate pushdown;
+  *    `partitionBy` produces hive-style directories that partition
+  *    pruning eliminates wholesale at plan time (the 100 TB layout:
+  *    partition on the coarse filter column, let the scan skip
+  *    directories, not rows).
+  */
+object Formats {
+
+  val supported: Seq[String] = Seq("parquet", "orc", "csv", "json")
+
+  def write(df: DataFrame, path: String, format: String,
+            partitionBy: Seq[String] = Nil): Unit = {
+    require(supported.contains(format), s"unsupported format $format")
+    val w0 = df.write.mode("overwrite")
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    format match {
+      case "csv" => w.option("header", "false").csv(path)
+      case "json" => w.json(path)
+      case "orc" => w.orc(path)
+      case "parquet" => w.parquet(path)
+    }
+  }
+
+  def read(spark: SparkSession, path: String, format: String,
+           schema: StructType = null): DataFrame = {
+    require(supported.contains(format), s"unsupported format $format")
+    val r0 = spark.read
+    val r = if (schema != null) r0.schema(schema) else r0
+    format match {
+      case "csv" => r.option("header", "false").csv(path)
+      case "json" => r.json(path)
+      case "orc" => r.orc(path)
+      case "parquet" => r.parquet(path)
+    }
+  }
+}
