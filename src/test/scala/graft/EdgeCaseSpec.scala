@@ -42,6 +42,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.simhashTopK(docs, 5).count() > 0)
   }
 
+  test("round-4 text/selection operators survive degenerate documents") {
+    // empty text ("" → one empty token), single token, sub-bigram docs
+    val rep = TextAnalysis.repetitionStats(docs)
+    assert(rep.count() === 4)
+    // no-bigram docs report NULL top_bigram, never a crash or zero-div
+    assert(rep.filter("doc_id <= 2 AND top_bigram IS NULL").count() === 2)
+    assert(TextAnalysis.piiRedact(docs).count() === 4)
+    val sel = Sampling.budgetSelect(docs, tokenBudget = 3L)
+    // greedy admits while any budget remains before the doc
+    assert(sel.count() >= 1)
+    assert(Sampling.budgetSelect(docs.limit(0), 100L).count() === 0) // empty corpus
+    assert(TextAnalysis.repetitionStats(docs.limit(0)).count() === 0)
+    assert(TextAnalysis.piiRedact(docs.limit(0)).count() === 0)
+  }
+
   test("media stubs survive empty blobs") {
     assert(Multimodal.mediaFeatures(spark, docs).count() === 4)
     assert(Multimodal.resizedSizes(docs).count() === 4)
