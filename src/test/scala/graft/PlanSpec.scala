@@ -66,10 +66,19 @@ class PlanSpec extends AnyFunSuite {
       !read.contains("text"), read)
   }
 
-  test("profile is one scan, not one per column") {
+  test("profile branches are pruned hash aggregations (no Expand, no sort)") {
     val p = planOf("q_profile")
-    // formatted mode prints each scan twice: tree node + detail block
-    assert("Scan parquet".r.findAllIn(p).size === 2, p)
+    // per-column branches: each scan reads exactly its own column —
+    // total bytes ≈ one wide scan — and the exact-distinct machinery
+    // must NOT plan as Expand (the multi-distinct shape that feeds
+    // (|cols|+1)·N rows into one aggregation). String branches still
+    // end in a SortAggregate (immutable string min/max buffers), but
+    // over the DISTINCT values of one column, not the multiplied
+    // input: the value-counts phase below it must be a HashAggregate.
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert("ReadSchema: struct<event_id:bigint>".r.findAllIn(p).nonEmpty, p)
+    assert("ReadSchema: struct<props:string>".r.findAllIn(p).nonEmpty, p)
   }
 
   test("whole-stage codegen covers the pricing summary") {
