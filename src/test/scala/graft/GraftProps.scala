@@ -130,4 +130,47 @@ object GraftProps extends Properties("graft") {
         .select("doc_id", "split").as[(Long, String)].collect().toMap
       half.forall { case (id, s) => full(id) == s }
     }
+
+  private val wordGen = Gen.oneOf("the", "a", "fast", "table", "row", "scan", "value")
+  private val textGen = Gen.chooseNum(1, 30)
+    .flatMap(k => Gen.listOfN(k, wordGen)).map(_.mkString(" "))
+
+  // the distributed prefix-sum selection equals the local greedy on any
+  // corpus and any budget — the scale machinery must never change WHAT
+  // is selected, only WHERE it is computed
+  property("budget select equals the local greedy") =
+    forAll(Gen.chooseNum(2, 25), Gen.chooseNum(5L, 300L), Gen.long) { (n, budget, seed) =>
+      val texts = (0 until n).map { i =>
+        val g = textGen(Gen.Parameters.default.withSize(10),
+          org.scalacheck.rng.Seed(seed + i)).getOrElse("the a")
+        (i.toLong, g, "en", "s", g.length.toLong)
+      }
+      val docs = texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = graft.operators.Sampling.budgetSelect(docs, budget)
+        .select("doc_id").as[Long].collect().toSet
+      // local greedy: admit while cumulative-before < budget
+      var cum = 0L
+      val keep = scala.collection.mutable.Set.empty[Long]
+      graft.operators.TextAnalysis.qualityScore(docs, extraCols = Seq("n_tokens"))
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .as[(Long, Double, Long)].collect()
+        .sortBy { case (id, q, _) => (-q, id) }
+        .foreach { case (id, _, t) => if (cum < budget) keep += id; cum += t }
+      got == keep.toSet
+    }
+
+  // redaction counts are pure functions of content, and the redacted
+  // text never still matches any PII pattern
+  property("pii redaction is idempotent and complete") =
+    forAll(Gen.chooseNum(1, 10), Gen.long) { (n, seed) =>
+      val docs = (0 until n).map { i =>
+        val base = textGen(Gen.Parameters.default.withSize(8),
+          org.scalacheck.rng.Seed(seed + i)).getOrElse("the a")
+        (i.toLong, base + s" u$i@x$i.org 555-000$i 10.0.$i.1", "en", "s", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val once = graft.operators.TextAnalysis.piiRedact(docs)
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "clean_md5")
+        .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+      once.forall { case (_, e, p, ip, _) => e >= 1 && p >= 1 && ip >= 1 }
+    }
 }
