@@ -215,10 +215,14 @@ object TextAnalysis {
       x => x.isNotNull)
     val counts = base.select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("bg"))
-    val top = counts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("bg").as("top_bigram"), col("c").as("top_c"))
+    // argmin over (−count, bigram) ≡ highest count, lexicographically
+    // smallest bigram on ties — a hash aggregate with O(1) state per
+    // doc and map-side partials, where the row_number window would
+    // re-shuffle AND sort every (doc, bigram) row just to keep one
+    val top = counts.groupBy(col("doc_id"))
+      .agg(min_by(struct(col("bg"), col("c")),
+        struct((-col("c")).as("nc"), col("bg"))).as("t"))
+      .select(col("doc_id"), col("t.bg").as("top_bigram"), col("t.c").as("top_c"))
     base.join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         round(lit(1.0) - col("n_distinct") / col("n_tokens").cast("double"), 6)
