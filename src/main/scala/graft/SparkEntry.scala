@@ -89,6 +89,10 @@ object SparkEntry {
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
     "x2_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "x2_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
+    "x2_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
+    // flagship composition: dedup -> quality filter -> decontaminate ->
+    // shard pack, hash-verified END TO END (stage coupling included)
+    "x7_curate" -> ((s, d) => Curation.curate(t(s, d, "documents"))),
     // --- X5 multimodal ---
     "x5_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, t(s, d, "documents"))),
     "x5_mm_join" -> ((s, d) => Multimodal.docEmbeddingJoin(
@@ -521,6 +525,54 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, cell, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    "x2_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc)
+         SELECT vec_id, round(scale, 6) AS scale,
+           CAST(list_reduce(list_transform(q, x -> abs(x)), (a, b) -> a + b) AS BIGINT) AS q_l1,
+           CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS q_sum,
+           list_max(q) AS q_max
+         FROM qq""",
+    "x7_curate" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
+         q AS (SELECT doc_id, round(
+             0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+             0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                    CAST(len(string_split(text,' ')) AS DOUBLE)) +
+             0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                    CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM d1),
+         r AS (SELECT d.doc_id,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality, d.doc_id), 6) AS pr
+           FROM d1 d JOIN q ON d.doc_id = q.doc_id),
+         d2 AS (SELECT d1.* FROM d1 JOIN r ON d1.doc_id = r.doc_id
+           WHERE r.pr >= 0.5 AND d1.doc_id >= 50),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+         d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM ov)),
+         packed AS (SELECT doc_id, lang, source,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(text,' '))) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM d3)
+         SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
+         FROM packed""",
     "x5_media_features" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
          round(list_reduce(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation pipeline — the flagship COMPOSITION
+  * of the X-surface operators, in the order a production training-data
+  * build runs them:
+  *
+  *  1. exact dedup ([[Dedup.fingerprintDedup]]): first-seen doc per
+  *     content fingerprint survives;
+  *  2. per-language quality filter ([[TextAnalysis.qualityFilter]]):
+  *     keep each language's better half, computed over the DEDUPED
+  *     corpus (duplicates must not distort the percentile);
+  *  3. benchmark decontamination ([[Dedup.decontaminate]]): drop
+  *     candidates overlapping an eval document, and the eval docs
+  *     themselves (`doc_id < nBench` never train);
+  *  4. shard packing ([[Sampling.packShards]]): the survivors pack
+  *     into ~`budget`-token shards per source.
+  *
+  * Each stage is individually oracle-checked; this operator's own
+  * oracle replays the full chain in one SQL statement, so the
+  * COMPOSITION is hash-verified too — stage coupling bugs (a filter
+  * computed pre-dedup, a shard packed over dropped docs) cannot hide.
+  *
+  * Scale shape: every stage is a narrow projection, a hash join on
+  * doc_id, or an already-audited stage; nothing here introduces a new
+  * shuffle beyond the components'. Flags are computed on the RAW
+  * corpus (contamination depends only on text, which no upstream
+  * stage rewrites), so the decontamination index builds once.
+  */
+object Curation {
+
+  def curate(documents: DataFrame, nBench: Long = 50L,
+             shardBudget: Long = 500L): DataFrame = {
+    val survivors = documents.join(
+      Dedup.fingerprintDedup(documents).select(col("keep_id").as("doc_id")),
+      "doc_id")
+    val qualityKeep = TextAnalysis.qualityFilter(survivors).select("doc_id")
+    val candidates = survivors.join(qualityKeep, "doc_id")
+      .filter(col("doc_id") >= nBench)
+    val flagged = Dedup.decontaminate(documents, nBench).select("doc_id").distinct()
+    val clean = candidates.join(flagged, Seq("doc_id"), "left_anti")
+    Sampling.packShards(clean, shardBudget)
+      .join(clean.select(col("doc_id"), col("lang")), "doc_id")
+  }
+}

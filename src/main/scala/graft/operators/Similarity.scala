@@ -326,6 +326,31 @@ object Similarity {
         round(col("col.score"), 6).as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** X2 int8 embedding quantization — the storage/bandwidth halving
+    * every large vector corpus applies before indexing (4 bytes →
+    * 1 byte per dim). Symmetric max-abs scaling: scale = max|v|/127,
+    * qᵢ = clamp(⌊vᵢ/scale + 0.5⌋, ±127). `floor(x + 0.5)` is used on
+    * BOTH engines instead of `round` — half-up for negatives too,
+    * where engine `round` functions disagree on ties — and the
+    * zero-vector guards division explicitly (ANSI Spark throws on
+    * double x/0, DuckDB yields ±inf: neither is wanted). Output is
+    * scalar checksums (L1 norm, signed sum, max) so the driver
+    * compare never sorts an array column. Narrow per-row transform,
+    * no shuffle. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("v"), x => abs(x))) / lit(127.0)
+    val q = transform(col("v"), x =>
+      least(greatest(floor(x / col("scale") + lit(0.5)), lit(-127L)), lit(127L)))
+    withVec(embeddings)
+      .withColumn("scale", scale)
+      .withColumn("q", when(col("scale") === 0.0,
+        transform(col("v"), _ => lit(0L))).otherwise(q))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_max(col("q")).as("q_max"))
+  }
+
   /** X2 IVF-flat ANN with fixed seed centroids (vec_id < nCells):
     * every vector is assigned to its max-cosine centroid (tie → lowest
     * centroid id); a query probes its `nProbe` closest cells (standard

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import graft.functions.RollingHash
 
 /** Semantics tests for X1/X3/X4 on hand-made documents (value-level
@@ -204,6 +204,35 @@ class TextDedupSpec extends AnyFunSuite {
       === got.length.toLong)
     // admitted docs all started under budget; kept set is quality-topped
     assert(got.forall { case (_, _, n, cum) => cum - n < budget })
+  }
+
+  test("curation pipeline: every stage's invariant holds on the composed output") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val out = Curation.curate(d, nBench = 10L)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    // no benchmark docs in the training output
+    assert(ids.forall(_ >= 10L))
+    // no decontamination-flagged docs
+    val flagged = Dedup.decontaminate(d, nBench = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert((ids & flagged).isEmpty)
+    // only fingerprint-dedup survivors
+    val keep = Dedup.fingerprintDedup(d).select("keep_id").as[Long].collect().toSet
+    assert(ids.subsetOf(keep))
+    // shards are dense per source over the kept set
+    val shards = out.select("source", "shard").distinct()
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    assert(shards.values.forall(s => s.sameElements(0L to s.max)))
+  }
+
+  test("int8 quantization reconstructs within one scale step") {
+    val e = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val q = graft.operators.Similarity.quantizeInt8(e)
+      .as[(Long, Double, Long, Long, Long)].collect()
+    assert(q.length === e.count())
+    // |q|max bounded, L1 positive for nonzero vectors, scale >= 0
+    assert(q.forall { case (_, s, l1, _, mx) => mx <= 127 && s >= 0 && l1 >= mx })
   }
 
   test("repetition stats: duplicate-token and top-bigram fractions on a constructed doc") {
