@@ -206,6 +206,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, n, cum) => cum - n < budget })
   }
 
+  test("bpe trainer learns the hand-computed merge sequence deterministically") {
+    // vocab: "aaab"×2, "aab"×1. Pair counts (overlapping, freq-weighted):
+    // (a,a)=2·2+1=5, (a,b)=2+1=3 → merge1 (a,a).
+    // After: aaab=[aa,a,b], aab=[aa,b] → (aa,a)=2, (a,b)=2, (aa,b)=1 →
+    // tie on 2, lexicographic → merge2 (a,b). After: aaab=[aa,ab] →
+    // (aa,ab)=2 → merge3. Then nothing repeats.
+    val d = docs((1L, "aaab aaab aab"))
+    val merges = graft.operators.BpeTrainer.train(d, nMerges = 10)
+    assert(merges === Seq((0, "a", "a"), (1, "a", "b"), (2, "aa", "ab")))
+    val enc = graft.operators.BpeTrainer.encode(d, merges)
+      .as[(Long, Long, String)].head()
+    assert(enc === ((1L, 4L, "aaab aaab aa b")))
+    // re-train is bit-identical (deterministic ties)
+    assert(graft.operators.BpeTrainer.train(d, nMerges = 10) === merges)
+  }
+
   test("curation pipeline: every stage's invariant holds on the composed output") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val out = Curation.curate(d, nBench = 10L)
