@@ -31,6 +31,35 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Materialize a packed corpus as one directory per (source, shard)
+    * — the shard-file build at the end of every training-data
+    * pipeline — plus a MANIFEST the consumer can trust without
+    * re-reading the data: per shard, document count, token count, and
+    * an order-pinned content digest (md5 over doc_id-sorted text, the
+    * groupConcat convention, so the digest is partition-layout
+    * independent).
+    *
+    * The data write is `partitionBy(source, shard)`: each shard lands
+    * as its own hive directory, written in parallel, no global
+    * ordering anywhere. A training reader consumes shards
+    * independently — exactly the layout's point at 100 TB. Shard ids
+    * come from [[Sampling.packShards]], so directory token mass is
+    * bounded by budget + one document. */
+  def exportShards(documents: DataFrame, outDir: String,
+                   shardBudget: Long = 500L): DataFrame = {
+    val packed = Sampling.packShards(documents, shardBudget)
+      .join(documents.select(col("doc_id"), col("text")), "doc_id")
+    packed.write.partitionBy("source", "shard").mode("overwrite").json(outDir)
+    val manifest = packed.groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")))).as("content_md5"))
+    manifest.coalesce(1).write.mode("overwrite").json(s"$outDir/_manifest")
+    manifest
+  }
+
   def curate(documents: DataFrame, nBench: Long = 50L,
              shardBudget: Long = 500L): DataFrame = {
     val survivors = documents.join(
