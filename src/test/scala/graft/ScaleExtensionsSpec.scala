@@ -129,6 +129,34 @@ class ScaleExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("constant"), err.getMessage)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // one hot key carrying most rows: the static plan would grind one
+    // reducer; AQE must re-plan the sort-merge join with the hot
+    // partition split. Thresholds lowered so a local-size corpus
+    // triggers the same machinery a 100 TB skew would.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select(when(col("id") % 100 =!= 0, 0L).otherwise(col("id")).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("p"))
+      val right = spark.range(2000).select(col("id").as("k"), col("id").as("v"))
+      // AQE finalizes per execution: materialize THIS DataFrame's own
+      // QueryExecution (a .count() would plan a different query). Keep
+      // the fat payload in the output or column pruning deflates the
+      // hot partition below the skew threshold.
+      val joined = left.join(right, "k")
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("top_k_by_score aggregates through pure SQL (analyzer wraps the bare AggregateFunction)") {
     GraftFunctions.register(spark)
     val got = spark.sql(

@@ -383,6 +383,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.getLong(4) === 2000)
   }
 
+  test("streaming windowed aggregation equals the batch operator on the same data (unification)") {
+    implicit val sc = spark.sqlContext
+    val events = (0 until 200).map { i =>
+      UserEvent(i.toLong, new Timestamp(1704067200000L + i * 97000L),
+        (i % 7).toLong, if (i % 3 == 0) "click" else "view", (i % 11) * 1.5)
+    }
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.windowedCounts(mem.toDF(), width = "1 hour")
+      .writeStream.format("memory").queryName("unif_mem")
+      .outputMode("complete").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("unif_mem")
+        .select(col("window.start"), col("event_type"), col("n"), col("sum_value"))
+        .collect().toSet
+      // the BATCH X6 operator over the identical rows — same plan text,
+      // different execution mode — must produce identical groups
+      val batch = events.toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("window.start"), col("event_type"), col("n"), col("sum_value"))
+        .collect().toSet
+      assert(streaming === batch && streaming.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks to preceding views (X6)") {
     implicit val sc = spark.sqlContext
     val views = MemoryStream[UserEvent]
