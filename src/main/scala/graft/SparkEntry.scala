@@ -64,6 +64,7 @@ object SparkEntry {
     "x3_tfidf" -> ((s, d) => TextAnalysis.tfidf(t(s, d, "documents"))),
     "x3_group_concat" -> ((s, d) => TextAnalysis.groupConcat(t(s, d, "documents"))),
     "x3_repetition" -> ((s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"))),
+    "x3_chunk" -> ((s, d) => TextAnalysis.chunkDocuments(t(s, d, "documents"))),
     // corpus has no real PII: plant deterministic doc_id-derived PII on
     // both engines, then redact (see TextAnalysis.injectSyntheticPii)
     "x3_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(
@@ -287,6 +288,19 @@ object SparkEntry {
            r.bg AS top_bigram,
            round(r.c / CAST(s.n_tokens - 1 AS DOUBLE), 6) AS top_bigram_frac
          FROM s LEFT JOIN r ON r.doc_id = s.doc_id AND r.rn = 1""",
+    "x3_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         c AS (SELECT doc_id, tk, n,
+             CASE WHEN n <= 64 THEN 1
+                  ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+           FROM t),
+         x AS (SELECT doc_id, tk, n, unnest(range(n_chunks)) AS chunk_id FROM c)
+         SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+           least(64, n - chunk_id * 48) AS n_tok,
+           md5(array_to_string(list_slice(tk, chunk_id * 48 + 1,
+             chunk_id * 48 + least(64, n - chunk_id * 48)), ' ')) AS chunk_md5
+         FROM x""",
     "x3_pii_redact" ->
       """WITH p AS (SELECT doc_id, text
              || CASE WHEN doc_id % 3 = 0 THEN ' u' || doc_id || '@mail.example.com' ELSE '' END

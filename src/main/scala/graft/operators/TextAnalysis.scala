@@ -232,6 +232,34 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Sliding-window document chunking — the context-window preparation
+    * step between curation and tokenization: each document becomes
+    * ⌈(n − chunk)/step⌉ + 1 overlapping chunks of `chunkTokens` tokens
+    * with `overlap` tokens shared between neighbors (step = chunk −
+    * overlap), the last chunk clipped. Chunk identity is
+    * (doc_id, chunk_id) with deterministic token offsets, and the
+    * chunk text ships as an md5 digest (the driver compare never
+    * hashes multi-KB strings; a real pipeline would emit the text).
+    * Narrow generate — `posexplode` over a computed index sequence —
+    * zero shuffle, linear in output chunks. */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 64,
+                     overlap: Int = 16): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val step = chunkTokens - overlap
+    val n = size(col("t")).cast("long")
+    val nChunks = when(n <= chunkTokens, lit(1L))
+      .otherwise(ceil((n - chunkTokens).cast("double") / step).cast("long") + 1L)
+    documents.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0L), nChunks - 1L)))
+      .select(col("doc_id"), col("col").as("chunk_id"),
+        (col("col") * step).as("start_tok"),
+        least(lit(chunkTokens.toLong), n - col("col") * step).as("n_tok"),
+        md5(array_join(slice(col("t"), (col("col") * step + 1L).cast("int"),
+          least(lit(chunkTokens.toLong), n - col("col") * step).cast("int")), " "))
+          .as("chunk_md5"))
+  }
+
   /** Ordered per-group corpus assembly: concatenate each (lang, source)
     * group's documents in doc_id order — the context-assembly /
     * shard-file-build step of a training pipeline. The concatenation

@@ -206,6 +206,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, n, cum) => cum - n < budget })
   }
 
+  test("chunking covers every token with the exact overlap") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val chunks = TextAnalysis.chunkDocuments(d, chunkTokens = 64, overlap = 16)
+      .select("doc_id", "chunk_id", "start_tok", "n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val nTokens = d.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    chunks.foreach { case (doc, cs) =>
+      // chunk 0 starts at 0; neighbors advance by step = 64 - 16
+      assert(cs.head._3 === 0L)
+      cs.sliding(2).filter(_.size == 2).foreach { case Array(a, b) =>
+        assert(b._3 - a._3 === 48L)
+      }
+      // the last chunk reaches exactly the end; all but the last are full
+      assert(cs.last._3 + cs.last._4 === nTokens(doc))
+      assert(cs.init.forall(_._4 === 64L))
+      // a short doc is one clipped chunk
+      if (nTokens(doc) <= 64) assert(cs.length === 1 && cs.head._4 === nTokens(doc))
+    }
+    assert(chunks.keySet === nTokens.keySet) // no document dropped
+  }
+
   test("shard export writes per-shard directories and a trustworthy manifest") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
