@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructType}
+
+/** Int8 quantization statistics of a double vector in ONE compiled
+  * pass: (scale, q_l1, q_sum, q_max) where scale = max|v|/127 and
+  * qᵢ = clamp(⌊vᵢ/scale + 0.5⌋, ±127). Replaces the higher-order
+  * `transform`/`aggregate` formulation, which evaluated six
+  * interpreted lambdas per row (the hot per-element loop belongs in a
+  * kernel — the repo invariant that retired the SimHash lambdas).
+  * Arithmetic matches the DuckDB oracle term for term: double
+  * division, floor(x + 0.5) (half-up incl. negatives, where engine
+  * `round` tie rules differ), clamping in double before the long
+  * cast. A zero (or empty) vector quantizes to all-zero counters. */
+case class QuantizeStats(child: Expression) extends KernelExpression {
+  override def dataType: DataType = QuantizeStats.schema
+
+  override def kernel(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i)); if (a > amax) amax = a; i += 1
+    }
+    val scale = amax / 127.0
+    var l1 = 0L
+    var sum = 0L
+    var qmax = 0L
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        val q0 = math.floor(v.getDouble(i) / scale + 0.5)
+        val q = math.min(math.max(q0, -127.0), 127.0).toLong
+        l1 += math.abs(q); sum += q; if (i == 0 || q > qmax) qmax = q
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](scale, l1, sum, qmax))
+  }
+
+  override protected def withNewChildInternal(c: Expression): QuantizeStats =
+    copy(child = c)
+}
+
+object QuantizeStats {
+  val schema: StructType = new StructType()
+    .add("scale", DoubleType, nullable = false)
+    .add("q_l1", LongType, nullable = false)
+    .add("q_sum", LongType, nullable = false)
+    .add("q_max", LongType, nullable = false)
+
+  def quantize_stats(v: Column): Column =
+    ColumnBridge.column(QuantizeStats(ColumnBridge.expression(v)))
+}

@@ -47,17 +47,25 @@ object Curation {
     * bounded by budget + one document. */
   def exportShards(documents: DataFrame, outDir: String,
                    shardBudget: Long = 500L): DataFrame = {
-    val packed = Sampling.packShards(documents, shardBudget)
-      .join(documents.select(col("doc_id"), col("text")), "doc_id")
-    packed.write.partitionBy("source", "shard").mode("overwrite").json(outDir)
-    val manifest = packed.groupBy(col("source"), col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
-            x => x.getField("text")))).as("content_md5"))
-    manifest.coalesce(1).write.mode("overwrite").json(s"$outDir/_manifest")
-    manifest
+    val spark = documents.sparkSession
+    // one evaluation of the pack+join: cached for the two writes, then
+    // released; the returned manifest re-reads its own file instead of
+    // lazily re-running the whole export on first use
+    val packed = Sampling.packShards(documents, shardBudget, extraCols = Seq("text"))
+      .persist()
+    try {
+      packed.write.partitionBy("source", "shard").mode("overwrite").json(outDir)
+      packed.groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")))).as("content_md5"))
+        .coalesce(1).write.mode("overwrite").json(s"$outDir/_manifest")
+    } finally packed.unpersist(false)
+    spark.read.json(s"$outDir/_manifest")
+      .select(col("source"), col("shard"), col("n_docs"),
+        col("n_tokens"), col("content_md5"))
   }
 
   def curate(documents: DataFrame, nBench: Long = 50L,
@@ -65,12 +73,16 @@ object Curation {
     val survivors = documents.join(
       Dedup.fingerprintDedup(documents).select(col("keep_id").as("doc_id")),
       "doc_id")
-    val qualityKeep = TextAnalysis.qualityFilter(survivors).select("doc_id")
-    val candidates = survivors.join(qualityKeep, "doc_id")
+    // single flow: every intermediate frame feeds exactly ONE consumer
+    // (extraCols thread the payload through), so no stage's subtree is
+    // evaluated twice — a branch-and-rejoin here would re-run the
+    // dedup join and the quality window once per reference
+    val passCols = documents.columns.filterNot(c => c == "doc_id" || c == "lang").toSeq
+    val candidates = TextAnalysis
+      .qualityFilter(survivors, extraCols = passCols)
       .filter(col("doc_id") >= nBench)
     val flagged = Dedup.decontaminate(documents, nBench).select("doc_id").distinct()
     val clean = candidates.join(flagged, Seq("doc_id"), "left_anti")
-    Sampling.packShards(clean, shardBudget)
-      .join(clean.select(col("doc_id"), col("lang")), "doc_id")
+    Sampling.packShards(clean, shardBudget, extraCols = Seq("lang"))
   }
 }

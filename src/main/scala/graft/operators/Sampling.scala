@@ -106,12 +106,20 @@ object Sampling {
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
+    val kept = ranged
       // partitions that start past the budget are pruned wholesale
       .join(broadcast(offDf.filter(col("off") < tokenBudget)), "pid")
       .withColumn("cum", col("off") + sum(col("n_tokens")).over(w))
       .filter(col("cum") - col("n_tokens") < tokenBudget)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum"))
+      // the SELECTED set (bounded by the budget) is cached eagerly so
+      // the full scored corpus — cached only to keep range boundaries
+      // and pids consistent between the offset and output jobs — can
+      // be released instead of pinning executor storage per call
+      .persist()
+    kept.count()
+    ranged.unpersist(false)
+    kept
   }
 
   /** X3/X1 token-budget shard packing (sequence packing): documents are
@@ -121,14 +129,15 @@ object Sampling {
     * source packs independently, and the running sum is the same
     * single-pass prefix computation every engine executes identically
     * (integer arithmetic end to end). */
-  def packShards(documents: DataFrame, budget: Long = 500L): DataFrame = {
+  def packShards(documents: DataFrame, budget: Long = 500L,
+                 extraCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("doc_id") +: col("source") +: extraCols.map(col) :+
+        size(split(col("text"), " ")).cast("long").as("n_tokens"): _*)
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        expr(s"(cum - n_tokens) div $budget").as("shard"))
+      .select(col("doc_id") +: col("source") +: extraCols.map(col) :+
+        col("n_tokens") :+ expr(s"(cum - n_tokens) div $budget").as("shard"): _*)
   }
 }

@@ -338,17 +338,13 @@ object Similarity {
     * compare never sorts an array column. Narrow per-row transform,
     * no shuffle. */
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
-    val scale = array_max(transform(col("v"), x => abs(x))) / lit(127.0)
-    val q = transform(col("v"), x =>
-      least(greatest(floor(x / col("scale") + lit(0.5)), lit(-127L)), lit(127L)))
-    withVec(embeddings)
-      .withColumn("scale", scale)
-      .withColumn("q", when(col("scale") === 0.0,
-        transform(col("v"), _ => lit(0L))).otherwise(q))
-      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
-        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
-        array_max(col("q")).as("q_max"))
+    import graft.functions.QuantizeStats.quantize_stats
+    embeddings
+      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("qs", quantize_stats(col("v")))
+      .select(col("vec_id"), round(col("qs.scale"), 6).as("scale"),
+        col("qs.q_l1").as("q_l1"), col("qs.q_sum").as("q_sum"),
+        col("qs.q_max").as("q_max"))
   }
 
   /** X2 IVF-flat ANN with fixed seed centroids (vec_id < nCells):

@@ -139,12 +139,14 @@ object TextAnalysis {
     * PER LANGUAGE so a high-resource language cannot crowd out the
     * rest. The window partitions by lang (parallel, no global sort);
     * rank ties break on doc_id so the kept set is deterministic. */
-  def qualityFilter(documents: DataFrame, minPr: Double = 0.5): DataFrame = {
+  def qualityFilter(documents: DataFrame, minPr: Double = 0.5,
+                    extraCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
-    qualityScore(documents, extraCols = Seq("lang"))
+    qualityScore(documents, extraCols = "lang" +: extraCols)
       .withColumn("pr", round(percent_rank().over(w), 6))
       .filter(col("pr") >= minPr)
-      .select(col("doc_id"), col("lang"), col("quality"), col("pr"))
+      .select(col("doc_id") +: col("lang") +: extraCols.map(col)
+        :+ col("quality") :+ col("pr"): _*)
   }
 
   /** PII patterns: (name, regex, replacement). The regexes avoid

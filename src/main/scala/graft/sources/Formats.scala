@@ -30,7 +30,11 @@ object Formats {
     val w0 = df.write.mode("overwrite")
     val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
     format match {
-      case "csv" => w.option("header", "false").csv(path)
+      // empty string vs NULL must survive the trip: write empties
+      // QUOTED ("") and nulls as an explicit \N sentinel — with the
+      // defaults both land as a bare empty field and read back NULL
+      case "csv" => w.option("header", "false")
+        .option("emptyValue", "\"\"").option("nullValue", "\\N").csv(path)
       case "json" => w.json(path)
       case "orc" => w.orc(path)
       case "parquet" => w.parquet(path)
@@ -40,10 +44,19 @@ object Formats {
   def read(spark: SparkSession, path: String, format: String,
            schema: StructType = null): DataFrame = {
     require(supported.contains(format), s"unsupported format $format")
+    // csv carries no types: a schema-less read would silently yield
+    // all-string _c0.._cN columns, the exact trap this module exists
+    // to close
+    require(format != "csv" || schema != null,
+      "csv reads require an explicit schema")
     val r0 = spark.read
     val r = if (schema != null) r0.schema(schema) else r0
     format match {
-      case "csv" => r.option("header", "false").csv(path)
+      // mirror of write: quoted "" parses as empty string (reader
+      // emptyValue must stay default — setting it substitutes the
+      // LITERAL option text), \N is NULL
+      case "csv" => r.option("header", "false")
+        .option("nullValue", "\\N").csv(path)
       case "json" => r.json(path)
       case "orc" => r.orc(path)
       case "parquet" => r.parquet(path)

@@ -46,6 +46,14 @@ object GraftStore {
 
   def append(name: String, schema: StructType, rows: Seq[InternalRow]): Unit =
     tables.synchronized {
+      tables.get(name).foreach { case (stored, _) =>
+        // stored rows are UnsafeRows decoded BY POSITION under the
+        // registry schema — silently swapping it would reinterpret old
+        // bytes under new field order/types (garbage, not an error)
+        require(stored == schema,
+          s"graft_orders table '$name' exists with schema ${stored.simpleString}; " +
+            s"append with ${schema.simpleString} is not allowed — overwrite instead")
+      }
       val cur = tables.get(name).map(_._2).getOrElse(Vector.empty)
       tables.put(name, (schema, cur ++ rows))
     }
@@ -53,18 +61,25 @@ object GraftStore {
   def truncate(name: String, schema: StructType): Unit =
     tables.put(name, (schema, Vector.empty))
 
-  def drop(name: String): Unit = { tables.remove(name); epochs.remove(name) }
+  def drop(name: String): Unit = {
+    tables.remove(name)
+    epochs.keys.filter(_.startsWith(s"$name#")).foreach(epochs.remove)
+  }
 
   /** Epoch-idempotent streaming append: Structured Streaming replays a
     * micro-batch whose commit never finished, so a re-delivered epoch
     * must be a no-op — exactly-once lands here, in the SINK's commit,
-    * not in the writer tasks. */
-  def appendEpoch(name: String, schema: StructType, epochId: Long,
-                  rows: Seq[InternalRow]): Unit =
+    * not in the writer tasks. The gate is keyed by (table, queryId):
+    * epoch ids restart at 0 for every fresh checkpoint, so a
+    * table-keyed gate would silently swallow a NEW query's early
+    * batches after an old query had advanced the watermark. */
+  def appendEpoch(name: String, queryId: String, schema: StructType,
+                  epochId: Long, rows: Seq[InternalRow]): Unit =
     tables.synchronized {
-      if (epochs.get(name).forall(_ < epochId)) {
+      val k = s"$name#$queryId"
+      if (epochs.get(k).forall(_ < epochId)) {
         append(name, schema, rows)
-        epochs.put(name, epochId)
+        epochs.put(k, epochId)
       }
     }
 }
@@ -83,7 +98,7 @@ private[v2] class GraftMemTable(tableName: String, tschema: StructType)
       override def build(): Scan = new MemScan(tableName, tschema)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new MemWriteBuilder(tableName, info.schema())
+    new MemWriteBuilder(tableName, info.schema(), info.queryId())
 }
 
 private[v2] class MemScan(table: String, tschema: StructType) extends Scan with Batch {
@@ -112,7 +127,8 @@ private[v2] object MemReaderFactory extends PartitionReaderFactory {
   }
 }
 
-private[v2] class MemWriteBuilder(table: String, wschema: StructType)
+private[v2] class MemWriteBuilder(table: String, wschema: StructType,
+                                  queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   // mode("overwrite") plans TruncateAndAppend through here
@@ -120,18 +136,19 @@ private[v2] class MemWriteBuilder(table: String, wschema: StructType)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new MemBatchWrite(table, wschema, doTruncate)
     override def toStreaming: StreamingWrite =
-      new MemStreamingWrite(table, wschema)
+      new MemStreamingWrite(table, wschema, queryId)
   }
 }
 
 /** Micro-batch sink flavor: same per-task buffering as the batch path,
   * made exactly-once by [[GraftStore.appendEpoch]]'s epoch gate. */
-private[v2] class MemStreamingWrite(table: String, wschema: StructType)
+private[v2] class MemStreamingWrite(table: String, wschema: StructType,
+                                    queryId: String)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     MemStreamWriterFactory
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    GraftStore.appendEpoch(table, wschema, epochId,
+    GraftStore.appendEpoch(table, queryId, wschema, epochId,
       messages.iterator.flatMap(_.asInstanceOf[MemCommit].rows).toVector)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -372,8 +372,14 @@ object StreamPipeline {
         else {
           var (n, cum) = state.getOption.getOrElse((0L, 0.0))
           val out = Iterator.newBuilder[(Long, Long, Double, Long)]
-          // micro-batch arrival order is not event-time order; sort the
-          // batch so milestones attribute to the right running prefix
+          // WITHIN-batch arrival order is not event-time order; sort
+          // the batch so milestones attribute to the right running
+          // prefix. ACROSS batches the fold order is batch order: a
+          // late event (later batch, still inside the watermark) folds
+          // in after larger-timestamp events, so attribution is exact
+          // per batch but batch-boundary-dependent for late data —
+          // full event-time ordering would mean buffering to the
+          // watermark horizon (use the windowed aggregates for that)
           it.toSeq.sortBy(e => (e._2.getTime, e._3)).foreach { e =>
             val before = (cum / threshold).toLong
             n += 1; cum += e._3

@@ -80,12 +80,32 @@ class DataSourceV2Spec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.InternalRow
     val schema = new org.apache.spark.sql.types.StructType().add("x", "long")
     try {
-      GraftStore.appendEpoch("ep", schema, 0L, Seq(InternalRow(1L)))
-      GraftStore.appendEpoch("ep", schema, 1L, Seq(InternalRow(2L)))
-      GraftStore.appendEpoch("ep", schema, 1L, Seq(InternalRow(2L))) // replay
-      GraftStore.appendEpoch("ep", schema, 0L, Seq(InternalRow(1L))) // stale
+      GraftStore.appendEpoch("ep", "qA", schema, 0L, Seq(InternalRow(1L)))
+      GraftStore.appendEpoch("ep", "qA", schema, 1L, Seq(InternalRow(2L)))
+      GraftStore.appendEpoch("ep", "qA", schema, 1L, Seq(InternalRow(2L))) // replay
+      GraftStore.appendEpoch("ep", "qA", schema, 0L, Seq(InternalRow(1L))) // stale
       assert(GraftStore.rowsOf("ep").map(_.getLong(0)) === Vector(1L, 2L))
+      // a NEW query (fresh checkpoint, epochs restart at 0) writing to
+      // the same table must NOT be swallowed by the old query's gate
+      GraftStore.appendEpoch("ep", "qB", schema, 0L, Seq(InternalRow(3L)))
+      assert(GraftStore.rowsOf("ep").map(_.getLong(0)) === Vector(1L, 2L, 3L))
     } finally GraftStore.drop("ep")
+  }
+
+  test("mem-table append rejects a conflicting schema instead of corrupting stored rows") {
+    import graft.sources.v2.GraftStore
+    val a = orders(10, 2)
+    a.write.format("graft_orders").option("table", "sc").mode("overwrite").save()
+    try {
+      val swapped = a.select(col("orderID"), col("id"), col("customerID"), col("amount"))
+      val e = intercept[Exception] {
+        swapped.write.format("graft_orders").option("table", "sc").mode("append").save()
+      }
+      assert(e.getMessage.contains("schema") ||
+        Option(e.getCause).exists(_.getMessage.contains("schema")), e.toString)
+      // the stored rows are untouched
+      assert(spark.read.format("graft_orders").option("table", "sc").load().count() === 10)
+    } finally GraftStore.drop("sc")
   }
 
   test("streaming read honors an id-range predicate (clamped batches)") {

@@ -13,7 +13,12 @@ class FormatsSpec extends AnyFunSuite {
   private def docs = Tables(spark, SparkTestBase.sf0001, "documents")
 
   test("documents round-trip through every supported format") {
-    val src = docs
+    import spark.implicits._
+    // include an EMPTY document: csv's default writer emits it as a
+    // bare empty field, which reads back as NULL — the quoted
+    // emptyValue in Formats.write must preserve it
+    val src = docs.unionByName(Seq((99999L, "", "en", "srcE", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
     val expected = src.collect().toSet
     Formats.supported.foreach { fmt =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft-fmt-$fmt").toString

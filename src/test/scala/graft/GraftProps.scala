@@ -159,18 +159,38 @@ object GraftProps extends Properties("graft") {
       got == keep.toSet
     }
 
-  // redaction counts are pure functions of content, and the redacted
-  // text never still matches any PII pattern
+  // redaction counts every planted class; the redacted text has no
+  // residual match (completeness) and a second pass is the identity
+  // (idempotence) — verified against the operator's own md5 output
   property("pii redaction is idempotent and complete") =
     forAll(Gen.chooseNum(1, 10), Gen.long) { (n, seed) =>
-      val docs = (0 until n).map { i =>
+      import graft.operators.TextAnalysis.piiPatterns
+      val raw = (0 until n).map { i =>
         val base = textGen(Gen.Parameters.default.withSize(8),
           org.scalacheck.rng.Seed(seed + i)).getOrElse("the a")
         (i.toLong, base + s" u$i@x$i.org 555-000$i 10.0.$i.1", "en", "s", 0L)
-      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      }
+      val docs = raw.toDF("doc_id", "text", "lang", "source", "n_chars")
       val once = graft.operators.TextAnalysis.piiRedact(docs)
         .select("doc_id", "n_emails", "n_phones", "n_ips", "clean_md5")
         .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
-      once.forall { case (_, e, p, ip, _) => e >= 1 && p >= 1 && ip >= 1 }
+      val clean = raw.map { case (id, text, _, _, _) =>
+        id -> piiPatterns.foldLeft(text) { case (s, (_, pat, repl)) =>
+          s.replaceAll(pat, repl)
+        }
+      }.toMap
+      once.forall { case (id, e, p, ip, md) =>
+        val c = clean(id)
+        e >= 1 && p >= 1 && ip >= 1 &&
+          // operator md5 equals the reference sequential redaction
+          md == java.security.MessageDigest.getInstance("MD5")
+            .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString &&
+          // completeness: nothing left for any pattern to match
+          piiPatterns.forall { case (_, pat, _) => pat.r.findFirstIn(c).isEmpty } &&
+          // idempotence: redacting the clean text changes nothing
+          piiPatterns.foldLeft(c) { case (s, (_, pat, repl)) =>
+            s.replaceAll(pat, repl)
+          } == c
+      }
     }
 }
