@@ -54,6 +54,8 @@ object SparkEntry {
     "q_string_funcs" -> ((s, d) => Scale.stringFuncs(t(s, d, "customer"))),
     "q_big_spenders" -> ((s, d) => Scale.bigSpenders(t(s, d, "orders"))),
     "q_pivot" -> ((s, d) => Scale.statusPivot(t(s, d, "orders"))),
+    "q_correlated" -> ((s, d) => Scale.smallQtyRevenue(
+      t(s, d, "lineitem"), t(s, d, "part"))),
     // --- X3 text analysis ---
     "x3_textstats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
     "x3_bpe_tokens" -> ((s, d) => TextAnalysis.regexTokenCounts(t(s, d, "documents"))),
@@ -219,6 +221,15 @@ object SparkEntry {
          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
          CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
          FROM orders GROUP BY o_orderpriority""",
+    "q_correlated" ->
+      """SELECT p.p_brand, round(sum(l1.l_extendedprice), 4) AS revenue,
+                count(*) AS n_small
+         FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+         WHERE p.p_size <= 5
+           AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)
+         GROUP BY p.p_brand""",
     "x3_textstats" ->
       """SELECT doc_id, length(text) AS n_chars,
          len(string_split(text, ' ')) AS n_tokens,

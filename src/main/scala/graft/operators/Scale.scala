@@ -124,6 +124,30 @@ object Scale {
       .select(col("o_custkey"), col("spend"))
   }
 
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+    * quantity falls below 20% of their OWN part's average — written as
+    * SQL so Catalyst's subquery DECORRELATION runs (the subquery
+    * rewrites to an aggregate + join; `.explain` shows no per-row
+    * subplan). The correlated average is exact cross-engine:
+    * l_quantity is integer-valued, so sum and sum/count are
+    * bit-deterministic regardless of fold order. One hash join on
+    * partkey + one aggregation — the decorrelated plan a 100 TB run
+    * needs (a per-row subquery would be O(n) scans). */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("lineitem_v")
+    part.createOrReplaceTempView("part_v")
+    spark.sql(
+      """SELECT p.p_brand, round(sum(l1.l_extendedprice), 4) AS revenue,
+                count(*) AS n_small
+         FROM lineitem_v l1 JOIN part_v p ON p.p_partkey = l1.l_partkey
+         WHERE p.p_size <= 5
+           AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem_v l2
+                                WHERE l2.l_partkey = l1.l_partkey)
+         GROUP BY p.p_brand""")
+  }
+
   /** CASE-based pivot: order counts by priority × status — the
     * portable formulation of PIVOT (identical in ANSI SQL). */
   def statusPivot(orders: DataFrame): DataFrame =

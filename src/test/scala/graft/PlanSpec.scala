@@ -81,6 +81,15 @@ class PlanSpec extends AnyFunSuite {
     assert("ReadSchema: struct<props:string>".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("correlated scalar subquery decorrelates to an aggregate + join") {
+    val p = planOf("q_correlated")
+    // a per-row subplan would print scalar-subquery in the physical
+    // plan; decorrelation rewrites it to a partkey-aggregated join —
+    // the only shape that survives scale (O(1) scans, not O(rows))
+    assert(!p.toLowerCase.contains("scalar-subquery"), p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)
