@@ -135,17 +135,23 @@ private[v2] class OrdersGenScanBuilder(numRows: Long, numPartitions: Int)
     * the accepted filters need no post-scan re-evaluation. Everything
     * else (customerID/amount are hash functions of id) stays post-scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // saturating increment: a bare `v + 1` wraps at Long.MaxValue, so
+    // `id > MaxValue` (satisfiable by nothing) would accept-then-match
+    // EVERYTHING and `id <= MaxValue` (satisfiable by all) nothing.
+    // Saturation keeps both exact: ids live in [0, numRows) < MaxValue,
+    // so the unreachable MaxValue endpoint never matters.
+    def inc(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     def bound(f: Filter): Boolean = f match {
       case EqualTo("id", n: Number) =>
-        lo = math.max(lo, n.longValue); hi = math.min(hi, n.longValue + 1); true
+        lo = math.max(lo, n.longValue); hi = math.min(hi, inc(n.longValue)); true
       case GreaterThan("id", n: Number) =>
-        lo = math.max(lo, n.longValue + 1); true
+        lo = math.max(lo, inc(n.longValue)); true
       case GreaterThanOrEqual("id", n: Number) =>
         lo = math.max(lo, n.longValue); true
       case LessThan("id", n: Number) =>
         hi = math.min(hi, n.longValue); true
       case LessThanOrEqual("id", n: Number) =>
-        hi = math.min(hi, n.longValue + 1); true
+        hi = math.min(hi, inc(n.longValue)); true
       case IsNotNull("id") => true // id is never null — trivially exact
       case _ => false
     }

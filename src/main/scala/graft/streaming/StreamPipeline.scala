@@ -205,6 +205,13 @@ object StreamPipeline {
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataCols = batch.columns
+    // the partitioned layout claims these names; a silent collision
+    // would duplicate columns at the write (or worse, partition on the
+    // caller's data column)
+    val reserved = Seq("bucket", "gen", "_bucket", "_pri", "_rn")
+    require(!dataCols.exists(reserved.contains),
+      s"upsert batch columns ${dataCols.mkString(",")} collide with the " +
+        s"sink's reserved names ${reserved.mkString(",")}")
     val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong))
     val keyed = batch.withColumn("_bucket", bucketOf).persist()
     try {

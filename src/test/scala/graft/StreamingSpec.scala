@@ -117,9 +117,17 @@ class StreamingSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       StreamPipeline.upsertBatch(rows(keys.map(k => (k._1, k._2, k._3 + 100)): _*), out, 1L)
-      Thread.sleep(500) // listener bus is async
+      // listener bus is async: poll until the count is quiet rather
+      // than hoping a fixed sleep is long enough on a loaded machine
+      var last = -1
+      var spins = 0
+      while (jobs != last && spins < 15) { last = jobs; Thread.sleep(200); spins += 1 }
     } finally spark.sparkContext.removeSparkListener(listener)
-    assert(jobs < 8, s"bucket merge ran $jobs jobs — looks like one job per bucket again")
+    // the retired per-bucket loop paid ≥ 2·nBuckets jobs (a read + a
+    // write per bucket); the one-shot merge is a small constant — the
+    // margin below stays regression-sensitive while tolerating AQE
+    // stage-count drift across configs
+    assert(jobs < 12, s"bucket merge ran $jobs jobs — looks like one job per bucket again")
     val snap = StreamPipeline.readUpserted(spark, out)
     assert(snap.count() === 32)
     assert(snap.agg(sum(col("amount"))).head.getLong(0) ===
