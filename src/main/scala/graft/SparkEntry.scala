@@ -56,6 +56,7 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Scale.statusPivot(t(s, d, "orders"))),
     "q_correlated" -> ((s, d) => Scale.smallQtyRevenue(
       t(s, d, "lineitem"), t(s, d, "part"))),
+    "q_set_ops" -> ((s, d) => Analytics.priorityOverlap(t(s, d, "orders"))),
     // --- X3 text analysis ---
     "x3_textstats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
     "x3_bpe_tokens" -> ((s, d) => TextAnalysis.regexTokenCounts(t(s, d, "documents"))),
@@ -230,6 +231,16 @@ object SparkEntry {
                                 FROM lineitem l2
                                 WHERE l2.l_partkey = l1.l_partkey)
          GROUP BY p.p_brand""",
+    "q_set_ops" ->
+      """SELECT o_custkey, 'both' AS set_op FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+         UNION ALL
+         SELECT o_custkey, 'only_first' AS set_op FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')""",
     "x3_textstats" ->
       """SELECT doc_id, length(text) AS n_chars,
          len(string_split(text, ' ')) AS n_tokens,

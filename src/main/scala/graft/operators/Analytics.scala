@@ -126,6 +126,19 @@ object Analytics {
         .select(col("o_custkey").as("key")))
       .distinct()
 
+  /** Set operations beyond UNION: customers ordering in BOTH priority
+    * classes (INTERSECT) tagged apart from those ordering ONLY in the
+    * first (EXCEPT). Both plan as distinct-aggregated joins — one
+    * shuffle each on the key, the same shape at any scale. */
+  def priorityOverlap(orders: DataFrame,
+                      pa: String = "1-URGENT", pb: String = "2-HIGH"): DataFrame = {
+    def keysOf(p: String) =
+      orders.filter(col("o_orderpriority") === p).select(col("o_custkey"))
+    keysOf(pa).intersect(keysOf(pb)).withColumn("set_op", lit("both"))
+      .unionAll(keysOf(pa).except(keysOf(pb))
+        .withColumn("set_op", lit("only_first")))
+  }
+
   /** C2 analog on the driver corpus — JSON payload decode. On a real
     * stream this is `from_json` over the Kafka value; here the
     * single-field `props` JSON column of `events`. */
