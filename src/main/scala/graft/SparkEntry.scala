@@ -77,6 +77,7 @@ object SparkEntry {
     "x1_pack_shards" -> ((s, d) => Sampling.packShards(t(s, d, "documents"))),
     "x1_source_cap" -> ((s, d) => Sampling.sourceCap(t(s, d, "documents"))),
     "x1_budget_select" -> ((s, d) => Sampling.budgetSelect(t(s, d, "documents"))),
+    "x1_mixture" -> ((s, d) => Sampling.mixtureSample(t(s, d, "documents"))),
     "x3_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(t(s, d, "documents"))),
     // --- X1/X4 dedup ---
     "x1_first_event" -> ((s, d) => Dedup.firstEventPerKey(t(s, d, "events"))),
@@ -351,6 +352,13 @@ object SparkEntry {
               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
               ELSE 'test' END AS split
          FROM documents""",
+    "x1_mixture" ->
+      """SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 ELSE 0.25 END AS frac
+         FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+           < CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 ELSE 0.25 END
+                  * 1000000 AS BIGINT)""",
     "x1_pack_shards" ->
       """SELECT doc_id, source, n_tokens,
          CAST((cum - n_tokens) // 500 AS BIGINT) AS shard FROM (

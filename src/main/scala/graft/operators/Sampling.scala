@@ -51,6 +51,25 @@ object Sampling {
       .filter(col("rn") <= cap)
   }
 
+  /** X1 source-mixture resampling — the data-mixology step that turns
+    * raw per-source volumes into a TARGET mixture: each source keeps a
+    * deterministic `frac` of its documents (hash threshold on the
+    * doc key, the same retry/backfill-safe rule as [[sampleSplit]] —
+    * `rand()` would re-draw the corpus every run). Upsampling (frac >
+    * 1) is out of scope here: repetition-by-epoch belongs to the
+    * training loader, not the corpus builder. Narrow projection +
+    * filter, zero shuffle at any scale. */
+  def mixtureSample(documents: DataFrame,
+                    targets: Map[String, Double] = Map("src0" -> 1.0, "src1" -> 0.5),
+                    defaultFrac: Double = 0.25): DataFrame = {
+    val frac = targets.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultFrac)) { case (e, (s, f)) =>
+        when(col("source") === s, lit(f)).otherwise(e)
+      }
+    documents.select(col("doc_id"), col("source"), frac.as("frac"))
+      .filter(hash60(col("doc_id")) % 1000000L < (col("frac") * 1000000L).cast("long"))
+  }
+
   /** X1 global token-budget data selection: keep the highest-quality
     * documents (quality desc, doc_id tie-break) until a GLOBAL token
     * budget is exhausted — the "select the best N tokens for this

@@ -206,6 +206,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, n, cum) => cum - n < budget })
   }
 
+  test("mixture resampling hits the per-source target fractions deterministically") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val targets = Map("src0" -> 1.0, "src1" -> 0.5)
+    val kept = graft.operators.Sampling.mixtureSample(d, targets, defaultFrac = 0.25)
+    val keptBySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    val allBySrc = d.groupBy("source").count().as[(String, Long)].collect().toMap
+    allBySrc.foreach { case (src, n) =>
+      val frac = targets.getOrElse(src, 0.25)
+      val got = keptBySrc(src).toDouble / n
+      // small per-source populations → loose tolerance; frac=1 is exact
+      if (frac == 1.0) assert(got === 1.0, s"$src")
+      else assert(math.abs(got - frac) < 0.35, s"$src kept $got want $frac")
+    }
+    // deterministic: the same call keeps the same documents
+    val again = graft.operators.Sampling.mixtureSample(d, targets, defaultFrac = 0.25)
+    assert(kept.exceptAll(again).isEmpty)
+  }
+
   test("chunking covers every token with the exact overlap") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val chunks = TextAnalysis.chunkDocuments(d, chunkTokens = 64, overlap = 16)
