@@ -378,6 +378,7 @@ object StreamPipeline {
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
           var (n, cum) = state.getOption.getOrElse((0L, 0.0))
+          var maxTs = 0L
           val out = Iterator.newBuilder[(Long, Long, Double, Long)]
           // WITHIN-batch arrival order is not event-time order; sort
           // the batch so milestones attribute to the right running
@@ -391,16 +392,18 @@ object StreamPipeline {
             val before = (cum / threshold).toLong
             n += 1; cum += e._3
             val after = (cum / threshold).toLong
+            maxTs = math.max(maxTs, e._2.getTime)
             if (after > before) out += ((user, n, cum, after))
           }
           state.update((n, cum))
-          // first batches run with watermark 0 (epoch) — an absolute
-          // timeout computed from it is in 1970 and already expired by
-          // the time real event times move the watermark, silently
-          // evicting live state; only arm the timer once the watermark
-          // is real
-          if (state.getCurrentWatermarkMs() > 0)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeoutMs)
+          // arm relative to max(watermark, this key's newest event):
+          // first batches run with watermark 0 (epoch), where a
+          // watermark-only base creates an already-expired 1970 timer
+          // that silently evicts live state on the next batch — while
+          // skipping the arm entirely would leave keys seen only
+          // before the first watermark update immortal
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs(), maxTs) + timeoutMs)
           out.result()
         }
     }.toDF("user_id", "n_events", "cum_value", "milestone")

@@ -449,6 +449,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("milestone state evicts after the event-time timeout (unbounded key safety)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.milestoneAlerts(mem.toDF(), threshold = 10.0,
+      watermark = "1 minute", timeoutMs = 60000L)
+      .writeStream.format("memory").queryName("evict_mem")
+      .outputMode("append").start()
+    try {
+      mem.addData(UserEvent(1, Timestamp.valueOf("2024-01-01 00:00:00"), 7, "click", 11.0))
+      q.processAllAvailable() // user 7: cum 11 → milestone 1 (n=1)
+      // push the watermark far past user 7's timeout with OTHER users
+      mem.addData(UserEvent(2, Timestamp.valueOf("2024-01-01 03:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(3, Timestamp.valueOf("2024-01-01 06:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      // user 7 returns: with state EVICTED the counter restarts —
+      // cum 11 crosses the threshold AGAIN at n=1. Retained state
+      // would report (n=3, cum=22, milestone 2) instead.
+      mem.addData(UserEvent(4, Timestamp.valueOf("2024-01-01 06:01:00"), 7, "click", 11.0))
+      q.processAllAvailable()
+      val u7 = spark.table("evict_mem").where(col("user_id") === 7)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      assert(u7 === Seq((7L, 1L, 11.0, 1L), (7L, 1L, 11.0, 1L)),
+        s"state not evicted (retained state would report n=3/cum=22): $u7")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState milestone alerts: cross-threshold emission and batch-order independence (X6)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[UserEvent]
