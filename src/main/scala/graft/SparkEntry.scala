@@ -84,6 +84,7 @@ object SparkEntry {
     "x1_fingerprint_dedup" -> ((s, d) => Dedup.fingerprintDedup(t(s, d, "documents"))),
     "x4_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
     "x4_minhash_pairs" -> ((s, d) => Dedup.minhashBandPairs(t(s, d, "documents"))),
+    "x4_cluster" -> ((s, d) => Dedup.clusterNearDups(t(s, d, "documents"))),
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(t(s, d, "documents"))),
     "x4_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "x4_simhash_topk" -> ((s, d) => Dedup.simhashTopK(t(s, d, "documents"))),
@@ -432,6 +433,39 @@ object SparkEntry {
            FROM sig, (SELECT unnest(range(4)) AS b))
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id""",
+    "x4_cluster" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         band AS (SELECT doc_id, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM sig, (SELECT unnest(range(4)) AS b)),
+         p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id)
+         SELECT doc_id, cluster FROM l3""",
     "x4_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),

@@ -104,6 +104,34 @@ object Dedup {
       .distinct()
   }
 
+  /** X4 near-dup CLUSTERING — the step after candidate pairs: connected
+    * components over the MinHash band-pair graph via `rounds` rounds of
+    * min-label propagation (each round: every node takes the minimum of
+    * its own and its neighbors' labels; one join + one aggregation per
+    * round, all shuffles keyed on doc ids). The round count is BOUNDED
+    * on purpose: near-dup components are overwhelmingly tiny, `rounds`
+    * resolves any component of diameter ≤ rounds, and a run-to-fixpoint
+    * loop at 100 TB needs exactly this code with a convergence check
+    * around it — the bounded form keeps the operator deterministic and
+    * oracle-expressible (the oracle replays the same R rounds).
+    * Isolated documents are their own single-member cluster; the
+    * cluster id is the member-minimum doc_id, so `cluster == doc_id`
+    * marks the canonical survivor of each group. */
+  def clusterNearDups(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    val pairs = minhashBandPairs(documents)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val init = documents.select(col("doc_id"), col("doc_id").as("cluster"))
+    (1 to rounds).foldLeft(init) { (labels, _) =>
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min(col("cluster")).as("nmin"))
+      labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+    }
+  }
+
   /** X4 n-gram Jaccard: top-k most similar document pairs by word
     * 3-gram Jaccard, via the inverted shingle index (explode → self-join
     * on shingle → per-pair intersection count). This is both the exact

@@ -78,6 +78,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.head._2 === 1L && got.head._3 >= 5L)
   }
 
+  test("near-dup clustering merges chains transitively and leaves isolated docs alone") {
+    // 1≈2 and 2≈3 (chained near-dups), 4 unrelated: label propagation
+    // must pull 3 into cluster 1 THROUGH 2, not just direct pairs
+    val base = "a b c d e f g h i j k l"
+    val d = docs(
+      (1L, base), (2L, base + " m"), (3L, base + " m n"),
+      (4L, "q r s t u v w x y z aa bb"))
+    val clusters = Dedup.clusterNearDups(d, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L)
+    assert(clusters(3L) === 1L, s"chain not merged: $clusters")
+    assert(clusters(4L) === 4L)
+    // survivors = cluster representatives
+    assert(clusters.count { case (id, c) => id == c } === 2)
+  }
+
   test("langid picks the dominant stopword language, 'und' when none") {
     val d = docs((1L, "der hund und die katze ist da"),
       (2L, "the cat of a dog and to go"), (3L, "xyz abc"))
