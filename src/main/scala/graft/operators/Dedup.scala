@@ -119,17 +119,24 @@ object Dedup {
     * marks the canonical survivor of each group. */
   def clusterNearDups(documents: DataFrame, rounds: Int = 3): DataFrame = {
     val pairs = minhashBandPairs(documents)
+    // every round references the edge set: without the persist, the
+    // whole signature + band self-join pipeline is embedded (and
+    // re-executed) once per round
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
     val init = documents.select(col("doc_id"), col("doc_id").as("cluster"))
-    (1 to rounds).foldLeft(init) { (labels, _) =>
+    val fin = (1 to rounds).foldLeft(init) { (labels, _) =>
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("cluster")).as("nmin"))
       labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-    }
+    }.persist()
+    fin.count() // materialize the small (doc_id, cluster) result…
+    edges.unpersist(false) // …then release the edge cache
+    fin
   }
 
   /** X4 n-gram Jaccard: top-k most similar document pairs by word

@@ -67,7 +67,11 @@ object Sampling {
         when(col("source") === s, lit(f)).otherwise(e)
       }
     documents.select(col("doc_id"), col("source"), frac.as("frac"))
-      .filter(hash60(col("doc_id")) % 1000000L < (col("frac") * 1000000L).cast("long"))
+      // round, don't truncate: DuckDB's CAST(x AS BIGINT) rounds to
+      // nearest, so a truncating cast here would disagree by one
+      // hash bucket whenever frac·10⁶ is not exactly representable
+      .filter(hash60(col("doc_id")) % 1000000L <
+        round(col("frac") * 1000000L).cast("long"))
   }
 
   /** X1 global token-budget data selection: keep the highest-quality

@@ -135,17 +135,29 @@ object Scale {
     * needs (a per-row subquery would be O(n) scans). */
   def smallQtyRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
-    lineitem.createOrReplaceTempView("lineitem_v")
-    part.createOrReplaceTempView("part_v")
-    spark.sql(
-      """SELECT p.p_brand, round(sum(l1.l_extendedprice), 4) AS revenue,
-                count(*) AS n_small
-         FROM lineitem_v l1 JOIN part_v p ON p.p_partkey = l1.l_partkey
-         WHERE p.p_size <= 5
-           AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-                                FROM lineitem_v l2
-                                WHERE l2.l_partkey = l1.l_partkey)
-         GROUP BY p.p_brand""")
+    // uniquely-named views, dropped after analysis: spark.sql resolves
+    // views INTO the returned plan eagerly, so the frame survives the
+    // drop — and the session's view namespace is left untouched
+    // (fixed names would clobber a caller's views and race concurrent
+    // invocations)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val lv = s"lineitem_$tag"
+    val pv = s"part_$tag"
+    lineitem.createOrReplaceTempView(lv)
+    part.createOrReplaceTempView(pv)
+    try spark.sql(
+      s"""SELECT p.p_brand, round(sum(l1.l_extendedprice), 4) AS revenue,
+                 count(*) AS n_small
+          FROM $lv l1 JOIN $pv p ON p.p_partkey = l1.l_partkey
+          WHERE p.p_size <= 5
+            AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                 FROM $lv l2
+                                 WHERE l2.l_partkey = l1.l_partkey)
+          GROUP BY p.p_brand""")
+    finally {
+      spark.catalog.dropTempView(lv)
+      spark.catalog.dropTempView(pv)
+    }
   }
 
   /** CASE-based pivot: order counts by priority × status — the

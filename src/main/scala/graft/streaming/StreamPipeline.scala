@@ -209,7 +209,9 @@ object StreamPipeline {
     // would duplicate columns at the write (or worse, partition on the
     // caller's data column)
     val reserved = Seq("bucket", "gen", "_bucket", "_pri", "_rn")
-    require(!dataCols.exists(reserved.contains),
+    // case-INsensitive: Spark resolves names case-insensitively by
+    // default, so "Bucket" collides exactly like "bucket" would
+    require(!dataCols.exists(c => reserved.exists(_.equalsIgnoreCase(c))),
       s"upsert batch columns ${dataCols.mkString(",")} collide with the " +
         s"sink's reserved names ${reserved.mkString(",")}")
     val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong))
@@ -374,11 +376,14 @@ object StreamPipeline {
     typed.groupByKey(_._1).flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       (user: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
-       state: GroupState[(Long, Double)]) =>
+       state: GroupState[(Long, Double, Long)]) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
-          var (n, cum) = state.getOption.getOrElse((0L, 0.0))
-          var maxTs = 0L
+          // maxTs is PERSISTED: a batch of only late events must not
+          // shrink the timer below the key's newest-ever event time,
+          // or other keys advancing the watermark would evict a key
+          // whose newest data is still ahead of it
+          var (n, cum, maxTs) = state.getOption.getOrElse((0L, 0.0, 0L))
           val out = Iterator.newBuilder[(Long, Long, Double, Long)]
           // WITHIN-batch arrival order is not event-time order; sort
           // the batch so milestones attribute to the right running
@@ -395,7 +400,7 @@ object StreamPipeline {
             maxTs = math.max(maxTs, e._2.getTime)
             if (after > before) out += ((user, n, cum, after))
           }
-          state.update((n, cum))
+          state.update((n, cum, maxTs))
           // arm relative to max(watermark, this key's newest event):
           // first batches run with watermark 0 (epoch), where a
           // watermark-only base creates an already-expired 1970 timer

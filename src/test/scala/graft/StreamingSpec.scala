@@ -117,11 +117,15 @@ class StreamingSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       StreamPipeline.upsertBatch(rows(keys.map(k => (k._1, k._2, k._3 + 100)): _*), out, 1L)
-      // listener bus is async: poll until the count is quiet rather
-      // than hoping a fixed sleep is long enough on a loaded machine
-      var last = -1
+      // listener bus is async: first wait for ANY job to be delivered
+      // (exiting at jobs=0 would make the assert below pass vacuously),
+      // then poll until the count is quiet
       var spins = 0
+      while (jobs == 0 && spins < 25) { Thread.sleep(200); spins += 1 }
+      var last = -1
+      spins = 0
       while (jobs != last && spins < 15) { last = jobs; Thread.sleep(200); spins += 1 }
+      assert(jobs > 0, "listener bus never delivered a job event")
     } finally spark.sparkContext.removeSparkListener(listener)
     // the retired per-bucket loop paid ≥ 2·nBuckets jobs (a read + a
     // write per bucket); the one-shot merge is a small constant — the
