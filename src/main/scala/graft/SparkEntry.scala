@@ -756,7 +756,7 @@ object SparkEntry {
            last_view_id, last_view_us
          FROM w WHERE event_type = 'click'""",
     "x6_interval_join" ->
-      """SELECT DISTINCT e1.user_id, e1.event_id AS a_id, e2.event_id AS b_id,
+      """SELECT e1.user_id, e1.event_id AS a_id, e2.event_id AS b_id,
          epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
          FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
            AND epoch_us(e2.ts) > epoch_us(e1.ts)

@@ -48,7 +48,10 @@ object TemporalJoins {
     * 0 < ts_b − ts_a ≤ `toleranceSec`, via time-bin bucketing. Each
     * left event joins only the two bins its tolerance window can
     * reach — an equi-join on (user_id, bin) — then the exact interval
-    * predicate filters residuals. */
+    * predicate filters residuals. No dedup pass is needed: a matching
+    * pair has b_us − a_us in (0, tol], so bin(b) is bin(a) or
+    * bin(a)+1, and the left side emits those two DISTINCT bin values
+    * exactly once each — every pair meets in exactly one joined row. */
   def intervalPairs(events: DataFrame, toleranceSec: Long = 60): DataFrame = {
     val tolUs = toleranceSec * 1000000L
     val a = events.select(col("user_id"), col("event_id").as("a_id"),
@@ -65,6 +68,5 @@ object TemporalJoins {
       .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + tolUs)
       .select(col("user_id"), col("a_id"), col("b_id"),
         (col("b_us") - col("a_us")).as("gap_us"))
-      .distinct()
   }
 }
