@@ -36,26 +36,45 @@ object Bench {
     // (time-to-failure) but it carries an "errors" entry and decrements
     // "ok", so a query broken only at bench scale cannot hide behind a
     // normal-looking metric line.
+    //
+    // Each query is consumed TWICE: the first (cold) run pays that
+    // query's codegen/JIT/first-parquet-touch, the second (warm) run is
+    // the plan's steady-state cost — the number a plan regression shows
+    // up in. Previous rounds reported cold only, and a 2× plan
+    // regression could hide inside seconds of codegen noise (e.g.
+    // x4_cluster: 6.1 s cold vs 0.2 s warm at sf0.1).
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { consume(fn(spark, sfDir)); None } catch {
-        case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}")
+      def run(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try { consume(fn(spark, sfDir)); None } catch {
+          case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}")
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val (cold, err1) = run()
+      // don't re-run (and double-count the time of) a failing query
+      val (warm, err) = if (err1.isDefined) (cold, err1) else run()
+      (name, cold, warm, err)
     }
     // control chars (tabs, stray \r) inside exception text would break
     // the JSON line even after taking the first linesIterator line
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\p{Cntrl}]", " ") + "\""
-    val qs = timed.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = timed.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val qs = timed.map { case (k, c, w, _) =>
+      s"""${jstr(k)}:{"cold":$c,"warm":$w}"""
+    }.mkString("{", ",", "}")
+    val errs = timed.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
+    // "value" stays the sum of COLD runs so it remains comparable with
+    // earlier rounds' single-run totals; "value_warm" is the
+    // steady-state total.
     val total = timed.map(_._2).sum
-    val ok = timed.count(_._3.isEmpty)
+    val totalWarm = timed.map(_._3).sum
+    val ok = timed.count(_._4.isEmpty)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$ok,"failed":${timed.size - ok},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_warm":$totalWarm,"queries":$qs,"ok":$ok,"failed":${timed.size - ok},"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // sbt interleaves Spark logs with stdout; also drop the metric on a
     // clean channel (a file) so harnesses can parse it reliably.

@@ -35,7 +35,9 @@ class TemporalJoinsSpec extends AnyFunSuite {
       (4L, "2024-01-01 00:01:31", 7L, "view"),   // gap 61s ✗
       (5L, "2024-01-01 00:01:00", 8L, "view"))   // other user
     val got = TemporalJoins.intervalPairs(e, 60)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L)))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    // sorted Seq, not Set: intervalPairs emits each qualifying pair
+    // EXACTLY once (no trailing distinct), so multiplicity is asserted too
+    assert(got === Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 }
