@@ -429,10 +429,14 @@ object SparkEntry {
          sig AS (SELECT doc_id, list_transform(range(16),
              i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
            FROM t),
-         band AS (SELECT doc_id, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
-           FROM sig, (SELECT unnest(range(4)) AS b))
-         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id""",
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep)
+         SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp""",
     "x4_cluster" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          t AS (SELECT doc_id, list_transform(
@@ -443,10 +447,14 @@ object SparkEntry {
          sig AS (SELECT doc_id, list_transform(range(16),
              i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
            FROM t),
-         band AS (SELECT doc_id, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
-           FROM sig, (SELECT unnest(range(4)) AS b)),
-         p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
          e AS (SELECT doc_a AS src, doc_b AS dst FROM p
                UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
          l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),

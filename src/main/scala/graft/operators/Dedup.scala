@@ -83,25 +83,51 @@ object Dedup {
       .toDF("doc_id", "perm", "minhash")
 
   /** X4 LSH banding over the MinHash signature: 4 bands × 4 rows; docs
-    * sharing any band key become candidate near-dup pairs. The
-    * self-join shuffles on (band, key) — band-key cardinality scales
-    * with corpus size, so no hot partition; at 100 TB add salting on
-    * degenerate band keys (all-equal signatures). The repartition on
-    * the band key doubles as the exchange both join sides reuse
+    * sharing any band key become candidate near-dups. Output is a
+    * SPANNING edge set of the candidate graph (same connected
+    * components as the naive all-pairs band join, O(docs + colliding
+    * signature pairs) rows instead of O(pairs)):
+    *
+    *   - STAR edges inside each identical-signature group: the group
+    *     representative (minimum doc_id) paired with every other
+    *     member. A degenerate cluster of m exact near-dups costs m
+    *     rows and O(m) join work — the naive band self-join put all m
+    *     rows in ONE (band, key) bucket and did m²/2 comparisons in a
+    *     single task, the skew that kills a duplicate-heavy corpus at
+    *     100 TB (dedup's actual input).
+    *   - CROSS edges from the band self-join over DISTINCT signatures
+    *     only (one row per signature per band, keyed by the group
+    *     representative), so identical-signature mass never multiplies
+    *     inside a band bucket.
+    *
+    * Downstream clustering ([[clusterNearDups]]) is component-
+    * equivalent: two docs share a component iff they did under the
+    * all-pairs formulation. The repartition on the signature is the
+    * exchange the group-by AND the star join both reuse
     * (ReuseExchange), so signatures are computed once. */
   def minhashBandPairs(documents: DataFrame): DataFrame = {
-    val bands = wideEnough(documents, 3)
+    val sigs = wideEnough(documents, 3)
       .withColumn("sig", minhash_sig(shingle_hashes(col("text"), 3, P), NumPerms, P))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("sig"))
+      .repartition(col("sig"))
+    val reps = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
+    val stars = sigs.join(reps, Seq("sig"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val bands = reps
+      .select(col("rep"),
         posexplode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)),
           b => concat_ws(":", slice(col("sig"), b * BandRows + 1, lit(BandRows))))))
-      .toDF("doc_id", "band", "key")
+      .toDF("rep", "band", "key")
       .repartition(col("band"), col("key"))
-    bands.alias("x").join(bands.alias("y"),
+    val cross = bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("doc_a"), col("y.rep").as("doc_b"))
       .distinct()
+    // star and cross edges are disjoint by construction (a star's doc_b
+    // is never a group representative), so the union is already a set
+    stars.unionByName(cross)
   }
 
   /** X4 near-dup CLUSTERING — the step after candidate pairs: connected
@@ -110,10 +136,11 @@ object Dedup {
     * its own and its neighbors' labels; one join + one aggregation per
     * round, all shuffles keyed on doc ids). The round count is BOUNDED
     * on purpose: near-dup components are overwhelmingly tiny, `rounds`
-    * resolves any component of diameter ≤ rounds, and a run-to-fixpoint
-    * loop at 100 TB needs exactly this code with a convergence check
-    * around it — the bounded form keeps the operator deterministic and
-    * oracle-expressible (the oracle replays the same R rounds).
+    * resolves any component of diameter ≤ rounds, and the bounded form
+    * keeps the operator deterministic and oracle-expressible (the
+    * oracle replays the same R rounds). For unknown-diameter graphs
+    * use [[clusterNearDupsFixpoint]] — the same round wrapped in a
+    * convergence loop.
     * Isolated documents are their own single-member cluster; the
     * cluster id is the member-minimum doc_id, so `cluster == doc_id`
     * marks the canonical survivor of each group. */
@@ -122,22 +149,77 @@ object Dedup {
     // every round references the edge set: without the persist, the
     // whole signature + band self-join pipeline is embedded (and
     // re-executed) once per round
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+    val edges = symmetrize(pairs).persist()
     val init = documents.select(col("doc_id"), col("doc_id").as("cluster"))
-    val fin = (1 to rounds).foldLeft(init) { (labels, _) =>
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min(col("cluster")).as("nmin"))
-      labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-    }.persist()
+    val fin = (1 to rounds).foldLeft(init)((labels, _) => propagateRound(labels, edges))
+      .persist()
     fin.count() // materialize the small (doc_id, cluster) result…
     edges.unpersist(false) // …then release the edge cache
     fin
   }
+
+  /** Both directions of an undirected (doc_a, doc_b) pair set. */
+  private def symmetrize(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+
+  /** One min-label-propagation round: every node takes the minimum of
+    * its own and its neighbors' labels. One join + one aggregation,
+    * all shuffles keyed on doc ids. */
+  private def propagateRound(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val nbrMin = edges
+      .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+      .groupBy(col("src").as("doc_id")).agg(min(col("cluster")).as("nmin"))
+    labels.join(nbrMin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+  }
+
+  /** Run-to-FIXPOINT connected components over an explicit edge set:
+    * the production form of [[clusterNearDups]], for graphs whose
+    * component diameter is unknown. Each iteration is one
+    * [[propagateRound]]; convergence is detected by the label-sum agg
+    * (labels only ever decrease, so the sum is strictly monotone until
+    * the fixpoint — one O(1)-to-driver scalar per round, no row-level
+    * diff join). Round count to converge = max component diameter
+    * (tiny for near-dup graphs); `maxRounds` is a runaway guard, not a
+    * semantic bound. Decimal(38) sum: a 64-bit sum of 10^11 doc ids
+    * overflows long. */
+  def clusterEdgesFixpoint(nodes: DataFrame, pairs: DataFrame,
+                           maxRounds: Int = 50): DataFrame = {
+    def labelSum(labels: DataFrame): java.math.BigDecimal =
+      Option(labels.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    val edges = symmetrize(pairs).persist()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster")).persist()
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = propagateRound(labels, edges).persist()
+      val s = labelSum(next)
+      if (s.compareTo(prevSum) == 0) {
+        next.unpersist(false)
+        converged = true
+      } else {
+        labels.unpersist(false)
+        labels = next
+        prevSum = s
+        round += 1
+      }
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** Fixpoint near-dup clustering over the MinHash band-pair graph —
+    * [[clusterNearDups]] without the bounded-round caveat: a chain of
+    * any diameter fully merges. (The bounded form stays the
+    * oracle-checked query; a data-dependent round count is not
+    * expressible as one static SQL statement.) */
+  def clusterNearDupsFixpoint(documents: DataFrame, maxRounds: Int = 50): DataFrame =
+    clusterEdgesFixpoint(documents.select(col("doc_id")),
+      minhashBandPairs(documents), maxRounds)
 
   /** X4 n-gram Jaccard: top-k most similar document pairs by word
     * 3-gram Jaccard, via the inverted shingle index (explode → self-join

@@ -94,6 +94,100 @@ class TextDedupSpec extends AnyFunSuite {
     assert(clusters.count { case (id, c) => id == c } === 2)
   }
 
+  test("degenerate minhash groups emit star edges, not cluster-squared band pairs") {
+    // 1000 identical docs (one signature group) + 2 unrelated docs: the
+    // old all-pairs band join put all 1000 rows in one (band, key)
+    // bucket and emitted ~500k pairs from a single task; the spanning
+    // form emits exactly n-1 star edges rooted at the min doc_id
+    val dup = (0L until 1000L).map(i => (i, "x y z w v u t s r q"))
+    val d = docs(dup ++ Seq(
+      (2000L, "completely different words here one two three"),
+      (2001L, "nothing shared with any other document at all")): _*)
+    val pairs = Dedup.minhashBandPairs(d).as[(Long, Long)].collect()
+    val starEdges = pairs.filter { case (a, b) => a == 0L && b < 1000L }
+    assert(starEdges.length === 999)
+    assert(starEdges.map(_._2).toSet === (1L until 1000L).toSet)
+    // no within-group pair that skips the representative
+    assert(!pairs.exists { case (a, b) => a > 0L && a < 1000L && b < 1000L })
+    // total row count is O(n + signature collisions), nowhere near n²/2
+    assert(pairs.length < 1100)
+  }
+
+  test("spanning band pairs keep the exact connected components of the all-pairs form") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    // naive all-pairs band join — the pre-round-8 formulation, kept
+    // here as the semantic reference for component equivalence
+    import graft.functions.TextSignatureColumns._
+    val naive = {
+      val bands = d.filter(size(split(col("text"), " ")) >= 3)
+        .withColumn("sig", minhash_sig(shingle_hashes(col("text"), 3, Dedup.P),
+          Dedup.NumPerms, Dedup.P))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(Dedup.NumPerms / Dedup.BandRows - 1)),
+            b => concat_ws(":", slice(col("sig"), b * Dedup.BandRows + 1, lit(Dedup.BandRows))))))
+        .toDF("doc_id", "band", "key")
+      bands.alias("x").join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+    }
+    def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val got = components(Dedup.minhashBandPairs(d).as[(Long, Long)].collect().toSeq)
+    val want = components(naive.as[(Long, Long)].collect().toSeq)
+    assert(got === want)
+  }
+
+  test("fixpoint clustering merges a diameter-6 chain the bounded form cannot") {
+    // path graph 0-1-2-3-4-5-6 plus isolated node 9: after 3 bounded
+    // rounds node 6 only sees labels within distance 3; the fixpoint
+    // loop keeps going until the whole chain carries label 0
+    val nodes = (0L to 6L).map(Tuple1(_)).toDF("doc_id")
+      .union(Seq(Tuple1(9L)).toDF("doc_id"))
+    val pairs = (0L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val fixed = Dedup.clusterEdgesFixpoint(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 6L).forall(fixed(_) == 0L), s"chain not merged: $fixed")
+    assert(fixed(9L) === 9L)
+    // the bounded 3-round form under-merges the same graph (this is
+    // exactly the gap the fixpoint variant closes)
+    val bounded = {
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      (1 to 3).foldLeft(nodes.select(col("doc_id"), col("doc_id").as("cluster"))) {
+        (labels, _) =>
+          val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(col("src").as("doc_id")).agg(min(col("cluster")).as("nmin"))
+          labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      }.as[(Long, Long)].collect().toMap
+    }
+    assert(bounded(6L) !== 0L)
+  }
+
+  test("fixpoint near-dup clustering agrees with the bounded form on shallow graphs") {
+    val base = "a b c d e f g h i j k l"
+    val d = docs(
+      (1L, base), (2L, base + " m"), (3L, base + " m n"),
+      (4L, "q r s t u v w x y z aa bb"))
+    val fixed = Dedup.clusterNearDupsFixpoint(d).as[(Long, Long)].collect().toMap
+    val bounded = Dedup.clusterNearDups(d).as[(Long, Long)].collect().toMap
+    assert(fixed === bounded)
+  }
+
   test("langid picks the dominant stopword language, 'und' when none") {
     val d = docs((1L, "der hund und die katze ist da"),
       (2L, "the cat of a dog and to go"), (3L, "xyz abc"))
