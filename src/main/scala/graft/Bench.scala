@@ -37,12 +37,15 @@ object Bench {
     // "ok", so a query broken only at bench scale cannot hide behind a
     // normal-looking metric line.
     //
-    // Each query is consumed TWICE: the first (cold) run pays that
-    // query's codegen/JIT/first-parquet-touch, the second (warm) run is
-    // the plan's steady-state cost — the number a plan regression shows
-    // up in. Previous rounds reported cold only, and a 2× plan
-    // regression could hide inside seconds of codegen noise (e.g.
-    // x4_cluster: 6.1 s cold vs 0.2 s warm at sf0.1).
+    // Each query is consumed FOUR times: the first (cold) run pays that
+    // query's codegen/JIT/first-parquet-touch; the next three are warm
+    // and "warm" reports their MEDIAN — the plan's steady-state cost,
+    // the number a plan regression shows up in. Previous rounds
+    // reported a single warm run, and two consecutive benches were
+    // poisoned by transient machine load (r6→r7 phantom improvement,
+    // r7→r8 phantom 2–10× regressions on byte-identical code); a
+    // median of 3 survives one loaded pass. Cold stays single-run by
+    // nature (first-touch cost exists once).
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -54,8 +57,13 @@ object Bench {
       }
       val (cold, err1) = run()
       // don't re-run (and double-count the time of) a failing query
-      val (warm, err) = if (err1.isDefined) (cold, err1) else run()
-      (name, cold, warm, err)
+      if (err1.isDefined) (name, cold, cold, err1)
+      else {
+        val warms = Seq.fill(3)(run())
+        val err = warms.flatMap(_._2).headOption
+        val warm = warms.map(_._1).sorted.apply(1) // median of 3
+        (name, cold, warm, err)
+      }
     }
     // control chars (tabs, stray \r) inside exception text would break
     // the JSON line even after taking the first linesIterator line

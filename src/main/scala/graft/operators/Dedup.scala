@@ -145,16 +145,30 @@ object Dedup {
     * cluster id is the member-minimum doc_id, so `cluster == doc_id`
     * marks the canonical survivor of each group. */
   def clusterNearDups(documents: DataFrame, rounds: Int = 3): DataFrame = {
-    val pairs = minhashBandPairs(documents)
-    // every round references the edge set: without the persist, the
-    // whole signature + band self-join pipeline is embedded (and
-    // re-executed) once per round
-    val edges = symmetrize(pairs).persist()
+    // persist the DIRECTED pair set, not the symmetrized edges: every
+    // round references the edges, and symmetrize unions the pair plan
+    // with itself — persisting only downstream of the union would run
+    // the whole signature + band self-join pipeline TWICE (once per
+    // direction) when the cache materializes. Symmetrize over the
+    // cache is two cheap cache scans per round instead.
+    val pairs = minhashBandPairs(documents).persist()
+    val edges = symmetrize(pairs)
+    // each round persists LAZILY: propagateRound references its input
+    // labels twice (neighbor-min join + outer join), so an unpersisted
+    // fold nests the round plans exponentially and their codegen
+    // dominated cold time (~5 s at sf0.1 for work that executes warm
+    // in <1 s). Marking each round cacheable substitutes an
+    // InMemoryRelation at PLANNING time — every round's plan stays
+    // flat — while the single final count materializes the whole
+    // cascade in one job (eager per-round counts would pay 3 jobs'
+    // scheduling every run, tripling warm time).
     val init = documents.select(col("doc_id"), col("doc_id").as("cluster"))
-    val fin = (1 to rounds).foldLeft(init)((labels, _) => propagateRound(labels, edges))
-      .persist()
-    fin.count() // materialize the small (doc_id, cluster) result…
-    edges.unpersist(false) // …then release the edge cache
+    val rounds_ = (1 to rounds).scanLeft(init)((labels, _) =>
+      propagateRound(labels, edges).persist())
+    val fin = rounds_.last
+    fin.count()
+    rounds_.drop(1).dropRight(1).foreach(_.unpersist(false))
+    pairs.unpersist(false)
     fin
   }
 
@@ -190,7 +204,11 @@ object Dedup {
     def labelSum(labels: DataFrame): java.math.BigDecimal =
       Option(labels.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    val edges = symmetrize(pairs).persist()
+    // persist the directed pairs, symmetrize over the cache — see
+    // clusterNearDups for why persisting only the symmetrized union
+    // would evaluate the pair pipeline twice
+    val cached = pairs.persist()
+    val edges = symmetrize(cached)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster")).persist()
     var prevSum = labelSum(labels)
     var round = 0
@@ -208,7 +226,7 @@ object Dedup {
         round += 1
       }
     }
-    edges.unpersist(false)
+    cached.unpersist(false)
     labels
   }
 

@@ -21,14 +21,17 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       println(s"========== $name ==========")
+      // time CONSTRUCTION + execution: eager operators (x4_cluster's
+      // propagation rounds, simhashTopK's certificate) do their real
+      // work inside queries() — timing only count() would miss it
+      val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
       if (time) {
-        val t0 = System.nanoTime()
         val n = df.count()
         println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
       }
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }
