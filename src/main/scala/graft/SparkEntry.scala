@@ -592,12 +592,40 @@ object SparkEntry {
              FROM embeddings),
          n AS (SELECT vec_id, v,
              sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
-         c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
-         rk AS (SELECT t.vec_id, t.v, t.nrm, c.c_id,
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
                row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                 list_reduce(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*t.v[i]),
-                   (x,y) -> x+y) / (c.cn * t.nrm) DESC, c.c_id) AS ar
-             FROM n t, c),
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, t.v, t.nrm, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
          asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM rk WHERE ar = 1),
          prb AS (SELECT vec_id AS q_id, c_id AS cell FROM rk
            WHERE ar <= 4 AND vec_id < 20),

@@ -347,19 +347,73 @@ object Similarity {
         col("qs.q_max").as("q_max"))
   }
 
-  /** X2 IVF-flat ANN with fixed seed centroids (vec_id < nCells):
-    * every vector is assigned to its max-cosine centroid (tie → lowest
-    * centroid id); a query probes its `nProbe` closest cells (standard
-    * IVF multi-probe — single-probe recall was ~0.52 on this corpus
-    * because the nearest neighbor often sits just across a cell
-    * boundary). At scale the cell id partitions the index — probing
-    * more cells = joining more cell ids, never a full scan; candidate
-    * volume grows linearly in nProbe. */
+  /** Deterministic spherical k-means for the IVF coarse quantizer:
+    * `rounds` Lloyd iterations from the fixed seeds (vec_id < nCells).
+    * Each round assigns every vector to its max-cosine centroid
+    * (tie → lowest centroid id, the same rule the query-time
+    * assignment uses) and recomputes each centroid as the per-dimension
+    * mean of its members, ROUNDED to 6 decimals — the rounding is what
+    * makes the trained centroids reproducible across engines (the
+    * group sums fold in engine-dependent order; 1e-15 noise dies at
+    * the 6th decimal), so the DuckDB oracle replays training exactly.
+    * An empty cell keeps its previous centroid. The round count is
+    * FIXED, not convergence-tested: a data-dependent stop is neither
+    * oracle-expressible nor reproducible under resharding.
+    *
+    * Scale shape per round: one broadcast of nCells centroids against
+    * the streaming vector set, one (cell, dim)-keyed partial-agg sum
+    * (map-side combine reduces each partition to nCells·dims rows),
+    * and an O(nCells·dims) collect — centroids live on the driver
+    * between rounds (they are the k-means MODEL, not data; 8×64
+    * doubles here), so round plans stay flat and query plans embed
+    * the trained centroids as a local relation. */
+  private[operators] def kmeansCentroids(all: DataFrame, nCells: Int,
+                                         rounds: Int): Seq[(Long, Seq[Double])] = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Double])] =
+      all.filter(col("vec_id") < nCells).select(col("vec_id"), col("v"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    for (_ <- 1 to rounds) {
+      val cdf = cents.toDF("c_id", "cv")
+        .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last,
+          col("c_id"))
+      val assigned = all.crossJoin(broadcast(cdf))
+        .withColumn("ar", row_number().over(w)).filter(col("ar") === 1)
+        .select(col("c_id").as("cell"), col("v"))
+      val means = assigned.select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
+          x => round(x.getField("s") / x.getField("cnt"), 6)).as("cv"))
+        .as[(Long, Seq[Double])].collect().toMap
+      cents = cents.map { case (id, cv) => (id, means.getOrElse(id, cv)) }
+    }
+    cents
+  }
+
+  /** X2 IVF-flat ANN with k-means-TRAINED centroids: `trainRounds`
+    * deterministic Lloyd iterations from the fixed seeds
+    * ([[kmeansCentroids]]), then every vector is assigned to its
+    * max-cosine centroid (tie → lowest centroid id); a query probes
+    * its `nProbe` closest cells (standard IVF multi-probe —
+    * single-probe recall was ~0.52 on this corpus with UNtrained seed
+    * centroids because arbitrary seeds don't balance the cells; the
+    * nearest neighbor often sits just across a cell boundary). At
+    * scale the cell id partitions the index — probing more cells =
+    * joining more cell ids, never a full scan; candidate volume grows
+    * linearly in nProbe. */
   def annIvf(embeddings: DataFrame, nCells: Int = 8,
-             nQueries: Int = 20, k: Int = 3, nProbe: Int = 4): DataFrame = {
+             nQueries: Int = 20, k: Int = 3, nProbe: Int = 4,
+             trainRounds: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val all = withVec(embeddings)
-    val cents = all.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val cents = kmeansCentroids(all, nCells, trainRounds).toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last, col("c_id"))
     val ranked = all.crossJoin(broadcast(cents))

@@ -103,8 +103,10 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     val recall = bf.keys.toSeq.map { q =>
       (bf(q) & ivf.getOrElse(q, Set.empty)).size.toDouble / bf(q).size
     }.sum / bf.size
-    // single-probe sat at ~0.52 on this corpus; multi-probe must hold 0.8
-    assert(recall >= 0.8, f"IVF recall@3 dropped to $recall%.2f")
+    // single-probe sat at ~0.52 on this corpus; untrained multi-probe at
+    // ~0.82; with 2 Lloyd rounds the measured recall is 0.85 — floor at
+    // 0.84 so a regression to untrained-seed behavior fails
+    assert(recall >= 0.84, f"IVF recall@3 dropped to $recall%.2f")
   }
 
   test("banded simhash top-k equals the blocked exact all-pairs answer") {
