@@ -68,11 +68,28 @@ object Curation {
         col("n_tokens"), col("content_md5"))
   }
 
+  /** @param nearDedup when true, stage 1 additionally collapses
+    *   NEAR-duplicate groups: after exact fingerprint dedup, the
+    *   fixpoint connected components of the MinHash band-pair graph
+    *   ([[Dedup.clusterNearDupsFixpoint]]) reduce to their
+    *   member-minimum representative (`cluster == doc_id`) — the same
+    *   first-seen-wins seniority rule the exact stage uses. Exact
+    *   dedup still runs first: docs shorter than the shingle width
+    *   carry no MinHash signature, so byte-identical short docs are
+    *   only caught by the fingerprint. The near mode is eager (the
+    *   fixpoint loop drives one O(1) scalar per round); the default
+    *   exact mode stays fully lazy and oracle-checked (`x7_curate`). */
   def curate(documents: DataFrame, nBench: Long = 50L,
-             shardBudget: Long = 500L): DataFrame = {
-    val survivors = documents.join(
+             shardBudget: Long = 500L, nearDedup: Boolean = false): DataFrame = {
+    val exact = documents.join(
       Dedup.fingerprintDedup(documents).select(col("keep_id").as("doc_id")),
       "doc_id")
+    val survivors =
+      if (!nearDedup) exact
+      else exact.join(
+        Dedup.clusterNearDupsFixpoint(exact)
+          .filter(col("cluster") === col("doc_id")).select("doc_id"),
+        "doc_id")
     // single flow: every intermediate frame feeds exactly ONE consumer
     // (extraCols thread the payload through), so no stage's subtree is
     // evaluated twice — a branch-and-rejoin here would re-run the

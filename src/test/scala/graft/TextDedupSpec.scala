@@ -418,6 +418,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(shards.values.forall(s => s.sameElements(0L to s.max)))
   }
 
+  test("near-dedup curation collapses a near-identical (not byte-identical) pair") {
+    val base = "the cat and the dog walk to the park and the bird sings of the sun and the rain today"
+    // near-dup: first word changed — not byte-identical (different
+    // fingerprint) but sharing all shingles except the first, so the
+    // band-pair graph links the two
+    val near = "one" + base.stripPrefix("the")
+    val rows = Seq(
+      (100L, base, "en", "s0"), (101L, near, "en", "s0"),
+      (102L, "zz qq ww rr xx yy", "en", "s0"),
+      (103L, "kk ll mm nn oo pp", "en", "s0"),
+      (104L, "ff gg hh ii jj ee", "en", "s0"),
+      (105L, "rr ss tt uu vv bb", "en", "s0"))
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    def ids(nearDedup: Boolean): Set[Long] =
+      Curation.curate(d, nBench = 0L, nearDedup = nearDedup)
+        .select("doc_id").as[Long].collect().toSet
+    val exact = ids(nearDedup = false)
+    // both near-dups survive exact-only dedup (distinct fingerprints,
+    // both in the high-quality half)
+    assert(Set(100L, 101L).subsetOf(exact), s"exact mode kept $exact")
+    // near mode keeps the senior member and drops the junior dup (the
+    // rest of the kept set may legitimately shift: the quality
+    // percentile is computed over the DEDUPED corpus, so removing a
+    // duplicate moves the per-language median)
+    val nearIds = ids(nearDedup = true)
+    assert(nearIds.contains(100L) && !nearIds.contains(101L),
+      s"near mode kept $nearIds")
+  }
+
   test("int8 quantization reconstructs within one scale step") {
     val e = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     val q = graft.operators.Similarity.quantizeInt8(e)
