@@ -300,12 +300,22 @@ object Dedup {
     * doc's WORST offender: (doc_id, bench_id, n_overlap), tie-broken
     * on bench_id. */
   def decontaminate(documents: DataFrame, nBench: Long = 50,
-                    n: Int = 3, minShingles: Int = 5): DataFrame = {
-    val inv = wideEnough(documents, n)
+                    n: Int = 3, minShingles: Int = 5): DataFrame =
+    decontaminateAgainst(documents.filter(col("doc_id") >= nBench),
+      documents.filter(col("doc_id") < nBench), n, minShingles)
+
+  /** Contamination check of `corpus` against a SEPARATE benchmark
+    * frame — the cross-frame form behind [[decontaminate]] (which
+    * splits one table by id) and the streaming curation path (where
+    * the benchmark is a static table and the corpus is a micro-batch).
+    * Both frames need (doc_id, text). */
+  def decontaminateAgainst(corpus: DataFrame, benchDocs: DataFrame,
+                           n: Int = 3, minShingles: Int = 5): DataFrame = {
+    val bench = wideEnough(benchDocs, n)
+      .select(col("doc_id").as("bench_id"),
+        explode(word_shingles(col("text"), n)).as("shingle"))
+    val overlap = wideEnough(corpus, n)
       .select(col("doc_id"), explode(word_shingles(col("text"), n)).as("shingle"))
-    val bench = inv.filter(col("doc_id") < nBench)
-      .select(col("doc_id").as("bench_id"), col("shingle"))
-    val overlap = inv.filter(col("doc_id") >= nBench)
       .join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_overlap")) // shingles are distinct per doc

@@ -312,6 +312,66 @@ object StreamPipeline {
     orders.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("orderID")
 
+  /** X7 streaming incremental curation — the continuous flavor of
+    * [[graft.operators.Curation.curate]], composed from the audited
+    * pieces: exact fingerprint dedup across micro-batches
+    * (`dropDuplicatesWithinWatermark` on `md5(text)` — state bounded
+    * by the watermark horizon), then per-batch quality filtering +
+    * static-benchmark decontamination + merge-on-key upsert inside
+    * foreachBatch ([[curateBatch]]).
+    *
+    * Two deliberate semantic deltas from the batch pipeline, both
+    * forced by unbounded input: the quality gate is an ABSOLUTE score
+    * threshold (a per-language percentile is a corpus-wide window — on
+    * a stream it would be a per-batch artifact that reshuffles the
+    * kept set every trigger), and the store-level dedup key is the
+    * content fingerprint with last-write-wins (a duplicate arriving
+    * AFTER the watermark evicted its state replaces its prior row
+    * instead of appending — the upsert sink is what extends dedup
+    * beyond the state horizon). Replay idempotence comes from the
+    * generation-versioned upsert sink (C6b).
+    *
+    * `docs` must carry (doc_id, text, ts) plus any payload; `bench`
+    * is a STATIC (doc_id, text) frame of eval documents — it
+    * broadcasts per batch, the reference-data pattern of the flagship
+    * join. */
+  def curateStream(docs: DataFrame, outDir: String, checkpointDir: String,
+                   bench: Option[DataFrame] = None,
+                   minQuality: Double = 0.5,
+                   watermark: String = "10 minutes",
+                   nBuckets: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, outDir, batchId, bench, minQuality, nBuckets)
+      }
+
+  /** One micro-batch of the streaming curation (exposed for replay
+    * tests): quality-score the batch, keep docs at or above the
+    * absolute threshold, drop docs contaminated by the static
+    * benchmark, upsert survivors on their content fingerprint. */
+  def curateBatch(batch: DataFrame, outDir: String, batchId: Long,
+                  bench: Option[DataFrame] = None,
+                  minQuality: Double = 0.5, nBuckets: Int = 8): Unit = {
+    val extras = batch.columns.filterNot(_ == "doc_id").toSeq
+    val scored = graft.operators.TextAnalysis
+      .qualityScore(batch, extraCols = extras)
+      .filter(col("quality") >= minQuality)
+    val clean = bench match {
+      case Some(b) =>
+        val flagged = graft.operators.Dedup
+          .decontaminateAgainst(scored, b).select("doc_id").distinct()
+        scored.join(flagged, Seq("doc_id"), "left_anti")
+      case None => scored
+    }
+    upsertBatch(clean, outDir, batchId, keyCol = "fp", nBuckets = nBuckets)
+  }
+
   /** X6 streaming: tumbling event-time windows with watermarked late
     * data drop. Same expressions as the batch Windows.tumbling. */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",

@@ -10,6 +10,8 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 case class OrderEvent(orderID: String, customerID: Long, amount: Long)
+case class DocEvent(doc_id: Long, text: String, lang: String,
+                    source: String, ts: Timestamp)
 case class UserEvent(event_id: Long, ts: Timestamp, user_id: Long,
                      event_type: String, value: Double)
 
@@ -477,6 +479,84 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long, Double, Long)].collect().toSeq
       assert(u7 === Seq((7L, 1L, 11.0, 1L), (7L, 1L, 11.0, 1L)),
         s"state not evicted (retained state would report n=3/cum=22): $u7")
+    } finally q.stop()
+  }
+
+  test("streaming curation: cross-batch dedup, quality gate, post-watermark upsert replace, idempotent replay (X7)") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-curate-stream")
+    val out = dir.resolve("store").toString; val ck = dir.resolve("ck").toString
+    // ~0.63 quality (20 tokens, stopword-rich) — above the 0.5 gate
+    val good = "the cat and the dog walk to the park and the bird sings " +
+      "of the sun and the rain today"
+    val good2 = "the fish and the frog swim to the lake and the duck calls " +
+      "of the moon and the wind tonight"
+    val junk = "zz qq ww" // ~0.32 quality — below the gate
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val mem = MemoryStream[DocEvent]
+    val q = StreamPipeline.curateStream(mem.toDF(), out, ck).start()
+    try {
+      // in-batch duplicate + junk: one surviving row, the junk gated out
+      mem.addData(DocEvent(10, good, "en", "s0", t(1)),
+        DocEvent(11, good, "en", "s0", t(2)),
+        DocEvent(12, junk, "en", "s0", t(3)))
+      q.processAllAvailable()
+      val s1 = StreamPipeline.readUpserted(spark, out)
+      assert(s1.count() === 1)
+      assert(s1.select("doc_id").as[Long].head() === 10L)
+      // cross-batch duplicate within the watermark: still one row
+      mem.addData(DocEvent(13, good, "en", "s0", t(4)))
+      q.processAllAvailable()
+      assert(StreamPipeline.readUpserted(spark, out).count() === 1)
+      // distinct content appends
+      mem.addData(DocEvent(14, good2, "en", "s0", t(5)))
+      q.processAllAvailable()
+      assert(StreamPipeline.readUpserted(spark, out).count() === 2)
+      // a duplicate arriving AFTER the watermark evicted its dedup
+      // state passes the stateful dedup but REPLACES its row in the
+      // store (upsert on the content fingerprint): still one row per
+      // content, now carrying the late doc's id
+      mem.addData(DocEvent(15, "the owl and the hen fly to the barn and " +
+        "the crow waits of the star and the cloud tonight", "en", "s0", t(90)))
+      q.processAllAvailable() // watermark → 80 min; fp state for t(1..5) evicted
+      mem.addData(DocEvent(16, good, "en", "s0", t(91)))
+      q.processAllAvailable()
+      val s4 = StreamPipeline.readUpserted(spark, out)
+      assert(s4.count() === 3)
+      val fpIds = s4.select("fp", "doc_id").as[(String, Long)].collect().toMap
+      assert(fpIds.values.toSet.contains(16L) && !fpIds.values.toSet.contains(10L),
+        s"late duplicate did not replace its row: $fpIds")
+    } finally q.stop()
+    // replay idempotence: re-running a batch id overwrites its own
+    // generation instead of duplicating rows
+    val batch = Seq((20L, good, "en", "s0", t(95), "fpX"))
+      .toDF("doc_id", "text", "lang", "source", "ts", "fp")
+    StreamPipeline.curateBatch(batch, out, batchId = 99L)
+    StreamPipeline.curateBatch(batch, out, batchId = 99L)
+    assert(StreamPipeline.readUpserted(spark, out)
+      .filter(col("fp") === "fpX").count() === 1)
+  }
+
+  test("streaming curation drops micro-batch docs contaminated by the static benchmark") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-curate-bench")
+    val out = dir.resolve("store").toString; val ck = dir.resolve("ck").toString
+    val leaked = "the cat and the dog walk to the park and the bird sings " +
+      "of the sun and the rain today"
+    val clean = "the fish and the frog swim to the lake and the duck calls " +
+      "of the moon and the wind tonight"
+    val bench = Seq((0L, leaked)).toDF("doc_id", "text")
+    val mem = MemoryStream[DocEvent]
+    val q = StreamPipeline.curateStream(mem.toDF(), out, ck, bench = Some(bench))
+      .start()
+    try {
+      mem.addData(
+        DocEvent(30, leaked, "en", "s0", Timestamp.valueOf("2024-01-01 00:01:00")),
+        DocEvent(31, clean, "en", "s0", Timestamp.valueOf("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val ids = StreamPipeline.readUpserted(spark, out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(31L), s"contaminated doc not dropped: $ids")
     } finally q.stop()
   }
 
