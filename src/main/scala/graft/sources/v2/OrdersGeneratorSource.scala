@@ -57,7 +57,8 @@ class OrdersGeneratorSource extends TableProvider with DataSourceRegister {
       case None =>
         new OrdersGenTable(
           opts.getOrDefault("numrows", "1000").toLong,
-          opts.getOrDefault("numpartitions", "4").toInt)
+          opts.getOrDefault("numpartitions", "4").toInt,
+          opts.getBoolean("columnar", false))
     }
   }
 }
@@ -109,17 +110,19 @@ object OrdersGeneratorSource {
   private[v2] def amount(id: Long): Long = hash60("amt", id) % 480L + 20L
 }
 
-private[v2] class OrdersGenTable(numRows: Long, numPartitions: Int)
+private[v2] class OrdersGenTable(numRows: Long, numPartitions: Int,
+                                 columnar: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_orders($numRows)"
   override def schema(): StructType = OrdersGeneratorSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new OrdersGenScanBuilder(numRows, numPartitions)
+    new OrdersGenScanBuilder(numRows, numPartitions, columnar)
 }
 
-private[v2] class OrdersGenScanBuilder(numRows: Long, numPartitions: Int)
+private[v2] class OrdersGenScanBuilder(numRows: Long, numPartitions: Int,
+                                       columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = OrdersGeneratorSource.schema
@@ -161,12 +164,13 @@ private[v2] class OrdersGenScanBuilder(numRows: Long, numPartitions: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new OrdersGenScan(numRows, numPartitions, required, lo, hi)
+    new OrdersGenScan(numRows, numPartitions, required, lo, hi, columnar)
 }
 
 private[v2] class OrdersGenScan(numRows: Long, numPartitions: Int,
                                 required: StructType,
-                                lo: Long, hi: Long) extends Scan with Batch {
+                                lo: Long, hi: Long,
+                                columnar: Boolean = false) extends Scan with Batch {
   private val start = math.max(0L, lo)
   private val end = math.min(numRows, hi)
   override def readSchema(): StructType = required
@@ -185,10 +189,12 @@ private[v2] class OrdersGenScan(numRows: Long, numPartitions: Int,
         .toArray
     }
   override def createReaderFactory(): PartitionReaderFactory =
-    new OrdersGenReaderFactory(required)
+    new OrdersGenReaderFactory(required, columnar)
   // accepted filters are removed from the streaming plan too — the
   // micro-batch flavor must honor the same id range or silently
-  // return unfiltered rows
+  // return unfiltered rows. The streaming path stays row-based: a
+  // micro-batch is rowsPerBatch rows, usually far below the vector
+  // capacity, so columnar batching buys nothing there.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new OrdersGenMicroBatch(numRows, numPartitions, required, checkpointLocation, lo, hi)
 }
@@ -276,8 +282,18 @@ private[v2] class OrdersGenMicroBatch(rowsPerBatch: Long, numPartitions: Int,
 private[v2] case class OrdersGenPartition(start: Long, end: Long)
     extends InputPartition
 
-private[v2] class OrdersGenReaderFactory(required: StructType)
+private[v2] class OrdersGenReaderFactory(required: StructType,
+                                         columnar: Boolean = false)
     extends PartitionReaderFactory {
+  /** Columnar is opt-in (`.option("columnar", true)`): the scan node
+    * then emits [[org.apache.spark.sql.vectorized.ColumnarBatch]]es
+    * and Spark plans a ColumnarToRow boundary above it — the
+    * high-throughput shape every file source uses (row-at-a-time
+    * `InternalRow` pays a per-row virtual call and per-row allocation;
+    * the vectorized path amortizes both over `VectorCapacity` rows and
+    * lets the boundary copy land in codegen). */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OrdersGenPartition]
     // resolve the projection ONCE per split, not per row
@@ -297,4 +313,63 @@ private[v2] class OrdersGenReaderFactory(required: StructType)
       override def close(): Unit = ()
     }
   }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val p = partition.asInstanceOf[OrdersGenPartition]
+    val cap = OrdersGenReaderFactory.VectorCapacity
+    // per-column fill resolved ONCE per split (mirror of the row
+    // reader's `gens`): the hot loop is fill(vector, slot, id) with no
+    // name dispatch per cell
+    val fills: Array[(OnHeapColumnVector, Int, Long) => Unit] =
+      required.fieldNames.map {
+        case "id" => (v: OnHeapColumnVector, i: Int, id: Long) => v.putLong(i, id)
+        case "orderID" => (v: OnHeapColumnVector, i: Int, id: Long) => {
+          val b = OrdersGeneratorSource.orderId(id).getBytes("UTF-8")
+          v.putByteArray(i, b, 0, b.length); ()
+        }
+        case "customerID" => (v: OnHeapColumnVector, i: Int, id: Long) =>
+          v.putLong(i, OrdersGeneratorSource.customerId(id))
+        case "amount" => (v: OnHeapColumnVector, i: Int, id: Long) =>
+          v.putLong(i, OrdersGeneratorSource.amount(id))
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+    new PartitionReader[ColumnarBatch] {
+      private var cursor = p.start
+      // vectors are allocated once and REFILLED per batch (reset, not
+      // reallocate) — the standard vectorized-reader lifecycle; the
+      // consumer finishes a batch before next() is called again. A
+      // zero-column projection (count(*)) still reports row counts
+      // through ColumnarBatch.numRows.
+      private val vectors = required.fields.map(f =>
+        new OnHeapColumnVector(cap, f.dataType))
+      private val batch =
+        new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
+      override def next(): Boolean =
+        if (cursor >= p.end) false
+        else {
+          val n = math.min(cap.toLong, p.end - cursor).toInt
+          var c = 0
+          while (c < vectors.length) {
+            vectors(c).reset()
+            val fill = fills(c)
+            var i = 0
+            while (i < n) { fill(vectors(c), i, cursor + i); i += 1 }
+            c += 1
+          }
+          batch.setNumRows(n)
+          cursor += n
+          true
+        }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
+  }
+}
+
+private[v2] object OrdersGenReaderFactory {
+  /** Rows per ColumnarBatch — Spark's own parquet-reader default. */
+  val VectorCapacity = 4096
 }

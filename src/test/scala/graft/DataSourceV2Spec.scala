@@ -35,6 +35,37 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(scan.scan.description().contains("PushedIdRange: [250, 500)"))
   }
 
+  test("columnar read path: vectorized scan plans ColumnarToRow and matches the row reader") {
+    def colOrders(n: Long, parts: Int = 8) =
+      spark.read.format("graft_orders")
+        .option("numRows", n.toString).option("numPartitions", parts.toString)
+        .option("columnar", "true").load()
+    // 10000 rows > VectorCapacity forces multiple batches per split at
+    // parts=2, plus a tail batch shorter than the capacity
+    val row = orders(10000, 2).collect().toSet
+    val vec = colOrders(10000, 2)
+    assert(vec.collect().toSet === row)
+    // the scan itself must be columnar: a ColumnarToRow boundary sits
+    // above the BatchScan (absent from the row-based plan)
+    def hasColumnarBoundary(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.exists {
+        case _: org.apache.spark.sql.execution.ColumnarToRowExec => true
+        case _ => false
+      }
+    assert(hasColumnarBoundary(vec))
+    assert(!hasColumnarBoundary(orders(10000, 2)))
+    // pruning and pushdown still reach the columnar scan
+    val pruned = colOrders(1000, 8).where($"id" >= 250 && $"id" < 500)
+      .select("customerID")
+    assert(pruned.count() === 250)
+    val scan = pruned.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.description().contains("PushedIdRange: [250, 500)"))
+    assert(scan.scan.readSchema().fieldNames.toSeq === Seq("customerID"))
+    // zero-column projection (count(*)) rides on ColumnarBatch.numRows
+    assert(colOrders(5000, 4).count() === 5000)
+  }
+
   test("mem-table write path round-trips byte-identical rows") {
     val src = orders(300, 4)
     src.write.format("graft_orders").option("table", "rt").mode("overwrite").save()
