@@ -90,6 +90,11 @@ object SparkEntry {
     "x4_simhash_topk" -> ((s, d) => Dedup.simhashTopK(t(s, d, "documents"))),
     "x4_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(t(s, d, "embeddings"))),
     "x4_decontaminate" -> ((s, d) => Dedup.decontaminate(t(s, d, "documents"))),
+    // incremental shape: docs < 100 are today's batch, >= 100 the index
+    "x4_incremental" -> ((s, d) => Dedup.nearDupAgainstIndex(
+      t(s, d, "documents").filter("doc_id < 100"),
+      t(s, d, "documents").filter("doc_id >= 100"))),
+    "x4_dup_stats" -> ((s, d) => Dedup.dupStats(t(s, d, "documents"))),
     // --- X2 similarity search ---
     "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
@@ -99,6 +104,8 @@ object SparkEntry {
     // flagship composition: dedup -> quality filter -> decontaminate ->
     // shard pack, hash-verified END TO END (stage coupling included)
     "x7_curate" -> ((s, d) => Curation.curate(t(s, d, "documents"))),
+    "x7_curate_neardup" -> ((s, d) =>
+      Curation.curate(t(s, d, "documents"), nearDedup = true)),
     // --- X5 multimodal ---
     "x5_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, t(s, d, "documents"))),
     "x5_mm_join" -> ((s, d) => Multimodal.docEmbeddingJoin(
@@ -474,6 +481,65 @@ object SparkEntry {
              FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
            ON m.doc_id = l.doc_id)
          SELECT doc_id, cluster FROM l3""",
+    "x4_incremental" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         bd AS (SELECT doc_id, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM sig, (SELECT unnest(range(4)) AS b)),
+         idx AS (SELECT b, key, min(doc_id) AS match_id
+           FROM bd WHERE doc_id >= 100 GROUP BY b, key)
+         SELECT i.doc_id, min(x.match_id) AS match_id,
+           CAST(count(*) AS BIGINT) AS n_hit_bands
+         FROM bd i JOIN idx x ON i.b = x.b AND i.key = x.key
+         WHERE i.doc_id < 100 GROUP BY i.doc_id""",
+    "x4_dup_stats" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         cs AS (SELECT cluster, count(*) AS cluster_size FROM l3 GROUP BY cluster)
+         SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         FROM cs GROUP BY cluster_size""",
     "x4_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
@@ -674,6 +740,76 @@ object SparkEntry {
          sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
            FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+         d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM ov)),
+         packed AS (SELECT doc_id, lang, source,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(text,' '))) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM d3)
+         SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
+         FROM packed""",
+    "x7_curate_neardup" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d1),
+         tt AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM tt),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM d1),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         dn AS (SELECT d1.* FROM d1 JOIN l3 ON d1.doc_id = l3.doc_id
+           WHERE l3.cluster = l3.doc_id),
+         q AS (SELECT doc_id, round(
+             0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+             0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                    CAST(len(string_split(text,' ')) AS DOUBLE)) +
+             0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                    CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM dn),
+         r AS (SELECT d.doc_id,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality, d.doc_id), 6) AS pr
+           FROM dn d JOIN q ON d.doc_id = q.doc_id),
+         d2 AS (SELECT dn.* FROM dn JOIN r ON dn.doc_id = r.doc_id
+           WHERE r.pr >= 0.5 AND dn.doc_id >= 50),
+         tk2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk2 WHERE len(t) >= 3),
          inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
          ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
            WHERE c.doc_id >= 50 AND b.doc_id < 50

@@ -239,6 +239,55 @@ object Dedup {
     clusterEdgesFixpoint(documents.select(col("doc_id")),
       minhashBandPairs(documents), maxRounds)
 
+  /** Per-document LSH band keys — the materialized INDEX side of
+    * incremental dedup: one (doc_id, band, key) row per band of the
+    * MinHash signature. At corpus scale this table is computed once per
+    * index generation and stored bucketed by (band, key); every
+    * incoming batch joins against it without re-signing the corpus. */
+  def bandKeys(documents: DataFrame): DataFrame =
+    wideEnough(documents, 3)
+      .withColumn("sig", minhash_sig(shingle_hashes(col("text"), 3, P), NumPerms, P))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)),
+          b => concat_ws(":", slice(col("sig"), b * BandRows + 1, lit(BandRows))))))
+      .toDF("doc_id", "band", "key")
+
+  /** X4 INCREMENTAL near-dedup: flag incoming documents that LSH-match
+    * any document of an already-indexed corpus — the continuous-
+    * ingestion shape of near-dedup (today's crawl lands against
+    * yesterday's index; within-batch pairs are [[minhashBandPairs]],
+    * cross-generation matches are this join). Output per flagged
+    * incoming doc: the minimum matching index doc id and how many of
+    * its bands hit the index.
+    *
+    * Scale shape: the index side collapses to ONE row per (band, key)
+    * — `min(doc_id)` per bucket — BEFORE the join, so a boilerplate
+    * bucket holding a million index docs contributes one row, not a
+    * million; the join output is bounded by 4 rows per incoming doc
+    * regardless of index-side skew. The incoming batch shuffles only
+    * its own band keys; nothing rescans or re-signs the corpus. */
+  def nearDupAgainstIndex(incoming: DataFrame, indexed: DataFrame): DataFrame = {
+    val idx = bandKeys(indexed).groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("match_id"))
+    bandKeys(incoming).join(idx, Seq("band", "key"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("match_id")).as("match_id"),
+        count(lit(1)).as("n_hit_bands"))
+  }
+
+  /** X4 corpus duplication report: the cluster-size histogram of the
+    * near-dup graph — (cluster_size, n_clusters, n_docs) tells how much
+    * of the corpus sits in duplicate groups of each size, the number a
+    * dedup policy is tuned against (survivor yield = Σ n_clusters /
+    * Σ n_docs). Two hash aggregations over [[clusterNearDups]]'s
+    * output; no shuffle beyond the clustering's own doc-id keys, and
+    * the histogram itself is at most one row per distinct group size. */
+  def dupStats(documents: DataFrame, rounds: Int = 3): DataFrame =
+    clusterNearDups(documents, rounds)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("cluster_size")).as("n_docs"))
+
   /** X4 n-gram Jaccard: top-k most similar document pairs by word
     * 3-gram Jaccard, via the inverted shingle index (explode → self-join
     * on shingle → per-pair intersection count). This is both the exact

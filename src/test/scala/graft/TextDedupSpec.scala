@@ -50,6 +50,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("incremental dedup flags incoming near-dups of the index only") {
+    val incoming = docs((1L, "a b c d e f g h"), (2L, "q r s t u v w x"))
+    val index = docs((100L, "a b c d e f g h"), (101L, "a b c d e f g h"),
+      (102L, "m n o p m n o p"))
+    val hits = Dedup.nearDupAgainstIndex(incoming, index)
+      .as[(Long, Long, Long)].collect().toList
+    // doc 1 matches the index duplicates on all 4 bands, reported
+    // against the MINIMUM matching index id; doc 2 matches nothing
+    assert(hits === List((1L, 100L, 4L)))
+  }
+
+  test("incremental dedup index side collapses per (band, key) before the join") {
+    // 50 identical index docs: the aggregated index must keep ONE row
+    // per (band, key), so the flagged doc sees exactly 4 join rows —
+    // not 4 × 50 — no matter how duplicate-heavy the index bucket is
+    val incoming = docs((1L, "a b c d e f g h"))
+    val index = docs((100L to 149L).map(i => (i, "a b c d e f g h")): _*)
+    val joined = Dedup.nearDupAgainstIndex(incoming, index)
+    assert(joined.as[(Long, Long, Long)].collect().toList === List((1L, 100L, 4L)))
+    val idxRows = Dedup.bandKeys(index)
+      .groupBy(col("band"), col("key")).count()
+      .agg(sum(lit(1)), sum(col("count"))).as[(Long, Long)].head()
+    assert(idxRows === ((4L, 200L))) // 200 raw band rows -> 4 buckets
+  }
+
+  test("dup-stats histogram counts clusters by size") {
+    val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g h"), (4L, "q r s t u v w x"), (5L, "solo"))
+    // one 3-cluster {1,2,3}; docs 4 and 5 are singletons
+    val hist = Dedup.dupStats(d).as[(Long, Long, Long)].collect().toSet
+    assert(hist === Set((1L, 2L, 2L), (3L, 1L, 3L)))
+  }
+
   test("ngram jaccard: identical docs score 1.0 and rank first") {
     val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c x y"))
     val top = Dedup.ngramJaccardTopK(d, 3, 10)
