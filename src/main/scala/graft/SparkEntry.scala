@@ -100,6 +100,7 @@ object SparkEntry {
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
     "x2_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "x2_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
+    "x2_centroids" -> ((s, d) => Similarity.trainedCentroids(t(s, d, "embeddings"))),
     "x2_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
     // flagship composition: dedup -> quality filter -> decontaminate ->
     // shard pack, hash-verified END TO END (stage coupling included)
@@ -705,6 +706,41 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, cell, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    "x2_centroids" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id)
+         SELECT c_id, CAST(pos AS BIGINT) AS pos, round(val, 6) AS val
+         FROM (SELECT c_id, generate_subscripts(cv, 1) AS pos, unnest(cv) AS val
+               FROM c2) x""",
     "x2_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -395,6 +395,23 @@ object Similarity {
     cents
   }
 
+  /** The trained IVF coarse-quantizer MODEL itself, exploded to
+    * (c_id, pos, val) rows (pos 1-based) — exposed as a query so the
+    * model is hash-verified against the oracle's replayed training,
+    * not only the ANN results built from it. The round keeps seed
+    * dimensions (an empty cell keeps its unrounded seed vector)
+    * comparable across engines. */
+  def trainedCentroids(embeddings: DataFrame, nCells: Int = 8,
+                       trainRounds: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    kmeansCentroids(withVec(embeddings), nCells, trainRounds)
+      .flatMap { case (id, cv) =>
+        cv.iterator.zipWithIndex.map { case (x, i) => (id, (i + 1).toLong, x) } }
+      .toDF("c_id", "pos", "val")
+      .select(col("c_id"), col("pos"), round(col("val"), 6).as("val"))
+  }
+
   /** X2 IVF-flat ANN with k-means-TRAINED centroids: `trainRounds`
     * deterministic Lloyd iterations from the fixed seeds
     * ([[kmeansCentroids]]), then every vector is assigned to its

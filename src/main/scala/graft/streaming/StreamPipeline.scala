@@ -334,12 +334,19 @@ object StreamPipeline {
     * `docs` must carry (doc_id, text, ts) plus any payload; `bench`
     * is a STATIC (doc_id, text) frame of eval documents — it
     * broadcasts per batch, the reference-data pattern of the flagship
-    * join. */
+    * join. `index` is a STATIC (doc_id, text) frame of the
+    * already-accepted corpus: each batch's NEAR-dups of that corpus
+    * are dropped via the pre-aggregated band-key join
+    * ([[graft.operators.Dedup.nearDupAgainstIndex]]) — the
+    * cross-generation near-dedup the exact fingerprint cannot catch
+    * (in production the index is yesterday's band-key table, refreshed
+    * per generation, not per trigger). */
   def curateStream(docs: DataFrame, outDir: String, checkpointDir: String,
                    bench: Option[DataFrame] = None,
                    minQuality: Double = 0.5,
                    watermark: String = "10 minutes",
-                   nBuckets: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+                   nBuckets: Int = 8,
+                   index: Option[DataFrame] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     docs
       .withColumn("fp", md5(col("text")))
       .withWatermark("ts", watermark)
@@ -348,16 +355,18 @@ object StreamPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        curateBatch(batch, outDir, batchId, bench, minQuality, nBuckets)
+        curateBatch(batch, outDir, batchId, bench, minQuality, nBuckets, index)
       }
 
   /** One micro-batch of the streaming curation (exposed for replay
     * tests): quality-score the batch, keep docs at or above the
     * absolute threshold, drop docs contaminated by the static
-    * benchmark, upsert survivors on their content fingerprint. */
+    * benchmark and docs near-duplicating the static index, upsert
+    * survivors on their content fingerprint. */
   def curateBatch(batch: DataFrame, outDir: String, batchId: Long,
                   bench: Option[DataFrame] = None,
-                  minQuality: Double = 0.5, nBuckets: Int = 8): Unit = {
+                  minQuality: Double = 0.5, nBuckets: Int = 8,
+                  index: Option[DataFrame] = None): Unit = {
     val extras = batch.columns.filterNot(_ == "doc_id").toSeq
     val scored = graft.operators.TextAnalysis
       .qualityScore(batch, extraCols = extras)
@@ -369,7 +378,14 @@ object StreamPipeline {
         scored.join(flagged, Seq("doc_id"), "left_anti")
       case None => scored
     }
-    upsertBatch(clean, outDir, batchId, keyCol = "fp", nBuckets = nBuckets)
+    val novel = index match {
+      case Some(idx) =>
+        val near = graft.operators.Dedup
+          .nearDupAgainstIndex(clean, idx).select("doc_id")
+        clean.join(near, Seq("doc_id"), "left_anti")
+      case None => clean
+    }
+    upsertBatch(novel, outDir, batchId, keyCol = "fp", nBuckets = nBuckets)
   }
 
   /** X6 streaming: tumbling event-time windows with watermarked late

@@ -560,6 +560,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation drops micro-batch docs near-duplicating the static index") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-curate-index")
+    val out = dir.resolve("store").toString; val ck = dir.resolve("ck").toString
+    val indexed = "the cat and the dog walk to the park and the bird sings " +
+      "of the sun and the rain today"
+    // near (NOT byte-identical) variant: exact fingerprint dedup would
+    // pass it; only the band-key join against the index catches it
+    val nearDup = indexed.replace("today", "tonight")
+    val fresh = "the fish and the frog swim to the lake and the duck calls " +
+      "of the moon and the wind at dusk"
+    val index = Seq((0L, indexed)).toDF("doc_id", "text")
+    val mem = MemoryStream[DocEvent]
+    val q = StreamPipeline.curateStream(mem.toDF(), out, ck, index = Some(index))
+      .start()
+    try {
+      mem.addData(
+        DocEvent(40, nearDup, "en", "s0", Timestamp.valueOf("2024-01-01 00:01:00")),
+        DocEvent(41, fresh, "en", "s0", Timestamp.valueOf("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val ids = StreamPipeline.readUpserted(spark, out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(41L), s"near-dup of the index not dropped: $ids")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState milestone alerts: cross-threshold emission and batch-order independence (X6)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[UserEvent]
