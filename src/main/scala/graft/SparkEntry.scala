@@ -95,6 +95,7 @@ object SparkEntry {
       t(s, d, "documents").filter("doc_id < 100"),
       t(s, d, "documents").filter("doc_id >= 100"))),
     "x4_dup_stats" -> ((s, d) => Dedup.dupStats(t(s, d, "documents"))),
+    "x4_novelty" -> ((s, d) => Dedup.noveltyScores(t(s, d, "documents"))),
     // --- X2 similarity search ---
     "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
@@ -541,6 +542,18 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(sum(cluster_size) AS BIGINT) AS n_docs
          FROM cs GROUP BY cluster_size""",
+    "x4_novelty" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         f AS (SELECT shingle, min(doc_id) AS first_doc FROM inv GROUP BY shingle)
+         SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END) /
+             CAST(count(*) AS DOUBLE), 6) AS novelty
+         FROM inv i JOIN f ON f.shingle = i.shingle GROUP BY i.doc_id""",
     "x4_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),

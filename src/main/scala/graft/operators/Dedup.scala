@@ -375,6 +375,31 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("n_overlap"))
   }
 
+  /** X4 n-gram novelty: per document, what fraction of its distinct
+    * `n`-gram shingles occur for the FIRST time in this document
+    * (first = lowest doc_id, the corpus's ingestion order). The
+    * novelty fraction is the standard incremental-crawl signal:
+    * near-1 docs are fresh content, near-0 docs are recombinations of
+    * already-seen text — a softer, rankable complement to the hard
+    * near-dup verdicts of [[minhashBandPairs]]/[[nearDupAgainstIndex]].
+    *
+    * Scale shape: one explode, a min-aggregation per shingle (map-side
+    * combine collapses hot shingles before the shuffle), a 1:1 join
+    * back on shingle (the first-doc side has exactly one row per
+    * shingle, so a stopword shingle cannot multiply), and a doc-keyed
+    * count. Nothing is quadratic and no driver state. */
+  def noveltyScores(documents: DataFrame, n: Int = 3): DataFrame = {
+    val inv = wideEnough(documents, n)
+      .select(col("doc_id"), explode(word_shingles(col("text"), n)).as("shingle"))
+    val first = inv.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    inv.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles").cast("double"), 6).as("novelty"))
+  }
+
   /** X4 SimHash: 60-bit signature; bit i is the sign of the sum over
     * distinct tokens of ±1 according to bit i of the token hash.
     * Commutative integer sums ⇒ insensitive to token order (and to

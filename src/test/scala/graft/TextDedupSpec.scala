@@ -75,6 +75,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(idxRows === ((4L, 200L))) // 200 raw band rows -> 4 buckets
   }
 
+  test("novelty: first doc scores 1.0, its duplicate 0.0, partial overlap in between") {
+    val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "c d e f g"))
+    val got = Dedup.noveltyScores(d).as[(Long, Long, Long, Double)]
+      .collect().sortBy(_._1).toList
+    // doc 3 shares "c d e" with doc 1; its other 2 shingles are new
+    assert(got === List((1L, 3L, 3L, 1.0), (2L, 3L, 0L, 0.0),
+      (3L, 3L, 2L, round2(2.0 / 3.0))))
+  }
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("dup-stats histogram counts clusters by size") {
     val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "a b c d e f g h"), (4L, "q r s t u v w x"), (5L, "solo"))
