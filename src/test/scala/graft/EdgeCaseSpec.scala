@@ -40,6 +40,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.decontaminate(docs, nBench = 2).count() >= 0)
     assert(Dedup.simhash(docs).count() === 4)
     assert(Dedup.simhashTopK(docs, 5).count() > 0)
+    // round-9 family: short docs carry no signature/shingles, so the
+    // incremental join, histogram, and novelty simply exclude them
+    assert(Dedup.nearDupAgainstIndex(docs, docs).count() === 1) // doc 4 vs itself
+    assert(Dedup.dupStats(docs).count() >= 1)
+    assert(Dedup.noveltyScores(docs).count() === 1)
+    assert(Dedup.nearDupAgainstIndex(docs.filter("doc_id < 4"), docs).count() === 0)
   }
 
   test("round-4 text/selection operators survive degenerate documents") {

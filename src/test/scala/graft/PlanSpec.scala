@@ -90,6 +90,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(1500))
   }
 
+  test("incremental dedup: id ranges push into both scans, index aggregates below the join") {
+    val p = planOf("x4_incremental")
+    // both sides prune their doc_id range at the parquet scan
+    assert(p.contains("LessThan(doc_id,100)") &&
+      p.contains("GreaterThanOrEqual(doc_id,100)"), p.take(2000))
+    // the index side must collapse to one row per (band, key) BEFORE
+    // the join — a partial_min under the join guarantees a duplicate-
+    // heavy index bucket contributes one row, not its whole population
+    assert(p.contains("partial_min(doc_id"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("novelty: first-doc side partial-aggregates before its shuffle") {
+    val p = planOf("x4_novelty")
+    assert(p.contains("partial_min(doc_id"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)
