@@ -103,6 +103,10 @@ object SparkEntry {
     "x2_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "x2_centroids" -> ((s, d) => Similarity.trainedCentroids(t(s, d, "embeddings"))),
     "x2_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
+    // incremental shape: vecs < 100 are the new batch, >= 100 the index
+    "x2_incremental" -> ((s, d) => Similarity.embeddingDedupAgainstIndex(
+      t(s, d, "embeddings").filter("vec_id < 100"),
+      t(s, d, "embeddings").filter("vec_id >= 100"))),
     // flagship composition: dedup -> quality filter -> decontaminate ->
     // shard pack, hash-verified END TO END (stage coupling included)
     "x7_curate" -> ((s, d) => Curation.curate(t(s, d, "documents"))),
@@ -719,6 +723,29 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, cell, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    "x2_incremental" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         cand AS (SELECT DISTINCT i.vec_id, x.vec_id AS match_id
+           FROM bb i JOIN bb x ON i.tt = x.tt AND i.bucket = x.bucket
+           WHERE i.vec_id < 100 AND x.vec_id >= 100),
+         s AS (SELECT c.vec_id, c.match_id,
+             round(list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm), 6) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.vec_id
+             JOIN n t ON t.vec_id = c.match_id),
+         f AS (SELECT vec_id, match_id, cos, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, match_id) AS rk FROM s WHERE cos >= 0.38)
+         SELECT vec_id, match_id, cos FROM f WHERE rk = 1""",
     "x2_centroids" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

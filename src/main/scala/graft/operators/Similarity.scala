@@ -313,6 +313,43 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** X2 INCREMENTAL embedding dedup: flag incoming vectors whose
+    * cosine to some vector of an already-indexed corpus reaches `tau`
+    * — the embedding-side counterpart of
+    * [[Dedup.nearDupAgainstIndex]] for continuous ingestion (a new
+    * embedding batch lands against the accepted corpus's LSH index).
+    * Candidates come from the multi-table sign-LSH bucket join (the
+    * same 8×4-bit construction as [[annLsh]]; dup-grade pairs are
+    * bucket-identical in at least one table with high probability, so
+    * the index side stays unprobed and unmultiplied — at scale it is
+    * a precomputed (tbl, bucket) table, like [[Dedup.bandKeys]]).
+    * Each flagged vector reports its BEST match (max rounded cosine,
+    * id tie-break); the threshold compares the 6-decimal ROUNDED
+    * cosine, [[cosinePairsThreshold]]'s boundary convention. */
+  def embeddingDedupAgainstIndex(incoming: DataFrame, indexed: DataFrame,
+                                 tau: Double = 0.38): DataFrame = {
+    val incV = withVec(incoming)
+    val idxV = withVec(indexed)
+    val incB = incV.withColumn("bkts", bucketsCol)
+      .select(col("vec_id"), posexplode(col("bkts"))).toDF("vec_id", "tbl", "bucket")
+    val idxB = idxV.withColumn("bkts", bucketsCol)
+      .select(col("vec_id"), posexplode(col("bkts"))).toDF("match_id", "tbl", "bucket")
+      .repartition(col("tbl"), col("bucket"))
+    val cands = incB.join(idxB, Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("match_id")).distinct()
+    val scored = cands
+      .join(incV.select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn")),
+        Seq("vec_id"))
+      .join(idxV.select(col("vec_id").as("match_id"), col("v"), col("nrm")),
+        Seq("match_id"))
+      .select(col("vec_id"), col("match_id"),
+        round(cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("match_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("match_id"), col("cos"))
+  }
+
   /** Shared per-query top-k selection through the bounded-state
     * TypedImperativeAggregate (O(k) partial state per group — see
     * annBruteForce). Selection is on raw cos with id tie-break, output

@@ -109,6 +109,22 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(recall >= 0.84, f"IVF recall@3 dropped to $recall%.2f")
   }
 
+  test("incremental embedding dedup: every vector matches itself at cos 1.0; orthogonal batch stays clean") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    // index == incoming: every vector shares all 8 buckets with itself,
+    // so each reports a best match at rounded cosine 1.0
+    val self = Similarity.embeddingDedupAgainstIndex(emb, emb)
+      .as[(Long, Long, Double)].collect()
+    assert(self.length === emb.count())
+    assert(self.forall(_._3 === 1.0), self.filterNot(_._3 == 1.0).take(3).toSeq.toString)
+    // orthogonal hand-made pair (64-dim): cosine 0 < tau, never flagged
+    val a = Seq.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val b = Seq.tabulate(64)(i => if (i == 1) 1f else 0f)
+    val inc = embs((1L, a, 0))
+    val idx = embs((100L, b, 0))
+    assert(Similarity.embeddingDedupAgainstIndex(inc, idx).count() === 0)
+  }
+
   test("banded simhash top-k equals the blocked exact all-pairs answer") {
     val docs = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val banded = graft.operators.Dedup.simhashTopK(docs, 20)
