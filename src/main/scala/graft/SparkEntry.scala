@@ -78,6 +78,7 @@ object SparkEntry {
     "x1_source_cap" -> ((s, d) => Sampling.sourceCap(t(s, d, "documents"))),
     "x1_budget_select" -> ((s, d) => Sampling.budgetSelect(t(s, d, "documents"))),
     "x1_mixture" -> ((s, d) => Sampling.mixtureSample(t(s, d, "documents"))),
+    "x1_temperature" -> ((s, d) => Sampling.temperatureSample(t(s, d, "documents"))),
     "x3_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(t(s, d, "documents"))),
     // --- X1/X4 dedup ---
     "x1_first_event" -> ((s, d) => Dedup.firstEventPerKey(t(s, d, "events"))),
@@ -373,6 +374,15 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
            < CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 ELSE 0.25 END
                   * 1000000 AS BIGINT)""",
+    "x1_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         m AS (SELECT min(n_docs) AS n_min FROM c),
+         r AS (SELECT source,
+             round(power(CAST(n_min AS DOUBLE) / n_docs, 0.5), 6) AS frac FROM c, m)
+         SELECT d.doc_id, d.source, r.frac
+         FROM documents d JOIN r ON r.source = d.source
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+           < CAST(r.frac * 1000000 AS BIGINT)""",
     "x1_pack_shards" ->
       """SELECT doc_id, source, n_tokens,
          CAST((cum - n_tokens) // 500 AS BIGINT) AS shard FROM (

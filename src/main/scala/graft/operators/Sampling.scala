@@ -74,6 +74,32 @@ object Sampling {
         round(col("frac") * 1000000L).cast("long"))
   }
 
+  /** X1 temperature-mixed source sampling — the `n^α` re-weighting of
+    * LLM data recipes: final per-source volumes become proportional to
+    * `n_s^alpha` (α < 1 flattens the source distribution toward
+    * uniform; α = 1 keeps natural proportions), realized as the
+    * downsampling-only keep-rate `(n_min / n_s)^(1-α)` — the smallest
+    * source is kept whole, larger sources are hash-thinned
+    * ([[mixtureSample]]'s deterministic threshold; upsampling again
+    * belongs to the training loader). Unlike [[mixtureSample]], the
+    * rates are DERIVED from corpus statistics, not passed in: one tiny
+    * source-keyed aggregate, broadcast back, then a narrow filter —
+    * nothing global, nothing quadratic. Rates are rounded to 6
+    * decimals before the threshold so `pow` libm noise cannot flip a
+    * hash bucket across engines. */
+  def temperatureSample(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("source"),
+        round(pow(col("n_min").cast("double") / col("n_docs"), 1 - alpha), 6).as("frac"))
+    documents.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(hash60(col("doc_id")) % 1000000L <
+        round(col("frac") * 1000000L).cast("long"))
+      .select(col("doc_id"), col("source"), col("frac"))
+  }
+
   /** X1 global token-budget data selection: keep the highest-quality
     * documents (quality desc, doc_id tie-break) until a GLOBAL token
     * budget is exhausted — the "select the best N tokens for this

@@ -361,6 +361,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, n, cum) => cum - n < budget })
   }
 
+  test("temperature sampling keeps the smallest source whole and thins larger ones by (n_min/n)^(1-a)") {
+    val d = (1L to 4L).map(i => (i, "small")) ++ (10L to 25L).map(i => (i, "big"))
+    val df = d.toDF("doc_id", "source")
+    val kept = graft.operators.Sampling.temperatureSample(df, alpha = 0.5)
+    val fracs = kept.select("source", "frac").distinct()
+      .as[(String, Double)].collect().toMap
+    // n_min=4: small rate 1.0 (kept whole), big rate sqrt(4/16) = 0.5
+    assert(fracs("small") === 1.0 && fracs("big") === 0.5, fracs.toString)
+    assert(kept.filter(col("source") === "small").count() === 4)
+    // deterministic: the same call keeps the same documents
+    val again = graft.operators.Sampling.temperatureSample(df, alpha = 0.5)
+    assert(kept.exceptAll(again).isEmpty)
+  }
+
   test("mixture resampling hits the per-source target fractions deterministically") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val targets = Map("src0" -> 1.0, "src1" -> 0.5)
