@@ -86,10 +86,20 @@ object Curation {
       "doc_id")
     val survivors =
       if (!nearDedup) exact
-      else exact.join(
-        Dedup.clusterNearDupsFixpoint(exact)
-          .filter(col("cluster") === col("doc_id")).select("doc_id"),
-        "doc_id")
+      else {
+        // the fixpoint phase is EAGER and evaluates `exact` twice
+        // (band-pair pipeline + label init) before the final chain
+        // reads it a third time — cache it across the eager phase,
+        // release before returning (the lazy final chain recomputes
+        // it once; holding the cache would leak full-width doc rows
+        // for the session)
+        val cached = exact.persist()
+        val keep =
+          try Dedup.clusterNearDupsFixpoint(cached)
+            .filter(col("cluster") === col("doc_id")).select("doc_id")
+          finally cached.unpersist(false)
+        exact.join(keep, "doc_id")
+      }
     // single flow: every intermediate frame feeds exactly ONE consumer
     // (extraCols thread the payload through), so no stage's subtree is
     // evaluated twice — a branch-and-rejoin here would re-run the
