@@ -102,6 +102,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("incremental embedding dedup: id ranges push down, joins stay hash, best-match is group-limited") {
+    val p = planOf("x2_incremental")
+    assert(p.contains("LessThan(vec_id,100)") &&
+      p.contains("GreaterThanOrEqual(vec_id,100)"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the per-vector best match must prune to one row per group BEFORE
+    // the window shuffle (WindowGroupLimit), not sort whole partitions
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("novelty: first-doc side partial-aggregates before its shuffle") {
     val p = planOf("x4_novelty")
     assert(p.contains("partial_min(doc_id"), p.take(2000))
