@@ -397,6 +397,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.getLong(4) === 2000)
   }
 
+  test("deterministic samplers run unchanged on a stream and equal the batch result (unification)") {
+    implicit val sc = spark.sqlContext
+    // stateless hash-threshold samplers (split, mixture) need no state
+    // store: the SAME operator applied to a streaming frame must keep
+    // the byte-identical document set the batch call keeps — the
+    // retry/backfill-safety argument, demonstrated across modes
+    val docs = (0 until 120).map { i =>
+      DocEvent(i.toLong, s"doc $i", "en", s"src${i % 3}",
+        new Timestamp(1704067200000L + i * 1000L))
+    }
+    val mem = MemoryStream[DocEvent]
+    val q = graft.operators.Sampling.mixtureSample(mem.toDF())
+      .writeStream.format("memory").queryName("sampler_mem")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(60): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(60): _*) // batch boundary must not matter
+      q.processAllAvailable()
+      val streaming = spark.table("sampler_mem").collect().toSet
+      val batch = graft.operators.Sampling.mixtureSample(docs.toDF()).collect().toSet
+      assert(streaming === batch && streaming.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation equals the batch operator on the same data (unification)") {
     implicit val sc = spark.sqlContext
     val events = (0 until 200).map { i =>
