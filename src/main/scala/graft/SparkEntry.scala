@@ -97,6 +97,7 @@ object SparkEntry {
       t(s, d, "documents").filter("doc_id >= 100"))),
     "x4_dup_stats" -> ((s, d) => Dedup.dupStats(t(s, d, "documents"))),
     "x4_novelty" -> ((s, d) => Dedup.noveltyScores(t(s, d, "documents"))),
+    "x4_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(t(s, d, "documents"))),
     // --- X2 similarity search ---
     "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
@@ -556,6 +557,50 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(sum(cluster_size) AS BIGINT) AS n_docs
          FROM cs GROUP BY cluster_size""",
+    "x4_source_overlap" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         bs AS (SELECT l3.cluster, d.source, count(*) AS n
+           FROM l3 JOIN documents d ON d.doc_id = l3.doc_id
+           GROUP BY l3.cluster, d.source),
+         m AS (SELECT x.source AS source_x, y.source AS source_y,
+             CASE WHEN x.source = y.source THEN x.n*(x.n-1)//2 ELSE x.n*y.n END AS np
+           FROM bs x JOIN bs y ON x.cluster = y.cluster AND x.source <= y.source)
+         SELECT source_x, source_y, CAST(sum(np) AS BIGINT) AS n_pairs
+         FROM m GROUP BY source_x, source_y HAVING sum(np) > 0""",
     "x4_novelty" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),

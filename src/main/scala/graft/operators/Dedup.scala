@@ -375,6 +375,29 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("n_overlap"))
   }
 
+  /** X4 source-overlap matrix — mirror/syndication detection between
+    * sources: for every source pair, the number of near-dup
+    * CO-MEMBERSHIP pairs (two docs in the same cluster, one from each
+    * source; same-source pairs = C(n,2)). Computed in CLOSED FORM from
+    * per-(cluster, source) counts — n·m per cluster-source-pair — so a
+    * million-member mirror cluster contributes arithmetic, never an
+    * enumerated pair set; the self-join is keyed on cluster with at
+    * most one row per source per cluster. The count matches the
+    * all-pairs semantics exactly while the data never goes quadratic. */
+  def sourceOverlapMatrix(documents: DataFrame, rounds: Int = 3): DataFrame = {
+    val labels = clusterNearDups(documents, rounds)
+    val bySrc = labels.join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("cluster"), col("source")).agg(count(lit(1)).as("n"))
+    bySrc.alias("x").join(bySrc.alias("y"),
+        col("x.cluster") === col("y.cluster") && col("x.source") <= col("y.source"))
+      .select(col("x.source").as("source_x"), col("y.source").as("source_y"),
+        when(col("x.source") === col("y.source"),
+          (col("x.n") * (col("x.n") - 1) / 2).cast("long"))
+          .otherwise(col("x.n") * col("y.n")).as("np"))
+      .groupBy(col("source_x"), col("source_y")).agg(sum(col("np")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+  }
+
   /** X4 n-gram novelty: per document, what fraction of its distinct
     * `n`-gram shingles occur for the FIRST time in this document
     * (first = lowest doc_id, the corpus's ingestion order). The

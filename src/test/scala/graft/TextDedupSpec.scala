@@ -87,6 +87,18 @@ class TextDedupSpec extends AnyFunSuite {
   private def round2(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("source overlap matrix counts cluster co-membership pairs per source pair") {
+    // one cluster {1,2,3}: docs 1,2 from sA, doc 3 from sB; doc 4 alone
+    val d = Seq(
+      (1L, "a b c d e f g h", "sA"), (2L, "a b c d e f g h", "sA"),
+      (3L, "a b c d e f g h", "sB"), (4L, "q r s t u v w x", "sB"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMatrix(d).as[(String, String, Long)]
+      .collect().toSet
+    // within sA: C(2,2)=1 pair; across sA-sB: 2*1=2; sB alone: none
+    assert(got === Set(("sA", "sA", 1L), ("sA", "sB", 2L)))
+  }
+
   test("dup-stats histogram counts clusters by size") {
     val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "a b c d e f g h"), (4L, "q r s t u v w x"), (5L, "solo"))
