@@ -57,13 +57,18 @@ object Bench {
       }
       val (cold, err1) = run()
       // don't re-run (and double-count the time of) a failing query
-      if (err1.isDefined) (name, cold, cold, err1)
+      val res = if (err1.isDefined) (name, cold, cold, err1)
       else {
         val warms = Seq.fill(3)(run())
         val err = warms.flatMap(_._2).headOption
         val warm = warms.map(_._1).sorted.apply(1) // median of 3
         (name, cold, warm, err)
       }
+      // query isolation: whatever a query cached is dropped before the
+      // next query's timing starts, so one operator's cache hygiene
+      // can't inflate (or subsidize) another's warm median
+      spark.catalog.clearCache()
+      res
     }
     // control chars (tabs, stray \r) inside exception text would break
     // the JSON line even after taking the first linesIterator line

@@ -159,17 +159,23 @@ object Dedup {
     // dominated cold time (~5 s at sf0.1 for work that executes warm
     // in <1 s). Marking each round cacheable substitutes an
     // InMemoryRelation at PLANNING time — every round's plan stays
-    // flat — while the single final count materializes the whole
-    // cascade in one job (eager per-round counts would pay 3 jobs'
+    // flat — while the single checkpoint job materializes the whole
+    // cascade at once (eager per-round counts would pay 3 jobs'
     // scheduling every run, tripling warm time).
     val init = documents.select(col("doc_id"), col("doc_id").as("cluster"))
     val rounds_ = (1 to rounds).scanLeft(init)((labels, _) =>
       propagateRound(labels, edges).persist())
-    val fin = rounds_.last
-    fin.count()
-    rounds_.drop(1).dropRight(1).foreach(_.unpersist(false))
+    // materialize-and-DETACH: localCheckpoint runs the cascade once
+    // (the per-round lazy caches keep that job's plans flat) and
+    // returns a lineage-free frame whose blocks the ContextCleaner
+    // reclaims once the frame is dropped — returning the persisted
+    // round instead would pin it in the CacheManager for the session
+    // (and re-persisting the same plan on the next call logs "Asked
+    // to cache already cached data").
+    val out = rounds_.last.localCheckpoint()
+    rounds_.drop(1).foreach(_.unpersist(false))
     pairs.unpersist(false)
-    fin
+    out
   }
 
   /** Both directions of an undirected (doc_a, doc_b) pair set. */
@@ -227,7 +233,13 @@ object Dedup {
       }
     }
     cached.unpersist(false)
-    labels
+    // detach as in clusterNearDups: the checkpoint job reads the
+    // already-materialized label cache, then the cache entry itself is
+    // released — callers get a lineage-free frame, never a
+    // session-pinned one
+    val out = labels.localCheckpoint()
+    labels.unpersist(false)
+    out
   }
 
   /** Fixpoint near-dup clustering over the MinHash band-pair graph —
@@ -283,7 +295,14 @@ object Dedup {
     * output; no shuffle beyond the clustering's own doc-id keys, and
     * the histogram itself is at most one row per distinct group size. */
   def dupStats(documents: DataFrame, rounds: Int = 3): DataFrame =
-    clusterNearDups(documents, rounds)
+    dupStatsFromLabels(clusterNearDups(documents, rounds))
+
+  /** [[dupStats]] over PRECOMPUTED cluster labels — the reuse form: a
+    * pipeline clusters ONCE and derives every downstream report from
+    * the same (doc_id, cluster) frame instead of re-running the whole
+    * signature → band-join → propagation pipeline per consumer. */
+  def dupStatsFromLabels(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("cluster_size")).as("n_docs"))
@@ -384,15 +403,24 @@ object Dedup {
     * enumerated pair set; the self-join is keyed on cluster with at
     * most one row per source per cluster. The count matches the
     * all-pairs semantics exactly while the data never goes quadratic. */
-  def sourceOverlapMatrix(documents: DataFrame, rounds: Int = 3): DataFrame = {
-    val labels = clusterNearDups(documents, rounds)
+  def sourceOverlapMatrix(documents: DataFrame, rounds: Int = 3): DataFrame =
+    sourceOverlapFromLabels(clusterNearDups(documents, rounds), documents)
+
+  /** [[sourceOverlapMatrix]] over PRECOMPUTED cluster labels — the
+    * reuse form (cluster once, report many): everything downstream of
+    * clustering is two tiny aggregations and a per-cluster self-join
+    * with at most one row per source per cluster. */
+  def sourceOverlapFromLabels(labels: DataFrame, documents: DataFrame): DataFrame = {
     val bySrc = labels.join(documents.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("cluster"), col("source")).agg(count(lit(1)).as("n"))
     bySrc.alias("x").join(bySrc.alias("y"),
         col("x.cluster") === col("y.cluster") && col("x.source") <= col("y.source"))
       .select(col("x.source").as("source_x"), col("y.source").as("source_y"),
+        // integer `div`, not `/`: long / long promotes to double, which
+        // is exact only below 2^53 — a ~1e8-member mirror cluster would
+        // round its pair count
         when(col("x.source") === col("y.source"),
-          (col("x.n") * (col("x.n") - 1) / 2).cast("long"))
+          expr("x.n * (x.n - 1) div 2"))
           .otherwise(col("x.n") * col("y.n")).as("np"))
       .groupBy(col("source_x"), col("source_y")).agg(sum(col("np")).as("n_pairs"))
       .filter(col("n_pairs") > 0)

@@ -161,12 +161,13 @@ object Sampling {
       .withColumn("cum", col("off") + sum(col("n_tokens")).over(w))
       .filter(col("cum") - col("n_tokens") < tokenBudget)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum"))
-      // the SELECTED set (bounded by the budget) is cached eagerly so
-      // the full scored corpus — cached only to keep range boundaries
-      // and pids consistent between the offset and output jobs — can
-      // be released instead of pinning executor storage per call
-      .persist()
-    kept.count()
+      // the SELECTED set (bounded by the budget) is materialized and
+      // DETACHED (lineage-free localCheckpoint, blocks reclaimed by the
+      // ContextCleaner when the frame is dropped) so the full scored
+      // corpus — cached only to keep range boundaries and pids
+      // consistent between the offset and output jobs — is released
+      // and nothing stays pinned in the CacheManager per call
+      .localCheckpoint()
     ranged.unpersist(false)
     kept
   }

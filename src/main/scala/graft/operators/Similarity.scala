@@ -414,12 +414,7 @@ object Similarity {
     for (_ <- 1 to rounds) {
       val cdf = cents.toDF("c_id", "cv")
         .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last,
-          col("c_id"))
-      val assigned = all.crossJoin(broadcast(cdf))
-        .withColumn("ar", row_number().over(w)).filter(col("ar") === 1)
-        .select(col("c_id").as("cell"), col("v"))
+      val assigned = argmaxCell(all, cdf).select(col("cell"), col("v"))
       val means = assigned.select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
@@ -431,6 +426,22 @@ object Similarity {
     }
     cents
   }
+
+  /** Per-vector argmax-cosine cell assignment as ONE hash aggregation:
+    * `max_by` over the (cosine, -c_id) ordering struct — max cosine,
+    * tie → lowest centroid id, the same rule as an `ORDER BY cos DESC,
+    * c_id` row_number window but with map-side partial aggregation and
+    * NO per-vec_id sort (the round-9 form ranked the full n×nCells
+    * frame through a window twice per query). Null cosines (zero-norm
+    * vectors) take the -2 floor so they sort last, replicating
+    * desc_nulls_last; cosine itself is in [-1, 1]. */
+  private def argmaxCell(all: DataFrame, cdf: DataFrame): DataFrame =
+    all.crossJoin(broadcast(cdf))
+      .withColumn("acos",
+        coalesce(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")), lit(-2.0)))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("acos"), -col("c_id"))).as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
 
   /** The trained IVF coarse-quantizer MODEL itself, exploded to
     * (c_id, pos, val) rows (pos 1-based) — exposed as a query so the
@@ -462,19 +473,37 @@ object Similarity {
     * linearly in nProbe. */
   def annIvf(embeddings: DataFrame, nCells: Int = 8,
              nQueries: Int = 20, k: Int = 3, nProbe: Int = 4,
-             trainRounds: Int = 2): DataFrame = {
+             trainRounds: Int = 2): DataFrame =
+    annIvfWithCentroids(embeddings,
+      trainIvfModel(embeddings, nCells, trainRounds), nQueries, k, nProbe)
+
+  /** Train the IVF coarse-quantizer MODEL and return it as driver-side
+    * state (O(nCells·dims) doubles) — the train-once API: a resident
+    * pipeline trains here and serves every subsequent query through
+    * [[annIvfWithCentroids]] instead of re-running Lloyd per call. */
+  def trainIvfModel(embeddings: DataFrame, nCells: Int = 8,
+                    trainRounds: Int = 2): Seq[(Long, Seq[Double])] =
+    kmeansCentroids(withVec(embeddings), nCells, trainRounds)
+
+  /** [[annIvf]] over a PRETRAINED centroid model. Corpus-side cell
+    * assignment is one `max_by` hash aggregation ([[argmaxCell]] — no
+    * corpus-wide window sort, evaluated once); query-side probe
+    * ranking windows only the nQueries×nCells slice, so the n×nCells
+    * subtree the round-9 version evaluated twice exists nowhere. */
+  def annIvfWithCentroids(embeddings: DataFrame,
+                          centroids: Seq[(Long, Seq[Double])],
+                          nQueries: Int = 20, k: Int = 3,
+                          nProbe: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val all = withVec(embeddings)
-    val cents = kmeansCentroids(all, nCells, trainRounds).toDF("c_id", "cv")
+    val cents = centroids.toDF("c_id", "cv")
       .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val assigned = argmaxCell(all, cents)
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last, col("c_id"))
-    val ranked = all.crossJoin(broadcast(cents))
-      .withColumn("arank", row_number().over(aw))
-    val assigned = ranked.filter(col("arank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
-    val probes = ranked.filter(col("vec_id") < nQueries && col("arank") <= nProbe)
+    val probes = all.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
+      .withColumn("arank", row_number().over(aw)).filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
     val q = probes.join(
       all.filter(col("vec_id") < nQueries)
