@@ -109,6 +109,16 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(recall >= 0.84, f"IVF recall@3 dropped to $recall%.2f")
   }
 
+  test("annIvfWithCentroids over a pretrained model matches self-contained annIvf") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val model = Similarity.trainIvfModel(emb, nCells = 8, trainRounds = 2)
+    val reused = Similarity.annIvfWithCentroids(emb, model, nQueries = 20, k = 3)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val self = Similarity.annIvf(emb, nCells = 8, nQueries = 20, k = 3)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(reused === self)
+  }
+
   test("incremental embedding dedup: every vector matches itself at cos 1.0; orthogonal batch stays clean") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     // index == incoming: every vector shares all 8 buckets with itself,

@@ -99,6 +99,46 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got === Set(("sA", "sA", 1L), ("sA", "sB", 2L)))
   }
 
+  test("closed-form source overlap equals the enumerated pair count on sf0.001") {
+    // property check on real data: the n·m / C(n,2) arithmetic must
+    // equal an explicitly enumerated co-membership pair set — guards
+    // the closed form against off-by-one/ordering mistakes at corpus
+    // shape, not just the 4-doc truth table above
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val labels = Dedup.clusterNearDups(d)
+    val closed = Dedup.sourceOverlapFromLabels(labels, d)
+      .as[(String, String, Long)].collect().toSet
+    val mem = labels.join(d.select(col("doc_id"), col("source")), "doc_id")
+    val enumerated = mem.alias("a").join(mem.alias("b"),
+        col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
+      .select(least(col("a.source"), col("b.source")).as("source_x"),
+        greatest(col("a.source"), col("b.source")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .as[(String, String, Long)].collect().toSet
+    assert(closed.nonEmpty && closed === enumerated)
+  }
+
+  test("reuse forms over precomputed labels match the self-contained queries and skip re-clustering") {
+    val d = Seq(
+      (1L, "a b c d e f g h", "sA"), (2L, "a b c d e f g h", "sA"),
+      (3L, "a b c d e f g h", "sB"), (4L, "q r s t u v w x", "sB"))
+      .toDF("doc_id", "text", "source")
+    val labels = Dedup.clusterNearDups(d)
+    assert(Dedup.sourceOverlapFromLabels(labels, d).as[(String, String, Long)]
+      .collect().toSet ===
+      Dedup.sourceOverlapMatrix(d).as[(String, String, Long)].collect().toSet)
+    assert(Dedup.dupStatsFromLabels(labels).as[(Long, Long, Long)].collect().toSet ===
+      Dedup.dupStats(d).as[(Long, Long, Long)].collect().toSet)
+    // the labels input is a materialized LogicalRDD, so the from-labels
+    // plans must contain no Generate (band-key posexplode) — i.e. the
+    // signature → band-join pipeline is NOT re-run per report
+    val plan = Dedup.sourceOverlapFromLabels(labels, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
+
   test("dup-stats histogram counts clusters by size") {
     val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "a b c d e f g h"), (4L, "q r s t u v w x"), (5L, "solo"))
