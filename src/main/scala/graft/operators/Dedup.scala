@@ -278,14 +278,29 @@ object Dedup {
     * million; the join output is bounded by 4 rows per incoming doc
     * regardless of index-side skew. The incoming batch shuffles only
     * its own band keys; nothing rescans or re-signs the corpus. */
-  def nearDupAgainstIndex(incoming: DataFrame, indexed: DataFrame): DataFrame = {
-    val idx = bandKeys(indexed).groupBy(col("band"), col("key"))
+  def nearDupAgainstIndex(incoming: DataFrame, indexed: DataFrame): DataFrame =
+    nearDupAgainstBandIndex(incoming, bandIndex(indexed))
+
+  /** The PRE-AGGREGATED band-key index of a corpus — one (band, key,
+    * match_id) row per bucket, `match_id` the bucket-minimum doc id.
+    * This is the frame a resident pipeline materializes once per index
+    * generation (and what [[graft.streaming.RollingBandIndex]] rolls);
+    * every batch then joins it via [[nearDupAgainstBandIndex]] without
+    * re-signing or re-aggregating the corpus. */
+  def bandIndex(indexed: DataFrame): DataFrame =
+    bandKeys(indexed).groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("match_id"))
+
+  /** [[nearDupAgainstIndex]] against an ALREADY-aggregated
+    * [[bandIndex]] frame — the amortized per-trigger form: only the
+    * incoming batch is signed; the index contributes one row per
+    * bucket, so join output stays bounded at bands-per-doc rows per
+    * incoming document regardless of index skew. */
+  def nearDupAgainstBandIndex(incoming: DataFrame, idx: DataFrame): DataFrame =
     bandKeys(incoming).join(idx, Seq("band", "key"))
       .groupBy(col("doc_id"))
       .agg(min(col("match_id")).as("match_id"),
         count(lit(1)).as("n_hit_bands"))
-  }
 
   /** X4 corpus duplication report: the cluster-size histogram of the
     * near-dup graph — (cluster_size, n_clusters, n_docs) tells how much

@@ -334,19 +334,28 @@ object StreamPipeline {
     * `docs` must carry (doc_id, text, ts) plus any payload; `bench`
     * is a STATIC (doc_id, text) frame of eval documents — it
     * broadcasts per batch, the reference-data pattern of the flagship
-    * join. `index` is a STATIC (doc_id, text) frame of the
-    * already-accepted corpus: each batch's NEAR-dups of that corpus
-    * are dropped via the pre-aggregated band-key join
-    * ([[graft.operators.Dedup.nearDupAgainstIndex]]) — the
-    * cross-generation near-dedup the exact fingerprint cannot catch
-    * (in production the index is yesterday's band-key table, refreshed
-    * per generation, not per trigger). */
+    * join. Near-dedup against the already-accepted corpus — the
+    * cross-generation catch the exact fingerprint cannot make — comes
+    * in two forms: `index`, a STATIC (doc_id, text) frame signed and
+    * band-aggregated ONCE at stream construction (one generation for
+    * the query's lifetime), or `rollingIndex`, a [[RollingBandIndex]]
+    * whose current generation is read at every trigger — refresh it
+    * with the accepted output and generation N's documents gate
+    * generation N+1 without restarting the query. When both are given
+    * the rolling index wins. */
   def curateStream(docs: DataFrame, outDir: String, checkpointDir: String,
                    bench: Option[DataFrame] = None,
                    minQuality: Double = 0.5,
                    watermark: String = "10 minutes",
                    nBuckets: Int = 8,
-                   index: Option[DataFrame] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+                   index: Option[DataFrame] = None,
+                   rollingIndex: Option[RollingBandIndex] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // static index: signed + band-aggregated ONCE at stream
+    // construction (eager, lineage-free), so triggers join the
+    // materialized bucket table instead of re-deriving shingle hashes,
+    // signatures, band keys, and the bucket-min per micro-batch
+    val staticIdx = index.map(i =>
+      graft.operators.Dedup.bandIndex(i).localCheckpoint())
     docs
       .withColumn("fp", md5(col("text")))
       .withWatermark("ts", watermark)
@@ -355,18 +364,26 @@ object StreamPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        curateBatch(batch, outDir, batchId, bench, minQuality, nBuckets, index)
+        // rolling wins over static: read the CURRENT generation at
+        // each trigger, so a refresh() between triggers takes effect
+        // without restarting the query
+        curateBatch(batch, outDir, batchId, bench, minQuality, nBuckets,
+          rollingIndex.map(_.current).orElse(staticIdx))
       }
+  }
 
   /** One micro-batch of the streaming curation (exposed for replay
     * tests): quality-score the batch, keep docs at or above the
     * absolute threshold, drop docs contaminated by the static
-    * benchmark and docs near-duplicating the static index, upsert
-    * survivors on their content fingerprint. */
+    * benchmark and docs near-duplicating the index generation, upsert
+    * survivors on their content fingerprint. `bandIdx` is a
+    * PRE-AGGREGATED [[graft.operators.Dedup.bandIndex]] frame —
+    * [[curateStream]] materializes it once per generation, so only
+    * the batch itself is signed here. */
   def curateBatch(batch: DataFrame, outDir: String, batchId: Long,
                   bench: Option[DataFrame] = None,
                   minQuality: Double = 0.5, nBuckets: Int = 8,
-                  index: Option[DataFrame] = None): Unit = {
+                  bandIdx: Option[DataFrame] = None): Unit = {
     val extras = batch.columns.filterNot(_ == "doc_id").toSeq
     val scored = graft.operators.TextAnalysis
       .qualityScore(batch, extraCols = extras)
@@ -378,10 +395,10 @@ object StreamPipeline {
         scored.join(flagged, Seq("doc_id"), "left_anti")
       case None => scored
     }
-    val novel = index match {
+    val novel = bandIdx match {
       case Some(idx) =>
         val near = graft.operators.Dedup
-          .nearDupAgainstIndex(clean, idx).select("doc_id")
+          .nearDupAgainstBandIndex(clean, idx).select("doc_id")
         clean.join(near, Seq("doc_id"), "left_anti")
       case None => clean
     }

@@ -611,6 +611,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rolling index: docs accepted in generation N gate generation N+1 without restarting the query") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-curate-rolling")
+    val out = dir.resolve("store").toString; val ck = dir.resolve("ck").toString
+    val genN = "the cat and the dog walk to the park and the bird sings " +
+      "of the sun and the rain today"
+    // near (NOT byte-identical) variant of the generation-N doc: only
+    // the band-key join against the refreshed index can catch it
+    val nearDup = genN.replace("today", "tonight")
+    val fresh = "the fish and the frog swim to the lake and the duck calls " +
+      "of the moon and the wind at dusk"
+    // generation 0: empty index, gates nothing
+    val roll = streaming.RollingBandIndex.build(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val mem = MemoryStream[DocEvent]
+    val q = StreamPipeline.curateStream(mem.toDF(), out, ck,
+      rollingIndex = Some(roll)).start()
+    try {
+      mem.addData(DocEvent(50, genN, "en", "s0", Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      assert(StreamPipeline.readUpserted(spark, out)
+        .select("doc_id").as[Long].collect().toSet === Set(50L))
+      // roll the index from the ACCEPTED output — generation N+1 —
+      // while the query keeps running
+      roll.refresh(StreamPipeline.readUpserted(spark, out)
+        .select(col("doc_id"), col("text")))
+      mem.addData(
+        DocEvent(51, nearDup, "en", "s0", Timestamp.valueOf("2024-01-01 00:02:00")),
+        DocEvent(52, fresh, "en", "s0", Timestamp.valueOf("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      val ids = StreamPipeline.readUpserted(spark, out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(50L, 52L),
+        s"generation-N acceptance did not gate its N+1 near-dup: $ids")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState milestone alerts: cross-threshold emission and batch-order independence (X6)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[UserEvent]
