@@ -96,6 +96,10 @@ object SparkEntry {
       t(s, d, "documents").filter("doc_id < 100"),
       t(s, d, "documents").filter("doc_id >= 100"))),
     "x4_dup_stats" -> ((s, d) => Dedup.dupStats(t(s, d, "documents"))),
+    // the materialized index-side artifact of incremental near-dedup:
+    // one bucket-min row per (band, key) over the whole corpus
+    "x4_band_index" -> ((s, d) => Dedup.bandIndex(t(s, d, "documents"))
+      .withColumn("band", org.apache.spark.sql.functions.col("band").cast("long"))),
     "x4_novelty" -> ((s, d) => Dedup.noveltyScores(t(s, d, "documents"))),
     "x4_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(t(s, d, "documents"))),
     // --- X2 similarity search ---
@@ -104,6 +108,9 @@ object SparkEntry {
     "x2_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "x2_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "x2_centroids" -> ((s, d) => Similarity.trainedCentroids(t(s, d, "embeddings"))),
+    // the corpus-side cell-assignment artifact of the trained IVF index
+    // (hash-pins the max_by argmax against the oracle's window replay)
+    "x2_ivf_assign" -> ((s, d) => Similarity.ivfAssignments(t(s, d, "embeddings"))),
     "x2_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
     // incremental shape: vecs < 100 are the new batch, >= 100 the index
     "x2_incremental" -> ((s, d) => Similarity.embeddingDedupAgainstIndex(
@@ -516,6 +523,20 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_hit_bands
          FROM bd i JOIN idx x ON i.b = x.b AND i.key = x.key
          WHERE i.doc_id < 100 GROUP BY i.doc_id""",
+    "x4_band_index" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         bd AS (SELECT doc_id, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM sig, (SELECT unnest(range(4)) AS b))
+         SELECT b AS band, key, min(doc_id) AS match_id
+         FROM bd GROUP BY b, key""",
     "x4_dup_stats" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          t AS (SELECT doc_id, list_transform(
@@ -778,6 +799,46 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, cell, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    "x2_ivf_assign" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, t.v, t.nrm, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k)
+         SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1""",
     "x2_incremental" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

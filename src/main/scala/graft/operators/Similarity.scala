@@ -485,6 +485,22 @@ object Similarity {
                     trainRounds: Int = 2): Seq[(Long, Seq[Double])] =
     kmeansCentroids(withVec(embeddings), nCells, trainRounds)
 
+  /** Corpus-side IVF cell assignment over the trained model — one
+    * (vec_id, cell) row per vector, the partition-key artifact an IVF
+    * index materializes (at scale this IS the index layout: cell
+    * partitions the corpus; probing = joining cell ids). Exposed as a
+    * query so the `max_by` assignment path ([[argmaxCell]]) is
+    * hash-verified against the oracle's row_number replay of the same
+    * argmax. */
+  def ivfAssignments(embeddings: DataFrame, nCells: Int = 8,
+                     trainRounds: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = trainIvfModel(embeddings, nCells, trainRounds).toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    argmaxCell(withVec(embeddings), cents).select(col("vec_id"), col("cell"))
+  }
+
   /** [[annIvf]] over a PRETRAINED centroid model. Corpus-side cell
     * assignment is one `max_by` hash aggregation ([[argmaxCell]] — no
     * corpus-wide window sort, evaluated once); query-side probe
