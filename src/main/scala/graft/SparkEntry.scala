@@ -57,6 +57,7 @@ object SparkEntry {
     "q_correlated" -> ((s, d) => Scale.smallQtyRevenue(
       t(s, d, "lineitem"), t(s, d, "part"))),
     "q_set_ops" -> ((s, d) => Analytics.priorityOverlap(t(s, d, "orders"))),
+    "q_full_outer" -> ((s, d) => Scale.dailyReconcile(t(s, d, "orders"))),
     // --- X3 text analysis ---
     "x3_textstats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
     "x3_bpe_tokens" -> ((s, d) => TextAnalysis.regexTokenCounts(t(s, d, "documents"))),
@@ -68,6 +69,7 @@ object SparkEntry {
     "x3_group_concat" -> ((s, d) => TextAnalysis.groupConcat(t(s, d, "documents"))),
     "x3_repetition" -> ((s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"))),
     "x3_chunk" -> ((s, d) => TextAnalysis.chunkDocuments(t(s, d, "documents"))),
+    "x3_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
     // corpus has no real PII: plant deterministic doc_id-derived PII on
     // both engines, then redact (see TextAnalysis.injectSyntheticPii)
     "x3_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(
@@ -138,6 +140,7 @@ object SparkEntry {
       t(s, d, "events"), "value")),
     // --- X6 event-time windows (batch flavor; streaming in graft.streaming) ---
     "x6_tumbling" -> ((s, d) => Windows.tumbling(t(s, d, "events"))),
+    "x6_active_users" -> ((s, d) => Windows.activeUsers(t(s, d, "events"))),
     "x6_sliding" -> ((s, d) => Windows.sliding(t(s, d, "events"))),
     "x6_sessions" -> ((s, d) => Windows.sessions(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
@@ -201,6 +204,13 @@ object SparkEntry {
       """SELECT c_custkey FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
+    "q_full_outer" ->
+      """WITH b AS (SELECT o_orderdate AS day, count(*) AS n_big FROM orders
+           WHERE o_totalprice > 400000 GROUP BY 1),
+         u AS (SELECT o_orderdate AS day, count(*) AS n_urgent FROM orders
+           WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+         SELECT coalesce(b.day, u.day) AS day, b.n_big, u.n_urgent
+         FROM b FULL OUTER JOIN u ON b.day = u.day""",
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o
@@ -347,6 +357,19 @@ object SparkEntry {
            md5(array_to_string(list_slice(tk, chunk_id * 48 + 1,
              chunk_id * 48 + least(64, n - chunk_id * 48)), ' ')) AS chunk_md5
          FROM x""",
+    "x3_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+         pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+           FROM tk GROUP BY doc_id, tok),
+         c AS (SELECT tok, CAST(sum(k) AS BIGINT) AS c FROM pd GROUP BY tok),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+         s AS (SELECT pd.doc_id, pd.k,
+             CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp6
+           FROM pd JOIN c ON c.tok = pd.tok, n)
+         SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+           CAST(sum(k * lp6) AS DOUBLE) / (CAST(sum(k) AS BIGINT) * 1000000.0) AS avg_logprob
+         FROM s GROUP BY doc_id""",
     "x3_pii_redact" ->
       """WITH p AS (SELECT doc_id, text
              || CASE WHEN doc_id % 3 = 0 THEN ' u' || doc_id || '@mail.example.com' ELSE '' END
@@ -1099,6 +1122,10 @@ object SparkEntry {
       """SELECT epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS ws_us, event_type,
          count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "x6_active_users" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS ws_us,
+         count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY 1""",
     "x6_sliding" ->
       """WITH w AS (SELECT time_bucket(INTERVAL 30 minutes, ts) - k * INTERVAL 30 minutes AS ws,
            event_type, value FROM events, (SELECT unnest([0, 1]) AS k))

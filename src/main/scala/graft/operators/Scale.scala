@@ -110,6 +110,24 @@ object Scale {
         month(col("o_orderdate")).cast("long").as("m"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("revenue"))
 
+  /** FULL OUTER join — the ledger-reconciliation shape: two sparse
+    * daily aggregates whose key sets only partially overlap (days with
+    * a big-ticket order vs days with an urgent order); a day present
+    * on one side only surfaces with nulls on the other — null here
+    * means ABSENT, deliberately not coalesced to 0. Both inputs
+    * aggregate before the join (one row per day each side), so the
+    * join is tiny regardless of order volume. */
+  def dailyReconcile(orders: DataFrame): DataFrame = {
+    val big = orders.filter(col("o_totalprice") > 400000.0)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_big"))
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_urgent"))
+    big.join(urgent, Seq("day"), "full_outer")
+      .select(col("day"), col("n_big"), col("n_urgent"))
+  }
+
   /** CTE + scalar-subquery shape: customers whose spend exceeds 1.5×
     * the mean customer spend. The threshold is a broadcast scalar
     * (cross join of a 1-row aggregate); per-customer spend uses the

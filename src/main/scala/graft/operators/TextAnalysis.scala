@@ -273,6 +273,49 @@ object TextAnalysis {
     * the group key must be chosen so a group fits an executor (that is
     * inherent to "assemble this group into one blob", not to the
     * plan). */
+  /** X3 unigram log-probability scoring — the statistical-LM quality
+    * proxy (a perplexity filter without a model): score(doc) = mean
+    * over its tokens of ln P(token), with P the corpus's OWN unigram
+    * distribution. Low scorers are rare-token noise (boilerplate,
+    * mojibake, codes); high scorers are stopword soup — both tails are
+    * what a perplexity gate trims before training.
+    *
+    * Scale shape: tokens collapse to distinct (doc_id, token, k)
+    * triples FIRST (map-side combine absorbs within-doc repetition),
+    * so the corpus-count join back is 1:1 per distinct pair — a
+    * stopword contributes one row per document that uses it, never one
+    * per occurrence; nothing is quadratic and the final agg is
+    * doc-keyed. Cross-engine float parity: each ln is quantized to
+    * INTEGER micro-nats (`floor(ln·1e6 + 0.5)`, the suite's half-up
+    * rule), the weighted sum is exact 64-bit integer arithmetic, and
+    * the mean is ONE IEEE division of exactly-representable operands —
+    * bit-identical on any engine, no final rounding step to tie-break.
+    * (Summing decimal-ROUNDED doubles instead lands the sum exactly on
+    * round(…, 4) ties, where engine-order float noise picks the side —
+    * that formulation hash-mismatched 2 docs per 10k.)
+    *
+    * The self-contained form re-derives the count table for its total
+    * (two aggregations over the same explode; Catalyst broadcasts the
+    * vocabulary side). A resident pipeline materializes `counts` once
+    * per corpus snapshot — it is the unigram LM, a model artifact like
+    * the IVF centroids — and serves every scoring batch from it. */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+    val counts = perDoc.groupBy(col("tok")).agg(sum(col("k")).as("c"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    perDoc.join(counts, "tok").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("k"),
+        floor(log(col("c").cast("double") / col("n").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("lp6"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("k") * col("lp6")).as("lp_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("lp_micro").cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6))).as("avg_logprob"))
+  }
+
   def groupConcat(documents: DataFrame): DataFrame =
     documents.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -28,6 +28,21 @@ object Windows {
       .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
         col("n"), col("avg_value"))
 
+  /** Tumbling 1-hour windows with an EXACT distinct aggregation —
+    * active users per hour. `count(distinct)` plans as a two-stage
+    * aggregate: (window, user_id) pairs partially deduplicate map-side
+    * before the shuffle, then the second aggregation counts per window
+    * — no all-rows-to-one-reducer stage and no per-group set state
+    * beyond the distinct keys themselves. At 100 TB swap in
+    * `approx_count_distinct` (HLL, constant memory per window) when
+    * ±2% error is acceptable; the exact form stays the oracle. */
+  def activeUsers(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("ws_us"),
+        col("n_users"), col("n_events"))
+
   /** Session windows per user with a fixed inactivity gap, batch
     * gaps-and-islands formulation: a session starts where the gap from
     * the previous event exceeds `gap`; the running sum of starts

@@ -139,6 +139,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), plan)
   }
 
+  test("unigram log-prob: hand-computed micro-nat truth table") {
+    // corpus: a appears 2×, b 2×, c 1×; n = 5
+    val d = docs((1L, "a a b"), (2L, "b c"))
+    def lp6(p: Double): Long = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val a = lp6(2.0 / 5); val b = lp6(2.0 / 5); val c = lp6(1.0 / 5)
+    val got = TextAnalysis.unigramLogProb(d)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 3L, (2 * a + b).toDouble / (3 * 1e6)),
+      (2L, 2L, (b + c).toDouble / (2 * 1e6))))
+  }
+
   test("dup-stats histogram counts clusters by size") {
     val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "a b c d e f g h"), (4L, "q r s t u v w x"), (5L, "solo"))
