@@ -413,6 +413,24 @@ object StreamPipeline {
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** X6 streaming active users: tumbling event-time windows with an
+    * APPROXIMATE distinct count (HLL++). Exact `count(distinct)` is
+    * not supported under streaming aggregation (it would hold one
+    * unbounded value set per window); `approx_count_distinct` keeps a
+    * constant-size mergeable sketch per window — the form the batch
+    * [[graft.operators.Windows.activeUsers]] documents as its 100 TB
+    * swap-in. At rsd 1% the sketch answers exactly for small
+    * cardinalities (sparse mode), so batch and stream agree on test
+    * corpora while the stream stays bounded at any scale. */
+  def activeUsersStream(events: DataFrame, watermark: String = "10 minutes",
+                        width: String = "1 hour", rsd: Double = 0.01): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("ws_us"),
+        col("n_users"), col("n_events"))
+
   /** X6 streaming session windows (native session_window operator). */
   def sessionCounts(events: DataFrame, watermark: String = "10 minutes",
                     gap: String = "5 minutes"): DataFrame =

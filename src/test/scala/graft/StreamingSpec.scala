@@ -217,6 +217,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming active users: HLL distinct per window matches the exact batch answer") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.activeUsersStream(mem.toDF())
+      .writeStream.format("memory").queryName("au_mem")
+      .outputMode("complete").start()
+    try {
+      // hour 0: users 7, 7, 8 (2 distinct); hour 1: user 9 (1 distinct)
+      val evs = Seq(
+        UserEvent(1, Timestamp.valueOf("2024-01-01 00:01:00"), 7, "click", 1.0),
+        UserEvent(2, Timestamp.valueOf("2024-01-01 00:02:00"), 7, "view", 2.0),
+        UserEvent(3, Timestamp.valueOf("2024-01-01 00:03:00"), 8, "click", 3.0),
+        UserEvent(4, Timestamp.valueOf("2024-01-01 01:01:00"), 9, "click", 4.0))
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val got = spark.table("au_mem").as[(Long, Long, Long)].collect()
+        .sortBy(_._1).toList
+      // at sketch-sparse cardinalities the HLL answer is exact, so the
+      // stream must agree with the exact batch count(distinct)
+      val batch = graft.operators.Windows.activeUsers(evs.toDF())
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+      assert(got === batch)
+      assert(got.map(r => (r._2, r._3)) === List((2L, 3L), (1L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming session windows split on the gap") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[UserEvent]
