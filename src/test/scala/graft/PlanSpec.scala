@@ -66,6 +66,37 @@ class PlanSpec extends AnyFunSuite {
       !read.contains("text"), read)
   }
 
+  test("windowed distinct count is a two-stage aggregate, never Expand") {
+    val p = planOf("x6_active_users")
+    // the single-distinct rewrite: (window, user) partial dedup below
+    // the shuffle, then the per-window count — an Expand here would
+    // multiply every input row per aggregate
+    assert(!p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("full outer reconcile aggregates both sides below the join") {
+    val p = planOf("q_full_outer")
+    assert(p.contains("SortMergeJoin FullOuter") ||
+      p.contains("ShuffledHashJoin FullOuter"), p)
+    // no raw orders rows reach the join: each side is its own
+    // partial+final daily aggregate first
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("unigram log-prob joins the vocabulary by broadcast and prunes the scan") {
+    val p = planOf("x3_unigram_logprob")
+    // the (doc, token) side probes the vocabulary hash-table — never a
+    // shuffle keyed on hot tokens; the only nested-loop join allowed is
+    // the cross against the 1-row corpus total
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source"), read)
+  }
+
   test("profile branches are pruned hash aggregations (no Expand, no sort)") {
     val p = planOf("q_profile")
     // per-column branches: each scan reads exactly its own column —
