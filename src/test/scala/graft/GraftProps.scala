@@ -159,6 +159,32 @@ object GraftProps extends Properties("graft") {
       got == keep.toSet
     }
 
+  // the distributed unigram scorer equals the local brute force on any
+  // corpus — distinct-pair collapse, vocabulary join, and micro-nat
+  // arithmetic must never change the VALUE, only the plan
+  property("unigram log-prob equals the local brute force") =
+    forAll(Gen.chooseNum(2, 20), Gen.long) { (n, seed) =>
+      val texts = (0 until n).map { i =>
+        val g = textGen(Gen.Parameters.default.withSize(10),
+          org.scalacheck.rng.Seed(seed + i)).getOrElse("the a")
+        (i.toLong, g)
+      }
+      val docs = texts.toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis.unigramLogProb(docs)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toList
+      val all = texts.flatMap(_._2.split(" "))
+      val cnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = all.size.toLong
+      def lp6(tok: String): Long =
+        math.floor(math.log(cnt(tok).toDouble / total) * 1e6 + 0.5).toLong
+      val want = texts.map { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val micro = toks.map(lp6).sum
+        (id, toks.size.toLong, micro.toDouble / (toks.size.toDouble * 1e6))
+      }.toList
+      got == want
+    }
+
   // redaction counts every planted class; the redacted text has no
   // residual match (completeness) and a second pass is the identity
   // (idempotence) — verified against the operator's own md5 output
