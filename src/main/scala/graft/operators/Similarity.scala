@@ -515,7 +515,34 @@ object Similarity {
     val all = withVec(embeddings)
     val cents = centroids.toDF("c_id", "cv")
       .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
-    val assigned = argmaxCell(all, cents)
+    ivfSearch(all, argmaxCell(all, cents), cents, nQueries, k, nProbe)
+  }
+
+  /** The fully-RESIDENT IVF serve path: pretrained model AND
+    * pre-assigned corpus — per query, neither Lloyd training nor the
+    * corpus-wide argmax runs; only the query slice ranks against the
+    * broadcast centroids and joins its probed cells. `assignments` is
+    * the slim (vec_id, cell) table [[ivfAssignments]] exports (the
+    * index layout a 100 TB deployment stores, bucketed by cell);
+    * vectors come from the embeddings table via one doc-keyed join. */
+  def annIvfOnAssignments(embeddings: DataFrame, assignments: DataFrame,
+                          centroids: Seq[(Long, Seq[Double])],
+                          nQueries: Int = 20, k: Int = 3,
+                          nProbe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = withVec(embeddings)
+    val cents = centroids.toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    ivfSearch(all, all.join(assignments, "vec_id"), cents, nQueries, k, nProbe)
+  }
+
+  /** Shared IVF query stage: rank each query vector's `nProbe` closest
+    * cells (window over the tiny nQueries×nCells slice only), join the
+    * probed cells of the assigned corpus, exact-cosine top-k per query
+    * with id tie-break. */
+  private def ivfSearch(all: DataFrame, assigned: DataFrame, cents: DataFrame,
+                        nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last, col("c_id"))
     val probes = all.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))

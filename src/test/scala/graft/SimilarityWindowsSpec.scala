@@ -119,6 +119,17 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(reused === self)
   }
 
+  test("annIvfOnAssignments (resident serve path) matches self-contained annIvf") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val model = Similarity.trainIvfModel(emb, nCells = 8, trainRounds = 2)
+    val idx = Similarity.ivfAssignments(emb, nCells = 8, trainRounds = 2)
+    val served = Similarity.annIvfOnAssignments(emb, idx, model, nQueries = 20, k = 3)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val self = Similarity.annIvf(emb, nCells = 8, nQueries = 20, k = 3)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(served === self)
+  }
+
   test("incremental embedding dedup: every vector matches itself at cos 1.0; orthogonal batch stays clean") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     // index == incoming: every vector shares all 8 buckets with itself,
