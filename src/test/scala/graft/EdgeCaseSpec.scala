@@ -63,6 +63,19 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.piiRedact(docs.limit(0)).count() === 0)
   }
 
+  test("round-10 operators survive degenerate inputs") {
+    // empty text still yields one (empty-string) token — scored, never
+    // a zero-division; empty corpus yields zero rows, never a crash
+    assert(TextAnalysis.unigramLogProb(docs).count() === 4)
+    assert(TextAnalysis.unigramLogProb(docs.limit(0)).count() === 0)
+    assert(Dedup.bandIndex(docs).count() === 4) // only doc 4 signed, 4 bands
+    assert(Dedup.bandIndex(docs.limit(0)).count() === 0)
+    assert(Dedup.dupStatsFromLabels(Dedup.clusterNearDups(docs.limit(0))).count() === 0)
+    val orders = Seq.empty[(java.sql.Date, Double, String)]
+      .toDF("o_orderdate", "o_totalprice", "o_orderpriority")
+    assert(Scale.dailyReconcile(orders).count() === 0)
+  }
+
   test("media stubs survive empty blobs") {
     assert(Multimodal.mediaFeatures(spark, docs).count() === 4)
     assert(Multimodal.resizedSizes(docs).count() === 4)
