@@ -113,6 +113,8 @@ object SparkEntry {
     // the corpus-side cell-assignment artifact of the trained IVF index
     // (hash-pins the max_by argmax against the oracle's window replay)
     "x2_ivf_assign" -> ((s, d) => Similarity.ivfAssignments(t(s, d, "embeddings"))),
+    // class-prototype mean pooling over the labeled embedding corpus
+    "x2_mean_pool" -> ((s, d) => Similarity.meanPoolByLabel(t(s, d, "embeddings"))),
     "x2_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
     // incremental shape: vecs < 100 are the new batch, >= 100 the index
     "x2_incremental" -> ((s, d) => Similarity.embeddingDedupAgainstIndex(
@@ -822,6 +824,13 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, cell, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    "x2_mean_pool" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         d AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e)
+         SELECT label, CAST(pos AS BIGINT) AS pos,
+           round(sum(val) / count(*), 6) AS val
+         FROM d GROUP BY label, pos""",
     "x2_ivf_assign" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -485,6 +485,21 @@ object Similarity {
                     trainRounds: Int = 2): Seq[(Long, Seq[Double])] =
     kmeansCentroids(withVec(embeddings), nCells, trainRounds)
 
+  /** X2 class-mean embedding aggregation (mean pooling) — the
+    * prototype / topic-centroid computation: the mean embedding per
+    * label, exploded to (label, pos, val) rows like
+    * [[trainedCentroids]] so the aggregate itself is hash-verifiable.
+    * One (label, pos)-keyed aggregation with map-side combine — each
+    * partition collapses to |labels|·dims rows before the shuffle, the
+    * result set is O(labels·dims), nothing collects to the driver.
+    * The same shape rolls chunk embeddings up to document embeddings
+    * (group by doc instead of label) at any scale. */
+  def meanPoolByLabel(embeddings: DataFrame): DataFrame =
+    withVec(embeddings)
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(round(sum(col("col")) / count(lit(1)), 6).as("val"))
+
   /** Corpus-side IVF cell assignment over the trained model — one
     * (vec_id, cell) row per vector, the partition-key artifact an IVF
     * index materializes (at scale this IS the index layout: cell
