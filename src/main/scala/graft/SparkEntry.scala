@@ -115,6 +115,8 @@ object SparkEntry {
     "x2_ivf_assign" -> ((s, d) => Similarity.ivfAssignments(t(s, d, "embeddings"))),
     // class-prototype mean pooling over the labeled embedding corpus
     "x2_mean_pool" -> ((s, d) => Similarity.meanPoolByLabel(t(s, d, "embeddings"))),
+    // nearest-class-mean confusion matrix (embedding label audit)
+    "x2_confusion" -> ((s, d) => Similarity.nearestClassMean(t(s, d, "embeddings"))),
     "x2_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
     // incremental shape: vecs < 100 are the new batch, >= 100 the index
     "x2_incremental" -> ((s, d) => Similarity.embeddingDedupAgainstIndex(
@@ -831,6 +833,24 @@ object SparkEntry {
          SELECT label, CAST(pos AS BIGINT) AS pos,
            round(sum(val) / count(*), 6) AS val
          FROM d GROUP BY label, pos""",
+    "x2_confusion" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         d AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e),
+         s AS (SELECT label AS c_id, pos, round(sum(val) / count(*), 6) AS val
+           FROM d GROUP BY 1, 2),
+         m AS (SELECT c_id, list(val ORDER BY pos) AS cv FROM s GROUP BY c_id),
+         k AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM m),
+         r AS (SELECT t.vec_id, t.label, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k)
+         SELECT label, c_id AS predicted, CAST(count(*) AS BIGINT) AS n
+         FROM r WHERE ar = 1 GROUP BY label, predicted""",
     "x2_ivf_assign" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -500,6 +500,33 @@ object Similarity {
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
       .agg(round(sum(col("col")) / count(lit(1)), 6).as("val"))
 
+  /** X2 nearest-class-mean audit — classify every vector to its
+    * max-cosine label PROTOTYPE ([[meanPoolByLabel]] means) and emit
+    * the confusion matrix (label, predicted, n): the standard
+    * embedding-space label-quality check (how separable the labels
+    * are; which classes bleed into which). Prototypes are
+    * O(labels·dims) and broadcast; assignment is the same one-pass
+    * `max_by` argmax as the IVF path; the matrix is at most
+    * labels² rows. Prototype values are rounded to 6 decimals first —
+    * the same model-quantization step the trained-centroid path uses —
+    * so both engines argmax over identical prototypes. */
+  def nearestClassMean(embeddings: DataFrame): DataFrame = {
+    val protos = meanPoolByLabel(embeddings)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("val")))),
+        x => x.getField("val")).as("cv"))
+      .select(col("label").as("c_id"), col("cv"))
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    withVec(embeddings).crossJoin(broadcast(protos))
+      .withColumn("acos",
+        coalesce(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")), lit(-2.0)))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("acos"), -col("c_id"))).as("predicted"),
+        first(col("label")).as("label"))
+      .groupBy(col("label"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Corpus-side IVF cell assignment over the trained model — one
     * (vec_id, cell) row per vector, the partition-key artifact an IVF
     * index materializes (at scale this IS the index layout: cell
