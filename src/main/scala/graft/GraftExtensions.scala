@@ -32,6 +32,8 @@ object GraftFunctions {
       args => MinHashSig(args(0), intArg(args(1)), longArg(args(2)))),
     ("media_embed", "media_embed(str, dim, stride) - stub media embedding (ASCII-scaled codepoints)",
       args => MediaEmbed(args(0), intArg(args(1)), intArg(args(2)))),
+    ("deflate_size", "deflate_size(str) - DEFLATE-compressed size of the UTF-8 bytes",
+      args => DeflateSize(args.head)),
     ("lsh_buckets", "lsh_buckets(vec, tables, bits, dim) - sign-LSH bucket ids per table",
       args => LshBuckets(args(0), intArg(args(1)), intArg(args(2)), intArg(args(3)))),
     // bare AggregateFunction: the analyzer wraps it (and handles

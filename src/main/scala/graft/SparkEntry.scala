@@ -70,6 +70,9 @@ object SparkEntry {
     "x3_repetition" -> ((s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"))),
     "x3_chunk" -> ((s, d) => TextAnalysis.chunkDocuments(t(s, d, "documents"))),
     "x3_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
+    // no oracleSql entry: deflate exists in no SQL engine — the driver
+    // records the weaker rows-only check; semantics are spec-tested
+    "x3_compression" -> ((s, d) => TextAnalysis.compressionStats(t(s, d, "documents"))),
     // corpus has no real PII: plant deterministic doc_id-derived PII on
     // both engines, then redact (see TextAnalysis.injectSyntheticPii)
     "x3_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(

@@ -273,6 +273,25 @@ object TextAnalysis {
     * the group key must be chosen so a group fits an executor (that is
     * inherent to "assemble this group into one blob", not to the
     * plan). */
+  /** X3 compression-ratio quality signal — the Gopher/RefinedWeb-style
+    * repetitiveness gate: per document, DEFLATE-compressed size of the
+    * UTF-8 text over its raw byte size. Templated or near-duplicate
+    * boilerplate compresses far below natural prose (low ratio);
+    * mojibake/random noise barely compresses (ratio near 1); a
+    * training filter trims BOTH tails. Narrow per-row kernel
+    * projection ([[graft.functions.DeflateSize]], whole-stage
+    * codegen'd, hot loop in zlib), zero shuffle. Spec-tested rather
+    * than oracle-matched: no SQL engine exposes deflate, and the ratio
+    * is for ordering/thresholds, not a portable checksum. */
+  def compressionStats(documents: DataFrame): DataFrame = {
+    import graft.functions.DeflateSize.deflate_size
+    documents.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        deflate_size(col("text")).as("n_deflate"))
+      .withColumn("ratio", when(col("n_bytes") > 0,
+        round(col("n_deflate").cast("double") / col("n_bytes"), 6)))
+  }
+
   /** X3 unigram log-probability scoring — the statistical-LM quality
     * proxy (a perplexity filter without a model): score(doc) = mean
     * over its tokens of ln P(token), with P the corpus's OWN unigram

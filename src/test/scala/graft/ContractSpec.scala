@@ -32,7 +32,8 @@ class ContractSpec extends AnyFunSuite {
     // queries without an oracle get only the rows>0 check — keep the
     // list EXPLICIT so a forgotten oracle cannot hide
     val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(weak === Set.empty[String], s"queries with no oracle: $weak")
+    assert(weak === SparkTestBase.intentionallyOracleless,
+      s"queries with no oracle: $weak")
   }
 
   test("concurrent mem-table appenders lose no rows") {

@@ -13,9 +13,10 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has oracle SQL") {
+  test("every query has oracle SQL unless explicitly declared oracle-less") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    assert(noOracle === SparkTestBase.intentionallyOracleless,
+      s"queries without oracle: $noOracle")
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {

@@ -15,4 +15,13 @@ object SparkTestBase {
   spark.sparkContext.setLogLevel("WARN")
 
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Queries DELIBERATELY declared without oracle SQL (the driver
+    * records its weaker rows-only check for these). Every entry needs
+    * a reason here, and ContractSpec/CoreQueriesSpec fail on any
+    * query missing from BOTH this set and oracleSql — a forgotten
+    * oracle cannot hide:
+    *  - x3_compression: DEFLATE exists in no SQL engine; semantics are
+    *    pinned by TextDedupSpec (separation, determinism, null guard). */
+  val intentionallyOracleless: Set[String] = Set("x3_compression")
 }

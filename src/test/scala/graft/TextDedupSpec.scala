@@ -336,7 +336,30 @@ class TextDedupSpec extends AnyFunSuite {
           4, 2147483647L)).collect().length === 2)
       assert(d.select(graft.functions.RollingHash.rolling_hash(col("text")))
         .collect().length === 2)
+      assert(d.select(graft.functions.DeflateSize.deflate_size(col("text")))
+        .collect().length === 2)
     } finally spark.conf.set(key, prev)
+  }
+
+  test("compression ratio separates repetitive boilerplate from diverse text") {
+    // deterministic pseudo-diverse text (no shared substrings of note)
+    val diverse = (0 until 120).map(i => (i * 2654435761L % 99991).toString)
+      .mkString(" ")
+    val repetitive = Seq.fill(120)("the same boilerplate line repeats")
+      .mkString(" ")
+    val d = docs((1L, repetitive), (2L, diverse), (3L, ""))
+    val got = TextAnalysis.compressionStats(d)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // repetitive text compresses an order of magnitude harder
+    assert(got(1L)._4.get < 0.1, got(1L).toString)
+    assert(got(2L)._4.get > 0.5, got(2L).toString)
+    // empty text: 0 bytes, null ratio, no division error
+    assert(got(3L)._2 === 0L && got(3L)._4.isEmpty)
+    // pure function of the bytes: identical on re-evaluation
+    val again = TextAnalysis.compressionStats(d)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(again === got.values.toSet)
   }
 
   test("hash split is deterministic, complete, and roughly 80/10/10") {
