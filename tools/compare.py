@@ -62,11 +62,22 @@ def main():
             print(f"FAIL {name}: " + "; ".join(f"{c}: {m}" for c, m in bad)); n_fail += 1
         else:
             print(f"PASS {name} ({len(mine)} rows)"); n_pass += 1
-    # queries with Spark output but no oracle
+    # queries with Spark output but no oracle: the driver's weaker
+    # rows-only check — readable and non-empty, or it fails
     for d in sorted(glob.glob(os.path.join(outdir, "*"))):
         nm = os.path.basename(d)
         if os.path.isdir(d) and nm not in declared:
-            print(f"NOTE {nm}: rows-only (no oracle)")
+            try:
+                nrows = len(pd.read_parquet(d))
+            except Exception as e:
+                print(f"FAIL {nm}: rows-only output unreadable ({e})")
+                n_fail += 1
+                continue
+            if nrows > 0:
+                print(f"NOTE {nm}: rows-only ({nrows} rows, no oracle)")
+            else:
+                print(f"FAIL {nm}: rows-only output has 0 rows")
+                n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
