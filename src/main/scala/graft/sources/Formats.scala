@@ -41,6 +41,26 @@ object Formats {
     }
   }
 
+  /** Bucketed catalog-table write — the CO-LOCATED join layout: both
+    * sides of a recurring join bucketed on the join key into the SAME
+    * bucket count hash-partition identically at write time, so the
+    * join plans with NO shuffle exchange on either side — at 100 TB
+    * this converts every repeated fact/fact join on the key into a
+    * local merge per bucket. `bucketBy` requires `saveAsTable`:
+    * bucket metadata lives in the catalog, not in the files (a plain
+    * path read sees ordinary parquet and re-shuffles). Optional
+    * `sortBy` pre-sorts within buckets, letting single-file buckets
+    * skip the merge sort too. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+                    format: String = "parquet"): Unit = {
+    require(supported.contains(format), s"unsupported format $format")
+    val w0 = df.write.mode("overwrite").format(format)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w.saveAsTable(table)
+  }
+
   def read(spark: SparkSession, path: String, format: String,
            schema: StructType = null): DataFrame = {
     require(supported.contains(format), s"unsupported format $format")

@@ -47,6 +47,34 @@ class FormatsSpec extends AnyFunSuite {
     assert(q.count() === total && total > 0)
   }
 
+  test("bucketed tables join with no shuffle exchange on either side") {
+    import org.apache.spark.sql.functions.sum
+    val wh = java.nio.file.Files.createTempDirectory("graft-bkt-wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bkt LOCATION '$wh'")
+    val orders = Tables(spark, SparkTestBase.sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables(spark, SparkTestBase.sf0001, "customer")
+      .select("c_custkey", "c_name")
+    Formats.writeBucketed(orders, "bkt.orders_b", 4,
+      Seq("o_custkey"), sortCols = Seq("o_custkey"))
+    Formats.writeBucketed(customer, "bkt.customer_b", 4,
+      Seq("c_custkey"), sortCols = Seq("c_custkey"))
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val j = spark.table("bkt.orders_b").join(spark.table("bkt.customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey").agg(sum("o_totalprice"))
+      val p = j.queryExecution.executedPlan.toString
+      // both sides arrive hash-partitioned from the FILES: the join
+      // and the key-aligned aggregation above it need no shuffle
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(j.count() === orders.join(customer,
+        col("o_custkey") === col("c_custkey")).select("c_custkey").distinct().count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+  }
+
   test("orc predicate pushdown reaches the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fmt-orc").toString
     Formats.write(docs, dir, "orc")
