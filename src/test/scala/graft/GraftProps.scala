@@ -159,6 +159,38 @@ object GraftProps extends Properties("graft") {
       got == keep.toSet
     }
 
+  // fixpoint label propagation equals a local union-find over the SAME
+  // edge set — the connected-components engine behind the whole x4
+  // clustering family must match textbook semantics on any graph
+  property("fixpoint clustering equals local union-find") =
+    forAll(Gen.chooseNum(2, 25), Gen.chooseNum(0, 40), Gen.long) { (n, m, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val nodes = (0 until n).map(_.toLong)
+      val nodesDf = nodes.toDF("doc_id")
+      val pairsDf = edges.toDF("doc_a", "doc_b")
+      val got = graft.operators.Dedup.clusterEdgesFixpoint(nodesDf, pairsDf)
+        .as[(Long, Long)].collect().toMap
+      // local union-find with path compression; canonical label =
+      // min member id, the operator's documented contract
+      val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = nodes.map(i => i -> find(i)).toMap
+      got == want
+    }
+
   // the distributed unigram scorer equals the local brute force on any
   // corpus — distinct-pair collapse, vocabulary join, and micro-nat
   // arithmetic must never change the VALUE, only the plan
