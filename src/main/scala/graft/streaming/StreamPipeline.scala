@@ -464,6 +464,33 @@ object StreamPipeline {
         col("c_ts"), col("v_ts"))
   }
 
+  /** X6 stream-stream LEFT OUTER attribution — the companion of the
+    * inner join above that answers "which views NEVER converted": every
+    * view pairs with same-user clicks in its following `horizon`; a
+    * view with no click emits ONCE with null click columns, and only
+    * after the watermark passes its join window — the moment "no click
+    * yet" provably becomes "no click ever". That emission timing is
+    * the essence of outer-join semantics under unbounded input: it
+    * needs the watermark, not a timer, and both sides' state stays
+    * bounded by watermark + horizon exactly as in the inner form. */
+  def streamStreamAttributionOuter(views: DataFrame, clicks: DataFrame,
+                                   watermark: String = "10 minutes",
+                                   horizon: String = "5 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    v.join(c,
+        col("c_user") === col("v_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("v_ts"), col("c_ts"))
+  }
+
   /** X6 custom streaming state (flatMapGroupsWithState): per-user
     * running counters that EMIT ONLY ON CHANGE-OF-BEHAVIOR — here, a
     * row whenever a user's cumulative value crosses another multiple

@@ -506,6 +506,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer attribution emits never-converted views with nulls after the watermark") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[UserEvent]
+    val clicks = MemoryStream[UserEvent]
+    val q = StreamPipeline.streamStreamAttributionOuter(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attro_mem")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        // view 10 converts (click 20 within horizon); view 11 never does
+        UserEvent(10, Timestamp.valueOf("2024-01-01 00:01:00"), 7, "view", 0.0),
+        UserEvent(11, Timestamp.valueOf("2024-01-01 00:02:00"), 8, "view", 0.0))
+      clicks.addData(
+        UserEvent(20, Timestamp.valueOf("2024-01-01 00:03:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // before the watermark passes view 11's join window, "no click
+      // YET" must not emit — the null row would be retracted otherwise
+      val early = spark.table("attro_mem")
+        .filter(col("view_id") === 11L).count()
+      assert(early === 0L, "unmatched view emitted before its window closed")
+      // advance both watermarks past the window → null-side emission
+      views.addData(UserEvent(12, Timestamp.valueOf("2024-01-01 02:00:00"), 1, "view", 0.0))
+      clicks.addData(UserEvent(21, Timestamp.valueOf("2024-01-01 02:00:00"), 2, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attro_mem").select("view_id", "click_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((10L, Some(20L))), got.toString) // converted pair
+      assert(got.contains((11L, None)), got.toString)      // never-converted
+    } finally q.stop()
+  }
+
   test("milestone state evicts after the event-time timeout (unbounded key safety)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[UserEvent]
