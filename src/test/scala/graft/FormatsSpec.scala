@@ -75,6 +75,52 @@ class FormatsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
   }
 
+  test("parquet mergeSchema unifies drifted generations (schema evolution)") {
+    import spark.implicits._
+    // generation 1 lacks the column generation 2 added — the standard
+    // crawl-over-time drift; a merged read must surface the union
+    // schema with nulls for the older generation
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt-drift").toString
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/g=1")
+    Seq((2L, "b", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang", "g"))
+    val rows = merged.select("doc_id", "lang").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows === Map(1L -> None, 2L -> Some("en")))
+  }
+
+  test("permissive json read captures corrupt records instead of dropping them") {
+    import spark.implicits._
+    // ingestion robustness: one malformed line in a billion-line crawl
+    // must neither kill the job (FAILFAST) nor vanish silently — the
+    // corrupt text lands in its own column for quarantine
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt-corrupt")
+    val f = dir.resolve("part-0.json")
+    java.nio.file.Files.writeString(f,
+      """{"doc_id": 1, "text": "good"}
+        |{"doc_id": 2, "text": BROKEN
+        |{"doc_id": 3, "text": "also good"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, _corrupt_record STRING")
+    val got = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+    // cache before splitting on the corrupt column: Spark forbids
+    // filtering ONLY on _corrupt_record over a lazy json relation
+    got.cache()
+    try {
+      assert(got.count() === 3)
+      assert(got.filter(col("_corrupt_record").isNotNull).count() === 1)
+      assert(got.filter(col("_corrupt_record").isNull)
+        .select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    } finally got.unpersist()
+  }
+
   test("orc predicate pushdown reaches the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fmt-orc").toString
     Formats.write(docs, dir, "orc")
