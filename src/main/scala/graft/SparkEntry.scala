@@ -130,6 +130,8 @@ object SparkEntry {
     "x7_curate" -> ((s, d) => Curation.curate(t(s, d, "documents"))),
     "x7_curate_neardup" -> ((s, d) =>
       Curation.curate(t(s, d, "documents"), nearDedup = true)),
+    // per-stage attrition accounting of the curation chain
+    "x7_report" -> ((s, d) => Curation.curationReport(t(s, d, "documents"))),
     // --- X5 multimodal ---
     "x5_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, t(s, d, "documents"))),
     "x5_mm_join" -> ((s, d) => Multimodal.docEmbeddingJoin(
@@ -1000,6 +1002,37 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens,
            CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
          FROM packed""",
+    "x7_report" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
+         q AS (SELECT doc_id, round(
+             0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+             0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                    CAST(len(string_split(text,' ')) AS DOUBLE)) +
+             0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                    CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM d1),
+         r AS (SELECT d.doc_id,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality, d.doc_id), 6) AS pr
+           FROM d1 d JOIN q ON d.doc_id = q.doc_id),
+         d2q AS (SELECT d1.* FROM d1 JOIN r ON d1.doc_id = r.doc_id
+           WHERE r.pr >= 0.5),
+         d2 AS (SELECT * FROM d2q WHERE doc_id >= 50),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+         d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM ov))
+         SELECT (SELECT count(*) FROM documents) AS n_input,
+           (SELECT count(*) FROM d1) AS n_after_exact,
+           (SELECT count(*) FROM d2q) AS n_after_quality,
+           (SELECT count(*) FROM d2) AS n_candidates,
+           (SELECT count(*) FROM d3) AS n_kept""",
     "x7_curate_neardup" ->
       """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),

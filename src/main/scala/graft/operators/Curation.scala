@@ -68,6 +68,30 @@ object Curation {
         col("n_tokens"), col("content_md5"))
   }
 
+  /** Per-stage attrition report of [[curate]] (exact mode): one row of
+    * stage counts — input → exact dedup → quality percentile → bench-id
+    * exclusion → decontamination — the yield audit every corpus build
+    * records next to its shards (where did the data go, which gate is
+    * over-triggering). Each scalar is a tiny aggregate crossJoined into
+    * the single output row (1-row broadcast joins); the stage chain is
+    * re-evaluated per call in this self-contained form — a resident
+    * pipeline materializes the curated frame once and counts that. */
+  def curationReport(documents: DataFrame, nBench: Long = 50L): DataFrame = {
+    val exact = documents.join(
+      Dedup.fingerprintDedup(documents).select(col("keep_id").as("doc_id")),
+      "doc_id")
+    val passCols = documents.columns.filterNot(c => c == "doc_id" || c == "lang").toSeq
+    val quality = TextAnalysis.qualityFilter(exact, extraCols = passCols)
+    val candidates = quality.filter(col("doc_id") >= nBench)
+    val flagged = Dedup.decontaminate(documents, nBench).select("doc_id").distinct()
+    val kept = candidates.join(flagged, Seq("doc_id"), "left_anti")
+    documents.agg(count(lit(1)).as("n_input"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_after_exact")))
+      .crossJoin(quality.agg(count(lit(1)).as("n_after_quality")))
+      .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+  }
+
   /** @param nearDedup when true, stage 1 additionally collapses
     *   NEAR-duplicate groups: after exact fingerprint dedup, the
     *   fixpoint connected components of the MinHash band-pair graph
