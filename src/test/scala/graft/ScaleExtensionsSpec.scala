@@ -122,6 +122,11 @@ class ScaleExtensionsSpec extends AnyFunSuite {
       .select(graft.functions.TextSignatureColumns.lsh_buckets(col("v"), 8, 4, 64))
       .head.getSeq[Int](0)
     assert(buckets === viaDf2 && buckets.length === 8)
+    // deflate kernel reachable from SQL, equal to the DataFrame path
+    val dz = spark.sql("SELECT deflate_size('aa aa aa aa aa aa')").head.getLong(0)
+    val dzDf = Seq("aa aa aa aa aa aa").toDF("s")
+      .select(graft.functions.DeflateSize.deflate_size(col("s"))).head.getLong(0)
+    assert(dz === dzDf && dz > 0)
     // non-constant kernel parameters must fail with a clear message
     val err = intercept[Exception](
       spark.sql("SELECT shingle_hashes('a b c', CAST(id AS INT), 0) FROM range(1)")
