@@ -77,19 +77,29 @@ object Curation {
     * re-evaluated per call in this self-contained form — a resident
     * pipeline materializes the curated frame once and counts that. */
   def curationReport(documents: DataFrame, nBench: Long = 50L): DataFrame = {
-    val exact = documents.join(
-      Dedup.fingerprintDedup(documents).select(col("keep_id").as("doc_id")),
-      "doc_id")
-    val passCols = documents.columns.filterNot(c => c == "doc_id" || c == "lang").toSeq
-    val quality = TextAnalysis.qualityFilter(exact, extraCols = passCols)
-    val candidates = quality.filter(col("doc_id") >= nBench)
-    val flagged = Dedup.decontaminate(documents, nBench).select("doc_id").distinct()
-    val kept = candidates.join(flagged, Seq("doc_id"), "left_anti")
-    documents.agg(count(lit(1)).as("n_input"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_after_exact")))
-      .crossJoin(quality.agg(count(lit(1)).as("n_after_quality")))
-      .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+    // ONE pass over a per-document flag frame with conditional counts —
+    // not five independent aggregate subtrees (which would re-evaluate
+    // the exact-dedup join four times and the quality window three).
+    // Flags compose: quality pass implies exact survivor (the
+    // percentile is computed over the DEDUPED corpus), candidate adds
+    // the bench-id floor, kept adds the decontamination gate.
+    val keepSet = Dedup.fingerprintDedup(documents)
+      .select(col("keep_id").as("doc_id")).withColumn("e", lit(1))
+    val exact = documents.join(keepSet.drop("e"), "doc_id")
+    val qualIds = TextAnalysis.qualityFilter(exact)
+      .select(col("doc_id")).withColumn("q", lit(1))
+    val flagged = Dedup.decontaminate(documents, nBench)
+      .select("doc_id").distinct().withColumn("f", lit(1))
+    documents.select(col("doc_id"))
+      .join(keepSet, Seq("doc_id"), "left")
+      .join(qualIds, Seq("doc_id"), "left")
+      .join(flagged, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_input"),
+        count(col("e")).as("n_after_exact"),
+        count(col("q")).as("n_after_quality"),
+        count(when(col("q") === 1 && col("doc_id") >= nBench, 1)).as("n_candidates"),
+        count(when(col("q") === 1 && col("doc_id") >= nBench && col("f").isNull, 1))
+          .as("n_kept"))
   }
 
   /** @param nearDedup when true, stage 1 additionally collapses
