@@ -43,6 +43,10 @@ object SparkEntry {
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
     "q_anti_join" -> ((s, d) => Analytics.customersWithoutBigOrders(
       t(s, d, "customer"), t(s, d, "orders"), 400000.0)),
+    // TPC-H Q5 shape: deepest multi-join; sole consumer of `supplier`
+    "q_local_supplier" -> ((s, d) => Analytics.localSupplierVolume(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))),
     "q_semi_join" -> ((s, d) => Analytics.customersWithOrders(
       t(s, d, "customer"), t(s, d, "orders"), "1-URGENT")),
     "q_union" -> ((s, d) => Analytics.unionKeys(t(s, d, "customer"), t(s, d, "orders"))),
@@ -213,6 +217,19 @@ object SparkEntry {
       """SELECT c_custkey FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
+    "q_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= DATE '1995-01-01'
+           AND o.o_orderdate < DATE '1996-01-01'
+         GROUP BY n_name""",
     "q_full_outer" ->
       """WITH b AS (SELECT o_orderdate AS day, count(*) AS n_big FROM orders
            WHERE o_totalprice > 400000 GROUP BY 1),

@@ -101,6 +101,36 @@ object Analytics {
       .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** TPC-H Q5 shape — local supplier volume: revenue from lineitems
+    * whose SUPPLIER sits in the ordering customer's own nation, per
+    * nation of one region and one order-date year. The deepest
+    * multi-join in the relational suite (6 tables, and the only
+    * consumer of `supplier`); the fact table streams through broadcast
+    * dimension joins, and the essential condition is the
+    * c_nationkey = s_nationkey CO-LOCATION predicate that turns a
+    * star join into nation-local volume. At 100 TB customer/supplier
+    * outgrow broadcast — drop the hints and AQE picks shuffle sides;
+    * the predicate structure (and Catalyst's join reorder over it)
+    * is what this query pins. */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          regionName: String = "ASIA"): DataFrame =
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(supplier),
+        lineitem("l_suppkey") === supplier("s_suppkey") &&
+          customer("c_nationkey") === supplier("s_nationkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .filter(col("r_name") === regionName &&
+        col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+
   /** Anti join (NOT EXISTS): customers with no order above a price
     * threshold. The filter on the right side is pushed below the join;
     * at scale this is one shuffle on the join key (or a broadcast anti
