@@ -61,6 +61,32 @@ object Formats {
     w.saveAsTable(table)
   }
 
+  /** Small-file compaction — the operational fix for the classic
+    * many-small-files problem (a streaming sink or over-parallel write
+    * leaves thousands of KB-sized files; every later scan pays task
+    * scheduling and footer reads per file). Rewrites `inPath` to
+    * `outPath` in `targetBytes`-sized output files: file count is
+    * estimated from the INPUT's on-disk bytes, so compression ratio
+    * carries over, and a round-robin repartition spreads rows evenly
+    * (no skewed leftovers). Content-preserving, layout-destroying —
+    * re-partition/bucket afterwards if the layout mattered. Returns
+    * (files_before, files_after). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              format: String = "parquet",
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    require(inPath != outPath, "compact rewrites to a DIFFERENT directory")
+    val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String) =
+      fs.globStatus(new Path(p, "*")).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val in = dataFiles(inPath)
+    val nOut = math.max(1, math.ceil(in.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    val df = read(spark, inPath, format)
+    write(df.repartition(nOut), outPath, format)
+    (in.size, dataFiles(outPath).size)
+  }
+
   def read(spark: SparkSession, path: String, format: String,
            schema: StructType = null): DataFrame = {
     require(supported.contains(format), s"unsupported format $format")

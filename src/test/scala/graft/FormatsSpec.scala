@@ -75,6 +75,17 @@ class FormatsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
   }
 
+  test("compaction collapses a many-small-files directory, content preserved") {
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString + "/d"
+    // 40 tiny files (one per partition)
+    docs.repartition(40).write.mode("overwrite").parquet(in)
+    val (before, after) = Formats.compact(spark, in, out, "parquet")
+    assert(before === 40, s"setup wrote $before files")
+    assert(after < 5, s"compaction left $after files")
+    assert(spark.read.parquet(out).collect().toSet === docs.collect().toSet)
+  }
+
   test("parquet mergeSchema unifies drifted generations (schema evolution)") {
     import spark.implicits._
     // generation 1 lacks the column generation 2 added — the standard
