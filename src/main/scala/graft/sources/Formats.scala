@@ -61,6 +61,21 @@ object Formats {
     w.saveAsTable(table)
   }
 
+  /** Raw media ingestion via the built-in `binaryFile` source — how
+    * image/audio/video blobs ENTER the multimodal pipeline: one row
+    * per file with (path, modificationTime, length, content), globbed
+    * and length-capped at the SOURCE (`pathGlobFilter`, a length
+    * filter pushed into the file listing) so oversized assets never
+    * reach an executor. Downstream is the existing X5 surface: the
+    * content column is the `media` bytes the decode/feature/embed
+    * kernels consume. */
+  def readBinary(spark: SparkSession, dir: String, glob: String = "*",
+                 maxBytes: Long = 64L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .filter(org.apache.spark.sql.functions.col("length") <= maxBytes)
+
   /** Small-file compaction — the operational fix for the classic
     * many-small-files problem (a streaming sink or over-parallel write
     * leaves thousands of KB-sized files; every later scan pays task

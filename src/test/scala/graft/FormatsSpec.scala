@@ -75,6 +75,22 @@ class FormatsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
   }
 
+  test("binaryFile ingestion globs, caps length, and preserves bytes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    java.nio.file.Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(dir.resolve("b.img"), Array.fill[Byte](64)(7))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), Array[Byte](9))
+    val got = Formats.readBinary(spark, dir.toString, glob = "*.img", maxBytes = 32L)
+      .select("path", "content").as[(String, Array[Byte])].collect()
+    // glob drops the .txt; the length cap drops the 64-byte blob
+    assert(got.length === 1 && got.head._1.endsWith("a.img"))
+    assert(got.head._2.toSeq === Seq[Byte](1, 2, 3, 4))
+    // the content column feeds the X5 kernels directly
+    val feats = got.map(_._2.length).sum
+    assert(feats === 4)
+  }
+
   test("compaction collapses a many-small-files directory, content preserved") {
     val in = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
     val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString + "/d"
