@@ -66,8 +66,14 @@ object Bench {
       }
       // query isolation: whatever a query cached is dropped before the
       // next query's timing starts, so one operator's cache hygiene
-      // can't inflate (or subsidize) another's warm median
+      // can't inflate (or subsidize) another's warm median.
+      // clearCache() only empties the catalog cache; localCheckpoint
+      // blocks from eager operators live as persistent RDDs until the
+      // frame is GC'd + ContextCleaner runs — on a GC-quiet 128 GiB
+      // heap that's "never during the bench", so release them
+      // explicitly or storage memory accumulates across 86 queries.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       res
     }
     // control chars (tabs, stray \r) inside exception text would break

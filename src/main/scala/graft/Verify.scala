@@ -22,8 +22,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // query isolation: no query's internal caches survive into the
-      // next query's run
+      // next query's run. Release persistent RDDs too — localCheckpoint
+      // blocks from eager operators are not in the catalog cache and
+      // otherwise accumulate until GC + ContextCleaner get around to it.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
     spark.stop()

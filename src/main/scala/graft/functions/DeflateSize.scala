@@ -43,20 +43,26 @@ case class DeflateSize(child: Expression) extends UnaryExpression {
 
 object DeflateSize {
 
-  /** Size of the raw (nowrap) DEFLATE stream at the pinned level. One
-    * Deflater per call: Deflater holds native zlib state and is not
-    * thread-safe; allocation cost is dwarfed by the compression
-    * itself. */
+  /** Deflater holds native zlib state and is single-thread-confined —
+    * which a ThreadLocal satisfies exactly (each Spark task runs on one
+    * thread). Reusing via reset() instead of allocating per row matters
+    * for SHORT documents, where native init/end would otherwise
+    * dominate the compression itself: at corpus scale a per-row
+    * Deflater is billions of JNI malloc/free pairs. Level 6 / nowrap
+    * stay pinned in the initializer; reset() preserves both. */
+  private val deflater: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+
+  /** Size of the raw (nowrap) DEFLATE stream at the pinned level. */
   def compressedSize(bytes: Array[Byte]): Long = {
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var n = 0L
-      while (!d.finished()) n += d.deflate(buf)
-      n
-    } finally d.end()
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    n
   }
 
   def deflate_size(c: Column): Column =

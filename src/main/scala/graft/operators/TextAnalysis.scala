@@ -315,16 +315,42 @@ object TextAnalysis {
     *
     * The self-contained form re-derives the count table for its total
     * (two aggregations over the same explode; Catalyst broadcasts the
-    * vocabulary side). A resident pipeline materializes `counts` once
-    * per corpus snapshot — it is the unigram LM, a model artifact like
-    * the IVF centroids — and serves every scoring batch from it. */
-  def unigramLogProb(documents: DataFrame): DataFrame = {
-    val perDoc = documents
+    * vocabulary side). A resident pipeline calls [[unigramModel]] once
+    * per corpus snapshot — it IS the unigram LM, a model artifact like
+    * the IVF centroids — and serves every scoring batch through
+    * [[unigramLogProbAgainst]] without touching the corpus again. */
+  def unigramLogProb(documents: DataFrame): DataFrame =
+    unigramLogProbAgainst(documents, unigramModel(documents))
+
+  /** Train-once half of the unigram LM: one row per distinct token with
+    * its corpus count `c` and the corpus token total `n` (constant
+    * across rows — RLE-compressed to nothing in parquet, and carrying
+    * it per row makes the stored table self-describing: no side file).
+    * O(vocabulary) rows; one shuffle keyed on token with map-side
+    * combine, so a stopword's billions of occurrences arrive at the
+    * reducer as one partial count per map task. Materialize with
+    * `.write.parquet` per corpus snapshot, exactly like the IVF
+    * centroid export ([[Similarity.trainIvfModel]]). */
+  def unigramModel(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("c")).as("n"))))
+  }
+
+  /** Serve half: score a batch against a STORED model table — neither
+    * the training corpus nor its count aggregation runs here; cost is
+    * one explode of the batch plus a broadcast-hash probe into the
+    * vocabulary. Tokens absent from the model are dropped from the
+    * mean (inner join) — `n_tokens` counts SCORED tokens — so scoring
+    * the training corpus against its own model is bit-identical to the
+    * self-contained [[unigramLogProb]]. Same integer micro-nat
+    * arithmetic for cross-engine parity. */
+  def unigramLogProbAgainst(batch: DataFrame, model: DataFrame): DataFrame = {
+    val perDoc = batch
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
-    val counts = perDoc.groupBy(col("tok")).agg(sum(col("k")).as("c"))
-    val total = counts.agg(sum(col("c")).as("n"))
-    perDoc.join(counts, "tok").crossJoin(broadcast(total))
+    perDoc.join(model, "tok")
       .select(col("doc_id"), col("k"),
         floor(log(col("c").cast("double") / col("n").cast("double")) * 1e6 + 0.5)
           .cast("long").as("lp6"))

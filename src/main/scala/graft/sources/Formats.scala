@@ -80,26 +80,57 @@ object Formats {
     * many-small-files problem (a streaming sink or over-parallel write
     * leaves thousands of KB-sized files; every later scan pays task
     * scheduling and footer reads per file). Rewrites `inPath` to
-    * `outPath` in `targetBytes`-sized output files: file count is
-    * estimated from the INPUT's on-disk bytes, so compression ratio
-    * carries over, and a round-robin repartition spreads rows evenly
-    * (no skewed leftovers). Content-preserving, layout-destroying —
-    * re-partition/bucket afterwards if the layout mattered. Returns
-    * (files_before, files_after). */
+    * `outPath` in `targetBytes`-sized output files: per-directory file
+    * count is estimated from the INPUT's on-disk bytes, so compression
+    * ratio carries over, and a round-robin repartition spreads rows
+    * evenly (no skewed leftovers).
+    *
+    * PARTITION-PRESERVING: a hive-partitioned layout (the kind
+    * [[write]]'s own `partitionBy` produces) is walked recursively and
+    * each leaf data directory is compacted IN PLACE OF ITSELF under
+    * `outPath` — `lang=en/` stays `lang=en/`, so partition values ride
+    * in the preserved directory names, partition pruning still works on
+    * the output, and a huge partition still splits into multiple
+    * target-sized files. A flat directory is simply the one-leaf case.
+    * Within-leaf row order is not preserved (columnar formats never
+    * promise it). Returns (files_before, files_after). */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               format: String = "parquet",
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    import org.apache.hadoop.fs.Path
-    require(inPath != outPath, "compact rewrites to a DIFFERENT directory")
+    import org.apache.hadoop.fs.{FileStatus, Path}
     val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: String) =
-      fs.globStatus(new Path(p, "*")).toSeq
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    val in = dataFiles(inPath)
-    val nOut = math.max(1, math.ceil(in.map(_.getLen).sum.toDouble / targetBytes).toInt)
-    val df = read(spark, inPath, format)
-    write(df.repartition(nOut), outPath, format)
-    (in.size, dataFiles(outPath).size)
+    // canonicalized guard: textual inequality would wave through
+    // trailing slashes / relative spellings of the SAME directory, and
+    // the overwrite write would then delete the input it is lazily
+    // reading. Also refuse nesting either way — writing under the tree
+    // being walked (or truncating an ancestor) is the same corruption.
+    val inQ = fs.makeQualified(new Path(inPath)).toUri.getPath
+    val outQ = fs.makeQualified(new Path(outPath)).toUri.getPath
+    require(outQ != inQ && !outQ.startsWith(inQ + "/") && !inQ.startsWith(outQ + "/"),
+      s"compact rewrites to a DIFFERENT, non-nested directory (in=$inQ out=$outQ)")
+    def hidden(p: Path) = p.getName.startsWith("_") || p.getName.startsWith(".")
+    // leaves = every directory that directly holds data files (a flat
+    // input is one leaf: its own root)
+    def walk(dir: Path): Seq[(Path, Seq[FileStatus])] = {
+      val entries = fs.listStatus(dir).filterNot(s => hidden(s.getPath))
+      val files = entries.filter(_.isFile).toSeq
+      (if (files.nonEmpty) Seq(dir -> files) else Nil) ++
+        entries.filter(_.isDirectory).toSeq.flatMap(d => walk(d.getPath))
+    }
+    val inRoot = fs.makeQualified(new Path(inPath))
+    val leaves = walk(inRoot)
+    leaves.foreach { case (dir, files) =>
+      val rel = dir.toUri.getPath.stripPrefix(inQ).stripPrefix("/")
+      val dest = if (rel.isEmpty) outPath else s"$outPath/$rel"
+      val nOut = math.max(1,
+        math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+      // read the leaf directly: partition values live in the preserved
+      // directory names, not in the rows, on both sides of the rewrite
+      write(read(spark, dir.toString, format).repartition(nOut), dest, format)
+    }
+    val before = leaves.map(_._2.size).sum
+    val after = walk(fs.makeQualified(new Path(outPath))).map(_._2.size).sum
+    (before, after)
   }
 
   def read(spark: SparkSession, path: String, format: String,

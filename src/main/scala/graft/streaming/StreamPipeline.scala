@@ -342,14 +342,25 @@ object StreamPipeline {
     * whose current generation is read at every trigger — refresh it
     * with the accepted output and generation N's documents gate
     * generation N+1 without restarting the query. When both are given
-    * the rolling index wins. */
+    * the rolling index wins.
+    *
+    * `autoRefreshEvery` > 0 drives that refresh cadence AUTOMATICALLY:
+    * every N committed batches, a foreachBatch EPILOGUE re-materializes
+    * the rolling index from [[readUpserted]] — after the upsert, inside
+    * the same trigger, so the new generation deterministically includes
+    * every batch up to and including this one (a
+    * `StreamingQueryListener` would be the async alternative, but its
+    * onQueryProgress races the next trigger; the epilogue gives the
+    * hard guarantee the gating story needs: with cadence 1, documents
+    * accepted in batch N gate batch N+1, no manual refresh ever). */
   def curateStream(docs: DataFrame, outDir: String, checkpointDir: String,
                    bench: Option[DataFrame] = None,
                    minQuality: Double = 0.5,
                    watermark: String = "10 minutes",
                    nBuckets: Int = 8,
                    index: Option[DataFrame] = None,
-                   rollingIndex: Option[RollingBandIndex] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+                   rollingIndex: Option[RollingBandIndex] = None,
+                   autoRefreshEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] = {
     // static index: signed + band-aggregated ONCE at stream
     // construction (eager, lineage-free), so triggers join the
     // materialized bucket table instead of re-deriving shingle hashes,
@@ -369,6 +380,17 @@ object StreamPipeline {
         // without restarting the query
         curateBatch(batch, outDir, batchId, bench, minQuality, nBuckets,
           rollingIndex.map(_.current).orElse(staticIdx))
+        // auto-refresh epilogue: runs AFTER this batch's upsert
+        // committed, so the rolled generation contains it. batchId is
+        // replay-stable, so the cadence is too. The snapshot of an
+        // uninitialized store is an EMPTY schemaless frame — nothing to
+        // index yet, skip (the live generation already gates nothing).
+        if (autoRefreshEvery > 0 && rollingIndex.isDefined &&
+            (batchId + 1) % autoRefreshEvery == 0) {
+          val snap = readUpserted(batch.sparkSession, outDir)
+          if (snap.columns.contains("text"))
+            rollingIndex.get.refresh(snap.select(col("doc_id"), col("text")))
+        }
       }
   }
 

@@ -102,6 +102,40 @@ class FormatsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).collect().toSet === docs.collect().toSet)
   }
 
+  test("compaction preserves a hive-partitioned layout, per partition") {
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-pin").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-pout").toString + "/d"
+    // 10 tiny files inside EACH lang= partition directory
+    docs.repartition(10).write.mode("overwrite").partitionBy("lang").parquet(in)
+    def perPartition(root: String) = new java.io.File(root).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("lang="))
+      .map(d => d.getName ->
+        d.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))).toMap
+    val inCounts = perPartition(in)
+    assert(inCounts.nonEmpty && inCounts.values.forall(_ > 5), inCounts.toString)
+    val (before, after) = Formats.compact(spark, in, out, "parquet")
+    assert(before === inCounts.values.sum, s"counted $before input files")
+    // same partition directories survive, each collapsed to a few files
+    val outCounts = perPartition(out)
+    assert(outCounts.keySet === inCounts.keySet, outCounts.toString)
+    assert(outCounts.values.forall(_ < 5), outCounts.toString)
+    assert(after === outCounts.values.sum, s"counted $after output files")
+    // identical rows INCLUDING the partition column (re-selected in the
+    // source order: a partitioned read appends partition columns last)
+    assert(spark.read.parquet(out).select(docs.columns.map(col): _*)
+      .collect().toSet === docs.collect().toSet)
+  }
+
+  test("compaction refuses same or nested in/out directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-guard").toString
+    docs.limit(10).write.mode("overwrite").parquet(dir)
+    // textual variants of the SAME path must be caught (trailing slash)
+    intercept[IllegalArgumentException](Formats.compact(spark, dir, dir + "/"))
+    intercept[IllegalArgumentException](Formats.compact(spark, dir, dir + "/nested"))
+    intercept[IllegalArgumentException](Formats.compact(spark, dir + "/nested", dir))
+  }
+
   test("parquet mergeSchema unifies drifted generations (schema evolution)") {
     import spark.implicits._
     // generation 1 lacks the column generation 2 added — the standard

@@ -705,6 +705,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rolling index auto-refresh: accepted docs gate the next batch with NO manual refresh call") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-curate-autoroll")
+    val out = dir.resolve("store").toString; val ck = dir.resolve("ck").toString
+    val genN = "the cat and the dog walk to the park and the bird sings " +
+      "of the sun and the rain today"
+    val nearDup = genN.replace("today", "tonight")
+    val fresh = "the fish and the frog swim to the lake and the duck calls " +
+      "of the moon and the wind at dusk"
+    val roll = streaming.RollingBandIndex.build(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val mem = MemoryStream[DocEvent]
+    // cadence 1: the foreachBatch epilogue rolls the index after EVERY
+    // committed batch — the spec's N+2-at-latest bound, met at N+1
+    val q = StreamPipeline.curateStream(mem.toDF(), out, ck,
+      rollingIndex = Some(roll), autoRefreshEvery = 1).start()
+    try {
+      mem.addData(DocEvent(60, genN, "en", "s0", Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      assert(StreamPipeline.readUpserted(spark, out)
+        .select("doc_id").as[Long].collect().toSet === Set(60L))
+      // no roll.refresh(...) here — the epilogue must have done it
+      mem.addData(
+        DocEvent(61, nearDup, "en", "s0", Timestamp.valueOf("2024-01-01 00:02:00")),
+        DocEvent(62, fresh, "en", "s0", Timestamp.valueOf("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      val ids = StreamPipeline.readUpserted(spark, out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(60L, 62L),
+        s"auto-refresh did not gate the generation-N near-dup: $ids")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState milestone alerts: cross-threshold emission and batch-order independence (X6)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[UserEvent]

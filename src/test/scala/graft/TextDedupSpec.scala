@@ -151,6 +151,32 @@ class TextDedupSpec extends AnyFunSuite {
       (2L, 2L, (b + c).toDouble / (2 * 1e6))))
   }
 
+  test("unigram model: batch scored against a stored model equals self-contained") {
+    val d = docs((1L, "a a b"), (2L, "b c"), (3L, "a c c b"))
+    // round-trip the model through parquet — the stored-artifact path,
+    // exactly how a resident pipeline serves it
+    val dir = java.nio.file.Files.createTempDirectory("unigram_model").toString
+    TextAnalysis.unigramModel(d).write.mode("overwrite").parquet(dir)
+    val model = spark.read.parquet(dir)
+    val served = TextAnalysis.unigramLogProbAgainst(d, model)
+    assert(served.as[(Long, Long, Double)].collect().sortBy(_._1).toList ===
+      TextAnalysis.unigramLogProb(d)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toList)
+    // the serve path explodes ONLY the batch: exactly one Generate, and
+    // the training-side count aggregation must not appear
+    val plan = served.queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("unigram model: unseen tokens are dropped from the served mean") {
+    val model = TextAnalysis.unigramModel(docs((1L, "a a b"), (2L, "b c")))
+    // 'zzz' is out-of-vocabulary: only 'a' is scored, n_tokens = 1
+    val got = TextAnalysis.unigramLogProbAgainst(docs((9L, "a zzz")), model)
+      .as[(Long, Long, Double)].collect().toList
+    val lpA = math.floor(math.log(2.0 / 5) * 1e6 + 0.5)
+    assert(got === List((9L, 1L, lpA / 1e6)))
+  }
+
   test("dup-stats histogram counts clusters by size") {
     val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "a b c d e f g h"), (4L, "q r s t u v w x"), (5L, "solo"))
