@@ -74,6 +74,9 @@ object SparkEntry {
     "x3_repetition" -> ((s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"))),
     "x3_chunk" -> ((s, d) => TextAnalysis.chunkDocuments(t(s, d, "documents"))),
     "x3_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
+    // the stored LM artifact itself, hash-verified like x2_centroids
+    "x3_unigram_model" -> ((s, d) => TextAnalysis.unigramModel(t(s, d, "documents"))),
+    "x3_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(t(s, d, "documents"))),
     // no oracleSql entry: deflate exists in no SQL engine — the driver
     // records the weaker rows-only check; semantics are spec-tested
     "x3_compression" -> ((s, d) => TextAnalysis.compressionStats(t(s, d, "documents"))),
@@ -396,6 +399,24 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
            CAST(sum(k * lp6) AS DOUBLE) / (CAST(sum(k) AS BIGINT) * 1000000.0) AS avg_logprob
          FROM s GROUP BY doc_id""",
+    "x3_unigram_model" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok)
+         SELECT tok, c, (SELECT CAST(sum(c) AS BIGINT) FROM cnt) AS n FROM cnt""",
+    "x3_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         z AS (SELECT doc_id, unnest(list_zip(s, s[2:])) AS p FROM d),
+         bg AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM z WHERE p[2] IS NOT NULL),
+         pd AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS k
+           FROM bg GROUP BY doc_id, a, b),
+         cb AS (SELECT a, b, CAST(sum(k) AS BIGINT) AS cb FROM pd GROUP BY a, b),
+         ca AS (SELECT a, CAST(sum(cb) AS BIGINT) AS ca FROM cb GROUP BY a),
+         s2 AS (SELECT pd.doc_id, pd.k,
+             CAST(floor(ln(CAST(cb.cb AS DOUBLE) / CAST(ca.ca AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp6
+           FROM pd JOIN cb ON cb.a = pd.a AND cb.b = pd.b JOIN ca ON ca.a = pd.a)
+         SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+           CAST(sum(k * lp6) AS DOUBLE) / (CAST(sum(k) AS BIGINT) * 1000000.0) AS avg_logprob
+         FROM s2 GROUP BY doc_id""",
     "x3_pii_redact" ->
       """WITH p AS (SELECT doc_id, text
              || CASE WHEN doc_id % 3 = 0 THEN ' u' || doc_id || '@mail.example.com' ELSE '' END

@@ -361,6 +361,53 @@ object TextAnalysis {
           (col("n_tokens").cast("double") * lit(1e6))).as("avg_logprob"))
   }
 
+  /** X3 bigram conditional log-probability — one order up from
+    * [[unigramLogProb]]: score(doc) = mean over its CONSECUTIVE token
+    * pairs of ln P(b | a), with P the corpus MLE count(a,b)/count(a,·).
+    * Context-sensitive where the unigram score is not: against a large
+    * natural corpus (where one doc cannot move the corpus counts),
+    * "the the the" has a high unigram score (all stopwords) but a
+    * terrible bigram score (the→the is corpus-rare) — the repetition/
+    * boilerplate signal a perplexity gate keys on. Docs with fewer
+    * than two tokens have no bigrams and are absent from the output.
+    *
+    * Scale shape: pair formation is MAP-SIDE ONLY — `arrays_zip` of the
+    * token array with its own tail (both codegen'd array builtins, no
+    * per-element lambda, no window sort, no shuffle to line up
+    * neighbors); the zip pads the final token's pair with null, which
+    * the filter drops. Distinct (doc, a, b) triples collapse before
+    * the probability join (same within-doc combine as the unigram
+    * path). The corpus counts aggregate the RAW pair stream directly —
+    * partial+final keyed on (a, b) / (a), so a hot stopword bigram
+    * arrives at its reducer as one partial count per map task and the
+    * exchanges stay vocabulary-sized (a window-by-prefix formulation
+    * would do one less scan but pile every "the *" row onto a single
+    * reducer — the skew bomb this shape avoids). Both count tables
+    * broadcast into the join. Same integer micro-nat arithmetic for
+    * bit-identical cross-engine means. */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val pairs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("s"))
+      .select(col("doc_id"), col("s"),
+        slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))).as("r"))
+      .select(col("doc_id"), explode(arrays_zip(col("s"), col("r"))).as("p"))
+      .select(col("doc_id"), col("p.s").as("a"), col("p.r").as("b"))
+      .filter(col("b").isNotNull)
+    val perDoc = pairs.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("k"))
+    val cb = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb"))
+    val ca = pairs.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    perDoc.join(cb, Seq("a", "b")).join(ca, Seq("a"))
+      .select(col("doc_id"), col("k"),
+        floor(log(col("cb").cast("double") / col("ca").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("lp6"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("k") * col("lp6")).as("lp_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("lp_micro").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e6))).as("avg_logprob"))
+  }
+
   def groupConcat(documents: DataFrame): DataFrame =
     documents.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),

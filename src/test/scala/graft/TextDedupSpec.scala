@@ -151,6 +151,34 @@ class TextDedupSpec extends AnyFunSuite {
       (2L, 2L, (b + c).toDouble / (2 * 1e6))))
   }
 
+  test("bigram log-prob: hand-computed conditional truth table") {
+    // corpus bigrams: (a,b)×2 from doc 1+2, (b,a)×1, (b,c)×1
+    // → P(b|a)=2/2, P(a|b)=1/2, P(c|b)=1/2
+    val d = docs((1L, "a b a"), (2L, "a b c"), (3L, "x"))
+    def lp6(p: Double): Long = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val ab = lp6(1.0); val ba = lp6(0.5); val bc = lp6(0.5)
+    val got = TextAnalysis.bigramLogProb(d)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toList
+    // doc 3 has one token → no bigrams → absent
+    assert(got === List(
+      (1L, 2L, (ab + ba).toDouble / (2 * 1e6)),
+      (2L, 2L, (ab + bc).toDouble / (2 * 1e6))))
+  }
+
+  test("bigram log-prob: rare transitions score below common ones at equal unigram mix") {
+    // every doc uses only tokens a/b/z-ish pairs; doc 9's a→z jump is
+    // corpus-rare while doc 1's a→b is corpus-common — unigram scoring
+    // sees nearly the same token bag, the conditional score separates
+    val d = docs((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a b"),
+      (9L, "a z"))
+    val got = TextAnalysis.bigramLogProb(d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // P(b|a) = 4/5, P(z|a) = 1/5
+    assert(got(9L) < got(1L), got.toString)
+    assert(got(1L) === math.floor(math.log(0.8) * 1e6 + 0.5) / 1e6)
+    assert(got(9L) === math.floor(math.log(0.2) * 1e6 + 0.5) / 1e6)
+  }
+
   test("unigram model: batch scored against a stored model equals self-contained") {
     val d = docs((1L, "a a b"), (2L, "b c"), (3L, "a c c b"))
     // round-trip the model through parquet — the stored-artifact path,
