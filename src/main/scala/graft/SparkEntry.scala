@@ -139,6 +139,8 @@ object SparkEntry {
       Curation.curate(t(s, d, "documents"), nearDedup = true)),
     // per-stage attrition accounting of the curation chain
     "x7_report" -> ((s, d) => Curation.curationReport(t(s, d, "documents"))),
+    // curation capped by a GLOBAL token budget (best-N-tokens build)
+    "x7_curate_budget" -> ((s, d) => Curation.curateBudget(t(s, d, "documents"))),
     // --- X5 multimodal ---
     "x5_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, t(s, d, "documents"))),
     "x5_mm_join" -> ((s, d) => Multimodal.docEmbeddingJoin(
@@ -149,6 +151,9 @@ object SparkEntry {
     "x5_frames" -> ((s, d) => Multimodal.frameCounts(s, t(s, d, "documents"))),
     "q_profile" -> ((s, d) => Profiling.profile(t(s, d, "events"),
       Seq("event_id", "user_id", "event_type", "props"))),
+    // join-key skew pre-flight: hottest keys, shares, skew-vs-uniform
+    "x1_heavy_hitters" -> ((s, d) =>
+      Profiling.heavyHitters(t(s, d, "events"), "user_id", 20)),
     // exact interpolated quantiles from value counts (the sketch variant
     // stays a library function with ProfilingSpec accuracy bounds — its
     // internals are engine-specific and can never hash-match an oracle)
@@ -1040,6 +1045,39 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens,
            CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
          FROM packed""",
+    "x7_curate_budget" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
+         q AS (SELECT doc_id, round(
+             0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+             0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                    CAST(len(string_split(text,' ')) AS DOUBLE)) +
+             0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                    CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM d1),
+         r AS (SELECT d.doc_id,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality, d.doc_id), 6) AS pr
+           FROM d1 d JOIN q ON d.doc_id = q.doc_id),
+         d2 AS (SELECT d1.* FROM d1 JOIN r ON d1.doc_id = r.doc_id
+           WHERE r.pr >= 0.5 AND d1.doc_id >= 50),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+         d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM ov)),
+         bq AS (SELECT d3.doc_id, q.quality,
+             CAST(len(string_split(d3.text,' ')) AS BIGINT) AS n_tokens
+           FROM d3 JOIN q ON d3.doc_id = q.doc_id),
+         c AS (SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM bq)
+         SELECT doc_id, quality, n_tokens, CAST(cum AS BIGINT) AS cum
+         FROM c WHERE cum - n_tokens < 5000""",
     "x7_report" ->
       """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
@@ -1167,6 +1205,15 @@ object SparkEntry {
          UNION ALL
          SELECT 'props', CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT props), min(props), max(props) FROM events""",
+    "x1_heavy_hitters" ->
+      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+             FROM events GROUP BY user_id),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+         SELECT key, n,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+           round(CAST(n AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE), 4) AS skew
+         FROM c, t ORDER BY n DESC, key ASC LIMIT 20""",
     "q_quantile_profile" ->
       """SELECT count(value) AS n, count(DISTINCT value) AS n_distinct,
            round(quantile_cont(value, 0.5), 4) AS p50,

@@ -114,7 +114,31 @@ object Curation {
     *   fixpoint loop drives one O(1) scalar per round); the default
     *   exact mode stays fully lazy and oracle-checked (`x7_curate`). */
   def curate(documents: DataFrame, nBench: Long = 50L,
-             shardBudget: Long = 500L, nearDedup: Boolean = false): DataFrame = {
+             shardBudget: Long = 500L, nearDedup: Boolean = false): DataFrame =
+    Sampling.packShards(cleanSurvivors(documents, nBench, nearDedup),
+      shardBudget, extraCols = Seq("lang"))
+
+  /** [[curate]] with a GLOBAL token budget instead of shard packing:
+    * stages 1–3 run unchanged, then [[Sampling.budgetSelect]] keeps
+    * the highest-quality survivors whose cumulative token count stays
+    * within `tokenBudget` — the "give me the best N-token corpus this
+    * crawl can yield" build, where the output size is fixed by the
+    * training plan and quality decides who makes the cut. Eager (the
+    * prefix-sum selection materializes its bounded result); the
+    * curation chain itself adds no shuffle beyond the audited
+    * stages'. */
+  def curateBudget(documents: DataFrame, nBench: Long = 50L,
+                   tokenBudget: Long = 5000L): DataFrame =
+    Sampling.budgetSelect(
+      cleanSurvivors(documents, nBench, nearDedup = false)
+        .select(col("doc_id"), col("text")),
+      tokenBudget)
+
+  /** Stages 1–3 shared by [[curate]] and [[curateBudget]]: exact (or
+    * exact+near) dedup → per-language quality percentile → benchmark
+    * decontamination. Returns the full-width survivor frame. */
+  private def cleanSurvivors(documents: DataFrame, nBench: Long,
+                             nearDedup: Boolean): DataFrame = {
     val exact = documents.join(
       Dedup.fingerprintDedup(documents).select(col("keep_id").as("doc_id")),
       "doc_id")
@@ -143,7 +167,6 @@ object Curation {
       .qualityFilter(survivors, extraCols = passCols)
       .filter(col("doc_id") >= nBench)
     val flagged = Dedup.decontaminate(documents, nBench).select("doc_id").distinct()
-    val clean = candidates.join(flagged, Seq("doc_id"), "left_anti")
-    Sampling.packShards(clean, shardBudget, extraCols = Seq("lang"))
+    candidates.join(flagged, Seq("doc_id"), "left_anti")
   }
 }

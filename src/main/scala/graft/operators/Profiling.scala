@@ -45,6 +45,34 @@ object Profiling {
           col("min_s"), col("max_s"))
     }.reduce(_ unionAll _)
 
+  /** Join-key skew diagnostic — the pre-flight any 100 TB join should
+    * run: the k hottest keys of a column with exact counts, their
+    * share of all rows, and a skew factor (count over the
+    * uniform-expectation count, i.e. n·n_keys/total; 1.0 = perfectly
+    * uniform). A key with skew ≫ 1 is the one that melts a reducer in
+    * a shuffled join — the decision input for salting
+    * ([[Scale.saltedJoin]]), AQE skew splitting, or a broadcast
+    * rewrite.
+    *
+    * Scale shape: one partial+final count aggregation keyed on the
+    * column (the hot key itself arrives as one partial per map task —
+    * counting skew does not suffer the skew), a broadcast 1-row
+    * totals frame, then a global top-k (TakeOrderedAndProject: O(k)
+    * heap per partition, never a full sort). Ordering is exact-integer
+    * count descending with the key as a total tie-break — no float
+    * enters the ordering. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6).as("share"),
+        round(col("n").cast("double") * col("n_keys").cast("double") /
+          col("total").cast("double"), 4).as("skew"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(k)
+  }
+
   /** Exact interpolated quantiles (p50/p95/p99) + exact distinct count
     * of a bounded-domain numeric column, computed from VALUE COUNTS —
     * the same trick as Scale.aggExtras' counting-median, generalized to

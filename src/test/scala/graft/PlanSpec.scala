@@ -97,6 +97,20 @@ class PlanSpec extends AnyFunSuite {
       !read.contains("lang") && !read.contains("source"), read)
   }
 
+  test("bigram log-prob: map-side pair formation, broadcast count tables, no window") {
+    val p = planOf("x3_bigram_logprob")
+    // neighbors line up via arrays_zip inside the projection — there
+    // must be NO window sort shuffling pairs onto per-prefix reducers
+    // (the hot-stopword skew bomb), and both corpus count tables must
+    // broadcast into the probability join
+    assert(!p.contains("Window"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source"), read)
+  }
+
   test("profile branches are pruned hash aggregations (no Expand, no sort)") {
     val p = planOf("q_profile")
     // per-column branches: each scan reads exactly its own column —
