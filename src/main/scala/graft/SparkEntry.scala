@@ -123,6 +123,8 @@ object SparkEntry {
     // the corpus-side cell-assignment artifact of the trained IVF index
     // (hash-pins the max_by argmax against the oracle's window replay)
     "x2_ivf_assign" -> ((s, d) => Similarity.ivfAssignments(t(s, d, "embeddings"))),
+    // per-cell cohesion audit of the trained quantizer
+    "x2_ivf_inertia" -> ((s, d) => Similarity.ivfInertia(t(s, d, "embeddings"))),
     // class-prototype mean pooling over the labeled embedding corpus
     "x2_mean_pool" -> ((s, d) => Similarity.meanPoolByLabel(t(s, d, "embeddings"))),
     // nearest-class-mean confusion matrix (embedding label audit)
@@ -164,6 +166,8 @@ object SparkEntry {
     "x6_active_users" -> ((s, d) => Windows.activeUsers(t(s, d, "events"))),
     "x6_sliding" -> ((s, d) => Windows.sliding(t(s, d, "events"))),
     "x6_sessions" -> ((s, d) => Windows.sessions(t(s, d, "events"))),
+    // ordered view->click->purchase completion per user, greedy-earliest
+    "x6_funnel" -> ((s, d) => Windows.funnel(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
   )
@@ -939,6 +943,52 @@ object SparkEntry {
                    (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
              FROM n t, k2 k)
          SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1""",
+    "x2_ivf_inertia" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) AS sc,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         w AS (SELECT c_id AS cell, CAST(floor(sc * 1000000 + 0.5) AS BIGINT) AS q
+             FROM rk WHERE ar = 1)
+         SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0) AS mean_cos
+         FROM w GROUP BY cell""",
     "x2_incremental" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -1314,5 +1364,21 @@ object SparkEntry {
            min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
            count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM z GROUP BY user_id, session_seq""",
+    "x6_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us FROM events e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1_us
+             GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us FROM events e
+             JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2_us
+             GROUP BY e.user_id)
+         SELECT s1.user_id, t1_us, t2_us, t3_us,
+           CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth
+         FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+           LEFT JOIN s3 ON s3.user_id = s1.user_id""",
   )
 }

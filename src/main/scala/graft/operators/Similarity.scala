@@ -543,6 +543,38 @@ object Similarity {
     argmaxCell(withVec(embeddings), cents).select(col("vec_id"), col("cell"))
   }
 
+  /** IVF model-quality audit: per cell, how many vectors it holds and
+    * their mean cosine to the centroid they chose — the inertia report
+    * that decides whether a trained quantizer is balanced (a cell with
+    * few members and low mean cosine is a dead/mis-seeded centroid; a
+    * giant cell with low cohesion wants more cells or more rounds).
+    * Same one-pass `max_by` assignment as [[ivfAssignments]], keeping
+    * the WINNING score alongside the argmax; the mean is integer
+    * micro-quantized per vector (`floor(cos·1e6 + 0.5)`, the suite's
+    * half-up rule) then one exact integer sum + one IEEE division —
+    * bit-identical cross-engine, like the unigram mean. O(cells) output
+    * rows; empty cells are absent (nothing chose them). */
+  def ivfInertia(embeddings: DataFrame, nCells: Int = 8,
+                 trainRounds: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = trainIvfModel(embeddings, nCells, trainRounds).toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    withVec(embeddings).crossJoin(broadcast(cents))
+      .withColumn("acos",
+        coalesce(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")), lit(-2.0)))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("acos"), -col("c_id"))).as("cell"),
+        max(col("acos")).as("best"))
+      .select(col("cell"),
+        floor(col("best") * 1e6 + 0.5).cast("long").as("q"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("qsum"))
+      .select(col("cell"), col("n_vecs"),
+        (col("qsum").cast("double") /
+          (col("n_vecs").cast("double") * lit(1e6))).as("mean_cos"))
+  }
+
   /** [[annIvf]] over a PRETRAINED centroid model. Corpus-side cell
     * assignment is one `max_by` hash aggregation ([[argmaxCell]] — no
     * corpus-wide window sort, evaluated once); query-side probe

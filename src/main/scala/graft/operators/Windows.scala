@@ -66,4 +66,46 @@ object Windows {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
   }
+
+  /** X6 ordered event funnel — per user, the earliest STRICTLY
+    * event-time-ordered completion of stage1 → stage2 → stage3 (the
+    * product-analytics "view → click → purchase" question: not "did
+    * the user ever purchase" but "did a purchase follow a click that
+    * followed a view"). Output per user: the three stage timestamps
+    * (later stages null where the chain breaks) and the funnel depth
+    * reached; users who never hit stage1 are not in the funnel.
+    *
+    * Scale shape: each stage is a user-keyed partial+final min
+    * aggregation over only ITS events (the event-type filter prunes
+    * first), and each later stage joins the previous stage's ONE ROW
+    * PER USER frame — hash joins on user_id, no window over raw
+    * events, no per-user event buffering. Three stages = three
+    * user-cardinality shuffles, each input strictly smaller than the
+    * last. The earliest-completion semantics are the greedy ones:
+    * first stage1, then the first stage2 after it, then the first
+    * stage3 after that — each min is conditioned only on the previous
+    * stage's time, so the chain is computable stage by stage (greedy
+    * is optimal here: taking the earliest valid event at each stage
+    * never excludes a later completion). */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.length == 3, "funnel is three-stage")
+    val s1 = events.filter(col("event_type") === stages(0))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = events.filter(col("event_type") === stages(1))
+      .join(s1.select(col("user_id"), col("t1")), "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = events.filter(col("event_type") === stages(2))
+      .join(s2.select(col("user_id"), col("t2")), "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_micros(col("t1")).as("t1_us"),
+        unix_micros(col("t2")).as("t2_us"),
+        unix_micros(col("t3")).as("t3_us"),
+        (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+          + when(col("t3").isNotNull, 1L).otherwise(0L)).as("depth"))
+  }
 }

@@ -66,6 +66,30 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(one === 1)
   }
 
+  test("funnel: strict event-time ordering, greedy-earliest stages, broken chains") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val fe = Seq(
+      // user 1 completes in order (with a decoy early purchase BEFORE
+      // the click — must not count)
+      (1L, ts(1), 1L, "view", 0.0), (2L, ts(2), 1L, "purchase", 0.0),
+      (3L, ts(3), 1L, "click", 0.0), (4L, ts(5), 1L, "purchase", 0.0),
+      // user 2: click precedes the first view → depth 1
+      (5L, ts(1), 2L, "click", 0.0), (6L, ts(2), 2L, "view", 0.0),
+      // user 3: click at the SAME instant as the view → strict > rejects
+      (7L, ts(1), 3L, "view", 0.0), (8L, ts(1), 3L, "click", 0.0),
+      // user 4 never views → absent from the funnel
+      (9L, ts(1), 4L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.funnel(fe)
+      .select("user_id", "depth").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    // greedy-earliest: user 1's purchase is the 00:05 one (after the
+    // 00:03 click), not the 00:02 decoy
+    val t3 = Windows.funnel(fe).filter(col("user_id") === 1)
+      .select("t3_us").as[Long].head()
+    assert(t3 === ts(5).getTime * 1000)
+  }
+
   test("media decode stub computes byte statistics partition-wise") {
     val docs = Seq((1L, "abc", "en", "src0", 3L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
