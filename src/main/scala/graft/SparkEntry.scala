@@ -53,6 +53,9 @@ object SparkEntry {
     "q_salted_join" -> ((s, d) => Scale.saltedRevenueByCity(
       t(s, d, "orders"), t(s, d, "customer"))),
     "q_rollup" -> ((s, d) => Scale.rollupSummary(t(s, d, "lineitem"))),
+    "q_cube" -> ((s, d) => Scale.cubeSummary(t(s, d, "lineitem"))),
+    // window-frame surface: trailing moving average over the daily agg
+    "q_moving_avg" -> ((s, d) => Scale.movingAvgRevenue(t(s, d, "orders"))),
     "q_agg_extras" -> ((s, d) => Scale.aggExtras(t(s, d, "lineitem"))),
     "q_by_month" -> ((s, d) => Scale.ordersByMonth(t(s, d, "orders"))),
     "q_string_funcs" -> ((s, d) => Scale.stringFuncs(t(s, d, "customer"))),
@@ -267,6 +270,18 @@ object SparkEntry {
          coalesce(l_linestatus, 'ALL') AS l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+         coalesce(l_linestatus, 'ALL') AS l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q_moving_avg" ->
+      """WITH d AS (SELECT o_orderdate AS day,
+             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1)
+         SELECT day, rev_c,
+           CAST(sum(rev_c) OVER w AS DOUBLE) / (count(*) OVER w * 100.0) AS ma3
+         FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
     "q_agg_extras" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

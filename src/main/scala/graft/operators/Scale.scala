@@ -49,6 +49,19 @@ object Scale {
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
         col("sum_qty"), col("n"))
 
+  /** CUBE over the same pair — all four grouping combinations in one
+    * pass (leaf, each one-column margin, grand total). Plans as a
+    * single Expand + hash aggregation: 4 grouping sets × N rows, the
+    * price of every margin at once; when only the leaf + totals are
+    * needed, [[rollupSummary]] is the cheaper 3-set shape. */
+  def cubeSummary(lineitem: DataFrame): DataFrame =
+    lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+
   /** Aggregate breadth: exact count-distinct, min/max, sample stddev,
     * exact interpolated median per group.
     *
@@ -126,6 +139,29 @@ object Scale {
       .agg(count(lit(1)).as("n_urgent"))
     big.join(urgent, Seq("day"), "full_outer")
       .select(col("day"), col("n_big"), col("n_urgent"))
+  }
+
+  /** Trailing 3-day moving average of daily revenue — the window-FRAME
+    * surface (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) the ranking
+    * queries don't exercise. The window runs over the AGGREGATED
+    * O(days) frame, never raw orders: aggregate first (partial+final
+    * on day), then one tiny ordered window — a global orderBy window
+    * over a thousand rows is free; over 100 TB of raw rows it would be
+    * the classic single-reducer sort this operator exists to avoid.
+    * Cross-engine float parity: daily revenue quantizes to integer
+    * CENTS (`floor(x·100 + 0.5)`, half-up), the frame sum is exact
+    * integer arithmetic (windowed float sums are evaluation-order-
+    * dependent — DuckDB's segment-tree windows sum in a different
+    * order than a sequential fold), and the average is ONE IEEE
+    * division. */
+  def movingAvgRevenue(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day")).rowsBetween(-2, 0)
+    orders.groupBy(col("o_orderdate").as("day"))
+      .agg(floor(sum(col("o_totalprice")) * 100 + 0.5).cast("long").as("rev_c"))
+      .select(col("day"), col("rev_c"),
+        (sum(col("rev_c")).over(w).cast("double") /
+          (count(lit(1)).over(w) * lit(100.0))).as("ma3"))
   }
 
   /** CTE + scalar-subquery shape: customers whose spend exceeds 1.5×

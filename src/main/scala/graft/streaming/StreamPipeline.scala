@@ -574,6 +574,64 @@ object StreamPipeline {
     }.toDF("user_id", "n_events", "cum_value", "milestone")
   }
 
+  /** X6 streaming funnel — the continuous counterpart of
+    * [[graft.operators.Windows.funnel]]: emit one row per user the
+    * moment their strictly event-time-ordered stage1 → stage2 → stage3
+    * chain COMPLETES (the conversion alert a batch funnel can only
+    * deliver at the next build). State per user is three stage
+    * timestamps plus the newest-event timer base — constant size, no
+    * event buffering — and is evicted after `timeoutMs` of event-time
+    * silence (unbounded user populations MUST evict, same policy as
+    * [[milestoneAlerts]]).
+    *
+    * Same greedy-earliest semantics as the batch operator on
+    * in-order data: each batch is sorted by event time before folding,
+    * so stage progression inside a batch is exact; a LATE cross-batch
+    * event can only advance the funnel from the state it finds (a view
+    * arriving after its click's batch does not retro-activate that
+    * click) — the watermark bounds how long that asymmetry can matter,
+    * and the batch funnel is the retrospective truth. */
+  def funnelStream(events: DataFrame,
+                   stages: Seq[String] = Seq("view", "click", "purchase"),
+                   watermark: String = "10 minutes",
+                   timeoutMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.length == 3, "funnel is three-stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (user: Long, it: Iterator[(Long, java.sql.Timestamp, String)],
+       state: GroupState[(Long, Long, Long, Long)]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          // (t1, t2, t3) in epoch-µs, 0 = stage not reached; maxTs
+          // persists for the same timer reasons as milestoneAlerts
+          var (t1, t2, t3, maxTs) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          val out = Iterator.newBuilder[(Long, Long, Long, Long)]
+          it.toSeq.sortBy(e => (e._2.getTime, e._3)).foreach { e =>
+            val us = e._2.getTime * 1000L
+            maxTs = math.max(maxTs, e._2.getTime)
+            if (t3 == 0L) {
+              if (e._3 == stages(0) && t1 == 0L) t1 = us
+              else if (e._3 == stages(1) && t1 != 0L && t2 == 0L && us > t1) t2 = us
+              else if (e._3 == stages(2) && t2 != 0L && us > t2) {
+                t3 = us
+                out += ((user, t1, t2, t3))
+              }
+            }
+          }
+          state.update((t1, t2, t3, maxTs))
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs(), maxTs) + timeoutMs)
+          out.result()
+        }
+    }.toDF("user_id", "t1_us", "t2_us", "t3_us")
+  }
+
   /** Convenience: start the full pipeline end-to-end. */
   def run(spark: SparkSession, source: OrderSource, customers: DataFrame,
           outDir: String, checkpointDir: String,

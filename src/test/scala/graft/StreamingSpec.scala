@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.streaming.StreamPipeline
+import graft.operators.Windows
 import graft.gen.DataGen
 import java.nio.file.Files
 import java.sql.Timestamp
@@ -735,6 +736,51 @@ class StreamingSpec extends AnyFunSuite {
         .select("doc_id").as[Long].collect().toSet
       assert(ids === Set(60L, 62L),
         s"auto-refresh did not gate the generation-N near-dup: $ids")
+    } finally q.stop()
+  }
+
+  test("streaming funnel emits exactly the batch funnel's completions, across batches") {
+    implicit val sc = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.funnelStream(mem.toDF())
+      .writeStream.format("memory").queryName("funnel_mem")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 views + a decoy purchase BEFORE any click;
+      // user 2 clicks before viewing; user 3 ties view/click timestamps
+      mem.addData(
+        UserEvent(1, ts(1), 1, "view", 0.0),
+        UserEvent(2, ts(2), 1, "purchase", 0.0),
+        UserEvent(5, ts(1), 2, "click", 0.0),
+        UserEvent(6, ts(2), 2, "view", 0.0),
+        UserEvent(7, ts(1), 3, "view", 0.0),
+        UserEvent(8, ts(1), 3, "click", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel_mem").count() === 0)
+      // batch 2: user 1's click then purchase — the chain completes
+      // ACROSS batches off persisted state, and the decoy stays dead
+      mem.addData(
+        UserEvent(3, ts(3), 1, "click", 0.0),
+        UserEvent(4, ts(5), 1, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_mem")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val expected = Windows.funnel(Seq(
+          (1L, ts(1), 1L, "view", 0.0), (2L, ts(2), 1L, "purchase", 0.0),
+          (3L, ts(3), 1L, "click", 0.0), (4L, ts(5), 1L, "purchase", 0.0),
+          (5L, ts(1), 2L, "click", 0.0), (6L, ts(2), 2L, "view", 0.0),
+          (7L, ts(1), 3L, "view", 0.0), (8L, ts(1), 3L, "click", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .filter(col("depth") === 3)
+        .select("user_id", "t1_us", "t2_us", "t3_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === expected && got === Set((1L,
+        ts(1).getTime * 1000, ts(3).getTime * 1000, ts(5).getTime * 1000)))
+      // a second purchase must not re-emit a completed funnel
+      mem.addData(UserEvent(9, ts(7), 1, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel_mem").count() === 1)
     } finally q.stop()
   }
 
