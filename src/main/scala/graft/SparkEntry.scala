@@ -79,6 +79,8 @@ object SparkEntry {
     "x3_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
     // the stored LM artifact itself, hash-verified like x2_centroids
     "x3_unigram_model" -> ((s, d) => TextAnalysis.unigramModel(t(s, d, "documents"))),
+    // power-of-two token-length distribution (sequence-length report)
+    "x3_length_hist" -> ((s, d) => TextAnalysis.lengthHistogram(t(s, d, "documents"))),
     "x3_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(t(s, d, "documents"))),
     // no oracleSql entry: deflate exists in no SQL engine — the driver
     // records the weaker rows-only check; semantics are spec-tested
@@ -102,6 +104,8 @@ object SparkEntry {
     "x4_minhash_pairs" -> ((s, d) => Dedup.minhashBandPairs(t(s, d, "documents"))),
     "x4_cluster" -> ((s, d) => Dedup.clusterNearDups(t(s, d, "documents"))),
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(t(s, d, "documents"))),
+    // asymmetric doc-in-doc detection (quote/wrapper discovery)
+    "x4_containment" -> ((s, d) => Dedup.ngramContainmentTopK(t(s, d, "documents"))),
     "x4_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "x4_simhash_topk" -> ((s, d) => Dedup.simhashTopK(t(s, d, "documents"))),
     "x4_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(t(s, d, "embeddings"))),
@@ -427,6 +431,13 @@ object SparkEntry {
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok)
          SELECT tok, c, (SELECT CAST(sum(c) AS BIGINT) FROM cnt) AS n FROM cnt""",
+    "x3_length_hist" ->
+      """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT CAST(length(bin(n_tokens)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs, min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM d GROUP BY 1""",
     "x3_bigram_logprob" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
          z AS (SELECT doc_id, unnest(list_zip(s, s[2:])) AS p FROM d),
@@ -746,6 +757,29 @@ object SparkEntry {
            round(n_inter / CAST(ca.ns + cb.ns - n_inter AS DOUBLE), 6) AS jaccard
          FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
          ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "x4_containment" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         hot AS (SELECT shingle FROM inv0, nd GROUP BY shingle, n_docs
+           HAVING count(*) * 5 > n_docs AND count(*) > 25),
+         inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         cnt AS (SELECT doc_id, count(*) AS ns FROM inv GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+           FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id),
+         dirs AS (
+           SELECT doc_a AS inner_id, doc_b AS outer_id, n_inter, ca.ns AS n_inner
+           FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+           UNION ALL
+           SELECT doc_b AS inner_id, doc_a AS outer_id, n_inter, cb.ns AS n_inner
+           FROM inter JOIN cnt cb ON cb.doc_id = doc_b)
+         SELECT inner_id, outer_id, n_inter,
+           round(n_inter / CAST(n_inner AS DOUBLE), 6) AS containment
+         FROM dirs ORDER BY containment DESC, inner_id, outer_id LIMIT 20""",
     "x4_simhash" ->
       """WITH t AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
              s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs

@@ -373,6 +373,54 @@ object Dedup {
       .limit(k)
   }
 
+  /** X4 n-gram CONTAINMENT top-k — the asymmetric near-dup measure
+    * Jaccard hides: containment(inner ⊂ outer) = |∩| / |shingles
+    * (inner)| is ~1.0 when a short document is quoted or embedded
+    * inside a long one, a pair whose Jaccard is tiny (the union is
+    * dominated by the long side). This is the doc-in-doc detector —
+    * quote extraction, boilerplate-wrapper discovery, subset dedup.
+    *
+    * Same capped inverted-index machinery as [[ngramJaccardTopK]]
+    * (hot-shingle cap, shingle equi-join, never all-pairs); each
+    * undirected intersection row fans out to its two directions
+    * through ONE explode (not a union of two selects, which would
+    * re-evaluate the self-join subtree twice). Ordering is the house
+    * rule: ROUNDED score + full id tie-break. */
+  def ngramContainmentTopK(documents: DataFrame, n: Int = 3, k: Int = 20,
+                           freqCapInv: Int = 5, minDf: Int = 25): DataFrame = {
+    val inv0 = wideEnough(documents, n)
+      .select(col("doc_id"), explode(word_shingles(col("text"), n)).as("shingle"))
+      .repartition(col("shingle"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val hot = inv0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df") * freqCapInv > col("n_docs") && col("df") > minDf)
+      .select(col("shingle"))
+    val inv = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val counts = inv.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val inter = inv.alias("x").join(inv.alias("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .select(col("n_inter"), explode(array(
+        struct(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
+          col("na").as("n_inner")),
+        struct(col("doc_b").as("inner_id"), col("doc_a").as("outer_id"),
+          col("nb").as("n_inner")))).as("p"))
+      .select(col("p.inner_id").as("inner_id"), col("p.outer_id").as("outer_id"),
+        col("n_inter"),
+        round(col("n_inter") / col("p.n_inner").cast("double"), 6).as("containment"))
+      .orderBy(col("containment").desc, col("inner_id"), col("outer_id"))
+      .limit(k)
+  }
+
   /** X4 benchmark decontamination: flag corpus documents whose 3-gram
     * overlap with any single benchmark document reaches `minShingles`
     * — the standard eval-set contamination check a training pipeline

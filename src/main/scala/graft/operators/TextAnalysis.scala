@@ -408,6 +408,145 @@ object TextAnalysis {
           (col("n_bigrams").cast("double") * lit(1e6))).as("avg_logprob"))
   }
 
+  /** X3 document-length distribution in power-of-two buckets — the
+    * length report every training pipeline runs before choosing a
+    * sequence length / packing budget (where is the mass: 2^5..2^6
+    * tokens? is there a truncation cliff?). Bucket = bit width of the
+    * token count (`length(bin(n))`), an EXACT integer on every engine
+    * — a float `floor(log2(n))` would disagree across engines exactly
+    * at the power-of-two boundaries this report is about. One narrow
+    * projection + one partial+final aggregation on O(log maxLen)
+    * buckets; all-integer output. */
+  def lengthHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+
+  /** X3 PMI collocation mining — the top-k adjacent token pairs by
+    * pointwise mutual information, PMI(a,b) = ln(c_ab·T / (c_a·c_b))
+    * over the corpus bigram stream (T = total bigrams, c_a / c_b =
+    * marginal first/second-position counts). High-PMI pairs are the
+    * multi-word expressions ("new york", "machine learning") a
+    * tokenizer/vocab builder promotes to single units; `minPairCount`
+    * suppresses the noise floor where one co-occurrence of two hapaxes
+    * maxes the score.
+    *
+    * Scale shape: the same map-side-only pair formation as
+    * [[bigramLogProb]]; ONE corpus aggregation keyed on (a,b), then
+    * both marginals and the total DERIVE from that vocabulary²-sized
+    * count table (never a second pass over the corpus stream). Ranking
+    * is on the INTEGER micro-nat score with full token tie-breaks —
+    * deterministic on any engine; the only float op is the final
+    * cosmetic division. */
+  def pmiCollocations(documents: DataFrame, minPairCount: Long = 5L,
+                      k: Int = 30): DataFrame = {
+    val pairs = documents
+      .select(split(col("text"), " ").as("s"))
+      .select(col("s"),
+        slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))).as("r"))
+      .select(explode(arrays_zip(col("s"), col("r"))).as("p"))
+      .select(col("p.s").as("a"), col("p.r").as("b"))
+      .filter(col("b").isNotNull)
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = cab.groupBy(col("b")).agg(sum(col("c_ab")).as("c_b"))
+    val total = cab.agg(sum(col("c_ab")).as("t"))
+    cab.filter(col("c_ab") >= minPairCount)
+      .join(ca, Seq("a")).join(cb, Seq("b")).crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c_ab"),
+        floor(log((col("c_ab").cast("double") * col("t")) /
+          (col("c_a").cast("double") * col("c_b"))) * 1e6 + 0.5)
+          .cast("long").as("pmi6"))
+      .orderBy(col("pmi6").desc, col("a"), col("b"))
+      .limit(k)
+      .select(col("a"), col("b"), col("c_ab"),
+        (col("pmi6").cast("double") / lit(1e6)).as("pmi"))
+  }
+
+  /** X3 out-of-vocabulary rate per source, scored against a STORED
+    * unigram model ([[unigramModel]]'s (tok, c, n) artifact) — the
+    * vocabulary-coverage report a pipeline runs on every incoming
+    * crawl slice: which sources are drifting away from the trusted
+    * vocabulary (new jargon, new language, garbage)? `minCount` sets
+    * the trust bar — tokens the model saw fewer times don't count as
+    * vocabulary, so scoring a corpus against its own model is NOT
+    * identically zero (the hapax mass is the signal).
+    *
+    * Scale shape: one explode of the batch, a token-keyed hash probe
+    * into the O(vocabulary) model table (left join — absence IS the
+    * measurement), one partial+final aggregation keyed by source.
+    * Integer counts; the rate is the suite's one rounded division. */
+  def oovRateAgainst(batch: DataFrame, model: DataFrame,
+                     minCount: Long = 2L): DataFrame = {
+    val vocab = model.filter(col("c") >= minCount)
+      .select(col("tok"), lit(1L).as("in_v"))
+    batch.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .join(vocab, Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  /** Self-contained form of [[oovRateAgainst]] (trains the model on
+    * the same corpus it scores — the hapax-share report). */
+  def oovRate(documents: DataFrame, minCount: Long = 2L): DataFrame =
+    oovRateAgainst(documents, unigramModel(documents), minCount)
+
+  /** X3 per-source distribution drift — KL(P_source ‖ P_corpus) over
+    * token unigram distributions, in nats: the one-number answer to
+    * "which source's language is most unlike the corpus mix?" (domain
+    * skew, contamination, or a scraper gone wrong). No smoothing
+    * needed: every source token is by construction in the corpus, so
+    * every log ratio is finite.
+    *
+    * Scale shape: ONE corpus pass aggregating (source, token) counts;
+    * the corpus marginals, per-source totals, and grand total all
+    * derive from that table. Per-token log ratios are quantized to
+    * integer micro-nats and weighted-summed in exact 64-bit integer
+    * arithmetic (the [[unigramLogProb]] discipline), so the per-source
+    * KL is bit-identical on any engine: one IEEE division at the end. */
+  def sourceDrift(documents: DataFrame): DataFrame = {
+    val st = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ts = st.groupBy(col("source")).agg(sum(col("c_st")).as("t_s"))
+    val total = ct.agg(sum(col("c_t")).as("t"))
+    st.join(ct, Seq("tok")).join(ts, Seq("source")).crossJoin(broadcast(total))
+      .select(col("source"), col("t_s"),
+        (col("c_st") * floor(log((col("c_st").cast("double") * col("t")) /
+          (col("t_s").cast("double") * col("c_t"))) * 1e6 + 0.5).cast("long"))
+          .as("term"))
+      .groupBy(col("source"), col("t_s"))
+      .agg(sum(col("term")).as("kl_micro"))
+      .select(col("source"), col("t_s").as("n_tokens"),
+        (col("kl_micro").cast("double") /
+          (col("t_s").cast("double") * lit(1e6))).as("kl_nats"))
+  }
+
+  /** X3 per-document top-k keyword extraction — the k highest-TF-IDF
+    * terms of each document ([[tfidf]]'s scoring, the house ranking
+    * rule: ROUNDED score, term tie-break). The per-doc keyword list is
+    * what a curation UI shows and what topic clustering buckets on.
+    * The rank window partitions by doc_id — bounded by the document's
+    * own distinct-term count, never corpus-sized. */
+  def keywordsTopK(documents: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tfidf(documents)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("tfidf"),
+        col("rank").cast("integer").as("rank"))
+  }
+
   def groupConcat(documents: DataFrame): DataFrame =
     documents.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),

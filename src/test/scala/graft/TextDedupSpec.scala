@@ -220,6 +220,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(top.head._1 === 1L && top.head._2 === 2L && top.head._4 === 1.0)
   }
 
+  test("ngram containment: a quoted short doc scores 1.0 while jaccard stays low") {
+    // doc 1's text is embedded verbatim inside doc 2: all 3 of doc 1's
+    // 3-gram shingles appear among doc 2's 8 — the asymmetric signal
+    val d = docs((1L, "a b c d e"), (2L, "a b c d e f g h i j"))
+    val top = Dedup.ngramContainmentTopK(d, 3, 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top.head === ((1L, 2L, 3L, 1.0)))
+    // the reverse direction is the weak one: 3/8
+    assert(top.find(r => r._1 == 2L && r._2 == 1L).get._4 === 0.375)
+    // symmetric jaccard cannot see the quote: 3/8 for the pair
+    val jac = Dedup.ngramJaccardTopK(d, 3, 10)
+      .as[(Long, Long, Long, Double)].collect().head._4
+    assert(jac === 0.375)
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs far apart") {
     val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "q r s t u v w x"))
