@@ -82,6 +82,14 @@ object SparkEntry {
     // power-of-two token-length distribution (sequence-length report)
     "x3_length_hist" -> ((s, d) => TextAnalysis.lengthHistogram(t(s, d, "documents"))),
     "x3_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(t(s, d, "documents"))),
+    // PMI collocation mining (multi-word expression discovery)
+    "x3_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents"))),
+    // per-source OOV rate scored against the stored unigram model
+    "x3_oov_rate" -> ((s, d) => TextAnalysis.oovRate(t(s, d, "documents"))),
+    // per-source KL divergence vs the corpus token distribution
+    "x3_source_drift" -> ((s, d) => TextAnalysis.sourceDrift(t(s, d, "documents"))),
+    // per-document top-3 TF-IDF keyword extraction
+    "x3_keywords" -> ((s, d) => TextAnalysis.keywordsTopK(t(s, d, "documents"))),
     // no oracleSql entry: deflate exists in no SQL engine — the driver
     // records the weaker rows-only check; semantics are spec-tested
     "x3_compression" -> ((s, d) => TextAnalysis.compressionStats(t(s, d, "documents"))),
@@ -452,6 +460,60 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
            CAST(sum(k * lp6) AS DOUBLE) / (CAST(sum(k) AS BIGINT) * 1000000.0) AS avg_logprob
          FROM s2 GROUP BY doc_id""",
+    "x3_pmi" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS s FROM documents),
+         z AS (SELECT unnest(list_zip(s, s[2:])) AS p FROM d),
+         bg AS (SELECT p[1] AS a, p[2] AS b FROM z WHERE p[2] IS NOT NULL),
+         cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+         ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+         cb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY b),
+         t AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t FROM cab),
+         s AS (SELECT cab.a, cab.b, cab.c_ab,
+             CAST(floor(ln((CAST(cab.c_ab AS DOUBLE) * t.t) /
+               (CAST(ca.c_a AS DOUBLE) * cb.c_b)) * 1000000 + 0.5) AS BIGINT) AS pmi6
+           FROM cab JOIN ca ON ca.a = cab.a JOIN cb ON cb.b = cab.b, t
+           WHERE cab.c_ab >= 5)
+         SELECT a, b, c_ab, CAST(pmi6 AS DOUBLE) / 1000000.0 AS pmi
+         FROM s ORDER BY pmi6 DESC, a, b LIMIT 30""",
+    "x3_oov_rate" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+         c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+         v AS (SELECT tok FROM c WHERE c >= 2)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) /
+             CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         FROM tk LEFT JOIN v ON v.tok = tk.tok GROUP BY source""",
+    "x3_source_drift" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+         st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+           FROM tk GROUP BY source, tok),
+         ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok),
+         ts AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS t_s FROM st GROUP BY source),
+         t AS (SELECT CAST(sum(c_t) AS BIGINT) AS t FROM ct),
+         s AS (SELECT st.source, ts.t_s,
+             st.c_st * CAST(floor(ln((CAST(st.c_st AS DOUBLE) * t.t) /
+               (CAST(ts.t_s AS DOUBLE) * ct.c_t)) * 1000000 + 0.5) AS BIGINT) AS term
+           FROM st JOIN ct ON ct.tok = st.tok JOIN ts ON ts.source = st.source, t)
+         SELECT source, t_s AS n_tokens,
+           CAST(sum(term) AS DOUBLE) / (CAST(t_s AS DOUBLE) * 1000000.0) AS kl_nats
+         FROM s GROUP BY source, t_s""",
+    "x3_keywords" ->
+      """WITH terms AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY doc_id, token),
+         dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM terms GROUP BY token),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         sc AS (SELECT t.doc_id, t.token, t.tf,
+             round(t.tf * ln(nd.n_docs / CAST(d.df AS DOUBLE)), 6) AS tfidf
+           FROM terms t JOIN dfs d ON t.token = d.token, nd),
+         r AS (SELECT doc_id, token, tf, tfidf, row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank FROM sc)
+         SELECT doc_id, token, tf, tfidf, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
     "x3_pii_redact" ->
       """WITH p AS (SELECT doc_id, text
              || CASE WHEN doc_id % 3 = 0 THEN ' u' || doc_id || '@mail.example.com' ELSE '' END

@@ -235,6 +235,60 @@ class TextDedupSpec extends AnyFunSuite {
     assert(jac === 0.375)
   }
 
+  test("pmi: exclusive pairs score highest, minPairCount prunes hapax pairs") {
+    // bigrams: (a,b)=2 (b,x)=1 (b,y)=1 (c,d)=1, T=5
+    // PMI(c,d) = ln(1·5/(1·1)) = ln 5; PMI(a,b) = ln(2·5/(2·2)) = ln 2.5
+    val d = docs((1L, "a b x"), (2L, "a b y"), (3L, "c d"))
+    val top = TextAnalysis.pmiCollocations(d, minPairCount = 1L, k = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(top.head === (("c", "d", 1L, 1.609438)))
+    assert(top.find(r => r._1 == "a" && r._2 == "b").get._4 === 0.916291)
+    // the count floor keeps only the repeated pair
+    val floored = TextAnalysis.pmiCollocations(d, minPairCount = 2L, k = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(floored.map(r => (r._1, r._2)).toSeq === Seq(("a", "b")))
+  }
+
+  test("oov rate: tokens under the model count floor are out-of-vocabulary") {
+    // counts: a=3 b=1 c=1 → vocab at minCount=2 is {a}
+    val d = Seq((1L, "a a b", "s1"), (2L, "a c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.oovRate(d)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("s1") === ((3L, 1L, 0.333333)))
+    assert(got("s2") === ((2L, 1L, 0.5)))
+  }
+
+  test("source drift: identical distributions score zero, disjoint ones ln 2") {
+    val same = Seq((1L, "a b", "s1"), (2L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(TextAnalysis.sourceDrift(same).as[(String, Long, Double)]
+      .collect().forall(_._3 === 0.0))
+    // each source is all one token, corpus is 50/50: KL = ln(4·8/(4·4)) = ln 2
+    val skew = Seq((1L, "a a a a", "s1"), (2L, "b b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val lnTwoMicroNats = 4L * 693147L // 4 tokens × quantized ln 2
+    TextAnalysis.sourceDrift(skew).as[(String, Long, Double)].collect()
+      .foreach(r => assert(r._3 === lnTwoMicroNats.toDouble / (4L * 1000000L)))
+  }
+
+  test("keywords: rounded-tfidf ranking with token tie-break, k cap holds") {
+    // dfs: apple 2, dog 2, banana/cherry/cat 1 of N=3 docs
+    val d = docs((1L, "apple banana apple cherry"), (2L, "dog cat"),
+      (3L, "apple dog"))
+    val got = TextAnalysis.keywordsTopK(d, k = 3)
+      .as[(Long, String, Long, Double, Int)].collect()
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._5)
+    // banana and cherry tie at ln 3 — token order breaks it; apple's
+    // tf=2 does not rescue its low idf
+    assert(doc1.map(r => (r._2, r._5)).toSeq ===
+      Seq(("banana", 1), ("cherry", 2), ("apple", 3)))
+    assert(doc1.map(_._4).toSeq === Seq(1.098612, 1.098612, 0.81093))
+    assert(TextAnalysis.keywordsTopK(d, k = 2).filter(col("doc_id") === 1L)
+      .count() === 2L)
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs far apart") {
     val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "q r s t u v w x"))
