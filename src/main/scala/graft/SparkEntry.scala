@@ -65,6 +65,9 @@ object SparkEntry {
       t(s, d, "lineitem"), t(s, d, "part"))),
     "q_set_ops" -> ((s, d) => Analytics.priorityOverlap(t(s, d, "orders"))),
     "q_full_outer" -> ((s, d) => Scale.dailyReconcile(t(s, d, "orders"))),
+    // recency-weighted trending parts (integer 2^-weeks decay)
+    "q_decay_trend" -> ((s, d) => Scale.decayTrend(
+      t(s, d, "orders"), t(s, d, "lineitem"))),
     // --- X3 text analysis ---
     "x3_textstats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
     "x3_bpe_tokens" -> ((s, d) => TextAnalysis.regexTokenCounts(t(s, d, "documents"))),
@@ -103,6 +106,10 @@ object SparkEntry {
     "x1_source_cap" -> ((s, d) => Sampling.sourceCap(t(s, d, "documents"))),
     "x1_budget_select" -> ((s, d) => Sampling.budgetSelect(t(s, d, "documents"))),
     "x1_mixture" -> ((s, d) => Sampling.mixtureSample(t(s, d, "documents"))),
+    // weighted systematic sampling: one doc per `step` tokens of the
+    // hash-ordered cumulative walk (distributed prefix sum)
+    "x1_systematic_sample" -> ((s, d) =>
+      Sampling.systematicSample(t(s, d, "documents"))),
     "x1_temperature" -> ((s, d) => Sampling.temperatureSample(t(s, d, "documents"))),
     "x3_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(t(s, d, "documents"))),
     // --- X1/X4 dedup ---
@@ -134,6 +141,8 @@ object SparkEntry {
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
     "x2_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "x2_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
+    // filtered vector search: the predicate rides IN the bucket key
+    "x2_ann_filtered" -> ((s, d) => Similarity.annLshFiltered(t(s, d, "embeddings"))),
     "x2_centroids" -> ((s, d) => Similarity.trainedCentroids(t(s, d, "embeddings"))),
     // the corpus-side cell-assignment artifact of the trained IVF index
     // (hash-pins the max_by argmax against the oracle's window replay)
@@ -912,6 +921,57 @@ object SparkEntry {
              (x,y) -> x+y) / (a.nrm * b.nrm), 6) AS cos
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          ORDER BY cos DESC, a_id, b_id LIMIT 20""",
+    "x1_systematic_sample" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (
+             ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+           FROM d)
+         SELECT doc_id, n_tokens, cum,
+           (cum // 997) - ((cum - n_tokens) // 997) AS n_ticks
+         FROM c WHERE (cum // 997) > ((cum - n_tokens) // 997)""",
+    "q_decay_trend" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+         r AS (SELECT o_orderkey, date_diff('day', o_orderdate, max_d) // 7 AS w
+           FROM orders, mx WHERE date_diff('day', o_orderdate, max_d) // 7 < 12),
+         j AS (SELECT l.l_partkey, r.w,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM r JOIN lineitem l ON l.l_orderkey = r.o_orderkey),
+         s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(11 - w AS INTEGER)))
+               AS BIGINT) AS score_scaled
+           FROM j GROUP BY l_partkey)
+         SELECT l_partkey, n_items, CAST(score_scaled AS DOUBLE) / 204800.0 AS score
+         FROM s ORDER BY score_scaled DESC, l_partkey LIMIT 20""",
+    "x2_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         bb AS (SELECT vec_id, label, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 20),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND q.label = t.label AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s)
+         SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
     "x2_ann_lsh" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

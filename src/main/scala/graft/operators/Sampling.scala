@@ -172,6 +172,56 @@ object Sampling {
     kept
   }
 
+  /** X1 weighted SYSTEMATIC sampling — emit each document once per
+    * multiple of `step` inside its interval (cum − n_tokens, cum] of
+    * the hash-ordered cumulative token count ("one sample every `step`
+    * tokens"). The estimator behind a 1-in-N-tokens eval slice:
+    * inclusion probability is exactly proportional to token weight
+    * with ZERO clumping variance (Bernoulli sampling draws each doc
+    * independently, so slice size and corpus coverage both wobble;
+    * the systematic walk hits every `step`-token stride exactly once),
+    * `n_ticks` carries the Horvitz–Thompson multiplicity for docs
+    * longer than `step`, and the md5 order decorrelates the walk from
+    * ingestion order while staying deterministic under retries.
+    *
+    * Scale shape: the [[budgetSelect]] distributed prefix sum — range
+    * partition on the hash order, one O(partitions) offset collect,
+    * within-partition running sums on top of broadcast offsets; tick
+    * membership is two INTEGER divisions, so selection is
+    * bit-identical on any engine. Same cache discipline: the ranged
+    * frame is released, the (small) selected set detaches via
+    * localCheckpoint. */
+  def systematicSample(documents: DataFrame, step: Long = 997L): DataFrame = {
+    val spark = documents.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        hash60(col("doc_id")).as("h"))
+      .repartitionByRange(parts, col("h"), col("doc_id"))
+      .sortWithinPartitions(col("h"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val sums = ranged.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = Array.ofDim[Long](parts + 1)
+    for (p <- 0 until parts) offsets(p + 1) = offsets(p) + sums.getOrElse(p, 0L)
+    val offDf = spark.createDataFrame(
+      (0 until parts).map(p => (p, offsets(p)))).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = ranged
+      .join(broadcast(offDf), "pid")
+      .withColumn("cum", col("off") + sum(col("n_tokens")).over(w))
+      .withColumn("n_ticks",
+        expr(s"(cum div $step) - ((cum - n_tokens) div $step)"))
+      .filter(col("n_ticks") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("cum"), col("n_ticks"))
+      .localCheckpoint()
+    ranged.unpersist(false)
+    kept
+  }
+
   /** X3/X1 token-budget shard packing (sequence packing): documents are
     * packed in key order per source into shards of ~`budget` tokens —
     * shard id = preceding cumulative token count over the budget. One

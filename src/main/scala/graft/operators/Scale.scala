@@ -168,6 +168,44 @@ object Scale {
     * the mean customer spend. The threshold is a broadcast scalar
     * (cross join of a 1-row aggregate); per-customer spend uses the
     * cross-engine-exact round-of-sum form. */
+  /** Recency-weighted trending parts — each line item's revenue decays
+    * by 2× per week of age ("what is hot NOW, not what sold most
+    * ever"), top 20 parts. The decay weight is the INTEGER 2^(H−1−w)
+    * (H = horizon): cents × weight sums exactly in 64-bit integers, so
+    * the whole leaderboard is deterministic on any engine — a float
+    * `exp(−λ·age)` formulation would make both the sum and the ranking
+    * order-dependent. The single IEEE division at the end only
+    * rescales for display; ordering uses the integer score.
+    *
+    * Scale shape: the orders side collapses to (orderkey, age-week)
+    * and is horizon-filtered BEFORE the join (the 100 TB fact table
+    * never carries a date column through the shuffle); partial+final
+    * aggregation on l_partkey. Horizon bounds the weight at 2^(H−1),
+    * so cents × weight stays far from int64 overflow for any realistic
+    * per-part weekly revenue (documented bound: H=12 → weight ≤ 2048,
+    * headroom ~4·10¹⁵ cents per (part, week)). */
+  def decayTrend(orders: DataFrame, lineitem: DataFrame,
+                 horizonWeeks: Int = 12, k: Int = 20): DataFrame = {
+    val maxD = orders.agg(max(col("o_orderdate")).as("max_d"))
+    val recent = orders.crossJoin(broadcast(maxD))
+      .withColumn("w", expr("datediff(max_d, o_orderdate) div 7"))
+      .filter(col("w") < horizonWeeks)
+      .select(col("o_orderkey"), col("w"))
+    recent.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey"), col("w"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("cents") *
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${horizonWeeks - 1} - w AS INT))"))
+          .as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("l_partkey"))
+      .limit(k)
+      .select(col("l_partkey"), col("n_items"),
+        (col("score_scaled").cast("double") /
+          lit((1L << (horizonWeeks - 1)) * 100.0)).as("score"))
+  }
+
   def bigSpenders(orders: DataFrame): DataFrame = {
     val spend = orders.groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 4).as("spend"))

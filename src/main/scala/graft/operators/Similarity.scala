@@ -313,6 +313,43 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** X2 FILTERED vector search — top-k cosine neighbors restricted to
+    * a metadata predicate (here: same `label`), the "WHERE clause on a
+    * vector index" every retrieval stack needs. The filter lives IN
+    * the candidate join key (tbl, bucket, label) — a label-partitioned
+    * index — so a selective filter PRUNES candidate generation instead
+    * of post-filtering scored pairs. Post-filtering is the classic
+    * filtered-ANN bug: truncate to k first and a selective filter
+    * leaves the top-k under-filled even though matching neighbors
+    * exist; here every candidate already satisfies the predicate, so
+    * k survivors surface whenever k bucket-mates exist. Query-side
+    * Hamming-1 multi-probe and the O(k)-state heap aggregation are
+    * exactly [[annLshOnVectors]]'s. */
+  def annLshFiltered(embeddings: DataFrame, nQueries: Int = 20,
+                     k: Int = 3): DataFrame = {
+    val vn = withVec(embeddings).select(
+      col("vec_id"), col("label"), col("v"), col("nrm"))
+    val buckets = vn.withColumn("bkts", bucketsCol)
+      .select(col("vec_id"), col("label"), posexplode(col("bkts")))
+      .toDF("vec_id", "label", "tbl", "bucket")
+      .repartition(col("tbl"), col("bucket"))
+    val q = buckets.filter(col("vec_id") < nQueries)
+      .withColumn("fl", explode(typedLit(ProbeMasks)))
+      .select(col("vec_id").as("q_id"), col("label"), col("tbl"),
+        col("bucket").bitwiseXOR(col("fl")).as("bucket"))
+    val cands = buckets.join(q, Seq("tbl", "bucket", "label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val scored = cands
+      .join(vn.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("q_id"))
+      .join(vn.select(col("vec_id").as("n_id"), col("v"), col("nrm")),
+        Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** X2 INCREMENTAL embedding dedup: flag incoming vectors whose
     * cosine to some vector of an already-indexed corpus reaches `tau`
     * — the embedding-side counterpart of

@@ -20,6 +20,23 @@ class ScaleExtensionsSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("decay trend: one week of age halves the score; horizon drops old parts") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, ts("2020-06-01")), // w = 0
+      (2L, ts("2020-05-25")), // exactly 7 days → w = 1
+      (3L, ts("2020-01-01"))  // w = 21 ≥ horizon → dropped
+    ).toDF("o_orderkey", "o_orderdate")
+    val lineitem = Seq(
+      (1L, 100L, 10.0), (2L, 200L, 10.0), (3L, 300L, 10.0)
+    ).toDF("l_orderkey", "l_partkey", "l_extendedprice")
+    val got = Scale.decayTrend(orders, lineitem)
+      .as[(Long, Long, Double)].collect()
+    // 1000 cents × 2^11 / 204800 = 10.0; one week older → half
+    assert(got.toSeq === Seq((100L, 1L, 10.0), (200L, 1L, 5.0)))
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val r = Scale.rollupSummary(Tables(spark, SparkTestBase.sf0001, "lineitem"))
     val rows = r.collect()

@@ -154,6 +154,29 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(served === self)
   }
 
+  test("filtered ANN: neighbors share the query's label and never under-fill vs post-filtering") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val filtered = Similarity.annLshFiltered(emb, 20, 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(filtered.nonEmpty)
+    filtered.foreach { case (q, n) => assert(labels(q) === labels(n)) }
+    // post-filtering the unfiltered top-k is the classic filtered-ANN
+    // bug: labels are stripped AFTER truncation to k, so cross-label
+    // neighbors consume top-k slots. The in-key filter must return at
+    // least as many same-label neighbors for every query — and on this
+    // corpus strictly more overall.
+    val post = Similarity.annLsh(emb, 20, 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .filter { case (q, n) => labels(q) == labels(n) }
+    val fCnt = filtered.groupBy(_._1).view.mapValues(_.size).toMap
+    val pCnt = post.groupBy(_._1).view.mapValues(_.size).toMap
+    (0L until 20L).foreach(q =>
+      assert(fCnt.getOrElse(q, 0) >= pCnt.getOrElse(q, 0)))
+    assert(fCnt.values.sum > pCnt.values.sum)
+  }
+
   test("incremental embedding dedup: every vector matches itself at cos 1.0; orthogonal batch stays clean") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     // index == incoming: every vector shares all 8 buckets with itself,

@@ -571,6 +571,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, n, cum) => cum - n < budget })
   }
 
+  test("systematic sample: distributed tick walk equals the single-threaded scan") {
+    import graft.operators.Sampling
+    val lengths = (1L to 40L).map(i => i -> (((i * 7) % 13) + 1)).toMap +
+      (41L -> 25L) // longer than step → multiple ticks from one doc
+    val d = docs(lengths.toSeq.sortBy(_._1)
+      .map { case (i, n) => (i, Seq.fill(n.toInt)("t").mkString(" ")) }: _*)
+    val step = 10L
+    val got = Sampling.systematicSample(d, step)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // local replay of the walk in the same md5-hash order
+    def h60(k: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    var cum = 0L
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    lengths.keys.toSeq.sortBy(i => (h60(i.toString), i)).foreach { i =>
+      val w = lengths(i); cum += w
+      val ticks = cum / step - (cum - w) / step
+      if (ticks > 0) expected(i) = ticks
+    }
+    assert(got === expected.toMap)
+    // every step-token stride is hit exactly once
+    assert(got.values.sum === lengths.values.sum / step)
+    assert(got(41L) >= 2L)
+  }
+
   test("temperature sampling keeps the smallest source whole and thins larger ones by (n_min/n)^(1-a)") {
     val d = (1L to 4L).map(i => (i, "small")) ++ (10L to 25L).map(i => (i, "big"))
     val df = d.toDF("doc_id", "source")
