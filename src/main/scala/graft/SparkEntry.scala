@@ -47,6 +47,16 @@ object SparkEntry {
     "q_local_supplier" -> ((s, d) => Analytics.localSupplierVolume(
       t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
       t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))),
+    // TPC-H Q14 shape: conditional one-pass promo-share per ship month
+    "q_promo_share" -> ((s, d) => Analytics.promoShareByMonth(
+      t(s, d, "lineitem"), t(s, d, "part"))),
+    // TPC-H Q15 shape: suppliers at the exact integer-cents max revenue
+    "q_top_supplier" -> ((s, d) => Analytics.topSupplier(
+      t(s, d, "lineitem"), t(s, d, "supplier"))),
+    // TPC-H Q10 shape: top-20 customers by returned revenue in 1996
+    "q_returned_items" -> ((s, d) => Analytics.returnedItems(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "nation"))),
     "q_semi_join" -> ((s, d) => Analytics.customersWithOrders(
       t(s, d, "customer"), t(s, d, "orders"), "1-URGENT")),
     "q_union" -> ((s, d) => Analytics.unionKeys(t(s, d, "customer"), t(s, d, "orders"))),
@@ -144,6 +154,9 @@ object SparkEntry {
     // filtered vector search: the predicate rides IN the bucket key
     "x2_ann_filtered" -> ((s, d) => Similarity.annLshFiltered(t(s, d, "embeddings"))),
     "x2_centroids" -> ((s, d) => Similarity.trainedCentroids(t(s, d, "embeddings"))),
+    // SemDeDup: near-dup removal with the trained IVF cells as the
+    // candidate generator (pair stage bounded per cell, never global)
+    "x2_semdedup" -> ((s, d) => Similarity.semDedup(t(s, d, "embeddings"))),
     // the corpus-side cell-assignment artifact of the trained IVF index
     // (hash-pins the max_by argmax against the oracle's window replay)
     "x2_ivf_assign" -> ((s, d) => Similarity.ivfAssignments(t(s, d, "embeddings"))),
@@ -194,6 +207,9 @@ object SparkEntry {
     "x6_funnel" -> ((s, d) => Windows.funnel(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
+    // hours whose count sits >= 2 population std-devs from the type's
+    // hourly mean (z from exact integer moments)
+    "x6_anomaly" -> ((s, d) => Windows.rateAnomaly(t(s, d, "events"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -266,6 +282,46 @@ object SparkEntry {
            AND o.o_orderdate >= DATE '1995-01-01'
            AND o.o_orderdate < DATE '1996-01-01'
          GROUP BY n_name""",
+    "q_promo_share" ->
+      """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS ym,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS BIGINT) AS total_cents,
+           round(CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN
+               CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)
+               ELSE 0 END) AS DOUBLE) * 100.0 /
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS DOUBLE), 6) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1""",
+    "q_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem GROUP BY 1)
+         SELECT s_suppkey, s_name, n_items,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_cents = (SELECT max(rev_cents) FROM rev)""",
+    "q_returned_items" ->
+      """WITH r AS (SELECT o_custkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= DATE '1996-01-01'
+             AND o_orderdate < DATE '1997-01-01'
+           GROUP BY 1
+           ORDER BY rev_cents DESC, o_custkey LIMIT 20)
+         SELECT c_custkey, c_name, n_name, n_items,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS revenue
+         FROM r JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey""",
     "q_full_outer" ->
       """WITH b AS (SELECT o_orderdate AS day, count(*) AS n_big FROM orders
            WHERE o_totalprice > 400000 GROUP BY 1),
@@ -1114,6 +1170,54 @@ object SparkEntry {
                    (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
              FROM n t, k2 k)
          SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1""",
+    "x2_semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, t.v, t.nrm, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM rk WHERE ar = 1),
+         pr AS (SELECT b.vec_id, b.cell, a.vec_id AS keep_id,
+             round(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]),
+               (x,y) -> x+y) / (a.nrm * b.nrm), 6) AS cos
+           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         dup AS (SELECT vec_id, cell, keep_id, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, keep_id) AS rk2
+           FROM pr WHERE cos >= 0.38)
+         SELECT vec_id, cell, keep_id AS dup_of, cos FROM dup WHERE rk2 = 1""",
     "x2_ivf_inertia" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -1493,6 +1597,21 @@ object SparkEntry {
       """SELECT epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS ws_us, event_type,
          count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "x6_anomaly" ->
+      """WITH c AS (SELECT event_type,
+             epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS ws_us,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS q
+           FROM c GROUP BY 1)
+         SELECT c.event_type, c.ws_us, c.n,
+           round(CAST(c.n * st.c - st.s AS DOUBLE) /
+             sqrt(CAST(st.q * st.c - st.s * st.s AS DOUBLE)), 4) AS z
+         FROM c JOIN st ON c.event_type = st.event_type
+         WHERE st.q * st.c - st.s * st.s > 0
+           AND abs(round(CAST(c.n * st.c - st.s AS DOUBLE) /
+             sqrt(CAST(st.q * st.c - st.s * st.s AS DOUBLE)), 4)) >= 2.0""",
     "x6_active_users" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS ws_us,
          count(DISTINCT user_id) AS n_users, count(*) AS n_events

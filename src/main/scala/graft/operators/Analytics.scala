@@ -131,6 +131,93 @@ object Analytics {
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
         .as("revenue"))
 
+  /** TPC-H Q14 shape — promoted-class revenue share per ship month:
+    * what fraction of each month's discounted revenue came from parts
+    * of one type. CONDITIONAL aggregation (sum-if inside one pass),
+    * never two scans + a join of the promo and total branches. Per-row
+    * discounted price is quantized to integer cents BEFORE summation
+    * (`floor(x·100 + 0.5)`, the house half-up rule), so both the month
+    * totals and the share's operands are exact int64 — float sums fold
+    * in engine-dependent order; the share is one IEEE division of
+    * exact integers, rounded for display. The part side carries only
+    * (partkey, is-promo) through the broadcast join — one boolean per
+    * row, not the type string. */
+  def promoShareByMonth(lineitem: DataFrame, part: DataFrame,
+                        promoType: String = "ECONOMY"): DataFrame = {
+    val flags = part.select(col("p_partkey"),
+      (col("p_type") === promoType).as("is_promo"))
+    lineitem
+      .select(col("l_partkey"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .join(broadcast(flags), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("is_promo"), col("cents")).otherwise(0L)).as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("ym").cast("int").as("ym"), col("n_items"),
+        col("promo_cents"), col("total_cents"),
+        round(col("promo_cents").cast("double") * 100.0 /
+          col("total_cents").cast("double"), 6).as("promo_share"))
+  }
+
+  /** TPC-H Q15 shape — top supplier(s) by total discounted revenue:
+    * the per-supplier aggregate, then the suppliers whose revenue
+    * EQUALS the maximum (ties all surface, the Q15 semantics). Revenue
+    * is exact integer cents (quantize-before-sum), so "equals max" is
+    * an integer comparison — the float formulation makes the equality
+    * predicate flaky on any engine pair. The 1-row max is broadcast
+    * back (cross join of a scalar aggregate, the [[bigSpenders]]
+    * shape); supplier names come from a broadcast dimension join
+    * AFTER the filter, so only winners touch the dimension. */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_items"))
+    val mx = rev.agg(max(col("rev_cents")).as("max_cents"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_cents") === col("max_cents"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_items"),
+        (col("rev_cents").cast("double") / 100.0).as("total_revenue"))
+  }
+
+  /** TPC-H Q10 shape — returned-item revenue report: the top-k
+    * customers by revenue lost to returns (returnflag R) in one
+    * order-date year, with nation names. The classic "who should the
+    * sales team call" 4-table join; ranking is on exact integer cents
+    * with the full customer-key tie-break (the house top-k rule).
+    * The fact table is filtered on returnflag AND the order-date
+    * window BEFORE any wide join; customer and nation broadcast. */
+  def returnedItems(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, nation: DataFrame,
+                    year0: String = "1996-01-01", year1: String = "1997-01-01",
+                    k: Int = 20): DataFrame = {
+    val returns = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+    val window = orders
+      .filter(col("o_orderdate") >= lit(year0) && col("o_orderdate") < lit(year1))
+      .select(col("o_orderkey"), col("o_custkey"))
+    returns.join(window, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_items"))
+      .orderBy(col("rev_cents").desc, col("o_custkey"))
+      .limit(k)
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("n_items"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"))
+  }
+
   /** Anti join (NOT EXISTS): customers with no order above a price
     * threshold. The filter on the right side is pushed below the join;
     * at scale this is one shuffle on the join key (or a broadcast anti

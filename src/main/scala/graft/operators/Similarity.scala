@@ -612,6 +612,47 @@ object Similarity {
           (col("n_vecs").cast("double") * lit(1e6))).as("mean_cos"))
   }
 
+  /** X2 SEMANTIC dedup (SemDeDup shape): embedding near-duplicates
+    * found WITHIN trained IVF cells — the coarse quantizer is the
+    * candidate generator, so the quadratic pair stage runs per cell,
+    * never corpus-wide. Emits one row per dropped vector with its
+    * chosen senior duplicate: a vector is a duplicate iff some
+    * LOWER-id vector in the SAME cell reaches rounded cosine ≥ `tau`
+    * (the [[embeddingDedup]] seniority rule, so "who survives" never
+    * depends on evaluation order); `dup_of` is the max-cosine senior,
+    * tie → lowest id.
+    *
+    * vs [[embeddingDedup]] (blocked exact all-pairs) and the LSH
+    * bucket join: the trained cells give the TUNABLE recall/cost
+    * knob a 100 TB semantic-dedup pass needs — cell count bounds the
+    * per-cell pair fan-out (cells ~ n/target_cell_size keeps each
+    * cell's pair block in one task's memory), the cell id is the
+    * shuffle/partition key, and the same stored `ivfAssignments`
+    * layout serves search and dedup. Within a cell the join is
+    * equi-keyed on `cell` (hash join, never the BroadcastNestedLoop
+    * a bare id< pair join plans to); the per-vector verdict is one
+    * `max_by` hash aggregation. */
+  def semDedup(embeddings: DataFrame, nCells: Int = 8,
+               trainRounds: Int = 2, tau: Double = 0.38): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = trainIvfModel(embeddings, nCells, trainRounds).toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val asg = argmaxCell(withVec(embeddings), cents)
+    val seniors = asg.select(col("cell"), col("vec_id").as("keep_id"),
+      col("v").as("kv"), col("nrm").as("kn"))
+    asg.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+      .join(seniors, Seq("cell"))
+      .filter(col("keep_id") < col("vec_id"))
+      .select(col("vec_id"), col("cell"), col("keep_id"),
+        round(cosine(dot(col("kv"), col("v")), col("kn"), col("nrm")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max_by(col("keep_id"), struct(col("cos"), -col("keep_id"))).as("dup_of"),
+        max(col("cos")).as("cos"))
+      .select(col("vec_id"), col("cell"), col("dup_of"), col("cos"))
+  }
+
   /** [[annIvf]] over a PRETRAINED centroid model. Corpus-side cell
     * assignment is one `max_by` hash aggregation ([[argmaxCell]] — no
     * corpus-wide window sort, evaluated once); query-side probe

@@ -43,6 +43,40 @@ object Windows {
       .select(unix_micros(col("w.start")).as("ws_us"),
         col("n_users"), col("n_events"))
 
+  /** X6 windowed RATE-ANOMALY detection — hours whose event count sits
+    * `threshold` population standard deviations from that event type's
+    * own hourly mean (traffic spike / outage / bot-burst detection over
+    * the observed windows; empty hours are absent from both the counts
+    * and the baseline, so the report reads "unusual among active
+    * hours"). The z-score is computed from EXACT integer moments:
+    * z = (n·C − S) / sqrt(Q·C − S²) with C = windows, S = Σn,
+    * Q = Σn² — algebraically (n − mean)/σ but with the numerator and
+    * radicand folded into exact int64 arithmetic, so the only float
+    * ops are one correctly-rounded sqrt and one division: bit-identical
+    * on any engine, no operand-order hazard. Zero-variance types are
+    * excluded by the integer guard Q·C − S² > 0 (also the div-by-zero
+    * guard); flagging uses the ROUNDED score, the house selection rule.
+    *
+    * Scale shape: one (type, window) partial+final count, one
+    * O(types)-row moment aggregation broadcast back onto the counts —
+    * the raw event stream is never revisited and nothing shuffles
+    * twice. */
+  def rateAnomaly(events: DataFrame, threshold: Double = 2.0): DataFrame = {
+    val counts = events
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("ws_us"), col("n"))
+    val stats = counts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("q"))
+    counts.join(broadcast(stats), Seq("event_type"))
+      .filter(col("q") * col("c") - col("s") * col("s") > 0)
+      .withColumn("z", round((col("n") * col("c") - col("s")).cast("double") /
+        sqrt((col("q") * col("c") - col("s") * col("s")).cast("double")), 4))
+      .filter(abs(col("z")) >= threshold)
+      .select(col("event_type"), col("ws_us"), col("n"), col("z"))
+  }
+
   /** Session windows per user with a fixed inactivity gap, batch
     * gaps-and-islands formulation: a session starts where the gap from
     * the previous event exceeds `gap`; the running sum of starts

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.Scale
+import graft.operators.{Analytics, Scale}
 import graft.sources.Tables
 
 class ScaleExtensionsSpec extends AnyFunSuite {
@@ -35,6 +35,57 @@ class ScaleExtensionsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     // 1000 cents × 2^11 / 204800 = 10.0; one week older → half
     assert(got.toSeq === Seq((100L, 1L, 10.0), (200L, 1L, 5.0)))
+  }
+
+  test("promo share: conditional one-pass share from exact cents") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val part = Seq((1L, "ECONOMY"), (2L, "SMALL")).toDF("p_partkey", "p_type")
+    val li = Seq(
+      (1L, ts("1996-01-05"), 10.0, 0.0),
+      (2L, ts("1996-01-09"), 30.0, 0.0),
+      (2L, ts("1996-02-01"), 10.0, 0.5)
+    ).toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val got = Analytics.promoShareByMonth(li, part)
+      .orderBy("ym").as[(Int, Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq(
+      (199601, 2L, 1000L, 4000L, 25.0),
+      (199602, 1L, 0L, 500L, 0.0)))
+  }
+
+  test("top supplier: ties at the integer-cents max all surface") {
+    import spark.implicits._
+    val sup = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("s_suppkey", "s_name")
+    val li = Seq(
+      (1L, 60.0, 0.0), (1L, 40.0, 0.0), // 100.00
+      (2L, 200.0, 0.5),                 // 100.00 — exact-cents tie
+      (3L, 99.99, 0.0)
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val got = Analytics.topSupplier(li, sup)
+      .orderBy("s_suppkey").as[(Long, String, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, "s1", 2L, 100.0), (2L, "s2", 1L, 100.0)))
+  }
+
+  test("returned items: only flag-R lines inside the order-date window count") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (10L, 1L, ts("1996-06-01")), (11L, 2L, ts("1996-07-01")),
+      (12L, 1L, ts("1995-06-01")) // outside the window
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (10L, "R", 50.0, 0.0), (10L, "N", 999.0, 0.0), // N ignored
+      (11L, "R", 20.0, 0.0), (12L, "R", 999.0, 0.0)  // old order ignored
+    ).toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val cust = Seq((1L, "c1", 100L), (2L, "c2", 200L))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val nat = Seq((100L, "FRANCE"), (200L, "KENYA"))
+      .toDF("n_nationkey", "n_name")
+    val got = Analytics.returnedItems(li, orders, cust, nat)
+      .orderBy("c_custkey").as[(Long, String, String, Long, Double)].collect()
+    assert(got.toSeq === Seq(
+      (1L, "c1", "FRANCE", 1L, 50.0), (2L, "c2", "KENYA", 1L, 20.0)))
   }
 
   test("rollup emits leaf, subtotal, and grand-total rows") {

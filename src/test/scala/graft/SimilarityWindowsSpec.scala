@@ -66,6 +66,20 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(one === 1)
   }
 
+  test("rate anomaly: exact integer-moment z-score flags only the spike hour") {
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // type a hourly counts [1,1,1,1,9]: mean 2.6, σ 3.2 → z(9) = 2.0 on
+    // the nose ((nC−S)=32, QC−S²=256, 32/√256 = 2.0, all exact ints)
+    val rows = Seq.tabulate(4)(h => ("a", t(h, 1))) ++
+      Seq.tabulate(9)(m => ("a", t(4, m + 1))) ++
+      // type b is constant per hour → zero variance → integer guard drops it
+      Seq(("b", t(0, 5)), ("b", t(0, 6)), ("b", t(1, 5)), ("b", t(1, 6)))
+    val got = Windows.rateAnomaly(rows.toDF("event_type", "ts"))
+      .as[(String, Long, Long, Double)].collect()
+    val h4 = Timestamp.valueOf("2024-01-01 04:00:00").getTime * 1000
+    assert(got.toSeq === Seq(("a", h4, 9L, 2.0)))
+  }
+
   test("funnel: strict event-time ordering, greedy-earliest stages, broken chains") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val fe = Seq(
@@ -175,6 +189,27 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     (0L until 20L).foreach(q =>
       assert(fCnt.getOrElse(q, 0) >= pCnt.getOrElse(q, 0)))
     assert(fCnt.values.sum > pCnt.values.sum)
+  }
+
+  test("semantic dedup: drops are same-cell senior near-dups, a subset of the global all-pairs drops") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val dropped = Similarity.semDedup(emb)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(dropped.nonEmpty)
+    val cells = Similarity.ivfAssignments(emb)
+      .as[(Long, Long)].collect().toMap
+    dropped.foreach { case (v, cell, dupOf, cos) =>
+      assert(dupOf < v)
+      assert(cos >= 0.38)
+      assert(cells(v) === cell)
+      assert(cells(dupOf) === cell)
+    }
+    // restricting candidates to a cell can only SHRINK the drop set:
+    // every same-cell senior is also a global senior, so anything
+    // semDedup drops must be missing from the all-pairs survivor set
+    val survivors = Similarity.embeddingDedup(emb)
+      .as[Long].collect().toSet
+    dropped.foreach { case (v, _, _, _) => assert(!survivors.contains(v)) }
   }
 
   test("incremental embedding dedup: every vector matches itself at cos 1.0; orthogonal batch stays clean") {
