@@ -57,6 +57,9 @@ object SparkEntry {
     "q_returned_items" -> ((s, d) => Analytics.returnedItems(
       t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
       t(s, d, "nation"))),
+    // TPC-H Q13 shape: order-count histogram incl. zero-order customers
+    "q_custdist" -> ((s, d) => Analytics.customerDistribution(
+      t(s, d, "customer"), t(s, d, "orders"))),
     "q_semi_join" -> ((s, d) => Analytics.customersWithOrders(
       t(s, d, "customer"), t(s, d, "orders"), "1-URGENT")),
     "q_union" -> ((s, d) => Analytics.unionKeys(t(s, d, "customer"), t(s, d, "orders"))),
@@ -210,6 +213,9 @@ object SparkEntry {
     // hours whose count sits >= 2 population std-devs from the type's
     // hourly mean (z from exact integer moments)
     "x6_anomaly" -> ((s, d) => Windows.rateAnomaly(t(s, d, "events"))),
+    // the stored per-type moment baseline the anomaly serve path scores
+    // against (mergeable integer moments: tomorrow's C,S,Q just add)
+    "x6_baseline" -> ((s, d) => Windows.rateBaseline(t(s, d, "events"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -322,6 +328,13 @@ object SparkEntry {
            CAST(rev_cents AS DOUBLE) / 100.0 AS revenue
          FROM r JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey""",
+    "q_custdist" ->
+      """WITH pc AS (SELECT c_custkey,
+             CAST(count(o_orderkey) AS BIGINT) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1)
+         SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+         FROM pc GROUP BY 1""",
     "q_full_outer" ->
       """WITH b AS (SELECT o_orderdate AS day, count(*) AS n_big FROM orders
            WHERE o_totalprice > 400000 GROUP BY 1),
@@ -1597,6 +1610,14 @@ object SparkEntry {
       """SELECT epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS ws_us, event_type,
          count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "x6_baseline" ->
+      """WITH c AS (SELECT event_type,
+             epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS ws_us,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS q
+         FROM c GROUP BY 1""",
     "x6_anomaly" ->
       """WITH c AS (SELECT event_type,
              epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS ws_us,

@@ -218,6 +218,23 @@ object Analytics {
         (col("rev_cents").cast("double") / 100.0).as("revenue"))
   }
 
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed exactly N orders, INCLUDING the zero-order
+    * customers only a LEFT join surfaces (the inner-join formulation
+    * silently drops the most interesting bucket). Two-level
+    * aggregation: per-customer `count(o_orderkey)` (counts non-null —
+    * the unmatched left rows score 0 for free), then the O(distinct
+    * counts) histogram. Both aggregations are partial+final; the
+    * second one's key space is tiny by construction. */
+  def customerDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+
   /** Anti join (NOT EXISTS): customers with no order above a price
     * threshold. The filter on the right side is pushed below the join;
     * at scale this is one shuffle on the join key (or a broadcast anti

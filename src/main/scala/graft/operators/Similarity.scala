@@ -638,7 +638,20 @@ object Similarity {
     import spark.implicits._
     val cents = trainIvfModel(embeddings, nCells, trainRounds).toDF("c_id", "cv")
       .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
-    val asg = argmaxCell(withVec(embeddings), cents)
+    // the corpus argmax is referenced on BOTH sides of the pair join —
+    // materialize it ONCE (budgetSelect's persist → derive →
+    // localCheckpoint → unpersist discipline) so the broadcast-centroid
+    // subtree never evaluates twice (round 9's double-window lesson)
+    val asg = argmaxCell(withVec(embeddings), cents).persist()
+    val out = semDedupPairs(asg, tau).localCheckpoint()
+    asg.unpersist(false)
+    out
+  }
+
+  /** The pair/verdict stage of [[semDedup]] over a materialized
+    * (vec_id, cell, v, nrm) assignment — split out so its plan shape
+    * (equi join on the cell, never a nested loop) is pinnable. */
+  private[graft] def semDedupPairs(asg: DataFrame, tau: Double): DataFrame = {
     val seniors = asg.select(col("cell"), col("vec_id").as("keep_id"),
       col("v").as("kv"), col("nrm").as("kn"))
     asg.select(col("cell"), col("vec_id"), col("v"), col("nrm"))

@@ -61,21 +61,40 @@ object Windows {
     * O(types)-row moment aggregation broadcast back onto the counts —
     * the raw event stream is never revisited and nothing shuffles
     * twice. */
-  def rateAnomaly(events: DataFrame, threshold: Double = 2.0): DataFrame = {
-    val counts = events
-      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("event_type"), unix_micros(col("w.start")).as("ws_us"), col("n"))
-    val stats = counts.groupBy(col("event_type"))
+  def rateAnomaly(events: DataFrame, threshold: Double = 2.0): DataFrame =
+    rateAnomalyAgainst(events, rateBaseline(events), threshold)
+
+  /** The per-type hourly-rate BASELINE — the stored model artifact of
+    * [[rateAnomaly]] (the unigram-model / IVF-centroid pattern): one
+    * O(types) row of exact integer moments (C = windows, S = Σn,
+    * Q = Σn²) per event type, trained once on a trusted period and
+    * then scoring every later slice through [[rateAnomalyAgainst]]
+    * without revisiting history. Integer moments make the artifact
+    * mergeable: tomorrow's (C,S,Q) ADDS to today's — a streaming
+    * maintainer is one `sum` per field. */
+  def rateBaseline(events: DataFrame): DataFrame =
+    hourlyCounts(events).groupBy(col("event_type"))
       .agg(count(lit(1)).as("c"), sum(col("n")).as("s"),
         sum(col("n") * col("n")).as("q"))
-    counts.join(broadcast(stats), Seq("event_type"))
+
+  /** Serve path of [[rateAnomaly]]: score a batch's hourly counts
+    * against a PRETRAINED [[rateBaseline]] — no history rescan; the
+    * O(types) baseline broadcasts into the batch counts. Types absent
+    * from the baseline are unscorable and drop out (inner join — an
+    * unknown type is a schema event, not a rate anomaly). */
+  def rateAnomalyAgainst(events: DataFrame, baseline: DataFrame,
+                         threshold: Double = 2.0): DataFrame =
+    hourlyCounts(events).join(broadcast(baseline), Seq("event_type"))
       .filter(col("q") * col("c") - col("s") * col("s") > 0)
       .withColumn("z", round((col("n") * col("c") - col("s")).cast("double") /
         sqrt((col("q") * col("c") - col("s") * col("s")).cast("double")), 4))
       .filter(abs(col("z")) >= threshold)
       .select(col("event_type"), col("ws_us"), col("n"), col("z"))
-  }
+
+  private def hourlyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("ws_us"), col("n"))
 
   /** Session windows per user with a fixed inactivity gap, batch
     * gaps-and-islands formulation: a session starts where the gap from

@@ -163,6 +163,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("returned items: flag filter pushes into the scan, dims broadcast above the top-k") {
+    val p = planOf("q_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("promo share: one conditional pass — lineitem is scanned exactly once") {
+    val p = planOf("q_promo_share")
+    // one detail entry per scan: lineitem + part, nothing else
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("rate anomaly: O(types) baseline broadcasts back onto the counts") {
+    val p = planOf("x6_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // counts + moments, each 2-stage
+  }
+
+  test("semantic dedup: the within-cell pair stage is an equi join, never a cartesian") {
+    import spark.implicits._
+    // semDedup itself returns an eager checkpointed frame (the argmax
+    // is materialized once, not evaluated per join side) — pin the
+    // pair stage's shape on a standalone assignment frame instead
+    val asg = Seq((1L, 0L, Seq(1.0, 0.0), 1.0), (2L, 0L, Seq(0.9, 0.1), 0.906))
+      .toDF("vec_id", "cell", "v", "nrm")
+    val p = graft.operators.Similarity.semDedupPairs(asg, 0.38)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)

@@ -88,6 +88,16 @@ class ScaleExtensionsSpec extends AnyFunSuite {
       (1L, "c1", "FRANCE", 1L, 50.0), (2L, "c2", "KENYA", 1L, 20.0)))
   }
 
+  test("customer distribution: the zero-order bucket survives the left join") {
+    import spark.implicits._
+    val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = Analytics.customerDistribution(cust, orders)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 1L, 1L -> 1L, 0L -> 1L))
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val r = Scale.rollupSummary(Tables(spark, SparkTestBase.sf0001, "lineitem"))
     val rows = r.collect()

@@ -80,6 +80,22 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("a", h4, 9L, 2.0)))
   }
 
+  test("rate anomaly serve path: new hours score against the stored baseline; unknown types drop") {
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val train = Seq.tabulate(4)(h => ("a", t(h, 1))) ++
+      Seq.tabulate(9)(m => ("a", t(4, m + 1)))           // C=5 S=13 Q=85
+    val baseline = Windows.rateBaseline(train.toDF("event_type", "ts"))
+    // next day: an hour of 10 "a" events (z = 37/16 = 2.3125), an hour
+    // of 2 (z = −3/16, unflagged), and an unknown type (unscorable)
+    def t2(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-02 $h%02d:$m%02d:00")
+    val batch = Seq.tabulate(10)(m => ("a", t2(0, m + 1))) ++
+      Seq(("a", t2(1, 1)), ("a", t2(1, 2)), ("zz", t2(0, 1)))
+    val got = Windows.rateAnomalyAgainst(batch.toDF("event_type", "ts"), baseline)
+      .as[(String, Long, Long, Double)].collect()
+    val h0 = Timestamp.valueOf("2024-01-02 00:00:00").getTime * 1000
+    assert(got.toSeq === Seq(("a", h0, 10L, 2.3125)))
+  }
+
   test("funnel: strict event-time ordering, greedy-earliest stages, broken chains") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val fe = Seq(
