@@ -86,6 +86,8 @@ object SparkEntry {
     "x3_bpe_tokens" -> ((s, d) => TextAnalysis.regexTokenCounts(t(s, d, "documents"))),
     "x3_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "x3_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
+    // per-source decile histogram of the quality score (calibration)
+    "x3_quality_deciles" -> ((s, d) => TextAnalysis.qualityDeciles(t(s, d, "documents"))),
     "x3_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(t(s, d, "documents"))),
     "x3_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(t(s, d, "documents"))),
     "x3_tfidf" -> ((s, d) => TextAnalysis.tfidf(t(s, d, "documents"))),
@@ -191,6 +193,8 @@ object SparkEntry {
     "x5_mm_search" -> ((s, d) => Multimodal.mediaSearch(t(s, d, "documents"))),
     "x5_mm_search_lsh" -> ((s, d) => Multimodal.mediaSearchLsh(t(s, d, "documents"))),
     "x5_frames" -> ((s, d) => Multimodal.frameCounts(s, t(s, d, "documents"))),
+    // media near-dup: embed -> LSH bucket join -> senior threshold
+    "x5_mm_dedup" -> ((s, d) => Multimodal.mediaDedup(t(s, d, "documents"))),
     "q_profile" -> ((s, d) => Profiling.profile(t(s, d, "events"),
       Seq("event_id", "user_id", "event_type", "props"))),
     // join-key skew pre-flight: hottest keys, shares, skew-vs-uniform
@@ -453,6 +457,17 @@ object SparkEntry {
            0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
                   CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
          FROM documents""",
+    "x3_quality_deciles" ->
+      """WITH q AS (SELECT source, round(
+           0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+           0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                  CAST(len(string_split(text,' ')) AS DOUBLE)) +
+           0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                  CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+         FROM documents)
+         SELECT source, least(CAST(floor(quality * 10) AS BIGINT), 9) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM q GROUP BY 1, 2""",
     "x3_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp_md5,
          list_reduce(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
@@ -1602,6 +1617,30 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    "x5_mm_dedup" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         cand AS (SELECT DISTINCT b.vec_id, a.vec_id AS keep_id
+           FROM bb a JOIN bb b ON a.tt = b.tt AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+         s AS (SELECT c.vec_id, c.keep_id,
+             round(list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm), 6) AS cos
+           FROM cand c JOIN n t ON t.vec_id = c.vec_id JOIN n q ON q.vec_id = c.keep_id),
+         d AS (SELECT vec_id, keep_id, cos, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, keep_id) AS rk FROM s WHERE cos >= 0.995)
+         SELECT vec_id, keep_id AS dup_of, cos FROM d WHERE rk = 1""",
     "x5_frames" ->
       """SELECT doc_id,
          (greatest(length(text) // 64, 1) + 3) // 4 AS n_frames

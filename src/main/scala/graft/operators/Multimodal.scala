@@ -125,6 +125,17 @@ object Multimodal {
   def mediaSearchLsh(documents: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame =
     Similarity.annLshOnVectors(mediaEmbedding(documents), nQueries, k)
 
+  /** X5 multimodal NEAR-DUP dedup: media blob → (stub) embedding →
+    * sign-LSH bucketed senior dedup ([[Similarity.lshDedupOnVectors]])
+    * — the re-encoded / re-compressed asset detector (the same image
+    * saved twice lands at cosine ≈ 1 under any stable encoder while
+    * its bytes differ, so byte-level fingerprints miss it). Swap the
+    * stub encoder for a real one and this IS the pipeline; tau is high
+    * (0.995) because stub embeddings of unrelated texts already sit
+    * ~0.92 apart — real encoders separate better, tau is the knob. */
+  def mediaDedup(documents: DataFrame, tau: Double = 0.995): DataFrame =
+    Similarity.lshDedupOnVectors(mediaEmbedding(documents), tau)
+
   /** X5 multimodal join: documents ⋈ embeddings on doc_id = vec_id with
     * vector metadata (dim + L2 norm). Both sides shuffle on the id (or
     * broadcast when one side is small); norm is a narrow per-row fold. */

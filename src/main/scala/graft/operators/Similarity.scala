@@ -313,6 +313,41 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** Sign-LSH bucketed SELF-dedup over any (vec_id, v: array<double>)
+    * frame: a vector is a duplicate iff some LOWER-id vector sharing a
+    * bucket in ANY of the 8 tables reaches rounded cosine ≥ `tau`
+    * (the [[embeddingDedup]] seniority rule with LSH candidate
+    * generation instead of blocked all-pairs — the scale path when
+    * even blocking is too much). Emits the dropped vectors with their
+    * max-cosine senior (tie → lowest id). Candidates come from the
+    * (table, bucket) equi join with the id-order predicate applied IN
+    * the join, so each bucket cell is an independent, skew-bounded
+    * unit of work; the bucket semantics are part of the operator's
+    * contract (the oracle replays the same hyperplanes), so recall
+    * misses are deterministic, not flaky. */
+  def lshDedupOnVectors(vectors: DataFrame, tau: Double): DataFrame = {
+    val vn = vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    val buckets = vn.withColumn("bkts", bucketsCol)
+      .select(col("vec_id"), posexplode(col("bkts")))
+      .toDF("vec_id", "tbl", "bucket")
+      .repartition(col("tbl"), col("bucket"))
+    val cands = buckets
+      .join(buckets.toDF("keep_id", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .filter(col("keep_id") < col("vec_id"))
+      .select(col("vec_id"), col("keep_id")).distinct()
+    cands
+      .join(vn.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(vn.select(col("vec_id").as("keep_id"), col("v").as("kv"),
+        col("nrm").as("kn")), Seq("keep_id"))
+      .select(col("vec_id"), col("keep_id"),
+        round(cosine(dot(col("kv"), col("v")), col("kn"), col("nrm")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("keep_id"), struct(col("cos"), -col("keep_id"))).as("dup_of"),
+        max(col("cos")).as("cos"))
+      .select(col("vec_id"), col("dup_of"), col("cos"))
+  }
+
   /** X2 FILTERED vector search — top-k cosine neighbors restricted to
     * a metadata predicate (here: same `label`), the "WHERE clause on a
     * vector index" every retrieval stack needs. The filter lives IN

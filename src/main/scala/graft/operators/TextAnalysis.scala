@@ -101,6 +101,22 @@ object TextAnalysis {
             greatest(length(col("text")), lit(1)).cast("double")),
           6).as("quality"): _*)
 
+  /** X3 quality-score decile histogram per source — the calibration
+    * report behind every quality threshold: where each source's mass
+    * sits on the [0,1] score scale (a source whose mass piles into the
+    * bottom deciles is a filter-rate surprise waiting to happen).
+    * Decile = ⌊quality·10⌋ capped at 9 so a perfect 1.0 lands in the
+    * top bucket; quality is already rounded to 6 decimals on both
+    * engines, so the bucket boundary is deterministic. One narrow
+    * score projection + one (source, decile)-keyed partial+final
+    * count, O(sources·10) output. */
+  def qualityDeciles(documents: DataFrame): DataFrame =
+    qualityScore(documents, Seq("source"))
+      .select(col("source"),
+        least(floor(col("quality") * 10).cast("long"), lit(9L)).as("decile"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Content fingerprints: cryptographic (md5, cross-engine stable) and
     * the codegen'd polynomial rolling hash (graft.functions.RollingHash). */
   def fingerprints(documents: DataFrame): DataFrame =

@@ -228,6 +228,21 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     dropped.foreach { case (v, _, _, _) => assert(!survivors.contains(v)) }
   }
 
+  test("media dedup: an identical blob is flagged against its senior at cos 1.0") {
+    import graft.operators.Multimodal
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different content with other characters %%%%"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.mediaDedup(docs)
+      .as[(Long, Long, Double)].collect()
+    // doc 3 duplicates doc 1 (identical bytes → identical stub
+    // embedding → every bucket shared → cos exactly 1.0); nothing
+    // pairs with doc 2 at tau 0.995
+    assert(got.toSeq === Seq((3L, 1L, 1.0)))
+  }
+
   test("incremental embedding dedup: every vector matches itself at cos 1.0; orthogonal batch stays clean") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     // index == incoming: every vector shares all 8 buckets with itself,

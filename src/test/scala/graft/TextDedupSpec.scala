@@ -571,6 +571,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, n, cum) => cum - n < budget })
   }
 
+  test("quality deciles: buckets partition the corpus and match per-doc scores") {
+    import graft.operators.TextAnalysis
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val hist = TextAnalysis.qualityDeciles(d)
+      .as[(String, Long, Long)].collect()
+    assert(hist.map(_._3).sum === d.count())
+    hist.foreach { case (_, dec, n) =>
+      assert(dec >= 0L && dec <= 9L); assert(n > 0L) }
+    // histogram agrees with bucketing the per-doc scores directly
+    val direct = TextAnalysis.qualityScore(d, Seq("source"))
+      .select(col("source"), least(floor(col("quality") * 10), lit(9L)).as("dec"))
+      .groupBy("source", "dec").count()
+      .as[(String, Long, Long)].collect().toSet
+    assert(hist.toSet === direct)
+  }
+
   test("systematic sample: distributed tick walk equals the single-threaded scan") {
     import graft.operators.Sampling
     val lengths = (1L to 40L).map(i => i -> (((i * 7) % 13) + 1)).toMap +
