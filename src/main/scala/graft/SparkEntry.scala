@@ -1625,12 +1625,12 @@ object SparkEntry {
          n AS (SELECT vec_id, v,
              sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
          bb AS (SELECT vec_id, tt,
-             list_reduce(list_transform(range(4), j -> CASE WHEN
-               list_reduce(list_transform(range(64), d -> v[d+1] *
-                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+             list_reduce(list_transform(range(16), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> (v[d+1] - 0.5) *
+                 (CAST((1103515245::BIGINT * ((tt*16 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
                     / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
                THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
-           FROM n, (SELECT unnest(range(8)) AS tt)),
+           FROM n, (SELECT unnest(range(4)) AS tt)),
          cand AS (SELECT DISTINCT b.vec_id, a.vec_id AS keep_id
            FROM bb a JOIN bb b ON a.tt = b.tt AND a.bucket = b.bucket
              AND a.vec_id < b.vec_id),

@@ -196,7 +196,8 @@ case class MinHashSig(child: Expression, numPerms: Int, prime: Long)
   * generates thousands of lines of janino source per operator, paying
   * seconds of codegen compile per query and blowing past JIT inlining
   * budgets. */
-case class LshBuckets(child: Expression, numTables: Int, bitsPerTable: Int, dim: Int)
+case class LshBuckets(child: Expression, numTables: Int, bitsPerTable: Int, dim: Int,
+                      center: Double = 0.0)
     extends KernelExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -220,7 +221,7 @@ case class LshBuckets(child: Expression, numTables: Int, bitsPerTable: Int, dim:
         val hp = planes(t * bitsPerTable + j)
         var acc = 0.0
         var d = 0
-        while (d < n) { acc += v.getDouble(d) * hp(d); d += 1 }
+        while (d < n) { acc += (v.getDouble(d) - center) * hp(d); d += 1 }
         if (acc > 0) bucket |= 1 << j
         j += 1
       }
@@ -241,6 +242,7 @@ object TextSignatureColumns {
   def simhash64(hashes: Column, bits: Int = 60): Column = toCol(SimHash(toExpr(hashes), bits))
   def minhash_sig(hashes: Column, numPerms: Int, prime: Long): Column =
     toCol(MinHashSig(toExpr(hashes), numPerms, prime))
-  def lsh_buckets(v: Column, numTables: Int, bitsPerTable: Int, dim: Int): Column =
-    toCol(LshBuckets(toExpr(v), numTables, bitsPerTable, dim))
+  def lsh_buckets(v: Column, numTables: Int, bitsPerTable: Int, dim: Int,
+                  center: Double = 0.0): Column =
+    toCol(LshBuckets(toExpr(v), numTables, bitsPerTable, dim, center))
 }

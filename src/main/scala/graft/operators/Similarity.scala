@@ -324,10 +324,28 @@ object Similarity {
     * the join, so each bucket cell is an independent, skew-bounded
     * unit of work; the bucket semantics are part of the operator's
     * contract (the oracle replays the same hyperplanes), so recall
-    * misses are deterministic, not flaky. */
-  def lshDedupOnVectors(vectors: DataFrame, tau: Double): DataFrame = {
+    * misses are deterministic, not flaky.
+    *
+    * Unlike the SEARCH tables (8×4 bits, tuned for recall at moderate
+    * cosine), dedup at near-exact tau wants WIDE tables: per-bit
+    * agreement at cos 0.995 is ~0.97, so 16 bits still pass a true
+    * dup ~60% per table and 4 tables OR up to ~0.97 recall — while
+    * 2^16 buckets per table keep occupancy (and the quadratic
+    * per-bucket pair cost) bounded. Vectors are mean-CENTERED
+    * (v − `center`, inside the compiled kernel with oracle-identical
+    * operand order) before hashing: an all-positive embedding family
+    * otherwise never crosses a sign hyperplane and piles most of the
+    * corpus into one bucket (measured: 69% of sf0.1 media embeddings
+    * in a single 4-bit bucket; centering + 16 bits cuts raw candidate
+    * pairs 28M → 0.14M, max occupancy 3437 → 80). Scoring still uses
+    * the ORIGINAL vectors — translation is only a hashing device. */
+  def lshDedupOnVectors(vectors: DataFrame, tau: Double,
+                        nTables: Int = 4, bits: Int = 16,
+                        center: Double = 0.5): DataFrame = {
     val vn = vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-    val buckets = vn.withColumn("bkts", bucketsCol)
+    val buckets = vn.withColumn("bkts",
+        graft.functions.TextSignatureColumns.lsh_buckets(
+          col("v"), nTables, bits, 64, center))
       .select(col("vec_id"), posexplode(col("bkts")))
       .toDF("vec_id", "tbl", "bucket")
       .repartition(col("tbl"), col("bucket"))
