@@ -153,6 +153,8 @@ object SparkEntry {
     "x4_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(t(s, d, "documents"))),
     // --- X2 similarity search ---
     "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
+    // per-query recall@3 of the LSH index vs brute-force ground truth
+    "x2_recall" -> ((s, d) => Similarity.lshRecallReport(t(s, d, "embeddings"))),
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
     "x2_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "x2_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
@@ -1056,6 +1058,41 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    "x2_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 20),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s),
+         approx AS (SELECT q_id, n_id, 1 AS hit FROM r WHERE rank <= 3)
+         SELECT e.q_id, CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
+           round(CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) / 3.0, 4) AS recall
+         FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+         GROUP BY e.q_id""",
     "x2_ann_lsh" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -313,6 +313,29 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** X2 ANN RECALL audit — per query, how many of the LSH index's
+    * top-k survive against the brute-force ground truth (the
+    * "measure, don't guess" gate every approximate index needs before
+    * it replaces an exact path; the spec-level recall floor samples,
+    * this exports the full per-query report as a verifiable table).
+    * Both rankings use the house rule (raw cosine, id tie-break), so
+    * hits are an exact set intersection — one (q_id, n_id) equi join
+    * of two k·nQueries-row frames, O(queries) output. At scale the
+    * ground-truth side runs on a SAMPLE of queries (nQueries bounds
+    * it); the index side is the same bucketed plan production uses. */
+  def lshRecallReport(embeddings: DataFrame, nQueries: Int = 20,
+                      k: Int = 3): DataFrame = {
+    val exact = annBruteForce(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = annLsh(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** Sign-LSH bucketed SELF-dedup over any (vec_id, v: array<double>)
     * frame: a vector is a duplicate iff some LOWER-id vector sharing a
     * bucket in ANY of the 8 tables reaches rounded cosine ≥ `tau`

@@ -228,6 +228,19 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     dropped.foreach { case (v, _, _, _) => assert(!survivors.contains(v)) }
   }
 
+  test("recall report: one row per query, hits bounded by k, mean above the floor") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val rep = Similarity.lshRecallReport(emb, 20, 3)
+      .as[(Long, Long, Double)].collect()
+    assert(rep.length === 20)
+    rep.foreach { case (_, h, r) =>
+      assert(h >= 0L && h <= 3L)
+      assert(math.abs(r - h / 3.0) < 1e-4)
+    }
+    val mean = rep.map(_._3).sum / rep.length
+    assert(mean >= 0.85, s"mean recall $mean under the regression floor")
+  }
+
   test("media dedup: an identical blob is flagged against its senior at cos 1.0") {
     import graft.operators.Multimodal
     val docs = Seq(
