@@ -214,6 +214,10 @@ object SparkEntry {
     "x6_sessions" -> ((s, d) => Windows.sessions(t(s, d, "events"))),
     // ordered view->click->purchase completion per user, greedy-earliest
     "x6_funnel" -> ((s, d) => Windows.funnel(t(s, d, "events"))),
+    // cohort retention triangle: distinct (user, day) first, sizes from cohorts
+    "x6_retention" -> ((s, d) => Windows.cohortRetention(t(s, d, "events"))),
+    // daily top-3 payload values by count (regex-extracted from props JSON)
+    "x6_trending" -> ((s, d) => Windows.trendingProps(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -1767,5 +1771,28 @@ object SparkEntry {
               + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth
          FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
            LEFT JOIN s3 ON s3.user_id = s1.user_id""",
+    "x6_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+             FROM events),
+         c AS (SELECT user_id, min(day_idx) AS cohort_day FROM d GROUP BY user_id),
+         cells AS (SELECT c.cohort_day, d.day_idx - c.cohort_day AS offset_days,
+             CAST(count(*) AS BIGINT) AS n_users
+           FROM d JOIN c ON d.user_id = c.user_id GROUP BY 1, 2),
+         s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+           FROM c GROUP BY cohort_day)
+         SELECT cells.cohort_day, cells.offset_days, cells.n_users,
+           round(CAST(cells.n_users AS DOUBLE) / s.n_cohort, 6) AS retention
+         FROM cells JOIN s ON cells.cohort_day = s.cohort_day""",
+    "x6_trending" ->
+      """WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)
+               AS prop_k
+           FROM events),
+         g AS (SELECT day_idx, prop_k, CAST(count(*) AS BIGINT) AS n FROM p
+           WHERE prop_k IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT day_idx, prop_k, n, row_number() OVER (PARTITION BY day_idx
+             ORDER BY n DESC, prop_k) AS rank FROM g)
+         SELECT day_idx, prop_k, n, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 3""",
   )
 }

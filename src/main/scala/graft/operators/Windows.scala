@@ -120,6 +120,65 @@ object Windows {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** X6 COHORT RETENTION matrix — for each acquisition cohort (users
+    * whose FIRST event fell on day D), how many came back k days
+    * later (the product-analytics retention triangle; for a training
+    * corpus the same shape reads "how much of each crawl generation
+    * is still contributing documents k snapshots on"). Day identity
+    * is the exact integer `unix_micros div 86_400_000_000` — never a
+    * float epoch division, so both engines bucket midnight-boundary
+    * events identically. Output: (cohort_day, offset_days, n_users,
+    * retention = n_users / cohort size, rounded 6).
+    *
+    * Scale shape: raw events collapse to distinct (user, day) pairs
+    * FIRST (two-stage, map-side partial dedup — a user's thousandth
+    * event that day never crosses the wire), cohort day is a
+    * user-keyed min over that already-small frame, and the matrix is
+    * one (cohort, offset) partial+final count. Cohort sizes derive
+    * from the O(users) cohort frame itself (a user is always active
+    * on their own day 0) and broadcast back onto the O(days²) cells —
+    * the pair frame is never re-aggregated. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day_idx")).as("cohort_day"))
+    val cells = days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day_idx") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cohorts.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_cohort"))
+    cells.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("offset_days"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_cohort"), 6).as("retention"))
+  }
+
+  /** X6 DAILY TRENDING values — per day, the top-k payload values by
+    * event count with their rank (the "what is hot today" leaderboard
+    * over a semi-structured property bag). The value is pulled out of
+    * the raw `props` JSON string with a regex valid in both Java and
+    * RE2 (no backslash escapes — the house oracle-parity rule);
+    * unparseable bags become null and are excluded (they are a schema
+    * observation, not a trending value). All ranking is on exact
+    * integers with the value itself as tie-break.
+    *
+    * Scale shape: one narrow extract projection, one (day, value)
+    * partial+final count, then a rank window PARTITIONED BY DAY — its
+    * input is the aggregated frame, bounded per partition by the
+    * day's distinct value count, never by raw event volume. */
+  def trendingProps(events: DataFrame, k: Int = 3): DataFrame = {
+    val extracted = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+    val byDay = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        when(length(extracted) > 0, extracted.cast("long")).as("prop_k"))
+      .filter(col("prop_k").isNotNull)
+      .groupBy(col("day_idx"), col("prop_k")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day_idx")).orderBy(col("n").desc, col("prop_k"))
+    byDay.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("day_idx"), col("prop_k"), col("n"), col("rank"))
+  }
+
   /** X6 ordered event funnel — per user, the earliest STRICTLY
     * event-time-ordered completion of stage1 → stage2 → stage3 (the
     * product-analytics "view → click → purchase" question: not "did

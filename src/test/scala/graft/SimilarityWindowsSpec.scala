@@ -120,6 +120,38 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(t3 === ts(5).getTime * 1000)
   }
 
+  test("cohort retention: first-day cohorts, distinct-day activity, exact ratios") {
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00")
+    val fe = Seq(
+      (1L, ts(0, 1)), (1L, ts(1, 1)), (1L, ts(2, 1)),  // day0 cohort, full streak
+      (2L, ts(0, 2)), (2L, ts(2, 2)),                  // day0 cohort, skips day1
+      (3L, ts(1, 1)),                                  // day1 cohort, one-shot
+      (4L, ts(1, 2)), (4L, ts(1, 9)), (4L, ts(2, 3))   // day1; same-day dup collapses
+    ).toDF("user_id", "ts")
+    val d0 = ts(0, 0).getTime / 86400000L  // epoch day of 2024-01-01
+    val got = Windows.cohortRetention(fe)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (d0, 0L, 2L, 1.0), (d0, 1L, 1L, 0.5), (d0, 2L, 2L, 1.0),
+      (d0 + 1, 0L, 2L, 1.0), (d0 + 1, 1L, 1L, 0.5)))
+  }
+
+  test("trending: per-day top-k by count, value tie-break, malformed props dropped") {
+    def ts(d: Int, m: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:$m%02d:00")
+    val fe = (Seq.tabulate(3)(m => (ts(0, m), """{"k": 5}""")) ++
+      Seq.tabulate(2)(m => (ts(0, m + 10), """{"k": 7}""")) ++
+      Seq((ts(0, 20), """{"k": 9}"""), (ts(0, 21), "{}"),       // malformed: no k
+        (ts(1, 1), """{"k": 1}"""), (ts(1, 2), """{"k": 1}"""), // day1 tie 2 vs 2:
+        (ts(1, 3), """{"k": 2}"""), (ts(1, 4), """{"k": 2}""")) // value breaks it
+      ).toDF("ts", "props")
+    val d0 = ts(0, 0).getTime / 86400000L
+    val got = Windows.trendingProps(fe, 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (d0, 5L, 3L, 1L), (d0, 7L, 2L, 2L), (d0, 9L, 1L, 3L),
+      (d0 + 1, 1L, 2L, 1L), (d0 + 1, 2L, 2L, 2L)))
+  }
+
   test("media decode stub computes byte statistics partition-wise") {
     val docs = Seq((1L, "abc", "en", "src0", 3L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
