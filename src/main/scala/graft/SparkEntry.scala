@@ -60,6 +60,12 @@ object SparkEntry {
     // TPC-H Q13 shape: order-count histogram incl. zero-order customers
     "q_custdist" -> ((s, d) => Analytics.customerDistribution(
       t(s, d, "customer"), t(s, d, "orders"))),
+    // TPC-H Q21 shape: sole-late-supplier blame via one per-order agg
+    "q_waiting_supplier" -> ((s, d) => Analytics.soleDelayedSupplier(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "supplier"))),
+    // TPC-H Q22 shape: above-integer-average balances, lapsed since cutoff
+    "q_lapsed_accounts" -> ((s, d) => Analytics.lapsedBigAccounts(
+      t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
     "q_semi_join" -> ((s, d) => Analytics.customersWithOrders(
       t(s, d, "customer"), t(s, d, "orders"), "1-URGENT")),
     "q_union" -> ((s, d) => Analytics.unionKeys(t(s, d, "customer"), t(s, d, "orders"))),
@@ -345,6 +351,39 @@ object SparkEntry {
            GROUP BY 1)
          SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
          FROM pc GROUP BY 1""",
+    "q_waiting_supplier" ->
+      """WITH fin AS (SELECT o_orderkey, o_orderdate FROM orders
+           WHERE o_orderstatus = 'F'),
+         l AS (SELECT l_orderkey, l_suppkey,
+             CASE WHEN epoch_us(l_shipdate) > epoch_us(o_orderdate) + 5184000000000
+               THEN 1 ELSE 0 END AS late
+           FROM lineitem JOIN fin ON l_orderkey = o_orderkey),
+         ps AS (SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+           FROM l GROUP BY 1, 2),
+         po AS (SELECT l_orderkey FROM ps GROUP BY l_orderkey
+           HAVING count(*) > 1 AND CAST(sum(supp_late) AS BIGINT) = 1),
+         w AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+           FROM ps JOIN po USING (l_orderkey) WHERE supp_late = 1
+           GROUP BY l_suppkey),
+         t AS (SELECT l_suppkey, numwait FROM w
+           ORDER BY numwait DESC, l_suppkey LIMIT 10)
+         SELECT s_suppkey, s_name, numwait FROM t
+         JOIN supplier ON s_suppkey = l_suppkey""",
+    "q_lapsed_accounts" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           FROM customer),
+         thr AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM c WHERE bal_cents > 0),
+         rich AS (SELECT c.* FROM c, thr WHERE c.bal_cents * thr.n > thr.s),
+         idle AS (SELECT * FROM rich WHERE NOT EXISTS
+           (SELECT 1 FROM orders o WHERE o.o_custkey = rich.c_custkey
+              AND o.o_orderdate >= '2000-01-01'))
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+           round(CAST(sum(bal_cents) AS DOUBLE) / 100.0, 2) AS total_bal
+         FROM idle JOIN nation ON n_nationkey = c_nationkey
+         GROUP BY n_name""",
     "q_full_outer" ->
       """WITH b AS (SELECT o_orderdate AS day, count(*) AS n_big FROM orders
            WHERE o_totalprice > 400000 GROUP BY 1),

@@ -235,6 +235,85 @@ object Analytics {
       .groupBy(col("n_orders"))
       .agg(count(lit(1)).as("n_custs"))
 
+  /** TPC-H Q21 shape — suppliers who kept an order waiting: for
+    * FINISHED orders sourced from MORE THAN ONE supplier where EXACTLY
+    * ONE supplier shipped late (past `graceDays` after the order
+    * date), charge that sole offender; report the top-k suppliers by
+    * such orders. Q21's textbook form is an EXISTS plus a NOT EXISTS
+    * against the same fact table — three correlated scans. Here both
+    * collapse into ONE per-(order, supplier) aggregate followed by a
+    * per-order aggregate: "another supplier exists" is `n_supps > 1`
+    * and "no other supplier was late" is `n_late = 1`, so the fact
+    * table is read once and shuffles once on its natural key.
+    * Lateness is exact integer microseconds (never a date-type
+    * coercion, identical on every engine). Supplier names broadcast
+    * onto the k winners only.
+    *
+    * 100 TB: both aggregations are partial+final on (orderkey[,
+    * suppkey]) — the same key the fact would be bucketed by; the
+    * top-k is TakeOrderedAndProject on integer (count, key). */
+  def soleDelayedSupplier(lineitem: DataFrame, orders: DataFrame,
+                          supplier: DataFrame, graceDays: Int = 60,
+                          k: Int = 10): DataFrame = {
+    val graceUs = graceDays * 86400000000L
+    val fin = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val perSupp = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(fin, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        (unix_micros(col("l_shipdate").cast("timestamp")) >
+          unix_micros(col("o_orderdate").cast("timestamp")) + graceUs).cast("int"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+    val soleLate = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supps"), sum(col("supp_late")).as("n_late"))
+      .filter(col("n_supps") > 1 && col("n_late") === 1)
+      .select(col("l_orderkey"))
+    perSupp.filter(col("supp_late") === 1)
+      .join(soleLate, "l_orderkey")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey"))
+      .limit(k)
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
+  /** TPC-H Q22 shape — lapsed big accounts: customers with an
+    * ABOVE-AVERAGE positive balance and no order since `cutoff`,
+    * grouped by nation (who has money parked here but stopped
+    * buying). The threshold is a scalar aggregate of the customer
+    * table itself; "above average" is evaluated as the integer
+    * cross-multiplication `cents · n > sum_cents` — no float average
+    * ever materializes, so the boundary customer lands identically on
+    * every engine (the float form puts avg-adjacent balances at the
+    * mercy of one ulp). Recency is a LEFT ANTI join against the
+    * date-filtered orders projection; balances are exact cents with
+    * one display division at the end.
+    *
+    * 100 TB: the 1-row threshold broadcasts; the anti join is a hash
+    * join on custkey against an already date-pruned fact (the filter
+    * reaches the scan); nation broadcasts; final agg is O(nations). */
+  def lapsedBigAccounts(customer: DataFrame, orders: DataFrame,
+                        nation: DataFrame,
+                        cutoff: String = "2000-01-01"): DataFrame = {
+    val cents = customer.select(col("c_custkey"), col("c_nationkey"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"))
+    val thr = cents.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("s"), count(lit(1)).as("n"))
+    cents.crossJoin(broadcast(thr))
+      .filter(col("bal_cents") * col("n") > col("s"))
+      .join(orders.filter(col("o_orderdate") >= lit(cutoff))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("bal_cents")).cast("double") / 100.0, 2).as("total_bal"))
+  }
+
   /** Anti join (NOT EXISTS): customers with no order above a price
     * threshold. The filter on the right side is pushed below the join;
     * at scale this is one shuffle on the join key (or a broadcast anti

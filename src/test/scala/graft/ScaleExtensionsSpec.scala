@@ -88,6 +88,50 @@ class ScaleExtensionsSpec extends AnyFunSuite {
       (1L, "c1", "FRANCE", 1L, 50.0), (2L, "c2", "KENYA", 1L, 20.0)))
   }
 
+  test("waiting supplier: only the sole late supplier of a multi-supplier order") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (10L, ts("2024-01-01"), "F"), (11L, ts("2024-01-01"), "F"),
+      (12L, ts("2024-01-01"), "F"), (13L, ts("2024-01-01"), "O"),
+      (14L, ts("2024-01-01"), "F")
+    ).toDF("o_orderkey", "o_orderdate", "o_orderstatus")
+    val late = ts("2024-06-01"); val ok = ts("2024-01-15")
+    val li = Seq(
+      (10L, 1L, late), (10L, 2L, ok),   // sole offender: supplier 1
+      (11L, 1L, late), (11L, 2L, late), // two late → nobody charged
+      (12L, 1L, late),                  // single-supplier → not charged
+      (13L, 1L, late), (13L, 2L, ok),   // order not finished → excluded
+      (14L, 2L, late), (14L, 2L, late), (14L, 3L, ok) // two late LINES, one supplier
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val sup = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("s_suppkey", "s_name")
+    val got = Analytics.soleDelayedSupplier(li, orders, sup)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "s1", 1L), (2L, "s2", 1L)))
+  }
+
+  test("lapsed accounts: strict integer-average threshold, recent orders disqualify") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // positive balances 100+200+300+400 → n=4, avg 250; the negative
+    // balance is out of the average but still a candidate row
+    val cust = Seq(
+      (1L, 10L, 100.0), (2L, 10L, 200.0), (3L, 100L, 300.0),
+      (4L, 10L, -50.0), (5L, 200L, 400.0)
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val orders = Seq(
+      (90L, 3L, ts("1999-05-05")),  // cust 3: old order only → lapsed
+      (91L, 5L, ts("2000-06-01"))   // cust 5: recent → disqualified
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val nat = Seq((10L, "KENYA"), (100L, "FRANCE"), (200L, "PERU"))
+      .toDF("n_nationkey", "n_name")
+    val got = Analytics.lapsedBigAccounts(cust, orders, nat)
+      .as[(String, Long, Double)].collect().toSet
+    // cust 2 sits exactly AT the average (200·4 = 1000): strict > excludes
+    assert(got === Set(("FRANCE", 1L, 300.0)))
+  }
+
   test("customer distribution: the zero-order bucket survives the left join") {
     import spark.implicits._
     val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
