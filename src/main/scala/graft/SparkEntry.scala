@@ -105,6 +105,9 @@ object SparkEntry {
     "x3_unigram_model" -> ((s, d) => TextAnalysis.unigramModel(t(s, d, "documents"))),
     // power-of-two token-length distribution (sequence-length report)
     "x3_length_hist" -> ((s, d) => TextAnalysis.lengthHistogram(t(s, d, "documents"))),
+    // per-source exact length quantiles (grouped counting interpolation)
+    "x3_length_quantiles" -> ((s, d) =>
+      Profiling.groupedQuantiles(t(s, d, "documents"), "source", "n_chars")),
     "x3_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(t(s, d, "documents"))),
     // PMI collocation mining (multi-word expression discovery)
     "x3_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents"))),
@@ -584,6 +587,14 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_docs, min(n_tokens) AS min_tokens,
            max(n_tokens) AS max_tokens, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          FROM d GROUP BY 1""",
+    "x3_length_quantiles" ->
+      """SELECT source, count(n_chars) AS n,
+           count(DISTINCT n_chars) AS n_distinct,
+           round(quantile_cont(n_chars, 0.25), 4) AS p25,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.75), 4) AS p75,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90
+         FROM documents GROUP BY source""",
     "x3_bigram_logprob" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
          z AS (SELECT doc_id, unnest(list_zip(s, s[2:])) AS p FROM d),

@@ -128,6 +128,45 @@ object Profiling {
     ranked.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** PER-GROUP exact interpolated quantiles — [[quantileProfile]]
+    * partitioned by a group column (the per-source length-distribution
+    * report behind sequence-budget and truncation decisions: "is this
+    * crawl slice short-doc heavy?"). Same counting formulation and the
+    * same DuckDB-bit-identical weighted-sum interpolation; the cum/total
+    * windows partition by GROUP, so no global single-partition stage
+    * exists at all — each group's ranked value domain sorts
+    * independently (bounded by ITS distinct values), and groups spread
+    * across the cluster. Precondition as before: |domain| ≪ |rows|
+    * per group (lengths, scores, counts — not raw ids). */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       quantiles: Seq[(String, Double)] =
+                         Seq("p25" -> 0.25, "p50" -> 0.5,
+                             "p75" -> 0.75, "p90" -> 0.9)): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    val ranked = counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def covers(rank: Column) = col("cum") - col("cnt") <= rank && rank < col("cum")
+    val qAggs = quantiles.map { case (name, q) =>
+      val r = (col("n") - 1).cast("double") * lit(q)
+      val lo = floor(r)
+      val hi = ceil(r)
+      val wLo = when(lo === hi, lit(1.0)).otherwise(hi - r)
+      val wHi = when(lo === hi, lit(0.0)).otherwise(r - lo)
+      val contrib =
+        coalesce(when(covers(lo), col("v") * wLo), lit(0.0)) +
+          coalesce(when(covers(hi), col("v") * wHi), lit(0.0))
+      round(sum(contrib), 4).as(name)
+    }
+    val aggs = max(col("n")).as("n") +: count(lit(1)).as("n_distinct") +: qAggs
+    ranked.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Sketch-based profile: HyperLogLog distinct estimate and
     * approximate p50/p95/p99 — the constant-memory versions of the
     * exact statistics, for when even one exact count-distinct per

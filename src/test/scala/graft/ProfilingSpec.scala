@@ -46,6 +46,22 @@ class ProfilingSpec extends AnyFunSuite {
     assert(r1.getDouble(2) === 42.5 && r1.getDouble(4) === 42.5)
   }
 
+  test("groupedQuantiles equals Spark's exact percentile within each group") {
+    val docs = Tables(spark, SparkTestBase.sf0001, "documents")
+    val expected = docs.groupBy(col("source")).agg(
+      count(col("n_chars")).as("n"),
+      countDistinct(col("n_chars")).as("nd"),
+      expr("round(percentile(n_chars, 0.25), 4)"),
+      expr("round(percentile(n_chars, 0.5), 4)"),
+      expr("round(percentile(n_chars, 0.75), 4)"),
+      expr("round(percentile(n_chars, 0.9), 4)"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val got = Profiling.groupedQuantiles(docs, "source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("sketch profile stays within HLL/quantile accuracy bounds") {
     val events = Tables(spark, SparkTestBase.sf0001, "events")
     val exactD = events.select(countDistinct("user_id")).head.getLong(0)
