@@ -170,6 +170,14 @@ object SparkEntry {
     // filtered vector search: the predicate rides IN the bucket key
     "x2_ann_filtered" -> ((s, d) => Similarity.annLshFiltered(t(s, d, "embeddings"))),
     "x2_centroids" -> ((s, d) => Similarity.trainedCentroids(t(s, d, "embeddings"))),
+    // PQ codebook: per-subspace L2 Lloyd, the model export (32× shrink)
+    "x2_pq_codebook" -> ((s, d) => Similarity.pqCodebook(t(s, d, "embeddings"))),
+    // the compressed corpus: m codes per vector, min_by argmin pinned
+    "x2_pq_codes" -> ((s, d) => Similarity.pqCodes(t(s, d, "embeddings"))),
+    // ADC search: code table + broadcast LUT, raw vectors never read
+    "x2_ann_pq" -> ((s, d) => Similarity.pqAdcTopK(t(s, d, "embeddings"))),
+    // the production serve shape: ADC shortlist -> exact re-rank of S rows
+    "x2_ann_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(t(s, d, "embeddings"))),
     // SemDeDup: near-dup removal with the trained IVF cells as the
     // candidate generator (pair stage bounded per cell, never global)
     "x2_semdedup" -> ((s, d) => Similarity.semDedup(t(s, d, "embeddings"))),
@@ -1441,6 +1449,231 @@ object SparkEntry {
          SELECT c_id, CAST(pos AS BIGINT) AS pos, round(val, 6) AS val
          FROM (SELECT c_id, generate_subscripts(cv, 1) AS pos, unnest(cv) AS val
                FROM c2) x""",
+    "x2_pq_codebook" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         c0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         k0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c0),
+         r1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k0 c ON c.sub = q.sub),
+         a1 AS (SELECT vec_id, sub, code, s FROM r1 WHERE rn = 1),
+         d1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a1),
+         s1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d1 GROUP BY sub, code, pos),
+         u1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s1 GROUP BY sub, code),
+         c1 AS (SELECT c0.sub, c0.code, coalesce(u1.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code),
+         k1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c1),
+         r2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k1 c ON c.sub = q.sub),
+         a2 AS (SELECT vec_id, sub, code, s FROM r2 WHERE rn = 1),
+         d2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a2),
+         s2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d2 GROUP BY sub, code, pos),
+         u2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s2 GROUP BY sub, code),
+         c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u2 ON u2.sub = c1.sub AND u2.code = c1.code)
+         SELECT CAST(sub AS BIGINT) AS sub, code, CAST(pos AS BIGINT) AS pos,
+           round(val, 6) AS val
+         FROM (SELECT sub, code, generate_subscripts(cv, 1) AS pos, unnest(cv) AS val
+               FROM c2) x""",
+    "x2_pq_codes" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         c0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         k0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c0),
+         r1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k0 c ON c.sub = q.sub),
+         a1 AS (SELECT vec_id, sub, code, s FROM r1 WHERE rn = 1),
+         d1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a1),
+         s1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d1 GROUP BY sub, code, pos),
+         u1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s1 GROUP BY sub, code),
+         c1 AS (SELECT c0.sub, c0.code, coalesce(u1.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code),
+         k1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c1),
+         r2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k1 c ON c.sub = q.sub),
+         a2 AS (SELECT vec_id, sub, code, s FROM r2 WHERE rn = 1),
+         d2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a2),
+         s2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d2 GROUP BY sub, code, pos),
+         u2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s2 GROUP BY sub, code),
+         c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u2 ON u2.sub = c1.sub AND u2.code = c1.code),
+         k2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c2),
+         r3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k2 c ON c.sub = q.sub)
+         SELECT vec_id, CAST(sub AS BIGINT) AS sub, code
+         FROM r3 WHERE rn = 1""",
+    "x2_ann_pq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         c0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         k0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c0),
+         r1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k0 c ON c.sub = q.sub),
+         a1 AS (SELECT vec_id, sub, code, s FROM r1 WHERE rn = 1),
+         d1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a1),
+         s1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d1 GROUP BY sub, code, pos),
+         u1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s1 GROUP BY sub, code),
+         c1 AS (SELECT c0.sub, c0.code, coalesce(u1.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code),
+         k1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c1),
+         r2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k1 c ON c.sub = q.sub),
+         a2 AS (SELECT vec_id, sub, code, s FROM r2 WHERE rn = 1),
+         d2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a2),
+         s2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d2 GROUP BY sub, code, pos),
+         u2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s2 GROUP BY sub, code),
+         c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u2 ON u2.sub = c1.sub AND u2.code = c1.code),
+         k2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c2),
+         r3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k2 c ON c.sub = q.sub),
+         a3 AS (SELECT vec_id, sub, code FROM r3 WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS q_id, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM sn q JOIN k2 c ON c.sub = q.sub WHERE q.vec_id < 20),
+         sc AS (SELECT l.q_id, a.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM a3 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+             AND a.vec_id <> l.q_id
+           GROUP BY 1, 2),
+         r AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM sc)
+         SELECT q_id, n_id, round(CAST(adist_u AS DOUBLE) / 1000000.0, 6) AS adist,
+           CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 3""",
+    "x2_ann_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         c0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         k0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c0),
+         r1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k0 c ON c.sub = q.sub),
+         a1 AS (SELECT vec_id, sub, code, s FROM r1 WHERE rn = 1),
+         d1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a1),
+         s1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d1 GROUP BY sub, code, pos),
+         u1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s1 GROUP BY sub, code),
+         c1 AS (SELECT c0.sub, c0.code, coalesce(u1.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code),
+         k1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c1),
+         r2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k1 c ON c.sub = q.sub),
+         a2 AS (SELECT vec_id, sub, code, s FROM r2 WHERE rn = 1),
+         d2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a2),
+         s2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d2 GROUP BY sub, code, pos),
+         u2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s2 GROUP BY sub, code),
+         c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u2 ON u2.sub = c1.sub AND u2.code = c1.code),
+         k2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c2),
+         r3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k2 c ON c.sub = q.sub),
+         a3 AS (SELECT vec_id, sub, code FROM r3 WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS q_id, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM sn q JOIN k2 c ON c.sub = q.sub WHERE q.vec_id < 20),
+         sc AS (SELECT l.q_id, a.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM a3 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+             AND a.vec_id <> l.q_id
+           GROUP BY 1, 2),
+         sl AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY adist_u, n_id) AS rnk
+           FROM sc) z WHERE rnk <= 64),
+         vv AS (SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y) AS n2 FROM e),
+         rr AS (SELECT s.q_id, s.n_id,
+             t.n2 - 2 * list_reduce(list_transform(range(1, 65), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) + q.n2 AS dist
+           FROM sl s JOIN vv q ON q.vec_id = s.q_id JOIN vv t ON t.vec_id = s.n_id),
+         fr AS (SELECT q_id, n_id, dist, row_number() OVER (PARTITION BY q_id
+             ORDER BY dist, n_id) AS rank FROM rr)
+         SELECT q_id, n_id, round(dist, 6) AS dist, CAST(rank AS BIGINT) AS rank
+         FROM fr WHERE rank <= 3""",
     "x2_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -801,5 +801,187 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cell"),
         round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  // --------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-compression leg of the ANN
+  // story: 64 float32 dims (256 B) become m=8 one-byte codes, a 32×
+  // shrink, and queries score the CORPUS WITHOUT EVER TOUCHING RAW
+  // VECTORS via per-query lookup tables (ADC). IVF partitions the
+  // corpus; PQ compresses it; real systems (FAISS IVF-PQ) compose both.
+  // Training is deterministic per-subspace L2 Lloyd (seeds = the first
+  // k vectors' subvectors, fixed rounds, means rounded to 6 decimals)
+  // so the codebook, the codes, and the ADC ranking all hash-verify
+  // against an oracle replay, like the IVF chain.
+  // --------------------------------------------------------------------
+
+  /** Per-vector subvector frame: (vec_id, sub, sv, sn2) — the vector
+    * split into `m` contiguous dsub-dim slices, each with its exact
+    * squared norm (sequential-fold kernel; same fold order as the
+    * oracle's list_reduce, so distances are bit-identical). */
+  private def subvectors(vecs: DataFrame, m: Int, dsub: Int): DataFrame =
+    vecs.select(col("vec_id"),
+      posexplode(array((0 until m).map(t => slice(col("v"), t * dsub + 1, dsub)): _*)))
+      .toDF("vec_id", "sub", "sv")
+      .withColumn("sn2", dot_product(col("sv"), col("sv")))
+
+  private def pqCodebookDF(spark: SparkSession,
+                           cb: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cb.toDF("sub", "code", "cv")
+      .withColumn("cn2", dot_product(col("cv"), col("cv")))
+  }
+
+  /** Argmin-L2 code per (vector, subspace) as ONE hash aggregation:
+    * `min_by` over (dist, code) — nearest codeword, tie → lowest code
+    * (the `ORDER BY dist, code` rule). The distance is the expanded
+    * form ‖x‖² − 2·x·c + ‖c‖²: all three terms come from the compiled
+    * sequential-fold kernel, so the float is the same on both engines;
+    * the (x−c)² fold would be a second per-element pass per candidate
+    * pair. Codebook is O(m·k·dsub) and broadcast. */
+  private def argminCode(subs: DataFrame, cdf: DataFrame): DataFrame =
+    subs.join(broadcast(cdf), Seq("sub"))
+      .withColumn("dist",
+        col("sn2") - lit(2.0) * dot_product(col("sv"), col("cv")) + col("cn2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
+        first(col("sv")).as("sv"))
+
+  /** Train the PQ codebook: independent k-means per subspace,
+    * deterministic like [[trainIvfModel]] (seeds = subvectors of the
+    * first `k` vectors, `rounds` fixed Lloyd iterations, per-dimension
+    * means rounded to 6 decimals; empty codes keep their seed). All
+    * subspaces train in the SAME distributed passes — `sub` is just a
+    * grouping key — so cost does not grow with m. The model is
+    * driver-side state of O(m·k·dsub) doubles, the IVF-centroid
+    * pattern: train once, serve every encode/search batch. */
+  def trainPqModel(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                   rounds: Int = 2, dims: Int = 64): Seq[(Int, Long, Seq[Double])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val subs = subvectors(withVec(embeddings), m, dims / m)
+    var cb: Seq[(Int, Long, Seq[Double])] = subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("code"), col("sv"))
+      .as[(Int, Long, Seq[Double])].collect().sortBy(x => (x._1, x._2)).toSeq
+    for (_ <- 1 to rounds) {
+      val assigned = argminCode(subs, pqCodebookDF(spark, cb))
+      // float32 inputs have 24-bit mantissas: every partial sum below
+      // stays exactly representable in double, so the mean is
+      // order-independent without quantization (the IVF precedent)
+      val means = assigned.select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
+          x => round(x.getField("s") / x.getField("cnt"), 6)).as("cv"))
+        .as[(Int, Long, Seq[Double])].collect()
+        .map { case (s, c, cv) => (s, c) -> cv }.toMap
+      cb = cb.map { case (s, c, cv) => (s, c, means.getOrElse((s, c), cv)) }
+    }
+    cb
+  }
+
+  /** The trained PQ codebook as (sub, code, pos, val) rows — the model
+    * export, hash-verified like [[trainedCentroids]]. */
+  def pqCodebook(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                 rounds: Int = 2, dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    pqCodebookDF(spark, trainPqModel(embeddings, m, k, rounds, dims))
+      .select(col("sub").cast("long").as("sub"), col("code"), posexplode(col("cv")))
+      .select(col("sub"), col("code"), (col("pos") + 1).cast("long").as("pos"),
+        round(col("col"), 6).as("val"))
+  }
+
+  /** Corpus-side PQ ENCODING over the trained codebook — one
+    * (vec_id, sub, code) row per subspace: the stored compressed
+    * corpus (m bytes per vector at k ≤ 256). The argmin is the
+    * map-side-partial `min_by` aggregation, hash-verified against the
+    * oracle's row_number replay. At scale this table IS the index
+    * payload: stored code-major, it streams through ADC scans with no
+    * raw-vector I/O at all. */
+  def pqCodes(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+              rounds: Int = 2, dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val subs = subvectors(withVec(embeddings), m, dims / m)
+    argminCode(subs, pqCodebookDF(spark, trainPqModel(embeddings, m, k, rounds, dims)))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+  }
+
+  /** X2 ADC (asymmetric distance computation) top-k — approximate
+    * nearest neighbors where the corpus side is ONLY the PQ code
+    * table: each query precomputes a lookup table of partial distances
+    * to every codeword (m·k entries), and a corpus vector's score is
+    * the sum of m table hits. The raw corpus vectors are never read —
+    * the 100 TB point of PQ: the scan touches n·m bytes of codes plus
+    * a broadcast LUT of O(queries·m·k).
+    *
+    * Partial distances are quantized to integer MICRO-UNITS before the
+    * per-vector sum: the m partials arrive in arbitrary order under a
+    * hash aggregation, and a float sum would be evaluation-order-
+    * dependent (the moving-average lesson); the int64 sum is exact and
+    * the ranking (distance asc, id tie-break) engine-deterministic.
+    * Each partial is itself bit-identical cross-engine (same expanded
+    * form, same fold order as [[argminCode]]). */
+  def pqAdcTopK(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                rounds: Int = 2, dims: Int = 64,
+                nQueries: Int = 20, kNn: Int = 3): DataFrame =
+    adcRanked(embeddings, m, k, rounds, dims, nQueries)
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("n_id"),
+        round(col("adist_u").cast("double") / 1000000.0, 6).as("adist"), col("rank"))
+
+  /** The full ADC ranking frame (q_id, n_id, adist_u, rank) — shared
+    * by the ADC top-k and the re-ranked search. */
+  private def adcRanked(embeddings: DataFrame, m: Int, k: Int,
+                        rounds: Int, dims: Int, nQueries: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val subs = subvectors(withVec(embeddings), m, dims / m)
+    val cdf = pqCodebookDF(spark, trainPqModel(embeddings, m, k, rounds, dims))
+    val codes = argminCode(subs, cdf)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val lut = subs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv"), col("sn2"))
+      .join(cdf, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        floor((col("sn2") - lit(2.0) * dot_product(col("sv"), col("cv")) +
+          col("cn2")) * 1000000 + 0.5).cast("long").as("pd"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist_u"), col("n_id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("pd")).as("adist_u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** X2 PQ search with EXACT RE-RANKING — the production IVF-PQ serve
+    * shape: the ADC pass over the code table yields a `shortlist` of
+    * candidates per query (cheap, compressed-domain), and only those
+    * S vectors are fetched raw and re-scored by exact L2 for the
+    * final top-k. Quantization error then costs RECALL only when a
+    * true neighbor falls outside the shortlist, not rank accuracy
+    * inside it — the standard answer to a coarse codebook. Per query
+    * the raw-vector I/O is S rows instead of the corpus (at 100 TB:
+    * S point lookups against the vec_id-keyed store vs a full scan);
+    * the re-rank window input is O(queries·S). Exact distances use
+    * the same expanded form and fold order as the oracle, ranked raw
+    * with id tie-breaks (the house rule). */
+  def pqRerankTopK(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                   rounds: Int = 2, dims: Int = 64, nQueries: Int = 20,
+                   shortlist: Int = 64, kNn: Int = 3): DataFrame = {
+    val vecs = withVec(embeddings)
+      .select(col("vec_id"), col("v"), dot_product(col("v"), col("v")).as("n2"))
+    val short = adcRanked(embeddings, m, k, rounds, dims, nQueries)
+      .filter(col("rank") <= shortlist).select(col("q_id"), col("n_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("n_id"))
+    short
+      .join(vecs.select(col("vec_id").as("n_id"), col("v"), col("n2")), Seq("n_id"))
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2")), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (col("n2") - lit(2.0) * dot_product(col("qv"), col("v")) + col("qn2"))
+          .as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("n_id"), round(col("dist"), 6).as("dist"), col("rank"))
   }
 }

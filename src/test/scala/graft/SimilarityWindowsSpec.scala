@@ -273,6 +273,59 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(mean >= 0.85, s"mean recall $mean under the regression floor")
   }
 
+  test("PQ: codebook shape, codes in range, assignment is the local L2 argmin") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val cb = Similarity.pqCodebook(emb).as[(Long, Long, Long, Double)].collect()
+    assert(cb.length === 8 * 16 * 8) // m subs × k codes × dsub dims
+    val codes = Similarity.pqCodes(emb).as[(Long, Long, Long)].collect()
+    val n = emb.count()
+    assert(codes.length === n * 8)
+    codes.foreach { case (_, sub, code) =>
+      assert(sub >= 0 && sub < 8 && code >= 0 && code < 16)
+    }
+    // re-verify one vector's assignment against a local argmin over the
+    // exported codebook (squared L2 per subspace, lowest-code ties)
+    val book = cb.groupBy(x => (x._1, x._2)).view
+      .mapValues(_.sortBy(_._3).map(_._4)).toMap
+    val v = emb.filter(col("vec_id") === 37)
+      .select(transform(col("embedding"), _.cast("double")))
+      .as[Seq[Double]].head()
+    val got = codes.filter(_._1 == 37L).sortBy(_._2).map(_._3)
+    val want = (0 until 8).map { s =>
+      val sv = v.slice(s * 8, s * 8 + 8)
+      (0 until 16).minBy { c =>
+        val cv = book((s.toLong, c.toLong))
+        (sv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.toLong
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("PQ re-rank recovers most of the exact top-k the raw ADC ranking misses") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = vecs.filter(_._1 < 20).map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (t, tv) => (t, l2(qv, tv)) }
+        .sortBy { case (t, d) => (d, t) }.take(3).map(_._1).toSet
+    }.toMap
+    def recall(hits: Map[Long, Set[Long]]) =
+      exact.map { case (q, ex) => (ex & hits.getOrElse(q, Set())).size }.sum / 60.0
+    val rer = Similarity.pqRerankTopK(emb).select("q_id", "n_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val adc = Similarity.pqAdcTopK(emb).select("q_id", "n_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val (rRer, rAdc) = (recall(rer), recall(adc))
+    assert(rRer >= 0.7, s"re-rank recall $rRer under the floor")
+    assert(rRer > rAdc, s"re-rank ($rRer) must beat raw ADC ($rAdc)")
+  }
+
   test("media dedup: an identical blob is flagged against its senior at cos 1.0") {
     import graft.operators.Multimodal
     val docs = Seq(
