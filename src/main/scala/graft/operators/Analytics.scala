@@ -242,12 +242,15 @@ object Analytics {
     * such orders. Q21's textbook form is an EXISTS plus a NOT EXISTS
     * against the same fact table — three correlated scans. Here both
     * collapse into ONE per-(order, supplier) aggregate followed by a
-    * per-order aggregate: "another supplier exists" is `n_supps > 1`
-    * and "no other supplier was late" is `n_late = 1`, so the fact
-    * table is read once and shuffles once on its natural key.
-    * Lateness is exact integer microseconds (never a date-type
-    * coercion, identical on every engine). Supplier names broadcast
-    * onto the k winners only.
+    * per-order aggregate: "another supplier exists" is `n_supps > 1`,
+    * "no other supplier was late" is `n_late = 1`, and the offender's
+    * identity rides in the SAME aggregate as `max(case when late then
+    * suppkey end)` — exact because the filter keeps only the
+    * one-late-supplier orders. The fact table is scanned ONCE and
+    * never joined back to itself (the join-back form evaluates the
+    * per-(order, supplier) subtree twice). Lateness is exact integer
+    * microseconds (never a date-type coercion, identical on every
+    * engine). Supplier names broadcast onto the k winners only.
     *
     * 100 TB: both aggregations are partial+final on (orderkey[,
     * suppkey]) — the same key the fact would be bucketed by; the
@@ -266,12 +269,10 @@ object Analytics {
           unix_micros(col("o_orderdate").cast("timestamp")) + graceUs).cast("int"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("late")).as("supp_late"))
-    val soleLate = perSupp.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supps"), sum(col("supp_late")).as("n_late"))
+    perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supps"), sum(col("supp_late")).as("n_late"),
+        max(when(col("supp_late") === 1, col("l_suppkey"))).as("l_suppkey"))
       .filter(col("n_supps") > 1 && col("n_late") === 1)
-      .select(col("l_orderkey"))
-    perSupp.filter(col("supp_late") === 1)
-      .join(soleLate, "l_orderkey")
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("l_suppkey"))
       .limit(k)

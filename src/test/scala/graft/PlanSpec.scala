@@ -198,6 +198,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("waiting supplier: the fact is scanned once, never joined back to itself") {
+    val p = planOf("q_waiting_supplier")
+    // lineitem + orders + supplier — the EXISTS/NOT-EXISTS pair became
+    // aggregates, so no second lineitem subtree exists
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 3, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p) // 3 aggs, each 2-stage
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("lapsed accounts: date filter pushes into orders, anti join stays hash") {
+    val p = planOf("q_lapsed_accounts")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("retention: distinct pairs two-stage, cohort sizes broadcast onto the cells") {
+    val p = planOf("x6_retention")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p) // dedup/cohort/cells 2-stage each
+  }
+
+  test("grouped quantiles: every stage partitions by group — no single-partition stage") {
+    val p = planOf("x3_length_quantiles")
+    // the global quantileProfile pays one SinglePartition window by
+    // design; the grouped form must not
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("PQ ADC: codes meet the lookup table by broadcast hash join, no nested loop") {
+    val p = planOf("x2_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the per-(vec, sub) argmin and the per-(q, vec) ADC sum both
+    // partial-aggregate map-side
+    assert("partial_min_by|partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)
