@@ -204,6 +204,10 @@ object SparkEntry {
     "x7_report" -> ((s, d) => Curation.curationReport(t(s, d, "documents"))),
     // curation capped by a GLOBAL token budget (best-N-tokens build)
     "x7_curate_budget" -> ((s, d) => Curation.curateBudget(t(s, d, "documents"))),
+    // SemDeDup build: exact dedup -> embedding near-dup in trained IVF
+    // cells -> quality -> decontaminate -> pack, replayed end to end
+    "x7_curate_semantic" -> ((s, d) => Curation.curateSemantic(
+      t(s, d, "documents"), t(s, d, "embeddings"))),
     // --- X5 multimodal ---
     "x5_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, t(s, d, "documents"))),
     "x5_mm_join" -> ((s, d) => Multimodal.docEmbeddingJoin(
@@ -1705,6 +1709,84 @@ object SparkEntry {
            FROM d1 d JOIN q ON d.doc_id = q.doc_id),
          d2 AS (SELECT d1.* FROM d1 JOIN r ON d1.doc_id = r.doc_id
            WHERE r.pr >= 0.5 AND d1.doc_id >= 50),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+         d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM ov)),
+         packed AS (SELECT doc_id, lang, source,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(text,' '))) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM d3)
+         SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
+         FROM packed""",
+    "x7_curate_semantic" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
+         es AS (SELECT e0.vec_id, list_transform(e0.embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings e0 JOIN d1 ON d1.doc_id = e0.vec_id),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM es),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         dd1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM dd1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         dd2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM dd2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, t.v, t.nrm, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM rk WHERE ar = 1),
+         pr0 AS (SELECT b.vec_id,
+             round(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]),
+               (x,y) -> x+y) / (a.nrm * b.nrm), 6) AS cos
+           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         sem AS (SELECT DISTINCT vec_id FROM pr0 WHERE cos >= 0.38),
+         d1s AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT vec_id FROM sem)),
+         q AS (SELECT doc_id, round(
+             0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+             0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                    CAST(len(string_split(text,' ')) AS DOUBLE)) +
+             0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                    CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM d1s),
+         r AS (SELECT d.doc_id,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality, d.doc_id), 6) AS pr
+           FROM d1s d JOIN q ON d.doc_id = q.doc_id),
+         d2 AS (SELECT d1s.* FROM d1s JOIN r ON d1s.doc_id = r.doc_id
+           WHERE r.pr >= 0.5 AND d1s.doc_id >= 50),
          tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles

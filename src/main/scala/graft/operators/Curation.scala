@@ -158,15 +158,58 @@ object Curation {
           finally cached.unpersist(false)
         exact.join(keep, "doc_id")
       }
-    // single flow: every intermediate frame feeds exactly ONE consumer
-    // (extraCols thread the payload through), so no stage's subtree is
-    // evaluated twice — a branch-and-rejoin here would re-run the
-    // dedup join and the quality window once per reference
+    qualityDecontam(documents, survivors, nBench)
+  }
+
+  /** Stages 2–3 shared by every curation mode: per-language quality
+    * percentile over the survivor frame, bench-id floor, benchmark
+    * decontamination. Single flow — every intermediate frame feeds
+    * exactly ONE consumer (extraCols thread the payload through), so
+    * no stage's subtree is evaluated twice; a branch-and-rejoin here
+    * would re-run the dedup join and the quality window once per
+    * reference. Contamination flags are computed on the RAW corpus
+    * (text is never rewritten upstream), so the index builds once. */
+  private def qualityDecontam(documents: DataFrame, survivors: DataFrame,
+                              nBench: Long): DataFrame = {
     val passCols = documents.columns.filterNot(c => c == "doc_id" || c == "lang").toSeq
     val candidates = TextAnalysis
       .qualityFilter(survivors, extraCols = passCols)
       .filter(col("doc_id") >= nBench)
     val flagged = Dedup.decontaminate(documents, nBench).select("doc_id").distinct()
     candidates.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** X7 SEMANTIC curation — the SemDeDup-style build: exact dedup,
+    * then EMBEDDING-level near-duplicate removal over the survivors
+    * ([[Similarity.semDedup]]: trained IVF cells bound the pair stage,
+    * cosine ≥ tau against a lower-id senior drops the junior), then
+    * the audited quality/decontamination/packing tail. Catches the
+    * re-phrasings and translations byte- and shingle-level dedup
+    * cannot see; runs AFTER exact dedup so the quantizer never trains
+    * on byte-identical mass, and BEFORE the quality percentile so
+    * semantic duplicates cannot distort it (the same ordering rule as
+    * the near mode). Documents pair with embeddings by doc_id =
+    * vec_id; docs without an embedding pass the stage untouched.
+    * Eager like the near mode (semDedup materializes its verdict
+    * frame); the oracle replays the ENTIRE chain — IVF training
+    * included — in one statement. */
+  def curateSemantic(documents: DataFrame, embeddings: DataFrame,
+                     nBench: Long = 50L, shardBudget: Long = 500L,
+                     tau: Double = 0.38): DataFrame = {
+    val exact = documents.join(
+      Dedup.fingerprintDedup(documents).select(col("keep_id").as("doc_id")),
+      "doc_id")
+    // the semantic phase is eager and reads `exact` once for the
+    // subset join; cache across it like the near mode's fixpoint
+    val cached = exact.persist()
+    val semDups =
+      try Similarity.semDedup(
+        embeddings.join(cached.select(col("doc_id").as("vec_id")), "vec_id"),
+        tau = tau).select(col("vec_id").as("doc_id"))
+      finally cached.unpersist(false)
+    Sampling.packShards(
+      qualityDecontam(documents, exact.join(semDups, Seq("doc_id"), "left_anti"),
+        nBench),
+      shardBudget, extraCols = Seq("lang"))
   }
 }

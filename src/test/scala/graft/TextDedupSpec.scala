@@ -761,6 +761,45 @@ class TextDedupSpec extends AnyFunSuite {
       s"near mode kept $nearIds")
   }
 
+  test("semantic curation drops an embedding near-dup that shares no text at all") {
+    // 0 and 8: disjoint vocabularies (no fingerprint, no shingle
+    // overlap — invisible to exact AND MinHash dedup), both high
+    // quality; only their EMBEDDINGS are near-parallel. The junior
+    // sits at vec_id 8, OUTSIDE the 8 k-means seeds: a seeded vector
+    // is always its own cell's best match, so a seed pair would never
+    // share a cell (the candidate generator's small-n blind spot —
+    // real corpora have n ≫ cells)
+    val rows = Seq(
+      (0L, "the cat and the dog walk to the park and the bird sings of the sun", "en", "s0"),
+      (8L, "a fox or a hen runs from a barn or a pond in a field of grass", "en", "s0"),
+      (1L, "zz qq ww rr xx yy", "en", "s0"),
+      (2L, "kk ll mm nn oo pp", "en", "s0"),
+      (3L, "ff gg hh ii jj ee", "en", "s0"),
+      (4L, "rr ss tt uu vv bb", "en", "s0"),
+      (5L, "aa bb cc dd ee gg", "en", "s0"),
+      (6L, "hh jj kk qq rr tt", "en", "s0"),
+      (7L, "uu vv ww xx yy zz", "en", "s0"))
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (8L, Seq(0.99f, 0.01f, 0.0f, 0.0f)), // cos ≈ 1 with vec 0
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+      (4L, Seq(0.0f, -1.0f, 0.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, -1.0f, 0.0f)),
+      (6L, Seq(0.0f, 0.0f, 0.0f, -1.0f)),
+      (7L, Seq(-1.0f, 0.0f, 0.2f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Curation.curate(d, nBench = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(0L, 8L).subsetOf(exact), s"exact mode kept $exact")
+    val sem = Curation.curateSemantic(d, emb, nBench = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    // the senior of the embedding pair survives, the junior is gone
+    assert(sem.contains(0L) && !sem.contains(8L), s"semantic mode kept $sem")
+  }
+
   test("int8 quantization reconstructs within one scale step") {
     val e = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     val q = graft.operators.Similarity.quantizeInt8(e)
