@@ -164,6 +164,8 @@ object SparkEntry {
     "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
     // per-query recall@3 of the LSH index vs brute-force ground truth
     "x2_recall" -> ((s, d) => Similarity.lshRecallReport(t(s, d, "embeddings"))),
+    // per-table bucket-occupancy health report of the same LSH index
+    "x2_bucket_stats" -> ((s, d) => Similarity.lshBucketStats(t(s, d, "embeddings"))),
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
     "x2_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "x2_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
@@ -1184,6 +1186,22 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    "x2_bucket_stats" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         g AS (SELECT tt, bucket, CAST(count(*) AS BIGINT) AS n
+           FROM bb GROUP BY 1, 2)
+         SELECT tt AS tbl, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_vecs, max(n) AS max_load,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS mean_load
+         FROM g GROUP BY tt""",
     "x2_ann_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

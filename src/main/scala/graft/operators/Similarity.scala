@@ -313,6 +313,24 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** X2 LSH INDEX-HEALTH report — per hash table, how the corpus
+    * spreads over buckets: buckets in use, vectors, max bucket load,
+    * mean load. The pre-flight for every bucket-join above: a table
+    * whose mass piles into one bucket (the media-embed centering
+    * lesson: 69% of sf0.1 media vectors in ONE cell before centering)
+    * turns the candidate join quadratic, and THIS report is how that
+    * is caught before the join runs. All integers except the one
+    * display division. Two partial+final aggregations — (tbl, bucket)
+    * loads, then O(tables) rows out; the corpus is hashed once. */
+  def lshBucketStats(embeddings: DataFrame): DataFrame =
+    withVec(embeddings).withColumn("bkts", bucketsCol)
+      .select(col("vec_id"), posexplode(col("bkts"))).toDF("vec_id", "tbl", "bucket")
+      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n"))
+      .groupBy(col("tbl").cast("long").as("tbl"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_vecs"),
+        max(col("n")).as("max_load"),
+        round(sum(col("n")).cast("double") / count(lit(1)), 4).as("mean_load"))
+
   /** X2 ANN RECALL audit — per query, how many of the LSH index's
     * top-k survive against the brute-force ground truth (the
     * "measure, don't guess" gate every approximate index needs before

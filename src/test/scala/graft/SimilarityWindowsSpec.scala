@@ -273,6 +273,21 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(mean >= 0.85, s"mean recall $mean under the regression floor")
   }
 
+  test("bucket stats: one row per table, loads account for every vector") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val n = emb.count()
+    val rows = Similarity.lshBucketStats(emb)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length === 8)
+    rows.foreach { case (tbl, nBuckets, nVecs, maxLoad, meanLoad) =>
+      assert(tbl >= 0 && tbl < 8)
+      assert(nVecs === n)                      // every vector lands in each table
+      assert(nBuckets >= 1 && nBuckets <= 16)  // 4-bit buckets
+      assert(maxLoad <= nVecs && maxLoad >= nVecs / nBuckets)
+      assert(math.abs(meanLoad - nVecs.toDouble / nBuckets) < 1e-3)
+    }
+  }
+
   test("PQ: codebook shape, codes in range, assignment is the local L2 argmin") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     val cb = Similarity.pqCodebook(emb).as[(Long, Long, Long, Double)].collect()
