@@ -180,6 +180,9 @@ object SparkEntry {
     "x2_ann_pq" -> ((s, d) => Similarity.pqAdcTopK(t(s, d, "embeddings"))),
     // the production serve shape: ADC shortlist -> exact re-rank of S rows
     "x2_ann_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(t(s, d, "embeddings"))),
+    // the composed billion-scale architecture: IVF partitions the corpus,
+    // PQ compresses it, ADC scores only the probed cells' codes
+    "x2_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(t(s, d, "embeddings"))),
     // SemDeDup: near-dup removal with the trained IVF cells as the
     // candidate generator (pair stage bounded per cell, never global)
     "x2_semdedup" -> ((s, d) => Similarity.semDedup(t(s, d, "embeddings"))),
@@ -1695,6 +1698,113 @@ object SparkEntry {
          fr AS (SELECT q_id, n_id, dist, row_number() OVER (PARTITION BY q_id
              ORDER BY dist, n_id) AS rank FROM rr)
          SELECT q_id, n_id, round(dist, 6) AS dist, CAST(rank AS BIGINT) AS rank
+         FROM fr WHERE rank <= 3""",
+    "x2_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         pc0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         pk0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc0),
+         pr1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk0 c ON c.sub = q.sub),
+         pa1 AS (SELECT vec_id, sub, code, s FROM pr1 WHERE rn = 1),
+         pd1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM pa1),
+         ps1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM pd1 GROUP BY sub, code, pos),
+         pu1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM ps1 GROUP BY sub, code),
+         pc1 AS (SELECT pc0.sub, pc0.code, coalesce(pu1.cv, pc0.cv) AS cv
+           FROM pc0 LEFT JOIN pu1 ON pu1.sub = pc0.sub AND pu1.code = pc0.code),
+         pk1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc1),
+         pr2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk1 c ON c.sub = q.sub),
+         pa2 AS (SELECT vec_id, sub, code, s FROM pr2 WHERE rn = 1),
+         pd2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM pa2),
+         ps2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM pd2 GROUP BY sub, code, pos),
+         pu2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM ps2 GROUP BY sub, code),
+         pc2 AS (SELECT pc1.sub, pc1.code, coalesce(pu2.cv, pc1.cv) AS cv
+           FROM pc1 LEFT JOIN pu2 ON pu2.sub = pc1.sub AND pu2.code = pc1.code),
+         pk2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc2),
+         pr3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk2 c ON c.sub = q.sub),
+         pa3 AS (SELECT vec_id, sub, code FROM pr3 WHERE rn = 1),
+         pbr AS (SELECT t.vec_id, k.c_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+           FROM n t, k2 k WHERE t.vec_id < 20),
+         pb AS (SELECT vec_id AS q_id, c_id AS cell FROM pbr WHERE ar <= 2),
+         lut AS (SELECT q.vec_id AS q_id, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM sn q JOIN pk2 c ON c.sub = q.sub WHERE q.vec_id < 20),
+         ivfc AS (SELECT p.q_id, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         sc AS (SELECT c.q_id, c.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM ivfc c JOIN pa3 a ON a.vec_id = c.vec_id
+           JOIN lut l ON l.q_id = c.q_id AND l.sub = a.sub AND l.code = a.code
+           GROUP BY 1, 2),
+         fr AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM sc)
+         SELECT q_id, n_id, round(CAST(adist_u AS DOUBLE) / 1000000.0, 6) AS adist,
+           CAST(rank AS BIGINT) AS rank
          FROM fr WHERE rank <= 3""",
     "x2_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

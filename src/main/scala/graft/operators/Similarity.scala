@@ -971,6 +971,55 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** X2 IVF-PQ search — the two index legs COMPOSED, the standard
+    * billion-scale ANN architecture (FAISS IVFPQ): the trained IVF
+    * coarse quantizer PARTITIONS the corpus (a query scores only its
+    * `nProbe` closest cells), and PQ COMPRESSES it (within the probed
+    * cells the score is the ADC sum over the code table — raw vectors
+    * are never read at query time). Candidate volume is bounded by
+    * the probed cells' population, ADC I/O by m bytes per candidate:
+    * the two knobs (cells, code size) tune cost independently.
+    * Both models are the same deterministic artifacts the standalone
+    * queries verify (`x2_ivf_assign`, `x2_pq_codes`); the integer
+    * micro-unit ADC discipline keeps the ranking engine-exact. */
+  def annIvfPq(embeddings: DataFrame, nCells: Int = 8, trainRounds: Int = 2,
+               m: Int = 8, kCodes: Int = 16, dims: Int = 64,
+               nQueries: Int = 20, k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = withVec(embeddings)
+    val cents = trainIvfModel(embeddings, nCells, trainRounds).toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val asg = argmaxCell(all, cents).select(col("vec_id"), col("cell"))
+    val subs = subvectors(all, m, dims / m)
+    val cdf = pqCodebookDF(spark, trainPqModel(embeddings, m, kCodes, trainRounds, dims))
+    val codes = argminCode(subs, cdf).select(col("vec_id"), col("sub"), col("code"))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(
+      cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last,
+      col("c_id"))
+    val probes = all.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
+      .withColumn("arank", row_number().over(aw)).filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val lut = subs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv"), col("sn2"))
+      .join(cdf, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        floor((col("sn2") - lit(2.0) * dot_product(col("sv"), col("cv")) +
+          col("cn2")) * 1000000 + 0.5).cast("long").as("pd"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist_u"), col("n_id"))
+    asg.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("pd")).as("adist_u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"),
+        round(col("adist_u").cast("double") / 1000000.0, 6).as("adist"), col("rank"))
+  }
+
   /** X2 PQ search with EXACT RE-RANKING — the production IVF-PQ serve
     * shape: the ADC pass over the code table yields a `shortlist` of
     * candidates per query (cheap, compressed-domain), and only those

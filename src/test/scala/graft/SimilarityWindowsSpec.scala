@@ -316,6 +316,27 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("IVF-PQ: composed scores agree with the flat ADC scores pair-for-pair") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val ivfpq = Similarity.annIvfPq(emb)
+      .as[(Long, Long, Double, Long)].collect()
+    // the cell filter changes WHICH pairs are scored, never their score:
+    // every composed result must carry exactly the flat ADC distance
+    val flat = Similarity.pqAdcTopK(emb, kNn = 600)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (q, nId, adist, _) =>
+      assert(flat((q, nId)) === adist, s"pair ($q,$nId)")
+    }
+    val byQ = ivfpq.groupBy(_._1)
+    assert(byQ.size === 20)
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length).map(_.toLong))
+    }
+  }
+
   test("PQ re-rank recovers most of the exact top-k the raw ADC ranking misses") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     val vecs = emb.select(col("vec_id"),
