@@ -158,6 +158,9 @@ object SparkEntry {
     // one bucket-min row per (band, key) over the whole corpus
     "x4_band_index" -> ((s, d) => Dedup.bandIndex(t(s, d, "documents"))
       .withColumn("band", org.apache.spark.sql.functions.col("band").cast("long"))),
+    // banding-recall calibration: per Jaccard decile, the fraction of
+    // exact pairs the 4x4 banding catches (the S-curve, measured)
+    "x4_band_recall" -> ((s, d) => Dedup.bandRecallReport(t(s, d, "documents"))),
     "x4_novelty" -> ((s, d) => Dedup.noveltyScores(t(s, d, "documents"))),
     "x4_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(t(s, d, "documents"))),
     // --- X2 similarity search ---
@@ -985,6 +988,44 @@ object SparkEntry {
            round(n_inter / CAST(ca.ns + cb.ns - n_inter AS DOUBLE), 6) AS jaccard
          FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
          ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "x4_band_recall" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         hot AS (SELECT shingle FROM inv0, nd GROUP BY shingle, n_docs
+           HAVING count(*) * 5 > n_docs AND count(*) > 25),
+         inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         cnt AS (SELECT doc_id, count(*) AS ns FROM inv GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+           FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id),
+         exf AS (SELECT doc_a, doc_b,
+             round(n_inter / CAST(ca.ns + cb.ns - n_inter AS DOUBLE), 6) AS jaccard
+           FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b),
+         th AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM th),
+         bd AS (SELECT doc_id, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM sig, (SELECT unnest(range(4)) AS b)),
+         caught AS (SELECT DISTINCT e.doc_a, e.doc_b FROM exf e
+           JOIN bd x ON x.doc_id = e.doc_a
+           JOIN bd y ON y.doc_id = e.doc_b AND y.b = x.b AND y.key = x.key)
+         SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           round(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS recall
+         FROM exf LEFT JOIN caught c ON c.doc_a = exf.doc_a AND c.doc_b = exf.doc_b
+         GROUP BY 1""",
     "x4_containment" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),

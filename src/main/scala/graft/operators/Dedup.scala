@@ -344,7 +344,16 @@ object Dedup {
     * shingle in a few dozen docs cannot skew a shuffle, and without
     * the floor a 3-doc corpus would declare every shingle hot. */
   def ngramJaccardTopK(documents: DataFrame, n: Int = 3, k: Int = 20,
-                       freqCapInv: Int = 5, minDf: Int = 25): DataFrame = {
+                       freqCapInv: Int = 5, minDf: Int = 25): DataFrame =
+    jaccardPairs(documents, n, freqCapInv, minDf)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+
+  /** The capped-exact Jaccard PAIR frame behind [[ngramJaccardTopK]]
+    * and [[bandRecallReport]]: every intersecting pair (under the
+    * hot-shingle df cap) with its exact rounded Jaccard. */
+  def jaccardPairs(documents: DataFrame, n: Int = 3,
+                   freqCapInv: Int = 5, minDf: Int = 25): DataFrame = {
     val inv0 = wideEnough(documents, n)
       .select(col("doc_id"), explode(word_shingles(col("text"), n)).as("shingle"))
       .repartition(col("shingle"))
@@ -369,8 +378,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         round(col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double"), 6)
           .as("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(k)
+  }
+
+  /** X4 BAND-RECALL calibration — the text-side twin of the ANN recall
+    * audit (`x2_recall`): for every intersecting pair at Jaccard ≥
+    * tau (default 0: ALL pairs sharing a surviving shingle), the
+    * fraction the 4×4 MinHash banding catches, bucketed by Jaccard
+    * decile. This is the measured S-curve banding theory predicts —
+    * recall ~0 on low-similarity noise (banding is DELIBERATELY blind
+    * there) rising toward 1 at dup-grade similarity; when the corpus
+    * shifts, THIS query says whether the banding parameters still
+    * hold. Ground truth is the capped-exact inverted-index measure,
+    * evaluated once; the band side probes pair-by-pair — each exact
+    * pair fans out to doc_a's 4 band keys and left-joins doc_b's, so
+    * work is bounded by |exact pairs|·bands and the skew-prone
+    * all-pairs band self-join never runs. At scale the exact side
+    * runs on a corpus SAMPLE; the band keys are the production
+    * [[bandKeys]] frame. */
+  def bandRecallReport(documents: DataFrame, n: Int = 3, tau: Double = 0.0,
+                       freqCapInv: Int = 5, minDf: Int = 25): DataFrame = {
+    val exact = jaccardPairs(documents, n, freqCapInv, minDf)
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val bk = bandKeys(documents)
+    exact
+      .join(bk.select(col("doc_id").as("doc_a"), col("band"), col("key")),
+        Seq("doc_a"))
+      .join(bk.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+        .withColumn("hit", lit(1L)), Seq("doc_b", "band", "key"), "left")
+      .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
+      .agg(max(coalesce(col("hit"), lit(0L))).as("hit"))
+      .groupBy(least(floor(col("jaccard") * 10), lit(9)).cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("hit")).as("n_caught"),
+        round(sum(col("hit")).cast("double") / count(lit(1)), 4).as("recall"))
   }
 
   /** X4 n-gram CONTAINMENT top-k — the asymmetric near-dup measure

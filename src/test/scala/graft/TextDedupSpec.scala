@@ -761,6 +761,22 @@ class TextDedupSpec extends AnyFunSuite {
       s"near mode kept $nearIds")
   }
 
+  test("band recall: shingle-identical pairs are always caught, curve buckets by decile") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val rows = Seq(
+      (1L, base, "en", "s0"), (2L, base, "en", "s0"), // jaccard 1.0, same signature
+      (3L, "a b c x1 x2 x3", "en", "s0"),             // share ONE shingle "a b c"
+      (4L, "a b c y1 y2 y3", "en", "s0"))             // → jaccard 1/7 ≈ 0.14
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.bandRecallReport(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // identical shingle sets ⇒ identical signatures ⇒ every band hits
+    assert(got(9L) === ((9L, 1L, 1L, 1.0)))
+    // the low-similarity pair lands in decile 1 and is counted either way
+    assert(got(1L)._2 === 1L)
+    assert(got.keySet === Set(9L, 1L))
+  }
+
   test("semantic curation drops an embedding near-dup that shares no text at all") {
     // 0 and 8: disjoint vocabularies (no fingerprint, no shingle
     // overlap — invisible to exact AND MinHash dedup), both high
