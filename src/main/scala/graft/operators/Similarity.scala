@@ -918,10 +918,22 @@ object Similarity {
     * payload: stored code-major, it streams through ADC scans with no
     * raw-vector I/O at all. */
   def pqCodes(embeddings: DataFrame, m: Int = 8, k: Int = 16,
-              rounds: Int = 2, dims: Int = 64): DataFrame = {
+              rounds: Int = 2, dims: Int = 64): DataFrame =
+    pqCodesAgainst(embeddings, trainPqModel(embeddings, m, k, rounds, dims),
+      m, dims)
+
+  /** The SERVE path of PQ encoding — encode a batch against a STORED
+    * codebook ([[trainPqModel]]'s output), the train-once / reuse form
+    * every model artifact here carries (`trainIvfModel` →
+    * `annIvfWithCentroids`, `unigramModel` → `unigramLogProbAgainst`):
+    * a continuously-ingesting corpus trains its codebook once and
+    * encodes every later batch with one broadcast join — no
+    * retraining, no corpus rescan. Spec pins serve ≡ self-contained. */
+  def pqCodesAgainst(embeddings: DataFrame, codebook: Seq[(Int, Long, Seq[Double])],
+                     m: Int = 8, dims: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     val subs = subvectors(withVec(embeddings), m, dims / m)
-    argminCode(subs, pqCodebookDF(spark, trainPqModel(embeddings, m, k, rounds, dims)))
+    argminCode(subs, pqCodebookDF(spark, codebook))
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
   }
 

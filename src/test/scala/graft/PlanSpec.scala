@@ -239,6 +239,19 @@ class PlanSpec extends AnyFunSuite {
     assert("partial_min_by|partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("band recall: pair-driven band probe, never an all-pairs band self-join") {
+    val p = planOf("x4_band_recall")
+    // the exact pairs drive the probe (bounded by |pairs|·bands); a
+    // (band, key) self-join over the whole corpus would re-introduce
+    // the boilerplate-bucket skew minhashBandPairs exists to avoid.
+    // The only nested-loop joins are the 1-row n_docs scalar crosses
+    // of the hot-shingle cap (Cross BuildRight against a scalar agg).
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin (Inner|Left|Right|Full)".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)

@@ -316,6 +316,20 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("PQ serve path: encoding a batch against the stored codebook ≡ self-contained") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val model = Similarity.trainPqModel(emb)
+    // a later "batch" (second half of the corpus) encoded against the
+    // stored model matches the self-contained form row-for-row
+    val batch = emb.filter(col("vec_id") >= 250)
+    val served = Similarity.pqCodesAgainst(batch, model)
+      .as[(Long, Long, Long)].collect().toSet
+    val self = Similarity.pqCodes(emb)
+      .as[(Long, Long, Long)].collect().filter(_._1 >= 250).toSet
+    assert(served === self)
+    assert(served.nonEmpty)
+  }
+
   test("IVF-PQ: composed scores agree with the flat ADC scores pair-for-pair") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     val ivfpq = Similarity.annIvfPq(emb)
