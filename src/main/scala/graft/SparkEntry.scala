@@ -66,6 +66,9 @@ object SparkEntry {
     // TPC-H Q22 shape: above-integer-average balances, lapsed since cutoff
     "q_lapsed_accounts" -> ((s, d) => Analytics.lapsedBigAccounts(
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
+    // TPC-H Q11 shape: parts above 1.5x the average revenue (scale-free bar)
+    "q_important_parts" -> ((s, d) => Analytics.importantParts(
+      t(s, d, "lineitem"), t(s, d, "part"))),
     "q_semi_join" -> ((s, d) => Analytics.customersWithOrders(
       t(s, d, "customer"), t(s, d, "orders"), "1-URGENT")),
     "q_union" -> ((s, d) => Analytics.unionKeys(t(s, d, "customer"), t(s, d, "orders"))),
@@ -407,6 +410,18 @@ object SparkEntry {
            round(CAST(sum(bal_cents) AS DOUBLE) / 100.0, 2) AS total_bal
          FROM idle JOIN nation ON n_nationkey = c_nationkey
          GROUP BY n_name""",
+    "q_important_parts" ->
+      """WITH pc AS (SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n
+           FROM pc),
+         hot AS (SELECT l_partkey, c, n, tot FROM pc, t
+           WHERE pc.c * t.n * 10 > 15 * t.tot)
+         SELECT p_partkey, p_name, CAST(c AS DOUBLE) / 100.0 AS revenue,
+           round(CAST(c * n AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS x_avg
+         FROM hot JOIN part ON p_partkey = l_partkey""",
     "q_full_outer" ->
       """WITH b AS (SELECT o_orderdate AS day, count(*) AS n_big FROM orders
            WHERE o_totalprice > 400000 GROUP BY 1),

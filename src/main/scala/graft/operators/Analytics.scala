@@ -315,6 +315,33 @@ object Analytics {
         round(sum(col("bal_cents")).cast("double") / 100.0, 2).as("total_bal"))
   }
 
+  /** TPC-H Q11 shape — revenue-concentrated parts: parts whose total
+    * revenue exceeds `timesAvg10`/10 × the per-part average (Q11's
+    * HAVING-against-a-scalar-subquery form, with a SCALE-FREE
+    * threshold — Q11's literal fraction must shrink with corpus size,
+    * an average-relative bar does not). As in [[lapsedBigAccounts]],
+    * the comparison is the integer cross-multiplication
+    * `c·n·10 > timesAvg10·total` — no float threshold, no boundary
+    * ulp (documented bound: cents ≈ 9·10¹⁵ at 100 TB × 10 stays
+    * under int64). The 1-row total broadcasts; the part dimension is
+    * joined AFTER the filter, probing with the (small) winner set. */
+  def importantParts(lineitem: DataFrame, part: DataFrame,
+                     timesAvg10: Int = 15): DataFrame = {
+    val pc = lineitem.select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy(col("l_partkey")).agg(sum(col("cents")).as("c"))
+    val tot = pc.agg(sum(col("c")).as("tot"), count(lit(1)).as("n"))
+    val hot = pc.crossJoin(broadcast(tot))
+      .filter(col("c") * col("n") * 10 > lit(timesAvg10.toLong) * col("tot"))
+    part.select(col("p_partkey"), col("p_name"))
+      .join(broadcast(hot), col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey"), col("p_name"),
+        (col("c").cast("double") / 100.0).as("revenue"),
+        round((col("c") * col("n")).cast("double") / col("tot").cast("double"), 4)
+          .as("x_avg"))
+  }
+
   /** Anti join (NOT EXISTS): customers with no order above a price
     * threshold. The filter on the right side is pushed below the join;
     * at scale this is one shuffle on the join key (or a broadcast anti

@@ -132,6 +132,22 @@ class ScaleExtensionsSpec extends AnyFunSuite {
     assert(got === Set(("FRANCE", 1L, 300.0)))
   }
 
+  test("important parts: the integer cross-multiplied bar keeps strictly-above only") {
+    import spark.implicits._
+    val part = Seq((1L, "p1"), (2L, "p2"), (3L, "p3"))
+      .toDF("p_partkey", "p_name")
+    // revenues 100, 200, 300 → avg 200; bar 1.5× = 300: strict > excludes
+    // the exactly-at-the-bar part 3... so push part 3 to 301
+    val li = Seq(
+      (1L, 100.0, 0.0), (2L, 200.0, 0.0), (3L, 301.0, 0.0)
+    ).toDF("l_partkey", "l_extendedprice", "l_discount")
+    val got = Analytics.importantParts(li, part)
+      .as[(Long, String, Double, Double)].collect().toSeq
+    // avg = 601/3; part 3: 301·3·10 = 9030 > 15·601 = 9015 ✓
+    // part 2: 200·3·10 = 6000 > 9015 ✗
+    assert(got === Seq((3L, "p3", 301.0, 1.5025)))
+  }
+
   test("customer distribution: the zero-order bucket survives the left join") {
     import spark.implicits._
     val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
