@@ -229,6 +229,10 @@ object SparkEntry {
     "x5_frames" -> ((s, d) => Multimodal.frameCounts(s, t(s, d, "documents"))),
     // media near-dup: embed -> LSH bucket join -> senior threshold
     "x5_mm_dedup" -> ((s, d) => Multimodal.mediaDedup(t(s, d, "documents"))),
+    // incremental media near-dup: batch (ids < 100) vs indexed corpus
+    "x5_mm_incremental" -> ((s, d) => Multimodal.mediaDedupAgainstIndex(
+      t(s, d, "documents").filter("doc_id < 100"),
+      t(s, d, "documents").filter("doc_id >= 100"))),
     "q_profile" -> ((s, d) => Profiling.profile(t(s, d, "events"),
       Seq("event_id", "user_id", "event_type", "props"))),
     // join-key skew pre-flight: hottest keys, shares, skew-vs-uniform
@@ -2231,6 +2235,30 @@ object SparkEntry {
          d AS (SELECT vec_id, keep_id, cos, row_number() OVER (PARTITION BY vec_id
              ORDER BY cos DESC, keep_id) AS rk FROM s WHERE cos >= 0.995)
          SELECT vec_id, keep_id AS dup_of, cos FROM d WHERE rk = 1""",
+    "x5_mm_incremental" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(16), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> (v[d+1] - 0.5) *
+                 (CAST((1103515245::BIGINT * ((tt*16 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(4)) AS tt)),
+         cand AS (SELECT DISTINCT b.vec_id, a.vec_id AS match_id
+           FROM bb a JOIN bb b ON a.tt = b.tt AND a.bucket = b.bucket
+           WHERE b.vec_id < 100 AND a.vec_id >= 100),
+         s AS (SELECT c.vec_id, c.match_id,
+             round(list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm), 6) AS cos
+           FROM cand c JOIN n t ON t.vec_id = c.vec_id JOIN n q ON q.vec_id = c.match_id),
+         d AS (SELECT vec_id, match_id, cos, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, match_id) AS rk FROM s WHERE cos >= 0.995)
+         SELECT vec_id, match_id AS dup_of, cos FROM d WHERE rk = 1""",
     "x5_frames" ->
       """SELECT doc_id,
          (greatest(length(text) // 64, 1) + 3) // 4 AS n_frames

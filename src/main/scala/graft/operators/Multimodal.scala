@@ -136,6 +136,17 @@ object Multimodal {
   def mediaDedup(documents: DataFrame, tau: Double = 0.995): DataFrame =
     Similarity.lshDedupOnVectors(mediaEmbedding(documents), tau)
 
+  /** X5 INCREMENTAL media near-dup: flag an incoming media batch
+    * against the already-accepted corpus ([[mediaDedup]]'s
+    * continuous-ingestion shape; same wide centered dedup tables,
+    * same tau knob). Only the batch is embedded and hashed per run —
+    * the index side is a stored bucket table per generation at
+    * scale. */
+  def mediaDedupAgainstIndex(incoming: DataFrame, indexed: DataFrame,
+                             tau: Double = 0.995): DataFrame =
+    Similarity.lshDedupAgainstIndexOnVectors(
+      mediaEmbedding(incoming), mediaEmbedding(indexed), tau)
+
   /** X5 multimodal join: documents ⋈ embeddings on doc_id = vec_id with
     * vector metadata (dim + L2 norm). Both sides shuffle on the id (or
     * broadcast when one side is small); norm is a narrow per-row fold. */

@@ -407,6 +407,48 @@ object Similarity {
       .select(col("vec_id"), col("dup_of"), col("cos"))
   }
 
+  /** Incremental form of [[lshDedupOnVectors]] — flag INCOMING vectors
+    * whose cosine to some vector of an already-indexed corpus reaches
+    * tau, using the same wide centered tables (the dedup-tuned
+    * construction, not the 8×4 search one). The continuous-ingestion
+    * shape for media: tonight's assets land against the accepted
+    * corpus; within-batch dups are [[lshDedupOnVectors]], cross-
+    * generation matches are this join. The index side's buckets are
+    * computed once per generation at scale (a stored (tbl, bucket)
+    * table, [[Dedup.bandKeys]]'s pattern); only the batch is embedded
+    * and hashed per run. Best match per flagged vector (max rounded
+    * cosine, id tie-break). */
+  def lshDedupAgainstIndexOnVectors(incoming: DataFrame, indexed: DataFrame,
+                                    tau: Double, nTables: Int = 4,
+                                    bits: Int = 16,
+                                    center: Double = 0.5): DataFrame = {
+    def norm(df: DataFrame) =
+      df.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    def bucketize(df: DataFrame) = df.withColumn("bkts",
+        graft.functions.TextSignatureColumns.lsh_buckets(
+          col("v"), nTables, bits, 64, center))
+      .select(col("vec_id"), posexplode(col("bkts")))
+      .toDF("vec_id", "tbl", "bucket")
+    val incV = norm(incoming)
+    val idxV = norm(indexed)
+    val idxB = bucketize(idxV).toDF("match_id", "tbl", "bucket")
+      .repartition(col("tbl"), col("bucket"))
+    val cands = bucketize(incV).join(idxB, Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("match_id")).distinct()
+    cands
+      .join(incV.select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn")),
+        Seq("vec_id"))
+      .join(idxV.select(col("vec_id").as("match_id"), col("v"), col("nrm")),
+        Seq("match_id"))
+      .select(col("vec_id"), col("match_id"),
+        round(cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("match_id"), struct(col("cos"), -col("match_id"))).as("dup_of"),
+        max(col("cos")).as("cos"))
+      .select(col("vec_id"), col("dup_of"), col("cos"))
+  }
+
   /** X2 FILTERED vector search — top-k cosine neighbors restricted to
     * a metadata predicate (here: same `label`), the "WHERE clause on a
     * vector index" every retrieval stack needs. The filter lives IN

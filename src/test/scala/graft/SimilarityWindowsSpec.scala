@@ -391,6 +391,24 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((3L, 1L, 1.0)))
   }
 
+  test("incremental media dedup: a re-ingested blob is flagged against the index only") {
+    import graft.operators.Multimodal
+    val index = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "entirely different content with other characters %%%%")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // = idx 10
+      (2L, "fresh payload nothing like the corpus at all ~~ 1234567890"),
+      // an in-batch duplicate pair must NOT flag each other (only the
+      // index gates; within-batch dedup is mediaDedup's job)
+      (3L, "fresh payload nothing like the corpus at all ~~ 1234567890")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.mediaDedupAgainstIndex(batch, index)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 10L, 1.0)))
+  }
+
   test("incremental embedding dedup: every vector matches itself at cos 1.0; orthogonal batch stays clean") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     // index == incoming: every vector shares all 8 buckets with itself,
