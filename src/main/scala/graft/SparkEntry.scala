@@ -111,6 +111,8 @@ object SparkEntry {
     // per-source exact length quantiles (grouped counting interpolation)
     "x3_length_quantiles" -> ((s, d) =>
       Profiling.groupedQuantiles(t(s, d, "documents"), "source", "n_chars")),
+    // per-doc unigram entropy in integer micro-nats (diversity signal)
+    "x3_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(t(s, d, "documents"))),
     "x3_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(t(s, d, "documents"))),
     // PMI collocation mining (multi-word expression discovery)
     "x3_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents"))),
@@ -634,6 +636,19 @@ object SparkEntry {
            round(quantile_cont(n_chars, 0.75), 4) AS p75,
            round(quantile_cont(n_chars, 0.9), 4) AS p90
          FROM documents GROUP BY source""",
+    "x3_entropy" ->
+      """WITH pd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         kc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+           FROM pd GROUP BY 1, 2),
+         ag AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(k * CAST(floor(ln(k) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+           FROM kc GROUP BY 1)
+         SELECT doc_id, n_tokens, n_distinct,
+           round(CAST(CAST(floor(ln(n_tokens) * 1000000 + 0.5) AS BIGINT) * n_tokens - s
+               AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000), 6) AS entropy
+         FROM ag""",
     "x3_bigram_logprob" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
          z AS (SELECT doc_id, unnest(list_zip(s, s[2:])) AS p FROM d),

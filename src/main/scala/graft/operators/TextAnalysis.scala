@@ -338,6 +338,32 @@ object TextAnalysis {
   def unigramLogProb(documents: DataFrame): DataFrame =
     unigramLogProbAgainst(documents, unigramModel(documents))
 
+  /** X3 TOKEN-ENTROPY quality signal — per-doc Shannon entropy of the
+    * doc's own unigram distribution in nats, H = ln n − (Σ k·ln k)/n:
+    * the lexical-diversity measure that separates natural prose
+    * (≈ ln of the effective vocabulary) from keyword-stuffed spam and
+    * looped boilerplate (entropy collapses toward 0) without any
+    * corpus-side model. Same discipline as [[unigramLogProb]]: each
+    * ln quantized to integer micro-nats, everything summed exactly in
+    * int64 (n·lnμ(n) − Σ k·lnμ(k)), ONE IEEE division at the end —
+    * bit-identical cross-engine, no operand-order hazard. One explode
+    * + one (doc, token) partial+final count + one doc-keyed
+    * aggregation; no joins, no windows. */
+  def tokenEntropy(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("k"))
+      .select(col("doc_id"), col("k"),
+        (col("k") *
+          floor(log(col("k").cast("double")) * 1e6 + 0.5).cast("long")).as("kl6"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("kl6")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round((floor(log(col("n_tokens").cast("double")) * 1e6 + 0.5).cast("long") *
+          col("n_tokens") - col("s")).cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)), 6).as("entropy"))
+
   /** Train-once half of the unigram LM: one row per distinct token with
     * its corpus count `c` and the corpus token total `n` (constant
     * across rows — RLE-compressed to nothing in parquet, and carrying

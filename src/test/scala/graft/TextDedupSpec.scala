@@ -151,6 +151,26 @@ class TextDedupSpec extends AnyFunSuite {
       (2L, 2L, (b + c).toDouble / (2 * 1e6))))
   }
 
+  test("token entropy: hand-computed micro-nat truth table") {
+    // doc 1 "a a b": n=3, k={2,1} → H = ln3 − (2·ln2 + 1·ln1)/3
+    // doc 2 "c c c c": single token looped → H = 0 exactly
+    // doc 3 "p q r": uniform → H = ln3
+    val d = docs((1L, "a a b"), (2L, "c c c c"), (3L, "p q r"))
+    def l6(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val got = TextAnalysis.tokenEntropy(d)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    def h(n: Long, s: Long): Double =
+      BigDecimal((l6(n.toDouble) * n - s).toDouble / (n * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === List(
+      (1L, 3L, 2L, h(3, 2 * l6(2.0) + 1 * l6(1.0))),
+      (2L, 4L, 1L, h(4, 4 * l6(4.0))),
+      (3L, 3L, 3L, h(3, 0L))))
+    // the looped doc collapses to 0, the uniform doc hits ln n
+    assert(got(1)._4 === 0.0)
+    assert(math.abs(got(2)._4 - math.log(3)) < 1e-5)
+  }
+
   test("bigram log-prob: hand-computed conditional truth table") {
     // corpus bigrams: (a,b)×2 from doc 1+2, (b,a)×1, (b,c)×1
     // → P(b|a)=2/2, P(a|b)=1/2, P(c|b)=1/2
