@@ -84,6 +84,41 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(search.count() > 0) // empty-text doc embeds as zeros, query still runs
   }
 
+  test("round-11 operators survive degenerate inputs") {
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "props")
+    assert(Windows.cohortRetention(noEvents).count() === 0)
+    assert(Windows.trendingProps(noEvents).count() === 0)
+    // one event, malformed props: retention has its day-0 cell, the
+    // trending report is empty rather than a null group
+    val one = Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "{}"))
+      .toDF("user_id", "ts", "props")
+    assert(Windows.cohortRetention(one).count() === 1)
+    assert(Windows.trendingProps(one).count() === 0)
+    assert(Profiling.groupedQuantiles(docs, "source", "n_chars").count() === 1)
+    assert(Profiling.groupedQuantiles(docs.limit(0), "source", "n_chars").count() === 0)
+    // only one doc is wide enough to sign → no pairs, no crash
+    assert(Dedup.bandRecallReport(docs).count() === 0)
+    assert(TextAnalysis.tokenEntropy(docs).count() === 4)
+    assert(TextAnalysis.tokenEntropy(docs.limit(0)).count() === 0)
+  }
+
+  test("PQ survives a corpus smaller than the codebook") {
+    // 3 vectors < 16 seeds: each subspace trains a 3-code book; codes
+    // stay in range and every vector still encodes in every subspace
+    val e = (0 until 3).map { i =>
+      (i.toLong, Seq.tabulate(64)(d => if (d % 3 == i) 1.0f else 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val codes = Similarity.pqCodes(e).as[(Long, Long, Long)].collect()
+    assert(codes.length === 3 * 8)
+    codes.foreach { case (_, sub, code) =>
+      assert(sub >= 0 && sub < 8 && code >= 0 && code < 3)
+    }
+    assert(Similarity.pqAdcTopK(e, nQueries = 2, kNn = 5).count() > 0)
+    // empty corpus: empty model, empty codes, no crash
+    assert(Similarity.pqCodes(e.limit(0)).count() === 0)
+  }
+
   test("similarity operators survive tiny vector sets") {
     val e = Seq((0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0))
       .toDF("vec_id", "embedding", "label")
