@@ -256,6 +256,8 @@ object SparkEntry {
     "x6_retention" -> ((s, d) => Windows.cohortRetention(t(s, d, "events"))),
     // daily top-3 payload values by count (regex-extracted from props JSON)
     "x6_trending" -> ((s, d) => Windows.trendingProps(t(s, d, "events"))),
+    // longest consecutive-day run per user (gaps-and-islands, one window)
+    "x6_streaks" -> ((s, d) => Windows.activityStreaks(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -2386,5 +2388,22 @@ object SparkEntry {
              ORDER BY n DESC, prop_k) AS rank FROM g)
          SELECT day_idx, prop_k, n, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 3""",
+    "x6_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         g AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+           FROM d),
+         s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+             min(day) AS start_day
+           FROM g GROUP BY 1, 2),
+         f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+             CAST(sum(len) AS BIGINT) AS n_days, max(len) AS max_streak
+           FROM s GROUP BY 1),
+         r AS (SELECT user_id, start_day, row_number() OVER (PARTITION BY user_id
+             ORDER BY len DESC, start_day) AS rk FROM s)
+         SELECT f.user_id, f.n_streaks, f.n_days, f.max_streak,
+           r.start_day AS best_start
+         FROM f JOIN r ON r.user_id = f.user_id AND r.rk = 1""",
   )
 }

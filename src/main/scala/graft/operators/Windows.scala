@@ -152,6 +152,35 @@ object Windows {
         round(col("n_users").cast("double") / col("n_cohort"), 6).as("retention"))
   }
 
+  /** X6 ACTIVITY STREAKS — per user, the longest run of CONSECUTIVE
+    * active days (the engagement-streak metric), via the
+    * gaps-and-islands identity: on the distinct (user, day) frame
+    * ordered by day, `day − row_number()` is constant exactly within
+    * a consecutive run, so runs fall out of one grouping — no
+    * iterative chasing, no self-join. Output per user: active days,
+    * number of streaks, longest streak, and its start day (ties →
+    * earliest, via the max_by struct rule).
+    *
+    * Scale shape: distinct pairs first (map-side partial dedup), then
+    * a user-partitioned window whose input is each user's ACTIVE DAYS
+    * (bounded by the calendar, not event volume), then two keyed
+    * aggregations. Day identity is the exact integer µs division. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"), sum(col("len")).as("n_days"),
+        max(col("len")).as("max_streak"),
+        max_by(col("start_day"), struct(col("len"), -col("start_day")))
+          .as("best_start"))
+  }
+
   /** X6 DAILY TRENDING values — per day, the top-k payload values by
     * event count with their rank (the "what is hot today" leaderboard
     * over a semi-structured property bag). The value is pulled out of

@@ -136,6 +136,26 @@ class SimilarityWindowsSpec extends AnyFunSuite {
       (d0 + 1, 0L, 2L, 1.0), (d0 + 1, 1L, 1L, 0.5)))
   }
 
+  test("streaks: gaps-and-islands finds runs, ties resolve to the earliest start") {
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    val d0 = ts(0).getTime / 86400000L
+    val fe = Seq(
+      // user 1: days 0,1,2 then 5,6 → streaks 3 and 2, best = day0 run
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(2)), (1L, ts(5)), (1L, ts(6)),
+      (1L, ts(1)),                       // same-day dup collapses
+      // user 2: two SAME-LENGTH streaks {0,1} and {4,5} → earliest wins
+      (2L, ts(0)), (2L, ts(1)), (2L, ts(4)), (2L, ts(5)),
+      // user 3: isolated single day
+      (3L, ts(9))
+    ).toDF("user_id", "ts")
+    val got = Windows.activityStreaks(fe)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 5L, 3L, d0),
+      (2L, 2L, 4L, 2L, d0),
+      (3L, 1L, 1L, 1L, d0 + 9)))
+  }
+
   test("trending: per-day top-k by count, value tie-break, malformed props dropped") {
     def ts(d: Int, m: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:$m%02d:00")
     val fe = (Seq.tabulate(3)(m => (ts(0, m), """{"k": 5}""")) ++
