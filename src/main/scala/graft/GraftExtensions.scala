@@ -39,7 +39,26 @@ object GraftFunctions {
     // bare AggregateFunction: the analyzer wraps it (and handles
     // DISTINCT) exactly as for built-in aggregates
     ("top_k_by_score", "top_k_by_score(score, id, k) - top-k (score, id) structs per group, O(k) state",
-      args => TopKByScore(args(0), args(1), intArg(args(2)))))
+      args => TopKByScore(args(0), args(1), intArg(args(2)))),
+    // Spark's own runtime-filter bloom machinery, surfaced as SQL
+    // functions (it ships unregistered): the sketch side feeds on
+    // xxhash64(value) longs, the probe side requires a CONSTANT bloom
+    // (a collected literal or scalar subquery) and compiles to a
+    // codegen'd bitset test — no false negatives by construction
+    ("bloom_filter_agg",
+      "bloom_filter_agg(xxhash64(col)[, est_items[, num_bits]]) - serialized bloom sketch",
+      args => args.length match {
+        case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args.head)
+        case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1))
+        case _ => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2))
+      }),
+    ("might_contain",
+      "might_contain(bloom_binary, xxhash64(value)) - bloom membership probe",
+      args => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args(0), args(1))))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit =

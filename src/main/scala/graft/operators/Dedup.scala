@@ -497,6 +497,45 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("n_overlap"))
   }
 
+  /** [[decontaminateAgainst]] behind a BLOOM-FILTER pre-filter — the
+    * 100 TB form for when the benchmark side outgrows a comfortable
+    * broadcast hash table: the bench shingle set collapses to a
+    * serialized bloom sketch (Spark's own runtime-filter aggregate,
+    * KBs–MBs regardless of shingle count), the corpus's shingles are
+    * probed against it as a codegen'd literal BEFORE any join, and
+    * only the survivors — contaminated shingles plus the fpp% false
+    * positives — reach the exact overlap join. Blooms have NO false
+    * negatives, and the exact join re-checks every survivor, so the
+    * result is IDENTICAL to the unfiltered operator (spec-pinned ≡);
+    * the sketch only decides how much data moves. Uses the
+    * `bloom_filter_agg`/`might_contain` pair GraftFunctions registers
+    * (Spark ships them unregistered for its runtime-filter rule). */
+  def decontaminateBloomPrefiltered(corpus: DataFrame, benchDocs: DataFrame,
+                                    n: Int = 3, minShingles: Int = 5): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val bench = wideEnough(benchDocs, n)
+      .select(col("doc_id").as("bench_id"),
+        explode(word_shingles(col("text"), n)).as("shingle"))
+    val bloom = bench
+      .agg(call_function("bloom_filter_agg", xxhash64(col("shingle"))).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val overlap =
+      if (bloom == null) bench.limit(0) // empty bench: nothing to match
+        .select(col("bench_id").as("doc_id"), col("bench_id"),
+          lit(0L).as("n_overlap"))
+      else wideEnough(corpus, n)
+        .select(col("doc_id"), explode(word_shingles(col("text"), n)).as("shingle"))
+        .filter(call_function("might_contain", lit(bloom), xxhash64(col("shingle"))))
+        .join(broadcast(bench), Seq("shingle"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= minShingles)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_overlap").desc, col("bench_id"))
+    overlap.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("bench_id"), col("n_overlap"))
+  }
+
   /** X4 source-overlap matrix — mirror/syndication detection between
     * sources: for every source pair, the number of near-dup
     * CO-MEMBERSHIP pairs (two docs in the same cluster, one from each

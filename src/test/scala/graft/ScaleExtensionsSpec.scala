@@ -260,6 +260,18 @@ class ScaleExtensionsSpec extends AnyFunSuite {
       .select(graft.functions.TextSignatureColumns.lsh_buckets(col("v"), 8, 4, 64))
       .head.getSeq[Int](0)
     assert(buckets === viaDf2 && buckets.length === 8)
+    // the surfaced bloom pair: sketch in a subquery, probe as a scalar
+    // (members always hit; a disjoint range misses at fpp ≈ 3%)
+    val hit = spark.sql(
+      """SELECT might_contain(
+           (SELECT bloom_filter_agg(xxhash64(id)) FROM range(1000)),
+           xxhash64(CAST(5 AS BIGINT)))""").head.getBoolean(0)
+    assert(hit)
+    val misses = spark.sql(
+      """SELECT count(*) FROM range(5000, 6000) WHERE NOT might_contain(
+           (SELECT bloom_filter_agg(xxhash64(id)) FROM range(1000)),
+           xxhash64(id))""").head.getLong(0)
+    assert(misses > 900, s"bloom fpp too high: ${1000 - misses}/1000")
     // deflate kernel reachable from SQL, equal to the DataFrame path
     val dz = spark.sql("SELECT deflate_size('aa aa aa aa aa aa')").head.getLong(0)
     val dzDf = Seq("aa aa aa aa aa aa").toDF("s")

@@ -781,6 +781,20 @@ class TextDedupSpec extends AnyFunSuite {
       s"near mode kept $nearIds")
   }
 
+  test("bloom-prefiltered decontamination is identical to the exact operator") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val corpus = d.filter(col("doc_id") >= 50)
+    val bench = d.filter(col("doc_id") < 50)
+    val exact = Dedup.decontaminateAgainst(corpus, bench)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloomed = Dedup.decontaminateBloomPrefiltered(corpus, bench)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloomed === exact)
+    assert(exact.nonEmpty) // the fixture corpus does contain contamination
+    // empty bench: no matches, no crash
+    assert(Dedup.decontaminateBloomPrefiltered(corpus, bench.limit(0)).count() === 0)
+  }
+
   test("band recall: shingle-identical pairs are always caught, curve buckets by decile") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     val rows = Seq(
