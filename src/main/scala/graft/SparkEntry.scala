@@ -132,6 +132,8 @@ object SparkEntry {
     // --- X1 sampling / sharding ---
     "x1_sample_split" -> ((s, d) => Sampling.sampleSplit(t(s, d, "documents"))),
     "x1_pack_shards" -> ((s, d) => Sampling.packShards(t(s, d, "documents"))),
+    // context-window packing WITH doc splitting (zero-pad-waste layout)
+    "x1_pack_contexts" -> ((s, d) => Sampling.packContexts(t(s, d, "documents"))),
     "x1_source_cap" -> ((s, d) => Sampling.sourceCap(t(s, d, "documents"))),
     "x1_budget_select" -> ((s, d) => Sampling.budgetSelect(t(s, d, "documents"))),
     "x1_mixture" -> ((s, d) => Sampling.mixtureSample(t(s, d, "documents"))),
@@ -771,6 +773,24 @@ object SparkEntry {
              CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source
                ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
            FROM documents)""",
+    "x1_pack_contexts" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum
+           FROM d),
+         x AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS strt,
+             unnest(generate_series((cum - n_tokens) // 128, (cum - 1) // 128))
+               AS ctx_id
+           FROM c)
+         SELECT doc_id, ctx_id,
+           greatest(0, ctx_id * 128 - strt) AS tok_from,
+           least(n_tokens, (ctx_id + 1) * 128 - strt) AS tok_to,
+           least(n_tokens, (ctx_id + 1) * 128 - strt)
+             - greatest(0, ctx_id * 128 - strt) AS n_ctx_tokens
+         FROM x""",
     "x1_source_cap" ->
       """SELECT doc_id, source, rn FROM (
            SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source

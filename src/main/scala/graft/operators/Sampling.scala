@@ -240,4 +240,56 @@ object Sampling {
       .select(col("doc_id") +: col("source") +: extraCols.map(col) :+
         col("n_tokens") :+ expr(s"(cum - n_tokens) div $budget").as("shard"): _*)
   }
+
+  /** X1 CONTEXT-WINDOW packing WITH document splitting — the actual
+    * pretraining data-loader layout: the corpus's token stream (docs
+    * in doc_id order) is cut into fixed `contextLen`-token contexts,
+    * and a document CROSSES context boundaries instead of leaving pad
+    * slack — each (doc, context) intersection is one output row with
+    * the doc-relative token slice [tok_from, tok_to). Every context
+    * except the last is exactly full by construction ([[packShards]]
+    * keeps whole docs and accepts overflow; this is the
+    * zero-padding-waste complement). All arithmetic is exact integer
+    * division on the global prefix sum.
+    *
+    * Scale shape: the prefix sum is DISTRIBUTED exactly as
+    * [[budgetSelect]]'s (range partition by doc_id, O(partitions)
+    * per-partition totals to the driver, broadcast start offsets,
+    * per-partition window) — no single-partition stage; the boundary
+    * explode emits 1 + crossings rows per doc. Eager
+    * (persist → derive → localCheckpoint → unpersist, the house
+    * ownership rule). */
+  def packContexts(documents: DataFrame, contextLen: Long = 128L): DataFrame = {
+    val spark = documents.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val sums = ranged.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = Array.ofDim[Long](parts + 1)
+    for (p <- 0 until parts) offsets(p + 1) = offsets(p) + sums.getOrElse(p, 0L)
+    val offDf = spark.createDataFrame(
+      (0 until parts).map(p => (p, offsets(p)))).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranged
+      .join(broadcast(offDf), "pid")
+      .withColumn("cum", col("off") + sum(col("n_tokens")).over(w))
+      .withColumn("start", col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start"),
+        explode(sequence(expr(s"start div $contextLen"),
+          expr(s"(cum - 1) div $contextLen"))).as("ctx_id"))
+      .select(col("doc_id"), col("ctx_id"),
+        greatest(lit(0L), col("ctx_id") * contextLen - col("start")).as("tok_from"),
+        least(col("n_tokens"), (col("ctx_id") + 1) * contextLen - col("start"))
+          .as("tok_to"))
+      .withColumn("n_ctx_tokens", col("tok_to") - col("tok_from"))
+      .localCheckpoint()
+    ranged.unpersist(false)
+    out
+  }
 }

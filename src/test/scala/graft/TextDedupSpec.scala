@@ -531,6 +531,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(shards.values.forall(s => s.sameElements(0L to s.max)))
   }
 
+  test("context packing: every context is exactly full except the last, docs slice cleanly") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val packed = graft.operators.Sampling.packContexts(d, contextLen = 128L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // per context: exactly 128 tokens, except the final partial one
+    val perCtx = packed.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val lastCtx = perCtx.keys.max
+    perCtx.foreach { case (ctx, tok) =>
+      if (ctx != lastCtx) assert(tok === 128L, s"context $ctx holds $tok")
+      else assert(tok >= 1L && tok <= 128L)
+    }
+    // contexts are dense 0..last; per doc the slices abut and cover it
+    assert(perCtx.keySet === (0L to lastCtx).toSet)
+    val nTokens = d.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .as[Long].collect().sum
+    assert(packed.map(_._5).sum === nTokens) // no token lost or duplicated
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val s = rows.sortBy(_._3)
+      assert(s.head._3 === 0L)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 === b._3) // [from,to) slices abut
+        case _ => ()
+      }
+    }
+    // a doc longer than the context necessarily spans several rows
+    assert(packed.groupBy(_._1).values.exists(_.length > 1))
+  }
+
   test("group concat is insensitive to input partitioning (order pinned by doc_id)") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val one = TextAnalysis.groupConcat(d.repartition(1))
