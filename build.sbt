@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // The 131-query bench executes ~500 query plans in one JVM; the stock
+  // 240m code cache fills, JIT deopts/stops, and warm medians inflate
+  // ~1.3x on byte-identical code (round-11 finding). Size the cache for
+  // the whole suite and let it flush rather than wedge.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

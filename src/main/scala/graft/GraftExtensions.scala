@@ -52,8 +52,11 @@ object GraftFunctions {
           .BloomFilterAggregate(args.head)
         case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(args(0), args(1))
-        case _ => new org.apache.spark.sql.catalyst.expressions.aggregate
+        case 3 => new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(args(0), args(1), args(2))
+        case n => throw new IllegalArgumentException(
+          s"bloom_filter_agg expects 1 to 3 arguments " +
+            s"(xxhash64(col)[, est_items[, num_bits]]), got $n")
       }),
     ("might_contain",
       "might_contain(bloom_binary, xxhash64(value)) - bloom membership probe",

@@ -464,7 +464,7 @@ object SparkEntry {
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
     "q_moving_avg" ->
       """WITH d AS (SELECT o_orderdate AS day,
-             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev_c
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
            FROM orders GROUP BY 1)
          SELECT day, rev_c,
            CAST(sum(rev_c) OVER w AS DOUBLE) / (count(*) OVER w * 100.0) AS ma3

@@ -183,6 +183,48 @@ case class MinHashSig(child: Expression, numPerms: Int, prime: Long)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** Per-list stopword counts over a single-space token split — ONE
+  * compiled pass over the tokens instead of one interpreted
+  * higher-order `filter` lambda per language per row (the langId hot
+  * path; round-11 showed those five lambdas 8× slower under JIT
+  * pressure). Counts include duplicates, exactly matching
+  * `size(filter(split(text,' '), t => t.isin(list)))` per list, so the
+  * DuckDB oracles are unchanged. Tokens may belong to several lists
+  * (bitmask membership), though the shipped lists are disjoint. */
+case class StopwordCounts(child: Expression, lists: Seq[Seq[String]])
+    extends KernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val masks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    lists.zipWithIndex.foreach { case (ws, i) =>
+      ws.foreach { w =>
+        m.put(w, Integer.valueOf(m.getOrDefault(w, 0).intValue() | (1 << i)))
+      }
+    }
+    m
+  }
+
+  override def kernel(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val out = new Array[Long](lists.length)
+    var i = 0
+    while (i < toks.length) {
+      val m = masks.get(toks(i))
+      if (m ne null) {
+        var mask = m.intValue()
+        while (mask != 0) {
+          out(java.lang.Integer.numberOfTrailingZeros(mask)) += 1L
+          mask &= mask - 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): StopwordCounts = copy(child = c)
+}
+
 /** Sign-LSH bucket ids for a double vector: bucket of table t =
   * Σ_j (1<<j) over bits j where dot(v, hyperplane(t·bits + j)) > 0,
   * with the LCG-derived hyperplane components
@@ -240,6 +282,8 @@ object TextSignatureColumns {
   def shingle_hashes(text: Column, n: Int, mod: Long): Column =
     toCol(ShingleHashes(toExpr(text), n, mod))
   def simhash64(hashes: Column, bits: Int = 60): Column = toCol(SimHash(toExpr(hashes), bits))
+  def stopword_counts(text: Column, lists: Seq[Seq[String]]): Column =
+    toCol(StopwordCounts(toExpr(text), lists))
   def minhash_sig(hashes: Column, numPerms: Int, prime: Long): Column =
     toCol(MinHashSig(toExpr(hashes), numPerms, prime))
   def lsh_buckets(v: Column, numTables: Int, bitsPerTable: Int, dim: Int,

@@ -148,17 +148,20 @@ object Scale {
     * on day), then one tiny ordered window — a global orderBy window
     * over a thousand rows is free; over 100 TB of raw rows it would be
     * the classic single-reducer sort this operator exists to avoid.
-    * Cross-engine float parity: daily revenue quantizes to integer
-    * CENTS (`floor(x·100 + 0.5)`, half-up), the frame sum is exact
-    * integer arithmetic (windowed float sums are evaluation-order-
-    * dependent — DuckDB's segment-tree windows sum in a different
-    * order than a sequential fold), and the average is ONE IEEE
-    * division. */
+    * Cross-engine float parity: EACH ORDER quantizes to integer CENTS
+    * (`floor(x·100 + 0.5)`, half-up) BEFORE the day sum, so both the
+    * day total and the frame sum are exact integer arithmetic
+    * (quantize-after-sum would leave the day total an order-dependent
+    * float sum — ~1e11 cents over ~1e5 orders at large SF accumulates
+    * error past the 0.5 half-up margin; windowed float sums are
+    * additionally evaluation-order-dependent — DuckDB's segment-tree
+    * windows sum in a different order than a sequential fold). The
+    * average is ONE IEEE division. */
   def movingAvgRevenue(orders: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("day")).rowsBetween(-2, 0)
     orders.groupBy(col("o_orderdate").as("day"))
-      .agg(floor(sum(col("o_totalprice")) * 100 + 0.5).cast("long").as("rev_c"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_c"))
       .select(col("day"), col("rev_c"),
         (sum(col("rev_c")).over(w).cast("double") /
           (count(lit(1)).over(w) * lit(100.0))).as("ma3"))

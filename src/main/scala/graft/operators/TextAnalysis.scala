@@ -57,24 +57,29 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "et", "est"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  private def stopCount(lang: String): Column =
-    size(filter(toks, t => t.isin(stopwords(lang): _*))).cast("long")
-
   /** Language ID by stopword scoring with a fixed priority order on
     * ties (en > de > es > fr > zh), 'und' when nothing matches. On real
     * corpora the lists would be per-language character n-grams; the
     * *operator shape* (argmax over per-language token scores) is the
-    * same. */
+    * same.
+    *
+    * All five scores come from ONE compiled pass over the token split
+    * (`StopwordCounts` kernel) — the previous five interpreted
+    * higher-order `filter` lambdas were the suite's most
+    * JIT-pressure-sensitive hot path (8× slower inside a long bench
+    * session). Counts are identical, so the oracle is unchanged. */
   def langId(documents: DataFrame): DataFrame = {
     val langs = Seq("en", "de", "es", "fr", "zh")
-    val scored = langs.foldLeft(documents) { (df, l) =>
-      df.withColumn(s"s_$l", stopCount(l))
-    }
+    val scored = documents.withColumn("sc",
+      graft.functions.TextSignatureColumns.stopword_counts(
+        col("text"), langs.map(stopwords)))
+    val s: Map[String, Column] =
+      langs.zipWithIndex.map { case (l, i) => l -> col("sc").getItem(i) }.toMap
     val pred = langs.foldRight(lit("und"): Column) { (l, elseCol) =>
-      val geAll = langs.map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
-      when(col(s"s_$l") > 0 && geAll, lit(l)).otherwise(elseCol)
+      val geAll = langs.map(o => s(l) >= s(o)).reduce(_ && _)
+      when(s(l) > 0 && geAll, lit(l)).otherwise(elseCol)
     }
-    scored.select(col("doc_id"), pred.as("lang_pred"), col(s"s_en"))
+    scored.select(col("doc_id"), pred.as("lang_pred"), s("en").as("s_en"))
   }
 
   /** Quality score ∈ [0,1]: length saturation + stopword density +
@@ -86,8 +91,8 @@ object TextAnalysis {
   def qualityScore(documents: DataFrame, extraCols: Seq[String] = Nil): DataFrame =
     documents
       .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("s_stop", size(filter(toks,
-        t => t.isin(stopwords("en"): _*))).cast("long"))
+      .withColumn("s_stop", graft.functions.TextSignatureColumns
+        .stopword_counts(col("text"), Seq(stopwords("en"))).getItem(0))
       .withColumn("n_nonalpha",
         length(regexp_replace(col("text"), "[a-z ]", "")).cast("long"))
       .select(
@@ -437,8 +442,12 @@ object TextAnalysis {
       .filter(col("b").isNotNull)
     val perDoc = pairs.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("k"))
-    val cb = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb"))
-    val ca = pairs.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    // ONE corpus scan: corpus bigram counts roll up from the per-doc
+    // counts, and unigram-prefix counts roll up from those — identical
+    // totals, but the raw pair stream is shingled once, not three times
+    // (the pmiCollocations shape).
+    val cb = perDoc.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cb"))
+    val ca = cb.groupBy(col("a")).agg(sum(col("cb")).as("ca"))
     perDoc.join(cb, Seq("a", "b")).join(ca, Seq("a"))
       .select(col("doc_id"), col("k"),
         floor(log(col("cb").cast("double") / col("ca").cast("double")) * 1e6 + 0.5)

@@ -612,8 +612,17 @@ object StreamPipeline {
           // persists for the same timer reasons as milestoneAlerts
           var (t1, t2, t3, maxTs) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
           val out = Iterator.newBuilder[(Long, Long, Long, Long)]
-          it.toSeq.sortBy(e => (e._2.getTime, e._3)).foreach { e =>
-            val us = e._2.getTime * 1000L
+          // exact epoch-µs, NOT getTime*1000: getTime truncates to ms,
+          // so two stage events inside the same millisecond would both
+          // land on the same µs value and fail the strict us > t1 /
+          // us > t2 guards — conversions the batch funnel (which folds
+          // over the events table's true µs timestamps) does report.
+          // getNanos carries the full sub-second part; getTime/1000
+          // carries the whole seconds.
+          def micros(ts: java.sql.Timestamp): Long =
+            math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+          it.toSeq.sortBy(e => (micros(e._2), e._3)).foreach { e =>
+            val us = micros(e._2)
             maxTs = math.max(maxTs, e._2.getTime)
             if (t3 == 0L) {
               if (e._3 == stages(0) && t1 == 0L) t1 = us
