@@ -196,17 +196,18 @@ object Curation {
   def curateSemantic(documents: DataFrame, embeddings: DataFrame,
                      nBench: Long = 50L, shardBudget: Long = 500L,
                      tau: Double = 0.38): DataFrame = {
+    // the mode is eager anyway (semDedup materializes its verdict), so
+    // materialize the exact-dedup survivors ONCE as a lineage-free
+    // block: the semantic phase reads it for the subset join AND the
+    // lazy tail reads it again — a persist/unpersist here (the old
+    // form) left the tail recomputing the fingerprint shuffle after
+    // release. localCheckpoint, never persist (round-9's leak rule).
     val exact = documents.join(
       Dedup.fingerprintDedup(documents).select(col("keep_id").as("doc_id")),
-      "doc_id")
-    // the semantic phase is eager and reads `exact` once for the
-    // subset join; cache across it like the near mode's fixpoint
-    val cached = exact.persist()
-    val semDups =
-      try Similarity.semDedup(
-        embeddings.join(cached.select(col("doc_id").as("vec_id")), "vec_id"),
-        tau = tau).select(col("vec_id").as("doc_id"))
-      finally cached.unpersist(false)
+      "doc_id").localCheckpoint()
+    val semDups = Similarity.semDedup(
+      embeddings.join(exact.select(col("doc_id").as("vec_id")), "vec_id"),
+      tau = tau).select(col("vec_id").as("doc_id"))
     Sampling.packShards(
       qualityDecontam(documents, exact.join(semDups, Seq("doc_id"), "left_anti"),
         nBench),

@@ -581,40 +581,72 @@ object Similarity {
                                          rounds: Int): Seq[(Long, Seq[Double])] = {
     val spark = all.sparkSession
     import spark.implicits._
-    var cents: Seq[(Long, Seq[Double])] =
-      all.filter(col("vec_id") < nCells).select(col("vec_id"), col("v"))
-        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
-    for (_ <- 1 to rounds) {
-      val cdf = cents.toDF("c_id", "cv")
-        .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
-      val assigned = argmaxCell(all, cdf).select(col("cell"), col("v"))
-      val means = assigned.select(col("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
-          x => round(x.getField("s") / x.getField("cnt"), 6)).as("cv"))
-        .as[(Long, Seq[Double])].collect().toMap
-      cents = cents.map { case (id, cv) => (id, means.getOrElse(id, cv)) }
-    }
-    cents
+    // training is `rounds`+1 driver-synchronized passes over the same
+    // vector frame (seeds, then one means job per round) — materialize
+    // it once instead of re-scanning/joining per pass; released before
+    // returning (the repo's no-persisted-frame-escapes rule)
+    val allc = all.persist()
+    try {
+      var cents: Seq[(Long, Seq[Double])] =
+        allc.filter(col("vec_id") < nCells).select(col("vec_id"), col("v"))
+          .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      for (_ <- 1 to rounds) {
+        val assigned = argmaxCell(allc, cents).select(col("cell"), col("v"))
+        // ONE (cell, dim)-keyed partial+final aggregation per round; the
+        // O(nCells·dims) sums collect and the means fold on the driver —
+        // the former second groupBy (collect_list of per-dim structs)
+        // was a second shuffle per round just to reshape model-sized
+        // state. round6 replicates Spark's Round(HALF_UP over
+        // BigDecimal.valueOf) bit-for-bit, so centroids are unchanged.
+        val means = assigned.select(col("cell"), posexplode(col("v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+          .as[(Long, Int, Double, Long)].collect()
+          .groupBy(_._1).map { case (id, rows) =>
+            id -> rows.sortBy(_._2).map(r => round6(r._3 / r._4)).toSeq
+          }
+        cents = cents.map { case (id, cv) => (id, means.getOrElse(id, cv)) }
+      }
+      cents
+    } finally { allc.unpersist(false); () }
   }
 
-  /** Per-vector argmax-cosine cell assignment as ONE hash aggregation:
-    * `max_by` over the (cosine, -c_id) ordering struct — max cosine,
-    * tie → lowest centroid id, the same rule as an `ORDER BY cos DESC,
-    * c_id` row_number window but with map-side partial aggregation and
-    * NO per-vec_id sort (the round-9 form ranked the full n×nCells
-    * frame through a window twice per query). Null cosines (zero-norm
+
+  /** L2 norm with the same sequential fold as the DotProduct kernel —
+    * centroid norms computed driver-side are bit-identical to
+    * `sqrt(dot_product(cv, cv))` evaluated by Spark. */
+  private def l2norm(cv: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Per-vector argmax-cosine cell assignment, fully MAP-SIDE: the
+    * centroids are k-means MODEL state (O(nCells·dims) driver
+    * doubles), so each vector scores every cell inside one projection
+    * — `array_max` over (cosine, -c_id) structs replicates the
+    * max-cosine / tie→lowest-centroid-id rule — and NO shuffle runs.
+    * The previous crossJoin + groupBy(vec_id) `max_by` form
+    * re-shuffled the full vector set (carrying the 64-double vectors)
+    * once per training round and once per assignment; at 100 TB the
+    * assignment pass must be embarrassingly parallel, which this is.
+    * Cosines use the same codegen'd sequential-fold DotProduct against
+    * the same centroid doubles (norms driver-folded in the identical
+    * order), so assignments — and the DuckDB oracle replay — are
+    * bit-identical to the aggregation form. Null cosines (zero-norm
     * vectors) take the -2 floor so they sort last, replicating
-    * desc_nulls_last; cosine itself is in [-1, 1]. */
-  private def argmaxCell(all: DataFrame, cdf: DataFrame): DataFrame =
-    all.crossJoin(broadcast(cdf))
-      .withColumn("acos",
-        coalesce(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")), lit(-2.0)))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("acos"), -col("c_id"))).as("cell"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    * desc_nulls_last; cosine itself is in [-1, 1]. Output carries
+    * `best` (the winning cosine) for the inertia audit. */
+  private def argmaxCell(all: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    all.withColumn("am", array_max(array(cents.map { case (id, cv) =>
+        struct(
+          coalesce(cosine(dot(typedlit(cv), col("v")), lit(l2norm(cv)), col("nrm")),
+            lit(-2.0)).as("acos"),
+          lit(-id).as("nid"))
+      }: _*)))
+      .select(col("vec_id"), (-col("am.nid")).as("cell"),
+        col("v"), col("nrm"), col("am.acos").as("best"))
 
   /** The trained IVF coarse-quantizer MODEL itself, exploded to
     * (c_id, pos, val) rows (pos 1-based) — exposed as a query so the
@@ -704,24 +736,20 @@ object Similarity {
     * (vec_id, cell) row per vector, the partition-key artifact an IVF
     * index materializes (at scale this IS the index layout: cell
     * partitions the corpus; probing = joining cell ids). Exposed as a
-    * query so the `max_by` assignment path ([[argmaxCell]]) is
+    * query so the map-side assignment path ([[argmaxCell]]) is
     * hash-verified against the oracle's row_number replay of the same
     * argmax. */
   def ivfAssignments(embeddings: DataFrame, nCells: Int = 8,
-                     trainRounds: Int = 2): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val cents = trainIvfModel(embeddings, nCells, trainRounds).toDF("c_id", "cv")
-      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
-    argmaxCell(withVec(embeddings), cents).select(col("vec_id"), col("cell"))
-  }
+                     trainRounds: Int = 2): DataFrame =
+    argmaxCell(withVec(embeddings), trainIvfModel(embeddings, nCells, trainRounds))
+      .select(col("vec_id"), col("cell"))
 
   /** IVF model-quality audit: per cell, how many vectors it holds and
     * their mean cosine to the centroid they chose — the inertia report
     * that decides whether a trained quantizer is balanced (a cell with
     * few members and low mean cosine is a dead/mis-seeded centroid; a
     * giant cell with low cohesion wants more cells or more rounds).
-    * Same one-pass `max_by` assignment as [[ivfAssignments]], keeping
+    * Same map-side assignment as [[ivfAssignments]], keeping
     * the WINNING score alongside the argmax; the mean is integer
     * micro-quantized per vector (`floor(cos·1e6 + 0.5)`, the suite's
     * half-up rule) then one exact integer sum + one IEEE division —
@@ -729,16 +757,7 @@ object Similarity {
     * rows; empty cells are absent (nothing chose them). */
   def ivfInertia(embeddings: DataFrame, nCells: Int = 8,
                  trainRounds: Int = 2): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val cents = trainIvfModel(embeddings, nCells, trainRounds).toDF("c_id", "cv")
-      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
-    withVec(embeddings).crossJoin(broadcast(cents))
-      .withColumn("acos",
-        coalesce(cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")), lit(-2.0)))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("acos"), -col("c_id"))).as("cell"),
-        max(col("acos")).as("best"))
+    argmaxCell(withVec(embeddings), trainIvfModel(embeddings, nCells, trainRounds))
       .select(col("cell"),
         floor(col("best") * 1e6 + 0.5).cast("long").as("q"))
       .groupBy(col("cell"))
@@ -770,14 +789,11 @@ object Similarity {
     * `max_by` hash aggregation. */
   def semDedup(embeddings: DataFrame, nCells: Int = 8,
                trainRounds: Int = 2, tau: Double = 0.38): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val cents = trainIvfModel(embeddings, nCells, trainRounds).toDF("c_id", "cv")
-      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val cents = trainIvfModel(embeddings, nCells, trainRounds)
     // the corpus argmax is referenced on BOTH sides of the pair join —
     // materialize it ONCE (budgetSelect's persist → derive →
-    // localCheckpoint → unpersist discipline) so the broadcast-centroid
-    // subtree never evaluates twice (round 9's double-window lesson)
+    // localCheckpoint → unpersist discipline) so the per-cell scoring
+    // projection never evaluates twice (round 9's double-window lesson)
     val asg = argmaxCell(withVec(embeddings), cents).persist()
     val out = semDedupPairs(asg, tau).localCheckpoint()
     asg.unpersist(false)
@@ -803,10 +819,10 @@ object Similarity {
   }
 
   /** [[annIvf]] over a PRETRAINED centroid model. Corpus-side cell
-    * assignment is one `max_by` hash aggregation ([[argmaxCell]] — no
-    * corpus-wide window sort, evaluated once); query-side probe
-    * ranking windows only the nQueries×nCells slice, so the n×nCells
-    * subtree the round-9 version evaluated twice exists nowhere. */
+    * assignment is map-side ([[argmaxCell]] — no corpus-wide shuffle
+    * or window sort, evaluated once); query-side probe ranking windows
+    * only the nQueries×nCells slice, so the n×nCells subtree the
+    * round-9 version evaluated twice exists nowhere. */
   def annIvfWithCentroids(embeddings: DataFrame,
                           centroids: Seq[(Long, Seq[Double])],
                           nQueries: Int = 20, k: Int = 3,
@@ -816,7 +832,7 @@ object Similarity {
     val all = withVec(embeddings)
     val cents = centroids.toDF("c_id", "cv")
       .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
-    ivfSearch(all, argmaxCell(all, cents), cents, nQueries, k, nProbe)
+    ivfSearch(all, argmaxCell(all, centroids), cents, nQueries, k, nProbe)
   }
 
   /** The fully-RESIDENT IVF serve path: pretrained model AND
@@ -919,26 +935,31 @@ object Similarity {
                    rounds: Int = 2, dims: Int = 64): Seq[(Int, Long, Seq[Double])] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val subs = subvectors(withVec(embeddings), m, dims / m)
-    var cb: Seq[(Int, Long, Seq[Double])] = subs.filter(col("vec_id") < k)
-      .select(col("sub"), col("vec_id").as("code"), col("sv"))
-      .as[(Int, Long, Seq[Double])].collect().sortBy(x => (x._1, x._2)).toSeq
-    for (_ <- 1 to rounds) {
-      val assigned = argminCode(subs, pqCodebookDF(spark, cb))
-      // float32 inputs have 24-bit mantissas: every partial sum below
-      // stays exactly representable in double, so the mean is
-      // order-independent without quantization (the IVF precedent)
-      val means = assigned.select(col("sub"), col("code"), posexplode(col("sv")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
-        .groupBy(col("sub"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
-          x => round(x.getField("s") / x.getField("cnt"), 6)).as("cv"))
-        .as[(Int, Long, Seq[Double])].collect()
-        .map { case (s, c, cv) => (s, c) -> cv }.toMap
-      cb = cb.map { case (s, c, cv) => (s, c, means.getOrElse((s, c), cv)) }
-    }
-    cb
+    // same materialize-once discipline as [[kmeansCentroids]]: seeds +
+    // one argmin/means job per round all read this frame
+    val subs = subvectors(withVec(embeddings), m, dims / m).persist()
+    try {
+      var cb: Seq[(Int, Long, Seq[Double])] = subs.filter(col("vec_id") < k)
+        .select(col("sub"), col("vec_id").as("code"), col("sv"))
+        .as[(Int, Long, Seq[Double])].collect().sortBy(x => (x._1, x._2)).toSeq
+      for (_ <- 1 to rounds) {
+        val assigned = argminCode(subs, pqCodebookDF(spark, cb))
+        // float32 inputs have 24-bit mantissas: every partial sum below
+        // stays exactly representable in double, so the mean is
+        // order-independent without quantization (the IVF precedent).
+        // One aggregation + O(m·k·dsub) collect; the means fold on the
+        // driver through round6 (same shape as kmeansCentroids).
+        val means = assigned.select(col("sub"), col("code"), posexplode(col("sv")))
+          .groupBy(col("sub"), col("code"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+          .as[(Int, Long, Int, Double, Long)].collect()
+          .groupBy(r => (r._1, r._2)).map { case (key, rows) =>
+            key -> rows.sortBy(_._3).map(r => round6(r._4 / r._5)).toSeq
+          }
+        cb = cb.map { case (s, c, cv) => (s, c, means.getOrElse((s, c), cv)) }
+      }
+      cb
+    } finally { subs.unpersist(false); () }
   }
 
   /** The trained PQ codebook as (sub, code, pos, val) rows — the model
@@ -1042,9 +1063,10 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val all = withVec(embeddings)
-    val cents = trainIvfModel(embeddings, nCells, trainRounds).toDF("c_id", "cv")
+    val cmodel = trainIvfModel(embeddings, nCells, trainRounds)
+    val cents = cmodel.toDF("c_id", "cv")
       .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
-    val asg = argmaxCell(all, cents).select(col("vec_id"), col("cell"))
+    val asg = argmaxCell(all, cmodel).select(col("vec_id"), col("cell"))
     val subs = subvectors(all, m, dims / m)
     val cdf = pqCodebookDF(spark, trainPqModel(embeddings, m, kCodes, trainRounds, dims))
     val codes = argminCode(subs, cdf).select(col("vec_id"), col("sub"), col("code"))

@@ -19,16 +19,35 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job accounting per query: how many Spark jobs a query launches
+    // (driver-synchronized eager phases show up here) and how long
+    // each ran — the first thing to look at when a composed eager
+    // operator is slow for no per-plan reason
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { starts.put(j.jobId, j.time); () }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = starts.remove(j.jobId)
+        jobs.add((j.jobId, if (s == 0L) 0L else j.time - s)); ()
+      }
+    })
     names.foreach { name =>
       println(s"========== $name ==========")
       // time CONSTRUCTION + execution: eager operators (x4_cluster's
       // propagation rounds, simhashTopK's certificate) do their real
       // work inside queries() — timing only count() would miss it
+      jobs.clear()
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       if (time) {
         val n = df.count()
         println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+        Thread.sleep(200) // let the listener bus drain
+        val js = jobs.toArray(Array.empty[(Int, Long)]).sortBy(_._1)
+        println(s"[jobs] $name: ${js.length} jobs, " +
+          js.map { case (id, ms) => s"#$id=${ms}ms" }.mkString(" "))
       }
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
