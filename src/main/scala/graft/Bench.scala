@@ -81,8 +81,14 @@ object Bench {
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\p{Cntrl}]", " ") + "\""
+    // "eager": this query's construction itself runs the work
+    // (fixpoint/training/prefix-sum/localCheckpoint re-executed every
+    // invocation) — its warm median ≈ cold BY DESIGN, so compare its
+    // warm to a fresh steady state, never to its own lucky cold run.
+    // The set is pinned to reality by EagerQueriesSpec.
     val qs = timed.map { case (k, c, w, _) =>
-      s"""${jstr(k)}:{"cold":$c,"warm":$w}"""
+      val eager = if (SparkEntry.eagerQueries(k)) ""","eager":true""" else ""
+      s"""${jstr(k)}:{"cold":$c,"warm":$w$eager}"""
     }.mkString("{", ",", "}")
     val errs = timed.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")

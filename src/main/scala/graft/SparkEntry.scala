@@ -106,6 +106,14 @@ object SparkEntry {
     "x3_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
     // the stored LM artifact itself, hash-verified like x2_centroids
     "x3_unigram_model" -> ((s, d) => TextAnalysis.unigramModel(t(s, d, "documents"))),
+    // the LM serve path, oracle-checked: score the batch against the
+    // MATERIALIZED vocabulary table (no corpus re-aggregation in the
+    // scoring plan). Oracle = x3_unigram_logprob's verbatim.
+    "x3_unigram_score_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.unigramLogProbAgainst(docs,
+        TextAnalysis.unigramModel(docs).localCheckpoint())
+    }),
     // power-of-two token-length distribution (sequence-length report)
     "x3_length_hist" -> ((s, d) => TextAnalysis.lengthHistogram(t(s, d, "documents"))),
     // per-source exact length quantiles (grouped counting interpolation)
@@ -199,6 +207,17 @@ object SparkEntry {
     // the corpus-side cell-assignment artifact of the trained IVF index
     // (hash-pins the max_by argmax against the oracle's window replay)
     "x2_ivf_assign" -> ((s, d) => Similarity.ivfAssignments(t(s, d, "embeddings"))),
+    // the PRODUCTION IVF serve path, oracle-checked end to end: train
+    // the model ONCE, materialize the (vec_id, cell) index as a stored
+    // artifact, then answer the query batch via annIvfOnAssignments —
+    // no Lloyd replay, no corpus argmax inside the search. Oracle =
+    // x2_ann_ivf's verbatim (serve must equal self-contained).
+    "x2_ann_ivf_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = Similarity.trainIvfModel(emb)
+      val index = Similarity.ivfAssignmentsFor(emb, model).localCheckpoint()
+      Similarity.annIvfOnAssignments(emb, index, model)
+    }),
     // per-cell cohesion audit of the trained quantizer
     "x2_ivf_inertia" -> ((s, d) => Similarity.ivfInertia(t(s, d, "embeddings"))),
     // class-prototype mean pooling over the labeled embedding corpus
@@ -268,11 +287,41 @@ object SparkEntry {
     // the stored per-type moment baseline the anomaly serve path scores
     // against (mergeable integer moments: tomorrow's C,S,Q just add)
     "x6_baseline" -> ((s, d) => Windows.rateBaseline(t(s, d, "events"))),
+    // the anomaly serve path, oracle-checked: score hourly counts
+    // against the MATERIALIZED baseline artifact — the history scan
+    // exists only in the stored table's build, not the scoring plan.
+    // Oracle = x6_anomaly's verbatim.
+    "x6_anomaly_serve" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Windows.rateAnomalyAgainst(ev, Windows.rateBaseline(ev).localCheckpoint())
+    }),
+  )
+
+  /** Queries whose CONSTRUCTION already runs Spark jobs — fixpoint
+    * loops, driver-synchronized model training, prefix-sum offset
+    * collects, `localCheckpoint` materialization. Their warm timing ≈
+    * cold by design (the eager work re-runs every invocation), so a
+    * "warm must beat cold" criterion is meaningless for them; Bench
+    * tags each with `"eager":true` so bench readers compare their warm
+    * medians to a fresh steady state instead. EagerQueriesSpec DETECTS
+    * this set empirically (jobs launched during construction at
+    * sf0.001) and fails on any drift, so it cannot go stale. */
+  val eagerQueries: Set[String] = Set(
+    "x1_budget_select", "x1_pack_contexts", "x1_systematic_sample",
+    "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_pq",
+    "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
+    "x2_pq_codebook", "x2_pq_codes", "x2_semdedup",
+    "x3_unigram_score_serve",
+    "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_overlap",
+    "x6_anomaly_serve",
+    "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ serveOracles
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "c08_c09_enrich" ->
       """SELECT o.o_orderkey AS order_id, o.o_custkey AS customer_id,
          c.c_name AS customer_name, c.c_mktsegment AS city,
@@ -2426,4 +2475,18 @@ object SparkEntry {
            r.start_day AS best_start
          FROM f JOIN r ON r.user_id = f.user_id AND r.rk = 1""",
   )
+
+  /** The serve-path queries score against a MATERIALIZED model built
+    * from the same corpus in the same statement, so each must produce
+    * EXACTLY its self-contained form's result — the oracle is shared
+    * by reference, not copied: the strongest possible statement that
+    * serve ≡ train-and-serve, enforced by the driver's hash compare. */
+  private def serveOracles: Map[String, String] = {
+    val base = oracleSqlBase
+    Map(
+      "x2_ann_ivf_serve" -> base("x2_ann_ivf"),
+      "x3_unigram_score_serve" -> base("x3_unigram_logprob"),
+      "x6_anomaly_serve" -> base("x6_anomaly"),
+    )
+  }
 }

@@ -744,6 +744,13 @@ object Similarity {
     argmaxCell(withVec(embeddings), trainIvfModel(embeddings, nCells, trainRounds))
       .select(col("vec_id"), col("cell"))
 
+  /** [[ivfAssignments]] against an already-trained model — the index
+    * BUILD half of the serve path (train once, assign each ingest
+    * batch, store (vec_id, cell)); no Lloyd rounds run here. */
+  def ivfAssignmentsFor(embeddings: DataFrame,
+                        centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    argmaxCell(withVec(embeddings), centroids).select(col("vec_id"), col("cell"))
+
   /** IVF model-quality audit: per cell, how many vectors it holds and
     * their mean cosine to the centroid they chose — the inertia report
     * that decides whether a trained quantizer is balanced (a cell with

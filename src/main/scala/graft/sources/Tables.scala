@@ -17,13 +17,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** First read of a parquet path infers its schema by reading file
+    * footers — a small Spark JOB per `spark.read.parquet` call. A
+    * bench/verify session constructs each table hundreds of times, so
+    * cache the inferred schema per path and pass it explicitly on
+    * repeat reads: identical schema (it IS the inferred one), zero
+    * inference jobs, and lazy queries stay job-free at construction
+    * (which EagerQueriesSpec relies on). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val cached = schemaCache.get(path)
+    if (cached ne null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(path, df.schema)
+      df
+    }
+  }
+
   /** Parquet table from a driver scale-factor dir. Column pruning +
     * predicate pushdown reach the scan because this is a plain
     * declarative `spark.read.parquet` (verify via
     * `.explain("formatted")` → `PushedFilters`/`ReadSchema`). */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else readParquet(spark, s"$sfDir/$name.parquet")
 
   /** The driver's `events` table stores `ts` as parquet
     * TIMESTAMP(NANOS), which Spark 4 rejects by default
@@ -42,7 +62,7 @@ object Tables {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      spark.read.parquet(s"$sfDir/events.parquet")
+      readParquet(spark, s"$sfDir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } finally {
       prev match {

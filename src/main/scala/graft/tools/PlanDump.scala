@@ -44,7 +44,7 @@ object PlanDump {
       if (time) {
         val n = df.count()
         println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
-        Thread.sleep(200) // let the listener bus drain
+        org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
         val js = jobs.toArray(Array.empty[(Int, Long)]).sortBy(_._1)
         println(s"[jobs] $name: ${js.length} jobs, " +
           js.map { case (id, ms) => s"#$id=${ms}ms" }.mkString(" "))
