@@ -57,6 +57,29 @@ object SparkEntry {
     "q_returned_items" -> ((s, d) => Analytics.returnedItems(
       t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
       t(s, d, "nation"))),
+    // TPC-H Q3 shape: top unshipped orders by exact-cents revenue
+    "q_shipping_priority" -> ((s, d) => Analytics.shippingPriority(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"))),
+    // TPC-H Q6 shape: single filtered scan, zero joins, one row out
+    "q_forecast_revenue" -> ((s, d) => Analytics.forecastRevenue(t(s, d, "lineitem"))),
+    // TPC-H Q7 shape: bilateral nation-pair volume per ship year
+    "q_volume_shipping" -> ((s, d) => Analytics.volumeShipping(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "supplier"), t(s, d, "nation"))),
+    // TPC-H Q9 shape: product-line profit by supplier nation and year
+    "q_product_profit" -> ((s, d) => Analytics.productProfit(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "supplier"),
+      t(s, d, "nation"), t(s, d, "part"))),
+    // TPC-H Q17 shape: below-20%-of-part-average quantity revenue,
+    // threshold as exact integer arithmetic
+    "q_small_qty_revenue" -> ((s, d) => Analytics.smallQtyRevenue(
+      t(s, d, "lineitem"), t(s, d, "part"))),
+    // TPC-H Q18 shape: aggregate-first HAVING, then join the few keys
+    "q_large_orders" -> ((s, d) => Analytics.largeOrders(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"))),
+    // TPC-H Q19 shape: three-arm disjunctive predicate in one probe
+    "q_disjunct_pricing" -> ((s, d) => Analytics.disjunctPricing(
+      t(s, d, "lineitem"), t(s, d, "part"))),
     // TPC-H Q13 shape: order-count histogram incl. zero-order customers
     "q_custdist" -> ((s, d) => Analytics.customerDistribution(
       t(s, d, "customer"), t(s, d, "orders"))),
@@ -116,6 +139,8 @@ object SparkEntry {
     }),
     // power-of-two token-length distribution (sequence-length report)
     "x3_length_hist" -> ((s, d) => TextAnalysis.lengthHistogram(t(s, d, "documents"))),
+    // Zipf rank-frequency slope per source (micro-nat OLS)
+    "x3_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(t(s, d, "documents"))),
     // per-source exact length quantiles (grouped counting interpolation)
     "x3_length_quantiles" -> ((s, d) =>
       Profiling.groupedQuantiles(t(s, d, "documents"), "source", "n_chars")),
@@ -224,6 +249,13 @@ object SparkEntry {
     "x2_mean_pool" -> ((s, d) => Similarity.meanPoolByLabel(t(s, d, "embeddings"))),
     // nearest-class-mean confusion matrix (embedding label audit)
     "x2_confusion" -> ((s, d) => Similarity.nearestClassMean(t(s, d, "embeddings"))),
+    // leave-one-out k-NN majority-vote label accuracy (exact audit)
+    "x2_knn_accuracy" -> ((s, d) => Similarity.knnLabelAccuracy(t(s, d, "embeddings"))),
+    // margin-criterion pair mining: batch aligns to index, best vs
+    // runner-up ratio suppresses hub vectors (bitext-mining shape)
+    "x2_margin_pairs" -> ((s, d) => Similarity.marginMine(
+      t(s, d, "embeddings").filter("vec_id < 100"),
+      t(s, d, "embeddings").filter("vec_id >= 100"))),
     "x2_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
     // incremental shape: vecs < 100 are the new batch, >= 100 the index
     "x2_incremental" -> ((s, d) => Similarity.embeddingDedupAgainstIndex(
@@ -287,6 +319,8 @@ object SparkEntry {
     // the stored per-type moment baseline the anomaly serve path scores
     // against (mergeable integer moments: tomorrow's C,S,Q just add)
     "x6_baseline" -> ((s, d) => Windows.rateBaseline(t(s, d, "events"))),
+    // top event-type transitions inside sessions (navigation flows)
+    "x6_session_paths" -> ((s, d) => Windows.sessionPaths(t(s, d, "events"))),
     // the anomaly serve path, oracle-checked: score hourly counts
     // against the MATERIALIZED baseline artifact — the history scan
     // exists only in the stored table's build, not the scoring plan.
@@ -429,6 +463,86 @@ object SparkEntry {
            CAST(rev_cents AS DOUBLE) / 100.0 AS revenue
          FROM r JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey""",
+    "q_shipping_priority" ->
+      """WITH f AS (SELECT l.l_orderkey, o.o_orderdate,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS rev_c
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_mktsegment = 'BUILDING'
+             AND o.o_orderdate < DATE '1996-07-01'
+             AND l.l_shipdate > DATE '1996-07-01'
+           GROUP BY 1, 2)
+         SELECT l_orderkey, o_orderdate, CAST(rev_c AS DOUBLE) / 100.0 AS revenue
+         FROM f ORDER BY rev_c DESC, l_orderkey LIMIT 10""",
+    "q_forecast_revenue" ->
+      """SELECT count(*) AS n_items,
+           CAST(CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+             AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q_volume_shipping" ->
+      """WITH supp AS (SELECT s_suppkey, n_name AS supp_nation
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_name IN ('NATION_1', 'NATION_2')),
+           cust AS (SELECT c_custkey, n_name AS cust_nation
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             WHERE n_name IN ('NATION_1', 'NATION_2'))
+         SELECT supp_nation, cust_nation, EXTRACT(YEAR FROM l_shipdate) AS l_year,
+           CAST(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+         FROM lineitem
+         JOIN supp ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN cust ON o_custkey = c_custkey
+         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+           AND supp_nation <> cust_nation
+         GROUP BY 1, 2, 3""",
+    "q_product_profit" ->
+      """SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2""",
+    "q_small_qty_revenue" ->
+      """WITH b AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, l_extendedprice
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE p_brand = 'Brand#23'),
+           p AS (SELECT l_partkey AS pk, CAST(sum(q) AS BIGINT) AS sum_q,
+               count(*) AS n_i
+             FROM b GROUP BY 1)
+         SELECT count(*) AS n_items,
+           CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS DOUBLE) / 700.0 AS avg_yearly
+         FROM b JOIN p ON b.l_partkey = p.pk
+         WHERE b.q * 5 * p.n_i < p.sum_q""",
+    "q_large_orders" ->
+      """WITH tq AS (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 4) AS o_totalprice, total_qty
+         FROM tq JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY round(orders.o_totalprice, 4) DESC, o_orderkey LIMIT 20""",
+    "q_disjunct_pricing" ->
+      """SELECT count(*) AS n_items,
+           CAST(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
     "q_custdist" ->
       """WITH pc AS (SELECT c_custkey,
              CAST(count(o_orderkey) AS BIGINT) AS n_orders
@@ -674,6 +788,21 @@ object SparkEntry {
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok)
          SELECT tok, c, (SELECT CAST(sum(c) AS BIGINT) FROM cnt) AS n FROM cnt""",
+    "x3_zipf_slope" ->
+      """WITH f AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+         c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS fq
+           FROM f GROUP BY 1, 2),
+         r AS (SELECT source, fq, row_number() OVER (PARTITION BY source
+             ORDER BY fq DESC, tok) AS rk FROM c),
+         q AS (SELECT source,
+             CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(fq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+           FROM r WHERE rk <= 100)
+         SELECT source, count(*) AS n_vocab,
+           round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) /
+                 CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE), 6) AS slope
+         FROM q GROUP BY source""",
     "x3_length_hist" ->
       """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
            FROM documents)
@@ -1428,6 +1557,49 @@ object SparkEntry {
              FROM n t, k)
          SELECT label, c_id AS predicted, CAST(count(*) AS BIGINT) AS n
          FROM r WHERE ar = 1 GROUP BY label, predicted""",
+    "x2_knn_accuracy" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         s AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id, t.label AS n_label,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE t.vec_id <> q.vec_id),
+         r AS (SELECT q_id, n_label, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rk FROM s),
+         v AS (SELECT q_id, n_label, count(*) AS nv
+           FROM r WHERE rk <= 3 GROUP BY 1, 2),
+         p AS (SELECT q_id, n_label AS predicted, row_number() OVER (
+             PARTITION BY q_id ORDER BY nv DESC, n_label) AS pr FROM v),
+         j AS (SELECT p.q_id, p.predicted, e.label
+           FROM p JOIN e ON p.q_id = e.vec_id WHERE p.pr = 1)
+         SELECT label, count(*) AS n_vecs,
+           CAST(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(CAST(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS DOUBLE) / count(*) AS accuracy
+         FROM j GROUP BY label""",
+    "x2_margin_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         s AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 100 AND t.vec_id >= 100),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rk FROM s),
+         p AS (SELECT q_id,
+             max(CASE WHEN rk = 1 THEN n_id END) AS n_id,
+             round(max(CASE WHEN rk = 1 THEN cos END), 6) AS cos,
+             round(max(CASE WHEN rk = 2 THEN cos END), 6) AS c2
+           FROM r WHERE rk <= 2 GROUP BY q_id
+           HAVING count(*) = 2)
+         SELECT q_id, n_id, cos, round(cos * 2 / (cos + c2), 6) AS margin
+         FROM p WHERE cos + c2 > 0 AND round(cos * 2 / (cos + c2), 6) >= 1.05""",
     "x2_ivf_assign" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -2418,6 +2590,21 @@ object SparkEntry {
            min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
            count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM z GROUP BY user_id, session_seq""",
+    "x6_session_paths" ->
+      """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 300000000
+           THEN 1 ELSE 0 END AS new_session FROM x),
+         z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM y),
+         t AS (SELECT event_type AS from_type, lead(event_type) OVER (
+             PARTITION BY user_id, session_seq ORDER BY ts_us, event_id) AS to_type
+           FROM z)
+         SELECT from_type, to_type, count(*) AS n_transitions
+         FROM t WHERE to_type IS NOT NULL
+         GROUP BY 1, 2
+         ORDER BY n_transitions DESC, from_type, to_type LIMIT 10""",
     "x6_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events
              WHERE event_type = 'view' GROUP BY user_id),

@@ -386,4 +386,177 @@ object Analytics {
   def decodeProps(events: DataFrame): DataFrame =
     events.select(col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** Per-row discounted price quantized to integer cents (half-up) —
+    * the house exact-revenue idiom: both engines compute the identical
+    * double `extendedprice·(1−discount)` and the identical floor, so
+    * group sums are exact int64 regardless of fold order. */
+  private def revCents =
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+      .cast("long")
+
+  /** TPC-H Q3 shape — top unshipped orders by revenue: orders placed
+    * before the cutoff in one market segment whose lineitems ship
+    * after it. The orders side is filtered+broadcast BEFORE the fact
+    * join (the fact table never carries c_mktsegment through the
+    * shuffle); revenue sums exact cents; top-10 ranks on the integer
+    * with the orderkey tie-break. */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, segment: String = "BUILDING",
+                       cutoff: String = "1996-07-01", k: Int = 10): DataFrame =
+    lineitem.filter(col("l_shipdate") > lit(cutoff))
+      .join(broadcast(
+        orders.filter(col("o_orderdate") < lit(cutoff))
+          .join(broadcast(customer.filter(col("c_mktsegment") === segment)
+            .select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revCents).as("rev_c"))
+      .orderBy(col("rev_c").desc, col("l_orderkey"))
+      .limit(k)
+      .select(col("l_orderkey"), col("o_orderdate"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"))
+
+  /** TPC-H Q6 shape — the forecast-revenue-change scan: ONE filtered
+    * pass over the fact table, zero joins, map-side partial agg into a
+    * single row. The predicate (date range + discount band + quantity
+    * cap) pushes into the parquet scan; revenue here is
+    * `extendedprice·discount` (the amount the discounts cost), exact
+    * cents. */
+  def forecastRevenue(lineitem: DataFrame, year: String = "1996",
+                      dLo: Double = 0.05, dHi: Double = 0.07,
+                      qtyCap: Double = 24): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01") &&
+        col("l_shipdate") < lit(s"${year.toInt + 1}-01-01") &&
+        col("l_discount") >= dLo && col("l_discount") <= dHi &&
+        col("l_quantity") < qtyCap)
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * col("l_discount") * 100 + 0.5)
+          .cast("long")).as("rev_c"))
+      .select(col("n_items"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"))
+
+  /** TPC-H Q7 shape — bilateral volume shipping: revenue between two
+    * nations in both directions, per ship year. The supplier→nation
+    * and customer→nation sides reduce to (suppkey, nation) /
+    * (custkey, nation) maps restricted to the two nations BEFORE
+    * joining (so the pair filter prunes candidates at the broadcast
+    * probe, not after a full enrich). */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, nationA: String = "NATION_1",
+                     nationB: String = "NATION_2"): DataFrame = {
+    val ns = nation.filter(col("n_name").isin(nationA, nationB))
+    val supp = supplier.join(ns, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.join(ns, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revCents).as("rev_c"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"))
+  }
+
+  /** TPC-H Q9 shape (no partsupp table in the corpus, so profit =
+    * discounted revenue) — product-line profit by supplier nation and
+    * order year for parts matching a name token. Part filter reduces
+    * to a key set before broadcast; the fact row carries only keys +
+    * cents through the orders join. */
+  def productProfit(lineitem: DataFrame, orders: DataFrame,
+                    supplier: DataFrame, nation: DataFrame, part: DataFrame,
+                    nameToken: String = "red"): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains(nameToken))
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("l_orderkey"), revCents.as("cents"))
+      .join(orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("cents")).as("rev_c"))
+      .select(col("nation"), col("o_year"),
+        (col("rev_c").cast("double") / 100.0).as("profit"))
+
+  /** TPC-H Q17 shape — small-quantity-order revenue for one brand:
+    * lineitems of the brand's parts whose quantity is below 20% of
+    * that part's average quantity; reported as avg yearly revenue
+    * (sum/7). The threshold compare is EXACT integer arithmetic
+    * (5·q·n_i < Σq, quantities are integral), never a float
+    * `q < 0.2·avg` whose boundary an engine-dependent float sum could
+    * flip. The per-part aggregate joins back to the same filtered fact
+    * slice — both sides are brand-pruned before any shuffle. */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame,
+                      brand: String = "Brand#23"): DataFrame = {
+    val branded = lineitem.join(
+      broadcast(part.filter(col("p_brand") === brand).select(col("p_partkey"))),
+      col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        col("l_extendedprice"))
+    val perPart = branded.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n_i"))
+    branded.join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("q") * 5 * col("n_i") < col("sum_q"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("rev_c"))
+      .select(col("n_items"),
+        (col("rev_c").cast("double") / 700.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total
+    * quantity exceeds the threshold, with their customer. The HAVING
+    * runs on the fact aggregate FIRST (one groupBy on orderkey,
+    * partial agg upstream), and only the surviving handful of keys
+    * join back to orders/customer — never enrich-then-aggregate.
+    * Quantities are integral, so the sum is exact; ordering uses the
+    * ROUNDED price (the house top-k rule) with the orderkey
+    * tie-break. */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, qtyThreshold: Long = 300L,
+                  k: Int = 20): DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > qtyThreshold)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(round(col("o_totalprice"), 4).desc, col("o_orderkey"))
+      .limit(k)
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 4).as("o_totalprice"),
+        col("total_qty"))
+
+  /** TPC-H Q19 shape — three-arm disjunctive pricing: revenue from
+    * (brand, size-range, quantity-range) triples OR-ed together. The
+    * disjunction lives in ONE join predicate over the broadcast part
+    * side, so each fact row probes the hash table once and evaluates
+    * the three arms inline — not three scans unioned. */
+  def disjunctPricing(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val p = broadcast(part.select(col("p_partkey"), col("p_brand"), col("p_size")))
+    lineitem
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_items"), sum(revCents).as("rev_c"))
+      .select(col("n_items"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"))
+  }
 }

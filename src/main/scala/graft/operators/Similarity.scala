@@ -690,6 +690,80 @@ object Similarity {
                     trainRounds: Int = 2): Seq[(Long, Seq[Double])] =
     kmeansCentroids(withVec(embeddings), nCells, trainRounds)
 
+  /** X2 leave-one-out k-NN label audit — every vector votes among the
+    * labels of its k nearest neighbors (max votes, tie → smallest
+    * label); per-label accuracy of that vote against the vector's own
+    * label is the standard "are these embeddings/labels any good"
+    * audit run before anyone trains on them. Neighbor selection is
+    * the bounded-state heap aggregate (O(k) per vector, no window
+    * over the pair stream), labels re-join by id afterwards (k·N
+    * slim rows, equi-keyed). All-pairs scoring is deliberate — this
+    * is the audit's exactness contract; the audited index (LSH/IVF)
+    * is what answers the same question approximately at 100 TB, and
+    * `x2_recall` measures that gap. */
+  def knnLabelAccuracy(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val all = withVec(embeddings)
+      .select(col("vec_id"), col("v"), col("nrm"), col("label").cast("long").as("label"))
+    val q = all.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("label").as("q_label"))
+    val top = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"),
+        col("vec_id").as("n_id"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("cos"), col("n_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+    val predicted = top
+      .join(all.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("nv"))
+      .groupBy(col("q_id"))
+      .agg(max_by(col("n_label"), struct(col("nv"), -col("n_label"))).as("predicted"))
+    predicted.join(all.select(col("vec_id").as("q_id"), col("label")), "q_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_vecs")).as("accuracy"))
+  }
+
+  /** X2 margin-based pair mining (the bitext-mining criterion of
+    * Artetxe & Schwenk): align a new BATCH against an INDEXED corpus,
+    * keeping a pair only when the best match stands out from the
+    * query's neighborhood — margin = cos₁ / mean(cos₁..cos_k), here
+    * the top-2 form 2·cos₁/(cos₁+cos₂): best vs runner-up. The ratio
+    * suppresses hub vectors that are "close to everything" and would
+    * flood an absolute-threshold join. Top-2 per query is the O(k)
+    * heap aggregate over a batch-broadcast scan of the index; the
+    * margin is a ratio of ROUNDED cosines (then one division), so
+    * accept/reject is engine-exact. The pair table this emits is how
+    * parallel corpora are mined for translation training data. */
+  def marginMine(batch: DataFrame, index: DataFrame,
+                 tau: Double = 1.05): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val idx = withVec(index).select(col("vec_id"), col("v"), col("nrm"))
+    val q = withVec(batch).select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    idx.crossJoin(broadcast(q))
+      .select(col("q_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"),
+        col("vec_id").as("n_id"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("cos"), col("n_id"), 2).as("top"))
+      .filter(size(col("top")) === 2)
+      .select(col("q_id"), col("top").getItem(0).getField("id").as("n_id"),
+        round(col("top").getItem(0).getField("score"), 6).as("cos"),
+        round(col("top").getItem(1).getField("score"), 6).as("c2"))
+      // keeps the division defined on BOTH engines (ANSI Spark throws
+      // on x/0; real mined pairs sit far above the guard)
+      .filter(col("cos") + col("c2") > 0.0)
+      .select(col("q_id"), col("n_id"), col("cos"),
+        round(col("cos") * 2 / (col("cos") + col("c2")), 6).as("margin"))
+      .filter(col("margin") >= tau)
+  }
+
   /** X2 class-mean embedding aggregation (mean pooling) — the
     * prototype / topic-centroid computation: the mean embedding per
     * label, exploded to (label, pos, val) rows like

@@ -139,6 +139,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"),
         countDistinct(col("doc_id")).as("df"))
 
+  /** X3 Zipf rank-frequency slope per source — the "is this natural
+    * language" corpus audit: natural text follows freq ∝ rank^s with
+    * s ≈ −1; a source drifting toward 0 is template/boilerplate
+    * spam, one plunging far below −1 is a tiny degenerate vocabulary.
+    * OLS slope of ln(freq) on ln(rank) over each source's top-`topN`
+    * tokens. Cross-engine exactness: ln values quantize to integer
+    * MICRO-NATS (the unigram-model discipline), all four OLS moment
+    * sums are exact int64 (bounded: topN·lnmax² ≈ 6·10¹⁵ ≪ 2⁶³), and
+    * the slope is ONE division of exact integers. The rank window
+    * partitions over the per-source VOCABULARY (already aggregated,
+    * bounded), never raw tokens. */
+  def zipfSlope(documents: DataFrame, topN: Int = 100): DataFrame = {
+    val freq = documents
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("source")).orderBy(col("f").desc, col("tok"))
+    freq.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
+      .select(col("source"),
+        floor(log(col("r").cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+        floor(log(col("f").cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_vocab"),
+        round((col("n_vocab") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_vocab") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"))
+  }
+
   /** Per-(doc, token) TF-IDF: tf · ln(N/df). Document count and df come
     * from broadcast-able aggregates; the ln ratio is identical libm
     * math on both engines (rounded to 6 for safety). */

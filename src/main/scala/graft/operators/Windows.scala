@@ -120,6 +120,38 @@ object Windows {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** X6 session PATH mining — the most common event-type transitions
+    * inside sessions (which step follows which): sessionize with the
+    * same gaps-and-islands rule as [[sessions]], order each session's
+    * events by exact event time (event_id tie-break), pair each event
+    * with its successor via `lead`, and count global (from, to)
+    * transitions — the navigation-flow / funnel-discovery report.
+    * Both windows partition per user (bounded per-key volume, the
+    * same contract as [[sessions]]); the transition count is one
+    * partial+final aggregation on O(types²) keys, and the top-k ranks
+    * on the exact integer count with full lexicographic tie-breaks. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 5, k: Int = 10): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val bySession = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("to_type", lead(col("event_type"), 1).over(bySession))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
+      .limit(k)
+  }
+
   /** X6 COHORT RETENTION matrix — for each acquisition cohort (users
     * whose FIRST event fell on day D), how many came back k days
     * later (the product-analytics retention triangle; for a training

@@ -252,6 +252,37 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("shipping priority: segment filter pushes down, order side broadcasts into the fact") {
+    val p = planOf("q_shipping_priority")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("forecast revenue: single scan, all three predicates pushed, no join") {
+    val p = planOf("q_forecast_revenue")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1, p.take(2000))
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      p.take(3000))
+    assert(!p.contains("Join"), p)
+  }
+
+  test("large orders: aggregate-first HAVING, the fact is scanned once") {
+    val p = planOf("q_large_orders")
+    // lineitem + orders + customer: one scan each, never fact re-joined
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 3, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("knn accuracy: neighbor selection is the bounded heap agg, no pair-stream window") {
+    val p = planOf("x2_knn_accuracy")
+    assert(p.contains("top_k_by_score"), p.take(3000))
+    // the only windows allowed would partition bounded frames; the pair
+    // stream itself must aggregate, not sort
+    assert(!p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)

@@ -454,6 +454,62 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(banded === exact)
   }
 
+  test("knn label accuracy: clean clusters score 1.0, a planted outlier fails its vote") {
+    // two orthogonal 3-vector clusters + one label-1 vector sitting in
+    // the label-0 cluster: its 3 nearest neighbors all vote 0
+    val k = embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0.99f, 0.01f, 0f, 0f), 0),
+      (2L, Seq(0.98f, 0.02f, 0f, 0f), 0),
+      (10L, Seq(0f, 0f, 1f, 0f), 1), (11L, Seq(0f, 0f, 0.99f, 0.01f), 1),
+      (12L, Seq(0f, 0f, 0.98f, 0.02f), 1),
+      (20L, Seq(0.97f, 0.03f, 0f, 0f), 1))
+    val got = Similarity.knnLabelAccuracy(k)
+      .select("label", "n_vecs", "n_correct").as[(Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got === Seq((0L, 3L, 3L), (1L, 4L, 3L)))
+  }
+
+  test("margin mining: a hub close to both index vectors is suppressed, a clear match survives") {
+    // q0 matches n100 uniquely (runner-up orthogonal -> margin ~2);
+    // q1 is equidistant from both index vectors -> margin ~1, rejected
+    val m = embs(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0.7071f, 0.7071f, 0f, 0f), 0),
+      (100L, Seq(0.99f, 0.01f, 0f, 0f), 0), (101L, Seq(0f, 1f, 0f, 0f), 0))
+    val got = Similarity.marginMine(
+      m.filter(col("vec_id") < 100), m.filter(col("vec_id") >= 100), tau = 1.05)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 100L)))
+  }
+
+  test("session paths: transitions never cross the session gap") {
+    val pe = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 0.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "click", 0.0),
+      // > 5 min gap: new session — (click -> view) must NOT appear
+      (3L, Timestamp.valueOf("2024-01-01 00:30:00"), 7L, "view", 0.0),
+      (4L, Timestamp.valueOf("2024-01-01 00:31:00"), 7L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.sessionPaths(pe)
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    assert(got === Set(("view", "click"), ("view", "purchase")))
+  }
+
+  test("zipf slope: an exact power law recovers s, flat frequencies give slope 0") {
+    // freq(rank r) = 64 >> (r-1) = 2^(6-r): ln f = 6 ln2 - r ln2 over
+    // ln r — not linear in ln r, so just pin strong negativity and the
+    // exact-flat case; exactness vs DuckDB is the oracle's job
+    val docs = (1 to 4).flatMap { r =>
+      Seq.fill(1 << (7 - r))(s"tok$r")
+    }.mkString(" ")
+    val df = Seq((1L, docs, "en", "s0", docs.length.toLong),
+      (2L, "a b c d a b c d", "en", "s1", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.zipfSlope(df)
+      .select("source", "slope").as[(String, Double)].collect().toMap
+    assert(got("s0") < -1.0)
+    assert(got("s1") === 0.0)
+  }
+
   test("resize stub caps blob size; frame sampling emits every k-th chunk") {
     val docs = Seq((1L, "x" * 600, "en", "src0", 600L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
