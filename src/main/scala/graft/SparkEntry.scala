@@ -117,6 +117,8 @@ object SparkEntry {
     "x3_textstats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"))),
     "x3_bpe_tokens" -> ((s, d) => TextAnalysis.regexTokenCounts(t(s, d, "documents"))),
     "x3_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
+    // detector-vs-metadata confusion matrix (lang filter safety gate)
+    "x3_langid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(t(s, d, "documents"))),
     "x3_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     // per-source decile histogram of the quality score (calibration)
     "x3_quality_deciles" -> ((s, d) => TextAnalysis.qualityDeciles(t(s, d, "documents"))),
@@ -165,6 +167,9 @@ object SparkEntry {
     // --- X1 sampling / sharding ---
     "x1_sample_split" -> ((s, d) => Sampling.sampleSplit(t(s, d, "documents"))),
     "x1_pack_shards" -> ((s, d) => Sampling.packShards(t(s, d, "documents"))),
+    // curriculum layout: per-source quality quota, round-robin
+    // interleaved global position (arithmetic, no global window)
+    "x1_curriculum" -> ((s, d) => Sampling.curriculum(t(s, d, "documents"))),
     // context-window packing WITH doc splitting (zero-pad-waste layout)
     "x1_pack_contexts" -> ((s, d) => Sampling.packContexts(t(s, d, "documents"))),
     "x1_source_cap" -> ((s, d) => Sampling.sourceCap(t(s, d, "documents"))),
@@ -285,6 +290,11 @@ object SparkEntry {
     // media near-dup: embed -> LSH bucket join -> senior threshold
     "x5_mm_dedup" -> ((s, d) => Multimodal.mediaDedup(t(s, d, "documents"))),
     // incremental media near-dup: batch (ids < 100) vs indexed corpus
+    // cross-collection alignment mining over media embeddings: best vs
+    // runner-up margin suppresses hub assets (caption<->image shape)
+    "x5_mm_align" -> ((s, d) => Multimodal.mediaAlign(
+      t(s, d, "documents").filter("doc_id < 100"),
+      t(s, d, "documents").filter("doc_id >= 100"))),
     "x5_mm_incremental" -> ((s, d) => Multimodal.mediaDedupAgainstIndex(
       t(s, d, "documents").filter("doc_id < 100"),
       t(s, d, "documents").filter("doc_id >= 100"))),
@@ -705,6 +715,23 @@ object SparkEntry {
                 ELSE 'und' END AS lang_pred,
            s_en
          FROM s""",
+    "x3_langid_confusion" ->
+      """WITH s AS (SELECT doc_id, lang,
+           len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS s_en,
+           len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+           len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','que','es'))) AS s_es,
+           len(list_filter(string_split(text,' '), x -> x IN ('le','les','des','et','est'))) AS s_fr,
+           len(list_filter(string_split(text,' '), x -> x IN ('的','是','了','在','和'))) AS s_zh
+           FROM documents),
+         p AS (SELECT lang,
+           CASE WHEN s_en > 0 AND s_en >= s_en AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_de AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_es AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_fr AND s_fr >= s_zh THEN 'fr'
+                WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr AND s_zh >= s_zh THEN 'zh'
+                ELSE 'und' END AS lang_pred
+           FROM s)
+         SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2""",
     "x3_quality" ->
       """SELECT doc_id, round(
            0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
@@ -951,6 +978,23 @@ object SparkEntry {
              CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source
                ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
            FROM documents)""",
+    "x1_curriculum" ->
+      """WITH q AS (SELECT doc_id, source, round(
+           0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+           0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                  CAST(len(string_split(text,' ')) AS DOUBLE)) +
+           0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                  CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM documents),
+         r AS (SELECT doc_id, source, quality, row_number() OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id) AS rank FROM q),
+         t AS (SELECT * FROM r WHERE rank <= 100),
+         s AS (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT)
+             AS src_idx FROM (SELECT DISTINCT source FROM t)),
+         n AS (SELECT count(*) AS n_src FROM s)
+         SELECT t.doc_id, t.source, t.quality,
+           CAST((t.rank - 1) * n.n_src + s.src_idx - 1 AS BIGINT) AS global_pos
+         FROM t JOIN s ON t.source = s.source, n""",
     "x1_pack_contexts" ->
       """WITH d AS (SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -2442,6 +2486,27 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    "x5_mm_align" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         s AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 100 AND t.vec_id >= 100),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rk FROM s),
+         p AS (SELECT q_id,
+             max(CASE WHEN rk = 1 THEN n_id END) AS n_id,
+             round(max(CASE WHEN rk = 1 THEN cos END), 6) AS cos,
+             round(max(CASE WHEN rk = 2 THEN cos END), 6) AS c2
+           FROM r WHERE rk <= 2 GROUP BY q_id
+           HAVING count(*) = 2)
+         SELECT q_id, n_id, cos, round(cos * 2 / (cos + c2), 6) AS margin
+         FROM p WHERE cos + c2 > 0 AND round(cos * 2 / (cos + c2), 6) >= 1.001""",
     "x5_mm_search_lsh" ->
       """WITH e AS (SELECT doc_id AS vec_id,
              list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0

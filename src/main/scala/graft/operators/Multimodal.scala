@@ -147,6 +147,19 @@ object Multimodal {
     Similarity.lshDedupAgainstIndexOnVectors(
       mediaEmbedding(incoming), mediaEmbedding(indexed), tau)
 
+  /** X5 cross-collection alignment mining — pair each incoming asset
+    * with its standout counterpart in the accepted collection by the
+    * MARGIN criterion ([[Similarity.marginMineOnVectors]]): best vs
+    * runner-up cosine ratio, so near-duplicate hub assets that sit
+    * close to everything are suppressed instead of flooding the pair
+    * table. The caption↔image / clip↔transcript alignment shape —
+    * swap the stub encoder for a real one and this IS the mining
+    * pipeline. */
+  def mediaAlign(incoming: DataFrame, indexed: DataFrame,
+                 tau: Double = 1.001): DataFrame =
+    Similarity.marginMineOnVectors(
+      mediaEmbedding(incoming), mediaEmbedding(indexed), tau)
+
   /** X5 multimodal join: documents ⋈ embeddings on doc_id = vec_id with
     * vector metadata (dim + L2 norm). Both sides shuffle on the id (or
     * broadcast when one side is small); norm is a narrow per-row fold. */

@@ -292,4 +292,29 @@ object Sampling {
     ranged.unpersist(false)
     out
   }
+
+  /** X1 curriculum ordering — the DATA-ORDERING artifact easy-to-hard
+    * / source-interleaved training runs consume: each source's top
+    * `quota` documents by quality, laid out so position p cycles the
+    * sources round-robin in descending quality (source A's best, B's
+    * best, …, A's 2nd best, …). The global position is ARITHMETIC —
+    * `(rank−1)·n_sources + src_idx` — not a global row_number, so no
+    * single-partition window exists: the per-source rank windows
+    * partition by source, and the source index is a window over the
+    * O(sources) distinct frame. Deterministic: quality ties break on
+    * doc_id, source index on name order. */
+  def curriculum(documents: DataFrame, quota: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val ranked = TextAnalysis.qualityScore(documents, Seq("source"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= quota)
+    val srcIdx = ranked.select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col("source"))).cast("long"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+    ranked.join(broadcast(srcIdx), "source").crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("quality"),
+        ((col("rank") - 1) * col("n_src") + col("src_idx") - 1)
+          .cast("long").as("global_pos"))
+  }
 }

@@ -741,11 +741,21 @@ object Similarity {
     * accept/reject is engine-exact. The pair table this emits is how
     * parallel corpora are mined for translation training data. */
   def marginMine(batch: DataFrame, index: DataFrame,
-                 tau: Double = 1.05): DataFrame = {
+                 tau: Double = 1.05): DataFrame =
+    marginMineOnVectors(withVec(batch).select(col("vec_id"), col("v")),
+      withVec(index).select(col("vec_id"), col("v")), tau)
+
+  /** [[marginMine]] over any (vec_id, v: array<double>) frames —
+    * shared by the embedding-table path and the multimodal
+    * caption↔asset alignment composition (the annOnVectors pattern). */
+  def marginMineOnVectors(batch: DataFrame, index: DataFrame,
+                          tau: Double): DataFrame = {
     import graft.functions.TopKByScore.top_k_by_score
-    val idx = withVec(index).select(col("vec_id"), col("v"), col("nrm"))
-    val q = withVec(batch).select(col("vec_id").as("q_id"), col("v").as("qv"),
-      col("nrm").as("qn"))
+    val idx = index.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val q = batch.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
     idx.crossJoin(broadcast(q))
       .select(col("q_id"),
         cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"),

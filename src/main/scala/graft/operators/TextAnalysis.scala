@@ -68,7 +68,7 @@ object TextAnalysis {
     * higher-order `filter` lambdas were the suite's most
     * JIT-pressure-sensitive hot path (8× slower inside a long bench
     * session). Counts are identical, so the oracle is unchanged. */
-  def langId(documents: DataFrame): DataFrame = {
+  def langId(documents: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
     val langs = Seq("en", "de", "es", "fr", "zh")
     val scored = documents.withColumn("sc",
       graft.functions.TextSignatureColumns.stopword_counts(
@@ -79,8 +79,21 @@ object TextAnalysis {
       val geAll = langs.map(o => s(l) >= s(o)).reduce(_ && _)
       when(s(l) > 0 && geAll, lit(l)).otherwise(elseCol)
     }
-    scored.select(col("doc_id"), pred.as("lang_pred"), s("en").as("s_en"))
+    scored.select(col("doc_id") +: extraCols.map(col) :+
+      pred.as("lang_pred") :+ s("en").as("s_en"): _*)
   }
+
+  /** X3 language-ID confusion audit — predicted language vs the
+    * stored `lang` column, as (lang, lang_pred, n): the calibration
+    * matrix run before trusting either the detector or the metadata
+    * (a bleeding cell is mislabeled source data or an under-trained
+    * detector — at 100 TB this gate decides whether lang filters are
+    * safe to apply). One [[langId]] projection + one O(langs²)
+    * partial+final count. */
+  def langIdConfusion(documents: DataFrame): DataFrame =
+    langId(documents, Seq("lang"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
 
   /** Quality score ∈ [0,1]: length saturation + stopword density +
     * alphabetic purity, the standard cheap pre-filter shape for LLM

@@ -510,6 +510,47 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got("s1") === 0.0)
   }
 
+  test("media alignment mines the standout caption pair through the margin gate") {
+    // doc 0's media embedding matches doc 100 (same text) uniquely;
+    // docs 1/101/102 are mutually-near hubs whose margin ~1 rejects
+    val docs = Seq(
+      (0L, "unique caption aligned to asset zero", "en", "s", 1L),
+      (1L, "common boilerplate common boilerplate", "en", "s", 1L),
+      (100L, "unique caption aligned to asset zero", "en", "s", 1L),
+      (101L, "common boilerplate common boilerplatX", "en", "s", 1L),
+      (102L, "common boilerplate common boilerplatY", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.mediaAlign(
+      docs.filter(col("doc_id") < 100), docs.filter(col("doc_id") >= 100), tau = 1.001)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === Seq((0L, 100L)))
+    assert(got.head._3 === 1.0) // identical text -> identical stub embedding
+  }
+
+  test("curriculum interleaves sources round-robin in descending quality") {
+    val docs = Seq(
+      (1L, "the a of and to " * 10, "en", "sA", 1L),  // high quality
+      (2L, "zz", "en", "sA", 1L),                      // low quality
+      (3L, "the a of and to " * 10, "en", "sB", 1L),
+      (4L, "zz", "en", "sB", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.Sampling.curriculum(docs)
+      .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+    // pos: (rank-1)*2 + src_idx-1 -> sA best=0, sB best=1, sA 2nd=2, sB 2nd=3
+    assert(got === Map(1L -> 0L, 3L -> 1L, 2L -> 2L, 4L -> 3L))
+  }
+
+  test("langid confusion counts detector-vs-metadata cells") {
+    val docs = Seq(
+      (1L, "the a of and to", "en", "s", 1L),
+      (2L, "der und ist das die", "en", "s", 1L),  // mislabeled as en
+      (3L, "xyz", "zh", "s", 1L))                   // no stopwords -> und
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.langIdConfusion(docs)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("en", "en", 1L), ("en", "de", 1L), ("zh", "und", 1L)))
+  }
+
   test("resize stub caps blob size; frame sampling emits every k-th chunk") {
     val docs = Seq((1L, "x" * 600, "en", "src0", 600L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
