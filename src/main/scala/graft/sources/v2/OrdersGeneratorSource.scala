@@ -4,11 +4,12 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -124,11 +125,48 @@ private[v2] class OrdersGenTable(numRows: Long, numPartitions: Int,
 private[v2] class OrdersGenScanBuilder(numRows: Long, numPartitions: Int,
                                        columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = OrdersGeneratorSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var lo: Long = 0L
   private var hi: Long = Long.MaxValue
+  private var aggSchema: Option[StructType] = None
+  private var aggFuncs: Seq[AggregateFunc] = Nil
+
+  /** COUNT/MIN/MAX over `id` — the generator's dense row cursor — are
+    * CLOSED-FORM over the (filter-pruned) id range: count = end−start,
+    * min = start, max = end−1. Complete pushdown: the scan answers
+    * with ONE row and generates NOTHING — the connector equivalent of
+    * answering count(*) from table statistics instead of scanning
+    * 100 TB. Anything touching the md5-derived payload columns stays
+    * in Spark (their aggregates genuinely require generation). Spark
+    * pushes filters BEFORE aggregates, so the range is already
+    * pruned. */
+  private def isId(e: V2Expression): Boolean = e match {
+    case r: NamedReference => r.fieldNames.toSeq == Seq("id")
+    case _ => false
+  }
+  private def canPush(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        // id is never null, so Count(id) = CountStar; DISTINCT stays up
+        case c: Count => !c.isDistinct && isId(c.column)
+        case m: Min => isId(m.column)
+        case m: Max => isId(m.column)
+        case _ => false
+      }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPush(agg)) return false
+    aggFuncs = agg.aggregateExpressions().toSeq
+    aggSchema = Some(StructType(aggFuncs.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Count, i)     => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i)            => StructField(s"agg_$i", LongType, nullable = true)
+    }))
+    true
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty projection (e.g. count(*)) still needs row COUNTS;
     // keep the zero-column schema as-is, the reader emits empty rows
@@ -163,8 +201,53 @@ private[v2] class OrdersGenScanBuilder(numRows: Long, numPartitions: Int,
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan =
-    new OrdersGenScan(numRows, numPartitions, required, lo, hi, columnar)
+  override def build(): Scan = aggSchema match {
+    case Some(schema) =>
+      // values computed on the DRIVER at plan time — the reader ships
+      // a literal row, no AggregateFunc crosses the wire
+      val start = math.max(0L, lo)
+      val end = math.min(numRows, hi)
+      val n = math.max(0L, end - start)
+      val values: Array[Any] = aggFuncs.map {
+        case _: CountStar | _: Count => n: Any
+        case _: Min => if (n > 0) (start: Any) else null
+        case _ => if (n > 0) (end - 1: Any) else null
+      }.toArray
+      new OrdersGenAggScan(values, schema, start, end, aggFuncs)
+    case None =>
+      new OrdersGenScan(numRows, numPartitions, required, lo, hi, columnar)
+  }
+}
+
+/** The completely-pushed-down aggregate answer: one partition, one
+  * row, zero generation. */
+private[v2] class OrdersGenAggScan(values: Array[Any], aggSchema: StructType,
+                                   start: Long, end: Long,
+                                   funcs: Seq[AggregateFunc])
+    extends Scan with Batch with Serializable {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft_orders PushedAggregates: [${funcs.map(_.toString).mkString(", ")}] " +
+      s"over [$start, $end)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(OrdersGenAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OrdersGenAggReaderFactory
+}
+
+private[v2] case class OrdersGenAggPartition(values: Array[Any]) extends InputPartition
+
+private[v2] class OrdersGenAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = p.asInstanceOf[OrdersGenAggPartition].values
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      override def close(): Unit = ()
+    }
 }
 
 private[v2] class OrdersGenScan(numRows: Long, numPartitions: Int,

@@ -35,6 +35,38 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(scan.scan.description().contains("PushedIdRange: [250, 500)"))
   }
 
+  test("aggregate pushdown: count/min/max over id answer closed-form, one row, no generation") {
+    val df = orders(100000000L, 8).where($"id" >= 100 && $"id" < 90000000L)
+      .agg(count("*"), min("id"), max("id"))
+    val scan = df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.description().contains("PushedAggregates"), scan.scan.description())
+    // 100M rows would take minutes to generate; the closed-form answer
+    // coming back instantly IS the pushdown working
+    assert(df.as[(Long, Long, Long)].head() === (89999900L, 100L, 89999999L))
+  }
+
+  test("aggregate pushdown declines payload columns and DISTINCT; results match the row scan") {
+    val df = orders(1000, 4).agg(min("amount"), max("amount"), countDistinct("id"))
+    // countDistinct plans exchanges, so AQE hides BatchScanExec until
+    // execution — assert on the optimized plan's scan instead
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }
+    assert(scans.nonEmpty && !scans.head.description().contains("PushedAggregates"),
+      scans.map(_.description()).mkString)
+    val (lo, hi, n) = df.as[(Long, Long, Long)].head()
+    assert(n === 1000L && lo >= 20L && hi <= 499L)
+  }
+
+  test("aggregate pushdown over an empty pruned range: count 0, null extrema") {
+    val df = orders(1000, 4).where($"id" >= 5000)
+      .agg(count("*"), min("id"))
+    val row = df.collect().head
+    assert(row.getLong(0) === 0L && row.isNullAt(1))
+  }
+
   test("columnar read path: vectorized scan plans ColumnarToRow and matches the row reader") {
     def colOrders(n: Long, parts: Int = 8) =
       spark.read.format("graft_orders")
