@@ -250,6 +250,9 @@ object SparkEntry {
     }),
     // per-cell cohesion audit of the trained quantizer
     "x2_ivf_inertia" -> ((s, d) => Similarity.ivfInertia(t(s, d, "embeddings"))),
+    // recall@k of the trained-cell IVF search vs brute force (the
+    // probe-count knob audit, mirroring x2_recall for LSH)
+    "x2_ivf_recall" -> ((s, d) => Similarity.ivfRecallReport(t(s, d, "embeddings"))),
     // class-prototype mean pooling over the labeled embedding corpus
     "x2_mean_pool" -> ((s, d) => Similarity.meanPoolByLabel(t(s, d, "embeddings"))),
     // nearest-class-mean confusion matrix (embedding label audit)
@@ -354,6 +357,7 @@ object SparkEntry {
     "x1_budget_select", "x1_pack_contexts", "x1_systematic_sample",
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_pq",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
+    "x2_ivf_recall",
     "x2_pq_codebook", "x2_pq_codes", "x2_semdedup",
     "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_overlap",
@@ -1576,6 +1580,70 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, cell, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    "x2_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, t.v, t.nrm, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM rk WHERE ar = 1),
+         prb AS (SELECT vec_id AS q_id, c_id AS cell FROM rk
+           WHERE ar <= 4 AND vec_id < 20),
+         q AS (SELECT p.q_id, p.cell, n.v AS qv, n.nrm AS qn
+           FROM prb p JOIN n ON n.vec_id = p.q_id),
+         s AS (SELECT q.q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*t.v[i]),
+               (x,y) -> x+y) / (q.qn * t.nrm) AS cos
+           FROM asg t JOIN q ON t.cell = q.cell AND t.vec_id <> q.q_id),
+         r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s),
+         ivf AS (SELECT q_id, n_id FROM r WHERE rank <= 3),
+         bs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         br AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM bs),
+         ex AS (SELECT q_id, n_id FROM br WHERE rank <= 3)
+         SELECT ex.q_id, CAST(sum(CASE WHEN ivf.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN ivf.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall
+         FROM ex LEFT JOIN ivf ON ivf.q_id = ex.q_id AND ivf.n_id = ex.n_id
+         GROUP BY ex.q_id""",
     "x2_mean_pool" ->
       """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -354,6 +354,28 @@ object Similarity {
         round(col("n_hits").cast("double") / lit(k.toDouble), 4).as("recall"))
   }
 
+  /** X2 IVF recall audit — [[lshRecallReport]]'s counterpart for the
+    * TRAINED-cell index: per query, how many of the brute-force top-k
+    * the nProbe-cell IVF search returns. The recall/cost knob audit
+    * (more probes or more training rounds → higher recall, more
+    * candidates); run together with [[ivfInertia]] before an IVF
+    * index replaces an exact path. Same one (q_id, n_id) equi join of
+    * two k·nQueries frames; the oracle replays the full training
+    * chain inside the comparison. */
+  def ivfRecallReport(embeddings: DataFrame, nQueries: Int = 20,
+                      k: Int = 3, nCells: Int = 8, nProbe: Int = 4,
+                      trainRounds: Int = 2): DataFrame = {
+    val exact = annBruteForce(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = annIvf(embeddings, nCells, nQueries, k, nProbe, trainRounds)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** Sign-LSH bucketed SELF-dedup over any (vec_id, v: array<double>)
     * frame: a vector is a duplicate iff some LOWER-id vector sharing a
     * bucket in ANY of the 8 tables reaches rounded cosine ≥ `tau`
