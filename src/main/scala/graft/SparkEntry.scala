@@ -170,6 +170,10 @@ object SparkEntry {
     // curriculum layout: per-source quality quota, round-robin
     // interleaved global position (arithmetic, no global window)
     "x1_curriculum" -> ((s, d) => Sampling.curriculum(t(s, d, "documents"))),
+    // the curated corpus in training order: dedup -> quality ->
+    // decontamination -> curriculum interleave
+    "x7_curate_curriculum" -> ((s, d) =>
+      Curation.curateCurriculum(t(s, d, "documents"))),
     // context-window packing WITH doc splitting (zero-pad-waste layout)
     "x1_pack_contexts" -> ((s, d) => Sampling.packContexts(t(s, d, "documents"))),
     "x1_source_cap" -> ((s, d) => Sampling.sourceCap(t(s, d, "documents"))),
@@ -2284,6 +2288,42 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens,
            CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
          FROM packed""",
+    "x7_curate_curriculum" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
+         q AS (SELECT doc_id, round(
+             0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+             0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                    CAST(len(string_split(text,' ')) AS DOUBLE)) +
+             0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                    CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM d1),
+         r AS (SELECT d.doc_id,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality, d.doc_id), 6) AS pr
+           FROM d1 d JOIN q ON d.doc_id = q.doc_id),
+         d2 AS (SELECT d1.* FROM d1 JOIN r ON d1.doc_id = r.doc_id
+           WHERE r.pr >= 0.5 AND d1.doc_id >= 50),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+         d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM ov)),
+         cq AS (SELECT doc_id, source, quality FROM d3
+           JOIN q USING (doc_id)),
+         cr AS (SELECT doc_id, source, quality, row_number() OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id) AS rank FROM cq),
+         ct AS (SELECT * FROM cr WHERE rank <= 100),
+         cs AS (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT)
+             AS src_idx FROM (SELECT DISTINCT source FROM ct)),
+         cn AS (SELECT count(*) AS n_src FROM cs)
+         SELECT ct.doc_id, ct.source, ct.quality,
+           CAST((ct.rank - 1) * cn.n_src + cs.src_idx - 1 AS BIGINT) AS global_pos
+         FROM ct JOIN cs ON ct.source = cs.source, cn""",
     "x7_curate_semantic" ->
       """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),

@@ -134,6 +134,18 @@ object Curation {
         .select(col("doc_id"), col("text")),
       tokenBudget)
 
+  /** [[curate]] with CURRICULUM ordering instead of shard packing:
+    * stages 1–3 run unchanged, then [[Sampling.curriculum]] lays the
+    * survivors out round-robin across sources in descending quality —
+    * the build whose output order IS the training order (easy-to-hard
+    * / source-interleaved), where `curate` leaves consumption order to
+    * the reader. Same lazy chain as the exact mode; the oracle replays
+    * dedup → quality percentile → decontamination → curriculum in one
+    * statement. */
+  def curateCurriculum(documents: DataFrame, nBench: Long = 50L,
+                       quota: Int = 100): DataFrame =
+    Sampling.curriculum(cleanSurvivors(documents, nBench, nearDedup = false), quota)
+
   /** Stages 1–3 shared by [[curate]] and [[curateBudget]]: exact (or
     * exact+near) dedup → per-language quality percentile → benchmark
     * decontamination. Returns the full-width survivor frame. */
