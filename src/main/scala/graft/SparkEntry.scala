@@ -92,6 +92,28 @@ object SparkEntry {
     // TPC-H Q11 shape: parts above 1.5x the average revenue (scale-free bar)
     "q_important_parts" -> ((s, d) => Analytics.importantParts(
       t(s, d, "lineitem"), t(s, d, "part"))),
+    // TPC-H Q2 shape: correlated per-part min unit price, region-bound suppliers
+    "q_min_cost_supplier" -> ((s, d) => Analytics.minCostSupplier(
+      t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"),
+      t(s, d, "nation"), t(s, d, "region"))),
+    // TPC-H Q4 shape: late-line EXISTS semi-join, counts per priority
+    "q_order_priority" -> ((s, d) => Analytics.orderPriorityCheck(
+      t(s, d, "lineitem"), t(s, d, "orders"))),
+    // TPC-H Q8 shape: one nation's share of a part-type market per year
+    "q_market_share" -> ((s, d) => Analytics.nationMarketShare(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"),
+      t(s, d, "part"))),
+    // TPC-H Q12 shape: delay-bucket × priority CASE-sum split
+    "q_delay_split" -> ((s, d) => Analytics.shipDelaySplit(
+      t(s, d, "lineitem"), t(s, d, "orders"))),
+    // TPC-H Q16 shape: distinct suppliers per part descriptor, NOT-IN pruned
+    "q_parts_suppliers" -> ((s, d) => Analytics.partSupplierBreadth(
+      t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"))),
+    // TPC-H Q20 shape: nested share-of-part aggregate, nation-bound names
+    "q_promo_suppliers" -> ((s, d) => Analytics.majorPartSuppliers(
+      t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"),
+      t(s, d, "nation"))),
     "q_semi_join" -> ((s, d) => Analytics.customersWithOrders(
       t(s, d, "customer"), t(s, d, "orders"), "1-URGENT")),
     "q_union" -> ((s, d) => Analytics.unionKeys(t(s, d, "customer"), t(s, d, "orders"))),
@@ -620,6 +642,92 @@ object SparkEntry {
            WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
          SELECT coalesce(b.day, u.day) AS day, b.n_big, u.n_urgent
          FROM b FULL OUTER JOIN u ON b.day = u.day""",
+    "q_min_cost_supplier" ->
+      """WITH parts AS (SELECT p_partkey, p_name FROM part
+           WHERE p_size <= 15 AND p_type = 'LARGE'),
+         supp AS (SELECT s_suppkey, s_name, n_name,
+             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'),
+         offers AS (SELECT p_partkey, p_name, s_suppkey, s_name, n_name, bal_c,
+             CAST(min(CAST(floor(l_extendedprice * 100 / l_quantity + 0.5)
+               AS BIGINT)) AS BIGINT) AS unit_c
+           FROM lineitem JOIN parts ON l_partkey = p_partkey
+           JOIN supp ON l_suppkey = s_suppkey
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         best AS (SELECT p_partkey AS mk, min(unit_c) AS min_c
+           FROM offers GROUP BY 1),
+         t AS (SELECT * FROM offers
+           JOIN best ON p_partkey = mk AND unit_c = min_c
+           ORDER BY bal_c DESC, n_name, s_name, p_partkey LIMIT 20)
+         SELECT CAST(bal_c AS DOUBLE) / 100.0 AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, CAST(unit_c AS DOUBLE) / 100.0 AS unit_price
+         FROM t""",
+    "q_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "q_market_share" ->
+      """WITH parts AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+         supp AS (SELECT s_suppkey,
+             CASE WHEN n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_target
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         cust AS (SELECT c_custkey FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'),
+         f AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+               AS BIGINT) AS cents,
+             is_target
+           FROM lineitem JOIN parts ON l_partkey = p_partkey
+           JOIN supp ON l_suppkey = s_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN cust ON o_custkey = c_custkey)
+         SELECT o_year,
+           round(CAST(sum(cents * is_target) AS DOUBLE) /
+             CAST(sum(cents) AS DOUBLE), 6) AS mkt_share
+         FROM f GROUP BY 1""",
+    "q_delay_split" ->
+      """WITH f AS (SELECT
+             CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+                  WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'NORMAL'
+                  ELSE 'SLOW' END AS delay_bucket,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0
+               END AS hi
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01')
+         SELECT delay_bucket, CAST(sum(hi) AS BIGINT) AS high_line_count,
+           CAST(sum(1 - hi) AS BIGINT) AS low_line_count
+         FROM f GROUP BY 1""",
+    "q_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+    "q_promo_suppliers" ->
+      """WITH f AS (SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'SMALL'
+             AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+           GROUP BY 1, 2),
+         tot AS (SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS tot
+           FROM f GROUP BY 1),
+         win AS (SELECT DISTINCT l_suppkey FROM f
+           JOIN tot ON l_partkey = pk WHERE qty * 100 > tot * 2)
+         SELECT s_suppkey, s_name FROM win
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_2'""",
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o

@@ -559,4 +559,210 @@ object Analytics {
       .select(col("n_items"),
         (col("rev_c").cast("double") / 100.0).as("revenue"))
   }
+
+  /** TPC-H Q2 shape — minimum-cost supplier (no partsupp table in the
+    * corpus, so an offer = the minimum observed unit price a supplier
+    * ever charged for a part): for parts of one size/type, the
+    * supplier(s) in one region matching the per-part MINIMUM unit
+    * price, ranked by account balance. The correlated-min is the
+    * per-part `min` joined back on equality — both sides integer
+    * cents (`floor(ep·100/qty + 0.5)`: identical IEEE division on
+    * both engines, then a boundary-free half-up), so the "achieves
+    * the minimum" equality is exact, never a float compare.
+    *
+    * 100 TB: part and supplier×nation×region dims broadcast; the fact
+    * scans once; offers/min/min-join all group on p_partkey (one
+    * shuffle, reused); top-k is integer-ranked with full tie-breaks. */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, nation: DataFrame,
+                      region: DataFrame, sizeCap: Int = 15,
+                      ptype: String = "LARGE",
+                      regionName: String = "ASIA", k: Int = 20): DataFrame = {
+    val parts = broadcast(
+      part.filter(col("p_size") <= sizeCap && col("p_type") === ptype)
+        .select(col("p_partkey"), col("p_name")))
+    val supp = broadcast(
+      supplier.join(nation.join(region.filter(col("r_name") === regionName),
+          col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          floor(col("s_acctbal") * 100 + 0.5).cast("long").as("bal_c")))
+    val offers = lineitem
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("bal_c"))
+      .agg(min(floor(col("l_extendedprice") * 100 / col("l_quantity") + 0.5)
+        .cast("long")).as("unit_c"))
+    val best = offers.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("unit_c")).as("min_c"))
+    offers.join(broadcast(best),
+        col("p_partkey") === col("mk") && col("unit_c") === col("min_c"))
+      .orderBy(col("bal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(k)
+      .select((col("bal_c").cast("double") / 100.0).as("s_acctbal"),
+        col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
+        (col("unit_c").cast("double") / 100.0).as("unit_price"))
+  }
+
+  /** TPC-H Q4 shape — order-priority checking (no commit/receipt dates
+    * in the corpus, so "late" = a lineitem shipped more than `lateDays`
+    * after the order date): orders placed in one quarter with at least
+    * one late line, counted per priority. The EXISTS is a LEFT SEMI
+    * join whose extra inequality rides in the join condition — the
+    * probe row carries o_orderdate, so no second pass and no distinct.
+    *
+    * 100 TB: both sides prune at the scan (quarter on orders, the
+    * matching ship window on lineitem); one hash semi-join on
+    * orderkey; final agg is O(priorities). */
+  def orderPriorityCheck(lineitem: DataFrame, orders: DataFrame,
+                         quarterStart: String = "1997-01-01",
+                         quarterEnd: String = "1997-04-01",
+                         lateDays: Int = 60): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(quarterStart) &&
+        col("o_orderdate") < lit(quarterEnd))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** TPC-H Q8 shape — national market share: of the revenue in one
+    * part-type market sold to customers of one region, the fraction
+    * supplied by one nation, per order year. Numerator and denominator
+    * are exact cent sums of the SAME quantized per-row value (one
+    * conditional, one unconditional), so the share is one double
+    * division of exact integers, rounded once.
+    *
+    * 100 TB: part/supplier/customer dims all reduce to key(+flag)
+    * sets and broadcast; the fact joins orders on orderkey (the one
+    * unavoidable shuffle); agg is O(years). */
+  def nationMarketShare(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, region: DataFrame,
+                        part: DataFrame,
+                        ptype: String = "PROMO",
+                        suppNation: String = "NATION_3",
+                        custRegion: String = "ASIA"): DataFrame = {
+    val parts = broadcast(part.filter(col("p_type") === ptype)
+      .select(col("p_partkey")))
+    val supp = broadcast(
+      supplier.join(nation.select(col("n_nationkey"), col("n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"),
+          (col("n_name") === suppNation).cast("long").as("is_target")))
+    val cust = broadcast(
+      customer.join(
+          nation.join(region.filter(col("r_name") === custRegion),
+            col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey")))
+    lineitem
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revCents * col("is_target")).as("target_c"),
+        sum(revCents).as("total_c"))
+      .select(col("o_year"),
+        round(col("target_c").cast("double") / col("total_c").cast("double"), 6)
+          .as("mkt_share"))
+  }
+
+  /** TPC-H Q12 shape — shipping-delay priority split (no l_shipmode in
+    * the corpus, so the category is the delay bucket FAST ≤30d /
+    * NORMAL ≤90d / SLOW): per bucket, how many high-priority
+    * (1-URGENT, 2-HIGH) vs other orders shipped lines there. The
+    * two-way split is the Q12 CASE-sum pair over one joined pass;
+    * day arithmetic is integer datediff on midnight timestamps.
+    *
+    * 100 TB: fact⋈fact hash join on orderkey (orders is NOT
+    * broadcast-able at scale and isn't here); counts are exact int64;
+    * output is O(3). */
+  def shipDelaySplit(lineitem: DataFrame, orders: DataFrame,
+                     year: String = "1997"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01") &&
+        col("l_shipdate") < lit(s"${year.toInt + 1}-01-01"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, "FAST")
+          .when(datediff(col("l_shipdate"), col("o_orderdate")) <= 90, "NORMAL")
+          .otherwise("SLOW").as("delay_bucket"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          .cast("long").as("hi"))
+      .groupBy(col("delay_bucket"))
+      .agg(sum(col("hi")).as("high_line_count"),
+        sum(lit(1L) - col("hi")).as("low_line_count"))
+
+  /** TPC-H Q16 shape — supplier breadth per part descriptor (lineitem
+    * is the part↔supplier relation; no partsupp table): distinct
+    * suppliers per (brand, type, size), excluding one brand, one
+    * type, and "complaint" suppliers (negative balance — Q16's NOT IN
+    * subquery as a LEFT ANTI join).
+    *
+    * 100 TB: the (partkey, suppkey) projection deduplicates in the
+    * same shuffle that feeds the count-distinct; part dim and the
+    * complaint set broadcast; the anti join prunes before the agg. */
+  def partSupplierBreadth(lineitem: DataFrame, part: DataFrame,
+                          supplier: DataFrame,
+                          notBrand: String = "Brand#1",
+                          notType: String = "PROMO"): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(part
+          .filter(col("p_brand") =!= notBrand && col("p_type") =!= notType)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q20 shape — major part suppliers (no partsupp availqty, so
+    * "has excess stock" becomes "supplies a major share"): suppliers
+    * of one nation who shipped more than `pct`% of some filtered
+    * part's total shipped quantity in a year. The nested aggregate
+    * (per-(part,supp) qty vs per-part total) compares by integer
+    * cross-multiplication — quantities are integral doubles, quantized
+    * half-up once per row, so the share threshold is exact.
+    *
+    * 100 TB: one filtered fact pass feeds both aggregation levels
+    * (the per-part total reuses the (part,supp) partial); the nation
+    * supplier set broadcasts; DISTINCT is over an already-small
+    * winner set. */
+  def majorPartSuppliers(lineitem: DataFrame, part: DataFrame,
+                         supplier: DataFrame, nation: DataFrame,
+                         suppNation: String = "NATION_2",
+                         ptype: String = "SMALL",
+                         year: String = "1997", pct: Int = 2): DataFrame = {
+    val bySupp = lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01") &&
+        col("l_shipdate") < lit(s"${year.toInt + 1}-01-01"))
+      .join(broadcast(part.filter(col("p_type") === ptype)
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("qty"))
+    val byPart = bySupp.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty")).as("tot"))
+    bySupp.join(broadcast(byPart), col("l_partkey") === col("pk"))
+      .filter(col("qty") * 100 > col("tot") * pct)
+      .select(col("l_suppkey")).distinct()
+      .join(broadcast(supplier
+          .join(nation.filter(col("n_name") === suppNation),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+  }
 }

@@ -321,4 +321,126 @@ class ScaleExtensionsSpec extends AnyFunSuite {
       .as[(Int, Seq[Long])].collect().toSeq
     assert(got === Seq((1, Seq(11L, 12L)), (2, Seq(20L))))
   }
+
+  test("min-cost supplier: per-part minimum ties all surface; out-of-region offers ignored") {
+    import spark.implicits._
+    val part = Seq((1L, "p1", 5, "LARGE"), (2L, "p2", 5, "SMALL"))
+      .toDF("p_partkey", "p_name", "p_size", "p_type")
+    val sup = Seq(
+      (1L, "s1", 10, 500.0), (2L, "s2", 10, 900.0), (3L, "s3", 20, 100.0)
+    ).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nat = Seq((10, "N_A", 0), (20, "N_B", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val li = Seq(
+      (1L, 1L, 100.0, 10.0),  // s1 offers p1 at 10.00
+      (1L, 1L, 300.0, 10.0),  // worse offer from s1 — min keeps 10.00
+      (1L, 2L, 50.0, 5.0),    // s2 ties at 10.00 → both surface
+      (1L, 3L, 10.0, 10.0),   // cheapest but EUROPE → ignored
+      (2L, 1L, 80.0, 10.0)    // wrong p_type → ignored
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val got = Analytics.minCostSupplier(li, part, sup, nat, reg)
+      .as[(Double, String, String, Long, String, Double)].collect().toSeq
+    // ordered by balance desc: s2 (900) before s1 (500)
+    assert(got === Seq(
+      (900.0, "s2", "N_A", 1L, "p1", 10.0),
+      (500.0, "s1", "N_A", 1L, "p1", 10.0)))
+  }
+
+  test("order priority check: one late line marks the order once; on-time-only orders drop") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (10L, ts("1997-02-01"), "1-URGENT"),  // two late lines → counted once
+      (11L, ts("1997-02-01"), "5-LOW"),     // on-time only → dropped
+      (12L, ts("1996-12-31"), "1-URGENT")   // outside quarter → dropped
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (10L, ts("1997-05-01")), (10L, ts("1997-06-01")), // both >60d late
+      (11L, ts("1997-02-10")),
+      (12L, ts("1997-07-01"))
+    ).toDF("l_orderkey", "l_shipdate")
+    val got = Analytics.orderPriorityCheck(li, orders)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("1-URGENT" -> 1L))
+  }
+
+  test("market share: exact-cents conditional over unconditional per year") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val part = Seq((1L, "PROMO"), (2L, "LARGE")).toDF("p_partkey", "p_type")
+    val sup = Seq((1L, 10), (2L, 20)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((10, "NATION_3", 0), (20, "NATION_4", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((0, "ASIA")).toDF("r_regionkey", "r_name")
+    val cust = Seq((1L, 10)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 1L, ts("1997-03-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (100L, 1L, 1L, 75.0, 0.0),   // target nation: 7500 cents
+      (100L, 1L, 2L, 225.0, 0.0),  // other nation: 22500 cents
+      (100L, 2L, 1L, 999.0, 0.0)   // non-PROMO part → ignored
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val got = Analytics.nationMarketShare(li, orders, cust, sup, nat, reg, part)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((1997L, 0.25)))
+  }
+
+  test("delay split: bucket edges at 30/90 days inclusive, hi/lo partition") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, ts("1997-01-01"), "1-URGENT"),
+      (2L, ts("1997-01-01"), "3-MEDIUM")
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, ts("1997-01-31")),  // 30d → FAST (inclusive edge)
+      (1L, ts("1997-04-01")),  // 90d → NORMAL (inclusive edge)
+      (2L, ts("1997-04-02")),  // 91d → SLOW
+      (2L, ts("1998-01-02"))   // outside ship-year window → dropped
+    ).toDF("l_orderkey", "l_shipdate")
+    val got = Analytics.shipDelaySplit(li, orders)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("FAST", 1L, 0L), ("NORMAL", 1L, 0L), ("SLOW", 0L, 1L)))
+  }
+
+  test("part-supplier breadth: distinct per descriptor; complaints and exclusions pruned") {
+    import spark.implicits._
+    val part = Seq(
+      (1L, "Brand#2", "SMALL", 5), (2L, "Brand#1", "SMALL", 5),
+      (3L, "Brand#2", "PROMO", 5)
+    ).toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val sup = Seq((1L, 100.0), (2L, -5.0), (3L, 50.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val li = Seq(
+      (1L, 1L), (1L, 1L), (1L, 3L), // part 1: suppliers {1, 3} (dup row collapses)
+      (1L, 2L),                     // complaint supplier → pruned
+      (2L, 1L),                     // excluded brand
+      (3L, 1L)                      // excluded type
+    ).toDF("l_partkey", "l_suppkey")
+    val got = Analytics.partSupplierBreadth(li, part, sup)
+      .as[(String, String, Int, Long)].collect().toSeq
+    assert(got === Seq(("Brand#2", "SMALL", 5, 2L)))
+  }
+
+  test("major part suppliers: strict integer share bar, nation-bound names") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val part = Seq((1L, "SMALL")).toDF("p_partkey", "p_type")
+    val sup = Seq((1L, "s1", 10), (2L, "s2", 10), (3L, "s3", 20))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nat = Seq((10, "NATION_2"), (20, "NATION_9"))
+      .toDF("n_nationkey", "n_name")
+    // totals: part 1 ships 1000 units; s1 ships 980 (98%), s2 ships 20
+    // (2% — exactly AT the bar: strict > excludes), s3 would pass but
+    // is in the wrong nation
+    val li = Seq(
+      (1L, 1L, ts("1997-05-01"), 950.0),
+      (1L, 3L, ts("1997-05-01"), 30.0),
+      (1L, 2L, ts("1997-05-01"), 20.0)
+    ).toDF("l_partkey", "l_suppkey", "l_shipdate", "l_quantity")
+    val got = Analytics.majorPartSuppliers(li, part, sup, nat)
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "s1")))
+  }
 }
