@@ -173,6 +173,9 @@ object SparkEntry {
     "x3_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(t(s, d, "documents"))),
     // PMI collocation mining (multi-word expression discovery)
     "x3_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents"))),
+    // token importance in the bigram graph: 3 damped power iterations,
+    // exact integer micro-unit ranks (graph analytics, lazily planned)
+    "x3_pagerank" -> ((s, d) => Graph.tokenPageRank(t(s, d, "documents"))),
     // per-source OOV rate scored against the stored unigram model
     "x3_oov_rate" -> ((s, d) => TextAnalysis.oovRate(t(s, d, "documents"))),
     // per-source KL divergence vs the corpus token distribution
@@ -236,6 +239,8 @@ object SparkEntry {
     "x4_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(t(s, d, "documents"))),
     // --- X2 similarity search ---
     "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
+    // diversified retrieval: at most one result per label class
+    "x2_ann_diverse" -> ((s, d) => Similarity.annDiverse(t(s, d, "embeddings"))),
     // per-query recall@3 of the LSH index vs brute-force ground truth
     "x2_recall" -> ((s, d) => Similarity.lshRecallReport(t(s, d, "embeddings"))),
     // per-table bucket-occupancy health report of the same LSH index
@@ -350,6 +355,8 @@ object SparkEntry {
     "x6_trending" -> ((s, d) => Windows.trendingProps(t(s, d, "events"))),
     // longest consecutive-day run per user (gaps-and-islands, one window)
     "x6_streaks" -> ((s, d) => Windows.activityStreaks(t(s, d, "events"))),
+    // traffic-quality gate: rate + type-entropy bot audit per user
+    "x6_bot_score" -> ((s, d) => Profiling.botScore(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -1003,6 +1010,32 @@ object SparkEntry {
            WHERE cab.c_ab >= 5)
          SELECT a, b, c_ab, CAST(pmi6 AS DOUBLE) / 1000000.0 AS pmi
          FROM s ORDER BY pmi6 DESC, a, b LIMIT 30""",
+    "x3_pagerank" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS s FROM documents),
+         z AS (SELECT unnest(list_zip(s, s[2:])) AS p FROM d),
+         bg AS (SELECT p[1] AS a, p[2] AS b FROM z WHERE p[2] IS NOT NULL),
+         e AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM bg
+           GROUP BY a, b HAVING count(*) >= 3),
+         wa AS (SELECT a, CAST(sum(w) AS BIGINT) AS wa FROM e GROUP BY a),
+         n AS (SELECT a AS tok FROM e UNION SELECT b AS tok FROM e),
+         r0 AS (SELECT tok, CAST(1000000 AS BIGINT) AS r FROM n),
+         c1 AS (SELECT e.b AS tok,
+             CAST(sum((r0.r * e.w * 17) // (wa.wa * 20)) AS BIGINT) AS c
+           FROM e JOIN r0 ON r0.tok = e.a JOIN wa ON wa.a = e.a GROUP BY e.b),
+         r1 AS (SELECT n.tok, CAST(150000 + coalesce(c1.c, 0) AS BIGINT) AS r
+           FROM n LEFT JOIN c1 ON c1.tok = n.tok),
+         c2 AS (SELECT e.b AS tok,
+             CAST(sum((r1.r * e.w * 17) // (wa.wa * 20)) AS BIGINT) AS c
+           FROM e JOIN r1 ON r1.tok = e.a JOIN wa ON wa.a = e.a GROUP BY e.b),
+         r2 AS (SELECT n.tok, CAST(150000 + coalesce(c2.c, 0) AS BIGINT) AS r
+           FROM n LEFT JOIN c2 ON c2.tok = n.tok),
+         c3 AS (SELECT e.b AS tok,
+             CAST(sum((r2.r * e.w * 17) // (wa.wa * 20)) AS BIGINT) AS c
+           FROM e JOIN r2 ON r2.tok = e.a JOIN wa ON wa.a = e.a GROUP BY e.b),
+         r3 AS (SELECT n.tok, CAST(150000 + coalesce(c3.c, 0) AS BIGINT) AS r
+           FROM n LEFT JOIN c3 ON c3.tok = n.tok),
+         t AS (SELECT tok, r FROM r3 ORDER BY r DESC, tok LIMIT 50)
+         SELECT tok, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM t""",
     "x3_oov_rate" ->
       """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
              FROM documents),
@@ -1490,6 +1523,23 @@ object SparkEntry {
              (x,y) -> x+y) / (a.nrm * b.nrm), 6) >= 0.38)
          SELECT vec_id FROM embeddings
          WHERE vec_id NOT IN (SELECT b_id FROM drops)""",
+    "x2_ann_diverse" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         s AS (SELECT q.vec_id AS q_id, t.label, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         c AS (SELECT q_id, label, n_id, cos, row_number() OVER (PARTITION BY
+             q_id, label ORDER BY cos DESC, n_id) AS lr FROM s),
+         r AS (SELECT q_id, label, n_id, cos, row_number() OVER (PARTITION BY
+             q_id ORDER BY cos DESC, n_id) AS rank FROM c WHERE lr = 1)
+         SELECT q_id, label, n_id, round(cos, 6) AS cos,
+           CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 5""",
     "x2_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -2925,6 +2975,32 @@ object SparkEntry {
              ORDER BY n DESC, prop_k) AS rank FROM g)
          SELECT day_idx, prop_k, n, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 3""",
+    "x6_bot_score" ->
+      """WITH e AS (SELECT user_id, event_type,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         d AS (SELECT user_id, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+           FROM e GROUP BY 1),
+         tc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k
+           FROM e GROUP BY 1, 2),
+         ag AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(k * CAST(floor(ln(k) * 1000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS s
+           FROM tc GROUP BY 1),
+         sc AS (SELECT user_id, n_events, n_types,
+             round(CAST(CAST(floor(ln(n_events) * 1000000 + 0.5) AS BIGINT) *
+                 n_events - s AS DOUBLE) /
+               (CAST(n_events AS DOUBLE) * 1000000), 6) AS type_entropy
+           FROM ag),
+         j AS (SELECT sc.user_id, n_events, n_days, n_types,
+             round(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE), 4)
+               AS events_per_day,
+             type_entropy
+           FROM sc JOIN d ON d.user_id = sc.user_id)
+         SELECT user_id, n_events, n_days, n_types, events_per_day,
+           type_entropy,
+           (events_per_day > 2.5 AND type_entropy < 1.58) AS bot_flag
+         FROM j""",
     "x6_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
            FROM events),

@@ -181,4 +181,49 @@ object Profiling {
       expr(s"round(approx_percentile($numericCol, 0.95, 10000), 4)").as("p95"),
       expr(s"round(approx_percentile($numericCol, 0.99, 10000), 4)").as("p99"),
       count(lit(1)).as("n"))
+
+  /** Behavioral bot audit over the event stream: per user, the volume
+    * (events, active days, events/day) and DIVERSITY (event-type
+    * entropy) signals a traffic-quality gate runs before events feed a
+    * training corpus — scripted traffic is high-rate and low-entropy,
+    * organic traffic is neither. Entropy uses the house exact-integer
+    * micro-nat decomposition (`H = (ln(n)·n − Σk·ln(k)) / n`, each log
+    * quantized half-up at 1e-6): group sums are exact int64, so the
+    * score is fold-order-free and engine-identical. The flag compares
+    * the ROUNDED rate and entropy — the same doubles the oracle
+    * compares — so the boundary user lands identically on both
+    * engines.
+    *
+    * 100 TB: two shuffles on user_id ((user,type) counts re-keyed to
+    * user, distinct-day count), both with map-side partial
+    * aggregation; output is O(users). The thresholds are calibrated
+    * for the synthetic corpus (epd 1.9–3.1, entropy 1.50–1.61 nats);
+    * production gates would feed measured quantiles instead. */
+  def botScore(events: DataFrame, minEventsPerDay: Double = 2.5,
+               maxEntropy: Double = 1.58): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val days = e.groupBy(col("user_id"))
+      .agg(countDistinct(col("day")).as("n_days"))
+    val scored = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("k"))
+      .select(col("user_id"), col("k"),
+        (col("k") *
+          floor(log(col("k").cast("double")) * 1e6 + 0.5).cast("long")).as("kl6"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("k")).as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("kl6")).as("s"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round((floor(log(col("n_events").cast("double")) * 1e6 + 0.5).cast("long") *
+          col("n_events") - col("s")).cast("double") /
+          (col("n_events").cast("double") * lit(1e6)), 6).as("type_entropy"))
+    scored.join(days, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("n_days"), col("n_types"),
+        round(col("n_events").cast("double") / col("n_days").cast("double"), 4)
+          .as("events_per_day"),
+        col("type_entropy"))
+      .withColumn("bot_flag",
+        col("events_per_day") > minEventsPerDay &&
+          col("type_entropy") < maxEntropy)
+  }
 }

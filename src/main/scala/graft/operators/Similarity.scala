@@ -70,6 +70,44 @@ object Similarity {
   def annBruteForce(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame =
     annOnVectors(withVec(embeddings).select(col("vec_id"), col("v")), nQueries, k)
 
+  /** X2 DIVERSIFIED top-k: at most one result per label class — the
+    * retrieval-diversity constraint (RAG pipelines dedup near-identical
+    * chunks/classes in a result page; recommenders cap per-category
+    * slots). Two-stage argmax: a per-(query,label) champion via the
+    * `max_by` struct rule (raw cosine then smaller-id — cosines are
+    * fold-identical across engines, so raw comparison is safe), then a
+    * rank over champions. The rank window partitions an already
+    * aggregated frame bounded by |Q|·|labels| rows — the house
+    * no-window-over-raw rule — while champion selection itself is a
+    * hash aggregation over the full scored stream, partial-agg
+    * friendly, never a sort.
+    *
+    * 100 TB: same O(|Q|·N) scored stream as [[annBruteForce]] (the
+    * scale path would swap in LSH/IVF candidate generation upstream);
+    * the diversity stage adds ONE map-side-combined aggregation, no
+    * extra shuffle of the corpus. */
+  def annDiverse(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val all = withVec(embeddings)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val champs = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("label"), col("vec_id").as("n_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(max_by(struct(col("n_id"), col("cos")),
+        struct(col("cos"), -col("n_id"))).as("best"))
+      .select(col("q_id"), col("label"), col("best.n_id").as("n_id"),
+        col("best.cos").as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    champs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("label"), col("n_id"),
+        round(col("cos"), 6).as("cos"), col("rank").cast("int").as("rank"))
+  }
+
   /** Rounds exactly like Spark/DuckDB `round(x, 6)` (half away from
     * zero) so driver-side selection ties break identically. */
   private[operators] def round6(x: Double): Double =

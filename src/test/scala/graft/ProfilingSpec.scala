@@ -75,4 +75,28 @@ class ProfilingSpec extends AnyFunSuite {
       s"approx median ${quantiles.head} vs exact $exactMedian")
     assert(quantiles.sorted === quantiles)
   }
+
+  test("bot score: single-type burst flags, diverse slow traffic does not") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: 6 events, one type, one day → entropy 0, epd 6 → bot
+    // user 2: 4 events, 4 types, 2 days → entropy ln(4)≈1.386 < 1.58
+    //         but epd 2 < 2.5 → not a bot (rate arm saves them)
+    val events = Seq(
+      (1L, "click", "2020-01-01 10:00:00"), (1L, "click", "2020-01-01 10:00:01"),
+      (1L, "click", "2020-01-01 10:00:02"), (1L, "click", "2020-01-01 10:00:03"),
+      (1L, "click", "2020-01-01 10:00:04"), (1L, "click", "2020-01-01 10:00:05"),
+      (2L, "view", "2020-01-01 09:00:00"), (2L, "click", "2020-01-01 11:00:00"),
+      (2L, "buy", "2020-01-02 09:00:00"), (2L, "scroll", "2020-01-02 11:00:00")
+    ).map { case (u, t, s) => (u, t, ts(s)) }.toDF("user_id", "event_type", "ts")
+    val got = Profiling.botScore(events)
+      .select("user_id", "n_events", "n_days", "n_types", "events_per_day",
+        "type_entropy", "bot_flag")
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 6L, 1L, 1L, 6.0, 0.0, true)))
+    assert(got(2L)._5 === 2.0)
+    assert(math.abs(got(2L)._6 - math.log(4)) < 1e-5)
+    assert(!got(2L)._7)
+  }
 }

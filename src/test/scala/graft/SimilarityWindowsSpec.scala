@@ -564,4 +564,22 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(frames.map(_._2).toSeq === Seq(0, 4, 8))
     assert(frames.forall(_._3.length <= 64))
   }
+
+  test("diversified ANN keeps only the champion of each label class") {
+    import spark.implicits._
+    // query = vec 0 along +x; candidates: label 1 has two vectors with
+    // cos 1.0 and ~0.995 (champion = the closer, id 1); label 2 has one
+    // at cos ~0.707. Plain top-2 would return both label-1 vectors;
+    // diverse returns one per label.
+    val emb = Seq(
+      (0L, Array(1f, 0f), 9),
+      (1L, Array(2f, 0f), 1),
+      (2L, Array(2f, 0.2f), 1),
+      (3L, Array(1f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.annDiverse(emb, nQueries = 1, k = 2)
+      .select("q_id", "label", "n_id", "rank")
+      .as[(Long, Int, Long, Int)].collect().toSeq.sortBy(_._4)
+    assert(got === Seq((0L, 1, 1L, 1), (0L, 2, 3L, 2)))
+  }
 }
