@@ -114,6 +114,9 @@ object SparkEntry {
     "q_promo_suppliers" -> ((s, d) => Analytics.majorPartSuppliers(
       t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"),
       t(s, d, "nation"))),
+    // percent_rank/cume_dist: within-type revenue percentile per part
+    "q_revenue_percentile" -> ((s, d) => Analytics.revenuePercentiles(
+      t(s, d, "lineitem"), t(s, d, "part"))),
     "q_semi_join" -> ((s, d) => Analytics.customersWithOrders(
       t(s, d, "customer"), t(s, d, "orders"), "1-URGENT")),
     "q_union" -> ((s, d) => Analytics.unionKeys(t(s, d, "customer"), t(s, d, "orders"))),
@@ -171,6 +174,8 @@ object SparkEntry {
     // per-doc unigram entropy in integer micro-nats (diversity signal)
     "x3_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(t(s, d, "documents"))),
     "x3_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(t(s, d, "documents"))),
+    // Jelinek-Mercer smoothed bigram/unigram interpolated LM score
+    "x3_interp_logprob" -> ((s, d) => TextAnalysis.interpLogProb(t(s, d, "documents"))),
     // PMI collocation mining (multi-word expression discovery)
     "x3_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents"))),
     // token importance in the bigram graph: 3 damped power iterations,
@@ -220,6 +225,8 @@ object SparkEntry {
     // asymmetric doc-in-doc detection (quote/wrapper discovery)
     "x4_containment" -> ((s, d) => Dedup.ngramContainmentTopK(t(s, d, "documents"))),
     "x4_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
+    // character-level title near-dups: first-token blocked Levenshtein
+    "x4_edit_pairs" -> ((s, d) => Dedup.editDistancePairs(t(s, d, "documents"))),
     "x4_simhash_topk" -> ((s, d) => Dedup.simhashTopK(t(s, d, "documents"))),
     "x4_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(t(s, d, "embeddings"))),
     "x4_decontaminate" -> ((s, d) => Dedup.decontaminate(t(s, d, "documents"))),
@@ -281,6 +288,8 @@ object SparkEntry {
     }),
     // per-cell cohesion audit of the trained quantizer
     "x2_ivf_inertia" -> ((s, d) => Similarity.ivfInertia(t(s, d, "embeddings"))),
+    // row-level OOD audit: per-vector z vs its cell's cosine moments
+    "x2_ood" -> ((s, d) => Similarity.ivfOutliers(t(s, d, "embeddings"))),
     // recall@k of the trained-cell IVF search vs brute force (the
     // probe-count knob audit, mirroring x2_recall for LSH)
     "x2_ivf_recall" -> ((s, d) => Similarity.ivfRecallReport(t(s, d, "embeddings"))),
@@ -357,6 +366,8 @@ object SparkEntry {
     "x6_streaks" -> ((s, d) => Windows.activityStreaks(t(s, d, "events"))),
     // traffic-quality gate: rate + type-entropy bot audit per user
     "x6_bot_score" -> ((s, d) => Profiling.botScore(t(s, d, "events"))),
+    // hour-of-day x day-of-week load shape, pure integer epoch cells
+    "x6_heatmap" -> ((s, d) => Windows.activityHeatmap(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -390,7 +401,7 @@ object SparkEntry {
     "x1_budget_select", "x1_pack_contexts", "x1_systematic_sample",
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_pq",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
-    "x2_ivf_recall",
+    "x2_ivf_recall", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_semdedup",
     "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_overlap",
@@ -735,6 +746,16 @@ object SparkEntry {
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          WHERE n_name = 'NATION_2'""",
+    "q_revenue_percentile" ->
+      """WITH pc AS (SELECT l_partkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+             AS BIGINT)) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1)
+         SELECT p_type, l_partkey, CAST(c AS DOUBLE) / 100.0 AS revenue,
+           round(percent_rank() OVER (PARTITION BY p_type ORDER BY c), 6)
+             AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY p_type ORDER BY c), 6) AS cume
+         FROM pc JOIN part ON p_partkey = l_partkey""",
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o
@@ -1036,6 +1057,27 @@ object SparkEntry {
            FROM n LEFT JOIN c3 ON c3.tok = n.tok),
          t AS (SELECT tok, r FROM r3 ORDER BY r DESC, tok LIMIT 50)
          SELECT tok, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM t""",
+    "x3_interp_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         z AS (SELECT doc_id, unnest(list_zip(s, s[2:])) AS p FROM d),
+         bg AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM z WHERE p[2] IS NOT NULL),
+         pd AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS k
+           FROM bg GROUP BY doc_id, a, b),
+         cb AS (SELECT a, b, CAST(sum(k) AS BIGINT) AS cb FROM pd GROUP BY a, b),
+         ca AS (SELECT a, CAST(sum(cb) AS BIGINT) AS ca FROM cb GROUP BY a),
+         cu0 AS (SELECT unnest(string_split(text, ' ')) AS b FROM documents),
+         cu AS (SELECT b, CAST(count(*) AS BIGINT) AS cu FROM cu0 GROUP BY 1),
+         tt AS (SELECT CAST(sum(cu) AS BIGINT) AS t FROM cu),
+         s2 AS (SELECT pd.doc_id, pd.k,
+             CAST(floor(ln(0.75 * (CAST(cb.cb AS DOUBLE) / CAST(ca.ca AS DOUBLE)) +
+               0.25 * (CAST(cu.cu AS DOUBLE) / CAST(tt.t AS DOUBLE))) * 1000000
+               + 0.5) AS BIGINT) AS lp6
+           FROM pd JOIN cb ON cb.a = pd.a AND cb.b = pd.b
+           JOIN ca ON ca.a = pd.a JOIN cu ON cu.b = pd.b, tt)
+         SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+           CAST(sum(k * lp6) AS DOUBLE) /
+             (CAST(sum(k) AS BIGINT) * 1000000.0) AS avg_logprob
+         FROM s2 GROUP BY doc_id""",
     "x3_oov_rate" ->
       """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
              FROM documents),
@@ -1476,6 +1518,15 @@ object SparkEntry {
          SELECT inner_id, outer_id, n_inter,
            round(n_inter / CAST(n_inner AS DOUBLE), 6) AS containment
          FROM dirs ORDER BY containment DESC, inner_id, outer_id LIMIT 20""",
+    "x4_edit_pairs" ->
+      """WITH t AS (SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS title,
+           string_split(text, ' ')[1] AS tok1
+         FROM documents)
+         SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+           CAST(levenshtein(x.title, y.title) AS BIGINT) AS dist
+         FROM t x JOIN t y ON x.tok1 = y.tok1 AND x.doc_id < y.doc_id
+         WHERE levenshtein(x.title, y.title) <= 4""",
     "x4_simhash" ->
       """WITH t AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
              s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
@@ -2008,6 +2059,60 @@ object SparkEntry {
          SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0) AS mean_cos
          FROM w GROUP BY cell""",
+    "x2_ood" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) AS sc,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         w AS (SELECT vec_id, c_id AS cell,
+             CAST(floor(sc * 1000000 + 0.5) AS BIGINT) AS q6
+             FROM rk WHERE ar = 1),
+         w4 AS (SELECT vec_id, cell, q6, q6 // 100 AS q4 FROM w),
+         st AS (SELECT cell, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(q4) AS BIGINT) AS s, CAST(sum(q4 * q4) AS BIGINT) AS qq
+           FROM w4 GROUP BY 1)
+         SELECT vec_id, cell, CAST(q6 AS DOUBLE) / 1000000.0 AS cos_to_centroid,
+           round(CAST(q4 * c - s AS DOUBLE) /
+             sqrt(CAST(qq * c - s * s AS DOUBLE)), 4) AS z,
+           (round(CAST(q4 * c - s AS DOUBLE) /
+             sqrt(CAST(qq * c - s * s AS DOUBLE)), 4) <= -2.0) AS is_outlier
+         FROM w4 JOIN st USING (cell) WHERE qq * c - s * s > 0""",
     "x2_incremental" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -3001,6 +3106,11 @@ object SparkEntry {
            type_entropy,
            (events_per_day > 2.5 AND type_entropy < 1.58) AS bot_flag
          FROM j""",
+    "x6_heatmap" ->
+      """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+           (epoch_us(ts) // 3600000000) % 24 AS hour,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
     "x6_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
            FROM events),

@@ -560,6 +560,29 @@ object Analytics {
         (col("rev_c").cast("double") / 100.0).as("revenue"))
   }
 
+  /** Per-part revenue percentile WITHIN its part type — percent_rank
+    * and cume_dist over the aggregated part frame (the window
+    * functions the breadth suite didn't yet exercise). Ties rank on
+    * the exact integer cents (equal revenues share a percentile — the
+    * statistic's meaning), so both engines agree without a tie-break
+    * column. The window partitions by p_type over an ALREADY
+    * AGGREGATED frame (one row per part) — the house
+    * no-window-over-raw rule; a 100 TB run with an unbounded part
+    * dimension would range-bucket the revenue axis first (the
+    * [[Profiling.groupedQuantiles]] counting shape) rather than sort
+    * a giant partition. */
+  def revenuePercentiles(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val pc = lineitem.select(col("l_partkey"), revCents.as("cents"))
+      .groupBy(col("l_partkey")).agg(sum(col("cents")).as("c"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+    val w = Window.partitionBy(col("p_type")).orderBy(col("c"))
+    pc.select(col("p_type"), col("l_partkey"),
+      (col("c").cast("double") / 100.0).as("revenue"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
   /** TPC-H Q2 shape — minimum-cost supplier (no partsupp table in the
     * corpus, so an offer = the minimum observed unit price a supplier
     * ever charged for a part): for parts of one size/type, the

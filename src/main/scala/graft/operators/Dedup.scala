@@ -750,4 +750,34 @@ object Dedup {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(k)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** X4 edit-distance near-dup pairs over document TITLES (the first
+    * `nTokens` tokens) — the character-level dedup modality the
+    * shingle/MinHash family cannot see: transposed words, single-char
+    * typos, and truncations move Jaccard little but edit distance a
+    * lot (and vice versa), so curation pipelines run both. Candidate
+    * generation blocks on the first token: the pair join is EQUI-keyed
+    * on the block (hash join, never a BroadcastNestedLoop — the house
+    * `id<` rule), and the O(block²) Levenshtein stage runs inside each
+    * block only. Distances are exact small integers on both engines —
+    * no float anywhere.
+    *
+    * 100 TB: first-token blocking is the deliberate recall/cost
+    * trade (pairs differing in token 1 are invisible — the same
+    * trade LSH banding makes); block sizes follow the token
+    * frequency distribution, so a production run salts stopword
+    * blocks or pre-filters them by [[TextAnalysis]] stopword lists
+    * the way the capped inverted index in [[ngramJaccardTopK]]
+    * drops hot shingles. */
+  def editDistancePairs(documents: DataFrame, nTokens: Int = 6,
+                        maxDist: Int = 4): DataFrame = {
+    val t = documents.select(col("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, nTokens), " ").as("title"),
+      element_at(split(col("text"), " "), 1).as("tok1"))
+    t.as("x").join(t.as("y"),
+        col("x.tok1") === col("y.tok1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        levenshtein(col("x.title"), col("y.title")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -918,6 +918,43 @@ object Similarity {
           (col("n_vecs").cast("double") * lit(1e6))).as("mean_cos"))
   }
 
+  /** X2 out-of-distribution audit: every vector's cosine to its own
+    * trained IVF centroid, z-scored against its CELL's distribution —
+    * the row-level embedding-quality gate ([[ivfInertia]] is the
+    * per-cell aggregate; this flags the individual vectors a curation
+    * pass would quarantine: mislabeled points, encoder failures,
+    * corrupted rows). Same exact-integer-moment z as the rate-anomaly
+    * family (`z = (x·C − S) / √(Q·C − S²)` over int64 C,S,Q — one
+    * float division of exact integers, rounded once). Moments use
+    * 1e4-quantized cosines, NOT the display 1e6: Q sums x² ≤ 1e8 per
+    * row, so int64 holds to ~9·10¹⁰ vectors per cell — production
+    * cell sizing (n/cells ~ 10⁶) never approaches it, where 1e6
+    * units would overflow at a plausible 10⁷-vector cell.
+    *
+    * 100 TB: the training replay is the oracle form ([[annIvf]]'s
+    * serve-path note applies — production scores stored
+    * `ivfAssignments`); the moment table is O(cells) and broadcasts;
+    * the audit itself is one map-side-combined aggregation plus a
+    * broadcast join — no extra corpus shuffle. */
+  def ivfOutliers(embeddings: DataFrame, nCells: Int = 8,
+                  trainRounds: Int = 2, threshold: Double = 2.0): DataFrame = {
+    val asg = argmaxCell(withVec(embeddings),
+        trainIvfModel(embeddings, nCells, trainRounds))
+      .select(col("vec_id"), col("cell"),
+        floor(col("best") * 1e6 + 0.5).cast("long").as("q6"))
+      .withColumn("q4", expr("q6 div 100"))
+    val st = asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("c"), sum(col("q4")).as("s"),
+        sum(col("q4") * col("q4")).as("qq"))
+    asg.join(broadcast(st), Seq("cell"))
+      .filter(col("qq") * col("c") - col("s") * col("s") > 0)
+      .withColumn("z", round((col("q4") * col("c") - col("s")).cast("double") /
+        sqrt((col("qq") * col("c") - col("s") * col("s")).cast("double")), 4))
+      .select(col("vec_id"), col("cell"),
+        (col("q6").cast("double") / 1e6).as("cos_to_centroid"), col("z"),
+        (col("z") <= -threshold).as("is_outlier"))
+  }
+
   /** X2 SEMANTIC dedup (SemDeDup shape): embedding near-duplicates
     * found WITHIN trained IVF cells — the coarse quantizer is the
     * candidate generator, so the quadratic pair stage runs per cell,

@@ -502,6 +502,50 @@ object TextAnalysis {
           (col("n_bigrams").cast("double") * lit(1e6))).as("avg_logprob"))
   }
 
+  /** X3 Jelinek-Mercer interpolated LM score: per-doc average of
+    * `ln(λ·P(b|a) + (1−λ)·P(b))` — the smoothing [[bigramLogProb]]'s
+    * raw MLE lacks (an unseen-in-context but common token no longer
+    * scores the bigram floor; λ is the standard interpolation weight).
+    * The interpolated probability is computed in ONE fixed operand
+    * order (`λ·(cb/ca) + (1−λ)·(cu/T)` on exact int64 counts) before
+    * the single quantized log, so the per-(a,b) score is
+    * engine-identical and the per-doc sum is exact integer micro-nats.
+    *
+    * Two corpus scans by necessity (bigram stream + unigram counts —
+    * the unigram marginal of the bigram PREFIX counts misses each
+    * doc's final token); both are map-side-combined count shuffles,
+    * and everything downstream is vocabulary-scale. */
+  def interpLogProb(documents: DataFrame, lambdaPct: Int = 75): DataFrame = {
+    val pairs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("s"))
+      .select(col("doc_id"), col("s"),
+        slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))).as("r"))
+      .select(col("doc_id"), explode(arrays_zip(col("s"), col("r"))).as("p"))
+      .select(col("doc_id"), col("p.s").as("a"), col("p.r").as("b"))
+      .filter(col("b").isNotNull)
+    val perDoc = pairs.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("k"))
+    val cb = perDoc.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cb"))
+    val ca = cb.groupBy(col("a")).agg(sum(col("cb")).as("ca"))
+    val cu = documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val tot = cu.agg(sum(col("cu")).as("t"))
+    val lam = lambdaPct.toDouble / 100.0
+    perDoc.join(cb, Seq("a", "b")).join(ca, Seq("a"))
+      .join(cu.withColumnRenamed("tok", "b"), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("k"),
+        floor(log(lit(lam) * (col("cb").cast("double") / col("ca").cast("double")) +
+          lit(1.0 - lam) * (col("cu").cast("double") / col("t").cast("double"))) *
+          1e6 + 0.5).cast("long").as("lp6"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("k") * col("lp6")).as("lp_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("lp_micro").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e6))).as("avg_logprob"))
+  }
+
   /** X3 document-length distribution in power-of-two buckets — the
     * length report every training pipeline runs before choosing a
     * sequence length / packing budget (where is the mass: 2^5..2^6

@@ -213,6 +213,22 @@ object Windows {
           .as("best_start"))
   }
 
+  /** X6 activity heatmap: hour-of-day × day-of-week traffic matrix —
+    * the load-shape report behind capacity planning and anomaly
+    * baselines. Time cells come from PURE integer epoch arithmetic
+    * (dow = (epoch_day + 4) % 7 with 0 = Sunday — 1970-01-01 was a
+    * Thursday; hour = epoch_hour % 24), never engine calendar
+    * functions, whose week-start and timezone conventions differ
+    * across engines. One map-side-combined aggregation; output is
+    * O(168) rows at any scale. */
+  def activityHeatmap(events: DataFrame): DataFrame =
+    events.select(
+        ((expr("unix_micros(ts) div 86400000000") + 4) % 7).as("dow"),
+        (expr("unix_micros(ts) div 3600000000") % 24).as("hour"),
+        col("value"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
   /** X6 DAILY TRENDING values — per day, the top-k payload values by
     * event count with their rank (the "what is hot today" leaderboard
     * over a semi-structured property bag). The value is pulled out of

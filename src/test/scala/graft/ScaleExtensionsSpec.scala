@@ -423,6 +423,23 @@ class ScaleExtensionsSpec extends AnyFunSuite {
     assert(got === Seq(("Brand#2", "SMALL", 5, 2L)))
   }
 
+  test("revenue percentiles: ties share a rank, cume_dist counts through them") {
+    import spark.implicits._
+    val part = Seq((1L, "SMALL"), (2L, "SMALL"), (3L, "SMALL"), (4L, "LARGE"))
+      .toDF("p_partkey", "p_type")
+    // SMALL revenues: 100, 100, 300 -> pct_rank 0, 0, 1; cume 2/3, 2/3, 1
+    val li = Seq(
+      (1L, 100.0, 0.0), (2L, 100.0, 0.0), (3L, 300.0, 0.0), (4L, 50.0, 0.0)
+    ).toDF("l_partkey", "l_extendedprice", "l_discount")
+    val got = Analytics.revenuePercentiles(li, part)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._2 -> ((r._1, r._3, r._4, r._5))).toMap
+    assert(got(1L) === (("SMALL", 100.0, 0.0, 0.666667)))
+    assert(got(2L) === (("SMALL", 100.0, 0.0, 0.666667)))
+    assert(got(3L) === (("SMALL", 300.0, 1.0, 1.0)))
+    assert(got(4L) === (("LARGE", 50.0, 0.0, 1.0))) // singleton partition
+  }
+
   test("major part suppliers: strict integer share bar, nation-bound names") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")

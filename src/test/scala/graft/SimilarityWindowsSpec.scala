@@ -582,4 +582,36 @@ class SimilarityWindowsSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Int)].collect().toSeq.sortBy(_._4)
     assert(got === Seq((0L, 1, 1L, 1), (0L, 2, 3L, 2)))
   }
+
+  test("activity heatmap places epoch instants in integer dow/hour cells") {
+    import spark.implicits._
+    // 1970-01-01 (epoch day 0) was a Thursday -> dow (0+4)%7 = 4;
+    // 1970-01-04 (epoch day 3) was a Sunday -> dow (3+4)%7 = 0
+    val events = Seq(
+      (new Timestamp(0L), 1.0),                          // Thu 00:xx
+      (new Timestamp(3L * 86400000L + 3600000L), 2.0),   // Sun 01:xx
+      (new Timestamp(3L * 86400000L + 3600000L + 60000L), 3.0)
+    ).toDF("ts", "value")
+    val got = Windows.activityHeatmap(events)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((4L, 0L, 1L, 1.0), (0L, 1L, 2L, 5.0)))
+  }
+
+  test("ivf outliers: the planted off-axis vector is the only flag in its cell") {
+    import spark.implicits._
+    // cell seeds: vec 0 (+x) and vec 1 (+y). Eight tight +x vectors,
+    // one at 30 degrees (nearer +x than +y, so it trains and scores in
+    // the +x cell), three tight +y. The 30-degree vector is the sole
+    // z <= -2 outlier.
+    val tight = (2L to 8L).map(i => (i, Array(1f, (i % 3 - 1) * 0.02f), 0))
+    val emb = (Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (9L, Array(0.866f, 0.5f), 0),
+      (10L, Array(0.02f, 1f), 0), (11L, Array(-0.02f, 1f), 0)
+    ) ++ tight).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfOutliers(emb, nCells = 2, trainRounds = 2)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(9L), "the off-axis vector must flag")
+    assert(got.filter(_._2).keySet === Set(9L))
+  }
 }

@@ -900,4 +900,25 @@ class TextDedupSpec extends AnyFunSuite {
     // single-token doc: no bigram → NULLs, not a crash or a zero
     assert(got(2) === ((3L, 1L, 0.0, None, None)))
   }
+
+  test("interpolated logprob smooths the MLE-certain bigram toward the unigram") {
+    import spark.implicits._
+    // corpus "a b" x2: P(b|a)=1, P(b)=1/2 -> ln(0.75 + 0.25*0.5) =
+    // ln(0.875) = -0.13353139... -> lp6 = -133531
+    val got = TextAnalysis.interpLogProb(docs((1L, "a b"), (2L, "a b")))
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, 1L, -0.133531), (2L, 1L, -0.133531)))
+  }
+
+  test("edit pairs: blocked Levenshtein finds typo titles, cross-block pairs invisible") {
+    import spark.implicits._
+    val got = Dedup.editDistancePairs(docs(
+      (1L, "spark query plan runs fast here x"),
+      (2L, "spark query plan runs slow here y"),   // title dist 4 ("fast"→"slow")
+      (3L, "spark wholly different title text z"), // same block, dist > 4
+      (4L, "flink query plan runs fast here x")    // first token differs → unseen
+    ), nTokens = 6, maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 4L)))
+  }
 }
