@@ -262,6 +262,8 @@ object SparkEntry {
     "x2_pq_codebook" -> ((s, d) => Similarity.pqCodebook(t(s, d, "embeddings"))),
     // the compressed corpus: m codes per vector, min_by argmin pinned
     "x2_pq_codes" -> ((s, d) => Similarity.pqCodes(t(s, d, "embeddings"))),
+    // per-subspace quantization-error audit of the trained codebook
+    "x2_pq_distortion" -> ((s, d) => Similarity.pqDistortion(t(s, d, "embeddings"))),
     // ADC search: code table + broadcast LUT, raw vectors never read
     "x2_ann_pq" -> ((s, d) => Similarity.pqAdcTopK(t(s, d, "embeddings"))),
     // the production serve shape: ADC shortlist -> exact re-rank of S rows
@@ -402,7 +404,7 @@ object SparkEntry {
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_pq",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
     "x2_ivf_recall", "x2_ood",
-    "x2_pq_codebook", "x2_pq_codes", "x2_semdedup",
+    "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
     "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_overlap",
     "x6_anomaly_serve",
@@ -2264,6 +2266,59 @@ object SparkEntry {
            FROM sn q JOIN k2 c ON c.sub = q.sub)
          SELECT vec_id, CAST(sub AS BIGINT) AS sub, code
          FROM r3 WHERE rn = 1""",
+    "x2_pq_distortion" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         c0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         k0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c0),
+         r1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k0 c ON c.sub = q.sub),
+         a1 AS (SELECT vec_id, sub, code, s FROM r1 WHERE rn = 1),
+         d1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a1),
+         s1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d1 GROUP BY sub, code, pos),
+         u1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s1 GROUP BY sub, code),
+         c1 AS (SELECT c0.sub, c0.code, coalesce(u1.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code),
+         k1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c1),
+         r2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k1 c ON c.sub = q.sub),
+         a2 AS (SELECT vec_id, sub, code, s FROM r2 WHERE rn = 1),
+         d2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a2),
+         s2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d2 GROUP BY sub, code, pos),
+         u2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s2 GROUP BY sub, code),
+         c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u2 ON u2.sub = c1.sub AND u2.code = c1.code),
+         k2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c2),
+         r3 AS (SELECT q.vec_id, q.sub,
+             q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+               (x,y) -> x+y) + c.cn2 AS dist
+           FROM sn q JOIN k2 c ON c.sub = q.sub),
+         md AS (SELECT vec_id, sub,
+             CAST(floor(min(dist) * 1000000 + 0.5) AS BIGINT) AS q
+           FROM r3 GROUP BY vec_id, sub)
+         SELECT CAST(sub AS BIGINT) AS sub, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0) AS mean_dist,
+           CAST(max(q) AS DOUBLE) / 1000000.0 AS max_dist
+         FROM md GROUP BY sub""",
     "x2_ann_pq" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -1173,6 +1173,44 @@ object Similarity {
     pqCodesAgainst(embeddings, trainPqModel(embeddings, m, k, rounds, dims),
       m, dims)
 
+  /** X2 PQ distortion audit — per subspace, the mean and max L2²
+    * quantization error of the trained codebook over the corpus: the
+    * "is (m, k) enough" gate run before a PQ index replaces exact
+    * vectors (distortion concentrating in one subspace means that
+    * slice of the embedding carries structure 16 codewords cannot
+    * represent — raise k or re-split). Completes the audit symmetry:
+    * recall audits judge the SEARCH quality, this judges the
+    * COMPRESSION quality feeding it. The per-(vector, subspace) min
+    * distance is order-free (`min` over an identical candidate set,
+    * distances bit-identical via the expanded compiled fold);
+    * per-subspace means quantize each min to integer micro-units
+    * first — the float-sum-order lesson.
+    *
+    * 100 TB: one broadcast-codebook join + two aggregations, O(m)
+    * output rows; training replay is the oracle form (production
+    * audits a STORED codebook via the same frame with
+    * [[trainPqModel]]'s output passed in). */
+  def pqDistortion(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                   rounds: Int = 2, dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cb = trainPqModel(embeddings, m, k, rounds, dims)
+    subvectors(withVec(embeddings), m, dims / m)
+      .join(broadcast(pqCodebookDF(spark, cb)), Seq("sub"))
+      .withColumn("dist",
+        col("sn2") - lit(2.0) * dot_product(col("sv"), col("cv")) + col("cn2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dist")).as("d"))
+      .select(col("sub").cast("long").as("sub"),
+        floor(col("d") * 1e6 + 0.5).cast("long").as("q"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("s"),
+        max(col("q")).as("mx"))
+      .select(col("sub"), col("n_vecs"),
+        (col("s").cast("double") / (col("n_vecs").cast("double") * lit(1e6)))
+          .as("mean_dist"),
+        (col("mx").cast("double") / 1e6).as("max_dist"))
+  }
+
   /** The SERVE path of PQ encoding — encode a batch against a STORED
     * codebook ([[trainPqModel]]'s output), the train-once / reuse form
     * every model artifact here carries (`trainIvfModel` →

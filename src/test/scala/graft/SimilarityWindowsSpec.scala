@@ -583,6 +583,22 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got === Seq((0L, 1, 1L, 1), (0L, 2, 3L, 2)))
   }
 
+  test("pq distortion is exactly zero when the corpus has only codebook vectors") {
+    import spark.implicits._
+    // 32 vectors that duplicate the 16 seed vectors: Lloyd converges to
+    // the seeds themselves, every subvector sits ON its codeword
+    val emb = (0L until 32L).map { i =>
+      val seed = (i % 16).toInt
+      (i, Array.tabulate(64)(d => (seed * 64 + d).toFloat / 1024f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.pqDistortion(emb)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length === 8)
+    assert(got.forall(r => r._2 === 32L))
+    assert(got.forall(r => r._3 === 0.0 && r._4 === 0.0),
+      got.mkString(", "))
+  }
+
   test("activity heatmap places epoch instants in integer dow/hour cells") {
     import spark.implicits._
     // 1970-01-01 (epoch day 0) was a Thursday -> dow (0+4)%7 = 4;
