@@ -45,12 +45,20 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else readParquet(spark, s"$sfDir/$name.parquet")
 
-  /** The driver's `events` table stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark 4 rejects by default
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as Long and truncate to
-    * microseconds — the same truncation DuckDB's `epoch_us` applies, so
-    * oracle comparisons on event time stay exact (the driver data is
-    * µs-aligned anyway).
+  /** The driver's `events` table has stored `ts` as parquet
+    * TIMESTAMP(NANOS) in some corpus generations (which Spark 4
+    * rejects by default — PARQUET_TYPE_ILLEGAL) and as naive
+    * TIMESTAMP(MICROS) in others. Normalize BOTH to a session
+    * `TimestampType` of the same absolute microseconds DuckDB's
+    * `epoch_us` sees, keyed on the type the footer actually carries:
+    *
+    *  - INT64 nanos (read as Long under the scoped legacy flag):
+    *    truncate integer-exactly to µs — `timestamp_micros(ts div
+    *    1000)` — the same truncation `epoch_us` applies.
+    *  - TIMESTAMP_NTZ (isAdjustedToUTC=false µs): cast wall-clock to
+    *    TimestampType. Every entrypoint pins
+    *    `spark.sql.session.timeZone=UTC`, so the cast attaches UTC —
+    *    exactly how the oracle treats the same naive values.
     *
     * The legacy-nanos flag is scoped to this read: it is restored to
     * its previous value once the scan's plan is resolved, so other
@@ -62,8 +70,14 @@ object Tables {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      readParquet(spark, s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = readParquet(spark, s"$sfDir/events.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
