@@ -235,6 +235,10 @@ object SparkEntry {
       t(s, d, "documents").filter("doc_id < 100"),
       t(s, d, "documents").filter("doc_id >= 100"))),
     "x4_dup_stats" -> ((s, d) => Dedup.dupStats(t(s, d, "documents"))),
+    // verbatim 8-token-window overlap: per-doc duplicated-span fraction
+    "x4_span_dedup" -> ((s, d) => Dedup.duplicatedSpans(t(s, d, "documents"))),
+    // pair drill-down of the span overlap, df-capped against stop-spans
+    "x4_span_pairs" -> ((s, d) => Dedup.spanSharedPairs(t(s, d, "documents"))),
     // the materialized index-side artifact of incremental near-dedup:
     // one bucket-min row per (band, key) over the whole corpus
     "x4_band_index" -> ((s, d) => Dedup.bandIndex(t(s, d, "documents"))
@@ -370,6 +374,9 @@ object SparkEntry {
     "x6_bot_score" -> ((s, d) => Profiling.botScore(t(s, d, "events"))),
     // hour-of-day x day-of-week load shape, pure integer epoch cells
     "x6_heatmap" -> ((s, d) => Windows.activityHeatmap(t(s, d, "events"))),
+    // engine-portable HyperLogLog: per-day distinct-user estimate whose
+    // sketch (registers, integer harmonic sum) both engines reproduce
+    "x6_hll_users" -> ((s, d) => Profiling.hllUsers(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -1344,6 +1351,29 @@ object SparkEntry {
            FROM sig, (SELECT unnest(range(4)) AS b))
          SELECT b AS band, key, min(doc_id) AS match_id
          FROM bd GROUP BY b, key""",
+    "x4_span_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7),
+             i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)) AS BIGINT)))) AS sh
+           FROM tk WHERE len(t) >= 8),
+         shared AS (SELECT sh, count(*) AS ndocs FROM sp GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           round(CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) AS dup_frac
+         FROM sp JOIN shared USING (sh) GROUP BY 1""",
+    "x4_span_pairs" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7),
+             i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)) AS BIGINT)))) AS sh
+           FROM tk WHERE len(t) >= 8),
+         shared AS (SELECT sh, count(*) AS ndocs FROM sp GROUP BY 1),
+         kept AS (SELECT doc_id, sp.sh FROM sp JOIN shared USING (sh)
+           WHERE ndocs BETWEEN 2 AND 16)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50""",
     "x4_dup_stats" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          t AS (SELECT doc_id, list_transform(
@@ -3161,6 +3191,32 @@ object SparkEntry {
            type_entropy,
            (events_per_day > 2.5 AND type_entropy < 1.58) AS bot_flag
          FROM j""",
+    "x6_hll_users" ->
+      """WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 2147483647 AS h
+           FROM events),
+         reg AS (SELECT day, h & 63 AS j,
+             MAX(CASE WHEN h >> 6 = 0 THEN 26
+                 ELSE 26 - length(bin(h >> 6)) END) AS reg
+           FROM h GROUP BY 1, 2),
+         grid AS (SELECT d.day, gg.j, COALESCE(reg.reg, 0) AS reg
+           FROM (SELECT DISTINCT day FROM h) d
+           CROSS JOIN (SELECT unnest(range(64)) AS j) gg
+           LEFT JOIN reg ON reg.day = d.day AND reg.j = gg.j),
+         s AS (SELECT day,
+             CAST(SUM(CAST(1 AS BIGINT) << (26 - reg)) AS BIGINT) AS z,
+             CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+           FROM grid GROUP BY 1),
+         ex AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM h GROUP BY 1),
+         est AS (SELECT day, n_exact, v AS v_empty,
+             CASE WHEN v > 0 AND 0.709::DOUBLE * 64 * 64 * 67108864.0 / z <= 160.0
+               THEN 64.0 * ln(64.0 / v)
+               ELSE 0.709::DOUBLE * 64 * 64 * 67108864.0 / z END AS e
+           FROM s JOIN ex USING (day))
+         SELECT day, n_exact, v_empty, round(e, 4) AS hll_users,
+           round((e - n_exact) / n_exact, 6) AS rel_err
+         FROM est""",
     "x6_heatmap" ->
       """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
            (epoch_us(ts) // 3600000000) % 24 AS hour,

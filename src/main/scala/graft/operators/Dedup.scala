@@ -789,4 +789,72 @@ object Dedup {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         levenshtein(col("x.title"), col("y.title")).cast("long").as("dist"))
   }
+
+  /** Span window width for [[duplicatedSpans]]/[[spanSharedPairs]] —
+    * verbatim runs this long are near-certainly copied, not
+    * coincidental (the substring-dedup literature's 50-token windows
+    * scaled to this corpus's short docs). */
+  val SpanLen = 8
+
+  /** X4 duplicated-SPAN detection — the verbatim-substring dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better") that document-level dedup cannot see: boilerplate
+    * headers, quoted passages, and templated sections shared across
+    * otherwise-distinct docs. Every distinct [[SpanLen]]-token window
+    * of each doc is hashed by the compiled [[ShingleHashes]] kernel
+    * (60-bit md5, no per-element interpreted lambda); a span is
+    * DUPLICATED iff it occurs in ≥ 2 docs (windows are distinct per
+    * doc, so the span's row count IS its doc frequency). Per-doc
+    * report: distinct spans, duplicated spans, duplicated fraction —
+    * the gate score a curation pass thresholds on.
+    *
+    * 100 TB: the explicit `repartition(sh)` is the ONE exchange the
+    * doc-frequency aggregate and the join back both reuse
+    * (ReuseExchange — the [[minhashBandPairs]] pattern); span-hash
+    * cardinality grows with the corpus (no planner hot key), and the
+    * boilerplate spans that DO repeat millions of times stay 1:1 rows
+    * on the probe side (each (doc, span) row picks up one count), so
+    * skew is bounded by doc length, not span frequency. Final per-doc
+    * rollup is a second map-side-combining shuffle on doc_id. */
+  def duplicatedSpans(documents: DataFrame): DataFrame = {
+    val spans = wideEnough(documents, SpanLen)
+      .select(col("doc_id"),
+        explode(shingle_hashes(col("text"), SpanLen, 0L)).as("sh"))
+      .repartition(col("sh"))
+    val shared = spans.groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))
+    spans.join(shared, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") /
+          col("n_spans").cast("double"), 6).as("dup_frac"))
+  }
+
+  /** X4 top shared-span doc pairs — WHICH documents share verbatim
+    * runs (the per-pair drill-down of [[duplicatedSpans]]'s per-doc
+    * score). Spans in more than `maxDf` docs are dropped first as
+    * stop-spans: a boilerplate line in 10⁶ docs would otherwise
+    * contribute 10¹² pairs while saying nothing about any single pair
+    * — the cap bounds the self-join at `maxDf²/2` rows per span, the
+    * same df-capping every inverted-index pair miner runs at scale.
+    * Equi-keyed self-join on the span hash (hash join, never a
+    * BroadcastNestedLoop); integer count ordering with full id
+    * tie-breaks. */
+  def spanSharedPairs(documents: DataFrame, maxDf: Int = 16,
+                      k: Int = 50): DataFrame = {
+    val spans = wideEnough(documents, SpanLen)
+      .select(col("doc_id"),
+        explode(shingle_hashes(col("text"), SpanLen, 0L)).as("sh"))
+      .repartition(col("sh"))
+    val kept = spans.join(
+      spans.groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs").between(2, maxDf)), Seq("sh"))
+    kept.as("a").join(kept.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
 }

@@ -182,6 +182,60 @@ object Profiling {
       expr(s"round(approx_percentile($numericCol, 0.99, 10000), 4)").as("p99"),
       count(lit(1)).as("n"))
 
+  /** X6 engine-portable HyperLogLog distinct-users-per-day — the
+    * sketch the EXACT `countDistinct` cannot be at 100 TB: per-day
+    * state is 64 small integers (registers), mergeable across
+    * partitions/days/clusters, vs a distinct-user shuffle whose state
+    * is the user set itself. Unlike `approx_count_distinct` (whose
+    * sketch is engine-internal), every step here is reproducible
+    * arithmetic both engines run identically, so the ESTIMATE is
+    * oracle-checkable:
+    *
+    *  - 31-bit md5-derived hash (the house scheme, [[Dedup]]):
+    *    6 bucket bits (m = 64 registers) + a 25-bit register word.
+    *  - rho = leading-zero rank via `length(bin(w))` — integer string
+    *    ops, no float log2 anywhere near a boundary.
+    *  - Σ 2^−M_j folded as INTEGER Z = Σ 2^(26−M_j) (absent registers
+    *    contribute 2^26), so the harmonic sum is exact int64 and
+    *    fold-order-free; the only floats are the final α·m²·2^26 / Z
+    *    and the standard linear-counting branch m·ln(m/V) for small
+    *    ranges — identical operand order in both engines, `round(_,4)`.
+    *
+    * 100 TB plan: one shuffle of (day, register) partial maxes
+    * (map-side combine collapses each partition to ≤ 64·days rows),
+    * then O(days·64) everything. The register grid cross join is
+    * O(days)×64 — constant-side broadcast. */
+  def hllUsers(events: DataFrame): DataFrame = {
+    val base = events.select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      col("user_id"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % lit(2147483647L)).as("h"))
+    val regs = base
+      .select(col("day"), col("h").bitwiseAND(lit(63L)).as("j"),
+        when(shiftright(col("h"), 6) === 0, lit(26))
+          .otherwise(lit(26) - length(bin(shiftright(col("h"), 6)))).as("rho"))
+      .groupBy(col("day"), col("j")).agg(max(col("rho")).as("reg"))
+    val grid = base.select(col("day")).distinct()
+      .crossJoin(events.sparkSession.range(64).toDF("j"))
+      .join(regs, Seq("day", "j"), "left")
+      .select(col("day"), coalesce(col("reg"), lit(0)).as("reg"))
+    val sums = grid.groupBy(col("day")).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 26 - reg)")).as("z"),
+      sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_empty"))
+    val exact = base.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val raw = lit(0.709) * lit(64.0) * lit(64.0) * lit(67108864.0) /
+      col("z").cast("double")
+    val est = when(col("v_empty") > 0 && raw <= lit(160.0),
+      lit(64.0) * log(lit(64.0) / col("v_empty").cast("double"))).otherwise(raw)
+    sums.join(exact, Seq("day"))
+      .select(col("day"), col("n_exact"), col("v_empty"),
+        round(est, 4).as("hll_users"),
+        round((est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6).as("rel_err"))
+  }
+
   /** Behavioral bot audit over the event stream: per user, the volume
     * (events, active days, events/day) and DIVERSITY (event-type
     * entropy) signals a traffic-quality gate runs before events feed a

@@ -99,4 +99,31 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(got(2L)._6 - math.log(4)) < 1e-5)
     assert(!got(2L)._7)
   }
+
+  test("portable HLL estimate tracks exact distinct within sketch error") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // day 1: 400 distinct users (raw-estimate branch territory for
+    // m=64); day 2: 3 users (linear-counting branch)
+    val rows =
+      (1 to 400).map(u => (u.toLong, ts("2024-01-01 10:00:00"))) ++
+        Seq((7L, ts("2024-01-02 10:00:00")), (8L, ts("2024-01-02 11:00:00")),
+          (9L, ts("2024-01-02 12:00:00")), (7L, ts("2024-01-02 13:00:00")))
+    val events = rows.toDF("user_id", "ts")
+    val got = Profiling.hllUsers(events)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size === 2)
+    val (big, small) = (got(19723L), got(19724L)) // epoch days
+    assert(big._2 === 400L)
+    // m=64 standard error is 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(big._5) < 0.4, s"day-1 rel_err ${big._5}")
+    assert(small._2 === 3L)
+    assert(small._3 > 0L) // empty registers -> linear counting ran
+    assert(math.abs(small._5) < 0.4, s"day-2 rel_err ${small._5}")
+    // duplicate events of one user must not move the sketch
+    val dup = (rows ++ rows).toDF("user_id", "ts")
+    assert(Profiling.hllUsers(dup).as[(Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r._4).toMap ===
+      got.map { case (k, v) => k -> v._4 })
+  }
 }

@@ -921,4 +921,33 @@ class TextDedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 2L, 4L)))
   }
+
+  test("span dedup: shared 8-token runs flagged, within-doc repeats count once") {
+    val d = docs(
+      (1L, "a b c d e f g h i j"),       // 3 windows, one shared with doc 2
+      (2L, "z a b c d e f g h q"),       // 3 windows, shares "a b c d e f g h"
+      (3L, "m n o p q r s t"),           // exactly 8 tokens, unique span
+      (4L, "too short"),                 // < 8 tokens -> absent
+      (5L, "a b c d e f g h a b c d e f g h")) // within-doc repeat
+    val got = Dedup.duplicatedSpans(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(4L))
+    assert(got(1L)._2 === 3L && got(1L)._3 === 1L)
+    assert(got(1L)._4 === 0.333333)
+    assert(got(2L)._2 === 3L && got(2L)._3 === 1L)
+    assert(got(3L)._2 === 1L && got(3L)._3 === 0L)
+    // doc 5 has 9 window positions but the repeated "a b c..h" span is
+    // ONE distinct span; it is shared with docs 1 and 2
+    assert(got(5L)._2 === 8L && got(5L)._3 === 1L)
+    val pairs = Dedup.spanSharedPairs(d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1L), (1L, 5L, 1L), (2L, 5L, 1L)))
+  }
+
+  test("span pairs: stop-spans above the df cap generate no pairs") {
+    val d = docs((1L to 18L).map(i => (i, "s1 s2 s3 s4 s5 s6 s7 s8")): _*)
+    assert(Dedup.spanSharedPairs(d, maxDf = 16).count() === 0L)
+    // at a permissive cap the same corpus pairs fully: C(18,2)
+    assert(Dedup.spanSharedPairs(d, maxDf = 18, k = 200).count() === 153L)
+  }
 }
