@@ -377,6 +377,9 @@ object SparkEntry {
     // engine-portable HyperLogLog: per-day distinct-user estimate whose
     // sketch (registers, integer harmonic sum) both engines reproduce
     "x6_hll_users" -> ((s, d) => Profiling.hllUsers(t(s, d, "events"))),
+    // the merge property in the gate: per-day registers MAX-fold into
+    // one global sketch without re-reading raw rows
+    "x6_hll_global" -> ((s, d) => Profiling.hllUsersGlobal(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -3215,6 +3218,32 @@ object SparkEntry {
                ELSE 0.709::DOUBLE * 64 * 64 * 67108864.0 / z END AS e
            FROM s JOIN ex USING (day))
          SELECT day, n_exact, v_empty, round(e, 4) AS hll_users,
+           round((e - n_exact) / n_exact, 6) AS rel_err
+         FROM est""",
+    "x6_hll_global" ->
+      """WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 2147483647 AS h
+           FROM events),
+         reg0 AS (SELECT day, h & 63 AS j,
+             MAX(CASE WHEN h >> 6 = 0 THEN 26
+                 ELSE 26 - length(bin(h >> 6)) END) AS reg
+           FROM h GROUP BY 1, 2),
+         reg AS (SELECT j, MAX(reg) AS reg FROM reg0 GROUP BY 1),
+         grid AS (SELECT gg.j, COALESCE(reg.reg, 0) AS reg
+           FROM (SELECT unnest(range(64)) AS j) gg
+           LEFT JOIN reg ON reg.j = gg.j),
+         s AS (SELECT
+             CAST(SUM(CAST(1 AS BIGINT) << (26 - reg)) AS BIGINT) AS z,
+             CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+           FROM grid),
+         ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM h),
+         est AS (SELECT n_exact, v AS v_empty,
+             CASE WHEN v > 0 AND 0.709::DOUBLE * 64 * 64 * 67108864.0 / z <= 160.0
+               THEN 64.0 * ln(64.0 / v)
+               ELSE 0.709::DOUBLE * 64 * 64 * 67108864.0 / z END AS e
+           FROM s, ex)
+         SELECT n_exact, v_empty, round(e, 4) AS hll_users,
            round((e - n_exact) / n_exact, 6) AS rel_err
          FROM est""",
     "x6_heatmap" ->

@@ -236,6 +236,42 @@ object Profiling {
           col("n_exact").cast("double"), 6).as("rel_err"))
   }
 
+  /** The MERGE property of [[hllUsers]], inside the hard oracle gate:
+    * global distinct users estimated by MAX-folding the per-day
+    * register tables into one sketch — the exact operation a
+    * 1000-executor rollup (or a month-over-month re-aggregation of
+    * stored per-day sketches) runs, without ever touching the raw
+    * rows again. Estimate arithmetic identical to [[hllUsers]]. */
+  def hllUsersGlobal(events: DataFrame): DataFrame = {
+    val base = events.select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      col("user_id"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % lit(2147483647L)).as("h"))
+    val regsDay = base
+      .select(col("day"), col("h").bitwiseAND(lit(63L)).as("j"),
+        when(shiftright(col("h"), 6) === 0, lit(26))
+          .otherwise(lit(26) - length(bin(shiftright(col("h"), 6)))).as("rho"))
+      .groupBy(col("day"), col("j")).agg(max(col("rho")).as("reg"))
+    val merged = regsDay.groupBy(col("j")).agg(max(col("reg")).as("reg"))
+    val grid = events.sparkSession.range(64).toDF("j")
+      .join(merged, Seq("j"), "left")
+      .select(coalesce(col("reg"), lit(0)).as("reg"))
+    val sums = grid.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 26 - reg)")).as("z"),
+      sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_empty"))
+    val exact = base.agg(countDistinct(col("user_id")).as("n_exact"))
+    val raw = lit(0.709) * lit(64.0) * lit(64.0) * lit(67108864.0) /
+      col("z").cast("double")
+    val est = when(col("v_empty") > 0 && raw <= lit(160.0),
+      lit(64.0) * log(lit(64.0) / col("v_empty").cast("double"))).otherwise(raw)
+    sums.crossJoin(exact)
+      .select(col("n_exact"), col("v_empty"),
+        round(est, 4).as("hll_users"),
+        round((est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6).as("rel_err"))
+  }
+
   /** Behavioral bot audit over the event stream: per user, the volume
     * (events, active days, events/day) and DIVERSITY (event-type
     * entropy) signals a traffic-quality gate runs before events feed a

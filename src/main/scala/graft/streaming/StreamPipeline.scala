@@ -453,6 +453,68 @@ object StreamPipeline {
       .select(unix_micros(col("w.start")).as("ws_us"),
         col("n_users"), col("n_events"))
 
+  /** X6 streaming HyperLogLog distinct users per day — the streaming
+    * form of [[graft.operators.Profiling.hllUsers]], and the proof of
+    * that sketch's design claim: registers MERGE, so continuous
+    * ingestion is just per-key max-folding. State per day key is the
+    * 64-register int array (constant size, no user set anywhere), via
+    * `flatMapGroupsWithState` — chained streaming aggregations
+    * (register max, then harmonic sum) would need two stateful aggs,
+    * which structured streaming rejects; one custom-state operator
+    * holds the registers and re-emits the day's refreshed estimate
+    * each batch (Update mode).
+    *
+    * The hash/rho/estimate arithmetic is IDENTICAL to the batch
+    * operator (hash and rho computed in the plan with the same column
+    * expressions; the estimate re-derived in Scala with the same
+    * operand order and HALF_UP 4-digit rounding), pinned by
+    * StreamingSpec: after processAllAvailable the last emitted row per
+    * day equals the batch operator's `(day, hll_users)` exactly.
+    *
+    * No timeout: day keys are naturally bounded (one per day of event
+    * time) and a sketch row is the thing you KEEP; a retention window
+    * would evict days past it with the [[milestoneAlerts]] timer
+    * discipline. */
+  def hllUsersStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hashed = events.select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % lit(2147483647L)).as("h"))
+      .select(col("day"),
+        col("h").bitwiseAND(lit(63L)).cast("int").as("j"),
+        when(shiftright(col("h"), 6) === 0, lit(26))
+          .otherwise(lit(26) - length(bin(shiftright(col("h"), 6))))
+          .cast("int").as("rho"))
+      .as[(Long, Int, Int)]
+    hashed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (day: Long, it: Iterator[(Long, Int, Int)],
+       state: GroupState[(Array[Int], Long)]) =>
+        var (regs, n) = state.getOption.getOrElse((new Array[Int](64), 0L))
+        it.foreach { case (_, j, rho) =>
+          n += 1
+          if (rho > regs(j)) regs(j) = rho
+        }
+        state.update((regs, n))
+        var z = 0L; var v = 0
+        var i = 0
+        while (i < 64) {
+          z += 1L << (26 - regs(i))
+          if (regs(i) == 0) v += 1
+          i += 1
+        }
+        // same operand order as the batch estimate expression
+        val raw = 0.709 * 64.0 * 64.0 * 67108864.0 / z.toDouble
+        val est = if (v > 0 && raw <= 160.0) 64.0 * math.log(64.0 / v) else raw
+        val rounded = BigDecimal(est)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Iterator.single((day, n, rounded))
+    }.toDF("day", "n_events", "hll_users")
+  }
+
   /** X6 streaming session windows (native session_window operator). */
   def sessionCounts(events: DataFrame, watermark: String = "10 minutes",
                     gap: String = "5 minutes"): DataFrame =

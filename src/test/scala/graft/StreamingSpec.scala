@@ -809,4 +809,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(got2 === Set((7L, 2L, 11.0, 1L), (7L, 4L, 21.0, 2L)))
     } finally q.stop()
   }
+
+  test("streaming HLL folds registers across batches to the batch sketch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.hllUsersStream(mem.toDF())
+      .writeStream.format("memory").queryName("hll_mem")
+      .outputMode("update").start()
+    try {
+      val day1 = (1 to 120).map(u =>
+        UserEvent(u, Timestamp.valueOf("2024-01-01 08:00:00"), u, "click", 1.0))
+      val day2 = (1 to 5).map(u =>
+        UserEvent(200 + u, Timestamp.valueOf("2024-01-02 09:00:00"),
+          1000L + u, "view", 1.0))
+      // split day 1 across two micro-batches: the second fold must
+      // merge into the first batch's persisted registers
+      mem.addData(day1.take(60): _*)
+      q.processAllAvailable()
+      mem.addData((day1.drop(60) ++ day2): _*)
+      q.processAllAvailable()
+      val rows = spark.table("hll_mem").as[(Long, Long, Double)].collect()
+      // day 1 was emitted twice (update mode), with growing fold count
+      assert(rows.count(_._1 === 19723L) === 2)
+      val latest = rows.groupBy(_._1)
+        .map { case (d, rs) => d -> rs.maxBy(_._2)._3 }
+      val batch = graft.operators.Profiling.hllUsers((day1 ++ day2).toDF())
+        .select(col("day"), col("hll_users"))
+        .as[(Long, Double)].collect().toMap
+      assert(latest === batch)
+    } finally q.stop()
+  }
 }
