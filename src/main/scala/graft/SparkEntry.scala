@@ -318,6 +318,8 @@ object SparkEntry {
     // flagship composition: dedup -> quality filter -> decontaminate ->
     // shard pack, hash-verified END TO END (stage coupling included)
     "x7_curate" -> ((s, d) => Curation.curate(t(s, d, "documents"))),
+    // curate with the verbatim-span gate between decontam and packing
+    "x7_curate_verbatim" -> ((s, d) => Curation.curateVerbatim(t(s, d, "documents"))),
     "x7_curate_neardup" -> ((s, d) =>
       Curation.curate(t(s, d, "documents"), nearDedup = true)),
     // per-stage attrition accounting of the curation chain
@@ -2636,6 +2638,48 @@ object SparkEntry {
              CAST(sum(len(string_split(text,' '))) OVER (PARTITION BY source
                ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
            FROM d3)
+         SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
+         FROM packed""",
+    "x7_curate_verbatim" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
+         q AS (SELECT doc_id, round(
+             0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+             0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                    CAST(len(string_split(text,' ')) AS DOUBLE)) +
+             0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                    CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM d1),
+         r AS (SELECT d.doc_id,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality, d.doc_id), 6) AS pr
+           FROM d1 d JOIN q ON d.doc_id = q.doc_id),
+         d2 AS (SELECT d1.* FROM d1 JOIN r ON d1.doc_id = r.doc_id
+           WHERE r.pr >= 0.5 AND d1.doc_id >= 50),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+         d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM ov)),
+         sp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7),
+             i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)) AS BIGINT)))) AS spanh
+           FROM tk WHERE len(t) >= 8),
+         spdf AS (SELECT spanh, count(*) AS ndocs FROM sp GROUP BY 1),
+         spflag AS (SELECT doc_id FROM sp JOIN spdf USING (spanh)
+           GROUP BY 1
+           HAVING round(CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) > 0.5),
+         d4 AS (SELECT * FROM d3 WHERE doc_id NOT IN (SELECT doc_id FROM spflag)),
+         packed AS (SELECT doc_id, lang, source,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(text,' '))) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM d4)
          SELECT doc_id, source, n_tokens,
            CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
          FROM packed""",

@@ -146,6 +146,28 @@ object Curation {
                        quota: Int = 100): DataFrame =
     Sampling.curriculum(cleanSurvivors(documents, nBench, nearDedup = false), quota)
 
+  /** [[curate]] with the VERBATIM-SPAN gate added between
+    * decontamination and packing: survivors whose duplicated-span
+    * fraction ([[Dedup.duplicatedSpans]], computed over the ORIGINAL
+    * corpus so the score matches the standalone report) exceeds
+    * `maxDupFrac` are dropped — templated/boilerplate-heavy docs that
+    * survive exact dedup byte-distinct but contribute near-zero novel
+    * text. Docs too short to carry a span have no score and pass (the
+    * quality gate owns short docs). The threshold compares the ROUNDED
+    * fraction (house rule), and the drop is a left-anti join against
+    * an O(flagged) frame — one extra broadcast-size probe on the lazy
+    * chain. */
+  def curateVerbatim(documents: DataFrame, nBench: Long = 50L,
+                     shardBudget: Long = 500L,
+                     maxDupFrac: Double = 0.5): DataFrame = {
+    val flagged = Dedup.duplicatedSpans(documents)
+      .filter(col("dup_frac") > maxDupFrac).select(col("doc_id"))
+    Sampling.packShards(
+      cleanSurvivors(documents, nBench, nearDedup = false)
+        .join(flagged, Seq("doc_id"), "left_anti"),
+      shardBudget, extraCols = Seq("lang"))
+  }
+
   /** Stages 1–3 shared by [[curate]] and [[curateBudget]]: exact (or
     * exact+near) dedup → per-language quality percentile → benchmark
     * decontamination. Returns the full-width survivor frame. */
