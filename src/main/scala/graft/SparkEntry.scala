@@ -214,6 +214,9 @@ object SparkEntry {
     "x1_systematic_sample" -> ((s, d) =>
       Sampling.systematicSample(t(s, d, "documents"))),
     "x1_temperature" -> ((s, d) => Sampling.temperatureSample(t(s, d, "documents"))),
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // deterministic exponential race, integer micro-unit keys
+    "x1_weighted_sample" -> ((s, d) => Sampling.weightedSample(t(s, d, "documents"))),
     "x3_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(t(s, d, "documents"))),
     // --- X1/X4 dedup ---
     "x1_first_event" -> ((s, d) => Dedup.firstEventPerKey(t(s, d, "events"))),
@@ -1663,6 +1666,16 @@ object SparkEntry {
          SELECT doc_id, n_tokens, cum,
            (cum // 997) - ((cum - n_tokens) // 997) AS n_ticks
          FROM c WHERE (cum // 997) > ((cum - n_tokens) // 997)""",
+    "x1_weighted_sample" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 2147483647 AS h
+           FROM documents)
+         SELECT doc_id, n_tokens,
+           CAST(floor(ln((h + 1) / 2147483647.0) / n_tokens * 1e6 + 0.5)
+             AS BIGINT) AS lk6
+         FROM s ORDER BY lk6 DESC, doc_id LIMIT 20""",
     "q_decay_trend" ->
       """WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
          r AS (SELECT o_orderkey, date_diff('day', o_orderdate, max_d) // 7 AS w
@@ -3288,7 +3301,8 @@ object SparkEntry {
                ELSE 0.709::DOUBLE * 64 * 64 * 67108864.0 / z END AS e
            FROM s, ex)
          SELECT n_exact, v_empty, round(e, 4) AS hll_users,
-           round((e - n_exact) / n_exact, 6) AS rel_err
+           round(CASE WHEN n_exact = 0 THEN 0.0
+             ELSE (e - n_exact) / n_exact END, 6) AS rel_err
          FROM est""",
     "x6_heatmap" ->
       """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,

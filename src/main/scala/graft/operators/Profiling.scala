@@ -268,8 +268,12 @@ object Profiling {
     sums.crossJoin(exact)
       .select(col("n_exact"), col("v_empty"),
         round(est, 4).as("hll_users"),
-        round((est - col("n_exact").cast("double")) /
-          col("n_exact").cast("double"), 6).as("rel_err"))
+        // empty corpus: the grand aggregate still emits its one row
+        // (0 exact, all registers 0 → estimate 0) — ANSI division
+        // throws on the 0/0 rel_err, so pin it to 0 explicitly
+        round(when(col("n_exact") === 0, lit(0.0))
+          .otherwise((est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double")), 6).as("rel_err"))
   }
 
   /** Behavioral bot audit over the event stream: per user, the volume

@@ -172,6 +172,32 @@ object Sampling {
     kept
   }
 
+  /** X1 weighted random sampling WITHOUT replacement (Efraimidis–
+    * Spirakis exponential race): each doc draws a deterministic
+    * uniform u ∈ (0,1] from its id hash and races with key ln(u)/w —
+    * the top-k keys are a weight-proportional sample, exactly as if
+    * docs were drawn one by one ∝ w without replacement (the ln-space
+    * form of u^(1/w)). Deterministic randomness (the house md5 hash)
+    * makes the sample retry/backfill-reproducible where `rand()` is
+    * not; the key is quantized to integer MICRO-units (floor half-up)
+    * before the top-k ordering with full id tie-breaks, so selection
+    * is engine-identical (raw libm `ln`/division outputs never order
+    * the cut).
+    *
+    * 100 TB: keys are map-side arithmetic; top-k is
+    * TakeOrderedAndProject (per-partition heaps, never a global
+    * sort). Weight = token count here — "sample k docs ∝ length" —
+    * any positive score column drops in. */
+  def weightedSample(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (hash60(col("doc_id")) % Dedup.P).as("h"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(log((col("h") + 1).cast("double") / lit(2147483647.0)) /
+          col("n_tokens").cast("double") * 1e6 + 0.5).cast("long").as("lk6"))
+      .orderBy(col("lk6").desc, col("doc_id")).limit(k)
+
   /** X1 weighted SYSTEMATIC sampling — emit each document once per
     * multiple of `step` inside its interval (cum − n_tokens, cum] of
     * the hash-ordered cumulative token count ("one sample every `step`

@@ -103,6 +103,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.tokenEntropy(docs.limit(0)).count() === 0)
   }
 
+  test("round-12 operators survive degenerate inputs") {
+    // all docs shorter than the 8-token span width → empty reports
+    assert(Dedup.duplicatedSpans(docs).count() === 0)
+    assert(Dedup.spanSharedPairs(docs).count() === 0)
+    val wide = docs.unionByName(Seq(
+      (5L, "one two three four five six seven eight", "en", "src0", 40L),
+      (6L, "one two three four five six seven eight", "en", "src1", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    assert(Dedup.duplicatedSpans(wide).count() === 2)
+    assert(Dedup.spanSharedPairs(wide).count() === 1)
+    // empty event frame: per-day report has no days → no rows; the
+    // GLOBAL rollup is a grand aggregate → one all-zero-register row
+    // (0 exact, linear-counting estimate 0; rel_err is 0/0 → NaN,
+    // which ANSI double division permits — no throw)
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    assert(Profiling.hllUsers(noEvents).count() === 0)
+    val empty = Profiling.hllUsersGlobal(noEvents).head
+    assert(empty.getLong(0) === 0L && empty.getLong(1) === 64L
+      && empty.getDouble(2) === 0.0)
+    val one = Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+    // a single user: linear counting answers exactly, v=63
+    val g = Profiling.hllUsersGlobal(one).head
+    assert(g.getLong(0) === 1L && g.getLong(1) === 63L)
+    assert(Curation.curateVerbatim(docs, nBench = 2, shardBudget = 10).count() >= 0)
+  }
+
   test("PQ survives a corpus smaller than the codebook") {
     // 3 vectors < 16 seeds: each subspace trains a 3-code book; codes
     // stay in range and every vector still encodes in every subspace

@@ -665,6 +665,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(41L) >= 2L)
   }
 
+  test("weighted sample: exponential-race keys replay the E-S formula exactly") {
+    import graft.operators.Sampling
+    val lengths = (1L to 30L).map(i => i -> (((i * 11) % 17) + 1)).toMap
+    val d = docs(lengths.toSeq.sortBy(_._1)
+      .map { case (i, n) => (i, Seq.fill(n.toInt)("t").mkString(" ")) }: _*)
+    val got = Sampling.weightedSample(d, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    def h60(k: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = lengths.toSeq.map { case (i, w) =>
+      val h = h60(i.toString) % 2147483647L
+      val lk6 = math.floor(
+        math.log((h + 1).toDouble / 2147483647.0) / w.toDouble * 1e6 + 0.5).toLong
+      (i, w, lk6)
+    }.sortBy { case (i, _, lk6) => (-lk6, i) }.take(10)
+    assert(got === expected)
+    // rows are distinct docs: sampling is without replacement
+    assert(got.map(_._1).distinct.size === got.size)
+  }
+
   test("temperature sampling keeps the smallest source whole and thins larger ones by (n_min/n)^(1-a)") {
     val d = (1L to 4L).map(i => (i, "small")) ++ (10L to 25L).map(i => (i, "big"))
     val df = d.toDF("doc_id", "source")
