@@ -83,6 +83,9 @@ object SparkEntry {
     // TPC-H Q13 shape: order-count histogram incl. zero-order customers
     "q_custdist" -> ((s, d) => Analytics.customerDistribution(
       t(s, d, "customer"), t(s, d, "orders"))),
+    // header-vs-items reconciliation audit in exact integer cents
+    "q_reconcile" -> ((s, d) => Analytics.reconcileOrders(
+      t(s, d, "orders"), t(s, d, "lineitem"))),
     // TPC-H Q21 shape: sole-late-supplier blame via one per-order agg
     "q_waiting_supplier" -> ((s, d) => Analytics.soleDelayedSupplier(
       t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "supplier"))),
@@ -625,6 +628,23 @@ object SparkEntry {
            GROUP BY 1)
          SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
          FROM pc GROUP BY 1""",
+    "q_reconcile" ->
+      """WITH l AS (SELECT l_orderkey,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS lsum
+           FROM lineitem GROUP BY 1),
+         o AS (SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS ocents
+           FROM orders),
+         st AS (SELECT
+             CASE WHEN l.lsum IS NULL THEN 'no_items'
+               WHEN l.lsum = o.ocents THEN 'match'
+               ELSE 'mismatch' END AS status,
+             abs(COALESCE(l.lsum, 0) - o.ocents) AS d
+           FROM o LEFT JOIN l ON o.o_orderkey = l.l_orderkey)
+         SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(d) AS BIGINT) AS abs_diff_cents,
+           CAST(max(d) AS BIGINT) AS max_diff_cents
+         FROM st GROUP BY 1""",
     "q_waiting_supplier" ->
       """WITH fin AS (SELECT o_orderkey, o_orderdate FROM orders
            WHERE o_orderstatus = 'F'),

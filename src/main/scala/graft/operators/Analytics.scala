@@ -788,4 +788,34 @@ object Analytics {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"))
   }
+
+  /** Source-vs-aggregate RECONCILIATION — the audit every ETL runs
+    * before a fact table feeds anything downstream: does each order
+    * header's total agree with the sum of its line items? Per-order
+    * status (match / mismatch / header with no items) rolled up with
+    * exact integer-cent deltas (quantize-per-row-then-sum, the house
+    * rule — a float sum's order dependence would make the "mismatch"
+    * verdict itself nondeterministic).
+    *
+    * 100 TB: the one genuine fact⋈fact shuffle (neither side
+    * broadcastable) — but lineitem pre-aggregates to order
+    * cardinality map-side BEFORE the join, so the exchange carries
+    * one row per order, not one per item; output is O(statuses). */
+  def reconcileOrders(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val l = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("lsum"))
+    orders
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("ocents"))
+      .join(l, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        when(col("lsum").isNull, "no_items")
+          .when(col("lsum") === col("ocents"), "match")
+          .otherwise("mismatch").as("status"),
+        abs(coalesce(col("lsum"), lit(0L)) - col("ocents")).as("d"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("d")).as("abs_diff_cents"),
+        max(col("d")).as("max_diff_cents"))
+  }
 }
