@@ -283,6 +283,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("weighted sample: map-side keys into TakeOrdered, no global sort or shuffle") {
+    val p = planOf("x1_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("span dedup: df counts partially aggregate, probe is equi-keyed") {
+    // at sf0.001 size estimates pick a broadcast probe; at scale the
+    // explicit repartition(sh) becomes the reused exchange — both ways
+    // the doc-frequency count MUST partial-aggregate map-side and the
+    // probe MUST stay an equi hash join, never a nested loop
+    val p = planOf("x4_span_dedup")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("reconciliation: lineitem pre-aggregates below the header join") {
+    // the per-order cent sum feeds the join input by construction —
+    // its partial phase must exist (the exchange then carries order
+    // cardinality, not item cardinality) and the header join must be
+    // the LEFT OUTER equi join, never a cartesian
+    val p = planOf("q_reconcile")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("HLL: register maxes partially aggregate map-side; grid side broadcasts") {
+    val p = planOf("x6_hll_users")
+    assert("partial_max".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)
