@@ -388,6 +388,9 @@ object SparkEntry {
     // the merge property in the gate: per-day registers MAX-fold into
     // one global sketch without re-reading raw rows
     "x6_hll_global" -> ((s, d) => Profiling.hllUsersGlobal(t(s, d, "events"))),
+    // KMV set-intersection sketch: day-pair audience Jaccard estimate
+    // audited against the exact overlap
+    "x6_audience_overlap" -> ((s, d) => Profiling.audienceOverlap(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -3324,6 +3327,45 @@ object SparkEntry {
            round(CASE WHEN n_exact = 0 THEN 0.0
              ELSE (e - n_exact) / n_exact END, 6) AS rel_err
          FROM est""",
+    "x6_audience_overlap" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events),
+         hs AS (SELECT DISTINCT day,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 2147483647 AS h
+           FROM du),
+         sig AS (SELECT day, h FROM (SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS r FROM hs)
+           WHERE r <= 32),
+         dp AS (SELECT a.day AS da, b.day AS db
+           FROM (SELECT DISTINCT day FROM du) a
+           JOIN (SELECT DISTINCT day FROM du) b ON a.day < b.day),
+         u AS (SELECT DISTINCT da, db, h FROM (
+           SELECT dp.da, dp.db, s.h FROM dp JOIN sig s ON s.day = dp.da
+           UNION ALL
+           SELECT dp.da, dp.db, s.h FROM dp JOIN sig s ON s.day = dp.db)),
+         rk AS (SELECT da, db, h FROM (SELECT da, db, h,
+             row_number() OVER (PARTITION BY da, db ORDER BY h) AS r FROM u)
+           WHERE r <= 32),
+         fl AS (SELECT rk.da, rk.db,
+             CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS nboth
+           FROM rk
+           LEFT JOIN sig sa ON sa.day = rk.da AND sa.h = rk.h
+           LEFT JOIN sig sb ON sb.day = rk.db AND sb.h = rk.h
+           GROUP BY 1, 2),
+         nd AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1),
+         iv AS (SELECT x.day AS da, y.day AS db, CAST(count(*) AS BIGINT) AS inter
+           FROM du x JOIN du y ON x.user_id = y.user_id AND x.day < y.day
+           GROUP BY 1, 2)
+         SELECT fl.da AS day_a, fl.db AS day_b,
+           round(nboth / 32.0, 6) AS est_jaccard,
+           round(COALESCE(iv.inter, 0) /
+             CAST(na.n + nb.n - COALESCE(iv.inter, 0) AS DOUBLE), 6) AS exact_jaccard
+         FROM fl
+         JOIN nd na ON na.day = fl.da
+         JOIN nd nb ON nb.day = fl.db
+         LEFT JOIN iv ON iv.da = fl.da AND iv.db = fl.db""",
     "x6_heatmap" ->
       """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
            (epoch_us(ts) // 3600000000) % 24 AS hour,

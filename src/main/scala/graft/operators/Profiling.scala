@@ -276,6 +276,69 @@ object Profiling {
             col("n_exact").cast("double")), 6).as("rel_err"))
   }
 
+  /** X6 audience-overlap matrix via K-MINIMUM-VALUES sketches — the
+    * set-INTERSECTION estimate HLL cannot give: for every day pair,
+    * estimated user-set Jaccard from the k smallest user-hash values
+    * (est = |kmin(A∪B) ∩ A ∩ B| / k, the classic KMV coincidence
+    * estimator), audited against the exact Jaccard. Everything up to
+    * the final division is integer/set arithmetic on the house md5
+    * hash, so the sketch — like [[hllUsers]] — is engine-reproducible
+    * and sits in the hash gate.
+    *
+    * 100 TB: signatures are k values per day, so the pairwise stage
+    * touches O(days²·k) rows regardless of corpus size — THE point of
+    * KMV (the exact side, quadratic in per-day audiences, is the
+    * audit you run at test scale; its join is equi-keyed on user_id).
+    * The day-pair frame is O(days²) bounded metadata; per-day k-min
+    * selection is one window over the DISTINCT per-day hash set (swap
+    * in the TopKByScore heap aggregate when days hold billions of
+    * distinct users). */
+  def audienceOverlap(events: DataFrame, k: Int = 32): DataFrame = {
+    val du = events.select(
+      expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val hashed = du.select(col("day"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % lit(2147483647L)).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("day")).orderBy(col("h"))
+    val sig = hashed.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k).select(col("day"), col("h"))
+    val days = du.select(col("day")).distinct()
+    val dp = days.select(col("day").as("da")).join(
+      days.select(col("day").as("db")), col("da") < col("db"))
+    val u = dp.join(sig.withColumnRenamed("day", "da"), Seq("da"))
+      .select(col("da"), col("db"), col("h"))
+      .unionByName(dp.join(sig.withColumnRenamed("day", "db"), Seq("db"))
+        .select(col("da"), col("db"), col("h")))
+      .distinct()
+    val wp = Window.partitionBy(col("da"), col("db")).orderBy(col("h"))
+    val rk = u.withColumn("r", row_number().over(wp))
+      .filter(col("r") <= k).select(col("da"), col("db"), col("h"))
+    val flagged = rk
+      .join(sig.select(col("day").as("da"), col("h"), lit(1).as("ina")),
+        Seq("da", "h"), "left")
+      .join(sig.select(col("day").as("db"), col("h"), lit(1).as("inb")),
+        Seq("db", "h"), "left")
+      .groupBy(col("da"), col("db"))
+      .agg(sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+        .as("nboth"))
+    val nd = du.groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val inter = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.day") < col("y.day"))
+      .groupBy(col("x.day").as("da"), col("y.day").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    flagged
+      .join(nd.select(col("day").as("da"), col("n").as("na")), Seq("da"))
+      .join(nd.select(col("day").as("db"), col("n").as("nb")), Seq("db"))
+      .join(inter, Seq("da", "db"), "left")
+      .select(col("da").as("day_a"), col("db").as("day_b"),
+        round(col("nboth").cast("double") / lit(k.toDouble), 6).as("est_jaccard"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast("double"), 6)
+          .as("exact_jaccard"))
+  }
+
   /** Behavioral bot audit over the event stream: per user, the volume
     * (events, active days, events/day) and DIVERSITY (event-type
     * entropy) signals a traffic-quality gate runs before events feed a

@@ -126,4 +126,29 @@ class ProfilingSpec extends AnyFunSuite {
       .collect().map(r => r._1 -> r._4).toMap ===
       got.map { case (k, v) => k -> v._4 })
   }
+
+  test("KMV audience overlap estimates a known Jaccard within sketch error") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // day 1: users 1..100; day 2: users 51..150 (J = 50/150);
+    // day 3: users 1000..1049, disjoint from both
+    val rows =
+      (1 to 100).map(u => (u.toLong, ts("2024-01-01 10:00:00"))) ++
+        (51 to 150).map(u => (u.toLong, ts("2024-01-02 10:00:00"))) ++
+        (1000 to 1049).map(u => (u.toLong, ts("2024-01-03 10:00:00")))
+    val got = Profiling.audienceOverlap(rows.toDF("user_id", "ts"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.size === 3)
+    val (est12, exact12) = got((19723L, 19724L))
+    assert(exact12 === 0.333333)
+    // k=32 coincidence estimator: sd ~ sqrt(J(1-J)/k) ~ 0.083
+    assert(math.abs(est12 - 1.0 / 3) < 0.3, s"est $est12")
+    val (est13, exact13) = got((19723L, 19725L))
+    assert(exact13 === 0.0 && est13 <= 0.1)
+    // duplicates must not move set estimates
+    val dup = (rows ++ rows).toDF("user_id", "ts")
+    assert(Profiling.audienceOverlap(dup)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap === got)
+  }
 }
