@@ -349,11 +349,28 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(k)
 
-  /** The capped-exact Jaccard PAIR frame behind [[ngramJaccardTopK]]
-    * and [[bandRecallReport]]: every intersecting pair (under the
-    * hot-shingle df cap) with its exact rounded Jaccard. */
-  def jaccardPairs(documents: DataFrame, n: Int = 3,
-                   freqCapInv: Int = 5, minDf: Int = 25): DataFrame = {
+  /** The shared capped inverted-index pair stage behind [[jaccardPairs]]
+    * and [[ngramContainmentTopK]]: explode shingles, drop hot shingles
+    * (relative df cap with an absolute `minDf` floor), equi-join on
+    * shingle (never all-pairs), and return one row per intersecting
+    * unordered pair with the raw set sizes:
+    * `(doc_a, doc_b, n_inter, na, nb)` where doc_a < doc_b. Both
+    * similarity measures (symmetric Jaccard, asymmetric containment)
+    * are one projection away from this frame — keeping it single-
+    * sourced means a future cap change reaches every consumer.
+    *
+    * `samplePct` bounds the QUADRATIC stage only: the df stats and the
+    * hot-shingle cap are computed on the full corpus (linear cost, and
+    * they must stay production-exact), then the capped inverted index
+    * is filtered to the deterministic `hash(doc_id) mod 100 <
+    * samplePct` subset before the self-join — so the pair stage costs
+    * O((p·n)²) and the sampled output is EXACTLY the full output
+    * restricted to pairs with both endpoints in the sample
+    * (SampleBoundSpec pins this). Default 100 keeps the plan
+    * byte-identical to the unsampled form. */
+  private def cappedIntersections(documents: DataFrame, n: Int,
+                                  freqCapInv: Int, minDf: Int,
+                                  samplePct: Int = 100): DataFrame = {
     val inv0 = wideEnough(documents, n)
       .select(col("doc_id"), explode(word_shingles(col("text"), n)).as("shingle"))
       .repartition(col("shingle"))
@@ -363,7 +380,11 @@ object Dedup {
       .crossJoin(nDocs)
       .filter(col("df") * freqCapInv > col("n_docs") && col("df") > minDf)
       .select(col("shingle"))
-    val inv = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val invFull = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val inv =
+      if (samplePct >= 100) invFull
+      else invFull.filter(
+        tokenHash(col("doc_id").cast("string")) % 100 < samplePct)
     val counts = inv.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     val inter = inv.alias("x").join(inv.alias("y"),
@@ -375,10 +396,18 @@ object Dedup {
         .withColumnRenamed("n_shingles", "na"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_shingles", "nb"), "doc_b")
+  }
+
+  /** The capped-exact Jaccard PAIR frame behind [[ngramJaccardTopK]]
+    * and [[bandRecallReport]]: every intersecting pair (under the
+    * hot-shingle df cap) with its exact rounded Jaccard. */
+  def jaccardPairs(documents: DataFrame, n: Int = 3,
+                   freqCapInv: Int = 5, minDf: Int = 25,
+                   samplePct: Int = 100): DataFrame =
+    cappedIntersections(documents, n, freqCapInv, minDf, samplePct)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         round(col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double"), 6)
           .as("jaccard"))
-  }
 
   /** X4 BAND-RECALL calibration — the text-side twin of the ANN recall
     * audit (`x2_recall`): for every intersecting pair at Jaccard ≥
@@ -393,11 +422,19 @@ object Dedup {
     * pair fans out to doc_a's 4 band keys and left-joins doc_b's, so
     * work is bounded by |exact pairs|·bands and the skew-prone
     * all-pairs band self-join never runs. At scale the exact side
-    * runs on a corpus SAMPLE; the band keys are the production
-    * [[bandKeys]] frame. */
+    * runs on a corpus SAMPLE — `samplePct` is that knob, a
+    * deterministic hash-threshold on doc_id applied inside the exact
+    * side's pair stage (df stats stay corpus-exact; see
+    * [[cappedIntersections]]), so the 100 TB form is
+    * `bandRecallReport(docs, samplePct = 1)` and its cost is bounded
+    * by the sampled pair count. The band keys are always the
+    * production [[bandKeys]] frame — the audit measures the REAL
+    * index against a sampled ground truth. Default 100 = exact
+    * (unchanged oracles). */
   def bandRecallReport(documents: DataFrame, n: Int = 3, tau: Double = 0.0,
-                       freqCapInv: Int = 5, minDf: Int = 25): DataFrame = {
-    val exact = jaccardPairs(documents, n, freqCapInv, minDf)
+                       freqCapInv: Int = 5, minDf: Int = 25,
+                       samplePct: Int = 100): DataFrame = {
+    val exact = jaccardPairs(documents, n, freqCapInv, minDf, samplePct)
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val bk = bandKeys(documents)
@@ -427,28 +464,8 @@ object Dedup {
     * re-evaluate the self-join subtree twice). Ordering is the house
     * rule: ROUNDED score + full id tie-break. */
   def ngramContainmentTopK(documents: DataFrame, n: Int = 3, k: Int = 20,
-                           freqCapInv: Int = 5, minDf: Int = 25): DataFrame = {
-    val inv0 = wideEnough(documents, n)
-      .select(col("doc_id"), explode(word_shingles(col("text"), n)).as("shingle"))
-      .repartition(col("shingle"))
-    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
-    val hot = inv0.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .crossJoin(nDocs)
-      .filter(col("df") * freqCapInv > col("n_docs") && col("df") > minDf)
-      .select(col("shingle"))
-    val inv = inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val counts = inv.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
-    val inter = inv.alias("x").join(inv.alias("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "nb"), "doc_b")
+                           freqCapInv: Int = 5, minDf: Int = 25): DataFrame =
+    cappedIntersections(documents, n, freqCapInv, minDf)
       .select(col("n_inter"), explode(array(
         struct(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
           col("na").as("n_inner")),
@@ -459,7 +476,6 @@ object Dedup {
         round(col("n_inter") / col("p.n_inner").cast("double"), 6).as("containment"))
       .orderBy(col("containment").desc, col("inner_id"), col("outer_id"))
       .limit(k)
-  }
 
   /** X4 benchmark decontamination: flag corpus documents whose 3-gram
     * overlap with any single benchmark document reaches `minShingles`

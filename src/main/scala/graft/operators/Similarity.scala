@@ -760,13 +760,38 @@ object Similarity {
     * slim rows, equi-keyed). All-pairs scoring is deliberate — this
     * is the audit's exactness contract; the audited index (LSH/IVF)
     * is what answers the same question approximately at 100 TB, and
-    * `x2_recall` measures that gap. */
-  def knnLabelAccuracy(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    * `x2_recall` measures that gap. `samplePct` bounds the quadratic
+    * stage: the QUERY side shrinks to the deterministic `hash(vec_id)
+    * mod 100 < samplePct` subset while every query still votes over
+    * the FULL corpus — cost drops from N² to (p·N)·N and each sampled
+    * query's prediction is bit-identical to its full-run prediction
+    * (SampleBoundSpec pins this). Default 100 = exact. */
+  def knnLabelAccuracy(embeddings: DataFrame, k: Int = 3,
+                       samplePct: Int = 100): DataFrame =
+    knnPredictions(embeddings, k, samplePct)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_vecs")).as("accuracy"))
+
+  /** Per-vector frame behind [[knnLabelAccuracy]]: one row per
+    * (sampled) query — `(q_id, predicted, label)`. Public because the
+    * per-item audit (WHICH vectors are mislabeled, not just how many)
+    * is itself a pipeline step, and because it is the exact surface
+    * the sampled ≡ full invariant is pinned on. */
+  def knnPredictions(embeddings: DataFrame, k: Int = 3,
+                     samplePct: Int = 100): DataFrame = {
     import graft.functions.TopKByScore.top_k_by_score
     val all = withVec(embeddings)
       .select(col("vec_id"), col("v"), col("nrm"), col("label").cast("long").as("label"))
-    val q = all.select(col("vec_id").as("q_id"), col("v").as("qv"),
+    val qAll = all.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("nrm").as("qn"), col("label").as("q_label"))
+    val q =
+      if (samplePct >= 100) qAll
+      else qAll.filter(
+        conv(substring(md5(col("q_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100 < samplePct)
     val top = all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"),
@@ -782,11 +807,7 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(max_by(col("n_label"), struct(col("nv"), -col("n_label"))).as("predicted"))
     predicted.join(all.select(col("vec_id").as("q_id"), col("label")), "q_id")
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(when(col("predicted") === col("label"), 1L).otherwise(0L)).as("n_correct"))
-      .select(col("label"), col("n_vecs"), col("n_correct"),
-        (col("n_correct").cast("double") / col("n_vecs")).as("accuracy"))
+      .select(col("q_id"), col("predicted"), col("label"))
   }
 
   /** X2 margin-based pair mining (the bitext-mining criterion of
