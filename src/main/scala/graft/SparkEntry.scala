@@ -388,6 +388,14 @@ object SparkEntry {
     // the merge property in the gate: per-day registers MAX-fold into
     // one global sketch without re-reading raw rows
     "x6_hll_global" -> ((s, d) => Profiling.hllUsersGlobal(t(s, d, "events"))),
+    // the sketch SERVE path, oracle-checked: the per-day register
+    // table is materialized once (the stored nightly artifact), then
+    // the global rollup folds ONLY the stored sketch rows — raw events
+    // exist in the artifact build, never in the scoring plan
+    "x6_hll_serve" -> ((s, d) => {
+      val stored = Profiling.hllRegisters(t(s, d, "events")).localCheckpoint()
+      Profiling.hllGlobalFromRegisters(stored)
+    }),
     // KMV set-intersection sketch: day-pair audience Jaccard estimate
     // audited against the exact overlap
     "x6_audience_overlap" -> ((s, d) => Profiling.audienceOverlap(t(s, d, "events"))),
@@ -428,7 +436,7 @@ object SparkEntry {
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
     "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_overlap",
-    "x6_anomaly_serve",
+    "x6_anomaly_serve", "x6_hll_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
   )
 
@@ -3327,6 +3335,33 @@ object SparkEntry {
            round(CASE WHEN n_exact = 0 THEN 0.0
              ELSE (e - n_exact) / n_exact END, 6) AS rel_err
          FROM est""",
+    // x6_hll_global's register/estimate chain WITHOUT the exact-audit
+    // branch — the serve path folds stored sketches only, so its
+    // output is what a raw-free plan can produce (shared CTE copy:
+    // change the hash/m/K/estimate logic together with the other HLL
+    // sites; see CLAUDE.md)
+    "x6_hll_serve" ->
+      """WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 2147483647 AS h
+           FROM events),
+         reg0 AS (SELECT day, h & 63 AS j,
+             MAX(CASE WHEN h >> 6 = 0 THEN 26
+                 ELSE 26 - length(bin(h >> 6)) END) AS reg
+           FROM h GROUP BY 1, 2),
+         reg AS (SELECT j, MAX(reg) AS reg FROM reg0 GROUP BY 1),
+         grid AS (SELECT gg.j, COALESCE(reg.reg, 0) AS reg
+           FROM (SELECT unnest(range(64)) AS j) gg
+           LEFT JOIN reg ON reg.j = gg.j),
+         s AS (SELECT
+             CAST(SUM(CAST(1 AS BIGINT) << (26 - reg)) AS BIGINT) AS z,
+             CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+           FROM grid)
+         SELECT v AS v_empty,
+           round(CASE WHEN v > 0 AND 0.709::DOUBLE * 64 * 64 * 67108864.0 / z <= 160.0
+             THEN 64.0 * ln(64.0 / v)
+             ELSE 0.709::DOUBLE * 64 * 64 * 67108864.0 / z END, 4) AS hll_users
+         FROM s""",
     "x6_audience_overlap" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
            FROM events),

@@ -833,9 +833,13 @@ object Dedup {
     * skew is bounded by doc length, not span frequency. Final per-doc
     * rollup is a second map-side-combining shuffle on doc_id. */
   def duplicatedSpans(documents: DataFrame): DataFrame = {
+    // array_distinct on the HASH array (not the span text) so the set
+    // semantics are structurally identical to the oracle's
+    // list_distinct-over-hashes: an intra-doc 60-bit collision between
+    // two distinct spans counts once on both engines
     val spans = wideEnough(documents, SpanLen)
       .select(col("doc_id"),
-        explode(shingle_hashes(col("text"), SpanLen, 0L)).as("sh"))
+        explode(array_distinct(shingle_hashes(col("text"), SpanLen, 0L))).as("sh"))
       .repartition(col("sh"))
     val shared = spans.groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))
     spans.join(shared, Seq("sh"))
@@ -861,7 +865,7 @@ object Dedup {
                       k: Int = 50): DataFrame = {
     val spans = wideEnough(documents, SpanLen)
       .select(col("doc_id"),
-        explode(shingle_hashes(col("text"), SpanLen, 0L)).as("sh"))
+        explode(array_distinct(shingle_hashes(col("text"), SpanLen, 0L))).as("sh"))
       .repartition(col("sh"))
     val kept = spans.join(
       spans.groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))

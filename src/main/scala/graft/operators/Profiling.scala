@@ -204,36 +204,85 @@ object Profiling {
     * 100 TB plan: one shuffle of (day, register) partial maxes
     * (map-side combine collapses each partition to ≤ 64·days rows),
     * then O(days·64) everything. The register grid cross join is
-    * O(days)×64 — constant-side broadcast. */
-  def hllUsers(events: DataFrame): DataFrame = {
-    val base = events.select(
-      expr("unix_micros(ts) div 86400000000").as("day"),
-      col("user_id"),
-      (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % lit(2147483647L)).as("h"))
-    val regs = base
-      .select(col("day"), col("h").bitwiseAND(lit(63L)).as("j"),
-        when(shiftright(col("h"), 6) === 0, lit(26))
-          .otherwise(lit(26) - length(bin(shiftright(col("h"), 6)))).as("rho"))
-      .groupBy(col("day"), col("j")).agg(max(col("rho")).as("reg"))
+    * O(days)×64 — constant-side broadcast.
+    *
+    * `withExact = false` is the 100 TB form: it drops the
+    * `countDistinct` audit branch (whose shuffle state is the user set
+    * itself — the thing the sketch exists to avoid) and with it the
+    * `n_exact`/`rel_err` columns; the estimate arithmetic is shared,
+    * so it is bit-identical either way (ProfilingSpec pins this). The
+    * audit form stays the default and is what the oracle checks. */
+  def hllUsers(events: DataFrame, withExact: Boolean = true): DataFrame = {
+    val base = hllBase(events)
     val grid = base.select(col("day")).distinct()
       .crossJoin(events.sparkSession.range(64).toDF("j"))
-      .join(regs, Seq("day", "j"), "left")
+      .join(hllRegisters(events), Seq("day", "j"), "left")
       .select(col("day"), coalesce(col("reg"), lit(0)).as("reg"))
     val sums = grid.groupBy(col("day")).agg(
       sum(expr("shiftleft(CAST(1 AS BIGINT), 26 - reg)")).as("z"),
       sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_empty"))
-    val exact = base.groupBy(col("day"))
-      .agg(countDistinct(col("user_id")).as("n_exact"))
     val raw = lit(0.709) * lit(64.0) * lit(64.0) * lit(67108864.0) /
       col("z").cast("double")
     val est = when(col("v_empty") > 0 && raw <= lit(160.0),
       lit(64.0) * log(lit(64.0) / col("v_empty").cast("double"))).otherwise(raw)
-    sums.join(exact, Seq("day"))
-      .select(col("day"), col("n_exact"), col("v_empty"),
-        round(est, 4).as("hll_users"),
-        round((est - col("n_exact").cast("double")) /
-          col("n_exact").cast("double"), 6).as("rel_err"))
+    if (!withExact)
+      sums.select(col("day"), col("v_empty"), round(est, 4).as("hll_users"))
+    else {
+      val exact = base.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      sums.join(exact, Seq("day"))
+        .select(col("day"), col("n_exact"), col("v_empty"),
+          round(est, 4).as("hll_users"),
+          round((est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 6).as("rel_err"))
+    }
+  }
+
+  /** (day, user_id, h) base frame of the HLL/KMV family — the house
+    * 31-bit md5-derived user hash (identical CTE `h` in the oracles). */
+  private def hllBase(events: DataFrame): DataFrame = events.select(
+    expr("unix_micros(ts) div 86400000000").as("day"),
+    col("user_id"),
+    (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % lit(2147483647L)).as("h"))
+
+  /** The per-day HLL register table `(day, j, reg)` — the STORED
+    * sketch artifact of the family: what a nightly job persists so
+    * every later rollup ([[hllGlobalFromRegisters]], month-over-month
+    * windows, cross-cluster merges) folds sketch rows instead of
+    * re-reading raw events. Sparse: a (day, j) absent here means
+    * register 0 (consumers re-densify against the 64-register grid).
+    * O(days·64) rows regardless of corpus size. */
+  def hllRegisters(events: DataFrame): DataFrame =
+    hllBase(events)
+      .select(col("day"), col("h").bitwiseAND(lit(63L)).as("j"),
+        when(shiftright(col("h"), 6) === 0, lit(26))
+          .otherwise(lit(26) - length(bin(shiftright(col("h"), 6)))).as("rho"))
+      .groupBy(col("day"), col("j")).agg(max(col("rho")).as("reg"))
+
+  /** The SERVE path of the mergeable-sketch story: global distinct
+    * users estimated purely by MAX-folding a STORED `(day, j, reg)`
+    * register table ([[hllRegisters]]'s output read back from
+    * storage) — the scoring plan never touches raw events, which is
+    * the entire point of persisting sketches: a month-over-month (or
+    * 1000-executor cross-shard) rollup costs O(stored sketch rows),
+    * not a raw re-read. Estimate arithmetic identical to
+    * [[hllUsersGlobal]]; output is the estimate columns only — the
+    * exact-audit columns are precisely what a raw-free plan cannot
+    * and should not produce. */
+  def hllGlobalFromRegisters(stored: DataFrame): DataFrame = {
+    val merged = stored.groupBy(col("j")).agg(max(col("reg")).as("reg"))
+    val grid = stored.sparkSession.range(64).toDF("j")
+      .join(merged, Seq("j"), "left")
+      .select(coalesce(col("reg"), lit(0)).as("reg"))
+    val sums = grid.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 26 - reg)")).as("z"),
+      sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_empty"))
+    val raw = lit(0.709) * lit(64.0) * lit(64.0) * lit(67108864.0) /
+      col("z").cast("double")
+    val est = when(col("v_empty") > 0 && raw <= lit(160.0),
+      lit(64.0) * log(lit(64.0) / col("v_empty").cast("double"))).otherwise(raw)
+    sums.select(col("v_empty"), round(est, 4).as("hll_users"))
   }
 
   /** The MERGE property of [[hllUsers]], inside the hard oracle gate:
@@ -243,17 +292,9 @@ object Profiling {
     * stored per-day sketches) runs, without ever touching the raw
     * rows again. Estimate arithmetic identical to [[hllUsers]]. */
   def hllUsersGlobal(events: DataFrame): DataFrame = {
-    val base = events.select(
-      expr("unix_micros(ts) div 86400000000").as("day"),
-      col("user_id"),
-      (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % lit(2147483647L)).as("h"))
-    val regsDay = base
-      .select(col("day"), col("h").bitwiseAND(lit(63L)).as("j"),
-        when(shiftright(col("h"), 6) === 0, lit(26))
-          .otherwise(lit(26) - length(bin(shiftright(col("h"), 6)))).as("rho"))
-      .groupBy(col("day"), col("j")).agg(max(col("rho")).as("reg"))
-    val merged = regsDay.groupBy(col("j")).agg(max(col("reg")).as("reg"))
+    val base = hllBase(events)
+    val merged = hllRegisters(events)
+      .groupBy(col("j")).agg(max(col("reg")).as("reg"))
     val grid = events.sparkSession.range(64).toDF("j")
       .join(merged, Seq("j"), "left")
       .select(coalesce(col("reg"), lit(0)).as("reg"))

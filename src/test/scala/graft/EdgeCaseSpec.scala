@@ -115,13 +115,15 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.spanSharedPairs(wide).count() === 1)
     // empty event frame: per-day report has no days → no rows; the
     // GLOBAL rollup is a grand aggregate → one all-zero-register row
-    // (0 exact, linear-counting estimate 0; rel_err is 0/0 → NaN,
-    // which ANSI double division permits — no throw)
+    // (0 exact, linear-counting estimate 0; hllUsersGlobal pins
+    // rel_err to 0.0 when n_exact = 0 — ANSI division would throw on
+    // the 0/0 otherwise)
     val noEvents = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
     assert(Profiling.hllUsers(noEvents).count() === 0)
     val empty = Profiling.hllUsersGlobal(noEvents).head
     assert(empty.getLong(0) === 0L && empty.getLong(1) === 64L
       && empty.getDouble(2) === 0.0)
+    assert(empty.getDouble(3) === 0.0) // the pinned rel_err itself
     val one = Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("user_id", "ts")
     // a single user: linear counting answers exactly, v=63

@@ -319,6 +319,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("audience overlap: the ONLY nested-loop join is the bounded day-pair frame") {
+    // documented exception to the no-BNLJ rule: the da < db self-join
+    // runs over the DISTINCT-day list — O(days²) metadata rows by
+    // construction (a year is ~66k pairs), never corpus rows. The dp
+    // subtree is re-expanded wherever it is referenced (both union
+    // branches, both sig probes), so the bounded join appears ≤ 4
+    // times. This assertion is the tripwire: the signature/user-id
+    // joins must stay hash/equi-keyed, so a future regression that
+    // nested-loops a DATA-sized side pushes the count past the
+    // replication bound and fails.
+    val p = planOf("x6_audience_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 4, s"expected only the bounded day-pair BNLJs, got $bnlj\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)

@@ -127,6 +127,34 @@ class ProfilingSpec extends AnyFunSuite {
       got.map { case (k, v) => k -> v._4 })
   }
 
+  test("hllUsers withExact=false drops only the audit columns, never moves the estimate") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows =
+      (1 to 400).map(u => (u.toLong, ts("2024-01-01 10:00:00"))) ++
+        (7 to 9).map(u => (u.toLong, ts("2024-01-02 10:00:00")))
+    val events = rows.toDF("user_id", "ts")
+    val prod = Profiling.hllUsers(events, withExact = false)
+    assert(prod.columns.toSeq === Seq("day", "v_empty", "hll_users"))
+    val audit = Profiling.hllUsers(events)
+      .select("day", "v_empty", "hll_users")
+    assert(prod.exceptAll(audit).isEmpty && audit.exceptAll(prod).isEmpty)
+    // the production form must not run the exact-distinct branch
+    assert(!prod.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("distinct"))
+  }
+
+  test("hll serve: folding stored registers equals the self-contained global, without raw rows") {
+    val events = graft.sources.Tables(spark, SparkTestBase.sf0001, "events")
+    val stored = Profiling.hllRegisters(events).localCheckpoint()
+    val served = Profiling.hllGlobalFromRegisters(stored)
+    // the scoring plan reads the checkpointed sketch only — no parquet
+    // (i.e. no events) scan anywhere in it
+    assert(!served.queryExecution.executedPlan.toString.toLowerCase
+      .contains("parquet"))
+    val self = Profiling.hllUsersGlobal(events).select("v_empty", "hll_users")
+    assert(served.collect().toSeq === self.collect().toSeq)
+  }
+
   test("KMV audience overlap estimates a known Jaccard within sketch error") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // day 1: users 1..100; day 2: users 51..150 (J = 50/150);
