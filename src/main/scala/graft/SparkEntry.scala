@@ -231,7 +231,7 @@ object SparkEntry {
     // asymmetric doc-in-doc detection (quote/wrapper discovery)
     "x4_containment" -> ((s, d) => Dedup.ngramContainmentTopK(t(s, d, "documents"))),
     "x4_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
-    // character-level title near-dups: first-token blocked Levenshtein
+    // character-level title near-dups: first/last-token blocked Levenshtein
     "x4_edit_pairs" -> ((s, d) => Dedup.editDistancePairs(t(s, d, "documents"))),
     "x4_simhash_topk" -> ((s, d) => Dedup.simhashTopK(t(s, d, "documents"))),
     "x4_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(t(s, d, "embeddings"))),
@@ -1590,14 +1590,21 @@ object SparkEntry {
            round(n_inter / CAST(n_inner AS DOUBLE), 6) AS containment
          FROM dirs ORDER BY containment DESC, inner_id, outer_id LIMIT 20""",
     "x4_edit_pairs" ->
-      """WITH t AS (SELECT doc_id,
-           array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS title,
-           string_split(text, ' ')[1] AS tok1
-         FROM documents)
-         SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-           CAST(levenshtein(x.title, y.title) AS BIGINT) AS dist
-         FROM t x JOIN t y ON x.tok1 = y.tok1 AND x.doc_id < y.doc_id
-         WHERE levenshtein(x.title, y.title) <= 4""",
+      """WITH t0 AS (SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS title
+         FROM documents),
+         t AS (SELECT doc_id, title,
+           string_split(title, ' ')[1] AS tok1,
+           string_split(title, ' ')[-1] AS tokl
+         FROM t0),
+         cand AS (
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.title AS ta, y.title AS tb
+           FROM t x JOIN t y ON x.tok1 = y.tok1 AND x.doc_id < y.doc_id
+           UNION
+           SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.title AS ta, y.title AS tb
+           FROM t x JOIN t y ON x.tokl = y.tokl AND x.doc_id < y.doc_id)
+         SELECT a_id, b_id, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(ta, tb) <= 4""",
     "x4_simhash" ->
       """WITH t AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
              s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs

@@ -772,24 +772,29 @@ object Dedup {
     * shingle/MinHash family cannot see: transposed words, single-char
     * typos, and truncations move Jaccard little but edit distance a
     * lot (and vice versa), so curation pipelines run both. Candidate
-    * generation blocks on the first token: the pair join is EQUI-keyed
-    * on the block (hash join, never a BroadcastNestedLoop — the house
-    * `id<` rule), and the O(block²) Levenshtein stage runs inside each
-    * block only. Distances are exact small integers on both engines —
-    * no float anywhere.
+    * generation blocks on the first AND the last title token (two
+    * equi-keyed hash joins, never a BroadcastNestedLoop — the house
+    * `id<` rule), unioned and DEDUPED before the DP so a pair caught
+    * by both blocks scores once; the O(block²) Levenshtein stage runs
+    * inside each block only. Distances are exact small integers on
+    * both engines — no float anywhere.
     *
-    * 100 TB: first-token blocking is the deliberate recall/cost
-    * trade (pairs differing in token 1 are invisible — the same
-    * trade LSH banding makes); block sizes follow the token
-    * frequency distribution, so a production run salts stopword
-    * blocks or pre-filters them by [[TextAnalysis]] stopword lists
-    * the way the capped inverted index in [[ngramJaccardTopK]]
-    * drops hot shingles. */
+    * 100 TB: dual blocking is the deliberate recall/cost trade: a
+    * typo in token 1 is caught by the last-token block and vice
+    * versa; only pairs edited at BOTH ends stay invisible (the same
+    * trade LSH banding makes, at twice the candidate volume of a
+    * single block). Block sizes follow the token frequency
+    * distribution, so a production run salts stopword blocks or
+    * pre-filters them by [[TextAnalysis]] stopword lists the way the
+    * capped inverted index in [[ngramJaccardTopK]] drops hot
+    * shingles. */
   def editDistancePairs(documents: DataFrame, nTokens: Int = 6,
                         maxDist: Int = 4): DataFrame = {
     val t = documents.select(col("doc_id"),
-      array_join(slice(split(col("text"), " "), 1, nTokens), " ").as("title"),
-      element_at(split(col("text"), " "), 1).as("tok1"))
+        array_join(slice(split(col("text"), " "), 1, nTokens), " ").as("title"))
+      .select(col("doc_id"), col("title"),
+        element_at(split(col("title"), " "), 1).as("tok1"),
+        element_at(split(col("title"), " "), -1).as("tokL"))
     // two pre-Levenshtein prunes: the length-difference guard (a length
     // gap > maxDist already implies distance > maxDist) rides in the
     // join condition, and the DP itself runs THRESHOLDED — Spark's
@@ -798,12 +803,16 @@ object Dedup {
     // exact distance is re-computed only for the survivors (a
     // vanishing fraction), keeping the hot path banded. 10× on the
     // bench corpus vs the naive full-matrix filter.
-    t.as("x").join(t.as("y"),
-        col("x.tok1") === col("y.tok1") && col("x.doc_id") < col("y.doc_id") &&
-          abs(length(col("x.title")) - length(col("y.title"))) <= maxDist)
-      .filter(levenshtein(col("x.title"), col("y.title"), maxDist) >= 0)
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        levenshtein(col("x.title"), col("y.title")).cast("long").as("dist"))
+    def block(key: String) =
+      t.as("x").join(t.as("y"),
+          col(s"x.$key") === col(s"y.$key") && col("x.doc_id") < col("y.doc_id") &&
+            abs(length(col("x.title")) - length(col("y.title"))) <= maxDist)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          col("x.title").as("ta"), col("y.title").as("tb"))
+    block("tok1").unionByName(block("tokL")).distinct()
+      .filter(levenshtein(col("ta"), col("tb"), maxDist) >= 0)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
   }
 
   /** Span window width for [[duplicatedSpans]]/[[spanSharedPairs]] —

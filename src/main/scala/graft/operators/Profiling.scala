@@ -317,6 +317,21 @@ object Profiling {
             col("n_exact").cast("double")), 6).as("rel_err"))
   }
 
+  /** The per-day KMV signature `(day, h)` — the k smallest DISTINCT
+    * user hashes of each day, the stored/mergeable sketch behind
+    * [[audienceOverlap]] and the streaming
+    * `StreamPipeline.audienceKmvStream` (which maintains exactly this
+    * set as its bounded state; StreamingSpec pins stream ≡ batch).
+    * k·days rows total. The window runs over the per-day DISTINCT
+    * hash set, never raw events; swap in the TopKByScore heap
+    * aggregate when a day holds billions of distinct users. */
+  def kmvSignatures(events: DataFrame, k: Int = 32): DataFrame = {
+    val hashed = hllBase(events).select(col("day"), col("h")).distinct()
+    val w = Window.partitionBy(col("day")).orderBy(col("h"))
+    hashed.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k).select(col("day"), col("h"))
+  }
+
   /** X6 audience-overlap matrix via K-MINIMUM-VALUES sketches — the
     * set-INTERSECTION estimate HLL cannot give: for every day pair,
     * estimated user-set Jaccard from the k smallest user-hash values
@@ -338,13 +353,7 @@ object Profiling {
     val du = events.select(
       expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
       .distinct()
-    val hashed = du.select(col("day"),
-      (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % lit(2147483647L)).as("h"))
-      .distinct()
-    val w = Window.partitionBy(col("day")).orderBy(col("h"))
-    val sig = hashed.withColumn("r", row_number().over(w))
-      .filter(col("r") <= k).select(col("day"), col("h"))
+    val sig = kmvSignatures(events, k)
     val days = du.select(col("day")).distinct()
     val dp = days.select(col("day").as("da")).join(
       days.select(col("day").as("db")), col("da") < col("db"))

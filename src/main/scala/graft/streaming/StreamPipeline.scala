@@ -515,6 +515,55 @@ object StreamPipeline {
     }.toDF("day", "n_events", "hll_users")
   }
 
+  /** X6 streaming KMV audience signature — the streaming form of
+    * [[graft.operators.Profiling.kmvSignatures]], proving the OTHER
+    * sketch of the family merges too: the k smallest distinct user
+    * hashes of a day are exactly maintainable under continuous
+    * ingestion because kmin_k(A ∪ B) = kmin_k(kmin_k(A) ∪ B) — fold
+    * each micro-batch's hashes into the stored k-set and the state
+    * never exceeds k longs per day key. Same
+    * `flatMapGroupsWithState` shape as [[hllUsersStream]] (one
+    * custom-state operator instead of a rejected chain of stateful
+    * aggs); each batch re-emits the day's refreshed signature as a
+    * SORTED array (Update mode), so the latest row per day IS the
+    * batch operator's signature set — StreamingSpec pins that
+    * equality after multi-batch ingestion, and
+    * [[graft.operators.Profiling.audienceOverlap]]'s pairwise
+    * estimator can run directly on the emitted signature table
+    * without touching raw events (the x6_hll_serve discipline).
+    *
+    * Hash arithmetic identical to the batch sketch (house md5-derived
+    * 31-bit hash, computed in the plan with the same column
+    * expressions). No timeout: day keys are bounded by event time and
+    * a signature is the thing you keep. */
+  def audienceKmvStream(events: DataFrame, k: Int = 32): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hashed = events.select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % lit(2147483647L)).as("h"))
+      .as[(Long, Long)]
+    hashed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (day: Long, it: Iterator[(Long, Long)],
+       state: GroupState[Array[Long]]) =>
+        val cur = scala.collection.mutable.SortedSet.empty[Long]
+        state.getOption.foreach(cur ++= _)
+        it.foreach { case (_, h) =>
+          // distinctness is the SortedSet's; the contains guard keeps a
+          // re-seen hash from evicting the k-th value, and the size
+          // guard keeps the fold O(log k) per event with no post-hoc trim
+          if (cur.size < k) cur += h
+          else if (h < cur.last && !cur.contains(h)) { cur += h; cur -= cur.last }
+        }
+        val arr = cur.toArray
+        state.update(arr)
+        Iterator.single((day, arr.toSeq))
+    }.toDF("day", "sig")
+  }
+
   /** X6 streaming session windows (native session_window operator). */
   def sessionCounts(events: DataFrame, watermark: String = "10 minutes",
                     gap: String = "5 minutes"): DataFrame =

@@ -839,4 +839,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest === batch)
     } finally q.stop()
   }
+
+  test("streaming KMV merges k-min signatures across batches to the batch sketch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.audienceKmvStream(mem.toDF(), k = 8)
+      .writeStream.format("memory").queryName("kmv_mem")
+      .outputMode("update").start()
+    try {
+      // day 1: 40 distinct users (> k, so the signature saturates and
+      // later batches must EVICT); day 2: 3 users (< k, stays partial);
+      // duplicates within and across batches must not move the set
+      val day1 = (1 to 40).map(u =>
+        UserEvent(u, Timestamp.valueOf("2024-01-01 08:00:00"), u, "click", 1.0))
+      val day2 = (1 to 3).map(u =>
+        UserEvent(100 + u, Timestamp.valueOf("2024-01-02 09:00:00"),
+          1000L + u, "view", 1.0))
+      mem.addData(day1.take(20): _*)
+      q.processAllAvailable()
+      mem.addData((day1.drop(20) ++ day1.take(5) ++ day2): _*)
+      q.processAllAvailable()
+      val rows = spark.table("kmv_mem").as[(Long, Seq[Long])].collect()
+      // update mode re-emits day 1 once per batch it appears in
+      assert(rows.count(_._1 === 19723L) === 2)
+      // the LAST emission per day carries the fully merged signature;
+      // emissions are Seq-ordered by batch in the memory sink, so take
+      // the final occurrence
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (d, rs) => d -> rs.maxBy(_._2)._1._2 }
+      val batch = graft.operators.Profiling
+        .kmvSignatures((day1 ++ day2).toDF(), k = 8)
+        .groupBy(col("day")).agg(sort_array(collect_list(col("h"))).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(latest.keySet === batch.keySet)
+      latest.foreach { case (d, sig) =>
+        assert(sig === batch(d), s"day $d signature mismatch")
+        assert(sig.size <= 8)
+      }
+    } finally q.stop()
+  }
 }

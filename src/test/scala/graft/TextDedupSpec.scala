@@ -933,16 +933,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got === Seq((1L, 1L, -0.133531), (2L, 1L, -0.133531)))
   }
 
-  test("edit pairs: blocked Levenshtein finds typo titles, cross-block pairs invisible") {
+  test("edit pairs: dual-block Levenshtein catches a first-token edit, both-end edits invisible") {
     import spark.implicits._
     val got = Dedup.editDistancePairs(docs(
       (1L, "spark query plan runs fast here x"),
-      (2L, "spark query plan runs slow here y"),   // title dist 4 ("fast"→"slow")
-      (3L, "spark wholly different title text z"), // same block, dist > 4
-      (4L, "flink query plan runs fast here x")    // first token differs → unseen
+      (2L, "spark query plan runs slow here y"),    // title dist 4 ("fast"→"slow")
+      (3L, "spark wholly different title text z"),  // same first block, dist > 4
+      (4L, "flink query plan runs fast here x"),    // first token differs — the
+      // last-token block ("here") catches it now, dist 4 ("spark"→"flink");
+      // each block emits this candidate at most once, so the pre-DP dedup
+      // keeps it single
+      (5L, "sparkx query plan runs fast herex y")   // dist 2 from doc 1 but
+      // edited at BOTH ends → no block shares it: the residual (and
+      // documented) recall trade
     ), nTokens = 6, maxDist = 4)
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(got === Seq((1L, 2L, 4L)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 4L), (1L, 4L, 4L)))
   }
 
   test("span dedup: shared 8-token runs flagged, within-doc repeats count once") {
