@@ -74,8 +74,17 @@ object Bench {
       // frame is GC'd + ContextCleaner runs — on a GC-quiet 128 GiB
       // heap that's "never during the bench", so release them
       // explicitly or storage memory accumulates across 86 queries.
+      //
+      // BLOCKING unpersist + explicit GC: with blocking=false the block
+      // removal (and the collection of the dead heap behind it) runs
+      // DURING the next query's timed passes — round 12's
+      // x4_band_recall read warm 5.2 s in-suite vs 1.6-2.4 s in a fresh
+      // session purely because it ran right after the eager fixpoint
+      // queries' garbage. Draining the debt here moves that cost into
+      // untimed inter-query space, where it belongs.
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       res
     }
     // control chars (tabs, stray \r) inside exception text would break

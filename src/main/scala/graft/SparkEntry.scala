@@ -240,6 +240,11 @@ object SparkEntry {
     "x4_incremental" -> ((s, d) => Dedup.nearDupAgainstIndex(
       t(s, d, "documents").filter("doc_id < 100"),
       t(s, d, "documents").filter("doc_id >= 100"))),
+    // the same nightly shape at SPAN granularity: how much of each new
+    // doc is already verbatim-present in the stored span index
+    "x4_span_incremental" -> ((s, d) => Dedup.spanIncremental(
+      t(s, d, "documents").filter("doc_id < 100"),
+      t(s, d, "documents").filter("doc_id >= 100"))),
     "x4_dup_stats" -> ((s, d) => Dedup.dupStats(t(s, d, "documents"))),
     // verbatim 8-token-window overlap: per-doc duplicated-span fraction
     "x4_span_dedup" -> ((s, d) => Dedup.duplicatedSpans(t(s, d, "documents"))),
@@ -252,6 +257,12 @@ object SparkEntry {
     // banding-recall calibration: per Jaccard decile, the fraction of
     // exact pairs the 4x4 banding catches (the S-curve, measured)
     "x4_band_recall" -> ((s, d) => Dedup.bandRecallReport(t(s, d, "documents"))),
+    // the 100 TB form of the audit IN the hash gate: ground truth on
+    // the deterministic 37% doc sample, band keys still the full
+    // production index (df/cap stats stay corpus-exact — see
+    // cappedIntersections)
+    "x4_band_recall_sampled" -> ((s, d) =>
+      Dedup.bandRecallReport(t(s, d, "documents"), samplePct = 37)),
     "x4_novelty" -> ((s, d) => Dedup.noveltyScores(t(s, d, "documents"))),
     "x4_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(t(s, d, "documents"))),
     // --- X2 similarity search ---
@@ -311,6 +322,10 @@ object SparkEntry {
     "x2_confusion" -> ((s, d) => Similarity.nearestClassMean(t(s, d, "embeddings"))),
     // leave-one-out k-NN majority-vote label accuracy (exact audit)
     "x2_knn_accuracy" -> ((s, d) => Similarity.knnLabelAccuracy(t(s, d, "embeddings"))),
+    // the bounded form: a 37% hash sample of queries still votes over
+    // the FULL corpus — (p·N)·N cost, per-query-identical predictions
+    "x2_knn_sampled" -> ((s, d) =>
+      Similarity.knnLabelAccuracy(t(s, d, "embeddings"), samplePct = 37)),
     // margin-criterion pair mining: batch aligns to index, best vs
     // runner-up ratio suppresses hub vectors (bitext-mining shape)
     "x2_margin_pairs" -> ((s, d) => Similarity.marginMine(
@@ -399,6 +414,12 @@ object SparkEntry {
     // KMV set-intersection sketch: day-pair audience Jaccard estimate
     // audited against the exact overlap
     "x6_audience_overlap" -> ((s, d) => Profiling.audienceOverlap(t(s, d, "events"))),
+    // the KMV serve path: signatures materialized once (the stored
+    // sketch), the whole pairwise matrix folds sketch rows only
+    "x6_kmv_serve" -> ((s, d) => {
+      val stored = Profiling.kmvSignatures(t(s, d, "events")).localCheckpoint()
+      Profiling.audienceOverlapFromSignatures(stored)
+    }),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -436,7 +457,7 @@ object SparkEntry {
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
     "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_overlap",
-    "x6_anomaly_serve", "x6_hll_serve",
+    "x6_anomaly_serve", "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
   )
 
@@ -1413,6 +1434,21 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_shared
          FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50""",
+    // the span CTE (tk/sp) copied from x4_span_dedup — change together;
+    // the index side is the distinct-span set of docs >= 100
+    "x4_span_incremental" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7),
+             i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)) AS BIGINT)))) AS sh
+           FROM tk WHERE len(t) >= 8),
+         idx AS (SELECT DISTINCT sh FROM sp WHERE doc_id >= 100),
+         inc AS (SELECT doc_id, sh FROM sp WHERE doc_id < 100)
+         SELECT inc.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN idx.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_index_spans,
+           round(CAST(sum(CASE WHEN idx.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS index_frac
+         FROM inc LEFT JOIN idx ON idx.sh = inc.sh GROUP BY 1""",
     "x4_dup_stats" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          t AS (SELECT doc_id, list_transform(
@@ -1538,6 +1574,52 @@ object SparkEntry {
          hot AS (SELECT shingle FROM inv0, nd GROUP BY shingle, n_docs
            HAVING count(*) * 5 > n_docs AND count(*) > 25),
          inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         cnt AS (SELECT doc_id, count(*) AS ns FROM inv GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+           FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id),
+         exf AS (SELECT doc_a, doc_b,
+             round(n_inter / CAST(ca.ns + cb.ns - n_inter AS DOUBLE), 6) AS jaccard
+           FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b),
+         th AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM th),
+         bd AS (SELECT doc_id, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM sig, (SELECT unnest(range(4)) AS b)),
+         caught AS (SELECT DISTINCT e.doc_a, e.doc_b FROM exf e
+           JOIN bd x ON x.doc_id = e.doc_a
+           JOIN bd y ON y.doc_id = e.doc_b AND y.b = x.b AND y.key = x.key)
+         SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           round(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS recall
+         FROM exf LEFT JOIN caught c ON c.doc_a = exf.doc_a AND c.doc_b = exf.doc_b
+         GROUP BY 1""",
+    // x4_band_recall's chain with ONE added predicate: the capped
+    // inverted index is restricted to the deterministic 37% doc-id
+    // hash sample BEFORE the pair stage (hot/df stats stay full-corpus,
+    // band side stays the full production index) — the sampled ≡
+    // full-restricted contract SampleBoundSpec pins, here inside the
+    // hash gate (shared CTE copy: change with x4_band_recall)
+    "x4_band_recall_sampled" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         hot AS (SELECT shingle FROM inv0, nd GROUP BY shingle, n_docs
+           HAVING count(*) * 5 > n_docs AND count(*) > 25),
+         inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+           AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 100 < 37),
          cnt AS (SELECT doc_id, count(*) AS ns FROM inv GROUP BY doc_id),
          inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
            FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
@@ -1980,6 +2062,36 @@ object SparkEntry {
              list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
                (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
            FROM n q, n t WHERE t.vec_id <> q.vec_id),
+         r AS (SELECT q_id, n_label, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rk FROM s),
+         v AS (SELECT q_id, n_label, count(*) AS nv
+           FROM r WHERE rk <= 3 GROUP BY 1, 2),
+         p AS (SELECT q_id, n_label AS predicted, row_number() OVER (
+             PARTITION BY q_id ORDER BY nv DESC, n_label) AS pr FROM v),
+         j AS (SELECT p.q_id, p.predicted, e.label
+           FROM p JOIN e ON p.q_id = e.vec_id WHERE p.pr = 1)
+         SELECT label, count(*) AS n_vecs,
+           CAST(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(CAST(sum(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS DOUBLE) / count(*) AS accuracy
+         FROM j GROUP BY label""",
+    // x2_knn_accuracy's chain with ONE added predicate: the QUERY side
+    // shrinks to the deterministic 37% vec-id hash sample while every
+    // sampled query still votes over the full corpus (shared CTE copy:
+    // change with x2_knn_accuracy)
+    "x2_knn_sampled" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         s AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id, t.label AS n_label,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE t.vec_id <> q.vec_id
+             AND CAST(('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 < 37),
          r AS (SELECT q_id, n_label, row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, n_id) AS rk FROM s),
          v AS (SELECT q_id, n_label, count(*) AS nv
@@ -3408,6 +3520,39 @@ object SparkEntry {
          JOIN nd na ON na.day = fl.da
          JOIN nd nb ON nb.day = fl.db
          LEFT JOIN iv ON iv.da = fl.da AND iv.db = fl.db""",
+    // x6_audience_overlap's sketch chain WITHOUT the exact-audit CTEs
+    // (nd/iv) — the serve path folds stored signatures only (shared
+    // CTE copy: change with x6_audience_overlap)
+    "x6_kmv_serve" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events),
+         hs AS (SELECT DISTINCT day,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 2147483647 AS h
+           FROM du),
+         sig AS (SELECT day, h FROM (SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS r FROM hs)
+           WHERE r <= 32),
+         dp AS (SELECT a.day AS da, b.day AS db
+           FROM (SELECT DISTINCT day FROM sig) a
+           JOIN (SELECT DISTINCT day FROM sig) b ON a.day < b.day),
+         u AS (SELECT DISTINCT da, db, h FROM (
+           SELECT dp.da, dp.db, s.h FROM dp JOIN sig s ON s.day = dp.da
+           UNION ALL
+           SELECT dp.da, dp.db, s.h FROM dp JOIN sig s ON s.day = dp.db)),
+         rk AS (SELECT da, db, h FROM (SELECT da, db, h,
+             row_number() OVER (PARTITION BY da, db ORDER BY h) AS r FROM u)
+           WHERE r <= 32),
+         fl AS (SELECT rk.da, rk.db,
+             CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS nboth
+           FROM rk
+           LEFT JOIN sig sa ON sa.day = rk.da AND sa.h = rk.h
+           LEFT JOIN sig sb ON sb.day = rk.db AND sb.h = rk.h
+           GROUP BY 1, 2)
+         SELECT da AS day_a, db AS day_b,
+           round(nboth / 32.0, 6) AS est_jaccard
+         FROM fl""",
     "x6_heatmap" ->
       """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
            (epoch_us(ts) // 3600000000) % 24 AS hour,

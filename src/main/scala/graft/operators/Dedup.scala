@@ -886,4 +886,47 @@ object Dedup {
       .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
       .limit(k)
   }
+
+  /** The PRE-AGGREGATED verbatim-span index of a corpus — one row per
+    * DISTINCT [[SpanLen]]-token span hash, the stored artifact of the
+    * span-dedup family (the [[bandIndex]] discipline at span
+    * granularity): a resident pipeline materializes this once per
+    * corpus generation, and every later crawl batch probes it via
+    * [[spansAgainstIndex]] without re-hashing the corpus. Bounded by
+    * the distinct-span count, independent of how often a boilerplate
+    * span repeats. */
+  def spanIndex(indexed: DataFrame): DataFrame =
+    wideEnough(indexed, SpanLen)
+      .select(explode(array_distinct(
+        shingle_hashes(col("text"), SpanLen, 0L))).as("sh"))
+      .distinct()
+
+  /** X4 incremental verbatim-span gate — [[duplicatedSpans]] in the
+    * nightly-crawl shape: each incoming document's distinct spans
+    * probe a STORED [[spanIndex]], and the report scores how much of
+    * the doc is already verbatim-present in the indexed corpus —
+    * the pre-training filter that keeps a new crawl from re-ingesting
+    * yesterday's boilerplate. One equi-keyed left join on the span
+    * hash (index side is one row per span, so join output is bounded
+    * by the incoming batch's span count regardless of index skew),
+    * then a map-side-combining rollup to doc grain. */
+  def spansAgainstIndex(incoming: DataFrame, idx: DataFrame): DataFrame = {
+    val spans = wideEnough(incoming, SpanLen)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          shingle_hashes(col("text"), SpanLen, 0L))).as("sh"))
+    spans.join(idx.withColumn("hit", lit(1L)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("hit") === 1L, 1L).otherwise(0L)).as("n_index_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_index_spans"),
+        round(col("n_index_spans").cast("double") /
+          col("n_spans").cast("double"), 6).as("index_frac"))
+  }
+
+  /** [[spansAgainstIndex]] with the index built inline — the
+    * self-contained form the oracle checks; production stores
+    * [[spanIndex]]'s output instead. */
+  def spanIncremental(incoming: DataFrame, indexed: DataFrame): DataFrame =
+    spansAgainstIndex(incoming, spanIndex(indexed))
 }

@@ -353,8 +353,35 @@ object Profiling {
     val du = events.select(
       expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
       .distinct()
-    val sig = kmvSignatures(events, k)
-    val days = du.select(col("day")).distinct()
+    val est = audienceOverlapFromSignatures(kmvSignatures(events, k), k)
+    val nd = du.groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val inter = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.day") < col("y.day"))
+      .groupBy(col("x.day").as("day_a"), col("y.day").as("day_b"))
+      .agg(count(lit(1)).as("inter"))
+    est
+      .join(nd.select(col("day").as("day_a"), col("n").as("na")), Seq("day_a"))
+      .join(nd.select(col("day").as("day_b"), col("n").as("nb")), Seq("day_b"))
+      .join(inter, Seq("day_a", "day_b"), "left")
+      .select(col("day_a"), col("day_b"), col("est_jaccard"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast("double"), 6)
+          .as("exact_jaccard"))
+  }
+
+  /** The KMV SERVE path — pairwise audience-Jaccard estimates computed
+    * purely from a STORED `(day, h)` signature table
+    * ([[kmvSignatures]]' output, or the final state
+    * `StreamPipeline.audienceKmvStream` emits) — the
+    * [[hllGlobalFromRegisters]] discipline for the intersection
+    * sketch: the scoring plan folds O(days²·k) stored sketch rows and
+    * never touches raw events, so a quarter's day-pair matrix over a
+    * 100 TB event log reads k·days values. Estimator identical to the
+    * audited [[audienceOverlap]] (kmin_k of the pairwise union, then
+    * the coincidence count / k); output is the estimate column only —
+    * the exact audit needs the raw rows by definition. */
+  def audienceOverlapFromSignatures(sig: DataFrame, k: Int = 32): DataFrame = {
+    val days = sig.select(col("day")).distinct()
     val dp = days.select(col("day").as("da")).join(
       days.select(col("day").as("db")), col("da") < col("db"))
     val u = dp.join(sig.withColumnRenamed("day", "da"), Seq("da"))
@@ -365,7 +392,7 @@ object Profiling {
     val wp = Window.partitionBy(col("da"), col("db")).orderBy(col("h"))
     val rk = u.withColumn("r", row_number().over(wp))
       .filter(col("r") <= k).select(col("da"), col("db"), col("h"))
-    val flagged = rk
+    rk
       .join(sig.select(col("day").as("da"), col("h"), lit(1).as("ina")),
         Seq("da", "h"), "left")
       .join(sig.select(col("day").as("db"), col("h"), lit(1).as("inb")),
@@ -373,20 +400,8 @@ object Profiling {
       .groupBy(col("da"), col("db"))
       .agg(sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
         .as("nboth"))
-    val nd = du.groupBy(col("day")).agg(count(lit(1)).as("n"))
-    val inter = du.as("x").join(du.as("y"),
-        col("x.user_id") === col("y.user_id") && col("x.day") < col("y.day"))
-      .groupBy(col("x.day").as("da"), col("y.day").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    flagged
-      .join(nd.select(col("day").as("da"), col("n").as("na")), Seq("da"))
-      .join(nd.select(col("day").as("db"), col("n").as("nb")), Seq("db"))
-      .join(inter, Seq("da", "db"), "left")
       .select(col("da").as("day_a"), col("db").as("day_b"),
-        round(col("nboth").cast("double") / lit(k.toDouble), 6).as("est_jaccard"),
-        round(coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast("double"), 6)
-          .as("exact_jaccard"))
+        round(col("nboth").cast("double") / lit(k.toDouble), 6).as("est_jaccard"))
   }
 
   /** Behavioral bot audit over the event stream: per user, the volume

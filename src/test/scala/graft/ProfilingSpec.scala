@@ -178,5 +178,16 @@ class ProfilingSpec extends AnyFunSuite {
     assert(Profiling.audienceOverlap(dup)
       .as[(Long, Long, Double, Double)].collect()
       .map(r => (r._1, r._2) -> (r._3, r._4)).toMap === got)
+    // KMV serve: the estimate column from STORED signatures matches the
+    // self-contained audit's estimates, and the serve plan reads only
+    // the checkpointed sketch
+    val stored = Profiling.kmvSignatures(rows.toDF("user_id", "ts"))
+      .localCheckpoint()
+    val served = Profiling.audienceOverlapFromSignatures(stored)
+    assert(!served.queryExecution.executedPlan.toString.toLowerCase
+      .contains("parquet"))
+    assert(served.as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap ===
+      got.map { case (k, v) => k -> v._1 })
   }
 }

@@ -973,6 +973,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L, 1L), (1L, 5L, 1L), (2L, 5L, 1L)))
   }
 
+  test("span incremental: new docs score their verbatim overlap against the stored index") {
+    import spark.implicits._
+    val indexed = docs(
+      (100L, "a b c d e f g h i j"),   // spans: abcdefgh, bcdefghi, cdefghij
+      (101L, "m n o p q r s t"))
+    val incoming = docs(
+      (1L, "a b c d e f g h x y"),     // 3 spans, 1 in the index
+      (2L, "m n o p q r s t"),         // its single span IS indexed
+      (3L, "u v w x y z zz q r s"),    // 3 spans, none indexed
+      (4L, "too short"))
+    val got = Dedup.spanIncremental(incoming, indexed)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(4L))
+    assert(got(1L) === ((1L, 3L, 1L, 0.333333)))
+    assert(got(2L) === ((2L, 1L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 3L, 0L, 0.0)))
+    // serve split: a stored (pre-aggregated) index gives the same report
+    val stored = Dedup.spanIndex(indexed).localCheckpoint()
+    val served = Dedup.spansAgainstIndex(incoming, stored)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(served === got)
+  }
+
   test("span pairs: stop-spans above the df cap generate no pairs") {
     val d = docs((1L to 18L).map(i => (i, "s1 s2 s3 s4 s5 s6 s7 s8")): _*)
     assert(Dedup.spanSharedPairs(d, maxDf = 16).count() === 0L)
