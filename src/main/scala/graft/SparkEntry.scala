@@ -339,6 +339,16 @@ object SparkEntry {
     // flagship composition: dedup -> quality filter -> decontaminate ->
     // shard pack, hash-verified END TO END (stage coupling included)
     "x7_curate" -> ((s, d) => Curation.curate(t(s, d, "documents"))),
+    // the nightly shape end to end: incoming batch (bench ≤ id < 100)
+    // probed against the stored fingerprint/band/span artifacts of the
+    // indexed corpus (id >= 100) plus the benchmark set (id < 50)
+    "x7_curate_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.incrementalAdmission(
+        docs.filter("doc_id >= 50 AND doc_id < 100"),
+        docs.filter("doc_id >= 100"),
+        docs.filter("doc_id < 50"))
+    }),
     // curate with the verbatim-span gate between decontam and packing
     "x7_curate_verbatim" -> ((s, d) => Curation.curateVerbatim(t(s, d, "documents"))),
     "x7_curate_neardup" -> ((s, d) =>
@@ -1449,6 +1459,64 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN idx.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS index_frac
          FROM inc LEFT JOIN idx ON idx.sh = inc.sh GROUP BY 1""",
+    // composes the stored-artifact probe chains: fingerprint set, the
+    // x4_incremental band chain, the x4_span_incremental span chain,
+    // and the x4_decontaminate 3-gram chain (shared CTE copies —
+    // change together with those oracles); incoming = 50 <= id < 100,
+    // index = id >= 100, bench = id < 50
+    "x7_curate_incremental" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         fps AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id >= 100),
+         fpf AS (SELECT doc_id, CASE WHEN fps.fp IS NOT NULL THEN 1 ELSE 0 END AS fhit
+           FROM (SELECT doc_id, md5(text) AS fp FROM documents
+                 WHERE doc_id >= 50 AND doc_id < 100) i
+           LEFT JOIN fps ON fps.fp = i.fp),
+         mh AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM mh),
+         bd AS (SELECT doc_id, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM sig, (SELECT unnest(range(4)) AS b)),
+         bidx AS (SELECT b, key FROM bd WHERE doc_id >= 100 GROUP BY b, key),
+         bh AS (SELECT DISTINCT i.doc_id FROM bd i
+           JOIN bidx x ON i.b = x.b AND i.key = x.key
+           WHERE i.doc_id >= 50 AND i.doc_id < 100),
+         sp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 7),
+             i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15)) AS BIGINT)))) AS sh
+           FROM tk WHERE len(t) >= 8),
+         sidx AS (SELECT DISTINCT sh FROM sp WHERE doc_id >= 100),
+         sfrac AS (SELECT inc.doc_id,
+             round(CAST(sum(CASE WHEN sidx.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS index_frac
+           FROM (SELECT doc_id, sh FROM sp WHERE doc_id >= 50 AND doc_id < 100) inc
+           LEFT JOIN sidx ON sidx.sh = inc.sh GROUP BY 1),
+         shg AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shg),
+         ct AS (SELECT DISTINCT c.doc_id
+           FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND c.doc_id < 100 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id
+           HAVING count(*) >= 5)
+         SELECT d.doc_id,
+           fpf.fhit = 1 AS fp_dup,
+           bh.doc_id IS NOT NULL AS band_hit,
+           COALESCE(sfrac.index_frac, 0.0) AS span_frac,
+           ct.doc_id IS NOT NULL AS contaminated,
+           (fpf.fhit = 0 AND bh.doc_id IS NULL
+             AND COALESCE(sfrac.index_frac, 0.0) <= 0.5
+             AND ct.doc_id IS NULL) AS kept
+         FROM (SELECT doc_id FROM documents
+               WHERE doc_id >= 50 AND doc_id < 100) d
+         JOIN fpf ON fpf.doc_id = d.doc_id
+         LEFT JOIN bh ON bh.doc_id = d.doc_id
+         LEFT JOIN sfrac ON sfrac.doc_id = d.doc_id
+         LEFT JOIN ct ON ct.doc_id = d.doc_id""",
     "x4_dup_stats" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          t AS (SELECT doc_id, list_transform(

@@ -213,6 +213,60 @@ object Curation {
     candidates.join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** X7 INCREMENTAL admission report — the nightly-crawl curation
+    * shape as ONE oracle-checked operator: every document of an
+    * incoming batch is scored against the STORED artifacts of an
+    * already-indexed corpus, producing the per-doc gate verdict a
+    * resident pipeline writes next to each crawl ingest:
+    *
+    *  - `fp_dup`: byte-identical to an indexed doc (md5 fingerprint
+    *    probe — the [[Dedup.fingerprintDedup]] key against the stored
+    *    fingerprint set);
+    *  - `band_hit`: MinHash band collision with the stored
+    *    [[Dedup.bandIndex]] ([[Dedup.nearDupAgainstIndex]] — the
+    *    near-dup gate);
+    *  - `span_frac`: fraction of the doc's 8-token spans already
+    *    verbatim-present in the stored [[Dedup.spanIndex]] (docs too
+    *    short to carry a span score 0 — the quality gate owns them);
+    *  - `contaminated`: 3-gram overlap with a benchmark document
+    *    ([[Dedup.decontaminateAgainst]]);
+    *  - `kept`: admitted — no gate fired (`span_frac` compares the
+    *    ROUNDED fraction against `maxSpanFrac`, house rule).
+    *
+    * The quality percentile deliberately stays out: it is a
+    * batch-relative measure audited separately (`x3_quality_deciles`),
+    * while every column here is a probe of STORED state — the index
+    * side contributes one row per fingerprint/bucket/span, so each
+    * probe is an equi-keyed join bounded by the incoming batch's size
+    * regardless of corpus size or skew. That is the entire 100 TB
+    * story: tonight's crawl costs O(batch), never O(corpus). */
+  def incrementalAdmission(incoming: DataFrame, indexed: DataFrame,
+                           bench: DataFrame,
+                           maxSpanFrac: Double = 0.5): DataFrame = {
+    val fps = indexed.select(md5(col("text")).as("fp")).distinct()
+      .withColumn("fhit", lit(1))
+    val fpFlag = incoming.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(fps, Seq("fp"), "left")
+      .select(col("doc_id"), (coalesce(col("fhit"), lit(0)) === 1).as("fp_dup"))
+    val bandFlag = Dedup.nearDupAgainstIndex(incoming, indexed)
+      .select(col("doc_id")).distinct().withColumn("bhit", lit(1))
+    val spanFrac = Dedup.spanIncremental(incoming, indexed)
+      .select(col("doc_id"), col("index_frac"))
+    val contam = Dedup.decontaminateAgainst(incoming, bench)
+      .select(col("doc_id")).distinct().withColumn("chit", lit(1))
+    fpFlag
+      .join(bandFlag, Seq("doc_id"), "left")
+      .join(spanFrac, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp_dup"),
+        (coalesce(col("bhit"), lit(0)) === 1).as("band_hit"),
+        coalesce(col("index_frac"), lit(0.0)).as("span_frac"),
+        (coalesce(col("chit"), lit(0)) === 1).as("contaminated"))
+      .withColumn("kept",
+        !col("fp_dup") && !col("band_hit") &&
+          col("span_frac") <= maxSpanFrac && !col("contaminated"))
+  }
+
   /** X7 SEMANTIC curation — the SemDeDup-style build: exact dedup,
     * then EMBEDDING-level near-duplicate removal over the survivors
     * ([[Similarity.semDedup]]: trained IVF cells bound the pair stage,

@@ -996,6 +996,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(served === got)
   }
 
+  test("incremental admission: each stored-artifact gate fires on its own trigger") {
+    import spark.implicits._
+    val indexed = docs(
+      (100L, "a b c d e f g h i j"),
+      (101L, "the quick brown fox jumps over the lazy dog end"))
+    val bench = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val incoming = docs(
+      (50L, "a b c d e f g h i j"),             // byte-identical to 100
+      (51L, "totally novel text with nothing shared whatsoever here"),
+      (52L, "alpha beta gamma delta epsilon zeta eta theta padding words"),
+      (53L, "x y z a b c d e f g h i j k"))     // 3 of 7 spans indexed
+    val got = Curation.incrementalAdmission(incoming, indexed, bench,
+        maxSpanFrac = 0.3)
+      .as[(Long, Boolean, Boolean, Double, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // 50: every index gate fires (fingerprint, band, spans) — bench clean
+    assert(got(50L) === ((50L, true, true, 1.0, false, false)))
+    // 51: nothing fires → admitted
+    assert(got(51L) === ((51L, false, false, 0.0, false, true)))
+    // 52: shares a 6-shingle run with the BENCH doc only → contaminated,
+    // all corpus-index gates clean
+    assert(got(52L) === ((52L, false, false, 0.0, true, false)))
+    // 53: contains doc 100's token run → span gate (0.428571 > 0.3)
+    val r53 = got(53L)
+    assert(!r53._2 && r53._4 === 0.428571 && !r53._5 && !r53._6)
+  }
+
   test("span pairs: stop-spans above the df cap generate no pairs") {
     val d = docs((1L to 18L).map(i => (i, "s1 s2 s3 s4 s5 s6 s7 s8")): _*)
     assert(Dedup.spanSharedPairs(d, maxDf = 16).count() === 0L)
