@@ -103,6 +103,11 @@ object SparkEntry {
     "q_order_priority" -> ((s, d) => Analytics.orderPriorityCheck(
       t(s, d, "lineitem"), t(s, d, "orders"))),
     // TPC-H Q8 shape: one nation's share of a part-type market per year
+    // per-nation year-over-year revenue growth: lag window over the
+    // O(nations·years) aggregated frame, exact integer cents
+    "q_yearly_growth" -> ((s, d) => Analytics.yearlyGrowth(
+      t(s, d, "lineitem"), t(s, d, "orders"),
+      t(s, d, "customer"), t(s, d, "nation"))),
     "q_market_share" -> ((s, d) => Analytics.nationMarketShare(
       t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
       t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"),
@@ -275,6 +280,14 @@ object SparkEntry {
     "x2_bucket_stats" -> ((s, d) => Similarity.lshBucketStats(t(s, d, "embeddings"))),
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
     "x2_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
+    // the LSH serve path: the 8-table bucket index is the stored
+    // artifact; the search plan probes it with no corpus re-hash.
+    // Oracle = x2_ann_lsh's verbatim (serve must equal self-contained).
+    "x2_ann_lsh_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Similarity.lshBucketIndex(emb).localCheckpoint()
+      Similarity.annLshOnBucketIndex(emb, idx)
+    }),
     "x2_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     // filtered vector search: the predicate rides IN the bucket key
     "x2_ann_filtered" -> ((s, d) => Similarity.annLshFiltered(t(s, d, "embeddings"))),
@@ -407,6 +420,9 @@ object SparkEntry {
     "x6_bot_score" -> ((s, d) => Profiling.botScore(t(s, d, "events"))),
     // hour-of-day x day-of-week load shape, pure integer epoch cells
     "x6_heatmap" -> ((s, d) => Windows.activityHeatmap(t(s, d, "events"))),
+    // DAU over epoch-week WAU: the engagement ratio, integer-epoch
+    // week arithmetic (no engine calendar-week functions)
+    "x6_stickiness" -> ((s, d) => Windows.stickiness(t(s, d, "events"))),
     // engine-portable HyperLogLog: per-day distinct-user estimate whose
     // sketch (registers, integer harmonic sum) both engines reproduce
     "x6_hll_users" -> ((s, d) => Profiling.hllUsers(t(s, d, "events"))),
@@ -461,7 +477,8 @@ object SparkEntry {
     * sf0.001) and fails on any drift, so it cannot go stale. */
   val eagerQueries: Set[String] = Set(
     "x1_budget_select", "x1_pack_contexts", "x1_systematic_sample",
-    "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_pq",
+    "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_lsh_serve",
+    "x2_ann_pq",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
     "x2_ivf_recall", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
@@ -769,6 +786,22 @@ object SparkEntry {
              WHERE l.l_orderkey = o.o_orderkey
                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
          GROUP BY 1""",
+    "q_yearly_growth" ->
+      """WITH r AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS rev_c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         g AS (SELECT n_name, o_year, rev_c,
+             lag(rev_c) OVER (PARTITION BY n_name ORDER BY o_year) AS prev_c
+           FROM r)
+         SELECT n_name, o_year,
+           round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(rev_c - prev_c AS DOUBLE) / CAST(prev_c AS DOUBLE), 6)
+             AS yoy_growth
+         FROM g""",
     "q_market_share" ->
       """WITH parts AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
          supp AS (SELECT s_suppkey,
@@ -3626,6 +3659,16 @@ object SparkEntry {
            (epoch_us(ts) // 3600000000) % 24 AS hour,
            CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "x6_stickiness" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+         wu AS (SELECT DISTINCT epoch_us(ts) // 86400000000 // 7 AS week, user_id
+           FROM events),
+         wau AS (SELECT week, CAST(count(*) AS BIGINT) AS wau FROM wu GROUP BY 1)
+         SELECT day, dau, wau,
+           round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+         FROM dau JOIN wau ON wau.week = dau.day // 7""",
     "x6_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
            FROM events),
@@ -3654,6 +3697,7 @@ object SparkEntry {
     val base = oracleSqlBase
     Map(
       "x2_ann_ivf_serve" -> base("x2_ann_ivf"),
+      "x2_ann_lsh_serve" -> base("x2_ann_lsh"),
       "x3_unigram_score_serve" -> base("x3_unigram_logprob"),
       "x6_anomaly_serve" -> base("x6_anomaly"),
     )

@@ -395,6 +395,35 @@ object Analytics {
     floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
       .cast("long")
 
+  /** Year-over-year revenue growth per customer nation — the star
+    * schema's trend report: per (nation, year) exact-cent revenue plus
+    * growth vs the nation's previous year ON RECORD (`lag` over the
+    * aggregated frame — O(nations·years) rows, never raw volume; a
+    * nation's first year has no prior and reports null growth on both
+    * engines). Dimension broadcasts into the fact, one grouped cent
+    * sum, then the lag window partitioned by nation. Growth is a ratio
+    * of exact int64 cents rounded once — no float enters before the
+    * final division. */
+  def yearlyGrowth(lineitem: DataFrame, orders: DataFrame,
+                   customer: DataFrame, nation: DataFrame): DataFrame = {
+    val cust = broadcast(
+      customer.join(nation.select(col("n_nationkey"), col("n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    val rev = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revCents).as("rev_c"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("o_year"))
+    rev.withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .select(col("n_name"), col("o_year"),
+        round(col("rev_c").cast("double") / 100.0, 2).as("revenue"),
+        round((col("rev_c") - col("prev_c")).cast("double") /
+          col("prev_c").cast("double"), 6).as("yoy_growth"))
+  }
+
   /** TPC-H Q3 shape — top unshipped orders by revenue: orders placed
     * before the cutoff in one market segment whose lineitems ship
     * after it. The orders side is filtered+broadcast BEFORE the fact

@@ -331,10 +331,41 @@ object Similarity {
     * media-search composition (embed → bucketed retrieval). */
   def annLshOnVectors(vectors: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val vn = vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-    val buckets = vn.withColumn("bkts", bucketsCol)
+    annLshCore(vn, bucketTableOf(vn), nQueries, k)
+  }
+
+  /** The (vec_id, tbl, bucket) sign-hash table of a vector frame,
+    * pre-partitioned on the bucket key. */
+  private def bucketTableOf(vn: DataFrame): DataFrame =
+    vn.withColumn("bkts", bucketsCol)
       .select(col("vec_id"), posexplode(col("bkts")))
       .toDF("vec_id", "tbl", "bucket")
       .repartition(col("tbl"), col("bucket"))
+
+  /** The STORED LSH bucket index — the [[Dedup.bandIndex]] discipline
+    * for vectors: a resident pipeline materializes this 8-table
+    * sign-hash frame once per corpus generation, and every later
+    * query batch probes it through [[annLshOnBucketIndex]] with NO
+    * corpus re-hash in the search plan. One row per (vector, table):
+    * 8·N slim rows regardless of dimensionality. */
+  def lshBucketIndex(embeddings: DataFrame): DataFrame =
+    bucketTableOf(withVec(embeddings))
+
+  /** The LSH SERVE path — [[annLsh]] answered from a STORED
+    * [[lshBucketIndex]]: the query side derives its probe buckets by
+    * filtering the stored table (queries are indexed vectors here, as
+    * in the self-contained form), multi-probes Hamming-1 neighbors,
+    * and only the O(candidates) scoring join touches raw vectors.
+    * Must equal [[annLsh]] exactly — the oracle is shared by
+    * reference (`x2_ann_lsh_serve`), the same serve ≡ self-contained
+    * contract as `x2_ann_ivf_serve`. */
+  def annLshOnBucketIndex(embeddings: DataFrame, buckets: DataFrame,
+                          nQueries: Int = 20, k: Int = 3): DataFrame =
+    annLshCore(withVec(embeddings).select(col("vec_id"), col("v"), col("nrm")),
+      buckets, nQueries, k)
+
+  private def annLshCore(vn: DataFrame, buckets: DataFrame,
+                         nQueries: Int, k: Int): DataFrame = {
     val q = buckets.filter(col("vec_id") < nQueries)
       .withColumn("fl", explode(typedLit(ProbeMasks)))
       .select(col("vec_id").as("q_id"), col("tbl"),

@@ -229,6 +229,34 @@ object Windows {
       .groupBy(col("dow"), col("hour"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** X6 DAU/WAU STICKINESS — per day, the day's distinct users over
+    * the distinct users of its EPOCH week (`day div 7` — the
+    * [[activityHeatmap]] integer-arithmetic discipline, never engine
+    * calendar-week functions with divergent week-start conventions):
+    * the engagement ratio product analytics tracks ("what share of
+    * the weekly audience shows up on a given day"). Two
+    * distinct-count aggregations at day and week grain; the O(weeks)
+    * frame broadcasts back onto the O(days) one. Exact distincts
+    * because the ratio IS the audit — the 100 TB form feeds both
+    * grains from [[graft.operators.Profiling.hllRegisters]] sketches
+    * instead (registers fold from day to week for free). */
+  def stickiness(events: DataFrame): DataFrame = {
+    val du = events.select(
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = events.select(
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    dau.withColumn("week", expr("day div 7"))
+      .join(broadcast(wau), "week")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
   /** X6 DAILY TRENDING values — per day, the top-k payload values by
     * event count with their rank (the "what is hot today" leaderboard
     * over a semi-structured property bag). The value is pulled out of
