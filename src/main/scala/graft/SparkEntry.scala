@@ -232,6 +232,9 @@ object SparkEntry {
     "x4_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
     "x4_minhash_pairs" -> ((s, d) => Dedup.minhashBandPairs(t(s, d, "documents"))),
     "x4_cluster" -> ((s, d) => Dedup.clusterNearDups(t(s, d, "documents"))),
+    // near-dup leakage across hash splits: clusters histogrammed by
+    // the set of train/val/test splits their members touch
+    "x1_split_leakage" -> ((s, d) => Sampling.splitLeakage(t(s, d, "documents"))),
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(t(s, d, "documents"))),
     // asymmetric doc-in-doc detection (quote/wrapper discovery)
     "x4_containment" -> ((s, d) => Dedup.ngramContainmentTopK(t(s, d, "documents"))),
@@ -476,7 +479,8 @@ object SparkEntry {
     * this set empirically (jobs launched during construction at
     * sf0.001) and fails on any drift, so it cannot go stale. */
   val eagerQueries: Set[String] = Set(
-    "x1_budget_select", "x1_pack_contexts", "x1_systematic_sample",
+    "x1_budget_select", "x1_pack_contexts", "x1_split_leakage",
+    "x1_systematic_sample",
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_lsh_serve",
     "x2_ann_pq",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
@@ -1422,6 +1426,57 @@ object SparkEntry {
              FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
            ON m.doc_id = l.doc_id)
          SELECT doc_id, cluster FROM l3""",
+    // the x4_cluster chain (shared CTE copy — change together) plus the
+    // x1_sample_split hash assignment, histogrammed by the split-set
+    // signature of each cluster; a comma in `splits` = leakage
+    "x1_split_leakage" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         sp AS (SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents),
+         cl AS (SELECT l3.cluster,
+             array_to_string(list_sort(list_distinct(list(split))), ',') AS splits,
+             count(*) AS n_docs
+           FROM l3 JOIN sp ON sp.doc_id = l3.doc_id GROUP BY 1)
+         SELECT splits, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs
+         FROM cl GROUP BY 1""",
     "x4_incremental" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          t AS (SELECT doc_id, list_transform(

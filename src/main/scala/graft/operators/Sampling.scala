@@ -343,4 +343,32 @@ object Sampling {
         ((col("rank") - 1) * col("n_src") + col("src_idx") - 1)
           .cast("long").as("global_pos"))
   }
+
+  /** X1 split-LEAKAGE audit — the check every eval protocol needs and
+    * byte-level splitting cannot give: hash splits assign near-dup
+    * DOCUMENTS independently, so two rephrasings of one page can land
+    * in train AND test — memorized-content leakage that inflates eval
+    * scores. This report joins the near-dup clusters
+    * ([[Dedup.clusterNearDups]]) with the [[sampleSplit]] assignment
+    * and histograms clusters by the SET of splits their members touch:
+    * every row whose `splits` contains a comma is leakage, and the
+    * doc mass in those rows is the leaked volume. The fix (assign
+    * splits by CLUSTER id, not doc id) is one join away from the same
+    * frames.
+    *
+    * Scale shape: cluster labels are the audited bounded-round
+    * propagation; everything after is a doc-id-keyed join and two
+    * map-side-combining aggregations (cluster grain, then O(2^splits)
+    * signature rows). */
+  def splitLeakage(documents: DataFrame): DataFrame = {
+    val split = sampleSplit(documents).select(col("doc_id"), col("split"))
+    Dedup.clusterNearDups(documents)
+      .join(split, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(concat_ws(",", sort_array(collect_set(col("split")))).as("splits"),
+        count(lit(1)).as("n_docs"))
+      .groupBy(col("splits"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n_docs")).as("n_docs"))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, Sampling, TextAnalysis}
 import graft.functions.RollingHash
 
 /** Semantics tests for X1/X3/X4 on hand-made documents (value-level
@@ -994,6 +994,22 @@ class TextDedupSpec extends AnyFunSuite {
     val served = Dedup.spansAgainstIndex(incoming, stored)
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(served === got)
+  }
+
+  test("split leakage: cross-split near-dup clusters are flagged, totals partition the corpus") {
+    import spark.implicits._
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val got = Sampling.splitLeakage(d)
+      .as[(String, Long, Long)].collect()
+    // signature rows partition the corpus: every doc is in exactly one
+    // cluster, every cluster in exactly one signature row
+    assert(got.map(_._3).sum === d.count())
+    val valid = Set("train", "val", "test")
+    assert(got.forall(_._1.split(",").forall(valid)))
+    // the synthetic corpus HAS near-dups (x4_cluster finds multi-doc
+    // clusters), and hash splits ignore them — so some leakage row must
+    // exist; if this ever goes quiet the operator lost its signal
+    assert(got.exists(_._1.contains(",")), got.mkString("; "))
   }
 
   test("incremental admission: each stored-artifact gate fires on its own trigger") {
