@@ -360,13 +360,20 @@ object StreamPipeline {
                    nBuckets: Int = 8,
                    index: Option[DataFrame] = None,
                    rollingIndex: Option[RollingBandIndex] = None,
-                   autoRefreshEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] = {
+                   autoRefreshEvery: Int = 0,
+                   spanIndex: Option[DataFrame] = None,
+                   maxSpanFrac: Double = 0.5): DataStreamWriter[org.apache.spark.sql.Row] = {
     // static index: signed + band-aggregated ONCE at stream
     // construction (eager, lineage-free), so triggers join the
     // materialized bucket table instead of re-deriving shingle hashes,
     // signatures, band keys, and the bucket-min per micro-batch
     val staticIdx = index.map(i =>
       graft.operators.Dedup.bandIndex(i).localCheckpoint())
+    // span gate: the stored distinct-span artifact is likewise
+    // materialized once — each trigger probes it with the batch's
+    // spans only (the x4_span_incremental nightly shape, live)
+    val staticSpanIdx = spanIndex.map(i =>
+      graft.operators.Dedup.spanIndex(i).localCheckpoint())
     docs
       .withColumn("fp", md5(col("text")))
       .withWatermark("ts", watermark)
@@ -379,7 +386,8 @@ object StreamPipeline {
         // each trigger, so a refresh() between triggers takes effect
         // without restarting the query
         curateBatch(batch, outDir, batchId, bench, minQuality, nBuckets,
-          rollingIndex.map(_.current).orElse(staticIdx))
+          rollingIndex.map(_.current).orElse(staticIdx),
+          staticSpanIdx, maxSpanFrac)
         // auto-refresh epilogue: runs AFTER this batch's upsert
         // committed, so the rolled generation contains it. batchId is
         // replay-stable, so the cadence is too. The snapshot of an
@@ -405,7 +413,9 @@ object StreamPipeline {
   def curateBatch(batch: DataFrame, outDir: String, batchId: Long,
                   bench: Option[DataFrame] = None,
                   minQuality: Double = 0.5, nBuckets: Int = 8,
-                  bandIdx: Option[DataFrame] = None): Unit = {
+                  bandIdx: Option[DataFrame] = None,
+                  spanIdx: Option[DataFrame] = None,
+                  maxSpanFrac: Double = 0.5): Unit = {
     val extras = batch.columns.filterNot(_ == "doc_id").toSeq
     val scored = graft.operators.TextAnalysis
       .qualityScore(batch, extraCols = extras)
@@ -424,7 +434,19 @@ object StreamPipeline {
         clean.join(near, Seq("doc_id"), "left_anti")
       case None => clean
     }
-    upsertBatch(novel, outDir, batchId, keyCol = "fp", nBuckets = nBuckets)
+    // verbatim-span gate against the STORED span index (the rounded
+    // fraction compares, house rule) — the boilerplate catch the
+    // whole-doc band gate cannot make when a doc is byte-distinct but
+    // mostly recycled spans
+    val fresh = spanIdx match {
+      case Some(idx) =>
+        val spanHit = graft.operators.Dedup
+          .spansAgainstIndex(novel, idx)
+          .filter(col("index_frac") > maxSpanFrac).select("doc_id")
+        novel.join(spanHit, Seq("doc_id"), "left_anti")
+      case None => novel
+    }
+    upsertBatch(fresh, outDir, batchId, keyCol = "fp", nBuckets = nBuckets)
   }
 
   /** X6 streaming: tumbling event-time windows with watermarked late

@@ -643,6 +643,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation span gate drops a byte-distinct doc of recycled spans") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-curate-span")
+    val indexed = Seq((0L, "the cat and the dog walk to the park and " +
+      "the bird sings of the sun and the rain today")).toDF("doc_id", "text")
+    // byte-distinct AND band-distinct enough for exact dedup, but 5 of
+    // its 7 8-token windows are verbatim from the indexed doc
+    val recycled = "the cat and the dog walk to the park and the bird here now"
+    val fresh = "the fish and the frog swim to the lake and the duck calls " +
+      "of the moon and the wind at dusk"
+    def batchOf(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, tx) => (id, tx, "en", "s0",
+        Timestamp.valueOf("2024-01-01 00:01:00"), s"fp$id") }
+      .toDF("doc_id", "text", "lang", "source", "ts", "fp")
+    // without the span index both docs are admitted — proving the drop
+    // below is the span gate's, not quality's or the band gate's
+    val outA = dir.resolve("a").toString
+    StreamPipeline.curateBatch(batchOf(60L -> recycled, 61L -> fresh), outA, 0L)
+    assert(StreamPipeline.readUpserted(spark, outA)
+      .select("doc_id").as[Long].collect().toSet === Set(60L, 61L))
+    // with the stored span index: 5/7 = 0.714286 > 0.5 → 60 dropped
+    val outB = dir.resolve("b").toString
+    StreamPipeline.curateBatch(batchOf(60L -> recycled, 61L -> fresh), outB, 0L,
+      spanIdx = Some(graft.operators.Dedup.spanIndex(indexed)))
+    assert(StreamPipeline.readUpserted(spark, outB)
+      .select("doc_id").as[Long].collect().toSet === Set(61L))
+  }
+
   test("streaming curation drops micro-batch docs near-duplicating the static index") {
     implicit val sc = spark.sqlContext
     val dir = Files.createTempDirectory("graft-curate-index")
