@@ -162,6 +162,9 @@ object SparkEntry {
     "x3_repetition" -> ((s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"))),
     "x3_chunk" -> ((s, d) => TextAnalysis.chunkDocuments(t(s, d, "documents"))),
     "x3_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))),
+    // per-source LM fit: mean corpus-unigram logprob at source grain,
+    // integer micro-nats until the one final division
+    "x3_source_logprob" -> ((s, d) => TextAnalysis.sourceLogProb(t(s, d, "documents"))),
     // the stored LM artifact itself, hash-verified like x2_centroids
     "x3_unigram_model" -> ((s, d) => TextAnalysis.unigramModel(t(s, d, "documents"))),
     // the LM serve path, oracle-checked: score the batch against the
@@ -426,6 +429,8 @@ object SparkEntry {
     // DAU over epoch-week WAU: the engagement ratio, integer-epoch
     // week arithmetic (no engine calendar-week functions)
     "x6_stickiness" -> ((s, d) => Windows.stickiness(t(s, d, "events"))),
+    // daily growth-vs-retention decomposition: first-seen vs returning
+    "x6_new_users" -> ((s, d) => Windows.newVsReturning(t(s, d, "events"))),
     // engine-portable HyperLogLog: per-day distinct-user estimate whose
     // sketch (registers, integer harmonic sum) both engines reproduce
     "x6_hll_users" -> ((s, d) => Profiling.hllUsers(t(s, d, "events"))),
@@ -1075,6 +1080,22 @@ object SparkEntry {
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok)
          SELECT tok, c, (SELECT CAST(sum(c) AS BIGINT) FROM cnt) AS n FROM cnt""",
+    // the x3_unigram_logprob chain rolled up at source grain (shared
+    // lp6 quantization — change together)
+    "x3_source_logprob" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+         ps AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS k
+           FROM tk GROUP BY 1, 2),
+         c AS (SELECT tok, CAST(sum(k) AS BIGINT) AS c FROM ps GROUP BY 1),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+         s AS (SELECT ps.source, ps.k,
+             CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp6
+           FROM ps JOIN c ON c.tok = ps.tok, n)
+         SELECT source, CAST(sum(k) AS BIGINT) AS n_tokens,
+           CAST(sum(k * lp6) AS DOUBLE) / (CAST(sum(k) AS BIGINT) * 1000000.0)
+             AS avg_logprob
+         FROM s GROUP BY source""",
     "x3_zipf_slope" ->
       """WITH f AS (SELECT source, unnest(string_split(text, ' ')) AS tok
              FROM documents),
@@ -3714,6 +3735,15 @@ object SparkEntry {
            (epoch_us(ts) // 3600000000) % 24 AS hour,
            CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "x6_new_users" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events),
+         f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1)
+         SELECT day,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+         FROM du JOIN f USING (user_id) GROUP BY day""",
     "x6_stickiness" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
            FROM events),

@@ -451,6 +451,31 @@ object TextAnalysis {
           (col("n_tokens").cast("double") * lit(1e6))).as("avg_logprob"))
   }
 
+  /** X3 per-source LM fit — [[unigramLogProb]] rolled up to SOURCE
+    * grain: the mean corpus-unigram log-probability of each source's
+    * token mass, the one-number-per-source drift report ("which crawl
+    * slice does the corpus LM find surprising") read next to
+    * [[sourceDrift]]'s KL distance. Counts aggregate straight at
+    * (source, token) — the doc grain never materializes — and the
+    * per-source Σ k·lp6 is exact int64, so the mean needs ONE IEEE
+    * division and no intermediate rounding anywhere; vocabulary-keyed
+    * shuffles only. */
+  def sourceLogProb(documents: DataFrame): DataFrame = {
+    val model = unigramModel(documents)
+    val perSource = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("k"))
+    perSource.join(model, "tok")
+      .select(col("source"), col("k"),
+        floor(log(col("c").cast("double") / col("n").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("lp6"))
+      .groupBy(col("source"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("k") * col("lp6")).as("lp_micro"))
+      .select(col("source"), col("n_tokens"),
+        (col("lp_micro").cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6))).as("avg_logprob"))
+  }
+
   /** X3 bigram conditional log-probability — one order up from
     * [[unigramLogProb]]: score(doc) = mean over its CONSECUTIVE token
     * pairs of ln P(b | a), with P the corpus MLE count(a,b)/count(a,·).

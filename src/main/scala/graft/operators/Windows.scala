@@ -229,6 +229,24 @@ object Windows {
       .groupBy(col("dow"), col("hour"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** X6 NEW-vs-RETURNING daily split — per day, how many of its
+    * distinct users are seen for the FIRST time (their minimum active
+    * day is this day) vs returning: the growth-vs-retention
+    * decomposition of the DAU curve. Two user-keyed aggregations
+    * (distinct day set, then per-user first day broadcast back via an
+    * equi join on user_id) and one day rollup — all map-side-combined,
+    * O(users) intermediate, O(days) out. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val du = events.select(
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val first = du.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    du.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_returning"))
+  }
+
   /** X6 DAU/WAU STICKINESS — per day, the day's distinct users over
     * the distinct users of its EPOCH week (`day div 7` — the
     * [[activityHeatmap]] integer-arithmetic discipline, never engine
