@@ -268,6 +268,9 @@ object SparkEntry {
     // banding-recall calibration: per Jaccard decile, the fraction of
     // exact pairs the 4x4 banding catches (the S-curve, measured)
     "x4_band_recall" -> ((s, d) => Dedup.bandRecallReport(t(s, d, "documents"))),
+    // signature calibration: perm-agreement estimate vs capped-exact
+    // Jaccard on every band candidate pair (band collisions score 0)
+    "x4_minhash_est" -> ((s, d) => Dedup.minhashCalibration(t(s, d, "documents"))),
     // the 100 TB form of the audit IN the hash gate: ground truth on
     // the deterministic 37% doc sample, band keys still the full
     // production index (df/cap stats stay corpus-exact — see
@@ -431,6 +434,9 @@ object SparkEntry {
     "x6_stickiness" -> ((s, d) => Windows.stickiness(t(s, d, "events"))),
     // daily growth-vs-retention decomposition: first-seen vs returning
     "x6_new_users" -> ((s, d) => Windows.newVsReturning(t(s, d, "events"))),
+    // trailing-7-day distinct actives per observed day (rolling WAU):
+    // map-side day fan-out of the distinct (user, day) set, no range join
+    "x6_rolling_active" -> ((s, d) => Windows.rollingActive(t(s, d, "events"))),
     // engine-portable HyperLogLog: per-day distinct-user estimate whose
     // sketch (registers, integer harmonic sum) both engines reproduce
     "x6_hll_users" -> ((s, d) => Profiling.hllUsers(t(s, d, "events"))),
@@ -1779,6 +1785,52 @@ object SparkEntry {
              / CAST(count(*) AS DOUBLE), 4) AS recall
          FROM exf LEFT JOIN caught c ON c.doc_a = exf.doc_a AND c.doc_b = exf.doc_b
          GROUP BY 1""",
+    // the x4_cluster sig/band-pair chain + the x4_band_recall exact
+    // chain, joined per candidate pair (shared CTE copies — change
+    // together); n_agree counts perm-wise signature agreement
+    "x4_minhash_est" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars
+               UNION SELECT doc_a, doc_b FROM cp),
+         ag AS (SELECT p.doc_a, p.doc_b,
+             CAST(len(list_filter(range(16), i -> a.s[i+1] = b.s[i+1])) AS BIGINT)
+               AS n_agree
+           FROM p JOIN sig a ON a.doc_id = p.doc_a
+           JOIN sig b ON b.doc_id = p.doc_b),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         hot AS (SELECT shingle FROM inv0, nd GROUP BY shingle, n_docs
+           HAVING count(*) * 5 > n_docs AND count(*) > 25),
+         inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         cnt AS (SELECT doc_id, count(*) AS ns FROM inv GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+           FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id),
+         exf AS (SELECT doc_a, doc_b,
+             round(n_inter / CAST(ca.ns + cb.ns - n_inter AS DOUBLE), 6) AS jaccard
+           FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+         SELECT ag.doc_a, ag.doc_b, n_agree,
+           round(n_agree / 16.0, 6) AS est_jaccard,
+           COALESCE(exf.jaccard, 0.0) AS exact_jaccard
+         FROM ag LEFT JOIN exf ON exf.doc_a = ag.doc_a AND exf.doc_b = ag.doc_b""",
     // x4_band_recall's chain with ONE added predicate: the capped
     // inverted index is restricted to the deterministic 37% doc-id
     // hash sample BEFORE the pair stage (hot/df stats stay full-corpus,
@@ -3735,6 +3787,13 @@ object SparkEntry {
            (epoch_us(ts) // 3600000000) % 24 AS hour,
            CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "x6_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events),
+         fan AS (SELECT user_id, unnest(range(day, day + 7)) AS day FROM du),
+         days AS (SELECT DISTINCT day FROM du)
+         SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+         FROM fan JOIN days USING (day) GROUP BY day""",
     "x6_new_users" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
            FROM events),

@@ -887,6 +887,41 @@ object Dedup {
       .limit(k)
   }
 
+  /** X4 MinHash-SIGNATURE calibration — the third audit of the
+    * near-dup stack, closing the chain: [[bandRecallReport]] audits
+    * the BANDING (which true pairs the buckets surface), this audits
+    * the SIGNATURE (how well perm agreement tracks true Jaccard on
+    * the pairs the banding surfaced). For every candidate pair, the
+    * estimator `agreeing perms / 16` against the capped-exact Jaccard
+    * (0 when the pair shares no surviving shingle — band collisions
+    * on hot-shingle mass look exactly like that, and this report is
+    * where they become visible). Systematic est ≫ exact means the
+    * permutation family or NumPerms needs revisiting before trusting
+    * the candidate graph.
+    *
+    * Scale shape: pair source is the SPANNING band-pair set (never
+    * all-pairs); agreement is an equi-join fan-out of pairs × 16 slim
+    * signature rows; the exact side is the audited capped
+    * inverted-index frame. Bounded by candidates, not corpus². */
+  def minhashCalibration(documents: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(documents)
+      .toDF("doc_id", "perm", "mh")
+    val agree = minhashBandPairs(documents)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("perm"),
+        col("mh").as("ma")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("perm"),
+        col("mh").as("mb")), Seq("doc_b", "perm"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("n_agree"))
+    agree
+      .join(jaccardPairs(documents).select(col("doc_a"), col("doc_b"),
+        col("jaccard")), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        round(col("n_agree").cast("double") / lit(NumPerms.toDouble), 6)
+          .as("est_jaccard"),
+        coalesce(col("jaccard"), lit(0.0)).as("exact_jaccard"))
+  }
+
   /** The PRE-AGGREGATED verbatim-span index of a corpus — one row per
     * DISTINCT [[SpanLen]]-token span hash, the stored artifact of the
     * span-dedup family (the [[bandIndex]] discipline at span

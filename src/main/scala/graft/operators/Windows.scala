@@ -229,6 +229,28 @@ object Windows {
       .groupBy(col("dow"), col("hour"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** X6 ROLLING 7-DAY ACTIVE USERS — per day, distinct users active in
+    * the trailing week [day−6, day]: the rolling-WAU curve (and at 30
+    * the rolling-MAU) product health tracks daily. Each (user, day)
+    * DISTINCT row fans out to the ≤ 7 report days it contributes to
+    * (`explode(sequence())` — map-side, never a self-join of day
+    * ranges), then one distinct-count per report day; cost is
+    * window·|du|, independent of raw event volume. Days with no
+    * trailing activity simply have no row — and the first window−1
+    * days aggregate a partial window by construction. The 100 TB swap
+    * is [[graft.operators.Profiling.hllRegisters]]: OR-fold 7 stored
+    * day sketches per report day instead of re-counting. */
+  def rollingActive(events: DataFrame, window: Int = 7): DataFrame = {
+    val du = events.select(
+        expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    du.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (window - 1))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(du.select(col("day")).distinct(), Seq("day"), "left_semi")
+  }
+
   /** X6 NEW-vs-RETURNING daily split — per day, how many of its
     * distinct users are seen for the FIRST time (their minimum active
     * day is this day) vs returning: the growth-vs-retention
