@@ -165,6 +165,8 @@ object SparkEntry {
     // per-source LM fit: mean corpus-unigram logprob at source grain,
     // integer micro-nats until the one final division
     "x3_source_logprob" -> ((s, d) => TextAnalysis.sourceLogProb(t(s, d, "documents"))),
+    // type-token ratio + hapax rate per source (lexical richness audit)
+    "x3_lexical" -> ((s, d) => TextAnalysis.lexicalRichness(t(s, d, "documents"))),
     // the stored LM artifact itself, hash-verified like x2_centroids
     "x3_unigram_model" -> ((s, d) => TextAnalysis.unigramModel(t(s, d, "documents"))),
     // the LM serve path, oracle-checked: score the batch against the
@@ -238,6 +240,8 @@ object SparkEntry {
     // near-dup leakage across hash splits: clusters histogrammed by
     // the set of train/val/test splits their members touch
     "x1_split_leakage" -> ((s, d) => Sampling.splitLeakage(t(s, d, "documents"))),
+    // row-level canonical-id export of the clustering (who absorbed whom)
+    "x4_survivors" -> ((s, d) => Dedup.survivorMap(t(s, d, "documents"))),
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(t(s, d, "documents"))),
     // asymmetric doc-in-doc detection (quote/wrapper discovery)
     "x4_containment" -> ((s, d) => Dedup.ngramContainmentTopK(t(s, d, "documents"))),
@@ -354,6 +358,8 @@ object SparkEntry {
       t(s, d, "embeddings").filter("vec_id < 100"),
       t(s, d, "embeddings").filter("vec_id >= 100"))),
     "x2_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
+    // per-dimension mean/variance/dead-unit audit in exact integer moments
+    "x2_dim_stats" -> ((s, d) => Similarity.dimStats(t(s, d, "embeddings"))),
     // incremental shape: vecs < 100 are the new batch, >= 100 the index
     "x2_incremental" -> ((s, d) => Similarity.embeddingDedupAgainstIndex(
       t(s, d, "embeddings").filter("vec_id < 100"),
@@ -437,6 +443,8 @@ object SparkEntry {
     // trailing-7-day distinct actives per observed day (rolling WAU):
     // map-side day fan-out of the distinct (user, day) set, no range join
     "x6_rolling_active" -> ((s, d) => Windows.rollingActive(t(s, d, "events"))),
+    // week-over-week retained/gained/churned ledger via map-side fan-out
+    "x6_churn" -> ((s, d) => Windows.weeklyChurn(t(s, d, "events"))),
     // engine-portable HyperLogLog: per-day distinct-user estimate whose
     // sketch (registers, integer harmonic sum) both engines reproduce
     "x6_hll_users" -> ((s, d) => Profiling.hllUsers(t(s, d, "events"))),
@@ -499,6 +507,7 @@ object SparkEntry {
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
     "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_overlap",
+    "x4_survivors",
     "x6_anomaly_serve", "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
   )
@@ -1102,6 +1111,20 @@ object SparkEntry {
            CAST(sum(k * lp6) AS DOUBLE) / (CAST(sum(k) AS BIGINT) * 1000000.0)
              AS avg_logprob
          FROM s GROUP BY source""",
+    "x3_lexical" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+         k AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS k
+           FROM tk GROUP BY 1, 2),
+         a AS (SELECT source, CAST(sum(k) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+           FROM k GROUP BY 1)
+         SELECT source, n_tokens, n_types, n_hapax,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+             AS hapax_rate
+         FROM a""",
     "x3_zipf_slope" ->
       """WITH f AS (SELECT source, unnest(string_split(text, ' ')) AS tok
              FROM documents),
@@ -1504,6 +1527,51 @@ object SparkEntry {
          SELECT splits, CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(sum(n_docs) AS BIGINT) AS n_docs
          FROM cl GROUP BY 1""",
+    // the x4_cluster chain (shared CTE copy — change together) plus a
+    // size rollup: the row-level canonical-id map of the clustering
+    "x4_survivors" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM l3 GROUP BY 1)
+         SELECT l.doc_id, l.cluster AS canonical_id,
+           CAST(CASE WHEN l.doc_id = l.cluster THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical,
+           sz.cluster_size
+         FROM l3 l JOIN sz ON sz.cluster = l.cluster""",
     "x4_incremental" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          t AS (SELECT doc_id, list_transform(
@@ -3000,6 +3068,29 @@ object SparkEntry {
            CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS q_sum,
            list_max(q) AS q_max
          FROM qq""",
+    // per-dimension embedding health: quantize each element to 1e-4
+    // units FIRST so the three moments are exact int64 in any fold
+    // order; one rounded division each; the collapsed flag compares
+    // the ROUNDED variance on both engines
+    "x2_dim_stats" ->
+      """WITH x AS (SELECT unnest(embedding) AS e,
+             unnest(range(len(embedding))) AS dim FROM embeddings),
+         q AS (SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q FROM x),
+         m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s, CAST(sum(q*q) AS BIGINT) AS s2
+           FROM q GROUP BY 1),
+         v AS (SELECT dim, n, s,
+             round(CAST(n*s2 - s*s AS DOUBLE) /
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 100000000.0), 6)
+               AS variance
+           FROM m)
+         SELECT dim,
+           round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0), 6) AS mean,
+           variance,
+           CAST(CASE WHEN variance < 0.0001 THEN 1 ELSE 0 END AS BIGINT)
+             AS collapsed
+         FROM v""",
     "x7_curate" ->
       """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
@@ -3813,6 +3904,27 @@ object SparkEntry {
          SELECT day, dau, wau,
            round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
          FROM dau JOIN wau ON wau.week = dau.day // 7""",
+    // week-over-week churn via the same map-side fan-out the Spark
+    // side uses: each (user, week) row informs week (as current) and
+    // week+1 (as previous); report rows only for observed weeks
+    "x6_churn" ->
+      """WITH uw AS (SELECT DISTINCT epoch_us(ts) // 86400000000 // 7 AS week,
+             user_id FROM events),
+         tg AS (SELECT user_id, week, 1 AS cur, 0 AS prev FROM uw
+                UNION ALL
+                SELECT user_id, week + 1, 0, 1 FROM uw),
+         f AS (SELECT user_id, week, max(cur) AS cur, max(prev) AS prev
+           FROM tg GROUP BY 1, 2),
+         c AS (SELECT week,
+             CAST(sum(CASE WHEN cur = 1 AND prev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+             CAST(sum(CASE WHEN cur = 1 AND prev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gained,
+             CAST(sum(CASE WHEN cur = 0 AND prev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_churned
+           FROM f GROUP BY 1)
+         SELECT c.week, c.n_retained, c.n_gained, c.n_churned FROM c
+         WHERE c.week IN (SELECT week FROM uw)""",
     "x6_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
            FROM events),

@@ -964,4 +964,30 @@ object Dedup {
     * [[spanIndex]]'s output instead. */
   def spanIncremental(incoming: DataFrame, indexed: DataFrame): DataFrame =
     spansAgainstIndex(incoming, spanIndex(indexed))
+
+  /** X4 SURVIVORSHIP MAP — the per-document canonical-id export of the
+    * near-dup clustering: for every doc, the cluster representative it
+    * resolves to (the component's minimum doc_id — exactly the
+    * propagated label), whether the doc IS that representative, and
+    * how large its cluster is. This is the artifact the rest of a
+    * pipeline consumes (rewrite references to dropped docs, dedup-aware
+    * lineage joins, "which doc absorbed mine" lookups) — [[dupStats]]
+    * is its histogram, this is the row-level map. One O(clusters)
+    * size aggregation broadcast-joined back onto the O(docs) label
+    * frame; the fixpoint/propagation cost is [[clusterNearDups]]'s,
+    * shared when a pipeline clusters once and derives both. */
+  def survivorMap(documents: DataFrame, rounds: Int = 3): DataFrame =
+    survivorMapFromLabels(clusterNearDups(documents, rounds))
+
+  /** [[survivorMap]] over PRECOMPUTED (doc_id, cluster) labels — the
+    * cluster-once / derive-many form, like [[dupStatsFromLabels]]. */
+  def survivorMapFromLabels(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster").as("canonical_id"),
+        when(col("doc_id") === col("cluster"), 1L).otherwise(0L)
+          .as("is_canonical"),
+        col("cluster_size"))
+  }
 }

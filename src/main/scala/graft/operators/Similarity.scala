@@ -648,6 +648,40 @@ object Similarity {
         col("qs.q_max").as("q_max"))
   }
 
+  /** X2 PER-DIMENSION EMBEDDING HEALTH — mean, variance, and a
+    * collapsed flag for every embedding dimension: the "would you
+    * trust these vectors" audit run before any index is built on
+    * them. A dimension whose variance is ~0 carries no information
+    * (encoder dead unit — it dilutes every distance and wastes a PQ
+    * subspace slot); a mean far off the others flags a normalization
+    * bug. Cross-engine exactness: each element quantizes to 1e-4
+    * units FIRST (`floor(x·10⁴ + 0.5)`, the house half-up rule), so
+    * the count/sum/sum-of-squares moments are exact int64 regardless
+    * of aggregation order (bounded: n·q² ≈ 10¹⁶ at a million vectors;
+    * beyond that the moment columns promote to decimal(38) — a
+    * one-line change) and each output is ONE division rounded to 6.
+    * The collapsed flag compares the ROUNDED variance, so both
+    * engines decide it identically. Scale shape: posexplode is a
+    * codegen generator (dims·N slim rows, no per-element interpreted
+    * lambda), the moment aggregation map-side-combines to O(dims)
+    * rows per task, and the output is O(dims). */
+  def dimStats(embeddings: DataFrame, varFloor: Double = 0.0001): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("e").cast("double") * 10000 + 0.5).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("s2"))
+      .withColumn("variance",
+        round((col("n") * col("s2") - col("s") * col("s")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") * lit(1e8)), 6))
+      .select(col("dim"),
+        round(col("s").cast("double") /
+          (col("n").cast("double") * lit(1e4)), 6).as("mean"),
+        col("variance"),
+        when(col("variance") < varFloor, 1L).otherwise(0L).as("collapsed"))
+
   /** Deterministic spherical k-means for the IVF coarse quantizer:
     * `rounds` Lloyd iterations from the fixed seeds (vec_id < nCells).
     * Each round assigns every vector to its max-cosine centroid

@@ -476,6 +476,30 @@ object TextAnalysis {
           (col("n_tokens").cast("double") * lit(1e6))).as("avg_logprob"))
   }
 
+  /** X3 LEXICAL RICHNESS per source — type-token ratio (distinct
+    * tokens over total tokens) and hapax-legomena rate (share of the
+    * source's vocabulary appearing exactly once): the companion
+    * natural-language audits to [[zipfSlope]]. Template spam shows a
+    * collapsing TTR (few types repeated endlessly); a scraped
+    * random-string source shows hapax rate → 1 with an exploding
+    * TTR; natural prose sits in a stable band of both. One
+    * aggregation at (source, token) grain — hot stopwords arrive at
+    * reducers as map-side partials — then an O(vocabulary) per-source
+    * rollup; both ratios are single divisions of exact int64 counts. */
+  def lexicalRichness(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("k"))
+      .groupBy(col("source"))
+      .agg(sum(col("k")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("k") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_rate"))
+
   /** X3 bigram conditional log-probability — one order up from
     * [[unigramLogProb]]: score(doc) = mean over its CONSECUTIVE token
     * pairs of ln P(b | a), with P the corpus MLE count(a,b)/count(a,·).

@@ -297,6 +297,41 @@ object Windows {
           .as("stickiness"))
   }
 
+  /** X6 WEEK-over-WEEK CHURN — per epoch week (`day div 7`, the
+    * integer-arithmetic discipline), the audience decomposed against
+    * the PREVIOUS week: users active in both (retained), active now
+    * but not last week (gained — brand-new or resurrected; the
+    * first-ever/resurrected split is [[newVsReturning]]'s at day
+    * grain), and active last week but gone now (churned). The
+    * retention/churn ledger product teams reconcile weekly growth
+    * with. No self-join of week frames: each distinct (user, week)
+    * row fans out map-side to the two report weeks it informs (its
+    * own as "current", week+1 as "previous"), then one (user, week)
+    * flag-OR aggregation and one O(weeks) rollup classify every
+    * user-week — the [[rollingActive]] fan-out shape, cost 2·|uw|
+    * regardless of raw event volume. Report rows only for weeks with
+    * activity (the week after the corpus ends is not reported). */
+  def weeklyChurn(events: DataFrame): DataFrame = {
+    val uw = events.select(
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"),
+        col("user_id"))
+      .distinct()
+    val tagged = uw.select(col("user_id"), col("week"), lit(1L).as("cur"),
+        lit(0L).as("prev"))
+      .unionAll(uw.select(col("user_id"), (col("week") + 1L).as("week"),
+        lit(0L).as("cur"), lit(1L).as("prev")))
+    tagged.groupBy(col("user_id"), col("week"))
+      .agg(max(col("cur")).as("cur"), max(col("prev")).as("prev"))
+      .groupBy(col("week"))
+      .agg(sum(when(col("cur") === 1L && col("prev") === 1L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cur") === 1L && col("prev") === 0L, 1L).otherwise(0L))
+          .as("n_gained"),
+        sum(when(col("cur") === 0L && col("prev") === 1L, 1L).otherwise(0L))
+          .as("n_churned"))
+      .join(uw.select(col("week")).distinct(), Seq("week"), "left_semi")
+  }
+
   /** X6 DAILY TRENDING values — per day, the top-k payload values by
     * event count with their rank (the "what is hot today" leaderboard
     * over a semi-structured property bag). The value is pulled out of

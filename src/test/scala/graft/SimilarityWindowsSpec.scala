@@ -66,6 +66,36 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(one === 1)
   }
 
+  test("weekly churn ledger decomposes retained, gained, churned") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    def plusDays(d: Int) = new Timestamp(base.getTime + d * 86400000L)
+    // +7 days always lands in the next epoch week (day div 7 is +1
+    // exactly), so the two batches are adjacent weeks by construction
+    val ev2 = Seq(
+      (1L, base, 1L, "click", 1.0),
+      (2L, base, 2L, "click", 1.0),
+      (3L, plusDays(7), 2L, "click", 1.0),
+      (4L, plusDays(7), 3L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.weeklyChurn(ev2).as[(Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.length === 2)
+    assert((got(0)._2, got(0)._3, got(0)._4) === ((0L, 2L, 0L)))
+    assert((got(1)._2, got(1)._3, got(1)._4) === ((1L, 1L, 1L)))
+  }
+
+  test("dimension stats flag dead units and report exact means") {
+    val e = embs(
+      (0L, Seq(0.5f, 0.1f, 0f, 0f), 0), (1L, Seq(0.5f, 0.3f, 0f, 0f), 0),
+      (2L, Seq(0.5f, 0.5f, 0f, 0f), 0))
+    val got = Similarity.dimStats(e).as[(Long, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 0.5, 0.0, 1L)))           // constant: dead unit
+    // dim 1: q = 1000/3000/5000 → mean .3, var (3·35e6 − 81e6)/9e8
+    assert(got(1L) === ((1L, 0.3, 0.026667, 0L)))
+    assert(got(2L)._4 === 1L && got(3L)._4 === 1L)
+  }
+
   test("rate anomaly: exact integer-moment z-score flags only the spike hour") {
     def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     // type a hourly counts [1,1,1,1,9]: mean 2.6, σ 3.2 → z(9) = 2.0 on

@@ -139,6 +139,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), plan)
   }
 
+  test("survivor map: canonical ids, flags, and sizes agree with the cluster histogram") {
+    val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g h"), (4L, "q r s t u v w x"))
+    val m = Dedup.survivorMap(d).as[(Long, Long, Long, Long)].collect()
+    assert(m.length === 4)
+    val byDoc = m.map(r => r._1 -> r).toMap
+    assert(byDoc(1L) === ((1L, 1L, 1L, 3L)))
+    assert(byDoc(2L) === ((2L, 1L, 0L, 3L)))
+    assert(byDoc(3L) === ((3L, 1L, 0L, 3L)))
+    assert(byDoc(4L) === ((4L, 4L, 1L, 1L)))
+    // the row-level map rolls up to exactly the dupStats histogram
+    val hist = Dedup.dupStatsFromLabels(
+      Dedup.survivorMapFromLabels(Dedup.clusterNearDups(d))
+        .select(col("doc_id"), col("canonical_id").as("cluster")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hist === Dedup.dupStats(d).as[(Long, Long, Long)].collect().toSet)
+  }
+
+  test("lexical richness separates natural vocabulary from template spam") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta", "nat"),
+      (2L, "epsilon zeta eta theta", "nat"),
+      (3L, "spam spam spam spam spam spam spam spam", "tmpl"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lexicalRichness(d)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("nat") === (("nat", 8L, 8L, 8L, 1.0, 1.0)))
+    assert(r("tmpl") === (("tmpl", 8L, 1L, 0L, 0.125, 0.0)))
+  }
+
   test("unigram log-prob: hand-computed micro-nat truth table") {
     // corpus: a appears 2×, b 2×, c 1×; n = 5
     val d = docs((1L, "a a b"), (2L, "b c"))
