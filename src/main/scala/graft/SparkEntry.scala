@@ -318,6 +318,20 @@ object SparkEntry {
     // the composed billion-scale architecture: IVF partitions the corpus,
     // PQ compresses it, ADC scores only the probed cells' codes
     "x2_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(t(s, d, "embeddings"))),
+    // the composed architecture's SERVE path: stored cell map + stored
+    // code table + driver-side models; the search plan never trains,
+    // assigns, or encodes the corpus. Oracle = x2_ann_ivfpq's verbatim.
+    "x2_ann_ivfpq_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cmodel = Similarity.trainIvfModel(emb)
+      val pq = Similarity.trainPqModel(emb)
+      val asg = Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint()
+      import org.apache.spark.sql.functions.col
+      val codes = Similarity.pqCodesAgainst(emb, pq)
+        .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+        .localCheckpoint()
+      Similarity.annIvfPqOnArtifacts(emb, asg, codes, cmodel, pq)
+    }),
     // SemDeDup: near-dup removal with the trained IVF cells as the
     // candidate generator (pair stage bounded per cell, never global)
     "x2_semdedup" -> ((s, d) => Similarity.semDedup(t(s, d, "embeddings"))),
@@ -385,6 +399,9 @@ object SparkEntry {
     "x7_report" -> ((s, d) => Curation.curationReport(t(s, d, "documents"))),
     // curation capped by a GLOBAL token budget (best-N-tokens build)
     "x7_curate_budget" -> ((s, d) => Curation.curateBudget(t(s, d, "documents"))),
+    // curation with n^alpha temperature rebalancing of the survivors
+    // between decontamination and packing (ships the training mixture)
+    "x7_curate_mixture" -> ((s, d) => Curation.curateMixture(t(s, d, "documents"))),
     // SemDeDup build: exact dedup -> embedding near-dup in trained IVF
     // cells -> quality -> decontaminate -> pack, replayed end to end
     "x7_curate_semantic" -> ((s, d) => Curation.curateSemantic(
@@ -500,8 +517,8 @@ object SparkEntry {
   val eagerQueries: Set[String] = Set(
     "x1_budget_select", "x1_pack_contexts", "x1_split_leakage",
     "x1_systematic_sample",
-    "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_lsh_serve",
-    "x2_ann_pq",
+    "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
+    "x2_ann_lsh_serve", "x2_ann_pq",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
     "x2_ivf_recall", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
@@ -3124,6 +3141,49 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens,
            CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
          FROM packed""",
+    // the x7_curate chain (shared CTE copy — change together) with the
+    // x1_temperature thin computed over the SURVIVORS (d3) before packing
+    "x7_curate_mixture" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
+         q AS (SELECT doc_id, round(
+             0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+             0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                    CAST(len(string_split(text,' ')) AS DOUBLE)) +
+             0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                    CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM d1),
+         r AS (SELECT d.doc_id,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality, d.doc_id), 6) AS pr
+           FROM d1 d JOIN q ON d.doc_id = q.doc_id),
+         d2 AS (SELECT d1.* FROM d1 JOIN r ON d1.doc_id = r.doc_id
+           WHERE r.pr >= 0.5 AND d1.doc_id >= 50),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+         d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM ov)),
+         tc AS (SELECT source, count(*) AS n_docs FROM d3 GROUP BY source),
+         tm AS (SELECT min(n_docs) AS n_min FROM tc),
+         tr AS (SELECT source,
+             round(power(CAST(n_min AS DOUBLE) / n_docs, 0.5), 6) AS frac
+           FROM tc, tm),
+         d4 AS (SELECT d3.* FROM d3 JOIN tr ON tr.source = d3.source
+           WHERE CAST(('0x' || substr(md5(CAST(d3.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+             < CAST(tr.frac * 1000000 AS BIGINT)),
+         packed AS (SELECT doc_id, lang, source,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(text,' '))) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM d4)
+         SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
+         FROM packed""",
     "x7_curate_verbatim" ->
       """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
@@ -3953,6 +4013,7 @@ object SparkEntry {
     val base = oracleSqlBase
     Map(
       "x2_ann_ivf_serve" -> base("x2_ann_ivf"),
+      "x2_ann_ivfpq_serve" -> base("x2_ann_ivfpq"),
       "x2_ann_lsh_serve" -> base("x2_ann_lsh"),
       "x3_unigram_score_serve" -> base("x3_unigram_logprob"),
       "x6_anomaly_serve" -> base("x6_anomaly"),

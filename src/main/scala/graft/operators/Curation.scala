@@ -168,6 +168,25 @@ object Curation {
       shardBudget, extraCols = Seq("lang"))
   }
 
+  /** [[curate]] with TEMPERATURE-MIXED source rebalancing between
+    * decontamination and packing: the surviving corpus is re-weighted
+    * to `n_s^alpha` proportions ([[Sampling.temperatureSample]], the
+    * LLM-recipe flattening toward uniform) before shards are cut — the
+    * build where the output is not just clean but already carries the
+    * training mixture, so the loader consumes shards uniformly instead
+    * of re-weighting at read time. Rates derive from the SURVIVOR
+    * counts (post-dedup/quality/decontam — the mass that actually
+    * ships), not the raw corpus: one tiny source-keyed aggregate on
+    * the lazy chain, then the deterministic hash-threshold thin. */
+  def curateMixture(documents: DataFrame, nBench: Long = 50L,
+                    shardBudget: Long = 500L, alpha: Double = 0.5): DataFrame = {
+    val survivors = cleanSurvivors(documents, nBench, nearDedup = false)
+    val kept = Sampling.temperatureSample(survivors, alpha)
+      .select(col("doc_id"))
+    Sampling.packShards(survivors.join(kept, Seq("doc_id")),
+      shardBudget, extraCols = Seq("lang"))
+  }
+
   /** Stages 1–3 shared by [[curate]] and [[curateBudget]]: exact (or
     * exact+near) dedup → per-language quality percentile → benchmark
     * decontamination. Returns the full-width survivor frame. */

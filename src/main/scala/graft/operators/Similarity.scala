@@ -1373,15 +1373,41 @@ object Similarity {
                m: Int = 8, kCodes: Int = 16, dims: Int = 64,
                nQueries: Int = 20, k: Int = 3, nProbe: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
     val all = withVec(embeddings)
     val cmodel = trainIvfModel(embeddings, nCells, trainRounds)
-    val cents = cmodel.toDF("c_id", "cv")
-      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val pq = trainPqModel(embeddings, m, kCodes, trainRounds, dims)
     val asg = argmaxCell(all, cmodel).select(col("vec_id"), col("cell"))
+    val codes = argminCode(subvectors(all, m, dims / m), pqCodebookDF(spark, pq))
+      .select(col("vec_id"), col("sub"), col("code"))
+    annIvfPqOnArtifacts(embeddings, asg, codes, cmodel, pq,
+      m, dims, nQueries, k, nProbe)
+  }
+
+  /** X2 IVF-PQ SERVE — [[annIvfPq]]'s search over STORED index
+    * artifacts: the (vec_id, cell) partition map and the (vec_id,
+    * sub, code) compressed corpus, with both trained models
+    * ([[trainIvfModel]] centroids, [[trainPqModel]] codebook) as
+    * driver-side state. Nothing in the search plan trains, assigns,
+    * or encodes the corpus — the query batch brings its own raw
+    * vectors (probe selection + the ADC lookup table are query-side
+    * arithmetic) and everything corpus-sized is a stored-frame probe:
+    * the full production shape of the billion-scale architecture.
+    * `x2_ann_ivfpq_serve` shares `x2_ann_ivfpq`'s oracle by
+    * reference, so serve ≡ train-and-serve sits inside the hash
+    * gate like the IVF, LSH, LM, anomaly, HLL, and KMV serve paths. */
+  def annIvfPqOnArtifacts(embeddings: DataFrame, asg: DataFrame,
+                          codes: DataFrame,
+                          centroids: Seq[(Long, Seq[Double])],
+                          codebook: Seq[(Int, Long, Seq[Double])],
+                          m: Int = 8, dims: Int = 64, nQueries: Int = 20,
+                          k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = withVec(embeddings)
+    val cents = centroids.toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val cdf = pqCodebookDF(spark, codebook)
     val subs = subvectors(all, m, dims / m)
-    val cdf = pqCodebookDF(spark, trainPqModel(embeddings, m, kCodes, trainRounds, dims))
-    val codes = argminCode(subs, cdf).select(col("vec_id"), col("sub"), col("code"))
     val aw = Window.partitionBy(col("vec_id")).orderBy(
       cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last,
       col("c_id"))

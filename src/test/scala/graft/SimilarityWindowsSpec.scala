@@ -266,6 +266,27 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(served === self)
   }
 
+  test("annIvfPqOnArtifacts (stored cell map + code table) matches self-contained annIvfPq") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val cmodel = Similarity.trainIvfModel(emb)
+    val pq = Similarity.trainPqModel(emb)
+    val asg = Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint()
+    val codes = Similarity.pqCodesAgainst(emb, pq)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+      .localCheckpoint()
+    val served = Similarity.annIvfPqOnArtifacts(emb, asg, codes, cmodel, pq)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val self = Similarity.annIvfPq(emb)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(served.nonEmpty && served === self)
+    // the serve plan reads the stored artifacts as LogicalRDDs (the
+    // query side still explodes its own subvectors for the LUT)
+    val plan = Similarity.annIvfPqOnArtifacts(
+        emb.filter(col("vec_id") < 20), asg, codes, cmodel, pq)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+  }
+
   test("filtered ANN: neighbors share the query's label and never under-fill vs post-filtering") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     val labels = emb.select(col("vec_id"), col("label"))

@@ -835,6 +835,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(shards.values.forall(s => s.sameElements(0L to s.max)))
   }
 
+  test("mixture curation is the temperature thin of the plain curation's survivors") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val plain = Curation.curate(d, nBench = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    val mixed = Curation.curateMixture(d, nBench = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    // thinning only: a strict subset (the sf0.001 corpus is multi-source
+    // with unequal sizes, so some source is thinned below rate 1)
+    assert(mixed.nonEmpty && mixed.subsetOf(plain) && mixed != plain)
+    // each kept doc passes exactly the survivor-count-derived threshold
+    val survivors = Curation.curate(d, nBench = 10L)
+      .select(col("doc_id"), col("source"))
+    val kept = graft.operators.Sampling
+      .temperatureSample(
+        d.join(survivors.select("doc_id"), "doc_id"), alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(mixed === kept)
+  }
+
   test("near-dedup curation collapses a near-identical (not byte-identical) pair") {
     val base = "the cat and the dog walk to the park and the bird sings of the sun and the rain today"
     // near-dup: first word changed — not byte-identical (different
