@@ -586,6 +586,54 @@ object StreamPipeline {
     }.toDF("day", "sig")
   }
 
+  /** X6 streaming BOT-SCORE — the continuous form of
+    * [[graft.operators.Profiling.botScore]]: the per-user
+    * sufficient statistics (per-type event counts, distinct active
+    * days) fold into `flatMapGroupsWithState` state, and every batch
+    * re-emits the user's refreshed score row, so the traffic-quality
+    * gate runs live instead of nightly — a scripted client is flagged
+    * within a micro-batch of crossing the rate/entropy bars. State
+    * per user is O(types + days) smallints, both naturally bounded
+    * (event-type vocabulary; calendar days). Score arithmetic is the
+    * batch operator's verbatim: integer micro-nat entropy
+    * (`k·floor(ln k·1e6 + 0.5)` folded exactly, one final division),
+    * HALF_UP rounding to the same scales, so StreamingSpec pins the
+    * final emission per user ≡ [[graft.operators.Profiling.botScore]]
+    * on the same rows. No timeout: the profile is the thing you keep
+    * (a retention window would use the [[milestoneAlerts]] timer
+    * discipline). */
+  def botScoreStream(events: DataFrame, minEventsPerDay: Double = 2.5,
+                     maxEntropy: Double = 1.58): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slim = events.select(col("user_id"),
+      col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[(Long, String, Long)]
+    slim.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (user: Long, it: Iterator[(Long, String, Long)],
+       state: GroupState[(Map[String, Long], Seq[Long])]) =>
+        var (types, days) = state.getOption.getOrElse((Map.empty[String, Long], Seq.empty[Long]))
+        val daySet = scala.collection.mutable.SortedSet.empty[Long] ++ days
+        it.foreach { case (_, tpe, day) =>
+          types = types.updated(tpe, types.getOrElse(tpe, 0L) + 1L)
+          daySet += day
+        }
+        state.update((types, daySet.toSeq))
+        def lp6(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+        val n = types.valuesIterator.sum
+        val s = types.valuesIterator.map(k => k * lp6(k.toDouble)).sum
+        def r(x: Double, scale: Int): Double =
+          BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val entropy = r((lp6(n.toDouble) * n - s).toDouble / (n.toDouble * 1e6), 6)
+        val perDay = r(n.toDouble / daySet.size.toDouble, 4)
+        Iterator.single((user, n, daySet.size.toLong, types.size.toLong,
+          perDay, entropy, perDay > minEventsPerDay && entropy < maxEntropy))
+    }.toDF("user_id", "n_events", "n_days", "n_types",
+      "events_per_day", "type_entropy", "bot_flag")
+  }
+
   /** X6 streaming session windows (native session_window operator). */
   def sessionCounts(events: DataFrame, watermark: String = "10 minutes",
                     gap: String = "5 minutes"): DataFrame =

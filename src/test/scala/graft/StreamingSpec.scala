@@ -906,4 +906,39 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming bot-score folds per-user stats across batches to the batch audit") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.botScoreStream(mem.toDF())
+      .writeStream.format("memory").queryName("bot_mem")
+      .outputMode("update").start()
+    try {
+      // user 7: 6 clicks in one day (high rate, zero entropy → bot);
+      // user 8: 4 mixed events over two days (diverse → clean)
+      val b1 = (1 to 3).map(i =>
+        UserEvent(i, Timestamp.valueOf("2024-01-01 08:00:00"), 7, "click", 1.0)) ++
+        Seq(UserEvent(10, Timestamp.valueOf("2024-01-01 09:00:00"), 8, "view", 1.0),
+          UserEvent(11, Timestamp.valueOf("2024-01-01 10:00:00"), 8, "click", 1.0))
+      val b2 = (4 to 6).map(i =>
+        UserEvent(i, Timestamp.valueOf("2024-01-01 11:00:00"), 7, "click", 1.0)) ++
+        Seq(UserEvent(12, Timestamp.valueOf("2024-01-02 09:00:00"), 8, "buy", 1.0),
+          UserEvent(13, Timestamp.valueOf("2024-01-02 10:00:00"), 8, "view", 1.0))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val rows = spark.table("bot_mem")
+        .as[(Long, Long, Long, Long, Double, Double, Boolean)].collect()
+      // update mode: each user re-emits once per batch it appears in
+      assert(rows.count(_._1 === 7L) === 2)
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      val batch = graft.operators.Profiling.botScore((b1 ++ b2).toDF())
+        .as[(Long, Long, Long, Long, Double, Double, Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(latest === batch)
+      assert(latest(7L)._7 && !latest(8L)._7)
+    } finally q.stop()
+  }
 }
