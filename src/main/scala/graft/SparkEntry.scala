@@ -242,6 +242,8 @@ object SparkEntry {
     "x1_split_leakage" -> ((s, d) => Sampling.splitLeakage(t(s, d, "documents"))),
     // row-level canonical-id export of the clustering (who absorbed whom)
     "x4_survivors" -> ((s, d) => Dedup.survivorMap(t(s, d, "documents"))),
+    // per-source cross-doc shingle repetition (memorization-risk dial)
+    "x4_shingle_profile" -> ((s, d) => Dedup.shingleProfile(t(s, d, "documents"))),
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(t(s, d, "documents"))),
     // asymmetric doc-in-doc detection (quote/wrapper discovery)
     "x4_containment" -> ((s, d) => Dedup.ngramContainmentTopK(t(s, d, "documents"))),
@@ -462,6 +464,10 @@ object SparkEntry {
     "x6_rolling_active" -> ((s, d) => Windows.rollingActive(t(s, d, "events"))),
     // week-over-week retained/gained/churned ledger via map-side fan-out
     "x6_churn" -> ((s, d) => Windows.weeklyChurn(t(s, d, "events"))),
+    // per-type OLS volume trend in exact integer moments (time-series zipf)
+    "x6_trend" -> ((s, d) => Windows.dailyTrend(t(s, d, "events"))),
+    // per-user RFM-style lifetime feature table
+    "x6_lifetime" -> ((s, d) => Windows.userLifetime(t(s, d, "events"))),
     // engine-portable HyperLogLog: per-day distinct-user estimate whose
     // sketch (registers, integer harmonic sum) both engines reproduce
     "x6_hll_users" -> ((s, d) => Profiling.hllUsers(t(s, d, "events"))),
@@ -1589,6 +1595,23 @@ object SparkEntry {
              AS is_canonical,
            sz.cluster_size
          FROM l3 l JOIN sz ON sz.cluster = l.cluster""",
+    // per-source posting-vs-distinct shingle mass (shingles distinct
+    // within a doc, the minhash convention)
+    "x4_shingle_profile" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             FROM documents),
+         sh AS (SELECT doc_id, source, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT source, unnest(shingles) AS shingle FROM sh),
+         d AS (SELECT source, shingle, CAST(count(*) AS BIGINT) AS df
+           FROM inv GROUP BY 1, 2)
+         SELECT source, CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(CAST(sum(df) - count(*) AS DOUBLE) /
+                 CAST(sum(df) AS DOUBLE), 6) AS dup_frac,
+           max(df) AS max_df
+         FROM d GROUP BY 1""",
     "x4_incremental" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          t AS (SELECT doc_id, list_transform(
@@ -3985,6 +4008,36 @@ object SparkEntry {
            FROM f GROUP BY 1)
          SELECT c.week, c.n_retained, c.n_gained, c.n_churned FROM c
          WHERE c.week IN (SELECT week FROM uw)""",
+    // per-type OLS of daily count on day offset: four exact int64
+    // moments, slope and intercept each ONE division (zipf discipline)
+    "x6_trend" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         m0 AS (SELECT event_type, min(day) AS d0 FROM c GROUP BY 1),
+         xy AS (SELECT c.event_type, c.day - m0.d0 AS x, c.n AS y
+           FROM c JOIN m0 ON m0.event_type = c.event_type),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+           FROM xy GROUP BY 1 HAVING count(*) >= 2)
+         SELECT event_type, n_days, sy AS n_events,
+           round(CAST(n_days*sxy - sx*sy AS DOUBLE) /
+                 CAST(n_days*sxx - sx*sx AS DOUBLE), 6) AS slope,
+           round(CAST(sy*sxx - sx*sxy AS DOUBLE) /
+                 CAST(n_days*sxx - sx*sx AS DOUBLE), 6) AS intercept
+         FROM m""",
+    "x6_lifetime" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             event_type FROM events)
+         SELECT user_id, min(day) AS first_day, max(day) AS last_day,
+           max(day) - min(day) + 1 AS span_days,
+           CAST(count(DISTINCT day) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           round(CAST(count(DISTINCT day) AS DOUBLE) /
+                 CAST(max(day) - min(day) + 1 AS DOUBLE), 6)
+             AS activity_density
+         FROM e GROUP BY user_id""",
     "x6_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
            FROM events),

@@ -965,6 +965,32 @@ object Dedup {
   def spanIncremental(incoming: DataFrame, indexed: DataFrame): DataFrame =
     spansAgainstIndex(incoming, spanIndex(indexed))
 
+  /** X4 SHINGLE DUPLICATION PROFILE — per source, how much of its
+    * n-gram mass is cross-document repetition: total (doc, shingle)
+    * postings vs distinct shingles, their ratio as `dup_frac`, and
+    * the hottest shingle's document frequency. The corpus-level
+    * memorization-risk dial ([[duplicatedSpans]] scores single docs;
+    * this scores the SOURCE — a boilerplate-template feed shows
+    * dup_frac → 1 and a towering max_df before any pair query runs),
+    * and the cheap pre-flight that predicts the band-join skew the
+    * hot-shingle cap in [[jaccardPairs]] exists for. Shingles are
+    * distinct within a doc (the [[minhashSignatures]] convention —
+    * within-doc repetition is `x3_repetition`'s signal), so df
+    * equals document frequency. One (source, shingle) aggregation
+    * with map-side combine, then an O(vocabulary) per-source rollup;
+    * never a pair stage. */
+  def shingleProfile(documents: DataFrame, n: Int = 3): DataFrame =
+    wideEnough(documents, n)
+      .select(col("source"), explode(word_shingles(col("text"), n)).as("shingle"))
+      .groupBy(col("source"), col("shingle")).agg(count(lit(1)).as("df"))
+      .groupBy(col("source"))
+      .agg(sum(col("df")).as("n_postings"), count(lit(1)).as("n_distinct"),
+        max(col("df")).as("max_df"))
+      .select(col("source"), col("n_postings"), col("n_distinct"),
+        round((col("n_postings") - col("n_distinct")).cast("double") /
+          col("n_postings").cast("double"), 6).as("dup_frac"),
+        col("max_df"))
+
   /** X4 SURVIVORSHIP MAP — the per-document canonical-id export of the
     * near-dup clustering: for every doc, the cluster representative it
     * resolves to (the component's minimum doc_id — exactly the

@@ -332,6 +332,64 @@ object Windows {
       .join(uw.select(col("week")).distinct(), Seq("week"), "left_semi")
   }
 
+  /** X6 DAILY VOLUME TREND per event type — OLS slope/intercept of
+    * the per-day event count on the day index (offset from each
+    * type's first active day, so the moments stay small and the
+    * intercept is "volume at day 0"): the capacity-planning /
+    * drift-detection line product and infra teams fit weekly, and
+    * the [[zipfSlope]] integer-OLS discipline applied to time. All
+    * four moment sums are exact int64 over (day-offset, count)
+    * pairs; slope and intercept are each ONE division of exact
+    * integers ((nΣxy−ΣxΣy)/(nΣxx−Σx²) and (ΣyΣxx−ΣxΣxy)/same), so
+    * both engines emit identical doubles. One (type, day) count
+    * aggregation (map-side combined), an O(types) min-day broadcast
+    * back, and an O(types) rollup; types with a single active day
+    * have no slope and are dropped. */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    val c = events.select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val mins = c.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
+    c.join(broadcast(mins), "event_type")
+      .select(col("event_type"), (col("day") - col("d0")).as("x"),
+        col("n").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_days") >= 2)
+      .select(col("event_type"), col("n_days"), col("sy").as("n_events"),
+        round((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("intercept"))
+  }
+
+  /** X6 USER LIFETIME features — the per-user RFM-style profile
+    * (first/last active day, calendar span, active days, events,
+    * distinct types, activity density = active/span): the feature
+    * table churn models and audience segmentation consume, and the
+    * per-user companion to [[weeklyChurn]]'s aggregate ledger. One
+    * user-keyed aggregation over the slim (user, day, type)
+    * projection — countDistinct plans as two-phase partial
+    * aggregation, O(users) out; density is one rounded division. */
+  def userLifetime(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        countDistinct(col("day")).as("n_active_days"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .select(col("user_id"), col("first_day"), col("last_day"),
+        (col("last_day") - col("first_day") + 1L).as("span_days"),
+        col("n_active_days"), col("n_events"), col("n_types"),
+        round(col("n_active_days").cast("double") /
+          (col("last_day") - col("first_day") + 1L).cast("double"), 6)
+          .as("activity_density"))
+
   /** X6 DAILY TRENDING values — per day, the top-k payload values by
     * event count with their rank (the "what is hot today" leaderboard
     * over a semi-structured property bag). The value is pulled out of

@@ -96,6 +96,36 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got(2L)._4 === 1L && got(3L)._4 === 1L)
   }
 
+  test("daily trend fits the exact OLS line; single-day types drop") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    def plusDays(d: Int) = new Timestamp(base.getTime + d * 86400000L)
+    // type a: counts 1,2,3 on consecutive days → slope 1, intercept 1
+    val rows = Seq((1L, base, 1L, "a", 1.0)) ++
+      (1 to 2).map(i => (10L + i, plusDays(1), 1L + i, "a", 1.0)) ++
+      (1 to 3).map(i => (20L + i, plusDays(2), 1L + i, "a", 1.0)) ++
+      Seq((30L, base, 9L, "b", 1.0))
+    val ev3 = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.dailyTrend(ev3)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.toSeq === Seq(("a", 3L, 6L, 1.0, 1.0)))
+  }
+
+  test("user lifetime: span, density, and counts from one aggregation") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    def plusDays(d: Int) = new Timestamp(base.getTime + d * 86400000L)
+    val ev4 = Seq(
+      (1L, base, 7L, "click", 1.0), (2L, base, 7L, "view", 1.0),
+      (3L, plusDays(4), 7L, "click", 1.0),
+      (4L, base, 8L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.userLifetime(ev4)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val d0 = got(8L)._2
+    assert(got(7L) === ((7L, d0, d0 + 4, 5L, 2L, 3L, 2L, 0.4)))
+    assert(got(8L) === ((8L, d0, d0, 1L, 1L, 1L, 1L, 1.0)))
+  }
+
   test("rate anomaly: exact integer-moment z-score flags only the spike hour") {
     def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     // type a hourly counts [1,1,1,1,9]: mean 2.6, σ 3.2 → z(9) = 2.0 on

@@ -157,6 +157,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(hist === Dedup.dupStats(d).as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("shingle profile counts cross-doc repetition, not within-doc") {
+    val d = Seq(
+      (1L, "a b c d", "s0"),   // shingles: "a b c", "b c d"
+      (2L, "a b c e", "s0"),   // shingles: "a b c", "b c e"
+      (3L, "x y x y x y", "s1")) // distinct within doc: "x y x", "y x y"
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.shingleProfile(d)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s0") === (("s0", 4L, 3L, 0.25, 2L)))
+    // within-doc repeats collapse before counting: zero duplication
+    assert(got("s1") === (("s1", 2L, 2L, 0.0, 1L)))
+  }
+
   test("lexical richness separates natural vocabulary from template spam") {
     val d = Seq(
       (1L, "alpha beta gamma delta", "nat"),
