@@ -227,6 +227,10 @@ object SparkEntry {
     "x1_systematic_sample" -> ((s, d) =>
       Sampling.systematicSample(t(s, d, "documents"))),
     "x1_temperature" -> ((s, d) => Sampling.temperatureSample(t(s, d, "documents"))),
+    // deterministic k-fold assignment + per-fold balance audit
+    "x1_kfold" -> ((s, d) => Sampling.kfoldReport(t(s, d, "documents"))),
+    // the upsampling half of the n^alpha recipe: per-source epoch plan
+    "x1_epoch_plan" -> ((s, d) => Sampling.epochPlan(t(s, d, "documents"))),
     // Efraimidis-Spirakis weighted sampling without replacement:
     // deterministic exponential race, integer micro-unit keys
     "x1_weighted_sample" -> ((s, d) => Sampling.weightedSample(t(s, d, "documents"))),
@@ -376,6 +380,8 @@ object SparkEntry {
     "x2_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
     // per-dimension mean/variance/dead-unit audit in exact integer moments
     "x2_dim_stats" -> ((s, d) => Similarity.dimStats(t(s, d, "embeddings"))),
+    // row-wise norm audit: z of each vector's L2 norm vs the corpus
+    "x2_norm_outliers" -> ((s, d) => Similarity.normOutliers(t(s, d, "embeddings"))),
     // incremental shape: vecs < 100 are the new batch, >= 100 the index
     "x2_incremental" -> ((s, d) => Similarity.embeddingDedupAgainstIndex(
       t(s, d, "embeddings").filter("vec_id < 100"),
@@ -466,6 +472,8 @@ object SparkEntry {
     "x6_churn" -> ((s, d) => Windows.weeklyChurn(t(s, d, "events"))),
     // per-type OLS volume trend in exact integer moments (time-series zipf)
     "x6_trend" -> ((s, d) => Windows.dailyTrend(t(s, d, "events"))),
+    // drift-aware alarm: residual-vs-trend z per (type, day)
+    "x6_trend_anomaly" -> ((s, d) => Windows.trendAnomaly(t(s, d, "events"))),
     // per-user RFM-style lifetime feature table
     "x6_lifetime" -> ((s, d) => Windows.userLifetime(t(s, d, "events"))),
     // engine-portable HyperLogLog: per-day distinct-user estimate whose
@@ -1350,6 +1358,40 @@ object SparkEntry {
          FROM documents d JOIN r ON r.source = d.source
          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
            < CAST(r.frac * 1000000 AS BIGINT)""",
+    "x1_kfold" ->
+      """WITH f AS (SELECT
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5
+               AS fold,
+             source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             n_chars
+           FROM documents)
+         SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS mean_chars
+         FROM f GROUP BY 1""",
+    // per-source pow weight quantized to int BEFORE the total (a float
+    // sum of pow values would be fold-order-dependent); shares are one
+    // division each; epochs is the ratio of the ROUNDED shares
+    "x1_epoch_plan" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n_docs, n_tokens,
+             CAST(floor(power(CAST(n_tokens AS DOUBLE), 0.5) * 1000000 + 0.5)
+               AS BIGINT) AS w6 FROM c),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+             CAST(sum(w6) AS BIGINT) AS tot_w6 FROM w),
+         s AS (SELECT source, n_docs, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+               AS natural_share,
+             round(CAST(w6 AS DOUBLE) / CAST(tot_w6 AS DOUBLE), 6)
+               AS target_share
+           FROM w, t)
+         SELECT source, n_docs, n_tokens, natural_share, target_share,
+           round(target_share / natural_share, 4) AS epochs
+         FROM s""",
     "x1_pack_shards" ->
       """SELECT doc_id, source, n_tokens,
          CAST((cum - n_tokens) // 500 AS BIGINT) AS shard FROM (
@@ -3131,6 +3173,24 @@ object SparkEntry {
            CAST(CASE WHEN variance < 0.0001 THEN 1 ELSE 0 END AS BIGINT)
              AS collapsed
          FROM v""",
+    // row-wise norm z-audit: 1e-4-quantized norms, exact int64 global
+    // moments, z = (n·q − S)/sqrt(n·Q − S²) (the x6_anomaly z form)
+    "x2_norm_outliers" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         nq AS (SELECT vec_id, CAST(floor(
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) * 10000
+               + 0.5) AS BIGINT) AS nq
+           FROM e),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(nq) AS BIGINT) AS s,
+             CAST(sum(nq*nq) AS BIGINT) AS s2 FROM nq),
+         z AS (SELECT vec_id, round(CAST(nq AS DOUBLE) / 10000.0, 4) AS norm,
+             round(CAST(n*nq - s AS DOUBLE) /
+               sqrt(CAST(n*s2 - s*s AS DOUBLE)), 4) AS z
+           FROM nq, m WHERE n*s2 - s*s > 0)
+         SELECT vec_id, norm, z,
+           CAST(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END AS BIGINT) AS outlier
+         FROM z""",
     "x7_curate" ->
       """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
@@ -4026,6 +4086,43 @@ object SparkEntry {
            round(CAST(sy*sxx - sx*sxy AS DOUBLE) /
                  CAST(n_days*sxx - sx*sx AS DOUBLE), 6) AS intercept
          FROM m""",
+    // the x6_trend chain (shared CTE copy — change together) plus the
+    // residual-vs-fitted-line z: residuals computed from the ROUNDED
+    // slope/intercept in identical operand order, quantized to 1e-4,
+    // then the (n·q − S)/sqrt(n·Q − S²) z form
+    "x6_trend_anomaly" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         m0 AS (SELECT event_type, min(day) AS d0 FROM c GROUP BY 1),
+         xy AS (SELECT c.event_type, c.day - m0.d0 AS x, c.n AS y
+           FROM c JOIN m0 ON m0.event_type = c.event_type),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+           FROM xy GROUP BY 1 HAVING count(*) >= 2),
+         fit AS (SELECT event_type,
+             round(CAST(n_days*sxy - sx*sy AS DOUBLE) /
+                   CAST(n_days*sxx - sx*sx AS DOUBLE), 6) AS slope,
+             round(CAST(sy*sxx - sx*sxy AS DOUBLE) /
+                   CAST(n_days*sxx - sx*sx AS DOUBLE), 6) AS intercept
+           FROM m),
+         r AS (SELECT c.event_type, c.day, c.n,
+             CAST(floor((c.n - (fit.slope * (c.day - m0.d0) + fit.intercept))
+               * 10000 + 0.5) AS BIGINT) AS rq
+           FROM c JOIN m0 ON m0.event_type = c.event_type
+           JOIN fit ON fit.event_type = c.event_type),
+         rm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum(rq) AS BIGINT) AS s, CAST(sum(rq*rq) AS BIGINT) AS s2
+           FROM r GROUP BY 1 HAVING count(*)*CAST(sum(rq*rq) AS BIGINT)
+             - CAST(sum(rq) AS BIGINT)*CAST(sum(rq) AS BIGINT) > 0),
+         z AS (SELECT r.event_type, r.day, r.n,
+             round(CAST(r.rq AS DOUBLE) / 10000.0, 4) AS resid,
+             round(CAST(rm.nn*r.rq - rm.s AS DOUBLE) /
+               sqrt(CAST(rm.nn*rm.s2 - rm.s*rm.s AS DOUBLE)), 4) AS z
+           FROM r JOIN rm ON rm.event_type = r.event_type)
+         SELECT event_type, day, n, resid, z,
+           CAST(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+         FROM z""",
     "x6_lifetime" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
              event_type FROM events)

@@ -37,6 +37,57 @@ object Sampling {
           .when(col("pct") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** X1 K-FOLD assignment + balance audit — deterministic
+    * cross-validation folds (`hash(doc_id) mod k`, the [[sampleSplit]]
+    * hash so folds are reproducible under retries/backfills and
+    * uncorrelated with ingest order) with the per-fold balance report
+    * consumed before trusting a CV estimate: doc count, token mass,
+    * source coverage, mean length. A fold missing a source or holding
+    * 2× the token mass invalidates fold-averaged metrics — this is
+    * the audit that catches it before k trainings run. Narrow
+    * assignment, one O(k)-row aggregation. */
+  def kfoldReport(documents: DataFrame, k: Int = 5): DataFrame =
+    documents.select((hash60(col("doc_id")) % k).as("fold"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        round(sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_chars"))
+
+  /** X1 EPOCH PLAN — the upsampling half of the `n^α` recipe
+    * ([[temperatureSample]] is the DOWNSAMPLING half): per source,
+    * its natural token share, its target share ∝ `n_tokens^alpha`,
+    * and the epoch multiplier (target/natural) a training loader
+    * applies to hit the mixture without discarding data. Cross-engine
+    * exactness: each source's `pow` weight quantizes to 1e-6 integer
+    * units BEFORE the total (a float Σ of pow values would be
+    * fold-order-dependent; the int64 sum is exact), each share is
+    * ONE division of exact integers rounded to 6, and the multiplier
+    * is the ratio of the two ROUNDED shares (house rule). One
+    * source-keyed aggregate, a 1-row total broadcast back, O(sources)
+    * out. */
+  def epochPlan(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val w = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(pow(col("n_tokens").cast("double"), alpha) * 1000000 + 0.5)
+          .cast("long").as("w6"))
+    val tot = w.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w6")).as("tot_w6"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("tot_tokens").cast("double"), 6).as("natural_share"),
+        round(col("w6").cast("double") /
+          col("tot_w6").cast("double"), 6).as("target_share"))
+      .withColumn("epochs",
+        round(col("target_share") / col("natural_share"), 4))
+  }
+
   /** X1 per-source balancing cap: keep at most `cap` documents per
     * source, chosen by hash order — a deterministic unbiased subset
     * (head-of-table order would bias toward whatever the upstream

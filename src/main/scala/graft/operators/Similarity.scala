@@ -682,6 +682,35 @@ object Similarity {
         col("variance"),
         when(col("variance") < varFloor, 1L).otherwise(0L).as("collapsed"))
 
+  /** X2 NORM-OUTLIER audit — every vector's L2 norm z-scored against
+    * the corpus norm distribution: the row-wise companion to
+    * [[dimStats]] (column health) and [[ivfOutliers]] (direction
+    * health) that catches broken encoder ROWS — near-zero norms
+    * (failed encodes that cosine silently drops), exploding norms
+    * (un-normalized batches mixed into a normalized corpus) — before
+    * any index trains on them. Norms quantize to 1e-4 units first, so
+    * the global count/sum/sum-of-squares moments are exact int64
+    * ([[dimStats]]' bound: promote to decimal(38) past ~10⁶ vectors)
+    * and z = (n·q − S)/√(n·Q − S²) is arithmetic both engines run
+    * identically (the `x6_anomaly` z form); the flag compares the
+    * ROUNDED z. One narrow norm projection, a 1-row moment aggregate
+    * broadcast back, zero-variance corpora drop (the anomaly guard). */
+  def normOutliers(embeddings: DataFrame, zBar: Double = 2.5): DataFrame = {
+    val nq = withVec(embeddings)
+      .select(col("vec_id"),
+        floor(col("nrm") * 10000 + 0.5).cast("long").as("nq"))
+    val m = nq.agg(count(lit(1)).as("n"), sum(col("nq")).as("s"),
+      sum(col("nq") * col("nq")).as("s2"))
+    nq.crossJoin(broadcast(m))
+      .filter(col("n") * col("s2") - col("s") * col("s") > 0L)
+      .select(col("vec_id"),
+        round(col("nq").cast("double") / lit(1e4), 4).as("norm"),
+        round((col("n") * col("nq") - col("s")).cast("double") /
+          sqrt((col("n") * col("s2") - col("s") * col("s")).cast("double")), 4)
+          .as("z"))
+      .withColumn("outlier", when(abs(col("z")) > zBar, 1L).otherwise(0L))
+  }
+
   /** Deterministic spherical k-means for the IVF coarse quantizer:
     * `rounds` Lloyd iterations from the fixed seeds (vec_id < nCells).
     * Each round assigns every vector to its max-cosine centroid

@@ -367,6 +367,42 @@ object Windows {
           .as("intercept"))
   }
 
+  /** X6 DETRENDED VOLUME ANOMALY — per (type, day), the residual of
+    * the daily count against [[dailyTrend]]'s fitted line, z-scored
+    * within the type: the drift-aware alarm [[rateAnomaly]] cannot
+    * give (a steadily growing service trips a raw-moment z weekly;
+    * the residual z only fires when a day leaves the TREND). The
+    * residual is computed from the trend's ROUNDED slope/intercept
+    * with identical operand order (`y − (slope·x + intercept)`), so
+    * both engines produce bit-identical doubles, then quantizes to
+    * 1e-4 units for exact int64 residual moments and the
+    * `(n·q − S)/√(n·Q − S²)` z form. Costs one extra pass over the
+    * O(types·days) count frame; the O(types) fit broadcasts. */
+  def trendAnomaly(events: DataFrame, zBar: Double = 2.0): DataFrame = {
+    val c = events.select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val mins = c.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
+    val fit = dailyTrend(events)
+      .select(col("event_type"), col("slope"), col("intercept"))
+    val r = c.join(broadcast(mins), "event_type")
+      .join(broadcast(fit), "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        floor((col("n") - (col("slope") * (col("day") - col("d0")) +
+          col("intercept"))) * 10000 + 0.5).cast("long").as("rq"))
+    val m = r.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nn"), sum(col("rq")).as("s"),
+        sum(col("rq") * col("rq")).as("s2"))
+      .filter(col("nn") * col("s2") - col("s") * col("s") > 0L)
+    r.join(broadcast(m), "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("rq").cast("double") / lit(1e4), 4).as("resid"),
+        round((col("nn") * col("rq") - col("s")).cast("double") /
+          sqrt((col("nn") * col("s2") - col("s") * col("s")).cast("double")), 4)
+          .as("z"))
+      .withColumn("anomaly", when(abs(col("z")) > zBar, 1L).otherwise(0L))
+  }
+
   /** X6 USER LIFETIME features — the per-user RFM-style profile
     * (first/last active day, calendar span, active days, events,
     * distinct types, activity density = active/span): the feature

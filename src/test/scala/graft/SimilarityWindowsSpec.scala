@@ -96,6 +96,18 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got(2L)._4 === 1L && got(3L)._4 === 1L)
   }
 
+  test("norm outliers: the un-normalized row is flagged, unit rows are not") {
+    // 9 unit norms + one 10x norm: z(10) = (10·1e5 − 1.9e5)/270000 = 3.0
+    val rows = (0L until 9L).map(i =>
+      (i, Seq(1f, 0f, 0f, 0f), 0)) :+ ((9L, Seq(10f, 0f, 0f, 0f), 1))
+    val e = embs(rows: _*)
+    val got = Similarity.normOutliers(e)
+      .as[(Long, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(9L) === ((9L, 10.0, 3.0, 1L)))
+    assert(got(0L) === ((0L, 1.0, -0.3333, 0L)))
+    assert(got.values.count(_._4 === 1L) === 1)
+  }
+
   test("daily trend fits the exact OLS line; single-day types drop") {
     val base = Timestamp.valueOf("2024-01-01 12:00:00")
     def plusDays(d: Int) = new Timestamp(base.getTime + d * 86400000L)
@@ -108,6 +120,29 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     val got = Windows.dailyTrend(ev3)
       .as[(String, Long, Long, Double, Double)].collect()
     assert(got.toSeq === Seq(("a", 3L, 6L, 1.0, 1.0)))
+  }
+
+  test("trend anomaly: residual z against the fitted line, hand-computed") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    def plusDays(d: Int) = new Timestamp(base.getTime + d * 86400000L)
+    // counts [1,1,1,1,9] on days 0..4 → slope 1.6, intercept −0.6,
+    // residuals [1.6, 0, −1.6, −3.2, 3.2], z = 5·rq/√(5·Q) with
+    // Q = 2.56e9 → z = [0.7071, 0, −0.7071, −1.4142, 1.4142]
+    var id = 0L
+    val rows = (0 to 4).flatMap { d =>
+      val cnt = if (d == 4) 9 else 1
+      (1 to cnt).map { _ => id += 1; (id, plusDays(d), id, "a", 1.0) }
+    }
+    val ev5 = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.trendAnomaly(ev5, zBar = 1.0)
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+    val d0 = got.map(_._2).min
+    val byDay = got.map(r => (r._2 - d0) -> ((r._4, r._5, r._6))).toMap
+    assert(byDay(0L) === ((1.6, 0.7071, 0L)))
+    assert(byDay(1L) === ((0.0, 0.0, 0L)))
+    assert(byDay(2L) === ((-1.6, -0.7071, 0L)))
+    assert(byDay(3L) === ((-3.2, -1.4142, 1L)))
+    assert(byDay(4L) === ((3.2, 1.4142, 1L)))
   }
 
   test("user lifetime: span, density, and counts from one aggregation") {

@@ -157,6 +157,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(hist === Dedup.dupStats(d).as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("k-fold report partitions the corpus and balances on real data") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val rep = Sampling.kfoldReport(d, k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rep.length === 5 && rep.map(_._1).toSet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(rep.map(_._2).sum === d.count())
+    // assignment is the deterministic hash: re-running moves nothing
+    val again = Sampling.kfoldReport(d, k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rep.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // hash folds are roughly balanced (no fold 3x another on 50 docs)
+    val sizes = rep.map(_._2)
+    assert(sizes.max <= 3 * math.max(sizes.min, 1L))
+  }
+
+  test("epoch plan: pow weights quantized before the total, hand-computed shares") {
+    // source a: 100 tokens, b: 400 → sqrt weights 10:20 → target 1/3:2/3,
+    // natural 0.2:0.8 → epochs 1.6667 / 0.8333
+    val d = Seq(
+      (1L, Seq.fill(100)("w").mkString(" "), "a"),
+      (2L, Seq.fill(400)("w").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.epochPlan(d)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 1L, 100L, 0.2, 0.333333, 1.6667)))
+    assert(got("b") === (("b", 1L, 400L, 0.8, 0.666667, 0.8333)))
+  }
+
   test("shingle profile counts cross-doc repetition, not within-doc") {
     val d = Seq(
       (1L, "a b c d", "s0"),   // shingles: "a b c", "b c d"
