@@ -474,6 +474,9 @@ object SparkEntry {
     "x6_trend" -> ((s, d) => Windows.dailyTrend(t(s, d, "events"))),
     // drift-aware alarm: residual-vs-trend z per (type, day)
     "x6_trend_anomaly" -> ((s, d) => Windows.trendAnomaly(t(s, d, "events"))),
+    // consecutive same-user gap distribution in power-of-two buckets
+    // (the data-driven session-gap calibration)
+    "x6_gap_hist" -> ((s, d) => Windows.gapHistogram(t(s, d, "events"))),
     // per-user RFM-style lifetime feature table
     "x6_lifetime" -> ((s, d) => Windows.userLifetime(t(s, d, "events"))),
     // engine-portable HyperLogLog: per-day distinct-user estimate whose
@@ -490,6 +493,11 @@ object SparkEntry {
       val stored = Profiling.hllRegisters(t(s, d, "events")).localCheckpoint()
       Profiling.hllGlobalFromRegisters(stored)
     }),
+    // the rolling form of the sketch algebra: each day sketch fans out
+    // to its trailing-window report days and registers MAX-fold — the
+    // rolling-WAU curve from sketch rows (the 100 TB swap promised by
+    // x6_rolling_active's docstring, oracle-checked)
+    "x6_rolling_hll" -> ((s, d) => Profiling.rollingActiveHll(t(s, d, "events"))),
     // KMV set-intersection sketch: day-pair audience Jaccard estimate
     // audited against the exact overlap
     "x6_audience_overlap" -> ((s, d) => Profiling.audienceOverlap(t(s, d, "events"))),
@@ -3944,6 +3952,34 @@ object SparkEntry {
              THEN 64.0 * ln(64.0 / v)
              ELSE 0.709::DOUBLE * 64 * 64 * 67108864.0 / z END, 4) AS hll_users
          FROM s""",
+    // the HLL register chain (shared CTE copy — change together) with
+    // each day sketch fanned to its trailing-7-day report days and
+    // MAX-folded per report day: the rolling-WAU sketch algebra
+    "x6_rolling_hll" ->
+      """WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 2147483647 AS h
+           FROM events),
+         reg0 AS (SELECT day, h & 63 AS j,
+             MAX(CASE WHEN h >> 6 = 0 THEN 26
+                 ELSE 26 - length(bin(h >> 6)) END) AS reg
+           FROM h GROUP BY 1, 2),
+         fan AS (SELECT day + o AS day, j, reg
+           FROM reg0, (SELECT unnest(range(7)) AS o)),
+         fr AS (SELECT day, j, MAX(reg) AS reg FROM fan GROUP BY 1, 2),
+         grid AS (SELECT d.day, gg.j, COALESCE(fr.reg, 0) AS reg
+           FROM (SELECT DISTINCT day FROM h) d
+           CROSS JOIN (SELECT unnest(range(64)) AS j) gg
+           LEFT JOIN fr ON fr.day = d.day AND fr.j = gg.j),
+         s AS (SELECT day,
+             CAST(SUM(CAST(1 AS BIGINT) << (26 - reg)) AS BIGINT) AS z,
+             CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+           FROM grid GROUP BY 1)
+         SELECT day, v AS v_empty,
+           round(CASE WHEN v > 0 AND 0.709::DOUBLE * 64 * 64 * 67108864.0 / z <= 160.0
+             THEN 64.0 * ln(64.0 / v)
+             ELSE 0.709::DOUBLE * 64 * 64 * 67108864.0 / z END, 4) AS hll_active
+         FROM s""",
     "x6_audience_overlap" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
            FROM events),
@@ -4123,6 +4159,16 @@ object SparkEntry {
          SELECT event_type, day, n, resid, z,
            CAST(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
          FROM z""",
+    "x6_gap_hist" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS gap_us FROM e),
+         b AS (SELECT gap_us // 1000000 AS gap_s FROM g
+           WHERE gap_us IS NOT NULL)
+         SELECT CAST(length(bin(gap_s)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+         FROM b GROUP BY 1""",
     "x6_lifetime" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
              event_type FROM events)

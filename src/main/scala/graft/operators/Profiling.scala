@@ -260,6 +260,44 @@ object Profiling {
           .otherwise(lit(26) - length(bin(shiftright(col("h"), 6)))).as("rho"))
       .groupBy(col("day"), col("j")).agg(max(col("rho")).as("reg"))
 
+  /** X6 ROLLING 7-DAY ACTIVES FROM SKETCHES — the sketch-algebra
+    * answer to [[graft.operators.Windows.rollingActive]]: each stored
+    * day sketch fans out map-side to the `window` report days it
+    * contributes to and the window's registers MAX-fold per report
+    * day — the rolling-distinct curve over a 100 TB event log from
+    * O(days·64·window) sketch rows, no raw re-read, no re-count
+    * (this is exactly why HLL registers are the persisted artifact:
+    * rolling windows, month rollups, and cross-shard merges are all
+    * the same MAX-fold). Estimate arithmetic identical to
+    * [[hllUsers]]; report days are the OBSERVED days (leading
+    * partial windows by construction, like the exact operator). */
+  def rollingActiveFromRegisters(stored: DataFrame, window: Int = 7): DataFrame = {
+    val spark = stored.sparkSession
+    val observed = stored.select(col("day")).distinct()
+    val fanned = stored
+      .select(explode(sequence(col("day"), col("day") + (window - 1))).as("day"),
+        col("j"), col("reg"))
+      .groupBy(col("day"), col("j")).agg(max(col("reg")).as("reg"))
+    val grid = observed
+      .crossJoin(broadcast(spark.range(64).toDF("j")))
+      .join(fanned, Seq("day", "j"), "left")
+      .select(col("day"), coalesce(col("reg"), lit(0)).as("reg"))
+    val sums = grid.groupBy(col("day")).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 26 - reg)")).as("z"),
+      sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_empty"))
+    val raw = lit(0.709) * lit(64.0) * lit(64.0) * lit(67108864.0) /
+      col("z").cast("double")
+    val est = when(col("v_empty") > 0 && raw <= lit(160.0),
+      lit(64.0) * log(lit(64.0) / col("v_empty").cast("double"))).otherwise(raw)
+    sums.select(col("day"), col("v_empty"), round(est, 4).as("hll_active"))
+  }
+
+  /** [[rollingActiveFromRegisters]] with the register table built
+    * inline — the self-contained form the oracle hash-checks;
+    * production folds the STORED [[hllRegisters]] artifact. */
+  def rollingActiveHll(events: DataFrame, window: Int = 7): DataFrame =
+    rollingActiveFromRegisters(hllRegisters(events), window)
+
   /** The SERVE path of the mergeable-sketch story: global distinct
     * users estimated purely by MAX-folding a STORED `(day, j, reg)`
     * register table ([[hllRegisters]]'s output read back from

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing over the `events` table (SURVEY §2 X6), batch
@@ -401,6 +402,30 @@ object Windows {
           sqrt((col("nn") * col("s2") - col("s") * col("s")).cast("double")), 4)
           .as("z"))
       .withColumn("anomaly", when(abs(col("z")) > zBar, 1L).otherwise(0L))
+  }
+
+  /** X6 INTER-EVENT GAP HISTOGRAM — the distribution of consecutive
+    * same-user event gaps in power-of-two second buckets
+    * (`length(bin(gap_s))`, the [[graft.operators.TextAnalysis
+    * .lengthHistogram]] bucketing — identical string-op semantics in
+    * both engines): the data-driven way to CHOOSE [[sessions]]'
+    * inactivity gap — the histogram's valley between the
+    * within-session mode and the between-visit mode IS the
+    * threshold, read from data instead of folklore. One lag window
+    * per USER partition (keyed, never global; ties break on
+    * event_id so the lag is deterministic), then an O(buckets)
+    * rollup. */
+  def gapHistogram(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(expr("(us - prev) div 1000000").as("gap_s"))
+      .groupBy(length(bin(col("gap_s"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
   }
 
   /** X6 USER LIFETIME features — the per-user RFM-style profile

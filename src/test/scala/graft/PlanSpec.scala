@@ -337,6 +337,35 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("round-13 aggregation operators: no joins beyond keyed/broadcast, no windows over raw rows") {
+    // the fan-out family (weekly churn, rolling active) and the
+    // profile family (shingle profile, lexical richness, dim stats,
+    // lifetime, k-fold, epoch plan) must never pick up a nested-loop
+    // join, a cartesian product, or an unpartitioned window as they
+    // evolve — these are the shapes that die first at 100×
+    for (name <- Seq("x6_churn", "x6_rolling_active", "x4_shingle_profile",
+        "x3_lexical", "x2_dim_stats", "x6_lifetime",
+        "x1_kfold", "x6_trend", "x6_trend_anomaly")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      assert(!p.contains("Window"), s"$name:\n$p")
+    }
+    // norm outliers / epoch plan join a ONE-ROW broadcast total back
+    // onto the data side (the documented bounded-BNLJ exception, like
+    // x6_audience_overlap's day pairs) — exactly one such join, and
+    // never a cartesian product
+    for (name <- Seq("x2_norm_outliers", "x1_epoch_plan")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // one physical BNLJ = two mentions in FormattedMode (tree + detail)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, s"$name:\n$p")
+    }
+    // the trend fit broadcasts back onto the count frame — hash join,
+    // never a shuffle of the O(types) side
+    assert(planOf("x6_trend_anomaly").contains("BroadcastHashJoin"))
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)

@@ -155,6 +155,26 @@ class ProfilingSpec extends AnyFunSuite {
     assert(served.collect().toSeq === self.collect().toSeq)
   }
 
+  test("rolling HLL: stored-sketch fold equals self-contained and tracks the exact rolling count") {
+    val events = graft.sources.Tables(spark, SparkTestBase.sf0001, "events")
+    val stored = Profiling.hllRegisters(events).localCheckpoint()
+    val served = Profiling.rollingActiveFromRegisters(stored)
+    // the rolling fold touches only the stored sketch — no raw scan
+    assert(!served.queryExecution.executedPlan.toString.toLowerCase
+      .contains("parquet"))
+    val self = Profiling.rollingActiveHll(events)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(served.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq === self)
+    // the estimate tracks the exact trailing-7-day distinct within
+    // 3-sigma HLL error (m=64 → 13% SE)
+    val exact = graft.operators.Windows.rollingActive(events)
+      .as[(Long, Long)].collect().toMap
+    assert(self.nonEmpty && self.forall { case (d, _, est) =>
+      math.abs(est - exact(d)) / exact(d).toDouble < 0.4 })
+    // same report-day set as the exact operator
+    assert(self.map(_._1).toSet === exact.keySet)
+  }
+
   test("KMV audience overlap estimates a known Jaccard within sketch error") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // day 1: users 1..100; day 2: users 51..150 (J = 50/150);

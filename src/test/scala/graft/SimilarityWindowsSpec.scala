@@ -145,6 +145,20 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(byDay(4L) === ((3.2, 1.4142, 1L)))
   }
 
+  test("gap histogram buckets consecutive same-user gaps by power of two") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    def plusSec(s: Int) = new Timestamp(base.getTime + s * 1000L)
+    // user 7 gaps: 5 s (bin 101 → bucket 3) and 64 s (1000000 → 7);
+    // user 8 has one event → no gap
+    val ev6 = Seq(
+      (1L, base, 7L, "click", 1.0), (2L, plusSec(5), 7L, "view", 1.0),
+      (3L, plusSec(69), 7L, "click", 1.0), (4L, base, 8L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.gapHistogram(ev6)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L, 5L, 5L), (7L, 1L, 64L, 64L)))
+  }
+
   test("user lifetime: span, density, and counts from one aggregation") {
     val base = Timestamp.valueOf("2024-01-01 12:00:00")
     def plusDays(d: Int) = new Timestamp(base.getTime + d * 86400000L)

@@ -9,7 +9,7 @@ object SparkTestBase {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.codegen.cache.maxEntries", "4096")
+    .config("spark.sql.codegen.cache.maxEntries", "16384")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
