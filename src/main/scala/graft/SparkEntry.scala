@@ -248,6 +248,8 @@ object SparkEntry {
     "x4_survivors" -> ((s, d) => Dedup.survivorMap(t(s, d, "documents"))),
     // per-source cross-doc shingle repetition (memorization-risk dial)
     "x4_shingle_profile" -> ((s, d) => Dedup.shingleProfile(t(s, d, "documents"))),
+    // per-provider feed-quality scorecard: share of near-dup-redundant docs
+    "x4_source_dup_rate" -> ((s, d) => Dedup.sourceDupRate(t(s, d, "documents"))),
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(t(s, d, "documents"))),
     // asymmetric doc-in-doc detection (quote/wrapper discovery)
     "x4_containment" -> ((s, d) => Dedup.ngramContainmentTopK(t(s, d, "documents"))),
@@ -477,6 +479,8 @@ object SparkEntry {
     // consecutive same-user gap distribution in power-of-two buckets
     // (the data-driven session-gap calibration)
     "x6_gap_hist" -> ((s, d) => Windows.gapHistogram(t(s, d, "events"))),
+    // the LTV triangle: per (cohort, age) event count and value total
+    "x6_cohort_value" -> ((s, d) => Windows.cohortValue(t(s, d, "events"))),
     // per-user RFM-style lifetime feature table
     "x6_lifetime" -> ((s, d) => Windows.userLifetime(t(s, d, "events"))),
     // engine-portable HyperLogLog: per-day distinct-user estimate whose
@@ -545,8 +549,8 @@ object SparkEntry {
     "x2_ivf_recall", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
     "x3_unigram_score_serve",
-    "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_overlap",
-    "x4_survivors",
+    "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_dup_rate",
+    "x4_source_overlap", "x4_survivors",
     "x6_anomaly_serve", "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
   )
@@ -1645,6 +1649,52 @@ object SparkEntry {
              AS is_canonical,
            sz.cluster_size
          FROM l3 l JOIN sz ON sz.cluster = l.cluster""",
+    // the x4_cluster chain (shared CTE copy — change together) joined
+    // to the (doc, source) projection: per-source redundancy scorecard
+    "x4_source_dup_rate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         j AS (SELECT l3.doc_id, l3.cluster, d.source
+           FROM l3 JOIN documents d ON d.doc_id = l3.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_canonical,
+           round(CAST(count(*) - sum(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+         FROM j GROUP BY 1""",
     // per-source posting-vs-distinct shingle mass (shingles distinct
     // within a doc, the minhash convention)
     "x4_shingle_profile" ->
@@ -4169,6 +4219,14 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_gaps,
            min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
          FROM b GROUP BY 1""",
+    "x6_cohort_value" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+             FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+         SELECT f.cohort_day, e.day - f.cohort_day AS age_days,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM e JOIN f ON f.user_id = e.user_id GROUP BY 1, 2""",
     "x6_lifetime" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
              event_type FROM events)

@@ -991,6 +991,31 @@ object Dedup {
           col("n_postings").cast("double"), 6).as("dup_frac"),
         col("max_df"))
 
+  /** X4 PER-SOURCE DUPLICATION RATE — what fraction of each source's
+    * documents are near-dup REDUNDANT against the corpus (not the
+    * representative of their cluster): the feed-quality scorecard a
+    * crawl pipeline reads per provider — a source whose dup_rate
+    * climbs is re-crawling what the corpus already has, and its crawl
+    * budget should move. [[sourceOverlapMatrix]] says WHO overlaps
+    * with whom; this says how much each source actually contributes.
+    * One join of the O(docs) label frame to the slim (doc, source)
+    * projection and an O(sources) rollup on top of the shared
+    * clustering. */
+  def sourceDupRate(documents: DataFrame, rounds: Int = 3): DataFrame =
+    sourceDupRateFromLabels(clusterNearDups(documents, rounds), documents)
+
+  /** [[sourceDupRate]] over PRECOMPUTED labels — the cluster-once /
+    * derive-many form, like [[dupStatsFromLabels]]. */
+  def sourceDupRateFromLabels(labels: DataFrame, documents: DataFrame): DataFrame =
+    labels.join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("cluster"), 1L).otherwise(0L))
+          .as("n_canonical"))
+      .select(col("source"), col("n_docs"), col("n_canonical"),
+        round((col("n_docs") - col("n_canonical")).cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"))
+
   /** X4 SURVIVORSHIP MAP — the per-document canonical-id export of the
     * near-dup clustering: for every doc, the cluster representative it
     * resolves to (the component's minimum doc_id — exactly the

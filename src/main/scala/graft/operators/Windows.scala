@@ -185,6 +185,23 @@ object Windows {
         round(col("n_users").cast("double") / col("n_cohort"), 6).as("retention"))
   }
 
+  /** X6 COHORT VALUE (LTV triangle) — the revenue companion to
+    * [[cohortRetention]]: per (first-active-day cohort, age-in-days)
+    * cell, event count and payload-value total — the lifetime-value
+    * triangle finance models read cumulative along each row. Same
+    * user-keyed first-day derivation and (cohort, age) rollup as the
+    * retention matrix; value sums round to 4 (the house tumbling-sum
+    * convention) so the fold order never shows. */
+  def cohortValue(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
   /** X6 ACTIVITY STREAKS — per user, the longest run of CONSECUTIVE
     * active days (the engagement-streak metric), via the
     * gaps-and-islands identity: on the distinct (user, day) frame

@@ -145,6 +145,20 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(byDay(4L) === ((3.2, 1.4142, 1L)))
   }
 
+  test("cohort value triangle: per (cohort, age) counts and rounded value totals") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    def plusDays(d: Int) = new Timestamp(base.getTime + d * 86400000L)
+    val ev7 = Seq(
+      (1L, base, 7L, "buy", 10.5), (2L, plusDays(1), 7L, "buy", 2.5),
+      (3L, plusDays(1), 8L, "buy", 1.0), (4L, plusDays(1), 7L, "buy", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.cohortValue(ev7)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val d0 = got.map(_._1).min
+    assert(got === Set((d0, 0L, 1L, 10.5), (d0, 1L, 2L, 3.5),
+      (d0 + 1, 0L, 1L, 1.0)))
+  }
+
   test("gap histogram buckets consecutive same-user gaps by power of two") {
     val base = Timestamp.valueOf("2024-01-01 12:00:00")
     def plusSec(s: Int) = new Timestamp(base.getTime + s * 1000L)

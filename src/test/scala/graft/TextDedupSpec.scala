@@ -200,6 +200,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got("s1") === (("s1", 2L, 2L, 0.0, 1L)))
   }
 
+  test("source dup rate: cross-source duplication charges the junior source") {
+    val d = Seq(
+      (1L, "a b c d e f g h", "sA"), (2L, "a b c d e f g h", "sA"),
+      (3L, "a b c d e f g h", "sB"), (4L, "q r s t u v w x", "sB"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceDupRate(d)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // sA: doc 1 is the canonical of the triple, doc 2 redundant
+    assert(got("sA") === (("sA", 2L, 1L, 0.5)))
+    // sB: doc 3 duplicates sA's canonical; doc 4 stands alone
+    assert(got("sB") === (("sB", 2L, 1L, 0.5)))
+    // from-labels reuse form matches
+    val viaLabels = Dedup.sourceDupRateFromLabels(Dedup.clusterNearDups(d), d)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(viaLabels === got.values.toSet)
+  }
+
   test("lexical richness separates natural vocabulary from template spam") {
     val d = Seq(
       (1L, "alpha beta gamma delta", "nat"),
