@@ -132,6 +132,43 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Curation.curateVerbatim(docs, nBench = 2, shardBudget = 10).count() >= 0)
   }
 
+  test("round-13 operators survive degenerate inputs") {
+    // documents: the standard degenerate set (empty text, 1 char,
+    // sub-shingle-width, one normal doc)
+    assert(Sampling.kfoldReport(docs).count() > 0)
+    assert(Sampling.epochPlan(docs).count() === 1)      // one source
+    assert(TextAnalysis.lexicalRichness(docs).count() === 1)
+    assert(Dedup.shingleProfile(docs).count() === 1)    // only doc 4 is wide enough
+    assert(Dedup.survivorMap(docs).count() === 4)       // singleton clusters ok
+    assert(Dedup.sourceDupRate(docs).count() === 1)
+    assert(Curation.curateMixture(docs, nBench = 0L, shardBudget = 10).count() >= 0)
+    // events: empty frame → every report is empty, nothing throws
+    // (ANSI mode would surface a 0/0 or bad division as an exception)
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Windows.weeklyChurn(noEvents).count() === 0)
+    assert(Windows.dailyTrend(noEvents).count() === 0)
+    assert(Windows.trendAnomaly(noEvents).count() === 0)
+    assert(Windows.userLifetime(noEvents).count() === 0)
+    assert(Windows.gapHistogram(noEvents).count() === 0)
+    assert(Windows.cohortValue(noEvents).count() === 0)
+    assert(Profiling.rollingActiveHll(noEvents).count() === 0)
+    // a single event: one user, one week — gained only; no gaps; a
+    // single (type, day) point has no trend line and no residual z
+    val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      7L, "click", 1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Windows.weeklyChurn(one).as[(Long, Long, Long, Long)]
+      .collect().map(r => (r._2, r._3, r._4)).toSeq === Seq((0L, 1L, 0L)))
+    assert(Windows.dailyTrend(one).count() === 0)
+    assert(Windows.trendAnomaly(one).count() === 0)
+    assert(Windows.gapHistogram(one).count() === 0)
+    // embeddings: a single vector has zero norm variance → the
+    // norm-outlier guard drops everything rather than dividing by 0
+    val e1 = Seq((0L, Seq(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(Similarity.normOutliers(e1).count() === 0)
+    assert(Similarity.dimStats(e1).count() === 2)
+  }
+
   test("PQ survives a corpus smaller than the codebook") {
     // 3 vectors < 16 seeds: each subspace trains a 3-code book; codes
     // stay in range and every vector still encodes in every subspace
