@@ -426,6 +426,9 @@ object SparkEntry {
     "x5_frames" -> ((s, d) => Multimodal.frameCounts(s, t(s, d, "documents"))),
     // media near-dup: embed -> LSH bucket join -> senior threshold
     "x5_mm_dedup" -> ((s, d) => Multimodal.mediaDedup(t(s, d, "documents"))),
+    // PQ on the media modality: dyadic-quantized stub embeddings train
+    // a codebook and the collection compresses to m codes per asset
+    "x5_mm_pq" -> ((s, d) => Multimodal.mediaPqCodes(t(s, d, "documents"))),
     // incremental media near-dup: batch (ids < 100) vs indexed corpus
     // cross-collection alignment mining over media embeddings: best vs
     // runner-up margin suppresses hub assets (caption<->image shape)
@@ -550,7 +553,7 @@ object SparkEntry {
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
     "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_dup_rate",
-    "x4_source_overlap", "x4_survivors",
+    "x4_source_overlap", "x4_survivors", "x5_mm_pq",
     "x6_anomaly_serve", "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
   )
@@ -3721,6 +3724,63 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // the x2_pq_codes training/encode chain (shared CTE copy — change
+    // together) over the media stub embedding, dyadic-quantized to the
+    // 2^-20 grid first so the Lloyd mean sums are fold-order-exact
+    "x5_mm_pq" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+           FROM e0),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         c0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         k0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c0),
+         r1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k0 c ON c.sub = q.sub),
+         a1 AS (SELECT vec_id, sub, code, s FROM r1 WHERE rn = 1),
+         d1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a1),
+         s1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d1 GROUP BY sub, code, pos),
+         u1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s1 GROUP BY sub, code),
+         c1 AS (SELECT c0.sub, c0.code, coalesce(u1.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code),
+         k1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c1),
+         r2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k1 c ON c.sub = q.sub),
+         a2 AS (SELECT vec_id, sub, code, s FROM r2 WHERE rn = 1),
+         d2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a2),
+         s2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d2 GROUP BY sub, code, pos),
+         u2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s2 GROUP BY sub, code),
+         c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u2 ON u2.sub = c1.sub AND u2.code = c1.code),
+         k2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c2),
+         r3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k2 c ON c.sub = q.sub)
+         SELECT vec_id, CAST(sub AS BIGINT) AS sub, code
+         FROM r3 WHERE rn = 1""",
     "x5_mm_dedup" ->
       """WITH e AS (SELECT doc_id AS vec_id,
              list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0

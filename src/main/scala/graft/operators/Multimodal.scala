@@ -160,6 +160,29 @@ object Multimodal {
     Similarity.marginMineOnVectors(
       mediaEmbedding(incoming), mediaEmbedding(indexed), tau)
 
+  /** X5 MEDIA PQ COMPRESSION — the product-quantization family
+    * applied to the media modality: stub embeddings train a
+    * per-subspace codebook and the collection compresses to m codes
+    * per asset ([[Similarity.trainPqModelOnVectors]] /
+    * [[Similarity.pqCodesAgainstOnVectors]], the same train-once
+    * artifacts the `x2_pq_*` family hash-verifies) — a billion-asset
+    * media index stores m bytes per item and ADC-scans codes, raw
+    * blobs never read at query time. Exactness: the encoder's
+    * `ord/255` outputs are NOT finite-binary, so components quantize
+    * to the dyadic 2⁻²⁰ grid FIRST — Lloyd mean sums then fold
+    * exactly in any order (the float32-mantissa argument, recreated
+    * by construction), and both engines train the identical
+    * codebook. */
+  def mediaPqCodes(documents: DataFrame, m: Int = 8, k: Int = 16,
+                   rounds: Int = 2, dims: Int = 64): DataFrame = {
+    val vecs = mediaEmbedding(documents, dims)
+      .select(col("vec_id"),
+        transform(col("v"),
+          x => floor(x * 1048576 + lit(0.5)) / 1048576.0).as("v"))
+    Similarity.pqCodesAgainstOnVectors(vecs,
+      Similarity.trainPqModelOnVectors(vecs, m, k, rounds, dims), m, dims)
+  }
+
   /** X5 multimodal join: documents ⋈ embeddings on doc_id = vec_id with
     * vector metadata (dim + L2 norm). Both sides shuffle on the id (or
     * broadcast when one side is small); norm is a narrow per-row fold. */

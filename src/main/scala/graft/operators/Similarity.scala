@@ -1235,12 +1235,23 @@ object Similarity {
     * driver-side state of O(m·k·dsub) doubles, the IVF-centroid
     * pattern: train once, serve every encode/search batch. */
   def trainPqModel(embeddings: DataFrame, m: Int = 8, k: Int = 16,
-                   rounds: Int = 2, dims: Int = 64): Seq[(Int, Long, Seq[Double])] = {
-    val spark = embeddings.sparkSession
+                   rounds: Int = 2, dims: Int = 64): Seq[(Int, Long, Seq[Double])] =
+    trainPqModelOnVectors(withVec(embeddings), m, k, rounds, dims)
+
+  /** [[trainPqModel]] over any (vec_id, v: array<double>) frame — the
+    * modality-agnostic form ([[annOnVectors]]' convention): media stub
+    * embeddings, quantized batches, any encoder output trains the
+    * same way. Caller owns the exactness contract: component values
+    * must be dyadic (finite binary — float-derived doubles, or
+    * quantized to a 2^-k grid) so the Lloyd mean sums fold exactly
+    * in any order before the round-6 model quantization. */
+  def trainPqModelOnVectors(vecs: DataFrame, m: Int = 8, k: Int = 16,
+                            rounds: Int = 2, dims: Int = 64): Seq[(Int, Long, Seq[Double])] = {
+    val spark = vecs.sparkSession
     import spark.implicits._
     // same materialize-once discipline as [[kmeansCentroids]]: seeds +
     // one argmin/means job per round all read this frame
-    val subs = subvectors(withVec(embeddings), m, dims / m).persist()
+    val subs = subvectors(vecs, m, dims / m).persist()
     try {
       var cb: Seq[(Int, Long, Seq[Double])] = subs.filter(col("vec_id") < k)
         .select(col("sub"), col("vec_id").as("code"), col("sv"))
@@ -1334,9 +1345,16 @@ object Similarity {
     * encodes every later batch with one broadcast join — no
     * retraining, no corpus rescan. Spec pins serve ≡ self-contained. */
   def pqCodesAgainst(embeddings: DataFrame, codebook: Seq[(Int, Long, Seq[Double])],
-                     m: Int = 8, dims: Int = 64): DataFrame = {
-    val spark = embeddings.sparkSession
-    val subs = subvectors(withVec(embeddings), m, dims / m)
+                     m: Int = 8, dims: Int = 64): DataFrame =
+    pqCodesAgainstOnVectors(withVec(embeddings), codebook, m, dims)
+
+  /** [[pqCodesAgainst]] over any (vec_id, v) frame — the encode half
+    * of [[trainPqModelOnVectors]]' modality-agnostic contract. */
+  def pqCodesAgainstOnVectors(vecs: DataFrame,
+                              codebook: Seq[(Int, Long, Seq[Double])],
+                              m: Int = 8, dims: Int = 64): DataFrame = {
+    val spark = vecs.sparkSession
+    val subs = subvectors(vecs, m, dims / m)
     argminCode(subs, pqCodebookDF(spark, codebook))
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
   }

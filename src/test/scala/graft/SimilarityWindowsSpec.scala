@@ -96,6 +96,24 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got(2L)._4 === 1L && got(3L)._4 === 1L)
   }
 
+  test("media PQ: every asset encodes in every subspace with in-range codes") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val codes = Multimodal.mediaPqCodes(d).as[(Long, Long, Long)].collect()
+    val n = d.count()
+    assert(codes.length === n * 8)
+    codes.foreach { case (_, sub, code) =>
+      assert(sub >= 0 && sub < 8 && code >= 0 && code < 16)
+    }
+    // identical text → identical stub embedding → identical code row set
+    val byDoc = codes.groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val texts = d.select("doc_id", "text").as[(Long, String)].collect()
+    texts.groupBy(_._2).values.filter(_.length > 1).foreach { grp =>
+      val sets = grp.map(g => byDoc(g._1)).distinct
+      assert(sets.length === 1, s"dup texts ${grp.map(_._1).toSeq} encode differently")
+    }
+  }
+
   test("norm outliers: the un-normalized row is flagged, unit rows are not") {
     // 9 unit norms + one 10x norm: z(10) = (10·1e5 − 1.9e5)/270000 = 3.0
     val rows = (0L until 9L).map(i =>
