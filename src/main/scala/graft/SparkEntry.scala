@@ -231,6 +231,8 @@ object SparkEntry {
     "x1_kfold" -> ((s, d) => Sampling.kfoldReport(t(s, d, "documents"))),
     // the upsampling half of the n^alpha recipe: per-source epoch plan
     "x1_epoch_plan" -> ((s, d) => Sampling.epochPlan(t(s, d, "documents"))),
+    // recipe-loop closure: achieved vs n^alpha target shares post-thin
+    "x1_mixture_audit" -> ((s, d) => Sampling.mixtureAudit(t(s, d, "documents"))),
     // Efraimidis-Spirakis weighted sampling without replacement:
     // deterministic exponential race, integer micro-unit keys
     "x1_weighted_sample" -> ((s, d) => Sampling.weightedSample(t(s, d, "documents"))),
@@ -1407,6 +1409,33 @@ object SparkEntry {
          SELECT source, n_docs, n_tokens, natural_share, target_share,
            round(target_share / natural_share, 4) AS epochs
          FROM s""",
+    // the x1_temperature thin (shared CTE copy — change together)
+    // rolled up against the doc-count n^alpha target
+    "x1_mixture_audit" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY source),
+         m AS (SELECT min(n_docs) AS n_min FROM c),
+         r AS (SELECT source,
+             round(power(CAST(n_min AS DOUBLE) / n_docs, 0.5), 6) AS frac FROM c, m),
+         kd AS (SELECT d.source FROM documents d JOIN r ON r.source = d.source
+           WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+             < CAST(r.frac * 1000000 AS BIGINT)),
+         k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM kd GROUP BY 1),
+         j AS (SELECT c.source, c.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+             CAST(floor(power(CAST(c.n_docs AS DOUBLE), 0.5) * 1000000 + 0.5)
+               AS BIGINT) AS w6
+           FROM c LEFT JOIN k ON k.source = c.source),
+         t AS (SELECT CAST(sum(n_kept) AS BIGINT) AS tot_kept,
+             CAST(sum(w6) AS BIGINT) AS tot_w6 FROM j),
+         z AS (SELECT source, n_docs, n_kept,
+             round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS keep_rate,
+             round(CAST(n_kept AS DOUBLE) / CAST(tot_kept AS DOUBLE), 6)
+               AS achieved_share,
+             round(CAST(w6 AS DOUBLE) / CAST(tot_w6 AS DOUBLE), 6) AS target_share
+           FROM j, t)
+         SELECT source, n_docs, n_kept, keep_rate, achieved_share, target_share,
+           round(achieved_share - target_share, 6) AS miss
+         FROM z""",
     "x1_pack_shards" ->
       """SELECT doc_id, source, n_tokens,
          CAST((cum - n_tokens) // 500 AS BIGINT) AS shard FROM (

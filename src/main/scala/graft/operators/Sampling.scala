@@ -88,6 +88,41 @@ object Sampling {
         round(col("target_share") / col("natural_share"), 4))
   }
 
+  /** X1 MIXTURE AUDIT — did the sample land where the recipe aimed?
+    * Per source: corpus docs, docs kept by [[temperatureSample]], the
+    * achieved keep-rate and output share, the `n^α` TARGET share
+    * (doc-count basis, matching the sampler), and the miss
+    * (achieved − target). The closing audit of the recipe loop
+    * ([[epochPlan]] plans, [[temperatureSample]] executes, this
+    * verifies — hash thinning is binomial, so small sources can land
+    * off-target and this is where it shows). Exactness: the target
+    * weight quantizes to int before its total ([[epochPlan]]'s rule),
+    * every share is one division, and the delta subtracts two
+    * identically-ROUNDED doubles. Two source-keyed aggregates and a
+    * 1-row total broadcast. */
+  def mixtureAudit(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val all = documents.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val kept = temperatureSample(documents, alpha)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    val joined = all.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        floor(pow(col("n_docs").cast("double"), alpha) * 1000000 + 0.5)
+          .cast("long").as("w6"))
+    val tot = joined.agg(sum(col("n_kept")).as("tot_kept"),
+      sum(col("w6")).as("tot_w6"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("achieved_share",
+        round(col("n_kept").cast("double") / col("tot_kept").cast("double"), 6))
+      .withColumn("target_share",
+        round(col("w6").cast("double") / col("tot_w6").cast("double"), 6))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
+          .as("keep_rate"),
+        col("achieved_share"), col("target_share"),
+        round(col("achieved_share") - col("target_share"), 6).as("miss"))
+  }
+
   /** X1 per-source balancing cap: keep at most `cap` documents per
     * source, chosen by hash order — a deterministic unbiased subset
     * (head-of-table order would bias toward whatever the upstream

@@ -634,6 +634,34 @@ object StreamPipeline {
       "events_per_day", "type_entropy", "bot_flag")
   }
 
+  /** X6 STREAMING ANOMALY SCORER — [[graft.operators.Windows
+    * .rateAnomalyAgainst]] running ON the stream: hourly per-type
+    * counts score against the STORED moment baseline and the alarm
+    * fires in the micro-batch that crosses the bar, not in tomorrow's
+    * batch job. The baseline join happens BEFORE the windowed
+    * aggregation (a stateless stream-static broadcast probe — joins
+    * after a streaming aggregation are a rejected plan shape), with
+    * the O(1)-per-type moments riding through the aggregation as
+    * `max` (they are functionally dependent on the grouping key).
+    * Same exact-integer z arithmetic as the batch scorer; types
+    * absent from the baseline drop (inner join — unknown types are
+    * schema events, not rate anomalies). State is the windowed-count
+    * aggregation's, bounded by the watermark. */
+  def anomalyStream(events: DataFrame, baseline: DataFrame,
+                    watermark: String = "10 minutes",
+                    threshold: Double = 2.0): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(broadcast(baseline), Seq("event_type"))
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), max(col("c")).as("c"),
+        max(col("s")).as("s"), max(col("q")).as("q"))
+      .filter(col("q") * col("c") - col("s") * col("s") > 0)
+      .withColumn("z", round((col("n") * col("c") - col("s")).cast("double") /
+        sqrt((col("q") * col("c") - col("s") * col("s")).cast("double")), 4))
+      .filter(abs(col("z")) >= threshold)
+      .select(col("event_type"), unix_micros(col("w.start")).as("ws_us"),
+        col("n"), col("z"))
+
   /** X6 streaming session windows (native session_window operator). */
   def sessionCounts(events: DataFrame, watermark: String = "10 minutes",
                     gap: String = "5 minutes"): DataFrame =

@@ -907,6 +907,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly scorer fires against the stored baseline like the batch serve path") {
+    implicit val sc = spark.sqlContext
+    def t(d: Int, h: Int, m: Int) =
+      Timestamp.valueOf(f"2024-01-0$d%d $h%02d:$m%02d:00")
+    // baseline trained on day 1: type a hourly counts [1,1,1,1,9]
+    val train = (Seq.tabulate(4)(h => ("a", t(1, h, 1))) ++
+      Seq.tabulate(9)(m => ("a", t(1, 4, m + 1))))
+      .map { case (tp, ts) => (0L, ts, 0L, tp, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val baseline = graft.operators.Windows.rateBaseline(train).localCheckpoint()
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.anomalyStream(mem.toDF(), baseline)
+      .writeStream.format("memory").queryName("anom_mem")
+      .outputMode("complete").start()
+    try {
+      // day 2, split across micro-batches: hour 0 accumulates 10 "a"
+      // events (z = 2.3125), hour 1 only 2 (unflagged), plus an
+      // unknown type that must drop silently
+      mem.addData((1 to 6).map(m =>
+        UserEvent(m, t(2, 0, m), m, "a", 1.0)): _*)
+      q.processAllAvailable()
+      mem.addData(((7 to 10).map(m => UserEvent(m, t(2, 0, m), m, "a", 1.0)) ++
+        Seq(UserEvent(11, t(2, 1, 1), 1, "a", 1.0),
+          UserEvent(12, t(2, 1, 2), 2, "a", 1.0),
+          UserEvent(13, t(2, 0, 1), 3, "zz", 1.0))): _*)
+      q.processAllAvailable()
+      val got = spark.table("anom_mem")
+        .as[(String, Long, Long, Double)].collect().toSet
+      val allDay2 = ((1 to 10).map(m => UserEvent(m, t(2, 0, m), m, "a", 1.0)) ++
+        Seq(UserEvent(11, t(2, 1, 1), 1, "a", 1.0),
+          UserEvent(12, t(2, 1, 2), 2, "a", 1.0),
+          UserEvent(13, t(2, 0, 1), 3, "zz", 1.0))).toDF()
+      val batch = graft.operators.Windows.rateAnomalyAgainst(allDay2, baseline)
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(got === batch && got.size === 1)
+      assert(got.head._4 === 2.3125)
+    } finally q.stop()
+  }
+
   test("streaming bot-score folds per-user stats across batches to the batch audit") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[UserEvent]

@@ -186,6 +186,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got("b") === (("b", 1L, 400L, 0.8, 0.666667, 0.8333)))
   }
 
+  test("mixture audit: the smallest source keeps everything, shares reconcile") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val audit = Sampling.mixtureAudit(d)
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    assert(audit.nonEmpty)
+    // the temperature rule keeps the smallest source whole
+    val smallest = audit.minBy(_._2)
+    assert(smallest._3 === smallest._2 && smallest._4 === 1.0)
+    // kept counts reconcile with the sampler's own output
+    val kept = Sampling.temperatureSample(d).count()
+    assert(audit.map(_._3).sum === kept)
+    // achieved shares sum to ~1 and each miss is achieved - target
+    assert(math.abs(audit.map(_._5).sum - 1.0) < 1e-4)
+    audit.foreach { r =>
+      assert(math.abs(r._7 - BigDecimal(r._5 - r._6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+  }
+
   test("shingle profile counts cross-doc repetition, not within-doc") {
     val d = Seq(
       (1L, "a b c d", "s0"),   // shingles: "a b c", "b c d"
