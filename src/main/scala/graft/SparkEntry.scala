@@ -323,6 +323,17 @@ object SparkEntry {
     "x2_pq_distortion" -> ((s, d) => Similarity.pqDistortion(t(s, d, "embeddings"))),
     // ADC search: code table + broadcast LUT, raw vectors never read
     "x2_ann_pq" -> ((s, d) => Similarity.pqAdcTopK(t(s, d, "embeddings"))),
+    // the flat-ADC serve path: stored codes + driver codebook only in
+    // the search plan. Oracle = x2_ann_pq's verbatim.
+    "x2_ann_pq_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val pq = Similarity.trainPqModel(emb)
+      import org.apache.spark.sql.functions.col
+      val codes = Similarity.pqCodesAgainst(emb, pq)
+        .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+        .localCheckpoint()
+      Similarity.pqAdcTopKOnCodes(emb, codes, pq)
+    }),
     // the production serve shape: ADC shortlist -> exact re-rank of S rows
     "x2_ann_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(t(s, d, "embeddings"))),
     // the composed billion-scale architecture: IVF partitions the corpus,
@@ -431,6 +442,9 @@ object SparkEntry {
     // PQ on the media modality: dyadic-quantized stub embeddings train
     // a codebook and the collection compresses to m codes per asset
     "x5_mm_pq" -> ((s, d) => Multimodal.mediaPqCodes(t(s, d, "documents"))),
+    // the coarse-quantizer leg for media: trained cells partition the
+    // collection (together with x5_mm_pq, the media IVF-PQ index)
+    "x5_mm_ivf" -> ((s, d) => Multimodal.mediaIvfAssign(t(s, d, "documents"))),
     // incremental media near-dup: batch (ids < 100) vs indexed corpus
     // cross-collection alignment mining over media embeddings: best vs
     // runner-up margin suppresses hub assets (caption<->image shape)
@@ -549,13 +563,14 @@ object SparkEntry {
     "x1_budget_select", "x1_pack_contexts", "x1_split_leakage",
     "x1_systematic_sample",
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
-    "x2_ann_lsh_serve", "x2_ann_pq",
+    "x2_ann_lsh_serve", "x2_ann_pq", "x2_ann_pq_serve",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
     "x2_ivf_recall", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
     "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_dup_rate",
-    "x4_source_overlap", "x4_survivors", "x5_mm_pq",
+    "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
+    "x2_ann_pq_serve",
     "x6_anomaly_serve", "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
   )
@@ -3753,6 +3768,53 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // the x2_ivf_assign training/assign chain (shared CTE copy — change
+    // together) over the dyadic-quantized media stub embedding
+    "x5_mm_ivf" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+           FROM e0),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, t.v, t.nrm, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k)
+         SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1""",
     // the x2_pq_codes training/encode chain (shared CTE copy — change
     // together) over the media stub embedding, dyadic-quantized to the
     // 2^-20 grid first so the Lloyd mean sums are fold-order-exact
@@ -4358,6 +4420,7 @@ object SparkEntry {
       "x2_ann_ivf_serve" -> base("x2_ann_ivf"),
       "x2_ann_ivfpq_serve" -> base("x2_ann_ivfpq"),
       "x2_ann_lsh_serve" -> base("x2_ann_lsh"),
+      "x2_ann_pq_serve" -> base("x2_ann_pq"),
       "x3_unigram_score_serve" -> base("x3_unigram_logprob"),
       "x6_anomaly_serve" -> base("x6_anomaly"),
     )

@@ -183,6 +183,24 @@ object Multimodal {
       Similarity.trainPqModelOnVectors(vecs, m, k, rounds, dims), m, dims)
   }
 
+  /** X5 MEDIA IVF PARTITION MAP — the coarse-quantizer leg for the
+    * media modality ([[mediaPqCodes]] is the compression leg): stub
+    * embeddings train the spherical k-means cells and every asset
+    * gets its (vec_id, cell) row — at scale this IS the media index
+    * layout (cell partitions the collection; probing = joining cell
+    * ids), and together the two legs compose the media IVF-PQ
+    * architecture. Same dyadic 2⁻²⁰ pre-quantization as the PQ leg
+    * so Lloyd training is fold-order-exact cross-engine. */
+  def mediaIvfAssign(documents: DataFrame, nCells: Int = 8,
+                     trainRounds: Int = 2, dims: Int = 64): DataFrame = {
+    val vecs = mediaEmbedding(documents, dims)
+      .select(col("vec_id"),
+        transform(col("v"),
+          x => floor(x * 1048576 + lit(0.5)) / 1048576.0).as("v"))
+    Similarity.ivfAssignmentsForOnVectors(vecs,
+      Similarity.trainIvfModelOnVectors(vecs, nCells, trainRounds))
+  }
+
   /** X5 multimodal join: documents ⋈ embeddings on doc_id = vec_id with
     * vector metadata (dim + L2 norm). Both sides shuffle on the id (or
     * broadcast when one side is small); norm is a narrow per-row fold. */

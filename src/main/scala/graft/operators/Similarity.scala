@@ -844,6 +844,21 @@ object Similarity {
                     trainRounds: Int = 2): Seq[(Long, Seq[Double])] =
     kmeansCentroids(withVec(embeddings), nCells, trainRounds)
 
+  /** [[trainIvfModel]] over any (vec_id, v: array<double>) frame —
+    * the modality-agnostic form, [[trainPqModelOnVectors]]' contract:
+    * caller supplies dyadic component values so the Lloyd mean sums
+    * fold exactly in any order. */
+  def trainIvfModelOnVectors(vecs: DataFrame, nCells: Int = 8,
+                             trainRounds: Int = 2): Seq[(Long, Seq[Double])] =
+    kmeansCentroids(vecs.withColumn("nrm",
+      sqrt(dot_product(col("v"), col("v")))), nCells, trainRounds)
+
+  /** [[ivfAssignmentsFor]] over any (vec_id, v) frame. */
+  def ivfAssignmentsForOnVectors(vecs: DataFrame,
+                                 centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    argmaxCell(vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v")))),
+      centroids).select(col("vec_id"), col("cell"))
+
   /** X2 leave-one-out k-NN label audit — every vector votes among the
     * labels of its k nearest neighbors (max votes, tie → smallest
     * label); per-label accuracy of that vote against the vector's own
@@ -1387,10 +1402,22 @@ object Similarity {
   private def adcRanked(embeddings: DataFrame, m: Int, k: Int,
                         rounds: Int, dims: Int, nQueries: Int): DataFrame = {
     val spark = embeddings.sparkSession
-    val subs = subvectors(withVec(embeddings), m, dims / m)
-    val cdf = pqCodebookDF(spark, trainPqModel(embeddings, m, k, rounds, dims))
-    val codes = argminCode(subs, cdf)
+    val pq = trainPqModel(embeddings, m, k, rounds, dims)
+    val codes = argminCode(subvectors(withVec(embeddings), m, dims / m),
+        pqCodebookDF(spark, pq))
       .select(col("vec_id"), col("sub"), col("code"))
+    adcRankedOnCodes(embeddings, codes, pq, m, dims, nQueries)
+  }
+
+  /** The ADC ranking over a STORED code table + codebook — the serve
+    * half [[pqAdcTopKOnCodes]] exposes; the corpus appears ONLY as m
+    * codes per vector. */
+  private def adcRankedOnCodes(embeddings: DataFrame, codes: DataFrame,
+                               codebook: Seq[(Int, Long, Seq[Double])],
+                               m: Int, dims: Int, nQueries: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cdf = pqCodebookDF(spark, codebook)
+    val subs = subvectors(withVec(embeddings), m, dims / m)
     val lut = subs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("sub"), col("sv"), col("sn2"))
       .join(cdf, Seq("sub"))
@@ -1404,6 +1431,22 @@ object Similarity {
       .agg(sum(col("pd")).as("adist_u"))
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** X2 flat-ADC SERVE — [[pqAdcTopK]] over the STORED compressed
+    * corpus: the search plan reads the (vec_id, sub, code) table and
+    * the driver-side codebook only; the raw corpus vectors exist in
+    * the query batch alone (LUT construction is query-side
+    * arithmetic). With [[annIvfPqOnArtifacts]] this completes the
+    * serve ≡ self-contained contract for every PQ search shape;
+    * `x2_ann_pq_serve` shares `x2_ann_pq`'s oracle by reference. */
+  def pqAdcTopKOnCodes(embeddings: DataFrame, codes: DataFrame,
+                       codebook: Seq[(Int, Long, Seq[Double])],
+                       m: Int = 8, dims: Int = 64,
+                       nQueries: Int = 20, kNn: Int = 3): DataFrame =
+    adcRankedOnCodes(embeddings, codes, codebook, m, dims, nQueries)
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("n_id"),
+        round(col("adist_u").cast("double") / 1000000.0, 6).as("adist"), col("rank"))
 
   /** X2 IVF-PQ search — the two index legs COMPOSED, the standard
     * billion-scale ANN architecture (FAISS IVFPQ): the trained IVF

@@ -96,6 +96,30 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got(2L)._4 === 1L && got(3L)._4 === 1L)
   }
 
+  test("pqAdcTopKOnCodes (stored code table) matches self-contained pqAdcTopK") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val pq = Similarity.trainPqModel(emb)
+    val codes = Similarity.pqCodesAgainst(emb, pq)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+      .localCheckpoint()
+    val served = Similarity.pqAdcTopKOnCodes(emb, codes, pq)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val self = Similarity.pqAdcTopK(emb)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(served.nonEmpty && served === self)
+  }
+
+  test("media IVF: every asset lands in exactly one trained cell") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val asg = Multimodal.mediaIvfAssign(d).as[(Long, Long)].collect()
+    assert(asg.length === d.count())
+    assert(asg.map(_._1).distinct.length === asg.length)
+    assert(asg.map(_._2).forall(c => c >= 0 && c < 8))
+    // the corpus actually spreads over multiple cells (training moved
+    // the seeds somewhere useful)
+    assert(asg.map(_._2).distinct.length > 1)
+  }
+
   test("media PQ: every asset encodes in every subspace with in-range codes") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val codes = Multimodal.mediaPqCodes(d).as[(Long, Long, Long)].collect()
