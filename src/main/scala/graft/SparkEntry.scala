@@ -167,6 +167,9 @@ object SparkEntry {
     "x3_source_logprob" -> ((s, d) => TextAnalysis.sourceLogProb(t(s, d, "documents"))),
     // type-token ratio + hapax rate per source (lexical richness audit)
     "x3_lexical" -> ((s, d) => TextAnalysis.lexicalRichness(t(s, d, "documents"))),
+    // pairwise Pearson r between quality/length/entropy signals (the
+    // "do my filters measure the same thing" audit)
+    "x3_signal_corr" -> ((s, d) => TextAnalysis.signalCorr(t(s, d, "documents"))),
     // the stored LM artifact itself, hash-verified like x2_centroids
     "x3_unigram_model" -> ((s, d) => TextAnalysis.unigramModel(t(s, d, "documents"))),
     // the LM serve path, oracle-checked: score the batch against the
@@ -1174,6 +1177,57 @@ object SparkEntry {
            CAST(sum(k * lp6) AS DOUBLE) / (CAST(sum(k) AS BIGINT) * 1000000.0)
              AS avg_logprob
          FROM s GROUP BY source""",
+    // the x3_quality formula and x3_entropy chain (shared CTE copies —
+    // change together), 1e-4-quantized into nine exact int64 moments;
+    // each r is one fixed expression, zero variance -> null
+    "x3_signal_corr" ->
+      """WITH qq AS (SELECT doc_id, round(
+             0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+             0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                    CAST(len(string_split(text,' ')) AS DOUBLE)) +
+             0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                    CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM documents),
+         pd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         kc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+           FROM pd GROUP BY 1, 2),
+         ag AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+             CAST(sum(k * CAST(floor(ln(k) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+           FROM kc GROUP BY 1),
+         en AS (SELECT doc_id,
+             round(CAST(CAST(floor(ln(n_tokens) * 1000000 + 0.5) AS BIGINT) * n_tokens - s
+               AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000), 6) AS entropy
+           FROM ag),
+         j AS (SELECT
+             CAST(floor(qq.quality * 10000 + 0.5) AS BIGINT) AS x,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS y,
+             CAST(floor(en.entropy * 10000 + 0.5) AS BIGINT) AS z
+           FROM documents d
+           JOIN qq ON qq.doc_id = d.doc_id
+           JOIN en ON en.doc_id = d.doc_id),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(z*z) AS BIGINT) AS szz,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*z) AS BIGINT) AS sxz,
+             CAST(sum(y*z) AS BIGINT) AS syz
+           FROM j)
+         SELECT n,
+           CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+             round(CAST(n*sxy - sx*sy AS DOUBLE) /
+               (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) END AS r_quality_len,
+           CASE WHEN n*sxx - sx*sx > 0 AND n*szz - sz*sz > 0 THEN
+             round(CAST(n*sxz - sx*sz AS DOUBLE) /
+               (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                sqrt(CAST(n*szz - sz*sz AS DOUBLE))), 6) END AS r_quality_entropy,
+           CASE WHEN n*syy - sy*sy > 0 AND n*szz - sz*sz > 0 THEN
+             round(CAST(n*syz - sy*sz AS DOUBLE) /
+               (sqrt(CAST(n*syy - sy*sy AS DOUBLE)) *
+                sqrt(CAST(n*szz - sz*sz AS DOUBLE))), 6) END AS r_len_entropy
+         FROM m""",
     "x3_lexical" ->
       """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
              FROM documents),

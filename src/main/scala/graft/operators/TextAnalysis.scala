@@ -412,6 +412,49 @@ object TextAnalysis {
           col("n_tokens") - col("s")).cast("double") /
           (col("n_tokens").cast("double") * lit(1e6)), 6).as("entropy"))
 
+  /** X3 SIGNAL-CORRELATION audit — pairwise Pearson r between the
+    * three workhorse per-document quality signals (composite quality
+    * score, token count, token entropy): the "do my filters measure
+    * the same thing" check run before gates are combined — two
+    * signals at r ≈ 1 are one gate applied twice (their conjunction
+    * adds nothing but another threshold to tune), and a NEGATIVE
+    * quality↔length r flags a length term miscalibrated against the
+    * rest of the score. Signals quantize to 1e-4 integer units
+    * (bounded so every moment product stays in int64 at 10⁵ docs —
+    * decimal(38) past that), all nine moment sums are exact in any
+    * fold order, and each r is computed from them in one fixed
+    * expression; zero-variance signals yield null (CASE guard, both
+    * engines). Three doc-keyed joins of slim signal frames, one
+    * 1-row aggregate. */
+  def signalCorr(documents: DataFrame): DataFrame = {
+    val q = qualityScore(documents).select(col("doc_id"),
+      floor(col("quality") * 10000 + 0.5).cast("long").as("x"))
+    val s = textStats(documents).select(col("doc_id"), col("n_tokens").as("y"))
+    val e = tokenEntropy(documents).select(col("doc_id"),
+      floor(col("entropy") * 10000 + 0.5).cast("long").as("z"))
+    def r(n: Column, sxy: Column, sx: Column, sy: Column,
+          sxx: Column, syy: Column): Column = {
+      val num = (n * sxy - sx * sy).cast("double")
+      val dx = (n * sxx - sx * sx).cast("double")
+      val dy = (n * syy - sy * sy).cast("double")
+      when(dx > 0 && dy > 0, round(num / (sqrt(dx) * sqrt(dy)), 6))
+    }
+    q.join(s, "doc_id").join(e, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      .select(col("n"),
+        r(col("n"), col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+          .as("r_quality_len"),
+        r(col("n"), col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+          .as("r_quality_entropy"),
+        r(col("n"), col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+          .as("r_len_entropy"))
+  }
+
   /** Train-once half of the unigram LM: one row per distinct token with
     * its corpus count `c` and the corpus token total `n` (constant
     * across rows — RLE-compressed to nothing in parquet, and carrying

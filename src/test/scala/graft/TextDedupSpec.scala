@@ -236,6 +236,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(viaLabels === got.values.toSet)
   }
 
+  test("signal correlation: bounded on real data, null under zero variance, exact on a 2-point frame") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val r = TextAnalysis.signalCorr(d).head()
+    assert(r.getLong(0) === d.count())
+    (1 to 3).foreach { i =>
+      assert(!r.isNullAt(i) && math.abs(r.getDouble(i)) <= 1.0)
+    }
+    // identical docs: zero variance in every signal → all r null
+    val flat = Seq((1L, "a b c", "en", "s"), (2L, "a b c", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rf = TextAnalysis.signalCorr(flat).head()
+    (1 to 3).foreach(i => assert(rf.isNullAt(i)))
+    // two distinct points always correlate at exactly ±1
+    val two = Seq((1L, "a b", "en", "s"), (2L, "c d e f", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rt = TextAnalysis.signalCorr(two).head()
+    (1 to 3).foreach(i => assert(math.abs(math.abs(rt.getDouble(i)) - 1.0) < 1e-9))
+  }
+
   test("lexical richness separates natural vocabulary from template spam") {
     val d = Seq(
       (1L, "alpha beta gamma delta", "nat"),
