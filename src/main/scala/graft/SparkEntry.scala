@@ -264,6 +264,8 @@ object SparkEntry {
     "x4_simhash_topk" -> ((s, d) => Dedup.simhashTopK(t(s, d, "documents"))),
     "x4_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(t(s, d, "embeddings"))),
     "x4_decontaminate" -> ((s, d) => Dedup.decontaminate(t(s, d, "documents"))),
+    // per-benchmark-item leak report (the eval owner's view)
+    "x4_decontam_profile" -> ((s, d) => Dedup.decontamProfile(t(s, d, "documents"))),
     // incremental shape: docs < 100 are today's batch, >= 100 the index
     "x4_incremental" -> ((s, d) => Dedup.nearDupAgainstIndex(
       t(s, d, "documents").filter("doc_id < 100"),
@@ -2261,6 +2263,24 @@ object SparkEntry {
          r AS (SELECT doc_id, bench_id, n_overlap, row_number() OVER (
              PARTITION BY doc_id ORDER BY n_overlap DESC, bench_id) AS rk FROM ov)
          SELECT doc_id, bench_id, n_overlap FROM r WHERE rk = 1""",
+    // x4_decontaminate's tk/sh/inv/ov chain (shared CTE copy — change
+    // together) rolled up per BENCHMARK item, no champion window
+    "x4_decontam_profile" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id, b.doc_id AS bench_id,
+             CAST(count(*) AS BIGINT) AS n_overlap
+           FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id
+           HAVING count(*) >= 5)
+         SELECT bench_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+           max(n_overlap) AS max_overlap,
+           CAST(sum(n_overlap) AS BIGINT) AS total_overlap
+         FROM ov GROUP BY 1""",
     "x4_embedding_dedup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -513,6 +513,35 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("n_overlap"))
   }
 
+  /** X4 DECONTAMINATION PROFILE — the per-BENCHMARK-item view of
+    * [[decontaminate]]: for each benchmark document, how many corpus
+    * docs it contaminates, the worst overlap, and the total flagged
+    * shingle mass. The eval-owner's question ("which of MY items has
+    * leaked into the crawl — retire it") where the corpus-side report
+    * answers the curator's; both read the SAME thresholded overlap
+    * pairs (the shared ov discipline), this one WITHOUT the per-doc
+    * champion window — every qualifying (doc, bench) pair counts,
+    * because a bench item leaking via many docs is exactly the
+    * signal. Same broadcast bench-shingle join; O(bench) out. */
+  def decontamProfile(documents: DataFrame, nBench: Long = 50,
+                      n: Int = 3, minShingles: Int = 5): DataFrame = {
+    val corpus = documents.filter(col("doc_id") >= nBench)
+    val benchDocs = documents.filter(col("doc_id") < nBench)
+    val bench = wideEnough(benchDocs, n)
+      .select(col("doc_id").as("bench_id"),
+        explode(word_shingles(col("text"), n)).as("shingle"))
+    wideEnough(corpus, n)
+      .select(col("doc_id"), explode(word_shingles(col("text"), n)).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minShingles)
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(col("n_overlap")).as("max_overlap"),
+        sum(col("n_overlap")).as("total_overlap"))
+  }
+
   /** [[decontaminateAgainst]] behind a BLOOM-FILTER pre-filter — the
     * 100 TB form for when the benchmark side outgrows a comfortable
     * broadcast hash table: the bench shingle set collapses to a

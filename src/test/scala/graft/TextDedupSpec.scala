@@ -236,6 +236,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(viaLabels === got.values.toSet)
   }
 
+  test("decontam profile: bench-item rollup reconciles with the corpus-side report") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val profile = Dedup.decontamProfile(d, nBench = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(profile.nonEmpty && profile.forall(_._1 < 10))
+    profile.foreach { r =>
+      assert(r._3 >= 5 && r._4 >= r._3 && r._2 >= 1)
+    }
+    // every champion pair the corpus-side report emits involves a
+    // bench item present in the profile
+    val champions = Dedup.decontaminate(d, nBench = 10)
+      .select("bench_id").as[Long].collect().toSet
+    assert(champions.subsetOf(profile.map(_._1).toSet))
+  }
+
   test("signal correlation: bounded on real data, null under zero variance, exact on a 2-point frame") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val r = TextAnalysis.signalCorr(d).head()
