@@ -450,6 +450,9 @@ object SparkEntry {
     // the coarse-quantizer leg for media: trained cells partition the
     // collection (together with x5_mm_pq, the media IVF-PQ index)
     "x5_mm_ivf" -> ((s, d) => Multimodal.mediaIvfAssign(t(s, d, "documents"))),
+    // compressed-domain media retrieval: ADC over the media PQ index
+    // (completes the exact -> LSH -> PQ media retrieval ladder)
+    "x5_mm_search_pq" -> ((s, d) => Multimodal.mediaSearchPq(t(s, d, "documents"))),
     // incremental media near-dup: batch (ids < 100) vs indexed corpus
     // cross-collection alignment mining over media embeddings: best vs
     // runner-up margin suppresses hub assets (caption<->image shape)
@@ -575,7 +578,7 @@ object SparkEntry {
     "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_dup_rate",
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
-    "x2_ann_pq_serve",
+    "x5_mm_search_pq", "x2_ann_pq_serve",
     "x6_anomaly_serve", "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
   )
@@ -3946,6 +3949,76 @@ object SparkEntry {
            FROM sn q JOIN k2 c ON c.sub = q.sub)
          SELECT vec_id, CAST(sub AS BIGINT) AS sub, code
          FROM r3 WHERE rn = 1""",
+    // the x5_mm_pq chain (shared CTE copy — change together) extended
+    // with the x2_ann_pq ADC tail: broadcast LUT over the final
+    // codebook, integer partial-distance sums, top-3 per query
+    "x5_mm_search_pq" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+           FROM e0),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         c0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         k0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c0),
+         r1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k0 c ON c.sub = q.sub),
+         a1 AS (SELECT vec_id, sub, code, s FROM r1 WHERE rn = 1),
+         d1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a1),
+         s1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d1 GROUP BY sub, code, pos),
+         u1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s1 GROUP BY sub, code),
+         c1 AS (SELECT c0.sub, c0.code, coalesce(u1.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code),
+         k1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c1),
+         r2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k1 c ON c.sub = q.sub),
+         a2 AS (SELECT vec_id, sub, code, s FROM r2 WHERE rn = 1),
+         d2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a2),
+         s2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d2 GROUP BY sub, code, pos),
+         u2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s2 GROUP BY sub, code),
+         c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u2 ON u2.sub = c1.sub AND u2.code = c1.code),
+         k2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c2),
+         r3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k2 c ON c.sub = q.sub),
+         a3 AS (SELECT vec_id, sub, code FROM r3 WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS q_id, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM sn q JOIN k2 c ON c.sub = q.sub WHERE q.vec_id < 20),
+         sc AS (SELECT l.q_id, a.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM a3 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+             AND a.vec_id <> l.q_id
+           GROUP BY 1, 2),
+         r AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM sc)
+         SELECT q_id, n_id, round(CAST(adist_u AS DOUBLE) / 1000000.0, 6) AS adist,
+           CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 3""",
     "x5_mm_dedup" ->
       """WITH e AS (SELECT doc_id AS vec_id,
              list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0

@@ -175,12 +175,36 @@ object Multimodal {
     * codebook. */
   def mediaPqCodes(documents: DataFrame, m: Int = 8, k: Int = 16,
                    rounds: Int = 2, dims: Int = 64): DataFrame = {
-    val vecs = mediaEmbedding(documents, dims)
+    val vecs = dyadicMediaVectors(documents, dims)
+    Similarity.pqCodesAgainstOnVectors(vecs,
+      Similarity.trainPqModelOnVectors(vecs, m, k, rounds, dims), m, dims)
+  }
+
+  /** Media stub embeddings snapped to the dyadic 2⁻²⁰ grid — the
+    * exactness precondition of every trained index on this modality
+    * (see [[mediaPqCodes]]). */
+  private def dyadicMediaVectors(documents: DataFrame, dims: Int): DataFrame =
+    mediaEmbedding(documents, dims)
       .select(col("vec_id"),
         transform(col("v"),
           x => floor(x * 1048576 + lit(0.5)) / 1048576.0).as("v"))
-    Similarity.pqCodesAgainstOnVectors(vecs,
-      Similarity.trainPqModelOnVectors(vecs, m, k, rounds, dims), m, dims)
+
+  /** X5 COMPRESSED-DOMAIN media retrieval — the ADC search over the
+    * media PQ index: queries probe the m-codes-per-asset table with a
+    * broadcast lookup table; raw media embeddings (let alone blobs)
+    * are never read corpus-side at query time. Completes the media
+    * retrieval ladder: exact ([[mediaSearch]]) → LSH-bucketed
+    * ([[mediaSearchLsh]]) → PQ compressed-domain, mirroring the
+    * embedding table's `x2_ann_topk`/`x2_ann_lsh`/`x2_ann_pq`
+    * progression. */
+  def mediaSearchPq(documents: DataFrame, m: Int = 8, k: Int = 16,
+                    rounds: Int = 2, dims: Int = 64,
+                    nQueries: Int = 20, kNn: Int = 3): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    val pq = Similarity.trainPqModelOnVectors(vecs, m, k, rounds, dims)
+    val codes = Similarity.pqCodesAgainstOnVectors(vecs, pq, m, dims)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+    Similarity.pqAdcTopKOnVectors(vecs, codes, pq, m, dims, nQueries, kNn)
   }
 
   /** X5 MEDIA IVF PARTITION MAP — the coarse-quantizer leg for the
@@ -193,10 +217,7 @@ object Multimodal {
     * so Lloyd training is fold-order-exact cross-engine. */
   def mediaIvfAssign(documents: DataFrame, nCells: Int = 8,
                      trainRounds: Int = 2, dims: Int = 64): DataFrame = {
-    val vecs = mediaEmbedding(documents, dims)
-      .select(col("vec_id"),
-        transform(col("v"),
-          x => floor(x * 1048576 + lit(0.5)) / 1048576.0).as("v"))
+    val vecs = dyadicMediaVectors(documents, dims)
     Similarity.ivfAssignmentsForOnVectors(vecs,
       Similarity.trainIvfModelOnVectors(vecs, nCells, trainRounds))
   }

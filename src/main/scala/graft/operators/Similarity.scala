@@ -1414,10 +1414,16 @@ object Similarity {
     * codes per vector. */
   private def adcRankedOnCodes(embeddings: DataFrame, codes: DataFrame,
                                codebook: Seq[(Int, Long, Seq[Double])],
-                               m: Int, dims: Int, nQueries: Int): DataFrame = {
-    val spark = embeddings.sparkSession
+                               m: Int, dims: Int, nQueries: Int): DataFrame =
+    adcRankedOnCodesVectors(withVec(embeddings), codes, codebook,
+      m, dims, nQueries)
+
+  private def adcRankedOnCodesVectors(vecs: DataFrame, codes: DataFrame,
+                                      codebook: Seq[(Int, Long, Seq[Double])],
+                                      m: Int, dims: Int, nQueries: Int): DataFrame = {
+    val spark = vecs.sparkSession
     val cdf = pqCodebookDF(spark, codebook)
-    val subs = subvectors(withVec(embeddings), m, dims / m)
+    val subs = subvectors(vecs, m, dims / m)
     val lut = subs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("sub"), col("sv"), col("sn2"))
       .join(cdf, Seq("sub"))
@@ -1444,6 +1450,17 @@ object Similarity {
                        m: Int = 8, dims: Int = 64,
                        nQueries: Int = 20, kNn: Int = 3): DataFrame =
     adcRankedOnCodes(embeddings, codes, codebook, m, dims, nQueries)
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("n_id"),
+        round(col("adist_u").cast("double") / 1000000.0, 6).as("adist"), col("rank"))
+
+  /** [[pqAdcTopKOnCodes]] over any (vec_id, v) query frame — the
+    * modality-agnostic form the media retrieval path composes. */
+  def pqAdcTopKOnVectors(vecs: DataFrame, codes: DataFrame,
+                         codebook: Seq[(Int, Long, Seq[Double])],
+                         m: Int = 8, dims: Int = 64,
+                         nQueries: Int = 20, kNn: Int = 3): DataFrame =
+    adcRankedOnCodesVectors(vecs, codes, codebook, m, dims, nQueries)
       .filter(col("rank") <= kNn)
       .select(col("q_id"), col("n_id"),
         round(col("adist_u").cast("double") / 1000000.0, 6).as("adist"), col("rank"))

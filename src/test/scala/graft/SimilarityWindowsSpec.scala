@@ -109,6 +109,19 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(served.nonEmpty && served === self)
   }
 
+  test("media PQ search: top-k per query, ranks dense, self never retrieved") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val got = Multimodal.mediaSearchPq(d, nQueries = 5, kNn = 3)
+      .as[(Long, Long, Double, Long)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === (0L until 5L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length))
+      assert(rows.length <= 3)
+      rows.foreach(r => assert(r._2 !== r._1))
+    }
+  }
+
   test("media IVF: every asset lands in exactly one trained cell") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val asg = Multimodal.mediaIvfAssign(d).as[(Long, Long)].collect()
