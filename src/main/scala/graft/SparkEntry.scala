@@ -453,6 +453,29 @@ object SparkEntry {
     // compressed-domain media retrieval: ADC over the media PQ index
     // (completes the exact -> LSH -> PQ media retrieval ladder)
     "x5_mm_search_pq" -> ((s, d) => Multimodal.mediaSearchPq(t(s, d, "documents"))),
+    // the media LSH serve path: stored bucket table probed, collection
+    // never re-embedded/re-hashed. Oracle = x5_mm_search_lsh's verbatim.
+    "x5_mm_search_lsh_serve" -> ((s, d) =>
+      Multimodal.mediaSearchLshServe(t(s, d, "documents"))),
+    // the media flat-ADC serve path: stored code table + driver
+    // codebook only. Oracle = x5_mm_search_pq's verbatim.
+    "x5_mm_search_pq_serve" -> ((s, d) =>
+      Multimodal.mediaSearchPqServe(t(s, d, "documents"))),
+    // the two media index legs COMPOSED: probed trained cells bound
+    // candidates, ADC sums over the code table price them (the media
+    // twin of x2_ann_ivfpq)
+    "x5_mm_search_ivfpq" -> ((s, d) =>
+      Multimodal.mediaSearchIvfPq(t(s, d, "documents"))),
+    // the composed architecture's serve path over stored cell map +
+    // code table. Oracle = x5_mm_search_ivfpq's verbatim.
+    "x5_mm_search_ivfpq_serve" -> ((s, d) =>
+      Multimodal.mediaSearchIvfPqServe(t(s, d, "documents"))),
+    // media index occupancy pre-flight (the modality where the
+    // one-bucket collapse actually happened)
+    "x5_mm_bucket_stats" -> ((s, d) =>
+      Multimodal.mediaBucketStats(t(s, d, "documents"))),
+    // media LSH recall vs the exact x5_mm_search ground truth
+    "x5_mm_recall" -> ((s, d) => Multimodal.mediaRecallReport(t(s, d, "documents"))),
     // incremental media near-dup: batch (ids < 100) vs indexed corpus
     // cross-collection alignment mining over media embeddings: best vs
     // runner-up margin suppresses hub assets (caption<->image shape)
@@ -578,7 +601,8 @@ object SparkEntry {
     "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_dup_rate",
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
-    "x5_mm_search_pq", "x2_ann_pq_serve",
+    "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
+    "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
     "x6_anomaly_serve", "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
   )
@@ -4019,6 +4043,183 @@ object SparkEntry {
          SELECT q_id, n_id, round(CAST(adist_u AS DOUBLE) / 1000000.0, 6) AS adist,
            CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 3""",
+    // the x2_ann_ivfpq composed chain (shared CTE copy — change
+    // together) over the dyadic-quantized media stub embedding: IVF
+    // training + assignment, p-prefixed PQ training + encoding, probe
+    // selection, broadcast LUT, ADC sums over the probed cells' codes
+    "x5_mm_search_ivfpq" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+           FROM e0),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         pc0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         pk0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc0),
+         pr1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk0 c ON c.sub = q.sub),
+         pa1 AS (SELECT vec_id, sub, code, s FROM pr1 WHERE rn = 1),
+         pd1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM pa1),
+         ps1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM pd1 GROUP BY sub, code, pos),
+         pu1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM ps1 GROUP BY sub, code),
+         pc1 AS (SELECT pc0.sub, pc0.code, coalesce(pu1.cv, pc0.cv) AS cv
+           FROM pc0 LEFT JOIN pu1 ON pu1.sub = pc0.sub AND pu1.code = pc0.code),
+         pk1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc1),
+         pr2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk1 c ON c.sub = q.sub),
+         pa2 AS (SELECT vec_id, sub, code, s FROM pr2 WHERE rn = 1),
+         pd2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM pa2),
+         ps2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM pd2 GROUP BY sub, code, pos),
+         pu2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM ps2 GROUP BY sub, code),
+         pc2 AS (SELECT pc1.sub, pc1.code, coalesce(pu2.cv, pc1.cv) AS cv
+           FROM pc1 LEFT JOIN pu2 ON pu2.sub = pc1.sub AND pu2.code = pc1.code),
+         pk2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc2),
+         pr3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk2 c ON c.sub = q.sub),
+         pa3 AS (SELECT vec_id, sub, code FROM pr3 WHERE rn = 1),
+         pbr AS (SELECT t.vec_id, k.c_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+           FROM n t, k2 k WHERE t.vec_id < 20),
+         pb AS (SELECT vec_id AS q_id, c_id AS cell FROM pbr WHERE ar <= 2),
+         lut AS (SELECT q.vec_id AS q_id, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM sn q JOIN pk2 c ON c.sub = q.sub WHERE q.vec_id < 20),
+         ivfc AS (SELECT p.q_id, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         sc AS (SELECT c.q_id, c.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM ivfc c JOIN pa3 a ON a.vec_id = c.vec_id
+           JOIN lut l ON l.q_id = c.q_id AND l.sub = a.sub AND l.code = a.code
+           GROUP BY 1, 2),
+         fr AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM sc)
+         SELECT q_id, n_id, round(CAST(adist_u AS DOUBLE) / 1000000.0, 6) AS adist,
+           CAST(rank AS BIGINT) AS rank
+         FROM fr WHERE rank <= 3""",
+    // the x2_bucket_stats occupancy chain (shared CTE copy — change
+    // together) over the raw media stub embedding (same vectors and
+    // hyperplanes x5_mm_search_lsh hashes)
+    "x5_mm_bucket_stats" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         g AS (SELECT tt, bucket, CAST(count(*) AS BIGINT) AS n
+           FROM bb GROUP BY 1, 2)
+         SELECT tt AS tbl, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_vecs, max(n) AS max_load,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS mean_load
+         FROM g GROUP BY tt""",
+    // the x2_recall audit chain (shared CTE copy — change together)
+    // over the raw media stub embedding: brute-force ground truth vs
+    // the multi-probe bucket CTE x5_mm_search_lsh uses (5 queries)
+    "x5_mm_recall" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 5),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s),
+         approx AS (SELECT q_id, n_id, 1 AS hit FROM r WHERE rank <= 3)
+         SELECT e.q_id, CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
+           round(CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) / 3.0, 4) AS recall
+         FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+         GROUP BY e.q_id""",
     "x5_mm_dedup" ->
       """WITH e AS (SELECT doc_id AS vec_id,
              list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
@@ -4569,6 +4770,9 @@ object SparkEntry {
       "x2_ann_lsh_serve" -> base("x2_ann_lsh"),
       "x2_ann_pq_serve" -> base("x2_ann_pq"),
       "x3_unigram_score_serve" -> base("x3_unigram_logprob"),
+      "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),
+      "x5_mm_search_pq_serve" -> base("x5_mm_search_pq"),
+      "x5_mm_search_ivfpq_serve" -> base("x5_mm_search_ivfpq"),
       "x6_anomaly_serve" -> base("x6_anomaly"),
     )
   }

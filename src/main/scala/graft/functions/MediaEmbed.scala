@@ -25,8 +25,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * and read codepoints, so surrogate pairs would diverge under a
   * charAt formulation. An empty payload embeds as the zero vector
   * (the oracle guards the same case explicitly).
+  *
+  * `dyadic = true` additionally snaps each component to the 2⁻²⁰ grid
+  * (`floor(x·2²⁰ + 0.5) / 2²⁰`, the exactness precondition of every
+  * trained media index) INSIDE the kernel — the previous post-hoc
+  * `transform` lambda re-walked the array interpreted per element in
+  * the hot `x5_mm_pq`/`x5_mm_ivf`/`x5_mm_search_pq` paths. Operand
+  * order matches the oracle's `floor(x * 1048576 + 0.5) / 1048576.0`
+  * with x = cp/255.0, so the doubles are bit-identical to the lambda
+  * formulation.
   */
-case class MediaEmbed(child: Expression, dim: Int, stride: Int)
+case class MediaEmbed(child: Expression, dim: Int, stride: Int,
+                      dyadic: Boolean = false)
     extends KernelExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -37,7 +47,8 @@ case class MediaEmbed(child: Expression, dim: Int, stride: Int)
     if (cps.length > 0) {
       var i = 0
       while (i < dim) {
-        out(i) = cps((i * stride) % cps.length).toDouble / 255.0
+        val x = cps((i * stride) % cps.length).toDouble / 255.0
+        out(i) = if (dyadic) math.floor(x * 1048576 + 0.5) / 1048576.0 else x
         i += 1
       }
     }
@@ -50,4 +61,9 @@ case class MediaEmbed(child: Expression, dim: Int, stride: Int)
 object MediaEmbed {
   def media_embed(text: Column, dim: Int, stride: Int): Column =
     ColumnBridge.column(MediaEmbed(ColumnBridge.expression(text), dim, stride))
+
+  /** The dyadic-snapped encoder — one kernel pass, no post-hoc lambda. */
+  def media_embed_dyadic(text: Column, dim: Int, stride: Int): Column =
+    ColumnBridge.column(
+      MediaEmbed(ColumnBridge.expression(text), dim, stride, dyadic = true))
 }

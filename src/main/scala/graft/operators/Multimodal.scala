@@ -125,6 +125,29 @@ object Multimodal {
   def mediaSearchLsh(documents: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame =
     Similarity.annLshOnVectors(mediaEmbedding(documents), nQueries, k)
 
+  /** The media LSH SERVE path — [[mediaSearchLsh]] answered from a
+    * STORED media bucket table: a resident pipeline embeds and
+    * sign-hashes each asset ONCE at ingest ([[mediaBucketIndex]], 8·N
+    * slim rows), and every retrieval call probes that table — the
+    * collection is never re-embedded or re-hashed in the search plan
+    * (only the O(candidates) scoring join touches embeddings). Must
+    * equal [[mediaSearchLsh]] exactly: `x5_mm_search_lsh_serve`
+    * shares its oracle by reference, the same serve ≡ self-contained
+    * contract as every `x2_ann_*_serve`. */
+  def mediaSearchLshServe(documents: DataFrame, nQueries: Int = 5,
+                          k: Int = 3): DataFrame = {
+    val vecs = mediaEmbedding(documents)
+    val idx = mediaBucketIndex(documents).localCheckpoint()
+    Similarity.annLshOnBucketIndexVectors(vecs, idx, nQueries, k)
+  }
+
+  /** The stored media bucket table itself — the ingest-time artifact
+    * [[mediaSearchLshServe]] probes (one row per asset per hash
+    * table; at scale this is the materialized media index, not a
+    * query). */
+  def mediaBucketIndex(documents: DataFrame): DataFrame =
+    Similarity.lshBucketIndexOnVectors(mediaEmbedding(documents))
+
   /** X5 multimodal NEAR-DUP dedup: media blob → (stub) embedding →
     * sign-LSH bucketed senior dedup ([[Similarity.lshDedupOnVectors]])
     * — the re-encoded / re-compressed asset detector (the same image
@@ -182,12 +205,13 @@ object Multimodal {
 
   /** Media stub embeddings snapped to the dyadic 2⁻²⁰ grid — the
     * exactness precondition of every trained index on this modality
-    * (see [[mediaPqCodes]]). */
+    * (see [[mediaPqCodes]]). The snap rides INSIDE the compiled
+    * encoder kernel (one pass; the former post-hoc `transform` lambda
+    * re-walked 64 elements interpreted per row in every trained-index
+    * path). */
   private def dyadicMediaVectors(documents: DataFrame, dims: Int): DataFrame =
-    mediaEmbedding(documents, dims)
-      .select(col("vec_id"),
-        transform(col("v"),
-          x => floor(x * 1048576 + lit(0.5)) / 1048576.0).as("v"))
+    documents.select(col("doc_id").as("vec_id"),
+      graft.functions.MediaEmbed.media_embed_dyadic(col("text"), dims, 7).as("v"))
 
   /** X5 COMPRESSED-DOMAIN media retrieval — the ADC search over the
     * media PQ index: queries probe the m-codes-per-asset table with a
@@ -206,6 +230,87 @@ object Multimodal {
       .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
     Similarity.pqAdcTopKOnVectors(vecs, codes, pq, m, dims, nQueries, kNn)
   }
+
+  /** The media PQ SERVE path — [[mediaSearchPq]]'s ADC search over
+    * the STORED compressed collection: the (vec_id, sub, code) table
+    * is the ingest-time artifact (`x5_mm_pq`'s output, m bytes per
+    * asset) and the codebook is driver-side model state, so the
+    * search plan never re-trains or re-encodes — the collection
+    * appears ONLY as codes; raw media embeddings exist on the query
+    * side alone. Must equal [[mediaSearchPq]] exactly:
+    * `x5_mm_search_pq_serve` shares its oracle by reference. */
+  def mediaSearchPqServe(documents: DataFrame, m: Int = 8, k: Int = 16,
+                         rounds: Int = 2, dims: Int = 64,
+                         nQueries: Int = 20, kNn: Int = 3): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    val pq = Similarity.trainPqModelOnVectors(vecs, m, k, rounds, dims)
+    val codes = Similarity.pqCodesAgainstOnVectors(vecs, pq, m, dims)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+      .localCheckpoint()
+    Similarity.pqAdcTopKOnVectors(vecs, codes, pq, m, dims, nQueries, kNn)
+  }
+
+  /** X5 COMPOSED media IVF-PQ search — the two media index legs
+    * ([[mediaIvfAssign]]'s partition map, [[mediaPqCodes]]'s code
+    * table) MARRIED into the billion-asset retrieval architecture
+    * (the media twin of `x2_ann_ivfpq`): a query probes its `nProbe`
+    * closest trained cells, and within the probed cells the score is
+    * the ADC sum over the code table — candidate volume bounded by
+    * cell population, I/O by m bytes per candidate, raw media blobs
+    * and embeddings never read collection-side at query time. Both
+    * models train on the same dyadic-quantized stub embeddings the
+    * leg queries hash-verify, so the composition is oracle-exact. */
+  def mediaSearchIvfPq(documents: DataFrame, nCells: Int = 8,
+                       trainRounds: Int = 2, m: Int = 8, kCodes: Int = 16,
+                       dims: Int = 64, nQueries: Int = 20, kNn: Int = 3,
+                       nProbe: Int = 2): DataFrame =
+    Similarity.annIvfPqOnVectors(dyadicMediaVectors(documents, dims),
+      nCells, trainRounds, m, kCodes, dims, nQueries, kNn, nProbe)
+
+  /** [[mediaSearchIvfPq]]'s SERVE path — the search over STORED
+    * artifacts: the (vec_id, cell) partition map and the (vec_id,
+    * sub, code) compressed collection materialize at ingest, both
+    * trained models are driver-side state, and nothing in the
+    * retrieval plan trains, assigns, or encodes the collection. Must
+    * equal [[mediaSearchIvfPq]] exactly: `x5_mm_search_ivfpq_serve`
+    * shares its oracle by reference — with this, every media search
+    * shape (LSH, flat ADC, composed IVF-PQ) has its stored-artifact
+    * serve form, closing the media half of the serve ≡ self-contained
+    * contract. */
+  def mediaSearchIvfPqServe(documents: DataFrame, nCells: Int = 8,
+                            trainRounds: Int = 2, m: Int = 8, kCodes: Int = 16,
+                            dims: Int = 64, nQueries: Int = 20, kNn: Int = 3,
+                            nProbe: Int = 2): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    val cmodel = Similarity.trainIvfModelOnVectors(vecs, nCells, trainRounds)
+    val pq = Similarity.trainPqModelOnVectors(vecs, m, kCodes, trainRounds, dims)
+    val asg = Similarity.ivfAssignmentsForOnVectors(vecs, cmodel).localCheckpoint()
+    val codes = Similarity.pqCodesAgainstOnVectors(vecs, pq, m, dims)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+      .localCheckpoint()
+    Similarity.annIvfPqOnArtifactsVectors(vecs, asg, codes, cmodel, pq,
+      m, dims, nQueries, kNn, nProbe)
+  }
+
+  /** X5 media index-health audit — [[Similarity.lshBucketStatsOnVectors]]
+    * over the SAME stub embeddings and hyperplanes the media LSH
+    * search hashes: per table, how the collection spreads over
+    * buckets. THE pre-flight for this modality — the one-bucket
+    * collapse (69% of sf0.1 media vectors in one cell before
+    * centering) happened HERE, and this report is how it is caught
+    * before the candidate join runs quadratic. */
+  def mediaBucketStats(documents: DataFrame): DataFrame =
+    Similarity.lshBucketStatsOnVectors(mediaEmbedding(documents))
+
+  /** X5 media recall audit — per query, how many of the media LSH
+    * index's top-k survive against [[mediaSearch]]'s exact ground
+    * truth (the `x2_recall` discipline on the media modality): the
+    * "measure, don't guess" gate before the bucketed path replaces
+    * the exact one on a collection. Same vectors, same hyperplanes,
+    * same house ranking rule as the production search. */
+  def mediaRecallReport(documents: DataFrame, nQueries: Int = 5,
+                        k: Int = 3): DataFrame =
+    Similarity.lshRecallReportOnVectors(mediaEmbedding(documents), nQueries, k)
 
   /** X5 MEDIA IVF PARTITION MAP — the coarse-quantizer leg for the
     * media modality ([[mediaPqCodes]] is the compression leg): stub

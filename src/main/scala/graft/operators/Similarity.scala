@@ -364,6 +364,22 @@ object Similarity {
     annLshCore(withVec(embeddings).select(col("vec_id"), col("v"), col("nrm")),
       buckets, nQueries, k)
 
+  /** [[lshBucketIndex]] over any (vec_id, v: array<double>) frame —
+    * the stored media bucket table (`x5_mm_search_lsh_serve`'s
+    * artifact). */
+  def lshBucketIndexOnVectors(vectors: DataFrame): DataFrame =
+    bucketTableOf(vectors.withColumn("nrm",
+      sqrt(dot_product(col("v"), col("v")))))
+
+  /** [[annLshOnBucketIndex]] over any (vec_id, v) frame — the
+    * modality-agnostic LSH serve form the media retrieval path
+    * composes. */
+  def annLshOnBucketIndexVectors(vectors: DataFrame, buckets: DataFrame,
+                                 nQueries: Int, k: Int): DataFrame =
+    annLshCore(vectors.withColumn("nrm",
+        sqrt(dot_product(col("v"), col("v")))),
+      buckets, nQueries, k)
+
   private def annLshCore(vn: DataFrame, buckets: DataFrame,
                          nQueries: Int, k: Int): DataFrame = {
     val q = buckets.filter(col("vec_id") < nQueries)
@@ -392,7 +408,13 @@ object Similarity {
     * display division. Two partial+final aggregations — (tbl, bucket)
     * loads, then O(tables) rows out; the corpus is hashed once. */
   def lshBucketStats(embeddings: DataFrame): DataFrame =
-    withVec(embeddings).withColumn("bkts", bucketsCol)
+    lshBucketStatsOnVectors(withVec(embeddings).select(col("vec_id"), col("v")))
+
+  /** [[lshBucketStats]] over any (vec_id, v: array<double>) frame —
+    * the media index's occupancy pre-flight (`x5_mm_bucket_stats`):
+    * the modality where the one-bucket collapse actually happened. */
+  def lshBucketStatsOnVectors(vectors: DataFrame): DataFrame =
+    vectors.withColumn("bkts", bucketsCol)
       .select(col("vec_id"), posexplode(col("bkts"))).toDF("vec_id", "tbl", "bucket")
       .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n"))
       .groupBy(col("tbl").cast("long").as("tbl"))
@@ -411,10 +433,19 @@ object Similarity {
     * ground-truth side runs on a SAMPLE of queries (nQueries bounds
     * it); the index side is the same bucketed plan production uses. */
   def lshRecallReport(embeddings: DataFrame, nQueries: Int = 20,
-                      k: Int = 3): DataFrame = {
-    val exact = annBruteForce(embeddings, nQueries, k)
+                      k: Int = 3): DataFrame =
+    lshRecallReportOnVectors(
+      withVec(embeddings).select(col("vec_id"), col("v")), nQueries, k)
+
+  /** [[lshRecallReport]] over any (vec_id, v: array<double>) frame —
+    * the media index's recall audit (`x5_mm_recall`), run on the SAME
+    * vectors and hyperplanes the media LSH search uses so the number
+    * is the one production would see. */
+  def lshRecallReportOnVectors(vectors: DataFrame, nQueries: Int = 20,
+                               k: Int = 3): DataFrame = {
+    val exact = annOnVectors(vectors, nQueries, k)
       .select(col("q_id"), col("n_id"))
-    val approx = annLsh(embeddings, nQueries, k)
+    val approx = annLshOnVectors(vectors, nQueries, k)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
@@ -656,10 +687,12 @@ object Similarity {
     * subspace slot); a mean far off the others flags a normalization
     * bug. Cross-engine exactness: each element quantizes to 1e-4
     * units FIRST (`floor(x·10⁴ + 0.5)`, the house half-up rule), so
-    * the count/sum/sum-of-squares moments are exact int64 regardless
-    * of aggregation order (bounded: n·q² ≈ 10¹⁶ at a million vectors;
-    * beyond that the moment columns promote to decimal(38) — a
-    * one-line change) and each output is ONE division rounded to 6.
+    * the count/sum/sum-of-squares moments are exact regardless of
+    * aggregation order — the moment sums accumulate in decimal(38,0)
+    * (n·s2 would leave int64 near ~10⁶ vectors and WRAP SILENTLY;
+    * DuckDB's BIGINT sums already promote to int128, so decimal is
+    * also what keeps the two engines agreeing at any corpus size) —
+    * and each output is ONE division rounded to 6.
     * The collapsed flag compares the ROUNDED variance, so both
     * engines decide it identically. Scale shape: posexplode is a
     * codegen generator (dims·N slim rows, no per-element interpreted
@@ -671,8 +704,9 @@ object Similarity {
       .select(col("dim").cast("long").as("dim"),
         floor(col("e").cast("double") * 10000 + 0.5).cast("long").as("q"))
       .groupBy(col("dim"))
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
-        sum(col("q") * col("q")).as("s2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("s"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("s2"))
       .withColumn("variance",
         round((col("n") * col("s2") - col("s") * col("s")).cast("double") /
           (col("n").cast("double") * col("n").cast("double") * lit(1e8)), 6))
@@ -689,9 +723,10 @@ object Similarity {
     * (failed encodes that cosine silently drops), exploding norms
     * (un-normalized batches mixed into a normalized corpus) — before
     * any index trains on them. Norms quantize to 1e-4 units first, so
-    * the global count/sum/sum-of-squares moments are exact int64
-    * ([[dimStats]]' bound: promote to decimal(38) past ~10⁶ vectors)
-    * and z = (n·q − S)/√(n·Q − S²) is arithmetic both engines run
+    * the global count/sum/sum-of-squares moments are exact — summed
+    * in decimal(38,0), [[dimStats]]' overflow discipline (int64 n·Q
+    * wraps silently past ~10⁶ vectors; DuckDB already sums in int128)
+    * — and z = (n·q − S)/√(n·Q − S²) is arithmetic both engines run
     * identically (the `x6_anomaly` z form); the flag compares the
     * ROUNDED z. One narrow norm projection, a 1-row moment aggregate
     * broadcast back, zero-variance corpora drop (the anomaly guard). */
@@ -699,8 +734,9 @@ object Similarity {
     val nq = withVec(embeddings)
       .select(col("vec_id"),
         floor(col("nrm") * 10000 + 0.5).cast("long").as("nq"))
-    val m = nq.agg(count(lit(1)).as("n"), sum(col("nq")).as("s"),
-      sum(col("nq") * col("nq")).as("s2"))
+    val m = nq.agg(count(lit(1)).as("n"),
+      sum(col("nq").cast("decimal(38,0)")).as("s"),
+      sum((col("nq") * col("nq")).cast("decimal(38,0)")).as("s2"))
     nq.crossJoin(broadcast(m))
       .filter(col("n") * col("s2") - col("s") * col("s") > 0L)
       .select(col("vec_id"),
@@ -1507,10 +1543,52 @@ object Similarity {
                           centroids: Seq[(Long, Seq[Double])],
                           codebook: Seq[(Int, Long, Seq[Double])],
                           m: Int = 8, dims: Int = 64, nQueries: Int = 20,
-                          k: Int = 3, nProbe: Int = 2): DataFrame = {
-    val spark = embeddings.sparkSession
+                          k: Int = 3, nProbe: Int = 2): DataFrame =
+    annIvfPqOnArtifactsCore(withVec(embeddings), asg, codes, centroids,
+      codebook, m, dims, nQueries, k, nProbe)
+
+  /** [[annIvfPqOnArtifacts]] over any (vec_id, v: array<double>) frame
+    * — the modality-agnostic serve form the media retrieval path
+    * composes (`x5_mm_search_ivfpq_serve`). */
+  def annIvfPqOnArtifactsVectors(vecs: DataFrame, asg: DataFrame,
+                                 codes: DataFrame,
+                                 centroids: Seq[(Long, Seq[Double])],
+                                 codebook: Seq[(Int, Long, Seq[Double])],
+                                 m: Int = 8, dims: Int = 64, nQueries: Int = 20,
+                                 k: Int = 3, nProbe: Int = 2): DataFrame =
+    annIvfPqOnArtifactsCore(
+      vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v")))),
+      asg, codes, centroids, codebook, m, dims, nQueries, k, nProbe)
+
+  /** The composed IVF-PQ search over any (vec_id, v) frame with BOTH
+    * models trained in place — the self-contained media twin of
+    * [[annIvfPq]] (`x5_mm_search_ivfpq`): the IVF partition map bounds
+    * the candidate set to the probed cells, the PQ code table prices
+    * each candidate by the ADC sum, and raw vectors appear only on
+    * the query side. Caller supplies dyadic component values so both
+    * trainings are fold-order-exact cross-engine. */
+  def annIvfPqOnVectors(vecs: DataFrame, nCells: Int = 8, trainRounds: Int = 2,
+                        m: Int = 8, kCodes: Int = 16, dims: Int = 64,
+                        nQueries: Int = 20, k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    val all = vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    val cmodel = kmeansCentroids(all, nCells, trainRounds)
+    val pq = trainPqModelOnVectors(vecs, m, kCodes, trainRounds, dims)
+    val asg = argmaxCell(all, cmodel).select(col("vec_id"), col("cell"))
+    val codes = argminCode(subvectors(all, m, dims / m), pqCodebookDF(spark, pq))
+      .select(col("vec_id"), col("sub"), col("code"))
+    annIvfPqOnArtifactsCore(all, asg, codes, cmodel, pq,
+      m, dims, nQueries, k, nProbe)
+  }
+
+  private def annIvfPqOnArtifactsCore(all: DataFrame, asg: DataFrame,
+                                      codes: DataFrame,
+                                      centroids: Seq[(Long, Seq[Double])],
+                                      codebook: Seq[(Int, Long, Seq[Double])],
+                                      m: Int, dims: Int, nQueries: Int,
+                                      k: Int, nProbe: Int): DataFrame = {
+    val spark = all.sparkSession
     import spark.implicits._
-    val all = withVec(embeddings)
     val cents = centroids.toDF("c_id", "cv")
       .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
     val cdf = pqCodebookDF(spark, codebook)

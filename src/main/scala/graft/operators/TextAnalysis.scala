@@ -419,9 +419,10 @@ object TextAnalysis {
     * signals at r ≈ 1 are one gate applied twice (their conjunction
     * adds nothing but another threshold to tune), and a NEGATIVE
     * quality↔length r flags a length term miscalibrated against the
-    * rest of the score. Signals quantize to 1e-4 integer units
-    * (bounded so every moment product stays in int64 at 10⁵ docs —
-    * decimal(38) past that), all nine moment sums are exact in any
+    * rest of the score. Signals quantize to 1e-4 integer units, the
+    * nine moment sums accumulate in decimal(38,0) — int64 n·Σx²
+    * wraps silently past ~10⁵ docs, and DuckDB's BIGINT sums already
+    * promote to int128 — so they are exact in any
     * fold order, and each r is computed from them in one fixed
     * expression; zero-variance signals yield null (CASE guard, both
     * engines). Three doc-keyed joins of slim signal frames, one
@@ -441,11 +442,15 @@ object TextAnalysis {
     }
     q.join(s, "doc_id").join(e, "doc_id")
       .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-        sum(col("z") * col("z")).as("szz"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("z")).as("sxz"),
-        sum(col("y") * col("z")).as("syz"))
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("z").cast("decimal(38,0)")).as("sz"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("z") * col("z")).cast("decimal(38,0)")).as("szz"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("z")).cast("decimal(38,0)")).as("sxz"),
+        sum((col("y") * col("z")).cast("decimal(38,0)")).as("syz"))
       .select(col("n"),
         r(col("n"), col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
           .as("r_quality_len"),

@@ -122,6 +122,63 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     }
   }
 
+  test("media IVF-PQ: composed scores agree with the media flat ADC pair-for-pair") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val ivfpq = Multimodal.mediaSearchIvfPq(d)
+      .as[(Long, Long, Double, Long)].collect()
+    // the cell filter changes WHICH pairs are scored, never their score:
+    // every composed result must carry exactly the flat ADC distance
+    val flat = Multimodal.mediaSearchPq(d, kNn = 600)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (q, nId, adist, _) =>
+      assert(flat((q, nId)) === adist, s"pair ($q,$nId)")
+    }
+    val byQ = ivfpq.groupBy(_._1)
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length).map(_.toLong))
+    }
+  }
+
+  test("media serve paths (stored bucket/code/cell artifacts) match their self-contained searches") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val lshServed = Multimodal.mediaSearchLshServe(d)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val lshSelf = Multimodal.mediaSearchLsh(d)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(lshServed.nonEmpty && lshServed === lshSelf)
+    val pqServed = Multimodal.mediaSearchPqServe(d)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val pqSelf = Multimodal.mediaSearchPq(d)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(pqServed.nonEmpty && pqServed === pqSelf)
+    val cServed = Multimodal.mediaSearchIvfPqServe(d)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val cSelf = Multimodal.mediaSearchIvfPq(d)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(cServed.nonEmpty && cServed === cSelf)
+  }
+
+  test("media recall/bucket-stats audits run on the search's own index shape") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val rec = Multimodal.mediaRecallReport(d)
+      .as[(Long, Long, Double)].collect()
+    assert(rec.map(_._1).toSet === (0L until 5L).toSet)
+    rec.foreach { case (_, hits, r) =>
+      assert(hits >= 0 && hits <= 3 && r >= 0.0 && r <= 1.0)
+    }
+    val bs = Multimodal.mediaBucketStats(d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(bs.map(_._1).toSet === (0L until 8L).toSet)
+    val n = d.count()
+    bs.foreach { case (_, nBuckets, nVecs, maxLoad, _) =>
+      assert(nVecs === n)
+      assert(maxLoad <= n && nBuckets <= 16)
+    }
+  }
+
   test("media IVF: every asset lands in exactly one trained cell") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val asg = Multimodal.mediaIvfAssign(d).as[(Long, Long)].collect()
