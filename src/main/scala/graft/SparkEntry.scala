@@ -190,6 +190,17 @@ object SparkEntry {
     // per-doc unigram entropy in integer micro-nats (diversity signal)
     "x3_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(t(s, d, "documents"))),
     "x3_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(t(s, d, "documents"))),
+    // the stored bigram LM artifact (a, b, cb, ca), hash-verified like
+    // x3_unigram_model
+    "x3_bigram_model" -> ((s, d) => TextAnalysis.bigramModel(t(s, d, "documents"))),
+    // the bigram LM serve path: score against the MATERIALIZED pair
+    // table, no corpus re-aggregation in the scoring plan. Oracle =
+    // x3_bigram_logprob's verbatim.
+    "x3_bigram_score_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.bigramLogProbAgainst(docs,
+        TextAnalysis.bigramModel(docs).localCheckpoint())
+    }),
     // Jelinek-Mercer smoothed bigram/unigram interpolated LM score
     "x3_interp_logprob" -> ((s, d) => TextAnalysis.interpLogProb(t(s, d, "documents"))),
     // PMI collocation mining (multi-word expression discovery)
@@ -598,7 +609,7 @@ object SparkEntry {
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
     "x2_ivf_recall", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
-    "x3_unigram_score_serve",
+    "x3_bigram_score_serve", "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_dup_rate",
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
     "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
@@ -1328,6 +1339,16 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
            CAST(sum(k * lp6) AS DOUBLE) / (CAST(sum(k) AS BIGINT) * 1000000.0) AS avg_logprob
          FROM s2 GROUP BY doc_id""",
+    // the x3_bigram_logprob pair/count chain (shared CTE copy — change
+    // together) truncated at the model grain: the stored (a, b, cb, ca)
+    // artifact itself
+    "x3_bigram_model" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         z AS (SELECT doc_id, unnest(list_zip(s, s[2:])) AS p FROM d),
+         bg AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM z WHERE p[2] IS NOT NULL),
+         cb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY a, b),
+         ca AS (SELECT a, CAST(sum(cb) AS BIGINT) AS ca FROM cb GROUP BY a)
+         SELECT cb.a, cb.b, cb.cb, ca.ca FROM cb JOIN ca ON ca.a = cb.a""",
     "x3_pmi" ->
       """WITH d AS (SELECT string_split(text, ' ') AS s FROM documents),
          z AS (SELECT unnest(list_zip(s, s[2:])) AS p FROM d),
@@ -4769,6 +4790,7 @@ object SparkEntry {
       "x2_ann_ivfpq_serve" -> base("x2_ann_ivfpq"),
       "x2_ann_lsh_serve" -> base("x2_ann_lsh"),
       "x2_ann_pq_serve" -> base("x2_ann_pq"),
+      "x3_bigram_score_serve" -> base("x3_bigram_logprob"),
       "x3_unigram_score_serve" -> base("x3_unigram_logprob"),
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),
       "x5_mm_search_pq_serve" -> base("x5_mm_search_pq"),

@@ -572,14 +572,21 @@ object TextAnalysis {
     * reducer — the skew bomb this shape avoids). Both count tables
     * broadcast into the join. Same integer micro-nat arithmetic for
     * bit-identical cross-engine means. */
-  def bigramLogProb(documents: DataFrame): DataFrame = {
-    val pairs = documents
+  /** The per-doc adjacent-pair stream (doc_id, a, b) — map-side-only
+    * pair formation shared by every bigram operator (`arrays_zip` of
+    * the token array with its own tail; the zip pads the final token
+    * with null, which the filter drops). */
+  private def bigramStream(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), split(col("text"), " ").as("s"))
       .select(col("doc_id"), col("s"),
         slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))).as("r"))
       .select(col("doc_id"), explode(arrays_zip(col("s"), col("r"))).as("p"))
       .select(col("doc_id"), col("p.s").as("a"), col("p.r").as("b"))
       .filter(col("b").isNotNull)
+
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val pairs = bigramStream(documents)
     val perDoc = pairs.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("k"))
     // ONE corpus scan: corpus bigram counts roll up from the per-doc
@@ -589,6 +596,51 @@ object TextAnalysis {
     val cb = perDoc.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cb"))
     val ca = cb.groupBy(col("a")).agg(sum(col("cb")).as("ca"))
     perDoc.join(cb, Seq("a", "b")).join(ca, Seq("a"))
+      .select(col("doc_id"), col("k"),
+        floor(log(col("cb").cast("double") / col("ca").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("lp6"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("k") * col("lp6")).as("lp_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("lp_micro").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e6))).as("avg_logprob"))
+  }
+
+  /** Train-once half of the bigram LM — the context-sensitive
+    * counterpart of [[unigramModel]]: one row per distinct adjacent
+    * pair with its corpus count `cb` and the prefix total `ca`
+    * (carried per row so the stored table is self-describing, exactly
+    * the unigram discipline; `ca` repeats across a prefix's rows and
+    * RLE-compresses to nothing in parquet). O(bigram vocabulary)
+    * rows; ONE corpus scan — the pair stream aggregates straight at
+    * (a, b) with map-side combine, and the prefix totals roll up from
+    * that table, so a stopword prefix's billions of pairs arrive at
+    * the reducer as one partial count per map task. Materialize with
+    * `.write.parquet` per corpus snapshot, like the IVF centroid and
+    * unigram vocabulary exports. */
+  def bigramModel(documents: DataFrame): DataFrame = {
+    val cb = bigramStream(documents)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb"))
+    val ca = cb.groupBy(col("a")).agg(sum(col("cb")).as("ca"))
+    cb.join(ca, Seq("a")).select(col("a"), col("b"), col("cb"), col("ca"))
+  }
+
+  /** Serve half of the bigram LM: score a batch against a STORED
+    * [[bigramModel]] table — neither the training corpus nor its pair
+    * aggregation runs here; cost is one map-side pair zip of the
+    * batch plus a hash probe into the stored pair vocabulary. Pairs
+    * absent from the model drop from the mean (inner join,
+    * `n_bigrams` counts SCORED pairs — the [[unigramLogProbAgainst]]
+    * OOV rule), so scoring the training corpus against its own model
+    * is bit-identical to the self-contained [[bigramLogProb]]
+    * (`x3_bigram_score_serve` shares its oracle by reference). Same
+    * integer micro-nat arithmetic; with this the context-sensitive
+    * quality gate ships as a nightly probe against a stored table,
+    * closing the LM serve ladder unigram → bigram. */
+  def bigramLogProbAgainst(batch: DataFrame, model: DataFrame): DataFrame = {
+    val perDoc = bigramStream(batch)
+      .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("k"))
+    perDoc.join(model, Seq("a", "b"))
       .select(col("doc_id"), col("k"),
         floor(log(col("cb").cast("double") / col("ca").cast("double")) * 1e6 + 0.5)
           .cast("long").as("lp6"))
@@ -613,13 +665,7 @@ object TextAnalysis {
     * doc's final token); both are map-side-combined count shuffles,
     * and everything downstream is vocabulary-scale. */
   def interpLogProb(documents: DataFrame, lambdaPct: Int = 75): DataFrame = {
-    val pairs = documents
-      .select(col("doc_id"), split(col("text"), " ").as("s"))
-      .select(col("doc_id"), col("s"),
-        slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))).as("r"))
-      .select(col("doc_id"), explode(arrays_zip(col("s"), col("r"))).as("p"))
-      .select(col("doc_id"), col("p.s").as("a"), col("p.r").as("b"))
-      .filter(col("b").isNotNull)
+    val pairs = bigramStream(documents)
     val perDoc = pairs.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("k"))
     val cb = perDoc.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cb"))

@@ -360,6 +360,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert("Generate".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("bigram model: batch scored against a stored model equals self-contained") {
+    val d = docs((1L, "a a b"), (2L, "b c a"), (3L, "a c c b a b"))
+    val dir = java.nio.file.Files.createTempDirectory("bigram_model").toString
+    TextAnalysis.bigramModel(d).write.mode("overwrite").parquet(dir)
+    val model = spark.read.parquet(dir)
+    val served = TextAnalysis.bigramLogProbAgainst(d, model)
+    assert(served.as[(Long, Long, Double)].collect().sortBy(_._1).toList ===
+      TextAnalysis.bigramLogProb(d)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toList)
+    // the serve plan zips ONLY the batch: exactly one Generate, and the
+    // training-side pair aggregation must not appear
+    val plan = served.queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("bigram model: unseen pairs are dropped from the served mean") {
+    val model = TextAnalysis.bigramModel(docs((1L, "a b a b"), (2L, "a c")))
+    // pairs: (a,b)x2, (b,a)x1, (a,c)x1 → ca(a)=3, ca(b)=1
+    // batch "a b zzz": (a,b) scored, (b,zzz) OOV → n_bigrams = 1
+    val got = TextAnalysis.bigramLogProbAgainst(docs((9L, "a b zzz")), model)
+      .as[(Long, Long, Double)].collect().toList
+    val lpAB = math.floor(math.log(2.0 / 3) * 1e6 + 0.5)
+    assert(got === List((9L, 1L, lpAB / 1e6)))
+  }
+
   test("unigram model: unseen tokens are dropped from the served mean") {
     val model = TextAnalysis.unigramModel(docs((1L, "a a b"), (2L, "b c")))
     // 'zzz' is out-of-vocabulary: only 'a' is scored, n_tokens = 1
