@@ -1,0 +1,235 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical enforcement of CLAUDE.md's "change together" invariant:
+  * many `SparkEntry.oracleSql` entries COPY a shared CTE chain or
+  * formula (MinHash signatures, IVF/PQ training, LSH hyperplanes, HLL
+  * registers, the quality score, …). A one-sided edit used to surface
+  * only as a confusing hash mismatch rounds later; this spec turns the
+  * convention into a gate.
+  *
+  * Two mechanisms, both exact-byte:
+  *  - chain families extract the shared region from a CANONICAL oracle
+  *    between two anchors and require every member to contain it
+  *    verbatim;
+  *  - formula families pin the shared formula as a literal (which the
+  *    canonical must contain too).
+  * Each test also scans ALL oracles and fails on an UNREGISTERED carrier
+  * of the chain, so a new query that copies a family must be added here
+  * — the list stays the single inventory of each family's members.
+  * Serve aliases share their base oracle BY REFERENCE (`serveOracles`),
+  * so they appear in member sets automatically and a final test pins
+  * the alias map itself.
+  */
+class OracleChainSpec extends AnyFunSuite {
+  private val sql: Map[String, String] = SparkEntry.oracleSql
+
+  private def chainOf(canonical: String, from: String, to: String): String = {
+    val q = sql(canonical)
+    val i = q.indexOf(from)
+    assert(i >= 0, s"$canonical: start anchor not found: $from")
+    val j = q.indexOf(to, i)
+    assert(j >= 0, s"$canonical: end anchor not found after start: $to")
+    q.substring(i, j + to.length)
+  }
+
+  private def checkFamily(name: String, chain: String, members: Set[String]): Unit = {
+    val actual = sql.collect { case (k, v) if v.contains(chain) => k }.toSet
+    val missing = members -- actual
+    val extra = actual -- members
+    assert(missing.isEmpty,
+      s"$name: these members DIVERGED from the shared chain (one-sided edit?): " +
+        missing.toSeq.sorted.mkString(", "))
+    assert(extra.isEmpty,
+      s"$name: these oracles carry the chain but are not registered in this guard " +
+        s"(add them to the family): " + extra.toSeq.sorted.mkString(", "))
+  }
+
+  private def chainFamily(name: String, canonical: String, from: String,
+                          to: String, members: Set[String]): Unit =
+    test(s"shared oracle chain '$name' is byte-identical across its ${members.size} members") {
+      checkFamily(name, chainOf(canonical, from, to), members)
+    }
+
+  private def formulaFamily(name: String, snippet: String,
+                            members: Set[String]): Unit =
+    test(s"shared oracle formula '$name' is byte-identical across its ${members.size} members") {
+      checkFamily(name, snippet, members)
+    }
+
+  // ---- chain families (long CTE regions, extracted from the canonical) ----
+
+  chainFamily("minhash tk/t/sig/rep core", "x4_minhash_pairs",
+    "WITH tk AS", "FROM sig GROUP BY s)",
+    Set("x1_split_leakage", "x4_cluster", "x4_dup_stats", "x4_minhash_est",
+      "x4_minhash_pairs", "x4_source_dup_rate", "x4_source_overlap",
+      "x4_survivors"))
+
+  chainFamily("IVF Lloyd training c0..c2", "x2_ann_ivf",
+    "c0 AS (SELECT vec_id AS c_id", "FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id)",
+    Set("x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
+      "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia", "x2_ivf_recall",
+      "x2_ood", "x2_semdedup", "x5_mm_ivf", "x5_mm_search_ivfpq",
+      "x5_mm_search_ivfpq_serve"))
+
+  chainFamily("PQ per-subspace Lloyd training sv..c2", "x2_pq_codebook",
+    "sv AS (SELECT vec_id, tt AS sub",
+    "c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv",
+    Set("x2_ann_pq", "x2_ann_pq_rerank", "x2_ann_pq_serve", "x2_pq_codebook",
+      "x2_pq_codes", "x2_pq_distortion", "x5_mm_pq", "x5_mm_search_pq",
+      "x5_mm_search_pq_serve"))
+
+  chainFamily("verbatim-span tokenize/hash head", "x4_span_dedup",
+    "WITH tk AS", "FROM tk WHERE len(t) >= 8),",
+    Set("x4_span_dedup", "x4_span_incremental", "x4_span_pairs"))
+
+  chainFamily("bigram pair-stream head d/z/bg", "x3_bigram_logprob",
+    "WITH d AS", "WHERE p[2] IS NOT NULL),",
+    Set("x3_bigram_logprob", "x3_bigram_model", "x3_bigram_score_serve",
+      "x3_interp_logprob"))
+
+  chainFamily("daily-volume OLS moments", "x6_trend",
+    "WITH", "HAVING count(*) >= 2)",
+    Set("x6_trend", "x6_trend_anomaly"))
+
+  chainFamily("shingle inverted-index head (df-capped)", "x4_band_recall",
+    "WITH", "shingle FROM hot)",
+    Set("x4_band_recall", "x4_band_recall_sampled", "x4_containment",
+      "x4_ngram_jaccard"))
+
+  chainFamily("leave-one-out kNN pair stream", "x2_knn_accuracy",
+    "WITH", "WHERE t.vec_id <> q.vec_id",
+    Set("x2_knn_accuracy", "x2_knn_sampled"))
+
+  chainFamily("decontamination tk/sh/inv/ov head", "x4_decontaminate",
+    "WITH", "AS bench_id,",
+    Set("x4_decontaminate", "x4_decontam_profile"))
+
+  chainFamily("KMV signature head", "x6_audience_overlap",
+    "WITH", "AS db",
+    Set("x6_audience_overlap", "x6_kmv_serve"))
+
+  // ---- formula families (shared arithmetic pinned as literals) ----
+
+  formulaFamily("minhash shingle hash",
+    "s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs",
+    Set("x1_split_leakage", "x4_band_index", "x4_band_recall",
+      "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
+      "x4_minhash_est", "x4_minhash_pairs", "x4_minhash_sig",
+      "x4_source_dup_rate", "x4_source_overlap", "x4_survivors",
+      "x7_curate_incremental", "x7_curate_neardup"))
+
+  formulaFamily("minhash permutation",
+    "((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + " +
+      "(1103515245*(i+17) + 54321) % 2147483647) % 2147483647",
+    Set("x1_split_leakage", "x4_band_index", "x4_band_recall",
+      "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
+      "x4_minhash_est", "x4_minhash_pairs", "x4_minhash_sig",
+      "x4_source_dup_rate", "x4_source_overlap", "x4_survivors",
+      "x7_curate_incremental", "x7_curate_neardup"))
+
+  formulaFamily("minhash band key",
+    "array_to_string(s[b*4+1:b*4+4]",
+    Set("x1_split_leakage", "x4_band_index", "x4_band_recall",
+      "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
+      "x4_minhash_est", "x4_minhash_pairs", "x4_source_dup_rate",
+      "x4_source_overlap", "x4_survivors", "x7_curate_incremental",
+      "x7_curate_neardup"))
+
+  formulaFamily("PQ argmin partial distance",
+    "q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),",
+    Set("x2_ann_ivfpq", "x2_ann_ivfpq_serve", "x2_ann_pq", "x2_ann_pq_rerank",
+      "x2_ann_pq_serve", "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion",
+      "x5_mm_pq", "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
+      "x5_mm_search_pq", "x5_mm_search_pq_serve"))
+
+  formulaFamily("IVF argmax-cosine cell assignment",
+    "list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),\n" +
+      "                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar",
+    Set("x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
+      "x2_centroids", "x2_confusion", "x2_ivf_assign", "x2_ivf_inertia",
+      "x2_ivf_recall", "x2_ood", "x2_semdedup", "x5_mm_ivf",
+      "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve", "x7_curate_semantic"))
+
+  formulaFamily("LSH search hyperplane (8 tables x 4 bits)",
+    "(CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)",
+    Set("x2_ann_filtered", "x2_ann_lsh", "x2_ann_lsh_serve", "x2_bucket_stats",
+      "x2_incremental", "x2_recall", "x5_mm_bucket_stats", "x5_mm_recall",
+      "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
+
+  formulaFamily("LSH Hamming-1 probe masks",
+    "[0, 1, 2, 4, 8]",
+    Set("x2_ann_filtered", "x2_ann_lsh", "x2_ann_lsh_serve", "x2_recall",
+      "x5_mm_recall", "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
+
+  formulaFamily("LSH dedup hyperplane (4 tables x 16 bits, centered)",
+    "(CAST((1103515245::BIGINT * ((tt*16 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)",
+    Set("x5_mm_dedup", "x5_mm_incremental"))
+
+  formulaFamily("HLL user hash",
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)\n" +
+      "             % 2147483647 AS h",
+    Set("x6_audience_overlap", "x6_hll_global", "x6_hll_serve", "x6_hll_users",
+      "x6_kmv_serve", "x6_rolling_hll"))
+
+  formulaFamily("HLL register rank",
+    "MAX(CASE WHEN h >> 6 = 0 THEN 26\n" +
+      "                 ELSE 26 - length(bin(h >> 6)) END) AS reg",
+    Set("x6_hll_global", "x6_hll_serve", "x6_hll_users", "x6_rolling_hll"))
+
+  formulaFamily("HLL harmonic sum",
+    "CAST(SUM(CAST(1 AS BIGINT) << (26 - reg)) AS BIGINT) AS z",
+    Set("x6_hll_global", "x6_hll_serve", "x6_hll_users", "x6_rolling_hll"))
+
+  formulaFamily("composite quality score",
+    "0.4 * least(1.0, len(string_split(text,' ')) / 50.0)",
+    Set("x1_budget_select", "x1_curriculum", "x3_quality", "x3_quality_deciles",
+      "x3_quality_filter", "x3_signal_corr", "x7_curate", "x7_curate_budget",
+      "x7_curate_curriculum", "x7_curate_mixture", "x7_curate_neardup",
+      "x7_curate_semantic", "x7_curate_verbatim", "x7_report"))
+
+  formulaFamily("temperature n^alpha weight",
+    "round(power(CAST(n_min AS DOUBLE) / n_docs, 0.5), 6)",
+    Set("x1_mixture_audit", "x1_temperature", "x7_curate_mixture"))
+
+  formulaFamily("entropy micro-nat term",
+    "CAST(floor(ln(k) * 1000000 + 0.5) AS BIGINT)",
+    Set("x3_entropy", "x3_signal_corr", "x6_bot_score"))
+
+  formulaFamily("class-mean prototype fold",
+    "round(sum(val) / count(*), 6)",
+    Set("x2_confusion", "x2_mean_pool"))
+
+  formulaFamily("media dyadic 2^-20 snap",
+    "list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v",
+    Set("x5_mm_ivf", "x5_mm_pq", "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
+      "x5_mm_search_pq", "x5_mm_search_pq_serve"))
+
+  formulaFamily("media stub embedding formula",
+    "CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0",
+    Set("x5_mm_align", "x5_mm_bucket_stats", "x5_mm_dedup", "x5_mm_incremental",
+      "x5_mm_ivf", "x5_mm_pq", "x5_mm_recall", "x5_mm_search",
+      "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve", "x5_mm_search_lsh",
+      "x5_mm_search_lsh_serve", "x5_mm_search_pq", "x5_mm_search_pq_serve"))
+
+  // ---- serve aliases: shared BY REFERENCE, pinned here ----
+
+  test("serve oracles alias their base oracle verbatim") {
+    val aliases = Map(
+      "x2_ann_ivf_serve" -> "x2_ann_ivf",
+      "x2_ann_ivfpq_serve" -> "x2_ann_ivfpq",
+      "x2_ann_lsh_serve" -> "x2_ann_lsh",
+      "x2_ann_pq_serve" -> "x2_ann_pq",
+      "x3_bigram_score_serve" -> "x3_bigram_logprob",
+      "x3_unigram_score_serve" -> "x3_unigram_logprob",
+      "x5_mm_search_lsh_serve" -> "x5_mm_search_lsh",
+      "x5_mm_search_pq_serve" -> "x5_mm_search_pq",
+      "x5_mm_search_ivfpq_serve" -> "x5_mm_search_ivfpq",
+      "x6_anomaly_serve" -> "x6_anomaly")
+    aliases.foreach { case (serve, base) =>
+      assert(sql.contains(serve), s"$serve missing from oracleSql")
+      assert(sql(serve) == sql(base), s"$serve no longer aliases $base verbatim")
+    }
+  }
+}
