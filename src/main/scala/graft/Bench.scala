@@ -48,6 +48,14 @@ object Bench {
     // r7→r8 phantom 2–10× regressions on byte-identical code); a
     // median of 3 survives one loaded pass. Cold stays single-run by
     // nature (first-touch cost exists once).
+    // query isolation AND eager-run isolation share this: drop whatever
+    // the last run cached/checkpointed and collect the dead heap in
+    // UNTIMED space (see the long rationale below).
+    def settle(spark: SparkSession): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -61,7 +69,18 @@ object Bench {
       // don't re-run (and double-count the time of) a failing query
       val res = if (err1.isDefined) (name, cold, cold, err1)
       else {
-        val warms = Seq.fill(3)(run())
+        // EAGER queries re-run their construction work (fixpoint
+        // localCheckpoints, training persists) on every invocation, so
+        // each timed run leaves checkpoint blocks + a dead heap that the
+        // NEXT run would otherwise pay to evict/collect mid-timing —
+        // round 13's in-suite eager warms read up to 2× their fresh
+        // steady state (x4_cluster 4.3 s vs 2.0 s) for exactly this
+        // reason. Settling BETWEEN an eager query's own runs (untimed)
+        // makes its warm median measure the same thing a fresh
+        // `PlanDump --time q q q` session does. Lazy queries cache
+        // nothing between runs, so they keep the tighter loop.
+        val eager = SparkEntry.eagerQueries(name)
+        val warms = Seq.fill(3) { if (eager) settle(spark); run() }
         val err = warms.flatMap(_._2).headOption
         val warm = warms.map(_._1).sorted.apply(1) // median of 3
         (name, cold, warm, err)
@@ -82,9 +101,7 @@ object Bench {
       // session purely because it ran right after the eager fixpoint
       // queries' garbage. Draining the debt here moves that cost into
       // untimed inter-query space, where it belongs.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      System.gc()
+      settle(spark)
       res
     }
     // control chars (tabs, stray \r) inside exception text would break

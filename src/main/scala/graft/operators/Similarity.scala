@@ -544,23 +544,56 @@ object Similarity {
                                     tau: Double, nTables: Int = 4,
                                     bits: Int = 16,
                                     center: Double = 0.5): DataFrame = {
-    def norm(df: DataFrame) =
-      df.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
-    def bucketize(df: DataFrame) = df.withColumn("bkts",
+    val idxV = dedupNorm(indexed)
+    lshDedupAgainstStoredBuckets(incoming,
+      dedupBucketize(idxV, nTables, bits, center)
+        .toDF("match_id", "tbl", "bucket")
+        .repartition(col("tbl"), col("bucket")),
+      idxV, tau, nTables, bits, center)
+  }
+
+  private def dedupNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+
+  private def dedupBucketize(df: DataFrame, nTables: Int, bits: Int,
+                             center: Double): DataFrame =
+    df.withColumn("bkts",
         graft.functions.TextSignatureColumns.lsh_buckets(
           col("v"), nTables, bits, 64, center))
       .select(col("vec_id"), posexplode(col("bkts")))
       .toDF("vec_id", "tbl", "bucket")
-    val incV = norm(incoming)
-    val idxV = norm(indexed)
-    val idxB = bucketize(idxV).toDF("match_id", "tbl", "bucket")
+
+  /** The STORED wide centered bucket table of a vector corpus — the
+    * per-generation index artifact [[lshDedupAgainstStoredBuckets]]
+    * probes (one slim row per vector per table; at scale this — not
+    * the raw vectors — is what each generation materializes, the
+    * [[graft.streaming.RollingBandIndex]] discipline for vectors). */
+  def lshDedupBucketIndex(vectors: DataFrame, nTables: Int = 4,
+                          bits: Int = 16, center: Double = 0.5): DataFrame =
+    dedupBucketize(dedupNorm(vectors), nTables, bits, center)
+      .toDF("match_id", "tbl", "bucket")
       .repartition(col("tbl"), col("bucket"))
-    val cands = bucketize(incV).join(idxB, Seq("tbl", "bucket"))
+
+  /** [[lshDedupAgainstIndexOnVectors]]'s SERVE form: the index side
+    * arrives as the PRE-BUILT (match_id, tbl, bucket) table of
+    * [[lshDedupBucketIndex]] plus the normalized (vec_id, v, nrm)
+    * vector frame — nothing corpus-sized is re-hashed per call; only
+    * the incoming batch is bucketized, and raw index vectors are
+    * touched only by the O(candidates) scoring join. The rolling
+    * generation gate ([[graft.streaming.RollingVectorIndex]]) holds
+    * exactly these two frames per generation. */
+  def lshDedupAgainstStoredBuckets(incoming: DataFrame, idxBuckets: DataFrame,
+                                   idxVectors: DataFrame, tau: Double,
+                                   nTables: Int = 4, bits: Int = 16,
+                                   center: Double = 0.5): DataFrame = {
+    val incV = dedupNorm(incoming)
+    val cands = dedupBucketize(incV, nTables, bits, center)
+      .join(idxBuckets, Seq("tbl", "bucket"))
       .select(col("vec_id"), col("match_id")).distinct()
     cands
       .join(incV.select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn")),
         Seq("vec_id"))
-      .join(idxV.select(col("vec_id").as("match_id"), col("v"), col("nrm")),
+      .join(idxVectors.select(col("vec_id").as("match_id"), col("v"), col("nrm")),
         Seq("match_id"))
       .select(col("vec_id"), col("match_id"),
         round(cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("cos"))

@@ -449,6 +449,57 @@ object StreamPipeline {
     upsertBatch(fresh, outDir, batchId, keyCol = "fp", nBuckets = nBuckets)
   }
 
+  /** X5 streaming MEDIA ingestion gate — [[curateStream]]'s rolling
+    * near-dup discipline for the VECTOR modality: each micro-batch of
+    * assets is embedded (batch-side only), exact-deduped on the
+    * content fingerprint within the watermark, then probed against the
+    * live generation of a [[RollingVectorIndex]] — the pre-built wide
+    * centered bucket table of the accepted collection — and survivors
+    * upsert. The index side is NEVER re-embedded or re-hashed inside a
+    * trigger; the per-batch cost is O(batch) embed + bucketize plus
+    * the O(candidates) scoring join, the `x5_mm_incremental` nightly
+    * shape live.
+    *
+    * `autoRefreshEvery` > 0 re-rolls the generation from the upserted
+    * output inside the same foreachBatch epilogue `curateStream` uses
+    * (after the upsert commits, so the new generation deterministically
+    * contains this batch): with cadence 1, assets accepted in batch N
+    * gate batch N+1 — no manual refresh, no query restart. The
+    * re-encoded/re-compressed asset (bytes differ, embedding at cosine
+    * ≈ 1) is exactly what the exact fingerprint gate upstream cannot
+    * catch. */
+  def mediaDedupStream(assets: DataFrame, outDir: String, checkpointDir: String,
+                       rollingIndex: RollingVectorIndex,
+                       tau: Double = 0.995,
+                       watermark: String = "10 minutes",
+                       nBuckets: Int = 8,
+                       autoRefreshEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+    assets
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one volatile read hands out BOTH generation frames, so
+        // candidates and scores stay within one generation even if a
+        // refresh lands mid-batch
+        val (idxBuckets, idxVectors) = rollingIndex.current
+        val vecs = graft.operators.Multimodal.mediaEmbedding(batch)
+        val near = graft.operators.Similarity
+          .lshDedupAgainstStoredBuckets(vecs, idxBuckets, idxVectors, tau)
+          .select(col("vec_id").as("doc_id"))
+        val fresh = batch.join(near, Seq("doc_id"), "left_anti")
+        upsertBatch(fresh, outDir, batchId, keyCol = "fp", nBuckets = nBuckets)
+        if (autoRefreshEvery > 0 && (batchId + 1) % autoRefreshEvery == 0) {
+          val snap = readUpserted(batch.sparkSession, outDir)
+          if (snap.columns.contains("text"))
+            rollingIndex.refresh(graft.operators.Multimodal.mediaEmbedding(
+              snap.select(col("doc_id"), col("text"))))
+        }
+      }
+
   /** X6 streaming: tumbling event-time windows with watermarked late
     * data drop. Same expressions as the batch Windows.tumbling. */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",

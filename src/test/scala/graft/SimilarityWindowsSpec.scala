@@ -161,6 +161,22 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(cServed.nonEmpty && cServed === cSelf)
   }
 
+  test("vector dedup serve form (stored bucket table) matches the inline index form") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val inc = Multimodal.mediaEmbedding(d.filter(col("doc_id") < 100))
+    val idx = Multimodal.mediaEmbedding(d.filter(col("doc_id") >= 100))
+    val inline = Similarity.lshDedupAgainstIndexOnVectors(inc, idx, 0.995)
+      .as[(Long, Long, Double)].collect().toSet
+    val idxV = idx.withColumn("nrm",
+      sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))))
+      .localCheckpoint()
+    val buckets = Similarity.lshDedupBucketIndex(idx).localCheckpoint()
+    val served = Similarity.lshDedupAgainstStoredBuckets(inc, buckets, idxV, 0.995)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
   test("media recall/bucket-stats audits run on the search's own index shape") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val rec = Multimodal.mediaRecallReport(d)

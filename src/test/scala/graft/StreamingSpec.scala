@@ -767,6 +767,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rolling vector index: assets accepted in generation N gate generation N+1 without restart") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-media-roll")
+    val out = dir.resolve("store").toString; val ck = dir.resolve("ck").toString
+    // stub embedding samples codepoints at stride 7: a 14-char payload
+    // exposes only positions 0 and 7, so editing position 2 changes the
+    // bytes (md5) but NOT the embedding — the re-encoded-asset shape
+    // the exact fingerprint gate upstream cannot catch
+    val genA = "abcdefgzyxwvut"
+    val nearDup = "abQdefgzyxwvut" // same chars at 0 and 7 → cosine 1.0
+    // different sampled chars (z..a vs a..z): cosine ≈ 0.974 < 0.995
+    val fresh = "zxxxxxxaxxxxxx"
+    // generation 0: empty vector index, gates nothing
+    val roll = streaming.RollingVectorIndex.build(
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v"))
+    val mem = MemoryStream[DocEvent]
+    // cadence 1: the epilogue re-embeds the accepted output and rolls
+    // the generation after every committed batch
+    val q = StreamPipeline.mediaDedupStream(mem.toDF(), out, ck,
+      rollingIndex = roll, autoRefreshEvery = 1).start()
+    try {
+      mem.addData(DocEvent(70, genA, "en", "s0", Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      assert(StreamPipeline.readUpserted(spark, out)
+        .select("doc_id").as[Long].collect().toSet === Set(70L))
+      // no manual refresh — the epilogue must have rolled the index
+      mem.addData(
+        DocEvent(71, nearDup, "en", "s0", Timestamp.valueOf("2024-01-01 00:02:00")),
+        DocEvent(72, fresh, "en", "s0", Timestamp.valueOf("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      val ids = StreamPipeline.readUpserted(spark, out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(70L, 72L),
+        s"generation-N acceptance did not gate its N+1 embedding near-dup: $ids")
+    } finally q.stop()
+  }
+
   test("streaming funnel emits exactly the batch funnel's completions, across batches") {
     implicit val sc = spark.sqlContext
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
