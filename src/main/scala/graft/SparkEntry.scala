@@ -203,6 +203,12 @@ object SparkEntry {
     }),
     // Jelinek-Mercer smoothed bigram/unigram interpolated LM score
     "x3_interp_logprob" -> ((s, d) => TextAnalysis.interpLogProb(t(s, d, "documents"))),
+    // stupid-backoff scoring of HELD-OUT docs against a model trained
+    // on the rest (the x4_incremental split) — unseen pairs back off
+    // to alpha*P(b), OOV continuations drop from the mean
+    "x3_backoff_score" -> ((s, d) => TextAnalysis.backoffLogProb(
+      t(s, d, "documents").filter("doc_id < 100"),
+      t(s, d, "documents").filter("doc_id >= 100"))),
     // PMI collocation mining (multi-word expression discovery)
     "x3_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents"))),
     // token importance in the bigram graph: 3 damped power iterations,
@@ -214,6 +220,18 @@ object SparkEntry {
     "x3_source_drift" -> ((s, d) => TextAnalysis.sourceDrift(t(s, d, "documents"))),
     // per-document top-3 TF-IDF keyword extraction
     "x3_keywords" -> ((s, d) => TextAnalysis.keywordsTopK(t(s, d, "documents"))),
+    // BM25 postings-grain inverted-index export (stored artifact)
+    "x3_bm25_index" -> ((s, d) => TextAnalysis.bm25Index(t(s, d, "documents"))),
+    // BM25 top-k retrieval: hash-sampled query docs vs the corpus
+    "x3_bm25_search" -> ((s, d) => TextAnalysis.bm25TopK(t(s, d, "documents"))),
+    // BM25 serve path: the same queries scored against the
+    // MATERIALIZED index table, no corpus aggregation in the scoring
+    // plan. Oracle = x3_bm25_search's verbatim.
+    "x3_bm25_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.bm25ScoreAgainst(TextAnalysis.bm25QuerySample(docs),
+        TextAnalysis.bm25Index(docs).localCheckpoint(), excludeSelf = true)
+    }),
     // no oracleSql entry: deflate exists in no SQL engine — the driver
     // records the weaker rows-only check; semantics are spec-tested
     "x3_compression" -> ((s, d) => TextAnalysis.compressionStats(t(s, d, "documents"))),
@@ -279,6 +297,16 @@ object SparkEntry {
     "x4_decontam_profile" -> ((s, d) => Dedup.decontamProfile(t(s, d, "documents"))),
     // incremental shape: docs < 100 are today's batch, >= 100 the index
     "x4_incremental" -> ((s, d) => Dedup.nearDupAgainstIndex(
+      t(s, d, "documents").filter("doc_id < 100"),
+      t(s, d, "documents").filter("doc_id >= 100"))),
+    // the stored Bloom bit set of the indexed corpus's fingerprints
+    // (<= m rows; shards merge by distinct-union)
+    "x4_bloom_bits" -> ((s, d) => Dedup.bloomBitSet(
+      t(s, d, "documents").filter("doc_id >= 100"))),
+    // Bloom-gate audit on the x4_incremental split: per incoming doc
+    // the k-bit verdict vs ground truth (is_dup -> bloom_hit always;
+    // hit-but-not-dup rows = live false-positive rate)
+    "x4_bloom_gate" -> ((s, d) => Dedup.bloomGate(
       t(s, d, "documents").filter("doc_id < 100"),
       t(s, d, "documents").filter("doc_id >= 100"))),
     // the same nightly shape at SPAN granularity: how much of each new
@@ -572,6 +600,19 @@ object SparkEntry {
       val stored = Profiling.kmvSignatures(t(s, d, "events")).localCheckpoint()
       Profiling.audienceOverlapFromSignatures(stored)
     }),
+    // Count-Min sketch export: the frequency twin of the HLL register
+    // table — depth x width plain-sum counters over the token vocabulary
+    "x6_cms_sketch" -> ((s, d) => Profiling.cmsSketch(t(s, d, "documents"))),
+    // CMS heavy-hitter audit: exact top-20 tokens probed through the
+    // sketch (est >= exact always; overest sizes the width)
+    "x6_cms_topk" -> ((s, d) => Profiling.cmsTopK(t(s, d, "documents"))),
+    // the CMS serve path: point estimates for a hash-sampled token
+    // batch against the MATERIALIZED sketch — no corpus in the plan
+    "x6_cms_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profiling.cmsEstimateAgainst(Profiling.cmsServeBatch(docs),
+        Profiling.cmsSketch(docs).localCheckpoint())
+    }),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -609,12 +650,12 @@ object SparkEntry {
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
     "x2_ivf_recall", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
-    "x3_bigram_score_serve", "x3_unigram_score_serve",
+    "x3_bigram_score_serve", "x3_bm25_serve", "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_dup_rate",
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
     "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
-    "x6_anomaly_serve", "x6_hll_serve", "x6_kmv_serve",
+    "x6_anomaly_serve", "x6_cms_serve", "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
   )
 
@@ -1349,6 +1390,46 @@ object SparkEntry {
          cb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY a, b),
          ca AS (SELECT a, CAST(sum(cb) AS BIGINT) AS ca FROM cb GROUP BY a)
          SELECT cb.a, cb.b, cb.cb, ca.ca FROM cb JOIN ca ON ca.a = cb.a""",
+    "x3_backoff_score" ->
+      """WITH trd AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents
+           WHERE doc_id >= 100),
+         trz AS (SELECT unnest(list_zip(s, s[2:])) AS p FROM trd),
+         trbg AS (SELECT p[1] AS a, p[2] AS b FROM trz WHERE p[2] IS NOT NULL),
+         cb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cb FROM trbg GROUP BY a, b),
+         ca AS (SELECT a, CAST(sum(cb) AS BIGINT) AS ca FROM cb GROUP BY a),
+         cu AS (SELECT tok AS b, CAST(count(*) AS BIGINT) AS cu FROM
+             (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+              WHERE doc_id >= 100)
+           GROUP BY tok),
+         tt AS (SELECT CAST(sum(cu) AS BIGINT) AS t FROM cu),
+         hd AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents
+           WHERE doc_id < 100),
+         hz AS (SELECT doc_id, unnest(list_zip(s, s[2:])) AS p FROM hd),
+         hbg AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM hz WHERE p[2] IS NOT NULL),
+         pk AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS k
+           FROM hbg GROUP BY 1, 2, 3),
+         sc AS (SELECT pk.doc_id, pk.k,
+             CASE WHEN cb.cb IS NOT NULL THEN
+               CAST(floor(ln(CAST(cb.cb AS DOUBLE) / CAST(ca.ca AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT)
+             WHEN cu.cu IS NOT NULL THEN
+               CAST(floor(ln(0.4::DOUBLE * cu.cu / tt.t) * 1000000 + 0.5) AS BIGINT)
+             ELSE NULL END AS lp6,
+             (cb.cb IS NULL AND cu.cu IS NOT NULL) AS bo
+           FROM pk LEFT JOIN cb ON cb.a = pk.a AND cb.b = pk.b
+           LEFT JOIN ca ON ca.a = pk.a
+           LEFT JOIN cu ON cu.b = pk.b, tt),
+         ag AS (SELECT doc_id,
+             CAST(sum(CASE WHEN lp6 IS NOT NULL THEN k ELSE 0 END) AS BIGINT) AS n_scored,
+             CAST(sum(CASE WHEN bo THEN k ELSE 0 END) AS BIGINT) AS n_backoff,
+             CAST(sum(CASE WHEN lp6 IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(sum(CASE WHEN lp6 IS NOT NULL THEN k * lp6 ELSE 0 END) AS BIGINT) AS s
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, n_scored, n_backoff, n_oov,
+           CASE WHEN n_scored > 0 THEN
+             CAST(s AS DOUBLE) / (CAST(n_scored AS DOUBLE) * 1000000.0)
+           ELSE NULL END AS avg_logprob
+         FROM ag""",
     "x3_pmi" ->
       """WITH d AS (SELECT string_split(text, ' ') AS s FROM documents),
          z AS (SELECT unnest(list_zip(s, s[2:])) AS p FROM d),
@@ -1450,6 +1531,64 @@ object SparkEntry {
              PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank FROM sc)
          SELECT doc_id, token, tf, tfidf, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // the BM25 index chain (terms/dl/nd/dfs/idx CTEs) is shared
+    // (copied) with x3_bm25_search — change together; x3_bm25_serve
+    // aliases x3_bm25_search by reference. All BM25 literals that
+    // multiply integers carry ::DOUBLE — DuckDB parses bare decimal
+    // literals as DECIMAL and exact-decimal products round differently
+    // from Spark's double arithmetic.
+    "x3_bm25_index" ->
+      """WITH terms AS (
+           SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY doc_id, token),
+         dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM terms GROUP BY token),
+         idx AS (SELECT t.doc_id, t.token, t.tf, dl.dl,
+             CAST(floor(ln((CAST(nd.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+               * 1000000 + 0.5) AS BIGINT) AS idf6,
+             CAST(nd.sum_dl AS DOUBLE) / nd.n_docs AS avgdl
+           FROM terms t JOIN dfs d ON d.token = t.token
+           JOIN dl ON dl.doc_id = t.doc_id, nd)
+         SELECT doc_id, token, tf, dl, idf6, avgdl FROM idx""",
+    "x3_bm25_search" ->
+      """WITH terms AS (
+           SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY doc_id, token),
+         dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM terms GROUP BY token),
+         idx AS (SELECT t.doc_id, t.token, t.tf, dl.dl,
+             CAST(floor(ln((CAST(nd.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+               * 1000000 + 0.5) AS BIGINT) AS idf6,
+             CAST(nd.sum_dl AS DOUBLE) / nd.n_docs AS avgdl
+           FROM terms t JOIN dfs d ON d.token = t.token
+           JOIN dl ON dl.doc_id = t.doc_id, nd),
+         q AS (SELECT DISTINCT doc_id AS q_id, token FROM terms
+           WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 100 < 11),
+         hit AS (SELECT q.q_id, i.doc_id,
+             CAST(floor(i.idf6 * ((i.tf * 2.2::DOUBLE) /
+               (i.tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * i.dl / i.avgdl)))
+               + 0.5) AS BIGINT) AS c6
+           FROM q JOIN idx i ON i.token = q.token AND i.doc_id <> q.q_id
+           WHERE i.idf6 > 0),
+         sc AS (SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum(c6) AS BIGINT) AS s6
+           FROM hit GROUP BY q_id, doc_id),
+         rk AS (SELECT q_id, doc_id, n_hit, s6, row_number() OVER (
+             PARTITION BY q_id ORDER BY s6 DESC, doc_id) AS rank FROM sc)
+         SELECT q_id, doc_id AS match_id, CAST(rank AS INTEGER) AS rank, n_hit,
+           CAST(s6 AS DOUBLE) / 1000000.0 AS score
+         FROM rk WHERE rank <= 5""",
     "x3_pii_redact" ->
       """WITH p AS (SELECT doc_id, text
              || CASE WHEN doc_id % 3 = 0 THEN ' u' || doc_id || '@mail.example.com' ELSE '' END
@@ -1863,6 +2002,36 @@ object SparkEntry {
                  CAST(sum(df) AS DOUBLE), 6) AS dup_frac,
            max(df) AS max_df
          FROM d GROUP BY 1""",
+    // the Bloom idx/bits chain is shared (copied) between
+    // x4_bloom_bits and x4_bloom_gate — change together (enforced by
+    // OracleChainSpec's bloom family)
+    "x4_bloom_bits" ->
+      """WITH idx AS (SELECT DISTINCT md5(text) AS fp FROM documents
+           WHERE doc_id >= 100),
+         bits AS (SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 15))
+               AS BIGINT) % 4096 AS bit
+           FROM idx CROSS JOIN (SELECT unnest(range(4)) AS i) ii)
+         SELECT bit FROM bits""",
+    "x4_bloom_gate" ->
+      """WITH idx AS (SELECT DISTINCT md5(text) AS fp FROM documents
+           WHERE doc_id >= 100),
+         bits AS (SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 15))
+               AS BIGINT) % 4096 AS bit
+           FROM idx CROSS JOIN (SELECT unnest(range(4)) AS i) ii),
+         inc AS (SELECT doc_id, md5(text) AS fp FROM documents
+           WHERE doc_id < 100),
+         pr AS (SELECT doc_id, fp,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 15))
+               AS BIGINT) % 4096 AS bit
+           FROM inc CROSS JOIN (SELECT unnest(range(4)) AS i) ii),
+         hv AS (SELECT pr.doc_id, pr.fp,
+             CAST(sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT) = 4
+               AS bloom_hit
+           FROM pr LEFT JOIN bits b ON b.bit = pr.bit GROUP BY pr.doc_id, pr.fp)
+         SELECT h.doc_id, h.fp, h.bloom_hit, (i.fp IS NOT NULL) AS is_dup
+         FROM hv h LEFT JOIN idx i ON i.fp = h.fp""",
     "x4_incremental" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          t AS (SELECT doc_id, list_transform(
@@ -4550,6 +4719,64 @@ object SparkEntry {
              THEN 64.0 * ln(64.0 / v)
              ELSE 0.709::DOUBLE * 64 * 64 * 67108864.0 / z END, 4) AS hll_active
          FROM s""",
+    // the CMS cnt/sk sketch chain is shared (copied) across
+    // x6_cms_sketch, x6_cms_topk, and x6_cms_serve — change together
+    // (enforced by OracleChainSpec's cms family)
+    "x6_cms_sketch" ->
+      """WITH cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY token),
+         sk AS (SELECT CAST(tt AS BIGINT) AS tbl,
+             CAST(('0x' || substr(md5(CAST(tt AS VARCHAR) || ':' || token), 1, 15))
+               AS BIGINT) % 512 AS bucket,
+             CAST(sum(c) AS BIGINT) AS c
+           FROM cnt CROSS JOIN (SELECT unnest(range(4)) AS tt) tts
+           GROUP BY 1, 2)
+         SELECT tbl, bucket, c FROM sk""",
+    "x6_cms_topk" ->
+      """WITH cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY token),
+         sk AS (SELECT CAST(tt AS BIGINT) AS tbl,
+             CAST(('0x' || substr(md5(CAST(tt AS VARCHAR) || ':' || token), 1, 15))
+               AS BIGINT) % 512 AS bucket,
+             CAST(sum(c) AS BIGINT) AS c
+           FROM cnt CROSS JOIN (SELECT unnest(range(4)) AS tt) tts
+           GROUP BY 1, 2),
+         top AS (SELECT token, c AS exact, row_number() OVER (
+             ORDER BY c DESC, token) AS rk FROM cnt),
+         pr AS (SELECT token, exact, rk, CAST(tt AS BIGINT) AS tbl,
+             CAST(('0x' || substr(md5(CAST(tt AS VARCHAR) || ':' || token), 1, 15))
+               AS BIGINT) % 512 AS bucket
+           FROM top CROSS JOIN (SELECT unnest(range(4)) AS tt) tts
+           WHERE rk <= 20),
+         est AS (SELECT p.token, p.rk, p.exact, CAST(min(s.c) AS BIGINT) AS est
+           FROM pr p JOIN sk s ON s.tbl = p.tbl AND s.bucket = p.bucket
+           GROUP BY 1, 2, 3)
+         SELECT token, CAST(rk AS INTEGER) AS rank, exact, est,
+           est - exact AS overest
+         FROM est""",
+    "x6_cms_serve" ->
+      """WITH cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY token),
+         sk AS (SELECT CAST(tt AS BIGINT) AS tbl,
+             CAST(('0x' || substr(md5(CAST(tt AS VARCHAR) || ':' || token), 1, 15))
+               AS BIGINT) % 512 AS bucket,
+             CAST(sum(c) AS BIGINT) AS c
+           FROM cnt CROSS JOIN (SELECT unnest(range(4)) AS tt) tts
+           GROUP BY 1, 2),
+         bt AS (SELECT DISTINCT token FROM (
+             SELECT unnest(string_split(text, ' ')) AS token FROM documents
+             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100 < 7)),
+         pr AS (SELECT token, CAST(tt AS BIGINT) AS tbl,
+             CAST(('0x' || substr(md5(CAST(tt AS VARCHAR) || ':' || token), 1, 15))
+               AS BIGINT) % 512 AS bucket
+           FROM bt CROSS JOIN (SELECT unnest(range(4)) AS tt) tts)
+         SELECT p.token, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est
+         FROM pr p LEFT JOIN sk s ON s.tbl = p.tbl AND s.bucket = p.bucket
+         GROUP BY p.token""",
     "x6_audience_overlap" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
            FROM events),
@@ -4792,6 +5019,7 @@ object SparkEntry {
       "x2_ann_pq_serve" -> base("x2_ann_pq"),
       "x3_bigram_score_serve" -> base("x3_bigram_logprob"),
       "x3_unigram_score_serve" -> base("x3_unigram_logprob"),
+      "x3_bm25_serve" -> base("x3_bm25_search"),
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),
       "x5_mm_search_pq_serve" -> base("x5_mm_search_pq"),
       "x5_mm_search_ivfpq_serve" -> base("x5_mm_search_ivfpq"),

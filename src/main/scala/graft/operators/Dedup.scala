@@ -1059,6 +1059,57 @@ object Dedup {
   def survivorMap(documents: DataFrame, rounds: Int = 3): DataFrame =
     survivorMapFromLabels(clusterNearDups(documents, rounds))
 
+  /** The `k` salted-md5 Bloom bit positions of a fingerprint — element
+    * `i` hashes `"i:fp"` through the house 60-bit md5 hash, mod `m`.
+    * Identical text arithmetic in the oracle (the CMS salt scheme). */
+  def bloomBits(fp: Column, k: Int = 4, m: Int = 4096): Column =
+    array((0 until k).map(i =>
+      conv(substring(md5(concat(lit(s"$i:"), fp)), 1, 15), 16, 10)
+        .cast("long") % m): _*)
+
+  /** X4 Bloom bit-set export — the STORED membership artifact of the
+    * exact-dedup gate: the distinct bit positions lit by the indexed
+    * corpus's fingerprints. ≤ `m` rows no matter the corpus size, and
+    * bit sets from shards/days merge by DISTINCT-union — the
+    * cheapest-possible pre-filter a 100 TB ingest puts in front of the
+    * exact fingerprint join (a probe that misses ANY of its k bits is
+    * definitively new and skips the join entirely; Bloom guarantees
+    * no false negatives). */
+  def bloomBitSet(indexed: DataFrame, k: Int = 4, m: Int = 4096): DataFrame =
+    indexed.select(md5(col("text")).as("fp")).distinct()
+      .select(explode(bloomBits(col("fp"), k, m)).as("bit")).distinct()
+
+  /** X4 Bloom-gate audit: probe each incoming doc's fingerprint
+    * against the indexed corpus's Bloom bit set AND against ground
+    * truth — per doc the Bloom verdict (`bloom_hit`: all k bits lit)
+    * and the actual membership (`is_dup`). `is_dup → bloom_hit` always
+    * (spec-pinned); `bloom_hit ∧ ¬is_dup` rows measure the live
+    * false-positive rate, the signal that `m` is undersized. The
+    * probe side explodes k slim rows per incoming doc; both joins are
+    * equi-keyed (bit, fingerprint), nothing corpus-sized crosses. */
+  def bloomGate(incoming: DataFrame, indexed: DataFrame,
+                k: Int = 4, m: Int = 4096): DataFrame =
+    bloomGateAgainstBits(incoming, bloomBitSet(indexed, k, m),
+      indexed.select(md5(col("text")).as("fp")).distinct(), k, m)
+
+  /** [[bloomGate]]'s serve form: the bit set (and the truth
+    * fingerprints for the audit columns) arrive as STORED tables —
+    * production drops the `truth` join and keeps only the verdict. */
+  def bloomGateAgainstBits(incoming: DataFrame, bits: DataFrame,
+                           truth: DataFrame, k: Int = 4,
+                           m: Int = 4096): DataFrame = {
+    val incFp = incoming.select(col("doc_id"), md5(col("text")).as("fp"))
+    val verdict = incFp
+      .select(col("doc_id"), col("fp"),
+        posexplode(bloomBits(col("fp"), k, m)).as(Seq("i", "bit")))
+      .join(bits.withColumn("present", lit(1L)), Seq("bit"), "left")
+      .groupBy(col("doc_id"), col("fp"))
+      .agg((sum(coalesce(col("present"), lit(0L))) === k).as("bloom_hit"))
+    verdict.join(truth.withColumn("m", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("bloom_hit"),
+        coalesce(col("m"), lit(false)).as("is_dup"))
+  }
+
   /** [[survivorMap]] over PRECOMPUTED (doc_id, cluster) labels — the
     * cluster-once / derive-many form, like [[dupStatsFromLabels]]. */
   def survivorMapFromLabels(labels: DataFrame): DataFrame = {

@@ -486,4 +486,86 @@ object Profiling {
         col("events_per_day") > minEventsPerDay &&
           col("type_entropy") < maxEntropy)
   }
+
+  /** One of the CMS depth hashes: bucket of `tok` in table `tbl` —
+    * the house md5 60-bit hash over a salted key (`"tbl:token"`), mod
+    * the sketch width. Identical text arithmetic in the oracles. */
+  private def cmsBucket(tok: Column, tbl: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$tbl:"), tok)), 1, 15), 16, 10)
+      .cast("long") % width
+
+  /** The (token → corpus count) aggregate the CMS family folds into
+    * buckets — aggregating BEFORE hashing is what makes the sketch
+    * build a vocabulary-sized job: the raw token stream collapses with
+    * map-side combine, then only distinct tokens hash. */
+  private def cmsCounts(documents: DataFrame): DataFrame =
+    documents.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+
+  private[graft] def cmsProbes(keys: DataFrame, depth: Int, width: Int): DataFrame =
+    keys.select(col("*"), posexplode(array((0 until depth).map(tt =>
+        cmsBucket(col("token"), tt, width)): _*)).as(Seq("tbl", "bucket")))
+      .withColumn("tbl", col("tbl").cast("long"))
+
+  /** X6 COUNT-MIN SKETCH export — the frequency twin of the HLL
+    * register table: a `depth`×`width` counter grid (sparse rows —
+    * absent (tbl, bucket) means 0) summarizing the corpus token
+    * frequency distribution in O(depth·width) rows regardless of
+    * corpus size. Point estimate = min over the `depth` salted-hash
+    * buckets; never an underestimate, overestimate bounded by
+    * collision mass (≈ 2·N/width at 1−(1/2)^depth confidence — the
+    * Cormode-Muthukrishnan bound). Counters are PLAIN SUMS, so sketch
+    * rows from shards/days merge by addition — the same
+    * persist-the-sketch discipline as [[hllRegisters]]: nightly jobs
+    * store this table and every later heavy-hitter probe, cross-shard
+    * fold, or serve-time lookup reads it instead of the corpus.
+    * Build: one corpus scan (map-side-combined vocab count), then a
+    * `depth`-way posexplode of the VOCABULARY only. */
+  def cmsSketch(documents: DataFrame, depth: Int = 4,
+                width: Int = 512): DataFrame =
+    cmsProbes(cmsCounts(documents), depth, width)
+      .groupBy(col("tbl"), col("bucket")).agg(sum(col("c")).as("c"))
+
+  /** X6 CMS heavy-hitter audit: the exact top-`k` tokens (count desc,
+    * token tie-break) probed through the sketch — per token the exact
+    * count, the CMS estimate, and the overestimate (`est − exact`,
+    * provably ≥ 0; a large value means the width is undersized for
+    * the corpus). The global rank window is over the VOCABULARY
+    * aggregate (bounded domain, the [[quantileProfile]] precondition),
+    * never raw tokens. */
+  def cmsTopK(documents: DataFrame, k: Int = 20, depth: Int = 4,
+              width: Int = 512): DataFrame = {
+    val cnt = cmsCounts(documents)
+    val top = cnt
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("token"))))
+      .filter(col("rk") <= k)
+      .select(col("token"), col("c").as("exact"), col("rk"))
+    cmsProbes(top, depth, width)
+      .join(cmsSketch(documents, depth, width), Seq("tbl", "bucket"))
+      .groupBy(col("token"), col("exact"), col("rk"))
+      .agg(min(col("c")).as("est"))
+      .select(col("token"), col("rk").cast("integer").as("rank"),
+        col("exact"), col("est"), (col("est") - col("exact")).as("overest"))
+  }
+
+  /** Serve half of the CMS family: point-estimate a batch of keys
+    * against a STORED [[cmsSketch]] table — no corpus access; each key
+    * hashes to its `depth` buckets, left-joins the sparse counter rows
+    * (absent bucket = 0), and takes the min. O(batch·depth) probe
+    * rows against an O(depth·width) broadcast-able table. */
+  def cmsEstimateAgainst(keys: DataFrame, sketch: DataFrame,
+                         depth: Int = 4, width: Int = 512): DataFrame =
+    cmsProbes(keys, depth, width)
+      .join(sketch, Seq("tbl", "bucket"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
+  /** The deterministic serve batch `x6_cms_serve` estimates: the
+    * distinct tokens of a doc-id hash sample of the corpus. */
+  def cmsServeBatch(documents: DataFrame, samplePct: Int = 7): DataFrame =
+    documents.filter(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100 < samplePct)
+      .select(explode(split(col("text"), " ")).as("token")).distinct()
 }

@@ -828,6 +828,148 @@ object TextAnalysis {
         col("rank").cast("integer").as("rank"))
   }
 
+  /** X3 stupid-backoff LM scoring of HELD-OUT documents — the
+    * train/test form the self-scoring LM queries can't exercise:
+    * `heldOut` docs score against a model trained only on `train`,
+    * so unseen-in-training pairs actually occur and back off to the
+    * unigram, `α·P(b)` with the standard α = 0.4 (Brants et al.'s
+    * stupid backoff — no discounting, the large-corpus recipe).
+    * Per doc: `n_scored` token-pairs priced (seen + backoff),
+    * `n_backoff` of them via the unigram path, `n_oov` skipped
+    * entirely (continuation token absent from the training
+    * vocabulary — dropped from the mean, the [[unigramLogProbAgainst]]
+    * OOV rule). Per-pair scores quantize to integer micro-nats (one
+    * fixed-operand-order log each), sums are exact int64. The model
+    * side is two vocabulary-scale aggregates joined back by hash;
+    * only the held-out batch forms pairs. */
+  def backoffLogProb(heldOut: DataFrame, train: DataFrame): DataFrame = {
+    val pairs = bigramStream(heldOut)
+      .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("k"))
+    val model = bigramModel(train)
+    val cu = train.select(explode(toks).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cu"))
+    val tot = cu.agg(sum(col("cu")).as("t"))
+    val sc = pairs
+      .join(model, Seq("a", "b"), "left")
+      .join(cu, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("k"),
+        when(col("cb").isNotNull,
+          floor(log(col("cb").cast("double") / col("ca").cast("double"))
+            * 1e6 + 0.5).cast("long"))
+          .when(col("cu").isNotNull,
+            floor(log(lit(0.4) * col("cu") / col("t")) * 1e6 + 0.5).cast("long"))
+          .otherwise(lit(null).cast("long")).as("lp6"),
+        (col("cb").isNull && col("cu").isNotNull).as("bo"))
+    sc.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("lp6").isNotNull, col("k")).otherwise(0L)).as("n_scored"),
+        sum(when(col("bo"), col("k")).otherwise(0L)).as("n_backoff"),
+        sum(when(col("lp6").isNull, col("k")).otherwise(0L)).as("n_oov"),
+        sum(when(col("lp6").isNotNull, col("k") * col("lp6")).otherwise(0L)).as("s"))
+      .select(col("doc_id"), col("n_scored"), col("n_backoff"), col("n_oov"),
+        when(col("n_scored") > 0,
+          col("s").cast("double") / (col("n_scored").cast("double") * lit(1e6)))
+          .otherwise(lit(null).cast("double")).as("avg_logprob"))
+  }
+
+  /** X3 BM25 inverted-index export — the postings-grain stored
+    * artifact of full-text retrieval: one row per (doc_id, token)
+    * posting carrying everything [[bm25ScoreAgainst]] needs to price
+    * a hit with NO corpus re-aggregation (term frequency `tf`, doc
+    * length `dl`, the Robertson idf in integer micro-nats `idf6`, and
+    * the corpus-constant `avgdl` repeated per row so the table is
+    * self-describing — the [[bigramModel]] discipline; the repeats
+    * RLE-compress to nothing in parquet). ONE corpus scan: the
+    * (doc, token) aggregation feeds both df and the posting rows, doc
+    * lengths are a narrow per-row `size(split)`, and df/N/avgdl join
+    * back as broadcasts (vocabulary- and scalar-sized). Robertson idf
+    * `ln((N − df + ½)/(df + ½))` goes ≤ 0 exactly for terms in more
+    * than half the corpus — the principled stop-term drop the scorer
+    * applies (`idf6 > 0`), which is also what bounds the per-term
+    * posting fan-out at scale.
+    *
+    * Cross-engine exactness: idf quantizes to micro-nats
+    * (`floor(ln·1e6 + ½)`, the unigram-model discipline); `avgdl` is
+    * one division of exact int64s (IEEE-exact both engines). */
+  def bm25Index(documents: DataFrame): DataFrame = {
+    val terms = documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = documents.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val nd = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfs = terms.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    terms.join(broadcast(dfs), "token").join(dl, "doc_id")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"),
+        floor(log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * 1e6 + 0.5).cast("long").as("idf6"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+  }
+
+  /** Serve half of BM25 retrieval: score a batch of query texts
+    * against a STORED [[bm25Index]] table — per-query top-`k` matches
+    * by `Σ_t idf(t) · tf(t,d)·(k₁+1) / (tf + k₁·(1−b+b·dl/avgdl))`
+    * with k₁ = 1.2, b = 0.75 and SET semantics on query terms (each
+    * distinct query term contributes once — the standard short-query
+    * form; a full document as query is just a longer term set). Only
+    * the batch tokenizes here; candidates come from the posting lists
+    * of the query's own positive-idf terms, so per-query cost is
+    * Σ df(t) over its terms — the stop-term drop (`idf6 > 0`) is what
+    * keeps that sum bounded when a query contains "the".
+    *
+    * Cross-engine exactness, the house top-k discipline: each hit's
+    * contribution is floored to integer micro-nats BEFORE the
+    * per-(query, doc) sum — the fraction is IEEE-exact given one fixed
+    * operand order, `idf6·frac` rounds once to int64 — so scores are
+    * order-independent exact integers and the rank window's
+    * `(score desc, doc_id)` tie-break is engine-identical. The window
+    * partitions per query over its own candidate set, never
+    * corpus-sized. */
+  def bm25ScoreAgainst(queries: DataFrame, index: DataFrame, k: Int = 5,
+                       excludeSelf: Boolean = false): DataFrame = {
+    val qTerms = queries
+      .select(col("doc_id").as("q_id"), explode(toks).as("token"))
+      .distinct()
+    val hits = qTerms.join(index.filter(col("idf6") > 0), "token")
+      .filter(if (excludeSelf) col("doc_id") =!= col("q_id") else lit(true))
+      .select(col("q_id"), col("doc_id"),
+        floor(col("idf6") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / col("avgdl")))) + 0.5)
+          .cast("long").as("c6"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("s6").desc, col("doc_id"))
+    hits.groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("c6")).as("s6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id").as("match_id"),
+        col("rank").cast("integer").as("rank"), col("n_hit"),
+        (col("s6").cast("double") / lit(1e6)).as("score"))
+  }
+
+  /** X3 self-contained BM25 retrieval over the corpus: a deterministic
+    * hash-sample of documents (the `x2_knn_sampled` predicate — about
+    * `samplePct`% of doc ids) queries the full corpus through
+    * [[bm25ScoreAgainst]], self-matches excluded. This is the
+    * training-correctness form; production stores [[bm25Index]] once
+    * and serves batches against it (`x3_bm25_serve` pins serve ≡ this
+    * by oracle aliasing). */
+  def bm25TopK(documents: DataFrame, k: Int = 5,
+               samplePct: Int = 11): DataFrame =
+    bm25ScoreAgainst(bm25QuerySample(documents, samplePct),
+      bm25Index(documents), k, excludeSelf = true)
+
+  /** The deterministic doc-id hash sample [[bm25TopK]] queries with —
+    * exposed so the serve path (`x3_bm25_serve`) scores the SAME
+    * query set against the stored index. */
+  def bm25QuerySample(documents: DataFrame, samplePct: Int = 11): DataFrame =
+    documents.filter(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100 < samplePct)
+
   def groupConcat(documents: DataFrame): DataFrame =
     documents.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -500,6 +500,23 @@ object StreamPipeline {
         }
       }
 
+  /** X6 streaming Count-Min sketch: the counter grid maintained
+    * incrementally over a document stream — CMS counters are plain
+    * sums, so the streaming aggregation state IS the sketch and
+    * update-mode emits revised counter rows per trigger. One-level
+    * aggregation (each token occurrence feeds its `depth` buckets
+    * directly — streaming forbids the batch build's aggregate-then-
+    * hash two-phase, and the counters are identical either way);
+    * state is bounded at `depth`×`width` rows forever, the whole
+    * point of sketching an unbounded stream. Works on a batch frame
+    * too (spec pins stream-final ≡ [[graft.operators.Profiling.cmsSketch]]
+    * of the union). */
+  def cmsSketchStream(docs: DataFrame, depth: Int = 4,
+                      width: Int = 512): DataFrame =
+    graft.operators.Profiling.cmsProbes(
+      docs.select(explode(split(col("text"), " ")).as("token")), depth, width)
+      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("c"))
+
   /** X6 streaming: tumbling event-time windows with watermarked late
     * data drop. Same expressions as the batch Windows.tumbling. */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",

@@ -210,4 +210,37 @@ class ProfilingSpec extends AnyFunSuite {
       .map(r => (r._1, r._2) -> r._3).toMap ===
       got.map { case (k, v) => k -> v._1 })
   }
+
+  test("CMS: estimates never undercount, shard sketches merge by addition, serve probes the stored table") {
+    val docs = Tables(spark, SparkTestBase.sf0001, "documents")
+    // heavy-hitter audit: CMS point estimates are exact-or-over, never under
+    val audit = Profiling.cmsTopK(docs)
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(audit.length === 20)
+    assert(audit.forall { case (_, _, exact, est, over) =>
+      est >= exact && over === est - exact
+    })
+    // mergeability — THE property that makes the sketch the persisted
+    // artifact: per-shard sketches fold into the corpus sketch by
+    // plain counter addition (no re-read of either shard)
+    val full = Profiling.cmsSketch(docs)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val even = Profiling.cmsSketch(docs.filter(col("doc_id") % 2 === 0))
+    val odd = Profiling.cmsSketch(docs.filter(col("doc_id") % 2 === 1))
+    val merged = even.union(odd)
+      .groupBy(col("tbl"), col("bucket")).agg(sum(col("c")).as("c"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(merged === full)
+    // serve against the STORED sketch: in-corpus token estimates match
+    // the audit's, an unseen token estimates exactly 0, and the serve
+    // plan never touches parquet
+    val stored = Profiling.cmsSketch(docs).localCheckpoint()
+    val batch = (audit.map(_._1) :+ "zzz-never-a-token").toSeq.toDF("token")
+    val served = Profiling.cmsEstimateAgainst(batch, stored)
+    assert(!served.queryExecution.executedPlan.toString.toLowerCase
+      .contains("parquet"))
+    val est = served.as[(String, Long)].collect().toMap
+    assert(est("zzz-never-a-token") === 0L)
+    audit.foreach { case (tok, _, _, e, _) => assert(est(tok) === e) }
+  }
 }

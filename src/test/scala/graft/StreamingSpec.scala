@@ -767,6 +767,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS: counters after two batches equal the batch sketch of the union") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = StreamPipeline.cmsSketchStream(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_mem").start()
+    try {
+      def ev(id: Long, txt: String) =
+        DocEvent(id, txt, "en", "s0", Timestamp.valueOf("2024-01-01 00:01:00"))
+      mem.addData(ev(1, "alpha beta alpha"), ev(2, "beta gamma"))
+      q.processAllAvailable()
+      mem.addData(ev(3, "alpha delta"), ev(4, "gamma gamma beta"))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_mem")
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val batch = graft.operators.Profiling.cmsSketch(Seq(
+        (1L, "alpha beta alpha"), (2L, "beta gamma"),
+        (3L, "alpha delta"), (4L, "gamma gamma beta")).toDF("doc_id", "text"))
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed === batch)
+      assert(streamed.values.sum === 40L) // 10 tokens x 4 tables
+    } finally q.stop()
+  }
+
   test("rolling vector index: assets accepted in generation N gate generation N+1 without restart") {
     implicit val sc = spark.sqlContext
     val dir = Files.createTempDirectory("graft-media-roll")

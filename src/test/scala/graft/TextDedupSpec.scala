@@ -1234,4 +1234,77 @@ class TextDedupSpec extends AnyFunSuite {
     // at a permissive cap the same corpus pairs fully: C(18,2)
     assert(Dedup.spanSharedPairs(d, maxDf = 18, k = 200).count() === 153L)
   }
+
+  test("stupid backoff: seen pairs score the bigram, unseen pairs back off, OOV continuations drop") {
+    val train = docs((101L, "a b a b"), (102L, "b c b c"))
+    val held = docs((1L, "a b z c a"))
+    // pairs of the held-out doc: (a,b) seen; (b,z) z OOV; (z,c) c in
+    // vocab -> backoff; (c,a) unseen pair, a in vocab -> backoff
+    val r = TextAnalysis.backoffLogProb(held, train)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+    assert(r.length === 1)
+    val (_, nScored, nBackoff, nOov, avg) = r.head
+    assert(nScored === 3L && nBackoff === 2L && nOov === 1L)
+    assert(avg.exists(_ < 0.0))
+    // seen (a,b): cb=2, ca(a)=2 -> ln(1) = 0; backoff price of (z,c)
+    // and (c,a): ln(0.4 * cu / T) with cu=2, T=8
+    val seen = math.floor(math.log(2.0 / 2.0) * 1e6 + 0.5)
+    val bo = math.floor(math.log(0.4 * 2 / 8.0) * 1e6 + 0.5)
+    assert(avg.get === (seen + 2 * bo) / (3 * 1e6))
+  }
+
+  test("Bloom gate: no false negatives ever, stored-bits serve equals inline, bits merge by distinct-union") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val inc = d.filter(col("doc_id") < 100)
+    val idx = d.filter(col("doc_id") >= 100)
+    val gate = Dedup.bloomGate(inc, idx)
+      .as[(Long, String, Boolean, Boolean)].collect()
+    assert(gate.length === inc.count())
+    // the Bloom guarantee: a real duplicate is NEVER missed
+    assert(gate.forall { case (_, _, hit, dup) => !dup || hit })
+    // serve form: stored bit set + stored truth fingerprints, same verdicts
+    val bits = Dedup.bloomBitSet(idx).localCheckpoint()
+    val truth = idx.select(md5(col("text")).as("fp")).distinct().localCheckpoint()
+    val served = Dedup.bloomGateAgainstBits(inc, bits, truth)
+      .as[(Long, String, Boolean, Boolean)].collect()
+    assert(served.toSet === gate.toSet)
+    // shard bit sets fold into the corpus bit set by distinct-union
+    val merged = Dedup.bloomBitSet(idx.filter(col("doc_id") % 2 === 0))
+      .union(Dedup.bloomBitSet(idx.filter(col("doc_id") % 2 === 1)))
+      .distinct().as[Long].collect().toSet
+    assert(merged === bits.as[Long].collect().toSet)
+  }
+
+  test("BM25: corpus-majority terms contribute nothing, shared rare terms rank, dl breaks toward the shorter doc") {
+    // "the" is in ALL docs -> Robertson idf <= 0 -> dropped by the
+    // scorer's stop-term gate; only apple/banana carry signal
+    val d = docs(
+      (1L, "the apple banana orange"),
+      (2L, "the apple banana kiwi plum"), // same matches, longer doc
+      (3L, "the the the the"),            // stopword-only
+      (4L, "the mango melon"),
+      (5L, "the pear fig"),
+      (6L, "the grape date"))
+    val q = docs((100L, "apple banana"))
+    val got = TextAnalysis.bm25ScoreAgainst(q, TextAnalysis.bm25Index(d))
+      .as[(Long, Long, Int, Long, Double)].collect().sortBy(_._3)
+    // only the two apple+banana docs match at all — the stopword-only
+    // doc and the no-overlap docs never enter the candidate set
+    assert(got.map(_._2).toSet === Set(1L, 2L))
+    // equal tf, equal idf: the shorter document wins on length norm
+    assert(got.head._2 === 1L && got.head._3 === 1)
+    assert(got.forall(_._4 === 2L)) // both hits matched both query terms
+    assert(got(0)._5 > got(1)._5)
+  }
+
+  test("BM25 serve against the stored index equals the self-contained search") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val self = TextAnalysis.bm25TopK(d)
+      .as[(Long, Long, Int, Long, Double)].collect().toSet
+    assert(self.nonEmpty)
+    val served = TextAnalysis.bm25ScoreAgainst(TextAnalysis.bm25QuerySample(d),
+      TextAnalysis.bm25Index(d).localCheckpoint(), excludeSelf = true)
+      .as[(Long, Long, Int, Long, Double)].collect().toSet
+    assert(served === self)
+  }
 }
