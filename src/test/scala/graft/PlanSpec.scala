@@ -366,6 +366,36 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("x6_trend_anomaly").contains("BroadcastHashJoin"))
   }
 
+  test("BM25 search: query terms broadcast into the postings, top-k is group-limited") {
+    val p = planOf("x3_bm25_search")
+    // the only nested loop is the house 1-row scalar cross (avgdl/N
+    // onto the postings) — one physical BNLJ = two FormattedMode rows
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    // the hash-sampled query-term side is the broadcast side of the
+    // candidate join; the corpus-sized postings never broadcast whole
+    assert(p.contains("BroadcastHashJoin"), p)
+    // rank<=k pushes below the final window exchange (partial limit)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("CMS sketch: two keyed aggregations, no join, no window") {
+    val p = planOf("x6_cms_sketch")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // vocab count + counter sum, each partial+final around an exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert("Exchange".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("Bloom gate: every join is equi-keyed hash, probe scans prune to doc_id/text") {
+    val p = planOf("x4_bloom_gate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)
