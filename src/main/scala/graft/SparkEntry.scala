@@ -220,6 +220,18 @@ object SparkEntry {
     "x3_source_drift" -> ((s, d) => TextAnalysis.sourceDrift(t(s, d, "documents"))),
     // per-document top-3 TF-IDF keyword extraction
     "x3_keywords" -> ((s, d) => TextAnalysis.keywordsTopK(t(s, d, "documents"))),
+    // positional inverted-index export (stored artifact for phrase lookup)
+    "x3_phrase_index" -> ((s, d) => TextAnalysis.phraseIndex(t(s, d, "documents"))),
+    // exact 3-token phrase retrieval: hash-sampled first-trigram
+    // queries walk the positional postings (anchor + two pos-step joins)
+    "x3_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(t(s, d, "documents"))),
+    // the phrase serve path: same queries against the MATERIALIZED
+    // positional index. Oracle = x3_phrase_search's verbatim.
+    "x3_phrase_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.phraseSearchAgainst(TextAnalysis.phraseQueries(docs),
+        TextAnalysis.phraseIndex(docs).localCheckpoint())
+    }),
     // BM25 postings-grain inverted-index export (stored artifact)
     "x3_bm25_index" -> ((s, d) => TextAnalysis.bm25Index(t(s, d, "documents"))),
     // BM25 top-k retrieval: hash-sampled query docs vs the corpus
@@ -650,7 +662,8 @@ object SparkEntry {
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
     "x2_ivf_recall", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
-    "x3_bigram_score_serve", "x3_bm25_serve", "x3_unigram_score_serve",
+    "x3_bigram_score_serve", "x3_bm25_serve", "x3_phrase_serve",
+    "x3_unigram_score_serve",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_dup_rate",
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
     "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
@@ -1531,6 +1544,31 @@ object SparkEntry {
              PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank FROM sc)
          SELECT doc_id, token, tf, tfidf, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // the phrase t/idx chain is shared (copied) between x3_phrase_index
+    // and x3_phrase_search — change together (OracleChainSpec's phrase
+    // family); x3_phrase_serve aliases x3_phrase_search by reference.
+    // DuckDB zips the two parallel unnests positionally (same length).
+    "x3_phrase_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         idx AS (SELECT doc_id, unnest(range(1, len(s) + 1)) AS pos,
+             unnest(s) AS token FROM t)
+         SELECT doc_id, pos, token FROM idx""",
+    "x3_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         idx AS (SELECT doc_id, unnest(range(1, len(s) + 1)) AS pos,
+             unnest(s) AS token FROM t),
+         q AS (SELECT doc_id AS q_id, s[1] AS p1, s[2] AS p2, s[3] AS p3
+           FROM t WHERE len(s) >= 3 AND
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 < 7),
+         m AS (SELECT q.q_id, i1.doc_id
+           FROM q JOIN idx i1 ON i1.token = q.p1
+           JOIN idx i2 ON i2.doc_id = i1.doc_id AND i2.pos = i1.pos + 1
+             AND i2.token = q.p2
+           JOIN idx i3 ON i3.doc_id = i1.doc_id AND i3.pos = i1.pos + 2
+             AND i3.token = q.p3)
+         SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ
+         FROM m GROUP BY q_id, doc_id""",
     // the BM25 index chain (terms/dl/nd/dfs/idx CTEs) is shared
     // (copied) with x3_bm25_search — change together; x3_bm25_serve
     // aliases x3_bm25_search by reference. All BM25 literals that
@@ -5020,6 +5058,7 @@ object SparkEntry {
       "x3_bigram_score_serve" -> base("x3_bigram_logprob"),
       "x3_unigram_score_serve" -> base("x3_unigram_logprob"),
       "x3_bm25_serve" -> base("x3_bm25_search"),
+      "x3_phrase_serve" -> base("x3_phrase_search"),
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),
       "x5_mm_search_pq_serve" -> base("x5_mm_search_pq"),
       "x5_mm_search_ivfpq_serve" -> base("x5_mm_search_ivfpq"),

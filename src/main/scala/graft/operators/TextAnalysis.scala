@@ -970,6 +970,54 @@ object TextAnalysis {
       conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 100 < samplePct)
 
+  /** X3 positional inverted-index export — BM25's postings with the
+    * token POSITION kept: one (doc_id, pos, token) row per token
+    * occurrence (1-based), the stored artifact exact-phrase retrieval
+    * probes. Pure map-side posexplode — scales as one narrow pass. */
+  def phraseIndex(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(toks).as(Seq("p0", "token")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("token"))
+
+  /** The deterministic 3-token phrase set `x3_phrase_search` looks up:
+    * the first trigram of each doc-id hash-sampled document (each is
+    * guaranteed ≥ 1 occurrence — its own source doc). */
+  def phraseQueries(documents: DataFrame, samplePct: Int = 7): DataFrame =
+    documents
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100 < samplePct)
+      .select(col("doc_id").as("q_id"), toks.as("s"))
+      .filter(size(col("s")) >= 3)
+      .select(col("q_id"), element_at(col("s"), 1).as("p1"),
+        element_at(col("s"), 2).as("p2"), element_at(col("s"), 3).as("p3"))
+
+  /** Serve half of exact-phrase retrieval: per (query, doc) occurrence
+    * counts of each 3-token phrase against a STORED [[phraseIndex]]
+    * table — the classic positional-postings walk: anchor on the
+    * first token's postings, then two equi-joins stepping
+    * (doc_id, pos+1) / (doc_id, pos+2) with the continuation token in
+    * the join key. Everything is hash-joinable (no nested loop); the
+    * anchor fan-out is Σ df(p1) over the query set — at scale a
+    * rare-token-first anchor rotation or df cap bounds it, the BM25
+    * stop-term discipline. */
+  def phraseSearchAgainst(queries: DataFrame, index: DataFrame): DataFrame = {
+    def idx(pi: Int) = index.toDF(s"d$pi", s"pos$pi", s"t$pi")
+    queries
+      .join(idx(1), col("t1") === col("p1"))
+      .join(idx(2), col("d2") === col("d1") &&
+        col("pos2") === col("pos1") + 1 && col("t2") === col("p2"))
+      .join(idx(3), col("d3") === col("d1") &&
+        col("pos3") === col("pos1") + 2 && col("t3") === col("p3"))
+      .groupBy(col("q_id"), col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** X3 self-contained exact-phrase retrieval over the corpus. */
+  def phraseSearch(documents: DataFrame, samplePct: Int = 7): DataFrame =
+    phraseSearchAgainst(phraseQueries(documents, samplePct),
+      phraseIndex(documents))
+
   def groupConcat(documents: DataFrame): DataFrame =
     documents.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),

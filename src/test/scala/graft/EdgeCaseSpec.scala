@@ -169,6 +169,37 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.dimStats(e1).count() === 2)
   }
 
+  test("round-14 operators survive degenerate inputs") {
+    // BM25 on a 2-doc corpus: every term is in >= half the docs when
+    // shared -> idf <= 0 drops it; nothing divides by zero on the
+    // empty-text doc (dl = 1: split("") = [""])
+    val two = Seq((1L, "", "en", "s", 0L), (2L, "a b", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextAnalysis.bm25Index(two).count() === 3) // "" + a + b postings
+    // every df=1 of N=2 -> idf = ln(1.5/1.5) = 0 -> stop-gate drops all
+    assert(TextAnalysis.bm25ScoreAgainst(two, TextAnalysis.bm25Index(two),
+      excludeSelf = true).count() === 0)
+    // degenerate standard set: phrase queries skip docs under 3 tokens
+    assert(TextAnalysis.phraseQueries(docs, samplePct = 100).count() === 1)
+    assert(TextAnalysis.phraseIndex(docs).count() === 9) // 1+1+2+5 tokens
+    // backoff: held-out tokens entirely absent from training -> all
+    // OOV, avg_logprob NULL, nothing throws
+    val ho = TextAnalysis.backoffLogProb(
+      Seq((9L, "zz qq")).toDF("doc_id", "text"),
+      Seq((100L, "a b")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+    assert(ho.toSeq === Seq((9L, 0L, 0L, 1L, None)))
+    // bloom gate against an EMPTY index: no bits set, no hits, no dups
+    val g = Dedup.bloomGate(two, two.filter("doc_id < 0"))
+      .as[(Long, String, Boolean, Boolean)].collect()
+    assert(g.length === 2 && g.forall(r => !r._3 && !r._4))
+    // CMS over the degenerate docs: counters total tokens x depth
+    assert(Profiling.cmsSketch(docs).agg(
+      org.apache.spark.sql.functions.sum("c")).as[Long].head === 36L)
+    assert(Profiling.cmsEstimateAgainst(Seq("nope").toDF("token"),
+      Profiling.cmsSketch(docs)).as[(String, Long)].head._2 === 0L)
+  }
+
   test("PQ survives a corpus smaller than the codebook") {
     // 3 vectors < 16 seeds: each subspace trains a 3-code book; codes
     // stay in range and every vector still encodes in every subspace

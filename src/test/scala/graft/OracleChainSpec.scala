@@ -66,6 +66,10 @@ class OracleChainSpec extends AnyFunSuite {
       "x4_minhash_pairs", "x4_source_dup_rate", "x4_source_overlap",
       "x4_survivors"))
 
+  chainFamily("phrase t/idx positional chain", "x3_phrase_index",
+    "WITH t AS", "unnest(s) AS token FROM t)",
+    Set("x3_phrase_index", "x3_phrase_search", "x3_phrase_serve"))
+
   chainFamily("Bloom idx/bits chain", "x4_bloom_bits",
     "WITH idx AS", "CROSS JOIN (SELECT unnest(range(4)) AS i) ii)",
     Set("x4_bloom_bits", "x4_bloom_gate"))

@@ -1235,6 +1235,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(Dedup.spanSharedPairs(d, maxDf = 18, k = 200).count() === 153L)
   }
 
+  test("phrase search: positional walk counts all (even overlapping) occurrences, order-sensitive") {
+    val d = docs(
+      (1L, "a b c d a b c"), // two occurrences of "a b c"
+      (2L, "x a b c y"),
+      (3L, "c b a"),         // reversed — must NOT match
+      (4L, "a a a a"))       // overlap: "a a a" at pos 1 and 2
+    val idx = TextAnalysis.phraseIndex(d)
+    val q = Seq((9L, "a", "b", "c"), (8L, "a", "a", "a"))
+      .toDF("q_id", "p1", "p2", "p3")
+    val got = TextAnalysis.phraseSearchAgainst(q, idx)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map((9L, 1L) -> 2L, (9L, 2L) -> 1L, (8L, 4L) -> 2L))
+    // serve form on the stored index is identical
+    val served = TextAnalysis.phraseSearchAgainst(q, idx.localCheckpoint())
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(served === got)
+  }
+
   test("stupid backoff: seen pairs score the bigram, unseen pairs back off, OOV continuations drop") {
     val train = docs((101L, "a b a b"), (102L, "b c b c"))
     val held = docs((1L, "a b z c a"))
