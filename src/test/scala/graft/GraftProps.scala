@@ -251,4 +251,38 @@ object GraftProps extends Properties("graft") {
           } == c
       }
     }
+
+  // the Bloom guarantee under arbitrary corpora: an incoming text that
+  // IS in the index is never missed, whatever the collision pattern
+  property("bloom gate never false-negatives") =
+    forAll(Gen.nonEmptyListOf(textGen), Gen.nonEmptyListOf(textGen)) {
+      (idxTexts, newTexts) =>
+        val idx = idxTexts.zipWithIndex
+          .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+        // incoming = every index text (forced dups) + the fresh ones
+        val inc = (idxTexts ++ newTexts).zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val idxSet = idxTexts.toSet
+        graft.operators.Dedup.bloomGate(inc, idx)
+          .as[(Long, String, Boolean, Boolean)].collect()
+          .forall { case (id, _, hit, dup) =>
+            val isDup = idxSet.contains((idxTexts ++ newTexts)(id.toInt))
+            dup == isDup && (!isDup || hit)
+          }
+    }
+
+  // CMS point estimates dominate exact counts for EVERY key, not just
+  // the audited top-k, on arbitrary corpora
+  property("CMS never undercounts any token") =
+    forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val exact = texts.flatMap(_.split(" ")).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val sketch = graft.operators.Profiling.cmsSketch(docs)
+      graft.operators.Profiling
+        .cmsEstimateAgainst(exact.keys.toSeq.toDF("token"), sketch)
+        .as[(String, Long)].collect()
+        .forall { case (tok, est) => est >= exact(tok) }
+    }
 }
