@@ -351,6 +351,11 @@ object SparkEntry {
     "x4_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(t(s, d, "documents"))),
     // --- X2 similarity search ---
     "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
+    // brute-force max-inner-product top-k (magnitude-aware retrieval)
+    "x2_mips_topk" -> ((s, d) => Similarity.mipsBruteForce(t(s, d, "embeddings"))),
+    // bucketed MIPS: Neyshabur-Srebro norm augmentation -> sign-LSH at
+    // dim 65, candidates scored by raw dot of the original vectors
+    "x2_mips_lsh" -> ((s, d) => Similarity.mipsLsh(t(s, d, "embeddings"))),
     // diversified retrieval: at most one result per label class
     "x2_ann_diverse" -> ((s, d) => Similarity.annDiverse(t(s, d, "embeddings"))),
     // per-query recall@3 of the LSH index vs brute-force ground truth
@@ -2577,6 +2582,58 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 5""",
+    "x2_mips_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         s AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) AS dp
+           FROM e q, e t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         r AS (SELECT q_id, n_id, dp, row_number() OVER (PARTITION BY q_id
+             ORDER BY dp DESC, n_id) AS rank FROM s)
+         SELECT q_id, n_id, round(dp, 6) AS dp, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 5""",
+    // the norm-augmented LSH chain: the x2_ann_lsh plane formula lifted
+    // to dim 65 over the UNSCALED augmentation [v, sqrt(M^2 - |v|^2)]
+    // (query lift appends 0) — sign hashes are scale-invariant, so the
+    // unscaled lift buckets identically to the unit-norm reduction
+    "x2_mips_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         mm AS (SELECT max(nrm) AS m FROM n),
+         da AS (SELECT vec_id,
+             list_append(v, sqrt(greatest(0.0, mm.m*mm.m - nrm*nrm))) AS av
+           FROM n, mm),
+         qa AS (SELECT vec_id, list_append(v, 0.0) AS av FROM n WHERE vec_id < 20),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(65), d -> av[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*65 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM da, (SELECT unnest(range(8)) AS tt)),
+         qb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(65), d -> av[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*65 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM qa, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket
+           FROM qb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl)),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) AS dp
+           FROM cand c JOIN e q ON q.vec_id = c.q_id JOIN e t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, dp, row_number() OVER (PARTITION BY q_id
+             ORDER BY dp DESC, n_id) AS rank FROM s)
+         SELECT q_id, n_id, round(dp, 6) AS dp, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
     "x2_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -326,6 +326,66 @@ object Similarity {
     * whereas multi-probe only multiplies the tiny query frame by 5. */
   private val ProbeMasks = Seq(0, 1, 2, 4, 8)
 
+  /** X2 brute-force MAX-INNER-PRODUCT top-k — the retrieval metric
+    * recommenders and learned-sparse rankers need where magnitude
+    * carries signal (cosine deliberately erases it): per query
+    * (vec_id < nQueries), the k corpus vectors maximizing the RAW dot
+    * product. Same O(|Q|·N) broadcast-query scored stream and O(k)
+    * heap aggregation as [[annBruteForce]]; dots fold sequentially so
+    * scores are engine-identical, output rounded, ties on id. */
+  def mipsBruteForce(embeddings: DataFrame, nQueries: Int = 20,
+                     k: Int = 5): DataFrame = {
+    val all = withVec(embeddings).select(col("vec_id"), col("v"))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        dot(col("qv"), col("v")).as("cos"))
+    topKPerGroup(scored, k).withColumnRenamed("cos", "dp")
+  }
+
+  /** X2 bucketed MIPS — the scale path: Neyshabur-Srebro norm
+    * augmentation reduces max-inner-product to cosine, then the house
+    * sign-LSH index applies. Corpus vectors append
+    * `sqrt(M² − ‖v‖²)` as a 65th component (M = max corpus norm);
+    * queries append 0. Under that lift, cosine order over augmented
+    * vectors = dot-product order over the originals — and because
+    * sign hashes are invariant to positive scaling, the UNSCALED lift
+    * hashes into identical buckets with zero per-element work (one
+    * sqrt per row, no interpreted transform; the augmented plane set
+    * is the same LCG formula at dim = 65). Query-side multi-probe and
+    * candidate generation mirror [[annLsh]]; candidates score by raw
+    * dot of the ORIGINAL vectors. The M aggregate is one broadcast
+    * scalar — at 100 TB it is the stored index's metadata, not a
+    * per-query job. */
+  def mipsLsh(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val vn = withVec(embeddings).select(col("vec_id"), col("v"), col("nrm"))
+    val m = vn.agg(max(col("nrm")).as("m"))
+    def buckets(df: DataFrame) = df
+      .withColumn("bkts",
+        graft.functions.TextSignatureColumns.lsh_buckets(col("av"), NumTables, 4, 65))
+      .select(col("vec_id"), posexplode(col("bkts")))
+      .toDF("vec_id", "tbl", "bucket")
+    val docB = buckets(vn.crossJoin(broadcast(m))
+      .select(col("vec_id"), concat(col("v"), array(sqrt(greatest(lit(0.0),
+        col("m") * col("m") - col("nrm") * col("nrm"))))).as("av")))
+      .repartition(col("tbl"), col("bucket"))
+    val qp = buckets(vn.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), concat(col("v"), array(lit(0.0))).as("av")))
+      .withColumn("fl", explode(typedLit(ProbeMasks)))
+      .select(col("vec_id").as("q_id"), col("tbl"),
+        col("bucket").bitwiseXOR(col("fl")).as("bucket"))
+    val cands = docB.join(qp, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val scored = cands
+      .join(vn.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+      .join(vn.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), dot(col("qv"), col("v")).as("cos"))
+    topKPerGroup(scored, k).withColumnRenamed("cos", "dp")
+  }
+
   /** LSH-bucketed ANN over any (vec_id, v: array<double>) frame —
     * shared by the embedding-table path and the multimodal
     * media-search composition (embed → bucketed retrieval). */

@@ -449,6 +449,34 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(recall >= 0.85, f"LSH recall@3 dropped to $recall%.2f")
   }
 
+  test("MIPS: bucketed search scores equal brute-force dots, recall above the floor") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val bf = Similarity.mipsBruteForce(emb, 20, 3)
+      .as[(Long, Long, Double, Int)].collect()
+    val bfTop = bf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bfScores = bf.map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.mipsLsh(emb, 20, 3)
+      .as[(Long, Long, Double, Int)].collect()
+    // every bucketed hit prices with the SAME raw dot the exact path
+    // computes — the augmentation changes candidates, never scores
+    val bfAll = Similarity.mipsBruteForce(emb, 20, 1000000)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(lsh.forall { case (q, n, dp, _) => bfAll((q, n)) === dp })
+    val lshTop = lsh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = bfTop.keys.toSeq.map { q =>
+      (bfTop(q) & lshTop.getOrElse(q, Set.empty)).size.toDouble / bfTop(q).size
+    }.sum / bfTop.size
+    assert(recall >= 0.75, f"MIPS-LSH recall@3 dropped to $recall%.2f")
+    // the exact top-1 by dot differs from cosine's for magnitude-heavy
+    // corpora; sanity: scores are finite and ranked descending per query
+    bf.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    assert(bfScores.nonEmpty)
+  }
+
   test("IVF multi-probe recall vs brute force stays above the regression floor") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     val bf = Similarity.annBruteForce(emb, 20, 3)
