@@ -356,6 +356,14 @@ object SparkEntry {
     // bucketed MIPS: Neyshabur-Srebro norm augmentation -> sign-LSH at
     // dim 65, candidates scored by raw dot of the original vectors
     "x2_mips_lsh" -> ((s, d) => Similarity.mipsLsh(t(s, d, "embeddings"))),
+    // the MIPS serve path: probe the MATERIALIZED augmented bucket
+    // table (query lift appends 0 — no corpus statistic in the serve
+    // plan). Oracle = x2_mips_lsh's verbatim.
+    "x2_mips_lsh_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.mipsLshOnBucketIndex(emb,
+        Similarity.mipsBucketIndex(emb).localCheckpoint())
+    }),
     // diversified retrieval: at most one result per label class
     "x2_ann_diverse" -> ((s, d) => Similarity.annDiverse(t(s, d, "embeddings"))),
     // per-query recall@3 of the LSH index vs brute-force ground truth
@@ -663,7 +671,7 @@ object SparkEntry {
     "x1_budget_select", "x1_pack_contexts", "x1_split_leakage",
     "x1_systematic_sample",
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
-    "x2_ann_lsh_serve", "x2_ann_pq", "x2_ann_pq_serve",
+    "x2_ann_lsh_serve", "x2_ann_pq", "x2_ann_pq_serve", "x2_mips_lsh_serve",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
     "x2_ivf_recall", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
@@ -5114,6 +5122,7 @@ object SparkEntry {
       "x2_ann_pq_serve" -> base("x2_ann_pq"),
       "x3_bigram_score_serve" -> base("x3_bigram_logprob"),
       "x3_unigram_score_serve" -> base("x3_unigram_logprob"),
+      "x2_mips_lsh_serve" -> base("x2_mips_lsh"),
       "x3_bm25_serve" -> base("x3_bm25_search"),
       "x3_phrase_serve" -> base("x3_phrase_search"),
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),

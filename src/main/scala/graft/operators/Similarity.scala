@@ -359,24 +359,44 @@ object Similarity {
     * dot of the ORIGINAL vectors. The M aggregate is one broadcast
     * scalar — at 100 TB it is the stored index's metadata, not a
     * per-query job. */
-  def mipsLsh(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame = {
+  def mipsLsh(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3): DataFrame =
+    mipsLshOnBucketIndex(embeddings, mipsBucketIndex(embeddings), nQueries, k)
+
+  private def mipsAugBuckets(df: DataFrame): DataFrame = df
+    .withColumn("bkts",
+      graft.functions.TextSignatureColumns.lsh_buckets(col("av"), NumTables, 4, 65))
+    .select(col("vec_id"), posexplode(col("bkts")))
+    .toDF("vec_id", "tbl", "bucket")
+
+  /** The STORED MIPS bucket index — the augmented-lift sign-hash table
+    * a resident pipeline materializes once per corpus generation
+    * (M, the max corpus norm, exists only inside this build; the
+    * query-side lift appends 0, so serving needs no corpus statistics
+    * at all). Same 8·N slim-row shape as [[lshBucketIndex]]. */
+  def mipsBucketIndex(embeddings: DataFrame): DataFrame = {
     val vn = withVec(embeddings).select(col("vec_id"), col("v"), col("nrm"))
     val m = vn.agg(max(col("nrm")).as("m"))
-    def buckets(df: DataFrame) = df
-      .withColumn("bkts",
-        graft.functions.TextSignatureColumns.lsh_buckets(col("av"), NumTables, 4, 65))
-      .select(col("vec_id"), posexplode(col("bkts")))
-      .toDF("vec_id", "tbl", "bucket")
-    val docB = buckets(vn.crossJoin(broadcast(m))
+    mipsAugBuckets(vn.crossJoin(broadcast(m))
       .select(col("vec_id"), concat(col("v"), array(sqrt(greatest(lit(0.0),
         col("m") * col("m") - col("nrm") * col("nrm"))))).as("av")))
       .repartition(col("tbl"), col("bucket"))
-    val qp = buckets(vn.filter(col("vec_id") < nQueries)
+  }
+
+  /** [[mipsLsh]] answered from a STORED [[mipsBucketIndex]]: queries
+    * lift with a 0 appended and hash fresh (no corpus statistic
+    * needed), multi-probe the stored table, and only the
+    * O(candidates) raw-dot scoring join touches vectors — the serve ≡
+    * self-contained contract (`x2_mips_lsh_serve` shares the oracle
+    * by reference). */
+  def mipsLshOnBucketIndex(embeddings: DataFrame, buckets: DataFrame,
+                           nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val vn = withVec(embeddings).select(col("vec_id"), col("v"))
+    val qp = mipsAugBuckets(vn.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), concat(col("v"), array(lit(0.0))).as("av")))
       .withColumn("fl", explode(typedLit(ProbeMasks)))
       .select(col("vec_id").as("q_id"), col("tbl"),
         col("bucket").bitwiseXOR(col("fl")).as("bucket"))
-    val cands = docB.join(qp, Seq("tbl", "bucket"))
+    val cands = buckets.join(qp, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id")).distinct()
     val scored = cands

@@ -177,11 +177,12 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("LSH Hamming-1 probe masks",
     "[0, 1, 2, 4, 8]",
     Set("x2_ann_filtered", "x2_ann_lsh", "x2_ann_lsh_serve", "x2_mips_lsh",
-      "x2_recall", "x5_mm_recall", "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
+      "x2_mips_lsh_serve", "x2_recall", "x5_mm_recall", "x5_mm_search_lsh",
+      "x5_mm_search_lsh_serve"))
 
   formulaFamily("MIPS augmented hyperplane (dim 65)",
     "(CAST((1103515245::BIGINT * ((tt*4 + j)*65 + d) + 12345) % 2147483648 AS DOUBLE)",
-    Set("x2_mips_lsh"))
+    Set("x2_mips_lsh", "x2_mips_lsh_serve"))
 
   formulaFamily("LSH dedup hyperplane (4 tables x 16 bits, centered)",
     "(CAST((1103515245::BIGINT * ((tt*16 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)",

@@ -396,6 +396,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("lang") && !read.contains("source"), read)
   }
 
+  test("MIPS LSH: candidate generation is a bucket hash join, M is one broadcast scalar") {
+    val p = planOf("x2_mips_lsh")
+    // the scalar-M cross is the only nested loop; candidates join on
+    // (tbl, bucket), never all-pairs
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)

@@ -468,6 +468,11 @@ class SimilarityWindowsSpec extends AnyFunSuite {
       (bfTop(q) & lshTop.getOrElse(q, Set.empty)).size.toDouble / bfTop(q).size
     }.sum / bfTop.size
     assert(recall >= 0.75, f"MIPS-LSH recall@3 dropped to $recall%.2f")
+    // serve from the STORED augmented bucket index is identical
+    val served = Similarity.mipsLshOnBucketIndex(emb,
+      Similarity.mipsBucketIndex(emb).localCheckpoint(), 20, 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(served.toSet === lsh.toSet)
     // the exact top-1 by dot differs from cosine's for magnitude-heavy
     // corpora; sanity: scores are finite and ranked descending per query
     bf.groupBy(_._1).foreach { case (_, rs) =>
