@@ -356,6 +356,8 @@ object SparkEntry {
     // bucketed MIPS: Neyshabur-Srebro norm augmentation -> sign-LSH at
     // dim 65, candidates scored by raw dot of the original vectors
     "x2_mips_lsh" -> ((s, d) => Similarity.mipsLsh(t(s, d, "embeddings"))),
+    // MIPS recall audit: bucketed top-3 vs brute-force ground truth
+    "x2_mips_recall" -> ((s, d) => Similarity.mipsRecallReport(t(s, d, "embeddings"))),
     // the MIPS serve path: probe the MATERIALIZED augmented bucket
     // table (query lift appends 0 — no corpus statistic in the serve
     // plan). Oracle = x2_mips_lsh's verbatim.
@@ -2642,6 +2644,57 @@ object SparkEntry {
              ORDER BY dp DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(dp, 6) AS dp, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // copies the x2_mips_lsh mm..r chain verbatim (OracleChainSpec's
+    // MIPS family) and appends the brute-force sb/rb chain + overlap
+    "x2_mips_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         mm AS (SELECT max(nrm) AS m FROM n),
+         da AS (SELECT vec_id,
+             list_append(v, sqrt(greatest(0.0, mm.m*mm.m - nrm*nrm))) AS av
+           FROM n, mm),
+         qa AS (SELECT vec_id, list_append(v, 0.0) AS av FROM n WHERE vec_id < 20),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(65), d -> av[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*65 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM da, (SELECT unnest(range(8)) AS tt)),
+         qb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(65), d -> av[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*65 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM qa, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket
+           FROM qb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl)),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) AS dp
+           FROM cand c JOIN e q ON q.vec_id = c.q_id JOIN e t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, dp, row_number() OVER (PARTITION BY q_id
+             ORDER BY dp DESC, n_id) AS rank FROM s),
+         sb AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) AS dp
+           FROM e q, e t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         rb AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY dp DESC, n_id) AS rank FROM sb),
+         ov AS (SELECT b.q_id, b.n_id,
+             CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM (SELECT q_id, n_id FROM rb WHERE rank <= 3) b
+           LEFT JOIN (SELECT q_id, n_id FROM r WHERE rank <= 3) l
+             ON l.q_id = b.q_id AND l.n_id = b.n_id)
+         SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+           round(CAST(CAST(sum(hit) AS BIGINT) AS DOUBLE) / 3.0, 4) AS recall
+         FROM ov GROUP BY q_id""",
     "x2_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

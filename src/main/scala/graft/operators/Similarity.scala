@@ -406,6 +406,25 @@ object Similarity {
     topKPerGroup(scored, k).withColumnRenamed("cos", "dp")
   }
 
+  /** X2 MIPS recall audit — the measure-don't-guess gate for the
+    * augmented-LSH index ([[lshRecallReport]]'s counterpart for the
+    * dot-product metric): per query, how many of the brute-force
+    * top-k by raw dot the bucketed search returns. One (q_id, n_id)
+    * equi join of two k·nQueries frames; the oracle replays both
+    * chains inside the comparison. */
+  def mipsRecallReport(embeddings: DataFrame, nQueries: Int = 20,
+                       k: Int = 3): DataFrame = {
+    val exact = mipsBruteForce(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = mipsLsh(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** LSH-bucketed ANN over any (vec_id, v: array<double>) frame —
     * shared by the embedding-table path and the multimodal
     * media-search composition (embed → bucketed retrieval). */

@@ -892,16 +892,35 @@ object TextAnalysis {
     * Cross-engine exactness: idf quantizes to micro-nats
     * (`floor(ln·1e6 + ½)`, the unigram-model discipline); `avgdl` is
     * one division of exact int64s (IEEE-exact both engines). */
-  def bm25Index(documents: DataFrame): DataFrame = {
+  def bm25Index(documents: DataFrame): DataFrame =
+    bm25IndexFromPostings(bm25RawPostings(documents))
+
+  /** The tokenize-once half of [[bm25Index]]: raw (doc_id, token, tf,
+    * dl) posting rows — the SHARD-level artifact of index
+    * maintenance. Disjoint shards' raw postings union losslessly;
+    * the corpus-global statistics (df, idf, avgdl) are NOT
+    * shard-mergeable, so adding/removing a shard re-derives them via
+    * [[bm25IndexFromPostings]] from the unioned raw rows — text is
+    * never re-read or re-tokenized (spec pins shard-union rebuild ≡
+    * whole-corpus build). */
+  def bm25RawPostings(documents: DataFrame): DataFrame = {
     val terms = documents
       .select(col("doc_id"), explode(toks).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dl = documents.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    terms.join(
+      documents.select(col("doc_id"), size(toks).cast("long").as("dl")),
+      "doc_id")
+  }
+
+  /** Rebuild the serveable [[bm25Index]] statistics (df, micro-nat
+    * Robertson idf, avgdl) from raw posting rows alone — two
+    * vocabulary/scalar-scale aggregates joined back by broadcast. */
+  def bm25IndexFromPostings(raw: DataFrame): DataFrame = {
+    val dl = raw.select(col("doc_id"), col("dl")).distinct()
     val nd = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val dfs = terms.groupBy(col("token"))
+    val dfs = raw.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    terms.join(broadcast(dfs), "token").join(dl, "doc_id")
-      .crossJoin(broadcast(nd))
+    raw.join(broadcast(dfs), "token").crossJoin(broadcast(nd))
       .select(col("doc_id"), col("token"), col("tf"), col("dl"),
         floor(log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))) * 1e6 + 0.5).cast("long").as("idf6"),

@@ -66,6 +66,10 @@ class OracleChainSpec extends AnyFunSuite {
       "x4_minhash_pairs", "x4_source_dup_rate", "x4_source_overlap",
       "x4_survivors"))
 
+  chainFamily("MIPS augmented-LSH mm..r chain", "x2_mips_lsh",
+    "mm AS (SELECT max(nrm) AS m FROM n)", "ORDER BY dp DESC, n_id) AS rank FROM s)",
+    Set("x2_mips_lsh", "x2_mips_lsh_serve", "x2_mips_recall"))
+
   chainFamily("phrase t/idx positional chain", "x3_phrase_index",
     "WITH t AS", "unnest(s) AS token FROM t)",
     Set("x3_phrase_index", "x3_phrase_search", "x3_phrase_serve"))
@@ -177,12 +181,12 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("LSH Hamming-1 probe masks",
     "[0, 1, 2, 4, 8]",
     Set("x2_ann_filtered", "x2_ann_lsh", "x2_ann_lsh_serve", "x2_mips_lsh",
-      "x2_mips_lsh_serve", "x2_recall", "x5_mm_recall", "x5_mm_search_lsh",
-      "x5_mm_search_lsh_serve"))
+      "x2_mips_lsh_serve", "x2_mips_recall", "x2_recall", "x5_mm_recall",
+      "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
 
   formulaFamily("MIPS augmented hyperplane (dim 65)",
     "(CAST((1103515245::BIGINT * ((tt*4 + j)*65 + d) + 12345) % 2147483648 AS DOUBLE)",
-    Set("x2_mips_lsh", "x2_mips_lsh_serve"))
+    Set("x2_mips_lsh", "x2_mips_lsh_serve", "x2_mips_recall"))
 
   formulaFamily("LSH dedup hyperplane (4 tables x 16 bits, centered)",
     "(CAST((1103515245::BIGINT * ((tt*16 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)",

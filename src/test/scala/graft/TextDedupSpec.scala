@@ -1327,4 +1327,20 @@ class TextDedupSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Long, Double)].collect().toSet
     assert(served === self)
   }
+
+  test("BM25 maintenance: shard raw-posting union rebuilds the whole-corpus index, no re-tokenize") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val full = TextAnalysis.bm25Index(d)
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSet
+    // two disjoint shards tokenized independently (the nightly shape:
+    // each shard stores its raw postings once), then merged by UNION
+    // and re-statted — text never touched again
+    val rawA = TextAnalysis.bm25RawPostings(d.filter(col("doc_id") % 2 === 0))
+      .localCheckpoint()
+    val rawB = TextAnalysis.bm25RawPostings(d.filter(col("doc_id") % 2 === 1))
+      .localCheckpoint()
+    val rebuilt = TextAnalysis.bm25IndexFromPostings(rawA.union(rawB))
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSet
+    assert(rebuilt === full)
+  }
 }
