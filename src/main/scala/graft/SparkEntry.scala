@@ -236,6 +236,17 @@ object SparkEntry {
     "x3_bm25_index" -> ((s, d) => TextAnalysis.bm25Index(t(s, d, "documents"))),
     // BM25 top-k retrieval: hash-sampled query docs vs the corpus
     "x3_bm25_search" -> ((s, d) => TextAnalysis.bm25TopK(t(s, d, "documents"))),
+    // index maintenance: two STORED shard raw-posting tables unioned,
+    // corpus stats re-derived — text never re-tokenized. Oracle =
+    // x3_bm25_index's verbatim.
+    "x3_bm25_rebuild" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.bm25IndexFromPostings(
+        TextAnalysis.bm25RawPostings(docs.filter("doc_id % 2 = 0"))
+          .localCheckpoint()
+          .union(TextAnalysis.bm25RawPostings(docs.filter("doc_id % 2 = 1"))
+            .localCheckpoint()))
+    }),
     // BM25 serve path: the same queries scored against the
     // MATERIALIZED index table, no corpus aggregation in the scoring
     // plan. Oracle = x3_bm25_search's verbatim.
@@ -315,6 +326,14 @@ object SparkEntry {
     // (<= m rows; shards merge by distinct-union)
     "x4_bloom_bits" -> ((s, d) => Dedup.bloomBitSet(
       t(s, d, "documents").filter("doc_id >= 100"))),
+    // shard bit-set fold: two STORED half-index bit sets distinct-
+    // unioned into the corpus bit set. Oracle = x4_bloom_bits's verbatim.
+    "x4_bloom_merge" -> ((s, d) => {
+      val idx = t(s, d, "documents").filter("doc_id >= 100")
+      Dedup.bloomMergeBits(
+        Dedup.bloomBitSet(idx.filter("doc_id % 2 = 0")).localCheckpoint(),
+        Dedup.bloomBitSet(idx.filter("doc_id % 2 = 1")).localCheckpoint())
+    }),
     // Bloom-gate audit on the x4_incremental split: per incoming doc
     // the k-bit verdict vs ground truth (is_dup -> bloom_hit always;
     // hit-but-not-dup rows = live false-positive rate)
@@ -640,6 +659,15 @@ object SparkEntry {
       Profiling.cmsEstimateAgainst(Profiling.cmsServeBatch(docs),
         Profiling.cmsSketch(docs).localCheckpoint())
     }),
+    // shard-sketch fold: two STORED half-corpus sketches added into
+    // the corpus sketch — counter addition, no corpus re-read.
+    // Oracle = x6_cms_sketch's verbatim.
+    "x6_cms_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profiling.cmsMerge(
+        Profiling.cmsSketch(docs.filter("doc_id % 2 = 0")).localCheckpoint(),
+        Profiling.cmsSketch(docs.filter("doc_id % 2 = 1")).localCheckpoint())
+    }),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -677,8 +705,9 @@ object SparkEntry {
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
     "x2_ivf_recall", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
-    "x3_bigram_score_serve", "x3_bm25_serve", "x3_phrase_serve",
-    "x3_unigram_score_serve",
+    "x3_bigram_score_serve", "x3_bm25_rebuild", "x3_bm25_serve",
+    "x3_phrase_serve", "x3_unigram_score_serve", "x4_bloom_merge",
+    "x6_cms_merge",
     "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_dup_rate",
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
     "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
@@ -5176,8 +5205,11 @@ object SparkEntry {
       "x3_bigram_score_serve" -> base("x3_bigram_logprob"),
       "x3_unigram_score_serve" -> base("x3_unigram_logprob"),
       "x2_mips_lsh_serve" -> base("x2_mips_lsh"),
+      "x3_bm25_rebuild" -> base("x3_bm25_index"),
       "x3_bm25_serve" -> base("x3_bm25_search"),
       "x3_phrase_serve" -> base("x3_phrase_search"),
+      "x4_bloom_merge" -> base("x4_bloom_bits"),
+      "x6_cms_merge" -> base("x6_cms_sketch"),
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),
       "x5_mm_search_pq_serve" -> base("x5_mm_search_pq"),
       "x5_mm_search_ivfpq_serve" -> base("x5_mm_search_ivfpq"),

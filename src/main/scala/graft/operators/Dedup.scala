@@ -1079,6 +1079,12 @@ object Dedup {
     indexed.select(md5(col("text")).as("fp")).distinct()
       .select(explode(bloomBits(col("fp"), k, m)).as("bit")).distinct()
 
+  /** Fold shard [[bloomBitSet]] tables into the corpus bit set —
+    * DISTINCT-union, the Bloom merge law (`x4_bloom_merge` pins
+    * merged ≡ whole-corpus by aliased oracle). */
+  def bloomMergeBits(bitSets: DataFrame*): DataFrame =
+    bitSets.reduce(_ union _).distinct()
+
   /** X4 Bloom-gate audit: probe each incoming doc's fingerprint
     * against the indexed corpus's Bloom bit set AND against ground
     * truth — per doc the Bloom verdict (`bloom_hit`: all k bits lit)

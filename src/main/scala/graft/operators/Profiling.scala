@@ -561,6 +561,14 @@ object Profiling {
       .groupBy(col("token"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
 
+  /** Fold shard [[cmsSketch]] tables into the corpus sketch — plain
+    * counter ADDITION, the property that makes CMS the persisted
+    * artifact (`x6_cms_merge` pins merged ≡ whole-corpus by aliased
+    * oracle; nightly shards/days/clusters fold the same way). */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ union _)
+      .groupBy(col("tbl"), col("bucket")).agg(sum(col("c")).as("c"))
+
   /** The deterministic serve batch `x6_cms_serve` estimates: the
     * distinct tokens of a doc-id hash sample of the corpus. */
   def cmsServeBatch(documents: DataFrame, samplePct: Int = 7): DataFrame =

@@ -76,15 +76,15 @@ class OracleChainSpec extends AnyFunSuite {
 
   chainFamily("Bloom idx/bits chain", "x4_bloom_bits",
     "WITH idx AS", "CROSS JOIN (SELECT unnest(range(4)) AS i) ii)",
-    Set("x4_bloom_bits", "x4_bloom_gate"))
+    Set("x4_bloom_bits", "x4_bloom_gate", "x4_bloom_merge"))
 
   chainFamily("CMS cnt/sk sketch chain", "x6_cms_sketch",
     "WITH cnt AS", "GROUP BY 1, 2)",
-    Set("x6_cms_sketch", "x6_cms_topk", "x6_cms_serve"))
+    Set("x6_cms_sketch", "x6_cms_topk", "x6_cms_serve", "x6_cms_merge"))
 
   chainFamily("BM25 index terms/dl/nd/dfs/idx", "x3_bm25_index",
     "WITH terms AS", "JOIN dl ON dl.doc_id = t.doc_id, nd)",
-    Set("x3_bm25_index", "x3_bm25_search", "x3_bm25_serve"))
+    Set("x3_bm25_index", "x3_bm25_rebuild", "x3_bm25_search", "x3_bm25_serve"))
 
   chainFamily("IVF Lloyd training c0..c2", "x2_ann_ivf",
     "c0 AS (SELECT vec_id AS c_id", "FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id)",
