@@ -301,6 +301,9 @@ object SparkEntry {
     // near-dup leakage across hash splits: clusters histogrammed by
     // the set of train/val/test splits their members touch
     "x1_split_leakage" -> ((s, d) => Sampling.splitLeakage(t(s, d, "documents"))),
+    // temporal holdout at the 80% day boundary + cross-side user
+    // contamination audit (the leakage a random split hides)
+    "x1_time_split" -> ((s, d) => Sampling.timeSplit(t(s, d, "events"))),
     // row-level canonical-id export of the clustering (who absorbed whom)
     "x4_survivors" -> ((s, d) => Dedup.survivorMap(t(s, d, "documents"))),
     // per-source cross-doc shingle repetition (memorization-risk dial)
@@ -1928,6 +1931,28 @@ object SparkEntry {
     // the x4_cluster chain (shared CTE copy — change together) plus the
     // x1_sample_split hash assignment, histogrammed by the split-set
     // signature of each cluster; a comma in `splits` = leakage
+    "x1_time_split" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+         s AS (SELECT min(day) + (max(day) - min(day)) * 4 // 5 AS split_day FROM d),
+         t AS (SELECT d.day, d.user_id, d.day < s.split_day AS is_train FROM d, s),
+         ev AS (SELECT
+             CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+           FROM t),
+         uu AS (SELECT user_id,
+             max(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+             max(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_test
+           FROM t GROUP BY user_id),
+         us AS (SELECT CAST(sum(in_train) AS BIGINT) AS n_train_users,
+             CAST(sum(in_test) AS BIGINT) AS n_test_users,
+             CAST(sum(CASE WHEN in_train = 1 AND in_test = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cross_users
+           FROM uu)
+         SELECT s.split_day, ev.n_train, ev.n_test, us.n_train_users,
+           us.n_test_users, us.n_cross_users,
+           round(CAST(us.n_cross_users AS DOUBLE) /
+             CAST(us.n_train_users AS DOUBLE), 6) AS cross_frac
+         FROM s, ev, us""",
     "x1_split_leakage" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          t AS (SELECT doc_id, list_transform(

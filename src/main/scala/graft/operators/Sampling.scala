@@ -457,4 +457,39 @@ object Sampling {
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("n_docs")).as("n_docs"))
   }
+
+  /** X1 TEMPORAL holdout + user-leakage audit — the time-series
+    * counterpart of [[splitLeakage]]: events split at the 80% day
+    * boundary (train strictly before, integer arithmetic on the
+    * observed day range, so the same corpus always cuts at the same
+    * day), and the one-row report carries what a forecasting/eval
+    * pipeline must check before trusting the split — event and
+    * distinct-user counts per side, the users present on BOTH sides
+    * (the identity-level contamination channel a random split hides),
+    * and their fraction of the train population. Two aggregates over
+    * the day-keyed stream + one user-grain aggregate; the split day
+    * is a broadcast scalar, nothing corpus-sized crosses. */
+  def timeSplit(events: DataFrame): DataFrame = {
+    val d = events.select(
+      expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+    val s = d.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select((col("lo") + expr("(hi - lo) * 4 div 5")).as("split_day"))
+    val t = d.crossJoin(broadcast(s))
+      .withColumn("is_train", col("day") < col("split_day"))
+    val ev = t.agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("is_train"), 0L).otherwise(1L)).as("n_test"))
+    val us = t.groupBy(col("user_id"))
+      .agg(max(when(col("is_train"), 1L).otherwise(0L)).as("in_train"),
+        max(when(col("is_train"), 0L).otherwise(1L)).as("in_test"))
+      .agg(sum(col("in_train")).as("n_train_users"),
+        sum(col("in_test")).as("n_test_users"),
+        sum(when(col("in_train") === 1 && col("in_test") === 1, 1L)
+          .otherwise(0L)).as("n_cross_users"))
+    s.crossJoin(ev).crossJoin(us)
+      .select(col("split_day"), col("n_train"), col("n_test"),
+        col("n_train_users"), col("n_test_users"), col("n_cross_users"),
+        round(col("n_cross_users").cast("double") /
+          col("n_train_users").cast("double"), 6).as("cross_frac"))
+  }
 }

@@ -189,6 +189,15 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq((100L, "a b")).toDF("doc_id", "text"))
       .as[(Long, Long, Long, Long, Option[Double])].collect()
     assert(ho.toSeq === Seq((9L, 0L, 0L, 1L, None)))
+    // temporal split: days 0..4 cut at day 3 (80% boundary, strict
+    // train < 3); u1 appears on both sides -> the one crossing user
+    val ts = (d: Long) => new java.sql.Timestamp(d * 86400000L)
+    val ev = Seq((1L, ts(0), 1L), (2L, ts(0), 2L), (5L, ts(2), 2L),
+      (3L, ts(4), 1L), (4L, ts(4), 3L))
+      .toDF("event_id", "ts", "user_id")
+    assert(Sampling.timeSplit(ev)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].head() ===
+      ((3L, 3L, 2L, 2L, 2L, 1L, 0.5)))
     // bloom gate against an EMPTY index: no bits set, no hits, no dups
     val g = Dedup.bloomGate(two, two.filter("doc_id < 0"))
       .as[(Long, String, Boolean, Boolean)].collect()
