@@ -486,6 +486,22 @@ object SparkEntry {
       t(s, d, "embeddings").filter("vec_id < 100"),
       t(s, d, "embeddings").filter("vec_id >= 100"))),
     "x2_quantize" -> ((s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"))),
+    // scalar-quantized (int8) MIPS: rank by scale_q·scale_d·<q,d> —
+    // the 4×-smaller search tier; integer inner products, exact
+    "x2_ann_sq" -> ((s, d) => Similarity.annSq(t(s, d, "embeddings"))),
+    // the SQ serve path: search runs against the STORED int8 code
+    // table, raw floats never in the plan. Oracle = x2_ann_sq's.
+    "x2_ann_sq_serve" -> ((s, d) =>
+      Similarity.annSqOnCodes(
+        Similarity.sqCodes(t(s, d, "embeddings")).localCheckpoint())),
+    // two-stage serve plan: int8 shortlist (20 cands) -> exact rerank
+    "x2_ann_sq_rerank" -> ((s, d) => Similarity.annSqRerank(t(s, d, "embeddings"))),
+    // recall@5 of the int8 ranking vs exact MIPS ground truth
+    "x2_sq_recall" -> ((s, d) => Similarity.sqRecallReport(t(s, d, "embeddings"))),
+    // hybrid retrieval: dense cosine top-5 + BM25 top-5 fused by
+    // integer reciprocal-rank contributions (RRF, c = 60)
+    "x2_hybrid_rrf" -> ((s, d) =>
+      Similarity.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"))),
     // per-dimension mean/variance/dead-unit audit in exact integer moments
     "x2_dim_stats" -> ((s, d) => Similarity.dimStats(t(s, d, "embeddings"))),
     // row-wise norm audit: z of each vector's L2 norm vs the corpus
@@ -671,6 +687,24 @@ object SparkEntry {
         Profiling.cmsSketch(docs.filter("doc_id % 2 = 0")).localCheckpoint(),
         Profiling.cmsSketch(docs.filter("doc_id % 2 = 1")).localCheckpoint())
     }),
+    // fixed-width histogram sketch: the quantile member of the
+    // mergeable-sketch family (bucket counts per event type)
+    "x6_hist_sketch" -> ((s, d) => Profiling.histSketch(t(s, d, "events"))),
+    // p50/p90/p99 per event type answered from the bucket counts
+    "x6_hist_quantiles" -> ((s, d) => Profiling.histQuantiles(t(s, d, "events"))),
+    // shard-sketch fold: two stored half-corpus histograms added into
+    // the corpus sketch. Oracle = x6_hist_sketch's verbatim.
+    "x6_hist_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Profiling.histMerge(
+        Profiling.histSketch(ev.filter("event_id % 2 = 0")).localCheckpoint(),
+        Profiling.histSketch(ev.filter("event_id % 2 = 1")).localCheckpoint())
+    }),
+    // the quantile serve path: estimates from the MATERIALIZED sketch
+    // — no event scan in the plan. Oracle = x6_hist_quantiles'.
+    "x6_hist_serve" -> ((s, d) =>
+      Profiling.histQuantilesFrom(
+        Profiling.histSketch(t(s, d, "events")).localCheckpoint())),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -715,7 +749,9 @@ object SparkEntry {
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
     "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
-    "x6_anomaly_serve", "x6_cms_serve", "x6_hll_serve", "x6_kmv_serve",
+    "x2_ann_sq_serve",
+    "x6_anomaly_serve", "x6_cms_serve", "x6_hist_merge", "x6_hist_serve",
+    "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
   )
 
@@ -3756,6 +3792,159 @@ object SparkEntry {
            CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS q_sum,
            list_max(q) AS q_max
          FROM qq""",
+    // SQ int8 ADC search: the x2_quantize encode chain (e/sc/qq,
+    // copied verbatim — change together), then rank by the asymmetric
+    // estimate ip·scale_q·scale_d. The int8 inner product is an exact
+    // integer (≤ 2^20 at dim 64), so the only doubles are the two
+    // scale factors in ONE fixed operand order.
+    "x2_ann_sq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc),
+         s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_reduce(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+               (x,y) -> x+y) AS DOUBLE) * a.scale * b.scale AS adot
+           FROM qq a, qq b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, adot, row_number() OVER (PARTITION BY q_id
+             ORDER BY adot DESC, n_id) AS rank FROM s)
+         SELECT q_id, n_id, round(adot, 6) AS adot, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 5""",
+    // two-stage SQ serve: the x2_ann_sq chain (e/sc/qq/s/r, copied
+    // verbatim — change together) proposes 20 candidates, then only
+    // those pairs rerank by the EXACT double dot product.
+    "x2_ann_sq_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc),
+         s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_reduce(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+               (x,y) -> x+y) AS DOUBLE) * a.scale * b.scale AS adot
+           FROM qq a, qq b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, adot, row_number() OVER (PARTITION BY q_id
+             ORDER BY adot DESC, n_id) AS rank FROM s),
+         cd AS (SELECT q_id, n_id FROM r WHERE rank <= 20),
+         ex AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) AS dp
+           FROM cd c JOIN e q ON q.vec_id = c.q_id JOIN e t ON t.vec_id = c.n_id),
+         rr AS (SELECT q_id, n_id, dp, row_number() OVER (PARTITION BY q_id
+             ORDER BY dp DESC, n_id) AS rank FROM ex)
+         SELECT q_id, n_id, round(dp, 6) AS dp, CAST(rank AS INTEGER) AS rank
+         FROM rr WHERE rank <= 5""",
+    // SQ recall audit: exact-MIPS ground truth (the x2_mips_recall
+    // sb/rb brute-force chain, copied verbatim — change together)
+    // left-joined with the SQ top-5 (qs2/qr2 = the x2_ann_sq scoring
+    // formula over the shared encode chain).
+    "x2_sq_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc),
+         qs2 AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_reduce(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+               (x,y) -> x+y) AS DOUBLE) * a.scale * b.scale AS adot
+           FROM qq a, qq b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         qr2 AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY adot DESC, n_id) AS rank FROM qs2),
+         sb AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) AS dp
+           FROM e q, e t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         rb AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY dp DESC, n_id) AS rank FROM sb),
+         ov AS (SELECT b.q_id, b.n_id,
+             CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM (SELECT q_id, n_id FROM rb WHERE rank <= 5) b
+           LEFT JOIN (SELECT q_id, n_id FROM qr2 WHERE rank <= 5) l
+             ON l.q_id = b.q_id AND l.n_id = b.n_id)
+         SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+           round(CAST(CAST(sum(hit) AS BIGINT) AS DOUBLE) / 5.0, 4) AS recall
+         FROM ov GROUP BY q_id""",
+    // hybrid retrieval: the x2_ann_topk cosine chain (e2/n2/s2/r2 =
+    // its e/n/s/r, copied verbatim modulo CTE names) and the
+    // x3_bm25_search terms/dl/nd/dfs/idx chain (copied verbatim —
+    // change together) with the query CTE swapped to doc_id < 20,
+    // fused by integer RRF contributions floor(10^6/(60 + rank)).
+    "x2_hybrid_rrf" ->
+      """WITH e2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n2 AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e2),
+         s2 AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n2 q, n2 t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         r2 AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s2),
+         terms AS (
+           SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY doc_id, token),
+         dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM terms GROUP BY token),
+         idx AS (SELECT t.doc_id, t.token, t.tf, dl.dl,
+             CAST(floor(ln((CAST(nd.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+               * 1000000 + 0.5) AS BIGINT) AS idf6,
+             CAST(nd.sum_dl AS DOUBLE) / nd.n_docs AS avgdl
+           FROM terms t JOIN dfs d ON d.token = t.token
+           JOIN dl ON dl.doc_id = t.doc_id, nd),
+         q AS (SELECT DISTINCT doc_id AS q_id, token FROM terms
+           WHERE doc_id < 20),
+         hit AS (SELECT q.q_id, i.doc_id,
+             CAST(floor(i.idf6 * ((i.tf * 2.2::DOUBLE) /
+               (i.tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * i.dl / i.avgdl)))
+               + 0.5) AS BIGINT) AS c6
+           FROM q JOIN idx i ON i.token = q.token AND i.doc_id <> q.q_id
+           WHERE i.idf6 > 0),
+         sc AS (SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum(c6) AS BIGINT) AS s6
+           FROM hit GROUP BY q_id, doc_id),
+         rk AS (SELECT q_id, doc_id, n_hit, s6, row_number() OVER (
+             PARTITION BY q_id ORDER BY s6 DESC, doc_id) AS rank FROM sc),
+         dr AS (SELECT q_id, n_id AS match_id, CAST(rank AS BIGINT) AS dense_rank
+           FROM r2 WHERE rank <= 5),
+         br AS (SELECT q_id, doc_id AS match_id, CAST(rank AS BIGINT) AS bm25_rank
+           FROM rk WHERE rank <= 5),
+         fu AS (SELECT coalesce(dr.q_id, br.q_id) AS q_id,
+             coalesce(dr.match_id, br.match_id) AS match_id,
+             coalesce(dr.dense_rank, 0) AS dense_rank,
+             coalesce(br.bm25_rank, 0) AS bm25_rank
+           FROM dr FULL OUTER JOIN br
+             ON br.q_id = dr.q_id AND br.match_id = dr.match_id),
+         fs AS (SELECT q_id, match_id, dense_rank, bm25_rank,
+             CAST(CASE WHEN dense_rank > 0
+                 THEN floor(1000000::DOUBLE / (60 + dense_rank)) ELSE 0 END
+               + CASE WHEN bm25_rank > 0
+                 THEN floor(1000000::DOUBLE / (60 + bm25_rank)) ELSE 0 END
+               AS BIGINT) AS rrf6
+           FROM fu),
+         fr AS (SELECT q_id, match_id, dense_rank, bm25_rank, rrf6,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf6 DESC, match_id) AS rank FROM fs)
+         SELECT q_id, match_id, dense_rank, bm25_rank, rrf6,
+           CAST(rank AS INTEGER) AS rank
+         FROM fr WHERE rank <= 5""",
     // per-dimension embedding health: quantize each element to 1e-4
     // units FIRST so the three moments are exact int64 in any fold
     // order; one rounded division each; the collapsed flag compares
@@ -4932,6 +5121,32 @@ object SparkEntry {
     // the CMS cnt/sk sketch chain is shared (copied) across
     // x6_cms_sketch, x6_cms_topk, and x6_cms_serve — change together
     // (enforced by OracleChainSpec's cms family)
+    // fixed-width histogram sketch: floor(value/5) bucket counts per
+    // event type — the bucket formula is SHARED (copied) with
+    // x6_hist_quantiles' sk CTE; change them together
+    "x6_hist_sketch" ->
+      """SELECT event_type, CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2""",
+    // sketch-served quantiles: cumulative bucket mass, threshold
+    // ceil(p·n) computed in DOUBLE on both engines, estimate = upper
+    // bucket edge (exact multiple of the width)
+    "x6_hist_quantiles" ->
+      """WITH sk AS (SELECT event_type, CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         cu AS (SELECT event_type, bucket, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM sk)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           round((min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p50_est,
+           round((min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p90_est,
+           round((min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p99_est
+         FROM cu GROUP BY 1""",
     "x6_cms_sketch" ->
       """WITH cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c
            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -5235,6 +5450,9 @@ object SparkEntry {
       "x3_phrase_serve" -> base("x3_phrase_search"),
       "x4_bloom_merge" -> base("x4_bloom_bits"),
       "x6_cms_merge" -> base("x6_cms_sketch"),
+      "x2_ann_sq_serve" -> base("x2_ann_sq"),
+      "x6_hist_merge" -> base("x6_hist_sketch"),
+      "x6_hist_serve" -> base("x6_hist_quantiles"),
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),
       "x5_mm_search_pq_serve" -> base("x5_mm_search_pq"),
       "x5_mm_search_ivfpq_serve" -> base("x5_mm_search_ivfpq"),

@@ -59,3 +59,50 @@ object QuantizeStats {
   def quantize_stats(v: Column): Column =
     ColumnBridge.column(QuantizeStats(ColumnBridge.expression(v)))
 }
+
+/** Full int8 encode of a double vector: (scale, q) with the SAME
+  * arithmetic as [[QuantizeStats]] (scale = max|v|/127, half-up
+  * clamp to ±127) but returning the code VECTOR — the stored-artifact
+  * form scalar-quantized ANN searches against. Codes are emitted as
+  * exact small doubles (|q| ≤ 127) so the codegen'd DotProduct
+  * consumes them directly: a dim-64 int8 inner product is ≤ 2²⁰,
+  * exactly representable, so double accumulation is integer-exact on
+  * both engines. One compiled pass per row, no per-element lambda. */
+case class SqEncode(child: Expression) extends KernelExpression {
+  override def dataType: DataType = SqEncode.schema
+
+  override def kernel(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i)); if (a > amax) amax = a; i += 1
+    }
+    val scale = amax / 127.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (scale == 0.0) 0.0
+        else math.min(math.max(
+          math.floor(v.getDouble(i) / scale + 0.5), -127.0), 127.0)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](scale,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): SqEncode =
+    copy(child = c)
+}
+
+object SqEncode {
+  import org.apache.spark.sql.types.ArrayType
+  val schema: StructType = new StructType()
+    .add("scale", DoubleType, nullable = false)
+    .add("q", ArrayType(DoubleType, containsNull = false), nullable = false)
+
+  def sq_encode(v: Column): Column =
+    ColumnBridge.column(SqEncode(ColumnBridge.expression(v)))
+}

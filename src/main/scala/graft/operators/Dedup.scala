@@ -1100,7 +1100,11 @@ object Dedup {
 
   /** [[bloomGate]]'s serve form: the bit set (and the truth
     * fingerprints for the audit columns) arrive as STORED tables —
-    * production drops the `truth` join and keeps only the verdict. */
+    * production drops the `truth` join and keeps only the verdict.
+    * The verdict counts DISTINCT matched probe indices, so a stored
+    * `bits` table with duplicate rows (e.g. a raw shard union that
+    * skipped [[bloomMergeBits]]'s distinct) cannot overcount a probe
+    * and flip a genuine duplicate to a false negative. */
   def bloomGateAgainstBits(incoming: DataFrame, bits: DataFrame,
                            truth: DataFrame, k: Int = 4,
                            m: Int = 4096): DataFrame = {
@@ -1110,7 +1114,8 @@ object Dedup {
         posexplode(bloomBits(col("fp"), k, m)).as(Seq("i", "bit")))
       .join(bits.withColumn("present", lit(1L)), Seq("bit"), "left")
       .groupBy(col("doc_id"), col("fp"))
-      .agg((sum(coalesce(col("present"), lit(0L))) === k).as("bloom_hit"))
+      .agg((countDistinct(when(col("present").isNotNull, col("i")))
+        === k).as("bloom_hit"))
     verdict.join(truth.withColumn("m", lit(true)), Seq("fp"), "left")
       .select(col("doc_id"), col("fp"), col("bloom_hit"),
         coalesce(col("m"), lit(false)).as("is_dup"))

@@ -576,4 +576,56 @@ object Profiling {
       conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 100 < samplePct)
       .select(explode(split(col("text"), " ")).as("token")).distinct()
+
+  /** X6 FIXED-WIDTH HISTOGRAM SKETCH — the quantile member of the
+    * mergeable-sketch family (HLL = distinct, CMS = frequency, KMV =
+    * overlap, Bloom = membership, this = distribution): per event
+    * type, `floor(value/width)` bucket counts. O(types · range/width)
+    * rows regardless of event volume, counters are PLAIN SUMS so
+    * shard/day sketches fold by addition (`x6_hist_merge` pins merged
+    * ≡ whole-corpus by aliased oracle), and any quantile is later
+    * answered from the stored rows without re-scanning events. Rank
+    * error is bounded by the bucket mass — width trades accuracy for
+    * sketch size, the same knob as CMS width. Build: one map-side-
+    * combined aggregation, no window, no sort. */
+  def histSketch(events: DataFrame, width: Double = 5.0): DataFrame =
+    events
+      .select(col("event_type"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Fold shard [[histSketch]] tables into the corpus sketch —
+    * counter addition, the CMS merge law on the quantile sketch. */
+  def histMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ union _)
+      .groupBy(col("event_type"), col("bucket")).agg(sum(col("c")).as("c"))
+
+  /** X6 sketch-served quantiles: p50/p90/p99 per event type from a
+    * [[histSketch]] table — estimate = upper edge of the first bucket
+    * whose cumulative count reaches `⌈p·n⌉` (a conservative ≤-width
+    * overestimate of the true quantile). The cumulative window runs
+    * over the AGGREGATED bucket rows (bounded domain, the house
+    * no-window-over-raw rule); thresholds are exact integers
+    * (`ceil(p·n)` with n ≪ 2⁵³), estimates are exact multiples of
+    * `width` — nothing here can drift cross-engine. */
+  def histQuantilesFrom(sketch: DataFrame, width: Double = 5.0): DataFrame = {
+    val cum = sketch
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+    def est(p: Double): Column =
+      round((min(when(col("cum") >=
+        ceil(lit(p) * col("n")).cast("long"), col("bucket"))) + 1L) *
+        lit(width), 2)
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), est(0.5).as("p50_est"),
+        est(0.9).as("p90_est"), est(0.99).as("p99_est"))
+  }
+
+  /** X6 self-contained histogram quantiles: sketch built inline. The
+    * serve form (`x6_hist_serve`) answers from the STORED sketch and
+    * is pinned ≡ this by aliased oracle. */
+  def histQuantiles(events: DataFrame, width: Double = 5.0): DataFrame =
+    histQuantilesFrom(histSketch(events, width), width)
 }

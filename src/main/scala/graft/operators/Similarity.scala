@@ -811,6 +811,120 @@ object Similarity {
         col("qs.q_max").as("q_max"))
   }
 
+  /** X2 stored int8 code table — [[quantizeInt8]]'s arithmetic kept as
+    * the full code VECTOR plus its per-vector scale: the 4×-smaller
+    * artifact scalar-quantized ANN serves from (FAISS `SQ8` /
+    * ScaNN-style storage). Codes live as exact small doubles so the
+    * codegen'd DotProduct scores them without a cast pass. Narrow
+    * per-row kernel, no shuffle; at 100 TB this table is what ships
+    * to the search tier while raw floats stay in cold storage. */
+  def sqCodes(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("sq", graft.functions.SqEncode.sq_encode(col("v")))
+      .select(col("vec_id"), col("sq.scale").as("scale"), col("sq.q").as("q"))
+
+  /** X2 SCALAR-QUANTIZED MIPS top-k: rank by the asymmetric estimate
+    * `scale_q · scale_d · ⟨q_int, d_int⟩` — the int8 inner product is
+    * an exact integer (dim 64, |q| ≤ 127 → ≤ 2²⁰), so the only doubles
+    * are the two scale factors, multiplied in one fixed order; scores
+    * are engine-identical and ties break on id. Same broadcast-query
+    * O(|Q|·N) scored stream and O(k) heap aggregation as
+    * [[mipsBruteForce]], but the corpus side reads 1 byte/dim instead
+    * of 4 — at 100 TB the int8 scan is the difference between a
+    * memory-resident search tier and a disk-bound one. */
+  def annSq(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame =
+    annSqOnCodes(sqCodes(embeddings), nQueries, k)
+
+  /** [[annSq]] against a STORED [[sqCodes]] table — the serve form:
+    * no raw-vector access anywhere in the search plan. */
+  def annSqOnCodes(codes: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val q = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("scale").as("qs"), col("q").as("qq"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot_product(col("qq"), col("q")) * col("qs") * col("scale")).as("cos"))
+    topKPerGroup(scored, k).withColumnRenamed("cos", "adot")
+  }
+
+  /** X2 SQ candidate generation + EXACT rerank: the standard two-stage
+    * serve plan — int8 scan proposes `kCand` candidates per query,
+    * then only |Q|·kCand raw-float dot products run (here: 20·20
+    * versus 20·N for brute force). Final order is by the exact dot
+    * product, so quantization error can only cost recall at the
+    * candidate boundary, never mis-rank what survives. */
+  def annSqRerank(embeddings: DataFrame, nQueries: Int = 20,
+                  kCand: Int = 20, k: Int = 5): DataFrame = {
+    val cand = annSqOnCodes(sqCodes(embeddings), nQueries, kCand)
+      .select(col("q_id"), col("n_id"))
+    val vecs = withVec(embeddings).select(col("vec_id"), col("v"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = cand
+      .join(broadcast(q), "q_id")
+      .join(vecs.withColumnRenamed("vec_id", "n_id"), "n_id")
+      .select(col("q_id"), col("n_id"), dot(col("qv"), col("v")).as("cos"))
+    topKPerGroup(scored, k).withColumnRenamed("cos", "dp")
+  }
+
+  /** X2/X3 HYBRID RETRIEVAL — reciprocal-rank fusion of the dense
+    * cosine top-k ([[annBruteForce]]) and sparse BM25 top-k
+    * ([[TextAnalysis.bm25ScoreAgainst]]) result lists, the standard
+    * two-tower + lexical serving stack (RRF: Cormack et al. SIGIR'09):
+    * each side contributes `⌊10⁶/(c + rank)⌋` integer micro-units
+    * (0 when absent), summed per (query, candidate) — integer
+    * contributions make the fused score order-independent exact, the
+    * BM25 micro-nat discipline applied to fusion. Both inputs are
+    * already k-bounded (|Q|·k rows), so the full-outer merge and the
+    * fused rank window touch only tiny frames — at 100 TB the cost
+    * lives entirely in the two upstream retrievals, and either side
+    * swaps to its stored-index serve path without touching fusion. */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                nQueries: Int = 20, kSide: Int = 5, k: Int = 5,
+                c: Int = 60): DataFrame = {
+    def contrib(r: Column): Column =
+      when(r > 0, floor(lit(1000000).cast("double") / (lit(c) + r)).cast("long"))
+        .otherwise(0L)
+    val dense = annBruteForce(embeddings, nQueries, kSide)
+      .select(col("q_id"), col("n_id").as("match_id"),
+        col("rank").cast("long").as("dense_rank"))
+    val sparse = TextAnalysis.bm25ScoreAgainst(
+        documents.filter(col("doc_id") < nQueries),
+        TextAnalysis.bm25Index(documents), kSide, excludeSelf = true)
+      .select(col("q_id"), col("match_id"),
+        col("rank").cast("long").as("bm25_rank"))
+    val fused = dense.join(sparse, Seq("q_id", "match_id"), "full_outer")
+      .select(col("q_id"), col("match_id"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"))
+      .withColumn("rrf6",
+        contrib(col("dense_rank")) + contrib(col("bm25_rank")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf6").desc, col("match_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("match_id"), col("dense_rank"),
+        col("bm25_rank"), col("rrf6"), col("rank").cast("integer").as("rank"))
+  }
+
+  /** X2 SQ recall audit — [[mipsRecallReport]]'s shape for the int8
+    * path: exact MIPS top-k left-joined with the SQ top-k, per-query
+    * hit count and recall@k. The number that decides whether int8
+    * storage is free accuracy-wise for this corpus. */
+  def sqRecallReport(embeddings: DataFrame, nQueries: Int = 20,
+                     k: Int = 5): DataFrame = {
+    val exact = mipsBruteForce(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = annSq(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** X2 PER-DIMENSION EMBEDDING HEALTH — mean, variance, and a
     * collapsed flag for every embedding dimension: the "would you
     * trust these vectors" audit run before any index is built on

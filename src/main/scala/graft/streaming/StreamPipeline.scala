@@ -517,6 +517,20 @@ object StreamPipeline {
       docs.select(explode(split(col("text"), " ")).as("token")), depth, width)
       .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("c"))
 
+  /** X6 streaming histogram sketch — [[graft.operators.Profiling
+    * .histSketch]]'s bucket counters maintained incrementally over an
+    * event stream: the aggregation state IS the quantile sketch,
+    * bounded at O(types · range/width) rows forever; any later
+    * quantile probe reads the sink table through
+    * [[graft.operators.Profiling.histQuantilesFrom]] with no event
+    * replay (spec pins stream-final ≡ batch sketch of the union). */
+  def histSketchStream(events: DataFrame, width: Double = 5.0): DataFrame =
+    events
+      .select(col("event_type"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** X6 streaming: tumbling event-time windows with watermarked late
     * data drop. Same expressions as the batch Windows.tumbling. */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",

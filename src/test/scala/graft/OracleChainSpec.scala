@@ -82,9 +82,22 @@ class OracleChainSpec extends AnyFunSuite {
     "WITH cnt AS", "GROUP BY 1, 2)",
     Set("x6_cms_sketch", "x6_cms_topk", "x6_cms_serve", "x6_cms_merge"))
 
+  // anchor starts at "terms AS" (not "WITH terms AS") because
+  // x2_hybrid_rrf carries the chain mid-WITH after its dense CTEs
   chainFamily("BM25 index terms/dl/nd/dfs/idx", "x3_bm25_index",
-    "WITH terms AS", "JOIN dl ON dl.doc_id = t.doc_id, nd)",
-    Set("x3_bm25_index", "x3_bm25_rebuild", "x3_bm25_search", "x3_bm25_serve"))
+    "terms AS (", "JOIN dl ON dl.doc_id = t.doc_id, nd)",
+    Set("x3_bm25_index", "x3_bm25_rebuild", "x3_bm25_search", "x3_bm25_serve",
+      "x2_hybrid_rrf"))
+
+  chainFamily("SQ int8 encode chain sc/qq", "x2_quantize",
+    "sc AS (SELECT vec_id, v,", "FROM sc)",
+    Set("x2_quantize", "x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank",
+      "x2_sq_recall"))
+
+  chainFamily("brute MIPS dp stream", "x2_mips_topk",
+    "FROM e q, e t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)",
+    "FROM e q, e t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)",
+    Set("x2_mips_topk", "x2_mips_recall", "x2_sq_recall"))
 
   chainFamily("IVF Lloyd training c0..c2", "x2_ann_ivf",
     "c0 AS (SELECT vec_id AS c_id", "FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id)",
@@ -222,6 +235,15 @@ class OracleChainSpec extends AnyFunSuite {
     "CAST(floor(ln(k) * 1000000 + 0.5) AS BIGINT)",
     Set("x3_entropy", "x3_signal_corr", "x6_bot_score"))
 
+  formulaFamily("SQ asymmetric ADC estimate",
+    "AS DOUBLE) * a.scale * b.scale AS adot",
+    Set("x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank", "x2_sq_recall"))
+
+  formulaFamily("histogram sketch bucket",
+    "CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket",
+    Set("x6_hist_sketch", "x6_hist_quantiles", "x6_hist_merge",
+      "x6_hist_serve"))
+
   formulaFamily("class-mean prototype fold",
     "round(sum(val) / count(*), 6)",
     Set("x2_confusion", "x2_mean_pool"))
@@ -246,8 +268,17 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_ivfpq_serve" -> "x2_ann_ivfpq",
       "x2_ann_lsh_serve" -> "x2_ann_lsh",
       "x2_ann_pq_serve" -> "x2_ann_pq",
+      "x2_mips_lsh_serve" -> "x2_mips_lsh",
       "x3_bigram_score_serve" -> "x3_bigram_logprob",
+      "x3_bm25_rebuild" -> "x3_bm25_index",
+      "x3_bm25_serve" -> "x3_bm25_search",
+      "x3_phrase_serve" -> "x3_phrase_search",
       "x3_unigram_score_serve" -> "x3_unigram_logprob",
+      "x2_ann_sq_serve" -> "x2_ann_sq",
+      "x4_bloom_merge" -> "x4_bloom_bits",
+      "x6_cms_merge" -> "x6_cms_sketch",
+      "x6_hist_merge" -> "x6_hist_sketch",
+      "x6_hist_serve" -> "x6_hist_quantiles",
       "x5_mm_search_lsh_serve" -> "x5_mm_search_lsh",
       "x5_mm_search_pq_serve" -> "x5_mm_search_pq",
       "x5_mm_search_ivfpq_serve" -> "x5_mm_search_ivfpq",

@@ -935,4 +935,106 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got(9L), "the off-axis vector must flag")
     assert(got.filter(_._2).keySet === Set(9L))
   }
+
+  test("SQ encode: max-abs scale, clamped half-up codes, zero vector to zeros") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.27f, -0.635f, 0f, 0.01f), 0),
+      (1L, Seq(0f, 0f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.sqCodes(emb)
+      .as[(Long, Double, Seq[Double])].collect().sortBy(_._1)
+    val (_, s0, q0) = got(0)
+    assert(math.abs(s0 - 1.27f.toDouble / 127.0) < 1e-15)
+    // 1.27/scale = 127 exactly; -0.635/scale = -63.5 rounds HALF-UP to -63
+    assert(q0 === Seq(127.0, -63.0, 0.0, 1.0))
+    // reconstruction error bounded by scale/2 per element
+    assert(q0.zip(Seq(1.27f, -0.635f, 0f, 0.01f).map(_.toDouble)).forall {
+      case (q, v) => math.abs(q * s0 - v) <= s0 / 2 + 1e-12 })
+    val (_, s1, q1) = got(1)
+    assert(s1 === 0.0 && q1 === Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("SQ ANN: serve-on-stored-codes equals self-contained; rerank restores exact MIPS order") {
+    import spark.implicits._
+    // 6 well-separated vectors, 2 queries; int8 error cannot reorder
+    val emb = (0L to 5L).map { i =>
+      (i, Seq.tabulate(8)(d => if (d == i % 4) 1f + 0.1f * i else 0.001f * d), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val self = Similarity.annSq(emb, nQueries = 2, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val served = Similarity.annSqOnCodes(
+        Similarity.sqCodes(emb).localCheckpoint(), nQueries = 2, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served === self)
+    val exact = Similarity.mipsBruteForce(emb, nQueries = 2, k = 3)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val rerank = Similarity.annSqRerank(emb, nQueries = 2, kCand = 5, k = 3)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(rerank === exact,
+      "with all candidates shortlisted, exact rerank must equal exact MIPS")
+    val rec = Similarity.sqRecallReport(emb, nQueries = 2, k = 3)
+      .select("recall").as[Double].collect()
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
+  test("hybrid RRF: consensus doc wins, integer contributions add, absent side is 0") {
+    import spark.implicits._
+    // doc 0 is the query. Dense side: doc 1 nearly parallel (rank 1).
+    // Sparse side: doc 1 shares the rare token 'zebra' (rank 1);
+    // doc 2 only matches dense, doc 3 only sparse.
+    // 4 filler docs keep df(zebra)=3 under n_docs/2 so idf stays > 0
+    val docs = (Seq(
+      (0L, "zebra common alpha"), (1L, "zebra common beta"),
+      (2L, "gamma delta epsilon"), (3L, "common zebra zeta eta")) ++
+      (4L to 7L).map(i => (i, s"filler${i}a filler${i}b filler${i}c")))
+      .toDF("doc_id", "text")
+    val emb = (Seq(
+      (0L, Seq(1f, 0f, 0f), 0), (1L, Seq(0.99f, 0.01f, 0f), 0),
+      (2L, Seq(0.98f, 0.02f, 0f), 0), (3L, Seq(0f, 1f, 0f), 0)) ++
+      (4L to 7L).map(i => (i, Seq(0f, 0f, 1f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hybridRrf(docs, emb, nQueries = 1, kSide = 2, k = 4)
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    // doc 1: dense rank 1 + sparse rank in {1,2} -> on both lists, wins
+    val (d1, b1, rrf1, rank1) = got(1L)
+    assert(d1 === 1L && b1 >= 1L && rank1 === 1)
+    assert(rrf1 === 1000000L / (60 + d1) + 1000000L / (60 + b1))
+    // docs on one list only carry a 0 for the absent side
+    assert(got(2L)._2 === 0L && got(2L)._1 > 0L)
+    val d3 = got(3L); assert(d3._1 === 0L && d3._2 > 0L)
+    // single-side docs score strictly below the consensus doc
+    assert(got(2L)._3 < rrf1 && d3._3 < rrf1)
+  }
+
+  test("histogram sketch: merge law is exact and quantile estimates bound the data") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Timestamp.valueOf("2024-01-01 00:10:00"), i.toLong % 7,
+        if (i % 2 == 0) "click" else "view", i.toDouble % 100)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val whole = graft.operators.Profiling.histSketch(rows)
+      .as[(String, Long, Long)].collect().toSet
+    val merged = graft.operators.Profiling.histMerge(
+        graft.operators.Profiling.histSketch(rows.filter($"event_id" % 2 === 0)),
+        graft.operators.Profiling.histSketch(rows.filter($"event_id" % 2 === 1)))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged === whole)
+    // click values: each even number 0..98 twice (100 rows). Buckets
+    // alternate 6,4,6,4,... rows, so each bucket PAIR holds 10 rows:
+    // p50 threshold ceil(0.5*100)=50 -> cum reaches 50 at bucket 9,
+    // est (9+1)*5=50; p90 -> bucket 17, est 90; p99 -> bucket 19, est 100.
+    val q = graft.operators.Profiling.histQuantiles(rows)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(q("click") === ((100L, 50.0, 90.0, 100.0)))
+    // upper-edge estimates never undershoot the true quantile value
+    assert(q("view")._2 >= 49.0 && q("view")._4 <= 100.0)
+    val served = graft.operators.Profiling.histQuantilesFrom(
+        graft.operators.Profiling.histSketch(rows).localCheckpoint())
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(served === graft.operators.Profiling.histQuantiles(rows)
+      .as[(String, Long, Double, Double, Double)].collect().toSet)
+  }
 }

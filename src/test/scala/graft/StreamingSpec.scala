@@ -791,6 +791,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming histogram: bucket counters after two batches equal the batch sketch, quantiles read from the sink") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.histSketchStream(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hist_mem").start()
+    try {
+      def ev(id: Long, typ: String, v: Double) =
+        UserEvent(id, Timestamp.valueOf("2024-01-01 00:01:00"), id % 3, typ, v)
+      val batch1 = Seq(ev(1, "click", 2.0), ev(2, "click", 7.0), ev(3, "view", 12.0))
+      val batch2 = Seq(ev(4, "click", 3.0), ev(5, "click", 23.0), ev(6, "view", 12.5))
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("hist_mem")
+        .as[(String, Long, Long)].collect().toSet
+      val all = (batch1 ++ batch2).toDF()
+      val batch = graft.operators.Profiling.histSketch(all)
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      // quantiles answered from the SINK table, no event replay
+      val fromSink = graft.operators.Profiling
+        .histQuantilesFrom(spark.table("hist_mem"))
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      val fromBatch = graft.operators.Profiling.histQuantiles(all)
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      assert(fromSink === fromBatch)
+    } finally q.stop()
+  }
+
   test("rolling vector index: assets accepted in generation N gate generation N+1 without restart") {
     implicit val sc = spark.sqlContext
     val dir = Files.createTempDirectory("graft-media-roll")

@@ -1288,6 +1288,12 @@ class TextDedupSpec extends AnyFunSuite {
     val served = Dedup.bloomGateAgainstBits(inc, bits, truth)
       .as[(Long, String, Boolean, Boolean)].collect()
     assert(served.toSet === gate.toSet)
+    // a NON-deduplicated stored bit table (raw shard union, no
+    // distinct) must not overcount probes into a false negative
+    val dupBits = bits.union(bits)
+    val servedDup = Dedup.bloomGateAgainstBits(inc, dupBits, truth)
+      .as[(Long, String, Boolean, Boolean)].collect()
+    assert(servedDup.toSet === gate.toSet)
     // shard bit sets fold into the corpus bit set by distinct-union
     val merged = Dedup.bloomBitSet(idx.filter(col("doc_id") % 2 === 0))
       .union(Dedup.bloomBitSet(idx.filter(col("doc_id") % 2 === 1)))
