@@ -264,6 +264,10 @@ object SparkEntry {
       TextAnalysis.injectSyntheticPii(t(s, d, "documents")), "text2")),
     // --- X1 sampling / sharding ---
     "x1_sample_split" -> ((s, d) => Sampling.sampleSplit(t(s, d, "documents"))),
+    // leakage-safe split: assignment hashes the near-dup CLUSTER id,
+    // so a near-copy can never straddle train/eval (the fix for what
+    // x1_split_leakage measures)
+    "x1_grouped_split" -> ((s, d) => Sampling.groupedSplit(t(s, d, "documents"))),
     "x1_pack_shards" -> ((s, d) => Sampling.packShards(t(s, d, "documents"))),
     // curriculum layout: per-source quality quota, round-robin
     // interleaved global position (arithmetic, no global window)
@@ -502,6 +506,29 @@ object SparkEntry {
     // integer reciprocal-rank contributions (RRF, c = 60)
     "x2_hybrid_rrf" -> ((s, d) =>
       Similarity.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"))),
+    // binary (sign-bit) codes: 8 bytes/vector, Hamming-distance top-k
+    // — the cheapest quantization-ladder leg, pure integer arithmetic
+    "x2_ann_binary" -> ((s, d) => Similarity.annBinary(t(s, d, "embeddings"))),
+    // the binary serve path: search over the STORED 2-word code table.
+    // Oracle = x2_ann_binary's verbatim.
+    "x2_ann_binary_serve" -> ((s, d) =>
+      Similarity.annBinaryOnCodes(
+        Similarity.binaryCodes(t(s, d, "embeddings")).localCheckpoint())),
+    // recall@5 of Hamming ranking vs exact-cosine ground truth
+    "x2_binary_recall" -> ((s, d) =>
+      Similarity.binaryRecallReport(t(s, d, "embeddings"))),
+    // composed IVF x SQ index (FAISS IVF_SQ8): trained cells bound the
+    // candidate set, int8 codes price each candidate
+    "x2_ann_ivfsq" -> ((s, d) => Similarity.annIvfSq(t(s, d, "embeddings"))),
+    // the composed serve path: stored cell map + stored code table +
+    // driver centroids only. Oracle = x2_ann_ivfsq's verbatim.
+    "x2_ann_ivfsq_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cmodel = Similarity.trainIvfModel(emb)
+      Similarity.annIvfSqOnArtifacts(emb,
+        Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint(),
+        Similarity.sqCodes(emb).localCheckpoint(), cmodel)
+    }),
     // per-dimension mean/variance/dead-unit audit in exact integer moments
     "x2_dim_stats" -> ((s, d) => Similarity.dimStats(t(s, d, "embeddings"))),
     // row-wise norm audit: z of each vector's L2 norm vs the corpus
@@ -557,6 +584,12 @@ object SparkEntry {
     // compressed-domain media retrieval: ADC over the media PQ index
     // (completes the exact -> LSH -> PQ media retrieval ladder)
     "x5_mm_search_pq" -> ((s, d) => Multimodal.mediaSearchPq(t(s, d, "documents"))),
+    // int8 media retrieval: codebook-free scalar quantization leg
+    "x5_mm_search_sq" -> ((s, d) => Multimodal.mediaSearchSq(t(s, d, "documents"))),
+    // the SQ serve path over the STORED media code table.
+    // Oracle = x5_mm_search_sq's verbatim.
+    "x5_mm_search_sq_serve" -> ((s, d) =>
+      Multimodal.mediaSearchSqServe(t(s, d, "documents"))),
     // the media LSH serve path: stored bucket table probed, collection
     // never re-embedded/re-hashed. Oracle = x5_mm_search_lsh's verbatim.
     "x5_mm_search_lsh_serve" -> ((s, d) =>
@@ -735,8 +768,9 @@ object SparkEntry {
     * this set empirically (jobs launched during construction at
     * sf0.001) and fails on any drift, so it cannot go stale. */
   val eagerQueries: Set[String] = Set(
-    "x1_budget_select", "x1_pack_contexts", "x1_split_leakage",
-    "x1_systematic_sample",
+    "x1_budget_select", "x1_grouped_split", "x1_pack_contexts",
+    "x1_split_leakage", "x1_systematic_sample",
+    "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x5_mm_search_sq_serve",
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
     "x2_ann_lsh_serve", "x2_ann_pq", "x2_ann_pq_serve", "x2_mips_lsh_serve",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
@@ -749,7 +783,7 @@ object SparkEntry {
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
     "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
-    "x2_ann_sq_serve",
+    "x2_ann_sq_serve", "x2_ann_binary_serve",
     "x6_anomaly_serve", "x6_cms_serve", "x6_hist_merge", "x6_hist_serve",
     "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
@@ -1964,6 +1998,51 @@ object SparkEntry {
              FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
            ON m.doc_id = l.doc_id)
          SELECT doc_id, cluster FROM l3""",
+    // leakage-safe split: the x4_cluster chain through l3 (copied
+    // verbatim -- change together) + the x1_sample_split md5-pct
+    // thresholds keyed on the CLUSTER id instead of doc_id
+    "x1_grouped_split" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id)
+         SELECT doc_id, cluster,
+           CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS pct,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM l3""",
     // the x4_cluster chain (shared CTE copy — change together) plus the
     // x1_sample_split hash assignment, histogrammed by the split-set
     // signature of each cluster; a comma in `splits` = leakage
@@ -2984,6 +3063,68 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, cell, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // the composed IVF x SQ oracle: the x2_ann_ivf training/assignment
+    // chain through prb (copied verbatim -- change together) + the
+    // x2_quantize sc/qq encode chain + SQ ADC scoring on probed cells
+    "x2_ann_ivfsq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, t.v, t.nrm, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM rk WHERE ar = 1),
+         prb AS (SELECT vec_id AS q_id, c_id AS cell FROM rk
+           WHERE ar <= 4 AND vec_id < 20),
+                  sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc),
+         cnd AS (SELECT p.q_id, t.vec_id AS n_id, t.cell
+           FROM asg t JOIN prb p ON t.cell = p.cell AND t.vec_id <> p.q_id),
+         sq AS (SELECT c.q_id, c.n_id, c.cell,
+             CAST(list_reduce(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+               (x,y) -> x+y) AS DOUBLE) * a.scale * b.scale AS adot
+           FROM cnd c JOIN qq a ON a.vec_id = c.q_id JOIN qq b ON b.vec_id = c.n_id),
+         rr AS (SELECT q_id, n_id, cell, adot, row_number() OVER (PARTITION BY q_id
+             ORDER BY adot DESC, n_id) AS rank FROM sq)
+         SELECT q_id, n_id, cell, round(adot, 6) AS adot, CAST(rank AS INTEGER) AS rank
+         FROM rr WHERE rank <= 3""",
     "x2_ivf_recall" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -3815,6 +3956,56 @@ object SparkEntry {
              ORDER BY adot DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(adot, 6) AS adot, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 5""",
+    // binary sign-pack search: the b/s/r Hamming chain is SHARED
+    // (copied) with x2_binary_recall -- change together
+    "x2_ann_binary" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         b AS (SELECT vec_id,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+1] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w0,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+33] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w1
+           FROM e),
+         s AS (SELECT a.vec_id AS q_id, t.vec_id AS n_id,
+             CAST(bit_count(xor(a.w0, t.w0)) + bit_count(xor(a.w1, t.w1)) AS BIGINT) AS hamming
+           FROM b a, b t WHERE a.vec_id < 20 AND t.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, hamming, row_number() OVER (PARTITION BY q_id
+             ORDER BY hamming, n_id) AS rank FROM s)
+         SELECT q_id, n_id, hamming, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 5""",
+    // binary recall audit: the SAME b/s/r Hamming chain + the exact
+    // cosine brute-force chain as ground truth
+    "x2_binary_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         b AS (SELECT vec_id,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+1] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w0,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+33] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w1
+           FROM e),
+         s AS (SELECT a.vec_id AS q_id, t.vec_id AS n_id,
+             CAST(bit_count(xor(a.w0, t.w0)) + bit_count(xor(a.w1, t.w1)) AS BIGINT) AS hamming
+           FROM b a, b t WHERE a.vec_id < 20 AND t.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, hamming, row_number() OVER (PARTITION BY q_id
+             ORDER BY hamming, n_id) AS rank FROM s),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         sb AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         rb AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM sb),
+         ov AS (SELECT g.q_id, g.n_id,
+             CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM (SELECT q_id, n_id FROM rb WHERE rank <= 5) g
+           LEFT JOIN (SELECT q_id, n_id FROM r WHERE rank <= 5) l
+             ON l.q_id = g.q_id AND l.n_id = g.n_id)
+         SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+           round(CAST(CAST(sum(hit) AS BIGINT) AS DOUBLE) / 5.0, 4) AS recall
+         FROM ov GROUP BY q_id""",
     // two-stage SQ serve: the x2_ann_sq chain (e/sc/qq/s/r, copied
     // verbatim — change together) proposes 20 candidates, then only
     // those pairs rerank by the EXACT double dot product.
@@ -4409,6 +4600,29 @@ object SparkEntry {
          r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
+    // int8 media retrieval: the media stub-embedding source + the
+    // x2_quantize sc/qq encode chain + the SQ ADC scoring formula
+    // (queries vec_id < 5, top-3 -- the media search convention)
+    "x5_mm_search_sq" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+                  sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc),
+         s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_reduce(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+               (x,y) -> x+y) AS DOUBLE) * a.scale * b.scale AS adot
+           FROM qq a, qq b WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, adot, row_number() OVER (PARTITION BY q_id
+             ORDER BY adot DESC, n_id) AS rank FROM s)
+         SELECT q_id, n_id, round(adot, 6) AS adot, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
     "x5_mm_align" ->
       """WITH e AS (SELECT doc_id AS vec_id,
@@ -5451,6 +5665,9 @@ object SparkEntry {
       "x4_bloom_merge" -> base("x4_bloom_bits"),
       "x6_cms_merge" -> base("x6_cms_sketch"),
       "x2_ann_sq_serve" -> base("x2_ann_sq"),
+      "x2_ann_binary_serve" -> base("x2_ann_binary"),
+      "x2_ann_ivfsq_serve" -> base("x2_ann_ivfsq"),
+      "x5_mm_search_sq_serve" -> base("x5_mm_search_sq"),
       "x6_hist_merge" -> base("x6_hist_sketch"),
       "x6_hist_serve" -> base("x6_hist_quantiles"),
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),

@@ -106,3 +106,42 @@ object SqEncode {
   def sq_encode(v: Column): Column =
     ColumnBridge.column(SqEncode(ColumnBridge.expression(v)))
 }
+
+/** Sign-bit binarization of a double vector into two 32-bit words:
+  * bit i of w0 (dims 0–31) / w1 (dims 32–63) is set iff vᵢ > 0 —
+  * the 32×-compression binary-embedding code whose Hamming distance
+  * approximates angle (Charikar sign hashes at full rank). Two
+  * uint32 words instead of one int64 so neither engine touches the
+  * sign bit (DuckDB and Spark differ on int64 `1<<63` semantics);
+  * both words are non-negative and xor/bit_count stay exact. Dims
+  * past 64 are ignored by contract (embedding dim = 64). */
+case class SignPack(child: Expression) extends KernelExpression {
+  override def dataType: DataType = SignPack.schema
+
+  override def kernel(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), 64)
+    var w0 = 0L
+    var w1 = 0L
+    var i = 0
+    while (i < n) {
+      if (v.getDouble(i) > 0.0) {
+        if (i < 32) w0 |= (1L << i) else w1 |= (1L << (i - 32))
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](w0, w1))
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignPack =
+    copy(child = c)
+}
+
+object SignPack {
+  val schema: StructType = new StructType()
+    .add("w0", LongType, nullable = false)
+    .add("w1", LongType, nullable = false)
+
+  def sign_pack(v: Column): Column =
+    ColumnBridge.column(SignPack(ColumnBridge.expression(v)))
+}

@@ -203,6 +203,28 @@ object Multimodal {
       Similarity.trainPqModelOnVectors(vecs, m, k, rounds, dims), m, dims)
   }
 
+  /** X5 int8 media retrieval — the scalar-quantization leg of the
+    * media index ladder (exact → LSH → PQ → SQ, mirroring the
+    * embedding table's `x2_ann_sq`): assets encode once into the
+    * 4×-smaller (scale, int8 codes) table and queries rank by the
+    * asymmetric estimate `scale_q·scale_d·⟨q,d⟩` — integer inner
+    * products, engine-exact, no training step (SQ's operational edge
+    * over PQ: codebook-free, so ingest never retrains). */
+  def mediaSearchSq(documents: DataFrame, nQueries: Int = 5,
+                    k: Int = 3): DataFrame =
+    Similarity.annSqOnCodes(
+      Similarity.sqCodesOnVectors(mediaEmbedding(documents)), nQueries, k)
+
+  /** [[mediaSearchSq]]'s SERVE path — the search runs against the
+    * STORED media code table; assets are never re-embedded or
+    * re-encoded in the search plan. `x5_mm_search_sq_serve` shares
+    * `x5_mm_search_sq`'s oracle by reference. */
+  def mediaSearchSqServe(documents: DataFrame, nQueries: Int = 5,
+                         k: Int = 3): DataFrame =
+    Similarity.annSqOnCodes(
+      Similarity.sqCodesOnVectors(mediaEmbedding(documents)).localCheckpoint(),
+      nQueries, k)
+
   /** Media stub embeddings snapped to the dyadic 2⁻²⁰ grid — the
     * exactness precondition of every trained index on this modality
     * (see [[mediaPqCodes]]). The snap rides INSIDE the compiled

@@ -458,6 +458,29 @@ object Sampling {
         sum(col("n_docs")).as("n_docs"))
   }
 
+  /** X1 GROUP-AWARE (leakage-safe) split — the FIX for what
+    * [[splitLeakage]] measures: train/val/test assignment by the hash
+    * of each document's near-dup CLUSTER id (the member-minimum
+    * canonical of [[Dedup.clusterNearDups]]), so every member of a
+    * near-dup group lands in the SAME split BY CONSTRUCTION — the
+    * eval set can never hold a near-copy of a training document
+    * (scikit-learn GroupShuffleSplit, applied at corpus scale with
+    * the cluster id as the group key). Same md5-pct thresholds as
+    * [[sampleSplit]], keyed on the cluster id; singleton clusters
+    * (cluster == doc_id) degrade to exactly the per-doc split. The
+    * spec pins zero leakage (one distinct split per cluster); cost =
+    * the clustering (the stored artifact a resident pipeline already
+    * maintains) + a narrow hash projection. */
+  def groupedSplit(documents: DataFrame, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame =
+    Dedup.clusterNearDups(documents)
+      .select(col("doc_id"), col("cluster"),
+        (hash60(col("cluster")) % 100).as("pct"))
+      .withColumn("split",
+        when(col("pct") < trainPct, "train")
+          .when(col("pct") < trainPct + valPct, "val")
+          .otherwise("test"))
+
   /** X1 TEMPORAL holdout + user-leakage audit — the time-series
     * counterpart of [[splitLeakage]]: events split at the 80% day
     * boundary (train strictly before, integer arithmetic on the

@@ -819,8 +819,15 @@ object Similarity {
     * per-row kernel, no shuffle; at 100 TB this table is what ships
     * to the search tier while raw floats stay in cold storage. */
   def sqCodes(embeddings: DataFrame): DataFrame =
-    embeddings
+    sqCodesOnVectors(embeddings
       .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .select(col("vec_id"), col("v")))
+
+  /** [[sqCodes]] over any (vec_id, v: array<double>) frame — the
+    * modality-agnostic encode the media retrieval path composes
+    * (`x5_mm_search_sq`). */
+  def sqCodesOnVectors(vecs: DataFrame): DataFrame =
+    vecs
       .withColumn("sq", graft.functions.SqEncode.sq_encode(col("v")))
       .select(col("vec_id"), col("sq.scale").as("scale"), col("sq.q").as("q"))
 
@@ -868,6 +875,63 @@ object Similarity {
     topKPerGroup(scored, k).withColumnRenamed("cos", "dp")
   }
 
+  /** X2 binary code table — sign-bit binarization into two 32-bit
+    * words (64 dims → 8 bytes, a 32× shrink): the cheapest leg of the
+    * quantization ladder (float → int8 SQ → PQ → binary). Hamming
+    * distance between sign patterns approximates angle (Charikar sign
+    * hashes at full rank — the same geometry as the LSH planes, with
+    * the COORDINATE axes as planes). Two uint32 words, not one int64,
+    * so neither engine touches the sign bit. */
+  def binaryCodes(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("b", graft.functions.SignPack.sign_pack(col("v")))
+      .select(col("vec_id"), col("b.w0").as("w0"), col("b.w1").as("w1"))
+
+  /** X2 binary Hamming ANN — top-k by Hamming distance over the
+    * [[binaryCodes]] table: per candidate the corpus-side read is 8
+    * BYTES and the score is two xor+popcount ops — the rerank-feeder
+    * tier a memory-constrained deployment scans before touching int8
+    * or float codes. Pure integer arithmetic end to end (nothing can
+    * drift cross-engine); ties break (hamming asc, id). Same
+    * broadcast-query stream + O(k) heap shape as [[annBruteForce]]
+    * (the heap takes −hamming so its max-selection yields min
+    * distance). */
+  def annBinary(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame =
+    annBinaryOnCodes(binaryCodes(embeddings), nQueries, k)
+
+  /** [[annBinary]] against a STORED code table — the serve form
+    * (`x2_ann_binary_serve` aliases `x2_ann_binary`'s oracle). */
+  def annBinaryOnCodes(codes: DataFrame, nQueries: Int = 20,
+                       k: Int = 5): DataFrame = {
+    val q = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("w0").as("qw0"), col("w1").as("qw1"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (-(bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+           bit_count(col("w1").bitwiseXOR(col("qw1")))).cast("double")).as("cos"))
+    topKPerGroup(scored, k)
+      .select(col("q_id"), col("n_id"),
+        (-col("cos")).cast("long").as("hamming"), col("rank"))
+  }
+
+  /** X2 binary recall audit — exact-cosine ground truth
+    * ([[annBruteForce]]) left-joined with the Hamming top-k: how much
+    * angular fidelity 8 bytes/vector keeps on this corpus. */
+  def binaryRecallReport(embeddings: DataFrame, nQueries: Int = 20,
+                         k: Int = 5): DataFrame = {
+    val exact = annBruteForce(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = annBinary(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** X2/X3 HYBRID RETRIEVAL — reciprocal-rank fusion of the dense
     * cosine top-k ([[annBruteForce]]) and sparse BM25 top-k
     * ([[TextAnalysis.bm25ScoreAgainst]]) result lists, the standard
@@ -906,6 +970,61 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("match_id"), col("dense_rank"),
         col("bm25_rank"), col("rrf6"), col("rank").cast("integer").as("rank"))
+  }
+
+  /** X2 COMPOSED IVF×SQ index — the trained coarse quantizer bounds
+    * the candidate set to the probed cells and the int8 code table
+    * prices each candidate by the asymmetric SQ estimate: the third
+    * leg of the index-composition matrix (IVF×PQ = `x2_ann_ivfpq`,
+    * flat SQ = `x2_ann_sq`, this = IVF×SQ — FAISS `IVF_SQ8`, the
+    * configuration chosen when PQ's codebook distortion is too coarse
+    * but 4× compression still pays). Candidate volume is bounded by
+    * cell population; per candidate the corpus-side read is 1 byte/dim
+    * + one scale; raw floats appear only on the query side (probe
+    * selection). Both the IVF training chain and the SQ encode chain
+    * are the audited ones — the composition is oracle-exact. */
+  def annIvfSq(embeddings: DataFrame, nCells: Int = 8, trainRounds: Int = 2,
+               nQueries: Int = 20, k: Int = 3, nProbe: Int = 4): DataFrame = {
+    val cmodel = trainIvfModel(embeddings, nCells, trainRounds)
+    annIvfSqOnArtifacts(embeddings, ivfAssignmentsFor(embeddings, cmodel),
+      sqCodes(embeddings), cmodel, nQueries, k, nProbe)
+  }
+
+  /** [[annIvfSq]]'s SERVE form — search over the STORED (vec_id, cell)
+    * partition map and STORED int8 code table, with the trained
+    * centroids as driver-side state: nothing in the search plan
+    * trains, assigns, or encodes the corpus; only the query slice
+    * ranks against the broadcast centroids. `x2_ann_ivfsq_serve`
+    * shares `x2_ann_ivfsq`'s oracle by reference. */
+  def annIvfSqOnArtifacts(embeddings: DataFrame, assignments: DataFrame,
+                          codes: DataFrame,
+                          centroids: Seq[(Long, Seq[Double])],
+                          nQueries: Int = 20, k: Int = 3,
+                          nProbe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = withVec(embeddings)
+    val cents = centroids.toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(
+      cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last,
+      col("c_id"))
+    val probes = all.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
+      .withColumn("arank", row_number().over(aw)).filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val qCodes = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("scale").as("qs"), col("q").as("qq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adot").desc, col("n_id"))
+    assignments.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(qCodes), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cell"),
+        (dot_product(col("qq"), col("q")) * col("qs") * col("scale")).as("adot"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cell"),
+        round(col("adot"), 6).as("adot"), col("rank").cast("int").as("rank"))
   }
 
   /** X2 SQ recall audit — [[mipsRecallReport]]'s shape for the int8

@@ -62,9 +62,9 @@ class OracleChainSpec extends AnyFunSuite {
 
   chainFamily("minhash tk/t/sig/rep core", "x4_minhash_pairs",
     "WITH tk AS", "FROM sig GROUP BY s)",
-    Set("x1_split_leakage", "x4_cluster", "x4_dup_stats", "x4_minhash_est",
-      "x4_minhash_pairs", "x4_source_dup_rate", "x4_source_overlap",
-      "x4_survivors"))
+    Set("x1_grouped_split", "x1_split_leakage", "x4_cluster", "x4_dup_stats",
+      "x4_minhash_est", "x4_minhash_pairs", "x4_source_dup_rate",
+      "x4_source_overlap", "x4_survivors"))
 
   chainFamily("MIPS augmented-LSH mm..r chain", "x2_mips_lsh",
     "mm AS (SELECT max(nrm) AS m FROM n)", "ORDER BY dp DESC, n_id) AS rank FROM s)",
@@ -92,7 +92,12 @@ class OracleChainSpec extends AnyFunSuite {
   chainFamily("SQ int8 encode chain sc/qq", "x2_quantize",
     "sc AS (SELECT vec_id, v,", "FROM sc)",
     Set("x2_quantize", "x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank",
-      "x2_sq_recall"))
+      "x2_sq_recall", "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
+      "x5_mm_search_sq", "x5_mm_search_sq_serve"))
+
+  chainFamily("binary sign-pack b/s/r Hamming chain", "x2_ann_binary",
+    "b AS (SELECT vec_id,", "ORDER BY hamming, n_id) AS rank FROM s)",
+    Set("x2_ann_binary", "x2_ann_binary_serve", "x2_binary_recall"))
 
   chainFamily("brute MIPS dp stream", "x2_mips_topk",
     "FROM e q, e t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)",
@@ -102,6 +107,7 @@ class OracleChainSpec extends AnyFunSuite {
   chainFamily("IVF Lloyd training c0..c2", "x2_ann_ivf",
     "c0 AS (SELECT vec_id AS c_id", "FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id)",
     Set("x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
+      "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
       "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia", "x2_ivf_recall",
       "x2_ood", "x2_semdedup", "x5_mm_ivf", "x5_mm_search_ivfpq",
       "x5_mm_search_ivfpq_serve"))
@@ -147,7 +153,7 @@ class OracleChainSpec extends AnyFunSuite {
 
   formulaFamily("minhash shingle hash",
     "s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs",
-    Set("x1_split_leakage", "x4_band_index", "x4_band_recall",
+    Set("x1_grouped_split", "x1_split_leakage", "x4_band_index", "x4_band_recall",
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_minhash_sig",
       "x4_source_dup_rate", "x4_source_overlap", "x4_survivors",
@@ -156,7 +162,7 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("minhash permutation",
     "((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + " +
       "(1103515245*(i+17) + 54321) % 2147483647) % 2147483647",
-    Set("x1_split_leakage", "x4_band_index", "x4_band_recall",
+    Set("x1_grouped_split", "x1_split_leakage", "x4_band_index", "x4_band_recall",
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_minhash_sig",
       "x4_source_dup_rate", "x4_source_overlap", "x4_survivors",
@@ -164,7 +170,7 @@ class OracleChainSpec extends AnyFunSuite {
 
   formulaFamily("minhash band key",
     "array_to_string(s[b*4+1:b*4+4]",
-    Set("x1_split_leakage", "x4_band_index", "x4_band_recall",
+    Set("x1_grouped_split", "x1_split_leakage", "x4_band_index", "x4_band_recall",
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_source_dup_rate",
       "x4_source_overlap", "x4_survivors", "x7_curate_incremental",
@@ -181,6 +187,7 @@ class OracleChainSpec extends AnyFunSuite {
     "list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),\n" +
       "                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar",
     Set("x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
+      "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
       "x2_centroids", "x2_confusion", "x2_ivf_assign", "x2_ivf_inertia",
       "x2_ivf_recall", "x2_ood", "x2_semdedup", "x5_mm_ivf",
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve", "x7_curate_semantic"))
@@ -237,7 +244,9 @@ class OracleChainSpec extends AnyFunSuite {
 
   formulaFamily("SQ asymmetric ADC estimate",
     "AS DOUBLE) * a.scale * b.scale AS adot",
-    Set("x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank", "x2_sq_recall"))
+    Set("x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank", "x2_sq_recall",
+      "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x5_mm_search_sq",
+      "x5_mm_search_sq_serve"))
 
   formulaFamily("histogram sketch bucket",
     "CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket",
@@ -258,7 +267,8 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x5_mm_align", "x5_mm_bucket_stats", "x5_mm_dedup", "x5_mm_incremental",
       "x5_mm_ivf", "x5_mm_pq", "x5_mm_recall", "x5_mm_search",
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve", "x5_mm_search_lsh",
-      "x5_mm_search_lsh_serve", "x5_mm_search_pq", "x5_mm_search_pq_serve"))
+      "x5_mm_search_lsh_serve", "x5_mm_search_pq", "x5_mm_search_pq_serve",
+      "x5_mm_search_sq", "x5_mm_search_sq_serve"))
 
   // ---- serve aliases: shared BY REFERENCE, pinned here ----
 
@@ -275,6 +285,9 @@ class OracleChainSpec extends AnyFunSuite {
       "x3_phrase_serve" -> "x3_phrase_search",
       "x3_unigram_score_serve" -> "x3_unigram_logprob",
       "x2_ann_sq_serve" -> "x2_ann_sq",
+      "x2_ann_binary_serve" -> "x2_ann_binary",
+      "x2_ann_ivfsq_serve" -> "x2_ann_ivfsq",
+      "x5_mm_search_sq_serve" -> "x5_mm_search_sq",
       "x4_bloom_merge" -> "x4_bloom_bits",
       "x6_cms_merge" -> "x6_cms_sketch",
       "x6_hist_merge" -> "x6_hist_sketch",

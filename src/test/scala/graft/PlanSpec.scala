@@ -406,6 +406,47 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("SQ rerank: candidate fetch joins are hash, only the broadcast query cross remains") {
+    val p = planOf("x2_ann_sq_rerank")
+    // the deliberate nested loop is the tiny broadcast query set
+    // crossing the code table (the annBruteForce shape); candidate ->
+    // raw-vector fetch must be equi-keyed hash joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("hybrid RRF: fusion joins the two k-bounded lists by hash, never a cartesian") {
+    val p = planOf("x2_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // BM25 hits join the index by token equi-key; the fused frame
+    // merges by (q_id, match_id)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("IVF x SQ: candidates join probed cells and codes by hash join") {
+    val p = planOf("x2_ann_ivfsq")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("histogram sketch scan prunes to event_type and value") {
+    val read = planOf("x6_hist_sketch").linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("event_type") && read.contains("value") &&
+      !read.contains("user_id") && !read.contains("props"), read)
+    // quantiles aggregate partial+final over the sketch rows
+    val q = planOf("x6_hist_quantiles")
+    assert("HashAggregate".r.findAllIn(q).size >= 2, q.take(3000))
+  }
+
+  test("binary ANN scan prunes to vec_id and embedding; scoring is codegen arithmetic") {
+    val read = planOf("x2_ann_binary").linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("vec_id") && read.contains("embedding") &&
+      !read.contains("label"), read)
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)

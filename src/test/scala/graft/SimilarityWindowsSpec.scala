@@ -978,6 +978,71 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(rec.forall(r => r >= 0.0 && r <= 1.0))
   }
 
+  test("binary codes: hand-checked sign words, identical vector ranks first at hamming 0, serve equals self") {
+    import spark.implicits._
+    // vec 0: dims 0 and 33 positive -> w0 = 1, w1 = 2; zeros pack to 0
+    val v0 = Seq.tabulate(64)(d => if (d == 0 || d == 33) 1f else -1f)
+    val emb = Seq(
+      (0L, v0, 0), (1L, v0, 0),                       // identical signs
+      (2L, Seq.fill(64)(-1f), 0),                     // all-negative
+      (3L, Seq.tabulate(64)(d => if (d < 32) 1f else -1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val codes = Similarity.binaryCodes(emb)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(codes(0L) === ((1L, 2L)))
+    assert(codes(2L) === ((0L, 0L)))
+    assert(codes(3L) === ((0xFFFFFFFFL, 0L)))
+    val got = Similarity.annBinary(emb, nQueries = 1, k = 3)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    // the sign-identical vector is rank 1 at distance 0; vec 2 differs
+    // in exactly the two positive bits
+    assert(got.head === ((0L, 1L, 0L, 1)))
+    assert(got.find(_._2 == 2L).get._3 === 2L)
+    val served = Similarity.annBinaryOnCodes(
+        Similarity.binaryCodes(emb).localCheckpoint(), nQueries = 1, k = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(served === got.toSet)
+  }
+
+  test("IVF x SQ: candidates stay in probed cells, serve-on-artifacts equals self-contained") {
+    import spark.implicits._
+    // two tight direction groups seeded as cells 0 (+x-ish) and 1 (+y-ish)
+    val emb = (Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0f, 1f, 0f, 0f), 0),
+      (2L, Seq(0.98f, 0.02f, 0f, 0f), 0), (3L, Seq(0.97f, 0.01f, 0f, 0f), 0),
+      (4L, Seq(0.02f, 0.99f, 0f, 0f), 0), (5L, Seq(0.01f, 0.98f, 0f, 0f), 0))
+    ).toDF("vec_id", "embedding", "label")
+    val self = Similarity.annIvfSq(emb, nCells = 2, trainRounds = 2,
+        nQueries = 2, k = 2, nProbe = 1)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(self.nonEmpty)
+    // with nProbe=1 each query scores only its own cell: +x query's
+    // neighbors are the +x group, never the +y group
+    val q0 = self.filter(_._1 == 0L).map(_._2)
+    assert(q0.subsetOf(Set(2L, 3L)), q0.toString)
+    val cmodel = Similarity.trainIvfModel(emb, nCells = 2, trainRounds = 2)
+    val served = Similarity.annIvfSqOnArtifacts(emb,
+        Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint(),
+        Similarity.sqCodes(emb).localCheckpoint(), cmodel,
+        nQueries = 2, k = 2, nProbe = 1)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(served === self)
+  }
+
+  test("media SQ search: serve over the stored code table equals self-contained") {
+    import spark.implicits._
+    val docs = (0L to 9L)
+      .map(i => (i, s"media payload nr $i " + ("x" * (i.toInt + 3))))
+      .toDF("doc_id", "text")
+    val self = graft.operators.Multimodal.mediaSearchSq(docs, nQueries = 2, k = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(self.nonEmpty && self.forall(_._4 <= 2))
+    val served = graft.operators.Multimodal
+      .mediaSearchSqServe(docs, nQueries = 2, k = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served === self)
+  }
+
   test("hybrid RRF: consensus doc wins, integer contributions add, absent side is 0") {
     import spark.implicits._
     // doc 0 is the query. Dense side: doc 1 nearly parallel (rank 1).

@@ -1200,6 +1200,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.exists(_._1.contains(",")), got.mkString("; "))
   }
 
+  test("grouped split: zero leakage by construction, singletons degrade to the per-doc split") {
+    import spark.implicits._
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val gs = Sampling.groupedSplit(d)
+      .as[(Long, Long, Long, String)].collect()
+    assert(gs.length === d.count())
+    // THE property: every cluster lands in exactly one split — the
+    // leakage the hash split provably has (previous test) is gone
+    val byCluster = gs.groupBy(_._2).view.mapValues(_.map(_._4).toSet)
+    assert(byCluster.forall(_._2.size === 1),
+      byCluster.filter(_._2.size > 1).take(3).toMap.toString)
+    // singleton clusters (cluster == doc_id) get exactly the
+    // doc-id-keyed split of x1_sample_split
+    val perDoc = Sampling.sampleSplit(d)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(gs.filter(r => r._1 == r._2).forall(r => r._4 == perDoc(r._1)))
+    // multi-doc clusters exist on this corpus, so the guarantee is live
+    assert(gs.groupBy(_._2).exists(_._2.length > 1))
+  }
+
   test("incremental admission: each stored-artifact gate fires on its own trigger") {
     import spark.implicits._
     val indexed = docs(
