@@ -738,6 +738,9 @@ object SparkEntry {
     "x6_hist_serve" -> ((s, d) =>
       Profiling.histQuantilesFrom(
         Profiling.histSketch(t(s, d, "events")).localCheckpoint())),
+    // sketch accuracy gate: exact centi-quantized order statistics vs
+    // the estimates, error bounded by one bucket width
+    "x6_hist_accuracy" -> ((s, d) => Profiling.histAccuracy(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -5361,6 +5364,51 @@ object SparkEntry {
            round((min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
              THEN bucket END) + 1) * 5::DOUBLE, 2) AS p99_est
          FROM cu GROUP BY 1""",
+    // sketch accuracy audit: centi-quantized exact order statistics
+    // (bounded-domain cumulative window) vs the sketch estimates; the
+    // sk/cu chain + estimate select are copied from x6_hist_quantiles
+    // -- change together
+    "x6_hist_accuracy" ->
+      """WITH qg AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         qc AS (SELECT event_type, q, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY q) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM qg),
+         ex AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             round(CAST(min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+               THEN q END) AS DOUBLE) / 100.0, 2) AS p50_exact,
+             round(CAST(min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+               THEN q END) AS DOUBLE) / 100.0, 2) AS p90_exact,
+             round(CAST(min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+               THEN q END) AS DOUBLE) / 100.0, 2) AS p99_exact
+           FROM qc GROUP BY 1),
+         sk AS (SELECT event_type, CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         cu AS (SELECT event_type, bucket, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM sk),
+         es AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           round((min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p50_est,
+           round((min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p90_est,
+           round((min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p99_est
+         FROM cu GROUP BY 1),
+         j AS (SELECT ex.event_type, ex.n,
+             ex.p50_exact, es.p50_est, round(es.p50_est - ex.p50_exact, 2) AS p50_err,
+             ex.p90_exact, es.p90_est, round(es.p90_est - ex.p90_exact, 2) AS p90_err,
+             ex.p99_exact, es.p99_est, round(es.p99_est - ex.p99_exact, 2) AS p99_err
+           FROM ex JOIN es ON es.event_type = ex.event_type)
+         SELECT event_type, n, p50_exact, p50_est, p50_err,
+           p90_exact, p90_est, p90_err, p99_exact, p99_est, p99_err,
+           CAST(CASE WHEN p50_err >= 0 AND p50_err <= 5 AND p90_err >= 0 AND p90_err <= 5
+             AND p99_err >= 0 AND p99_err <= 5 THEN 1 ELSE 0 END AS BIGINT) AS within_width
+         FROM j""",
     "x6_cms_sketch" ->
       """WITH cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c
            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

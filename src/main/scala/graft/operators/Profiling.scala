@@ -628,4 +628,47 @@ object Profiling {
     * is pinned ≡ this by aliased oracle. */
   def histQuantiles(events: DataFrame, width: Double = 5.0): DataFrame =
     histQuantilesFrom(histSketch(events, width), width)
+
+  /** X6 sketch ACCURACY audit — the measure-don't-guess gate for the
+    * histogram sketch (the `x2_sq_recall` discipline applied to
+    * quantiles): exact order-statistic p50/p90/p99 per event type next
+    * to the sketch estimates, with per-quantile error and the bound
+    * check `0 ≤ err ≤ width` (upper-edge estimates can never
+    * undershoot, and can never overshoot by more than one bucket).
+    * Exactness discipline: values quantize to centi-units first
+    * (`floor(100v + 0.5)`, the house half-up rule) so the exact side
+    * aggregates a BOUNDED integer domain — the cumulative window runs
+    * over O(distinct cents) aggregated rows per type, never raw
+    * events — and the same `⌈p·n⌉` threshold convention as the sketch
+    * side makes the two quantile definitions comparable. */
+  def histAccuracy(events: DataFrame, width: Double = 5.0): DataFrame = {
+    val g = events
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("q"))
+      .groupBy(col("event_type"), col("q")).agg(count(lit(1)).as("c"))
+    val cu = g
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("q"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+    def exact(p: Double): Column =
+      round(min(when(col("cum") >=
+        ceil(lit(p) * col("n").cast("double")).cast("long"), col("q")))
+        .cast("double") / 100.0, 2)
+    val ex = cu.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), exact(0.5).as("p50_exact"),
+        exact(0.9).as("p90_exact"), exact(0.99).as("p99_exact"))
+    def err(tag: String): Column =
+      round(col(s"${tag}_est") - col(s"${tag}_exact"), 2).as(s"${tag}_err")
+    val est = histQuantiles(events, width)
+      .select(col("event_type"), col("p50_est"), col("p90_est"), col("p99_est"))
+    ex.join(est, "event_type")
+      .select(col("event_type"), col("n"),
+        col("p50_exact"), col("p50_est"), err("p50"),
+        col("p90_exact"), col("p90_est"), err("p90"),
+        col("p99_exact"), col("p99_est"), err("p99"))
+      .withColumn("within_width",
+        when(col("p50_err") >= 0 && col("p50_err") <= width &&
+             col("p90_err") >= 0 && col("p90_err") <= width &&
+             col("p99_err") >= 0 && col("p99_err") <= width, 1L).otherwise(0L))
+  }
 }

@@ -251,7 +251,7 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("histogram sketch bucket",
     "CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket",
     Set("x6_hist_sketch", "x6_hist_quantiles", "x6_hist_merge",
-      "x6_hist_serve"))
+      "x6_hist_serve", "x6_hist_accuracy"))
 
   formulaFamily("class-mean prototype fold",
     "round(sum(val) / count(*), 6)",

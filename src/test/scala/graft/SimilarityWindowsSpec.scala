@@ -1101,5 +1101,15 @@ class SimilarityWindowsSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Double)].collect().toSet
     assert(served === graft.operators.Profiling.histQuantiles(rows)
       .as[(String, Long, Double, Double, Double)].collect().toSet)
+    // accuracy audit: click's exact p50 is the 50th sorted value = 48
+    // (each even value twice), p90 = 88, p99 = 98 -> every error is
+    // exactly est - exact = 2.0, inside the one-bucket bound
+    val acc = graft.operators.Profiling.histAccuracy(rows)
+      .select("event_type", "p50_exact", "p50_err", "p90_exact",
+        "p99_exact", "within_width")
+      .as[(String, Double, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(acc("click") === (("click", 48.0, 2.0, 88.0, 98.0, 1L)))
+    assert(acc.values.forall(_._6 === 1L))
   }
 }
