@@ -506,6 +506,13 @@ object SparkEntry {
     // integer reciprocal-rank contributions (RRF, c = 60)
     "x2_hybrid_rrf" -> ((s, d) =>
       Similarity.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"))),
+    // the hybrid serve path: BM25 leg against the STORED index, dense
+    // leg query-side, fusion unchanged. Oracle = x2_hybrid_rrf's.
+    "x2_hybrid_rrf_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Similarity.hybridRrfAgainst(docs, t(s, d, "embeddings"),
+        TextAnalysis.bm25Index(docs).localCheckpoint())
+    }),
     // binary (sign-bit) codes: 8 bytes/vector, Hamming-distance top-k
     // — the cheapest quantization-ladder leg, pure integer arithmetic
     "x2_ann_binary" -> ((s, d) => Similarity.annBinary(t(s, d, "embeddings"))),
@@ -540,6 +547,9 @@ object SparkEntry {
     // flagship composition: dedup -> quality filter -> decontaminate ->
     // shard pack, hash-verified END TO END (stage coupling included)
     "x7_curate" -> ((s, d) => Curation.curate(t(s, d, "documents"))),
+    // dataset-release build: curate survivors -> near-dup cluster ->
+    // leakage-safe grouped split (the row-level release manifest)
+    "x7_curate_split" -> ((s, d) => Curation.curateSplit(t(s, d, "documents"))),
     // the nightly shape end to end: incoming batch (bench ≤ id < 100)
     // probed against the stored fingerprint/band/span artifacts of the
     // indexed corpus (id >= 100) plus the benchmark set (id < 50)
@@ -786,10 +796,11 @@ object SparkEntry {
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
     "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
-    "x2_ann_sq_serve", "x2_ann_binary_serve",
+    "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
     "x6_anomaly_serve", "x6_cms_serve", "x6_hist_merge", "x6_hist_serve",
     "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
+    "x7_curate_split",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4213,6 +4224,77 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens,
            CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
          FROM packed""",
+    // dataset-release build: the x7_curate head through d3 (copied
+    // verbatim -- change together) + the x4_cluster chain retargeted
+    // to the survivors (ctk/l0 read FROM d3; every minhash formula
+    // byte-identical) + the x1_grouped_split hash-split tail
+    "x7_curate_split" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
+         q AS (SELECT doc_id, round(
+             0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+             0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                    CAST(len(string_split(text,' ')) AS DOUBLE)) +
+             0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                    CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM d1),
+         r AS (SELECT d.doc_id,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality, d.doc_id), 6) AS pr
+           FROM d1 d JOIN q ON d.doc_id = q.doc_id),
+         d2 AS (SELECT d1.* FROM d1 JOIN r ON d1.doc_id = r.doc_id
+           WHERE r.pr >= 0.5 AND d1.doc_id >= 50),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+         d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM ov)),
+                  ctk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM ctk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM d3),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id)
+         SELECT l3.doc_id, l3.cluster,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(l3.cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(l3.cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           d.lang, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         FROM l3 JOIN d3 d ON d.doc_id = l3.doc_id""",
     // the x7_curate chain (shared CTE copy — change together) with the
     // x1_temperature thin computed over the SURVIVORS (d3) before packing
     "x7_curate_mixture" ->
@@ -5713,6 +5795,7 @@ object SparkEntry {
       "x4_bloom_merge" -> base("x4_bloom_bits"),
       "x6_cms_merge" -> base("x6_cms_sketch"),
       "x2_ann_sq_serve" -> base("x2_ann_sq"),
+      "x2_hybrid_rrf_serve" -> base("x2_hybrid_rrf"),
       "x2_ann_binary_serve" -> base("x2_ann_binary"),
       "x2_ann_ivfsq_serve" -> base("x2_ann_ivfsq"),
       "x5_mm_search_sq_serve" -> base("x5_mm_search_sq"),

@@ -187,6 +187,25 @@ object Curation {
       shardBudget, extraCols = Seq("lang"))
   }
 
+  /** [[curate]] with GROUP-AWARE SPLITTING instead of shard packing —
+    * the dataset-RELEASE build: stages 1–3 run unchanged, then the
+    * survivors cluster by near-dup signature and every cluster lands
+    * WHOLE in train/val/test ([[Sampling.groupedSplit]] over the
+    * survivor subset — exact dedup upstream removes byte-copies, the
+    * cluster key removes the near-copy leakage channel a doc-id hash
+    * split provably has on this corpus). The output is the row-level
+    * release manifest: (doc_id, cluster, split, lang, source,
+    * n_tokens) — what ships next to the shards so eval is defensible.
+    * Eager (the clustering fixpoint materializes); the oracle replays
+    * dedup → quality → decontam → cluster → hash-split end to end. */
+  def curateSplit(documents: DataFrame, nBench: Long = 50L): DataFrame = {
+    val survivors = cleanSurvivors(documents, nBench, nearDedup = false)
+    Sampling.groupedSplit(survivors)
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .join(survivors.select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+  }
+
   /** Stages 1–3 shared by [[curate]] and [[curateBudget]]: exact (or
     * exact+near) dedup → per-language quality percentile → benchmark
     * decontamination. Returns the full-width survivor frame. */

@@ -946,7 +946,21 @@ object Similarity {
     * swaps to its stored-index serve path without touching fusion. */
   def hybridRrf(documents: DataFrame, embeddings: DataFrame,
                 nQueries: Int = 20, kSide: Int = 5, k: Int = 5,
-                c: Int = 60): DataFrame = {
+                c: Int = 60): DataFrame =
+    hybridRrfAgainst(documents, embeddings,
+      TextAnalysis.bm25Index(documents), nQueries, kSide, k, c)
+
+  /** [[hybridRrf]]'s SERVE form — the BM25 leg scores against a
+    * STORED [[TextAnalysis.bm25Index]] table (the nightly artifact;
+    * no corpus re-tokenize in the search plan), the dense leg stays
+    * the query-side brute-force baseline, and fusion is unchanged —
+    * `x2_hybrid_rrf_serve` shares `x2_hybrid_rrf`'s oracle by
+    * reference. In production either leg swaps independently: the
+    * dense side for any stored-index search (`annSqOnCodes`,
+    * `annLshOnBucketIndex`, …), the fusion never changes. */
+  def hybridRrfAgainst(documents: DataFrame, embeddings: DataFrame,
+                       index: DataFrame, nQueries: Int = 20,
+                       kSide: Int = 5, k: Int = 5, c: Int = 60): DataFrame = {
     def contrib(r: Column): Column =
       when(r > 0, floor(lit(1000000).cast("double") / (lit(c) + r)).cast("long"))
         .otherwise(0L)
@@ -955,7 +969,7 @@ object Similarity {
         col("rank").cast("long").as("dense_rank"))
     val sparse = TextAnalysis.bm25ScoreAgainst(
         documents.filter(col("doc_id") < nQueries),
-        TextAnalysis.bm25Index(documents), kSide, excludeSelf = true)
+        index, kSide, excludeSelf = true)
       .select(col("q_id"), col("match_id"),
         col("rank").cast("long").as("bm25_rank"))
     val fused = dense.join(sparse, Seq("q_id", "match_id"), "full_outer")

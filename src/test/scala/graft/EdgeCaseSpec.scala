@@ -232,4 +232,42 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.cosinePairsTopK(e, 5).count() === 1)
     assert(Similarity.annLsh(e, 2, 5).count() >= 0) // buckets may not collide
   }
+
+  test("round-15 operators survive degenerate inputs") {
+    // zero and empty vectors: SQ encodes to scale 0 / empty codes,
+    // sign-pack to zero words; search ranks them without crashing
+    val e = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f), 0), (1L, Seq(1f, -1f, 0f, 2f), 0),
+      (2L, Seq.empty[Float], 0))
+      .toDF("vec_id", "embedding", "label")
+    val sq = Similarity.sqCodes(e)
+      .as[(Long, Double, Seq[Double])].collect().map(r => r._1 -> r).toMap
+    assert(sq(0L)._2 === 0.0 && sq(0L)._3.forall(_ === 0.0))
+    assert(sq(2L)._2 === 0.0 && sq(2L)._3.isEmpty)
+    assert(Similarity.annSq(e, nQueries = 2, k = 5).count() > 0)
+    val bc = Similarity.binaryCodes(e)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(bc(0L) === ((0L, 0L)) && bc(2L) === ((0L, 0L)))
+    assert(Similarity.annBinary(e, nQueries = 2, k = 5).count() > 0)
+    // hybrid where NO sparse match exists (every token is corpus-wide):
+    // the dense side alone fills the fused list, bm25_rank all 0
+    val docs = Seq((0L, "the the"), (1L, "the the the"), (2L, "the"),
+      (3L, "the the"))
+      .toDF("doc_id", "text")
+    val emb = Seq((0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.8f, 0.2f), 0), (3L, Seq(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val hy = Similarity.hybridRrf(docs, emb, nQueries = 1, kSide = 2, k = 4)
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+    assert(hy.nonEmpty && hy.forall(_._4 === 0L))
+    // single-valued event stream: every quantile is that bucket's edge
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+      1L, "click", 7.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = graft.operators.Profiling.histQuantiles(ev)
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(q === (("click", 1L, 10.0, 10.0, 10.0)))
+    // grouped split on a single doc: one singleton cluster, one split
+    val one = Seq((7L, "solitary words only here")).toDF("doc_id", "text")
+    assert(graft.operators.Sampling.groupedSplit(one).count() === 1)
+  }
 }

@@ -87,7 +87,7 @@ class OracleChainSpec extends AnyFunSuite {
   chainFamily("BM25 index terms/dl/nd/dfs/idx", "x3_bm25_index",
     "terms AS (", "JOIN dl ON dl.doc_id = t.doc_id, nd)",
     Set("x3_bm25_index", "x3_bm25_rebuild", "x3_bm25_search", "x3_bm25_serve",
-      "x2_hybrid_rrf"))
+      "x2_hybrid_rrf", "x2_hybrid_rrf_serve"))
 
   chainFamily("SQ int8 encode chain sc/qq", "x2_quantize",
     "sc AS (SELECT vec_id, v,", "FROM sc)",
@@ -157,7 +157,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_minhash_sig",
       "x4_source_dup_rate", "x4_source_overlap", "x4_survivors",
-      "x7_curate_incremental", "x7_curate_neardup"))
+      "x7_curate_incremental", "x7_curate_neardup", "x7_curate_split"))
 
   formulaFamily("minhash permutation",
     "((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + " +
@@ -166,7 +166,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_minhash_sig",
       "x4_source_dup_rate", "x4_source_overlap", "x4_survivors",
-      "x7_curate_incremental", "x7_curate_neardup"))
+      "x7_curate_incremental", "x7_curate_neardup", "x7_curate_split"))
 
   formulaFamily("minhash band key",
     "array_to_string(s[b*4+1:b*4+4]",
@@ -174,7 +174,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_source_dup_rate",
       "x4_source_overlap", "x4_survivors", "x7_curate_incremental",
-      "x7_curate_neardup"))
+      "x7_curate_neardup", "x7_curate_split"))
 
   formulaFamily("PQ argmin partial distance",
     "q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),",
@@ -232,7 +232,8 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x1_budget_select", "x1_curriculum", "x3_quality", "x3_quality_deciles",
       "x3_quality_filter", "x3_signal_corr", "x7_curate", "x7_curate_budget",
       "x7_curate_curriculum", "x7_curate_mixture", "x7_curate_neardup",
-      "x7_curate_semantic", "x7_curate_verbatim", "x7_report"))
+      "x7_curate_semantic", "x7_curate_split", "x7_curate_verbatim",
+      "x7_report"))
 
   formulaFamily("temperature n^alpha weight",
     "round(power(CAST(n_min AS DOUBLE) / n_docs, 0.5), 6)",
@@ -286,6 +287,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x3_unigram_score_serve" -> "x3_unigram_logprob",
       "x2_ann_sq_serve" -> "x2_ann_sq",
       "x2_ann_binary_serve" -> "x2_ann_binary",
+      "x2_hybrid_rrf_serve" -> "x2_hybrid_rrf",
       "x2_ann_ivfsq_serve" -> "x2_ann_ivfsq",
       "x5_mm_search_sq_serve" -> "x5_mm_search_sq",
       "x4_bloom_merge" -> "x4_bloom_bits",

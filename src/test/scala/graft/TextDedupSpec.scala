@@ -1200,6 +1200,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.exists(_._1.contains(",")), got.mkString("; "))
   }
 
+  test("curate split: manifest covers exactly the curated survivors, zero leakage") {
+    import spark.implicits._
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val got = Curation.curateSplit(d)
+      .as[(Long, Long, String, String, String, Long)].collect()
+    // the release manifest rows are exactly the docs x7_curate ships
+    val packed = Curation.curate(d).select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet === packed)
+    // zero leakage: every survivor cluster lands whole in one split
+    assert(got.groupBy(_._2).forall(_._2.map(_._3).distinct.length === 1))
+    assert(got.forall(r => Set("train", "val", "test")(r._3)))
+    assert(got.forall(_._6 > 0L))
+  }
+
   test("grouped split: zero leakage by construction, singletons degrade to the per-doc split") {
     import spark.implicits._
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
