@@ -524,6 +524,9 @@ object SparkEntry {
     // recall@5 of Hamming ranking vs exact-cosine ground truth
     "x2_binary_recall" -> ((s, d) =>
       Similarity.binaryRecallReport(t(s, d, "embeddings"))),
+    // two-stage binary serve: Hamming shortlist -> exact cosine rerank
+    "x2_ann_binary_rerank" -> ((s, d) =>
+      Similarity.annBinaryRerank(t(s, d, "embeddings"))),
     // composed IVF x SQ index (FAISS IVF_SQ8): trained cells bound the
     // candidate set, int8 codes price each candidate
     "x2_ann_ivfsq" -> ((s, d) => Similarity.annIvfSq(t(s, d, "embeddings"))),
@@ -751,6 +754,10 @@ object SparkEntry {
     // sketch accuracy gate: exact centi-quantized order statistics vs
     // the estimates, error bounded by one bucket width
     "x6_hist_accuracy" -> ((s, d) => Profiling.histAccuracy(t(s, d, "events"))),
+    // per-day quantile drift monitor from the daily sketch grain
+    "x6_hist_daily" -> ((s, d) => Profiling.histDailyQuantiles(t(s, d, "events"))),
+    // trailing-7-day quantiles by sum-merging stored daily sketches
+    "x6_hist_rolling" -> ((s, d) => Profiling.histRolling(t(s, d, "events"))),
     "x6_asof_join" -> ((s, d) => TemporalJoins.asofViewBeforeClick(t(s, d, "events"))),
     "x6_interval_join" -> ((s, d) => TemporalJoins.intervalPairs(t(s, d, "events"))),
     // hours whose count sits >= 2 population std-devs from the type's
@@ -3988,6 +3995,33 @@ object SparkEntry {
              ORDER BY hamming, n_id) AS rank FROM s)
          SELECT q_id, n_id, hamming, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 5""",
+    // binary shortlist (top-20 by Hamming, the shared b/s/r chain) ->
+    // exact cosine rerank of only those pairs
+    "x2_ann_binary_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         b AS (SELECT vec_id,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+1] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w0,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+33] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w1
+           FROM e),
+         s AS (SELECT a.vec_id AS q_id, t.vec_id AS n_id,
+             CAST(bit_count(xor(a.w0, t.w0)) + bit_count(xor(a.w1, t.w1)) AS BIGINT) AS hamming
+           FROM b a, b t WHERE a.vec_id < 20 AND t.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, hamming, row_number() OVER (PARTITION BY q_id
+             ORDER BY hamming, n_id) AS rank FROM s),
+         cd AS (SELECT q_id, n_id FROM r WHERE rank <= 20),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         ex AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cd c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         rr AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM ex)
+         SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+         FROM rr WHERE rank <= 5""",
     // binary recall audit: the SAME b/s/r Hamming chain + the exact
     // cosine brute-force chain as ground truth
     "x2_binary_recall" ->
@@ -5446,6 +5480,51 @@ object SparkEntry {
            round((min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
              THEN bucket END) + 1) * 5::DOUBLE, 2) AS p99_est
          FROM cu GROUP BY 1""",
+    // per-(type, day) sketch quantiles: the dsk day CTE is SHARED
+    // (copied) with x6_hist_rolling -- change together
+    "x6_hist_daily" ->
+      """WITH dsk AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2, 3),
+         dcu AS (SELECT event_type, day, bucket, c,
+             CAST(sum(c) OVER (PARTITION BY event_type, day ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+           FROM dsk)
+         SELECT event_type, CAST(day AS BIGINT) AS day, CAST(max(n) AS BIGINT) AS n,
+           round((min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p50_est,
+           round((min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p90_est,
+           round((min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p99_est
+         FROM dcu GROUP BY 1, 2""",
+    // rolling 7-day quantiles by SUM-MERGING the daily sketches (the
+    // x6_rolling_hll fan pattern on counters) -- dsk copied verbatim
+    "x6_hist_rolling" ->
+      """WITH dsk AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2, 3),
+         fan AS (SELECT event_type, day + o AS day, bucket, c
+           FROM dsk, (SELECT unnest(range(7)) AS o)),
+         rs AS (SELECT event_type, day, bucket, CAST(sum(c) AS BIGINT) AS c
+           FROM fan GROUP BY 1, 2, 3),
+         rd AS (SELECT DISTINCT event_type, day FROM dsk),
+         rs2 AS (SELECT rs.event_type, rs.day, rs.bucket, rs.c
+           FROM rs JOIN rd ON rd.event_type = rs.event_type AND rd.day = rs.day),
+         rcu AS (SELECT event_type, day, bucket, c,
+             CAST(sum(c) OVER (PARTITION BY event_type, day ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+           FROM rs2)
+         SELECT event_type, CAST(day AS BIGINT) AS day, CAST(max(n) AS BIGINT) AS n,
+           round((min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p50_est,
+           round((min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p90_est,
+           round((min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN bucket END) + 1) * 5::DOUBLE, 2) AS p99_est
+         FROM rcu GROUP BY 1, 2""",
     // sketch accuracy audit: centi-quantized exact order statistics
     // (bounded-domain cumulative window) vs the sketch estimates; the
     // sk/cu chain + estimate select are copied from x6_hist_quantiles

@@ -609,18 +609,64 @@ object Profiling {
     * no-window-over-raw rule); thresholds are exact integers
     * (`ceil(p·n)` with n ≪ 2⁵³), estimates are exact multiples of
     * `width` — nothing here can drift cross-engine. */
-  def histQuantilesFrom(sketch: DataFrame, width: Double = 5.0): DataFrame = {
+  def histQuantilesFrom(sketch: DataFrame, width: Double = 5.0): DataFrame =
+    histQuantilesKeyed(sketch, Seq("event_type"), width)
+
+  /** The quantile read shared by every grain: cumulative bucket mass
+    * per key group, `⌈p·n⌉` threshold, upper-edge estimate. */
+  private def histQuantilesKeyed(sketch: DataFrame, keys: Seq[String],
+                                 width: Double): DataFrame = {
+    val part = Window.partitionBy(keys.map(col): _*)
     val cum = sketch
-      .withColumn("cum", sum(col("c")).over(
-        Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("cum", sum(col("c")).over(part.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("c")).over(part))
     def est(p: Double): Column =
       round((min(when(col("cum") >=
         ceil(lit(p) * col("n")).cast("long"), col("bucket"))) + 1L) *
         lit(width), 2)
-    cum.groupBy(col("event_type"))
+    cum.groupBy(keys.map(col): _*)
       .agg(max(col("n")).as("n"), est(0.5).as("p50_est"),
         est(0.9).as("p90_est"), est(0.99).as("p99_est"))
+  }
+
+  /** X6 time-bucketed histogram sketch: [[histSketch]] at (type, day)
+    * grain — the nightly artifact the rolling read merges. Day =
+    * `unix_micros(ts) div 86400000000`, the x6_trend convention. */
+  def histDaily(events: DataFrame, width: Double = 5.0): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** X6 per-day quantiles from the daily sketches — the distribution
+    * drift monitor (is p99 latency/value creeping day over day?). */
+  def histDailyQuantiles(events: DataFrame, width: Double = 5.0): DataFrame =
+    histQuantilesKeyed(histDaily(events, width), Seq("event_type", "day"), width)
+
+  /** X6 ROLLING-window quantiles — p50/p90/p99 over the trailing
+    * `windowDays` days per (type, day), answered by SUM-MERGING the
+    * stored daily sketches (the mergeable-sketch payoff: a rolling
+    * quantile with NO event re-scan — the `x6_rolling_hll` fan
+    * pattern applied to counters). Each day's O(range/width) bucket
+    * rows fan to the `windowDays` window ends they serve, counters
+    * add, and the keyed quantile read runs on the merged grid;
+    * restricting to OBSERVED days drops the fan's overhang past the
+    * corpus end. Work scales with days·buckets, never events. */
+  def histRolling(events: DataFrame, width: Double = 5.0,
+                  windowDays: Int = 7): DataFrame = {
+    val dsk = histDaily(events, width)
+    val fan = dsk
+      .select(col("event_type"), col("day"), col("bucket"), col("c"),
+        explode(array((0 until windowDays).map(o => lit(o.toLong)): _*)).as("o"))
+      .select(col("event_type"), (col("day") + col("o")).as("day"),
+        col("bucket"), col("c"))
+    val merged = fan.groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    val observed = dsk.select(col("event_type"), col("day")).distinct()
+    histQuantilesKeyed(merged.join(observed, Seq("event_type", "day")),
+      Seq("event_type", "day"), width)
   }
 
   /** X6 self-contained histogram quantiles: sketch built inline. The

@@ -916,6 +916,27 @@ object Similarity {
         (-col("cos")).cast("long").as("hamming"), col("rank"))
   }
 
+  /** X2 binary shortlist + EXACT COSINE rerank — the standard binary
+    * deployment: the 8-byte Hamming scan proposes `kCand` candidates
+    * per query (the cheapest possible corpus pass), then only
+    * |Q|·kCand raw-float cosines run. The final order is exact, so
+    * binarization costs recall only at the candidate boundary — the
+    * [[annSqRerank]] contract one compression level down. */
+  def annBinaryRerank(embeddings: DataFrame, nQueries: Int = 20,
+                      kCand: Int = 20, k: Int = 5): DataFrame = {
+    val cand = annBinary(embeddings, nQueries, kCand)
+      .select(col("q_id"), col("n_id"))
+    val vecs = withVec(embeddings).select(col("vec_id"), col("v"), col("nrm"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = cand
+      .join(broadcast(q), "q_id")
+      .join(vecs.withColumnRenamed("vec_id", "n_id"), "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** X2 binary recall audit — exact-cosine ground truth
     * ([[annBruteForce]]) left-joined with the Hamming top-k: how much
     * angular fidelity 8 bytes/vector keeps on this corpus. */

@@ -271,6 +271,52 @@ object GraftProps extends Properties("graft") {
           }
     }
 
+  // SQ int8 reconstruction: every element decodes to within half a
+  // scale step of the original, on arbitrary vectors
+  property("SQ encode reconstructs within scale/2 per element") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-10.0f, 10.0f))) { vs =>
+      val e = Seq((0L, vs, 0)).toDF("vec_id", "embedding", "label")
+      val (scale, q) = graft.operators.Similarity.sqCodes(e)
+        .as[(Long, Double, Seq[Double])].map(r => (r._2, r._3)).head()
+      q.zip(vs).forall { case (qi, v) =>
+        math.abs(qi) <= 127.0 &&
+          math.abs(qi * scale - v.toDouble) <= scale / 2 + 1e-12
+      }
+    }
+
+  // binary sign words: the Hamming distance of two packed vectors is
+  // exactly the number of dimensions whose sign classification differs
+  property("sign-pack Hamming equals the sign-disagreement count") =
+    forAll(Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f)),
+           Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f))) { (a, b) =>
+      val e = Seq((0L, a, 0), (1L, b, 0)).toDF("vec_id", "embedding", "label")
+      val c = graft.operators.Similarity.binaryCodes(e)
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val ham = java.lang.Long.bitCount(c(0)._2 ^ c(1)._2) +
+        java.lang.Long.bitCount(c(0)._3 ^ c(1)._3)
+      val expect = a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+      ham == expect
+    }
+
+  // histogram sketch merge law on arbitrary shard cuts: sum-merged
+  // shard sketches equal the whole-corpus sketch exactly
+  property("histogram shard sketches sum-merge to the corpus sketch") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0.0, 100.0)), Gen.choose(2, 4)) {
+      (vals, shards) =>
+        val rows = vals.zipWithIndex.map { case (v, i) =>
+          (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+            i.toLong % 3, "t" + (i % 2), v)
+        }.toDF("event_id", "ts", "user_id", "event_type", "value")
+        val whole = graft.operators.Profiling.histSketch(rows)
+          .as[(String, Long, Long)].collect().toSet
+        val parts = (0 until shards).map(s =>
+          graft.operators.Profiling.histSketch(
+            rows.filter(col("event_id") % shards === s)))
+        val merged = graft.operators.Profiling.histMerge(parts: _*)
+          .as[(String, Long, Long)].collect().toSet
+        merged == whole
+    }
+
   // CMS point estimates dominate exact counts for EVERY key, not just
   // the audited top-k, on arbitrary corpora
   property("CMS never undercounts any token") =

@@ -97,7 +97,8 @@ class OracleChainSpec extends AnyFunSuite {
 
   chainFamily("binary sign-pack b/s/r Hamming chain", "x2_ann_binary",
     "b AS (SELECT vec_id,", "ORDER BY hamming, n_id) AS rank FROM s)",
-    Set("x2_ann_binary", "x2_ann_binary_serve", "x2_binary_recall"))
+    Set("x2_ann_binary", "x2_ann_binary_serve", "x2_binary_recall",
+      "x2_ann_binary_rerank"))
 
   chainFamily("brute MIPS dp stream", "x2_mips_topk",
     "FROM e q, e t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)",
@@ -252,7 +253,12 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("histogram sketch bucket",
     "CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket",
     Set("x6_hist_sketch", "x6_hist_quantiles", "x6_hist_merge",
-      "x6_hist_serve", "x6_hist_accuracy"))
+      "x6_hist_serve", "x6_hist_accuracy", "x6_hist_daily",
+      "x6_hist_rolling"))
+
+  chainFamily("histogram daily-sketch dsk grain", "x6_hist_daily",
+    "WITH dsk AS", "FROM events GROUP BY 1, 2, 3),",
+    Set("x6_hist_daily", "x6_hist_rolling"))
 
   formulaFamily("class-mean prototype fold",
     "round(sum(val) / count(*), 6)",

@@ -1002,6 +1002,13 @@ class SimilarityWindowsSpec extends AnyFunSuite {
         Similarity.binaryCodes(emb).localCheckpoint(), nQueries = 1, k = 3)
       .as[(Long, Long, Long, Int)].collect().toSet
     assert(served === got.toSet)
+    // with every candidate shortlisted, the exact-cosine rerank must
+    // equal brute-force cosine ANN
+    val exact = Similarity.annBruteForce(emb, nQueries = 1, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val rer = Similarity.annBinaryRerank(emb, nQueries = 1, kCand = 4, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rer === exact)
   }
 
   test("IVF x SQ: candidates stay in probed cells, serve-on-artifacts equals self-contained") {
@@ -1111,5 +1118,30 @@ class SimilarityWindowsSpec extends AnyFunSuite {
       .map(r => r._1 -> r).toMap
     assert(acc("click") === (("click", 48.0, 2.0, 88.0, 98.0, 1L)))
     assert(acc.values.forall(_._6 === 1L))
+  }
+
+  test("histogram daily/rolling: per-day grain is exact, rolling merges the trailing window") {
+    import spark.implicits._
+    // day 0: click values 0..9; day 1: click values 40..49
+    val rows = (0 until 10).map(i => (i.toLong,
+        Timestamp.valueOf("2024-01-02 00:10:00"), i.toLong, "click", i.toDouble)) ++
+      (0 until 10).map(i => (10L + i,
+        Timestamp.valueOf("2024-01-03 00:10:00"), i.toLong, "click", 40.0 + i))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val daily = graft.operators.Profiling.histDailyQuantiles(ev)
+      .select("day", "n", "p50_est").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val d0 = daily.keys.min
+    // day 0: 0..9 -> p50 threshold 5 lands in bucket 0, est 5;
+    // day 1: 40..49 -> bucket 8, est 45
+    assert(daily(d0) === ((10L, 5.0)))
+    assert(daily(d0 + 1) === ((10L, 45.0)))
+    val roll = graft.operators.Profiling.histRolling(ev)
+      .select("day", "n", "p50_est").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // rolling day 0 = its own day; rolling day 1 merges both days:
+    // 20 values, threshold 10 -> cum reaches 10 at bucket 1, est 10
+    assert(roll(d0) === ((10L, 5.0)))
+    assert(roll(d0 + 1) === ((20L, 10.0)))
   }
 }
