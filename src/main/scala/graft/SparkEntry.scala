@@ -377,6 +377,8 @@ object SparkEntry {
     "x4_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(t(s, d, "documents"))),
     // --- X2 similarity search ---
     "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
+    // radius (range) search: all neighbors with rounded cos >= 0.25
+    "x2_range_search" -> ((s, d) => Similarity.rangeSearch(t(s, d, "embeddings"))),
     // brute-force max-inner-product top-k (magnitude-aware retrieval)
     "x2_mips_topk" -> ((s, d) => Similarity.mipsBruteForce(t(s, d, "embeddings"))),
     // bucketed MIPS: Neyshabur-Srebro norm augmentation -> sign-LSH at
@@ -2782,6 +2784,18 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 5""",
+    // cosine RANGE search: every neighbor above the rounded-cosine
+    // radius (the FAISS range_search semantics; set-valued output)
+    "x2_range_search" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         s AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             round(list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm), 6) AS cos
+           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)
+         SELECT q_id, n_id, cos FROM s WHERE cos >= 0.25""",
     "x2_mips_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -608,7 +608,12 @@ object Profiling {
     * over the AGGREGATED bucket rows (bounded domain, the house
     * no-window-over-raw rule); thresholds are exact integers
     * (`ceil(p·n)` with n ≪ 2⁵³), estimates are exact multiples of
-    * `width` — nothing here can drift cross-engine. */
+    * `width` — nothing here can drift cross-engine. Duplicate bucket
+    * rows (a raw shard UNION that skipped [[histMerge]]) are read
+    * CORRECTLY: the ordered window's default RANGE frame includes
+    * bucket-tied peers, so tied rows share one cumulative value and
+    * the counters sum-merge implicitly (spec-pinned) — the serve read
+    * is safe on un-merged shard tables, unlike a strict-keyed join. */
   def histQuantilesFrom(sketch: DataFrame, width: Double = 5.0): DataFrame =
     histQuantilesKeyed(sketch, Seq("event_type"), width)
 
@@ -655,8 +660,17 @@ object Profiling {
     * restricting to OBSERVED days drops the fan's overhang past the
     * corpus end. Work scales with days·buckets, never events. */
   def histRolling(events: DataFrame, width: Double = 5.0,
-                  windowDays: Int = 7): DataFrame = {
-    val dsk = histDaily(events, width)
+                  windowDays: Int = 7): DataFrame =
+    histRollingFromDaily(histDaily(events, width), width, windowDays)
+
+  /** [[histRolling]] answered from a STORED daily-sketch table — the
+    * serve form a resident pipeline uses: the streaming aggregation
+    * ([[graft.streaming.StreamPipeline.histDailyStream]]) maintains
+    * the (type, day, bucket) counters and this read merges them, so
+    * rolling quantiles never touch raw events (spec pins sink-served
+    * ≡ batch). */
+  def histRollingFromDaily(dsk: DataFrame, width: Double = 5.0,
+                           windowDays: Int = 7): DataFrame = {
     val fan = dsk
       .select(col("event_type"), col("day"), col("bucket"), col("c"),
         explode(array((0 until windowDays).map(o => lit(o.toLong)): _*)).as("o"))

@@ -844,7 +844,11 @@ object Similarity {
     annSqOnCodes(sqCodes(embeddings), nQueries, k)
 
   /** [[annSq]] against a STORED [[sqCodes]] table — the serve form:
-    * no raw-vector access anywhere in the search plan. */
+    * no raw-vector access anywhere in the search plan. PRECONDITION:
+    * `codes` is keyed by vec_id (one row per vector, as [[sqCodes]]
+    * writes it) — a duplicated row would duplicate its candidate in
+    * the top-k heap; shard unions must go through a keyed dedup, not
+    * straight into search. */
   def annSqOnCodes(codes: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
     val q = codes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("scale").as("qs"), col("q").as("qq"))
@@ -875,6 +879,29 @@ object Similarity {
     topKPerGroup(scored, k).withColumnRenamed("cos", "dp")
   }
 
+  /** X2 cosine RANGE search — every neighbor within a similarity
+    * RADIUS (`cos ≥ minCos`) rather than a fixed count: the FAISS
+    * `range_search` semantics, what dedup-style retrieval actually
+    * wants (a query with 40 near-copies needs all 40, not 5; one with
+    * none needs zero, not 5 strangers). The threshold compares the
+    * ROUNDED cosine (house rule) so membership is engine-identical.
+    * Same broadcast-query scored stream as [[annBruteForce]] but NO
+    * top-k state at all — a pure filter, fully map-side after the
+    * scoring join; output size is data-dependent by design. At scale
+    * the LSH/IVF candidate generators bound the scored stream the
+    * same way they do for top-k. */
+  def rangeSearch(embeddings: DataFrame, minCos: Double = 0.25,
+                  nQueries: Int = 20): DataFrame = {
+    val all = withVec(embeddings)
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** X2 binary code table — sign-bit binarization into two 32-bit
     * words (64 dims → 8 bytes, a 32× shrink): the cheapest leg of the
     * quantization ladder (float → int8 SQ → PQ → binary). Hamming
@@ -901,7 +928,9 @@ object Similarity {
     annBinaryOnCodes(binaryCodes(embeddings), nQueries, k)
 
   /** [[annBinary]] against a STORED code table — the serve form
-    * (`x2_ann_binary_serve` aliases `x2_ann_binary`'s oracle). */
+    * (`x2_ann_binary_serve` aliases `x2_ann_binary`'s oracle).
+    * PRECONDITION: `codes` keyed by vec_id, as [[binaryCodes]] writes
+    * it (the [[annSqOnCodes]] contract). */
   def annBinaryOnCodes(codes: DataFrame, nQueries: Int = 20,
                        k: Int = 5): DataFrame = {
     val q = codes.filter(col("vec_id") < nQueries)

@@ -531,6 +531,20 @@ object StreamPipeline {
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** [[histSketchStream]] at (type, DAY, bucket) grain — the state IS
+    * the daily-sketch table [[graft.operators.Profiling
+    * .histRollingFromDaily]] serves rolling quantiles from: the
+    * stream maintains O(days · types · range/width) counters and the
+    * rolling read never replays events (spec pins sink-served rolling
+    * ≡ batch [[graft.operators.Profiling.histRolling]]). */
+  def histDailyStream(events: DataFrame, width: Double = 5.0): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** X6 streaming: tumbling event-time windows with watermarked late
     * data drop. Same expressions as the batch Windows.tumbling. */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",

@@ -1143,5 +1143,19 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     // 20 values, threshold 10 -> cum reaches 10 at bucket 1, est 10
     assert(roll(d0) === ((10L, 5.0)))
     assert(roll(d0 + 1) === ((20L, 10.0)))
+    // duplicate-tolerance of the quantile read: a raw shard UNION
+    // (no histMerge) reads identically — the RANGE window frame
+    // sums bucket-tied peers, so counters merge implicitly
+    val s1 = graft.operators.Profiling.histSketch(
+      ev.filter($"event_id" % 2 === 0))
+    val s2 = graft.operators.Profiling.histSketch(
+      ev.filter($"event_id" % 2 === 1))
+    val fromUnion = graft.operators.Profiling
+      .histQuantilesFrom(s1.union(s2))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    val fromMerged = graft.operators.Profiling
+      .histQuantilesFrom(graft.operators.Profiling.histMerge(s1, s2))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(fromUnion === fromMerged)
   }
 }

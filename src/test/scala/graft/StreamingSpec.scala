@@ -820,6 +820,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming daily histogram: sink-served rolling quantiles equal the batch read") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.histDailyStream(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hist_daily_mem").start()
+    try {
+      def ev(id: Long, day: Int, v: Double) =
+        UserEvent(id, Timestamp.valueOf(s"2024-01-0$day 00:01:00"),
+          id % 3, "click", v)
+      val b1 = (0 until 8).map(i => ev(i, 1, i.toDouble))
+      val b2 = (0 until 8).map(i => ev(8L + i, 2, 30.0 + i))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val all = (b1 ++ b2).toDF()
+      // the streamed state IS the daily sketch table
+      assert(spark.table("hist_daily_mem").as[(String, Long, Long, Long)]
+        .collect().toSet ===
+        graft.operators.Profiling.histDaily(all)
+          .as[(String, Long, Long, Long)].collect().toSet)
+      // rolling quantiles served from the SINK equal the batch read
+      // (snapshot the sink first: the rolling read self-joins its
+      // input, and a MemorySink view can't deduplicate its own leaf —
+      // a real deployment reads the stored table, which can)
+      val stored = spark.table("hist_daily_mem").localCheckpoint()
+      val served = graft.operators.Profiling.histRollingFromDaily(stored)
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+      val batch = graft.operators.Profiling.histRolling(all)
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+      assert(served === batch)
+    } finally q.stop()
+  }
+
   test("rolling vector index: assets accepted in generation N gate generation N+1 without restart") {
     implicit val sc = spark.sqlContext
     val dir = Files.createTempDirectory("graft-media-roll")
