@@ -131,6 +131,10 @@ object SparkEntry {
     "q_salted_join" -> ((s, d) => Scale.saltedRevenueByCity(
       t(s, d, "orders"), t(s, d, "customer"))),
     "q_rollup" -> ((s, d) => Scale.rollupSummary(t(s, d, "lineitem"))),
+    // non-hierarchical GROUPING SETS: the two one-column margins only
+    "q_grouping_sets" -> ((s, d) => Scale.groupingSetsSummary(t(s, d, "lineitem"))),
+    // trailing 7-day revenue via a RANGE (value-offset) window frame
+    "q_trailing_revenue" -> ((s, d) => Scale.trailingRevenue(t(s, d, "orders"))),
     "q_cube" -> ((s, d) => Scale.cubeSummary(t(s, d, "lineitem"))),
     // window-frame surface: trailing moving average over the daily agg
     "q_moving_avg" -> ((s, d) => Scale.movingAvgRevenue(t(s, d, "orders"))),
@@ -264,6 +268,8 @@ object SparkEntry {
       TextAnalysis.injectSyntheticPii(t(s, d, "documents")), "text2")),
     // --- X1 sampling / sharding ---
     "x1_sample_split" -> ((s, d) => Sampling.sampleSplit(t(s, d, "documents"))),
+    // reproducible per-epoch read permutation keyed on md5(epoch:doc)
+    "x1_epoch_shuffle" -> ((s, d) => Sampling.epochShuffle(t(s, d, "documents"))),
     // leakage-safe split: assignment hashes the near-dup CLUSTER id,
     // so a near-copy can never straddle train/eval (the fix for what
     // x1_split_leakage measures)
@@ -1210,6 +1216,29 @@ object SparkEntry {
          coalesce(l_linestatus, 'ALL') AS l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+         coalesce(l_linestatus, 'ALL') AS l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    // RANGE frame on the integer day: calendar gaps SHRINK the window
+    // (value offsets), unlike the ROWS moving average
+    "q_trailing_revenue" ->
+      """WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1)
+         SELECT day, rev_c,
+           CAST(sum(rev_c) OVER (ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev7_c
+         FROM d""",
+    "x1_epoch_shuffle" ->
+      """WITH k AS (SELECT CAST(ep.epoch AS BIGINT) AS epoch, d.doc_id,
+             CAST(('0x' || substr(md5(CAST(ep.epoch AS VARCHAR) || ':' ||
+               CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+           FROM documents d, (SELECT unnest(range(3)) AS epoch) ep)
+         SELECT epoch, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id) AS BIGINT) AS pos
+         FROM k""",
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
          coalesce(l_linestatus, 'ALL') AS l_linestatus,

@@ -458,6 +458,32 @@ object Sampling {
         sum(col("n_docs")).as("n_docs"))
   }
 
+  /** X1 DETERMINISTIC EPOCH SHUFFLE — a different but fully
+    * reproducible read order per training epoch: each (epoch, doc)
+    * pair keys on `md5(epoch:doc_id)` and ranks within its epoch.
+    * Epoch-varying order matters (repeating one order over-fits batch
+    * composition); `rand()` order is unrecoverable after a preemption
+    * — this permutation replays exactly from (seed = epoch, doc_id).
+    * The rank window here is the VERIFICATION form; at 100 TB the
+    * shuffle itself realizes the order (range-partition by the hash
+    * key and let the sorted shard write BE the permutation), so no
+    * global window ever runs — the key column is the operator, the
+    * rank is its audit. */
+  def epochShuffle(documents: DataFrame, epochs: Int = 3): DataFrame = {
+    val keyed = documents.select(col("doc_id"))
+      .select(col("doc_id"), explode(
+        array((0 until epochs).map(e => lit(e.toLong)): _*)).as("epoch"))
+      .withColumn("key", hash60(
+        concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+    keyed
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("epoch")).orderBy(col("key"), col("doc_id")))
+        .cast("long"))
+      .select(col("epoch"), col("doc_id"), col("pos"))
+  }
+
   /** X1 GROUP-AWARE (leakage-safe) split — the FIX for what
     * [[splitLeakage]] measures: train/val/test assignment by the hash
     * of each document's near-dup CLUSTER id (the member-minimum

@@ -157,6 +157,37 @@ object Scale {
     * additionally evaluation-order-dependent — DuckDB's segment-tree
     * windows sum in a different order than a sequential fold). The
     * average is ONE IEEE division. */
+  /** GROUPING SETS with a NON-hierarchical set list — the two
+    * one-column margins only, the report neither ROLLUP (hierarchy)
+    * nor CUBE (all four sets) expresses without waste: each requested
+    * margin costs one Expand replica, no more. */
+  def groupingSetsSummary(lineitem: DataFrame): DataFrame =
+    lineitem.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+
+  /** Trailing 7-DAY revenue via a RANGE window frame on the integer
+    * day — VALUE-offset semantics, not row-offset: calendar gaps
+    * shrink the window instead of silently widening it (the ROWS
+    * moving average cannot express this). Exact integer cents in and
+    * out; the global window runs over the aggregated day frame only
+    * (bounded domain), the [[movingAvgRevenue]] precedent. */
+  def trailingRevenue(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day")).rangeBetween(-6, 0)
+    orders
+      .groupBy(datediff(col("o_orderdate"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_c"))
+      .select(col("day"), col("rev_c"),
+        sum(col("rev_c")).over(w).as("rev7_c"))
+  }
+
   def movingAvgRevenue(orders: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("day")).rowsBetween(-2, 0)

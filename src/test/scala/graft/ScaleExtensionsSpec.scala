@@ -460,4 +460,53 @@ class ScaleExtensionsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq
     assert(got === Seq((1L, "s1")))
   }
+
+  test("grouping sets emits exactly the two one-column margins") {
+    import spark.implicits._
+    val li = Seq(("A", "F", 1.0), ("A", "O", 2.0), ("R", "F", 4.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val got = Scale.groupingSetsSummary(li)
+      .as[(String, String, Double, Long)].collect().toSet
+    // flag margins (status=ALL) + status margins (flag=ALL); no leaf
+    // rows, no grand total -- the set neither ROLLUP nor CUBE gives
+    assert(got === Set(
+      ("A", "ALL", 3.0, 2L), ("R", "ALL", 4.0, 1L),
+      ("ALL", "F", 5.0, 2L), ("ALL", "O", 2.0, 1L)))
+  }
+
+  test("trailing revenue RANGE frame: calendar gaps shrink the window") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = Seq(
+      (1L, d("2020-01-01"), 10.0), (2L, d("2020-01-02"), 20.0),
+      (3L, d("2020-01-10"), 40.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = Scale.trailingRevenue(orders)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // day 2's window covers days -4..2 -> both early orders; day 10's
+    // VALUE window covers days 4..10 -> ONLY itself (a ROWS frame
+    // would wrongly include all three rows)
+    assert(got.map(_._3).toSeq === Seq(1000L, 3000L, 4000L))
+  }
+
+  test("epoch shuffle: each epoch is a full reproducible permutation, orders differ across epochs") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val got = graft.operators.Sampling.epochShuffle(docs)
+      .as[(Long, Long, Long)].collect()
+    val byEpoch = got.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0L, 1L, 2L))
+    // each epoch: every doc exactly once, positions are 1..N
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._2).toSet === (0L until 40L).toSet)
+      assert(rows.map(_._3).sorted.toSeq === (1L to 40L).toSeq)
+    }
+    // distinct epochs order the corpus differently
+    def order(e: Long) = byEpoch(e).sortBy(_._3).map(_._2).toSeq
+    assert(order(0L) != order(1L) && order(1L) != order(2L))
+    // reproducible: a second run is identical
+    val again = graft.operators.Sampling.epochShuffle(docs)
+      .as[(Long, Long, Long)].collect()
+    assert(again.toSet === got.toSet)
+  }
 }
