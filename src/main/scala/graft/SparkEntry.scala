@@ -385,6 +385,8 @@ object SparkEntry {
     "x2_ann_topk" -> ((s, d) => Similarity.annBruteForce(t(s, d, "embeddings"))),
     // radius (range) search: all neighbors with rounded cos >= 0.25
     "x2_range_search" -> ((s, d) => Similarity.rangeSearch(t(s, d, "embeddings"))),
+    // the scale path: radius search over the LSH multi-probe candidates
+    "x2_range_lsh" -> ((s, d) => Similarity.rangeSearchLsh(t(s, d, "embeddings"))),
     // brute-force max-inner-product top-k (magnitude-aware retrieval)
     "x2_mips_topk" -> ((s, d) => Similarity.mipsBruteForce(t(s, d, "embeddings"))),
     // bucketed MIPS: Neyshabur-Srebro norm augmentation -> sign-LSH at
@@ -3059,6 +3061,32 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // bucketed radius search: the x2_ann_lsh bucket/candidate chain
+    // (copied verbatim -- change together) + the rounded-cosine range
+    // filter instead of the top-k window
+    "x2_range_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 20),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         f AS (SELECT q_id, n_id, round(cos, 6) AS cos FROM s)
+         SELECT q_id, n_id, cos FROM f WHERE cos >= 0.25""",
     "x2_bucket_stats" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -480,7 +480,13 @@ object Similarity {
       buckets, nQueries, k)
 
   private def annLshCore(vn: DataFrame, buckets: DataFrame,
-                         nQueries: Int, k: Int): DataFrame = {
+                         nQueries: Int, k: Int): DataFrame =
+    topKPerGroup(lshScoredCandidates(vn, buckets, nQueries), k)
+
+  /** Shared LSH candidate generation + exact scoring: multi-probe
+    * bucket join, dedup, cosine over the candidate pairs only. */
+  private def lshScoredCandidates(vn: DataFrame, buckets: DataFrame,
+                                  nQueries: Int): DataFrame = {
     val q = buckets.filter(col("vec_id") < nQueries)
       .withColumn("fl", explode(typedLit(ProbeMasks)))
       .select(col("vec_id").as("q_id"), col("tbl"),
@@ -488,13 +494,27 @@ object Similarity {
     val cands = buckets.join(q, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id")).distinct()
-    val scored = cands
+    cands
       .join(vn.select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn")), Seq("q_id"))
       .join(vn.select(col("vec_id").as("n_id"), col("v"), col("nrm")), Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
-    topKPerGroup(scored, k)
+  }
+
+  /** X2 bucketed RANGE search — [[rangeSearch]]'s radius semantics
+    * answered through the LSH index: only the multi-probe candidate
+    * set scores, then the rounded-cosine radius filters. Output ⊆ the
+    * brute-force range set (missed-bucket pairs are the recall cost,
+    * exactly the [[lshRecallReport]] trade) — at 100 TB this is the
+    * only affordable radius scan, and dedup radius queries tolerate
+    * bounded recall loss by design. */
+  def rangeSearchLsh(embeddings: DataFrame, minCos: Double = 0.25,
+                     nQueries: Int = 20): DataFrame = {
+    val vn = withVec(embeddings)
+    lshScoredCandidates(vn, bucketTableOf(vn), nQueries)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   /** X2 LSH INDEX-HEALTH report — per hash table, how the corpus

@@ -978,6 +978,19 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(rec.forall(r => r >= 0.0 && r <= 1.0))
   }
 
+  test("range search: bucketed results are a subset of brute force, both honor the radius") {
+    import spark.implicits._
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val exact = Similarity.rangeSearch(d)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && exact.forall(_._3 >= 0.25))
+    val bucketed = Similarity.rangeSearchLsh(d)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bucketed.forall(_._3 >= 0.25))
+    // candidate pruning can only LOSE pairs, never invent them
+    assert(bucketed.subsetOf(exact))
+  }
+
   test("binary codes: hand-checked sign words, identical vector ranks first at hamming 0, serve equals self") {
     import spark.implicits._
     // vec 0: dims 0 and 33 positive -> w0 = 1, w1 = 2; zeros pack to 0
