@@ -613,6 +613,13 @@ object SparkEntry {
     // Oracle = x5_mm_search_sq's verbatim.
     "x5_mm_search_sq_serve" -> ((s, d) =>
       Multimodal.mediaSearchSqServe(t(s, d, "documents"))),
+    // binary media retrieval: centered sign bits, Hamming top-3
+    "x5_mm_search_binary" -> ((s, d) =>
+      Multimodal.mediaSearchBinary(t(s, d, "documents"))),
+    // its serve path over the STORED 2-word media code table.
+    // Oracle = x5_mm_search_binary's verbatim.
+    "x5_mm_search_binary_serve" -> ((s, d) =>
+      Multimodal.mediaSearchBinaryServe(t(s, d, "documents"))),
     // the media LSH serve path: stored bucket table probed, collection
     // never re-embedded/re-hashed. Oracle = x5_mm_search_lsh's verbatim.
     "x5_mm_search_lsh_serve" -> ((s, d) =>
@@ -814,6 +821,7 @@ object SparkEntry {
     "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
     "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
+    "x5_mm_search_binary_serve",
     "x6_anomaly_serve", "x6_cms_serve", "x6_hist_merge", "x6_hist_serve",
     "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
@@ -4814,6 +4822,28 @@ object SparkEntry {
              ORDER BY adot DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(adot, 6) AS adot, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // binary media retrieval: the media stub source CENTERED (v-0.5)
+    // before the x2_ann_binary sign-pack b CTE (copied verbatim) --
+    // uncentered [0,1] stubs would sign-pack to all-ones
+    "x5_mm_search_binary" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id, list_transform(v, x -> x - 0.5) AS v FROM e0),
+         b AS (SELECT vec_id,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+1] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w0,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+33] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w1
+           FROM e),
+         s AS (SELECT a.vec_id AS q_id, t.vec_id AS n_id,
+             CAST(bit_count(xor(a.w0, t.w0)) + bit_count(xor(a.w1, t.w1)) AS BIGINT) AS hamming
+           FROM b a, b t WHERE a.vec_id < 5 AND t.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, hamming, row_number() OVER (PARTITION BY q_id
+             ORDER BY hamming, n_id) AS rank FROM s)
+         SELECT q_id, n_id, hamming, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
     "x5_mm_align" ->
       """WITH e AS (SELECT doc_id AS vec_id,
              list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
@@ -5949,6 +5979,7 @@ object SparkEntry {
       "x2_ann_binary_serve" -> base("x2_ann_binary"),
       "x2_ann_ivfsq_serve" -> base("x2_ann_ivfsq"),
       "x5_mm_search_sq_serve" -> base("x5_mm_search_sq"),
+      "x5_mm_search_binary_serve" -> base("x5_mm_search_binary"),
       "x6_hist_merge" -> base("x6_hist_sketch"),
       "x6_hist_serve" -> base("x6_hist_quantiles"),
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),

@@ -225,6 +225,29 @@ object Multimodal {
       Similarity.sqCodesOnVectors(mediaEmbedding(documents)).localCheckpoint(),
       nQueries, k)
 
+  /** X5 binary media retrieval — the cheapest media index leg (8
+    * bytes/asset): stub embeddings CENTER to (v − 0.5) before the
+    * sign-pack (the media-LSH-dedup lesson: the stub lives in [0,1],
+    * so uncentered signs are all-ones and every asset collides),
+    * then rank by Hamming distance — pure integer, engine-exact. */
+  def mediaSearchBinary(documents: DataFrame, nQueries: Int = 5,
+                        k: Int = 3): DataFrame =
+    Similarity.annBinaryOnCodes(mediaBinaryCodes(documents), nQueries, k)
+
+  /** The stored 2-word media code table [[mediaSearchBinary]] scans —
+    * centered sign bits of the stub embedding. */
+  def mediaBinaryCodes(documents: DataFrame): DataFrame =
+    Similarity.binaryCodesOnVectors(
+      mediaEmbedding(documents)
+        .withColumn("v", transform(col("v"), _ - lit(0.5))))
+
+  /** [[mediaSearchBinary]]'s SERVE path over the STORED code table.
+    * `x5_mm_search_binary_serve` aliases its oracle by reference. */
+  def mediaSearchBinaryServe(documents: DataFrame, nQueries: Int = 5,
+                             k: Int = 3): DataFrame =
+    Similarity.annBinaryOnCodes(
+      mediaBinaryCodes(documents).localCheckpoint(), nQueries, k)
+
   /** Media stub embeddings snapped to the dyadic 2⁻²⁰ grid — the
     * exactness precondition of every trained index on this modality
     * (see [[mediaPqCodes]]). The snap rides INSIDE the compiled

@@ -947,6 +947,13 @@ object Similarity {
   def annBinary(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame =
     annBinaryOnCodes(binaryCodes(embeddings), nQueries, k)
 
+  /** [[binaryCodes]] over any (vec_id, v: array<double>) frame — the
+    * modality-agnostic encode the media path composes. */
+  def binaryCodesOnVectors(vecs: DataFrame): DataFrame =
+    vecs
+      .withColumn("b", graft.functions.SignPack.sign_pack(col("v")))
+      .select(col("vec_id"), col("b.w0").as("w0"), col("b.w1").as("w1"))
+
   /** [[annBinary]] against a STORED code table — the serve form
     * (`x2_ann_binary_serve` aliases `x2_ann_binary`'s oracle).
     * PRECONDITION: `codes` keyed by vec_id, as [[binaryCodes]] writes

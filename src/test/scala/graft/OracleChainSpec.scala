@@ -275,7 +275,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_ivf", "x5_mm_pq", "x5_mm_recall", "x5_mm_search",
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_search_pq", "x5_mm_search_pq_serve",
-      "x5_mm_search_sq", "x5_mm_search_sq_serve"))
+      "x5_mm_search_sq", "x5_mm_search_sq_serve", "x5_mm_search_binary",
+      "x5_mm_search_binary_serve"))
 
   // ---- serve aliases: shared BY REFERENCE, pinned here ----
 
@@ -296,6 +297,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_hybrid_rrf_serve" -> "x2_hybrid_rrf",
       "x2_ann_ivfsq_serve" -> "x2_ann_ivfsq",
       "x5_mm_search_sq_serve" -> "x5_mm_search_sq",
+      "x5_mm_search_binary_serve" -> "x5_mm_search_binary",
       "x4_bloom_merge" -> "x4_bloom_bits",
       "x6_cms_merge" -> "x6_cms_sketch",
       "x6_hist_merge" -> "x6_hist_sketch",
