@@ -447,6 +447,21 @@ class PlanSpec extends AnyFunSuite {
       !read.contains("label"), read)
   }
 
+  test("bucketed range search: candidates come from the bucket hash join, never all-pairs") {
+    val p = planOf("x2_range_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("rolling histogram: day fan-out is a generate, merge joins observed days by hash") {
+    val p = planOf("x6_hist_rolling")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)
