@@ -274,6 +274,12 @@ object SparkEntry {
     // so a near-copy can never straddle train/eval (the fix for what
     // x1_split_leakage measures)
     "x1_grouped_split" -> ((s, d) => Sampling.groupedSplit(t(s, d, "documents"))),
+    // leakage-safe cross-validation: fold = hash(cluster) mod k, so no
+    // near-dup group spans folds; emits the kfold balance report
+    "x1_grouped_kfold" -> ((s, d) => Sampling.groupedKfoldReport(t(s, d, "documents"))),
+    // release-split balance audit: per split, docs/token mass/achieved
+    // token pct/source coverage over the x7_curate_split manifest
+    "x1_split_audit" -> ((s, d) => Curation.curateSplitAudit(t(s, d, "documents"))),
     "x1_pack_shards" -> ((s, d) => Sampling.packShards(t(s, d, "documents"))),
     // curriculum layout: per-source quality quota, round-robin
     // interleaved global position (arithmetic, no global window)
@@ -387,6 +393,18 @@ object SparkEntry {
     "x2_range_search" -> ((s, d) => Similarity.rangeSearch(t(s, d, "embeddings"))),
     // the scale path: radius search over the LSH multi-probe candidates
     "x2_range_lsh" -> ((s, d) => Similarity.rangeSearchLsh(t(s, d, "embeddings"))),
+    // the radius serve path: same semantics answered from the STORED
+    // bucket index (no corpus re-hash in the search plan). Oracle =
+    // x2_range_lsh's verbatim.
+    "x2_range_lsh_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.rangeSearchLshOnBuckets(emb,
+        Similarity.lshBucketIndex(emb).localCheckpoint())
+    }),
+    // radius recall audit: per query, |brute radius set|, how many of
+    // it the bucketed search returns, and the ratio (precision is 1.0
+    // by construction -- the LSH radius set is a subset)
+    "x2_range_recall" -> ((s, d) => Similarity.rangeRecallReport(t(s, d, "embeddings"))),
     // brute-force max-inner-product top-k (magnitude-aware retrieval)
     "x2_mips_topk" -> ((s, d) => Similarity.mipsBruteForce(t(s, d, "embeddings"))),
     // bucketed MIPS: Neyshabur-Srebro norm augmentation -> sign-LSH at
@@ -460,6 +478,28 @@ object SparkEntry {
         .localCheckpoint()
       Similarity.annIvfPqOnArtifacts(emb, asg, codes, cmodel, pq)
     }),
+    // the TRUE FAISS IVFPQ: PQ codes encode the dyadic RESIDUAL
+    // (v - centroid[cell]); the query builds one ADC LUT per probed
+    // cell from its own residual against that centroid
+    "x2_ann_ivfpq_res" -> ((s, d) => Similarity.annIvfPqRes(t(s, d, "embeddings"))),
+    // residual composition's SERVE path: stored cell map + stored
+    // residual-code table + both models driver-side. Oracle =
+    // x2_ann_ivfpq_res's verbatim.
+    "x2_ann_ivfpq_res_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cmodel = Similarity.trainIvfModel(emb)
+      val pq = Similarity.trainResPqModel(emb, cmodel)
+      val asg = Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint()
+      import org.apache.spark.sql.functions.col
+      val codes = Similarity.resPqCodesAgainst(emb, cmodel, pq)
+        .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+        .localCheckpoint()
+      Similarity.annIvfPqResOnArtifacts(emb, asg, codes, cmodel, pq)
+    }),
+    // the measured residual claim: recall@k of BOTH compositions vs
+    // exact L2 at identical (nCells, m, kCodes, nProbe); spec pins
+    // sum(n_hits_res) >= sum(n_hits_raw)
+    "x2_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecallReport(t(s, d, "embeddings"))),
     // SemDeDup: near-dup removal with the trained IVF cells as the
     // candidate generator (pair stage bounded per cell, never global)
     "x2_semdedup" -> ((s, d) => Similarity.semDedup(t(s, d, "embeddings"))),
@@ -809,7 +849,9 @@ object SparkEntry {
     "x1_split_leakage", "x1_systematic_sample",
     "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x5_mm_search_sq_serve",
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
-    "x2_ann_lsh_serve", "x2_ann_pq", "x2_ann_pq_serve", "x2_mips_lsh_serve",
+    "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
+    "x2_ann_lsh_serve", "x2_range_lsh_serve",
+    "x2_ann_pq", "x2_ann_pq_serve", "x2_mips_lsh_serve",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
     "x2_ivf_recall", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
@@ -1241,14 +1283,6 @@ object SparkEntry {
            CAST(sum(rev_c) OVER (ORDER BY day
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev7_c
          FROM d""",
-    "x1_epoch_shuffle" ->
-      """WITH k AS (SELECT CAST(ep.epoch AS BIGINT) AS epoch, d.doc_id,
-             CAST(('0x' || substr(md5(CAST(ep.epoch AS VARCHAR) || ':' ||
-               CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
-           FROM documents d, (SELECT unnest(range(3)) AS epoch) ep)
-         SELECT epoch, doc_id,
-           CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id) AS BIGINT) AS pos
-         FROM k""",
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
          coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -2060,6 +2094,14 @@ object SparkEntry {
              FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
            ON m.doc_id = l.doc_id)
          SELECT doc_id, cluster FROM l3""",
+    "x1_epoch_shuffle" ->
+      """WITH k AS (SELECT CAST(ep.epoch AS BIGINT) AS epoch, d.doc_id,
+             CAST(('0x' || substr(md5(CAST(ep.epoch AS VARCHAR) || ':' ||
+               CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+           FROM documents d, (SELECT unnest(range(3)) AS epoch) ep)
+         SELECT epoch, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id) AS BIGINT) AS pos
+         FROM k""",
     // leakage-safe split: the x4_cluster chain through l3 (copied
     // verbatim -- change together) + the x1_sample_split md5-pct
     // thresholds keyed on the CLUSTER id instead of doc_id
@@ -2105,6 +2147,57 @@ object SparkEntry {
                 WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split
          FROM l3""",
+    // leakage-safe k-fold: the x4_cluster chain through l3 (copied
+    // verbatim -- change together) + fold = md5-hash(cluster) mod 5 +
+    // the x1_kfold balance-report tail
+    "x1_grouped_kfold" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         f AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold
+           FROM l3),
+         j AS (SELECT f.fold, d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, d.n_chars
+           FROM f JOIN documents d ON d.doc_id = f.doc_id)
+         SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS mean_chars
+         FROM j GROUP BY 1""",
     // the x4_cluster chain (shared CTE copy — change together) plus the
     // x1_sample_split hash assignment, histogrammed by the split-set
     // signature of each cluster; a comma in `splits` = leakage
@@ -3095,6 +3188,50 @@ object SparkEntry {
            FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
          f AS (SELECT q_id, n_id, round(cos, 6) AS cos FROM s)
          SELECT q_id, n_id, cos FROM f WHERE cos >= 0.25""",
+    // radius recall audit: the x2_range_lsh bucket/candidate/f chain
+    // (copied verbatim -- change together) + a brute radius leg
+    // (bs/rex, the x2_range_search scored stream under different CTE
+    // names) + the per-query hit-count tail; queries with an empty
+    // radius set report NULL recall
+    "x2_range_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 20),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         f AS (SELECT q_id, n_id, round(cos, 6) AS cos FROM s),
+         app AS (SELECT q_id, n_id, 1 AS hit FROM f WHERE cos >= 0.25),
+         bs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             round(list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm), 6) AS cos
+           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         rex AS (SELECT q_id, n_id FROM bs WHERE cos >= 0.25),
+         g AS (SELECT rex.q_id, CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_found
+           FROM rex LEFT JOIN app a ON a.q_id = rex.q_id AND a.n_id = rex.n_id
+           GROUP BY rex.q_id)
+         SELECT qq.vec_id AS q_id,
+           CAST(coalesce(g.n_true, 0) AS BIGINT) AS n_true,
+           CAST(coalesce(g.n_found, 0) AS BIGINT) AS n_found,
+           CASE WHEN coalesce(g.n_true, 0) > 0
+             THEN round(CAST(g.n_found AS DOUBLE) / g.n_true, 4) END AS recall
+         FROM (SELECT vec_id FROM e WHERE vec_id < 20) qq
+         LEFT JOIN g ON g.q_id = qq.vec_id""",
     "x2_bucket_stats" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -4018,6 +4155,332 @@ object SparkEntry {
          SELECT q_id, n_id, round(CAST(adist_u AS DOUBLE) / 1000000.0, 6) AS adist,
            CAST(rank AS BIGINT) AS rank
          FROM fr WHERE rank <= 3""",
+    // RESIDUAL IVF-PQ: the x2_ann_ivf IVF chain (e..k2/rk/asg, copied
+    // verbatim -- change together) + the dyadic residual frame
+    // (resv: floor((v - centroid)*2^20 + 0.5)/2^20, the exactness
+    // device) + the r-prefixed PQ chain retargeted to residuals +
+    // x2_ann_ivfpq's probe CTEs (pbr/pb) + the per-(query, cell)
+    // residual LUT tail. The r-chain and tail are SHARED (copied) with
+    // x2_ivfpq_recall -- change together.
+    "x2_ann_ivfpq_res" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1),
+         resv AS (SELECT a.vec_id, a.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS rv
+           FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN k2 k ON k.c_id = a.cell),
+         rsv AS (SELECT vec_id, tt AS sub, rv[tt*8+1 : tt*8+8] AS s
+           FROM resv, (SELECT unnest(range(8)) AS tt)),
+         rsn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM rsv),
+         rpc0 AS (SELECT sub, vec_id AS code, s AS cv FROM rsv WHERE vec_id < 16),
+         rpk0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc0),
+         rpr1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk0 c ON c.sub = q.sub),
+         rpa1 AS (SELECT vec_id, sub, code, s FROM rpr1 WHERE rn = 1),
+         rpd1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM rpa1),
+         rps1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM rpd1 GROUP BY sub, code, pos),
+         rpu1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM rps1 GROUP BY sub, code),
+         rpc1 AS (SELECT rpc0.sub, rpc0.code, coalesce(rpu1.cv, rpc0.cv) AS cv
+           FROM rpc0 LEFT JOIN rpu1 ON rpu1.sub = rpc0.sub AND rpu1.code = rpc0.code),
+         rpk1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc1),
+         rpr2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk1 c ON c.sub = q.sub),
+         rpa2 AS (SELECT vec_id, sub, code, s FROM rpr2 WHERE rn = 1),
+         rpd2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM rpa2),
+         rps2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM rpd2 GROUP BY sub, code, pos),
+         rpu2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM rps2 GROUP BY sub, code),
+         rpc2 AS (SELECT rpc1.sub, rpc1.code, coalesce(rpu2.cv, rpc1.cv) AS cv
+           FROM rpc1 LEFT JOIN rpu2 ON rpu2.sub = rpc1.sub AND rpu2.code = rpc1.code),
+         rpk2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc2),
+         rpr3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk2 c ON c.sub = q.sub),
+         rpa3 AS (SELECT vec_id, sub, code FROM rpr3 WHERE rn = 1),
+         pbr AS (SELECT t.vec_id, k.c_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+           FROM n t, k2 k WHERE t.vec_id < 20),
+         pb AS (SELECT vec_id AS q_id, c_id AS cell FROM pbr WHERE ar <= 2),
+         qres AS (SELECT p.q_id, p.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS qr
+           FROM pb p JOIN e ON e.vec_id = p.q_id JOIN k2 k ON k.c_id = p.cell),
+         rqs AS (SELECT q_id, cell, tt AS sub, qr[tt*8+1 : tt*8+8] AS s
+           FROM qres, (SELECT unnest(range(8)) AS tt)),
+         rqn AS (SELECT q_id, cell, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM rqs),
+         rlut AS (SELECT q.q_id, q.cell, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM rqn q JOIN rpk2 c ON c.sub = q.sub),
+         rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         rsc AS (SELECT c.q_id, c.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM rivfc c JOIN rpa3 a ON a.vec_id = c.vec_id
+           JOIN rlut l ON l.q_id = c.q_id AND l.cell = c.cell
+             AND l.sub = a.sub AND l.code = a.code
+           GROUP BY 1, 2),
+         rfr AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM rsc)
+         SELECT q_id, n_id, round(CAST(adist_u AS DOUBLE) / 1000000.0, 6) AS adist,
+           CAST(rank AS BIGINT) AS rank
+         FROM rfr WHERE rank <= 3""",
+    // IVF-PQ recall audit: BOTH compositions replayed against exact-L2
+    // top-3 -- the IVF chain + x2_ann_ivfpq's raw p-chain and
+    // sc/fr tail + x2_ann_ivfpq_res's resv/r-chain and rsc/rfr tail
+    // (all copied verbatim -- change together) + a brute exact-L2
+    // chain (xn/gs/gr/ex) + the x2_ivf_recall hit-count tail per leg.
+    "x2_ivfpq_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         pc0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         pk0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc0),
+         pr1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk0 c ON c.sub = q.sub),
+         pa1 AS (SELECT vec_id, sub, code, s FROM pr1 WHERE rn = 1),
+         pd1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM pa1),
+         ps1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM pd1 GROUP BY sub, code, pos),
+         pu1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM ps1 GROUP BY sub, code),
+         pc1 AS (SELECT pc0.sub, pc0.code, coalesce(pu1.cv, pc0.cv) AS cv
+           FROM pc0 LEFT JOIN pu1 ON pu1.sub = pc0.sub AND pu1.code = pc0.code),
+         pk1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc1),
+         pr2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk1 c ON c.sub = q.sub),
+         pa2 AS (SELECT vec_id, sub, code, s FROM pr2 WHERE rn = 1),
+         pd2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM pa2),
+         ps2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM pd2 GROUP BY sub, code, pos),
+         pu2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM ps2 GROUP BY sub, code),
+         pc2 AS (SELECT pc1.sub, pc1.code, coalesce(pu2.cv, pc1.cv) AS cv
+           FROM pc1 LEFT JOIN pu2 ON pu2.sub = pc1.sub AND pu2.code = pc1.code),
+         pk2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc2),
+         pr3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk2 c ON c.sub = q.sub),
+         pa3 AS (SELECT vec_id, sub, code FROM pr3 WHERE rn = 1),
+         pbr AS (SELECT t.vec_id, k.c_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+           FROM n t, k2 k WHERE t.vec_id < 20),
+         pb AS (SELECT vec_id AS q_id, c_id AS cell FROM pbr WHERE ar <= 2),
+         lut AS (SELECT q.vec_id AS q_id, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM sn q JOIN pk2 c ON c.sub = q.sub WHERE q.vec_id < 20),
+         ivfc AS (SELECT p.q_id, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         sc AS (SELECT c.q_id, c.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM ivfc c JOIN pa3 a ON a.vec_id = c.vec_id
+           JOIN lut l ON l.q_id = c.q_id AND l.sub = a.sub AND l.code = a.code
+           GROUP BY 1, 2),
+         fr AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM sc),
+         resv AS (SELECT a.vec_id, a.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS rv
+           FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN k2 k ON k.c_id = a.cell),
+         rsv AS (SELECT vec_id, tt AS sub, rv[tt*8+1 : tt*8+8] AS s
+           FROM resv, (SELECT unnest(range(8)) AS tt)),
+         rsn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM rsv),
+         rpc0 AS (SELECT sub, vec_id AS code, s AS cv FROM rsv WHERE vec_id < 16),
+         rpk0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc0),
+         rpr1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk0 c ON c.sub = q.sub),
+         rpa1 AS (SELECT vec_id, sub, code, s FROM rpr1 WHERE rn = 1),
+         rpd1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM rpa1),
+         rps1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM rpd1 GROUP BY sub, code, pos),
+         rpu1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM rps1 GROUP BY sub, code),
+         rpc1 AS (SELECT rpc0.sub, rpc0.code, coalesce(rpu1.cv, rpc0.cv) AS cv
+           FROM rpc0 LEFT JOIN rpu1 ON rpu1.sub = rpc0.sub AND rpu1.code = rpc0.code),
+         rpk1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc1),
+         rpr2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk1 c ON c.sub = q.sub),
+         rpa2 AS (SELECT vec_id, sub, code, s FROM rpr2 WHERE rn = 1),
+         rpd2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM rpa2),
+         rps2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM rpd2 GROUP BY sub, code, pos),
+         rpu2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM rps2 GROUP BY sub, code),
+         rpc2 AS (SELECT rpc1.sub, rpc1.code, coalesce(rpu2.cv, rpc1.cv) AS cv
+           FROM rpc1 LEFT JOIN rpu2 ON rpu2.sub = rpc1.sub AND rpu2.code = rpc1.code),
+         rpk2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc2),
+         rpr3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk2 c ON c.sub = q.sub),
+         rpa3 AS (SELECT vec_id, sub, code FROM rpr3 WHERE rn = 1),
+         qres AS (SELECT p.q_id, p.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS qr
+           FROM pb p JOIN e ON e.vec_id = p.q_id JOIN k2 k ON k.c_id = p.cell),
+         rqs AS (SELECT q_id, cell, tt AS sub, qr[tt*8+1 : tt*8+8] AS s
+           FROM qres, (SELECT unnest(range(8)) AS tt)),
+         rqn AS (SELECT q_id, cell, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM rqs),
+         rlut AS (SELECT q.q_id, q.cell, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM rqn q JOIN rpk2 c ON c.sub = q.sub),
+         rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         rsc AS (SELECT c.q_id, c.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM rivfc c JOIN rpa3 a ON a.vec_id = c.vec_id
+           JOIN rlut l ON l.q_id = c.q_id AND l.cell = c.cell
+             AND l.sub = a.sub AND l.code = a.code
+           GROUP BY 1, 2),
+         rfr AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM rsc),
+         rawk AS (SELECT q_id, n_id FROM fr WHERE rank <= 3),
+         resk AS (SELECT q_id, n_id FROM rfr WHERE rank <= 3),
+         xn AS (SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y) AS n2 FROM e),
+         gs AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             b.n2 - 2 * list_reduce(list_transform(range(1, len(a.v)+1),
+               i -> a.v[i]*b.v[i]), (x,y) -> x+y) + a.n2 AS dist
+           FROM xn a, xn b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         gr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY dist, n_id) AS rank FROM gs),
+         ex AS (SELECT q_id, n_id FROM gr WHERE rank <= 3)
+         SELECT ex.q_id,
+           CAST(sum(CASE WHEN rw.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits_raw,
+           CAST(sum(CASE WHEN rs.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits_res,
+           round(CAST(sum(CASE WHEN rw.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall_raw,
+           round(CAST(sum(CASE WHEN rs.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall_res
+         FROM ex LEFT JOIN rawk rw ON rw.q_id = ex.q_id AND rw.n_id = ex.n_id
+         LEFT JOIN resk rs ON rs.q_id = ex.q_id AND rs.n_id = ex.n_id
+         GROUP BY ex.q_id""",
     "x2_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -4408,6 +4871,84 @@ object SparkEntry {
            d.lang, d.source,
            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
          FROM l3 JOIN d3 d ON d.doc_id = l3.doc_id""",
+    // release-split balance audit: the FULL x7_curate_split oracle as
+    // the `man` CTE (every shared chain copied verbatim -- change
+    // together) + the per-split docs/tokens/sources/achieved-pct tail
+    "x1_split_audit" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
+         q AS (SELECT doc_id, round(
+             0.4 * least(1.0, len(string_split(text,' ')) / 50.0) +
+             0.3 * (len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) /
+                    CAST(len(string_split(text,' ')) AS DOUBLE)) +
+             0.3 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g')) /
+                    CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+           FROM d1),
+         r AS (SELECT d.doc_id,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY q.quality, d.doc_id), 6) AS pr
+           FROM d1 d JOIN q ON d.doc_id = q.doc_id),
+         d2 AS (SELECT d1.* FROM d1 JOIN r ON d1.doc_id = r.doc_id
+           WHERE r.pr >= 0.5 AND d1.doc_id >= 50),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+         d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM ov)),
+                  ctk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM ctk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM d3),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         man AS (SELECT l3.doc_id, l3.cluster,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(l3.cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(l3.cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           d.lang, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         FROM l3 JOIN d3 d ON d.doc_id = l3.doc_id),
+         ag AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+           FROM man GROUP BY 1),
+         tot AS (SELECT CAST(sum(sum_tokens) AS BIGINT) AS tot_tokens FROM ag)
+         SELECT split, n_docs, sum_tokens, n_sources,
+           round(CAST(sum_tokens AS DOUBLE) / tot_tokens, 6) AS token_pct
+         FROM ag, tot""",
     // the x7_curate chain (shared CTE copy — change together) with the
     // x1_temperature thin computed over the SURVIVORS (d3) before packing
     "x7_curate_mixture" ->
@@ -5964,7 +6505,9 @@ object SparkEntry {
     Map(
       "x2_ann_ivf_serve" -> base("x2_ann_ivf"),
       "x2_ann_ivfpq_serve" -> base("x2_ann_ivfpq"),
+      "x2_ann_ivfpq_res_serve" -> base("x2_ann_ivfpq_res"),
       "x2_ann_lsh_serve" -> base("x2_ann_lsh"),
+      "x2_range_lsh_serve" -> base("x2_range_lsh"),
       "x2_ann_pq_serve" -> base("x2_ann_pq"),
       "x3_bigram_score_serve" -> base("x3_bigram_logprob"),
       "x3_unigram_score_serve" -> base("x3_unigram_logprob"),

@@ -114,8 +114,13 @@ object SqEncode {
   * uint32 words instead of one int64 so neither engine touches the
   * sign bit (DuckDB and Spark differ on int64 `1<<63` semantics);
   * both words are non-negative and xor/bit_count stay exact. Dims
-  * past 64 are ignored by contract (embedding dim = 64). */
-case class SignPack(child: Expression) extends KernelExpression {
+  * past 64 are ignored by contract (embedding dim = 64).
+  * `threshold` shifts the sign plane (bit set iff vᵢ > threshold) —
+  * the [0,1]-domain media stub centers with threshold 0.5 INSIDE this
+  * one compiled pass instead of a per-element `transform(_ − 0.5)`
+  * lambda (the hot-loop invariant); `v > t` ≡ `(v − t) > 0` exactly,
+  * so the centered-oracle SQL is unchanged. */
+case class SignPack(child: Expression, threshold: Double) extends KernelExpression {
   override def dataType: DataType = SignPack.schema
 
   override def kernel(input: Any): Any = {
@@ -125,7 +130,7 @@ case class SignPack(child: Expression) extends KernelExpression {
     var w1 = 0L
     var i = 0
     while (i < n) {
-      if (v.getDouble(i) > 0.0) {
+      if (v.getDouble(i) > threshold) {
         if (i < 32) w0 |= (1L << i) else w1 |= (1L << (i - 32))
       }
       i += 1
@@ -142,6 +147,63 @@ object SignPack {
     .add("w0", LongType, nullable = false)
     .add("w1", LongType, nullable = false)
 
-  def sign_pack(v: Column): Column =
-    ColumnBridge.column(SignPack(ColumnBridge.expression(v)))
+  def sign_pack(v: Column, threshold: Double = 0.0): Column =
+    ColumnBridge.column(SignPack(ColumnBridge.expression(v), threshold))
+}
+
+/** Dyadic-grid residual of a vector against a centroid in ONE compiled
+  * pass: rᵢ = ⌊(vᵢ − cᵢ)·2²⁰ + 0.5⌋ / 2²⁰ (half-up, incl. negatives)
+  * over min(len) elements — the exactness device that makes PQ
+  * training on IVF residuals fold-order-free cross-engine: raw
+  * residuals `v − round6(centroid)` have full-length mantissas (round6
+  * is decimal, not binary), so their Lloyd mean-sums would drift with
+  * fold order; snapped to the 2⁻²⁰ grid every residual is k·2⁻²⁰ with
+  * |k| ≲ 2²¹, partial sums stay exact integers scaled by 2⁻²⁰, and
+  * the trained codebook is bit-identical on both engines (the media
+  * dyadic-embed discipline applied to residual encoding). The
+  * subtraction and ×2²⁰ (a power of two) are single exact-or-
+  * correctly-rounded IEEE ops, identical in Spark and DuckDB. */
+case class ResidualDyadic(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def compute(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val c = b.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), c.numElements())
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor((v.getDouble(i) - c.getDouble(i)) * 1048576.0 + 0.5) / 1048576.0
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a, b)
+
+  /** Codegen calls back into the compiled kernel via a bound reference
+    * (the KernelExpression pattern) — keeps the whole-stage span alive
+    * without generating array construction inline. */
+  def kernel(a: Any, b: Any): Any = compute(a, b)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("residualExpr", this, classOf[ResidualDyadic].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ResidualDyadic = copy(left = newLeft, right = newRight)
+}
+
+object ResidualDyadic {
+  def residual_dyadic(v: Column, c: Column): Column =
+    ColumnBridge.column(
+      ResidualDyadic(ColumnBridge.expression(v), ColumnBridge.expression(c)))
 }

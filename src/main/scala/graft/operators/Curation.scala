@@ -199,11 +199,37 @@ object Curation {
     * Eager (the clustering fixpoint materializes); the oracle replays
     * dedup → quality → decontam → cluster → hash-split end to end. */
   def curateSplit(documents: DataFrame, nBench: Long = 50L): DataFrame = {
+    // the survivor chain (dedup → quality → decontam) feeds BOTH the
+    // clustering fixpoint inside groupedSplit and the metadata join —
+    // materialize it ONCE as a lineage-free frame (localCheckpoint,
+    // never persist: the eager-operator invariant) so the chain runs
+    // once, not per consumer
     val survivors = cleanSurvivors(documents, nBench, nearDedup = false)
+      .localCheckpoint()
     Sampling.groupedSplit(survivors)
       .select(col("doc_id"), col("cluster"), col("split"))
       .join(survivors.select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+  }
+
+  /** X1 release-split audit — the balance check on [[curateSplit]]'s
+    * manifest: per split, doc count, token mass, ACHIEVED token
+    * fraction (one broadcast of the 1-row total back over the 3-row
+    * aggregate), and per-source coverage. The grouped split hashes
+    * CLUSTERS, not tokens, so skewed cluster token mass drifts the
+    * achieved fractions off 80/10/10 — this report is where that
+    * drift (and a split missing a source entirely) is caught before
+    * the release ships. O(splits) rows beyond the manifest build. */
+  def curateSplitAudit(documents: DataFrame, nBench: Long = 50L): DataFrame = {
+    val agg = curateSplit(documents, nBench)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+    val tot = agg.agg(sum(col("sum_tokens")).as("tot_tokens"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_docs"), col("sum_tokens"), col("n_sources"),
+        round(col("sum_tokens").cast("double") /
+          col("tot_tokens").cast("double"), 6).as("token_pct"))
   }
 
   /** Stages 1–3 shared by [[curate]] and [[curateBudget]]: exact (or

@@ -235,11 +235,11 @@ object Multimodal {
     Similarity.annBinaryOnCodes(mediaBinaryCodes(documents), nQueries, k)
 
   /** The stored 2-word media code table [[mediaSearchBinary]] scans —
-    * centered sign bits of the stub embedding. */
+    * centered sign bits of the stub embedding. Centering rides as the
+    * kernel's sign threshold (v > 0.5 ≡ (v − 0.5) > 0 exactly), so no
+    * interpreted per-element lambda touches the hot path. */
   def mediaBinaryCodes(documents: DataFrame): DataFrame =
-    Similarity.binaryCodesOnVectors(
-      mediaEmbedding(documents)
-        .withColumn("v", transform(col("v"), _ - lit(0.5))))
+    Similarity.binaryCodesOnVectors(mediaEmbedding(documents), threshold = 0.5)
 
   /** [[mediaSearchBinary]]'s SERVE path over the STORED code table.
     * `x5_mm_search_binary_serve` aliases its oracle by reference. */

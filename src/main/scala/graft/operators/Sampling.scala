@@ -507,6 +507,41 @@ object Sampling {
           .when(col("pct") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** X1 GROUP-AWARE K-FOLD assignment — [[groupedSplit]]'s rule
+    * applied to cross-validation: fold = `hash(CLUSTER id) mod k`
+    * over the near-dup cluster labels (scikit-learn GroupKFold at
+    * corpus scale), so every member of a near-dup group lands in the
+    * SAME fold by construction. [[kfoldReport]]'s per-doc
+    * `hash(doc_id) mod k` provably leaks near-copies across folds on
+    * this corpus (the channel [[splitLeakage]] measures) — a CV
+    * estimate averaged over contaminated folds overstates every
+    * fold's metric. Row-level (doc_id, cluster, fold); the spec pins
+    * one distinct fold per cluster. */
+  def groupedKfold(documents: DataFrame, k: Int = 5): DataFrame =
+    Dedup.clusterNearDups(documents)
+      .select(col("doc_id"), col("cluster"),
+        (hash60(col("cluster")) % k).as("fold"))
+
+  /** X1 grouped-k-fold BALANCE report — [[kfoldReport]]'s audit shape
+    * over the LEAKAGE-SAFE fold assignment: per fold, doc count,
+    * token mass, source coverage, mean length. Group-whole folds
+    * trade balance for validity (a giant cluster lands whole in one
+    * fold) — this report is where that trade is checked before k
+    * trainings run. Cost = the clustering (the stored artifact a
+    * resident pipeline already maintains) + one O(k)-row
+    * aggregation. */
+  def groupedKfoldReport(documents: DataFrame, k: Int = 5): DataFrame =
+    documents.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .join(groupedKfold(documents, k).select(col("doc_id"), col("fold")),
+        "doc_id")
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        round(sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_chars"))
+
   /** X1 TEMPORAL holdout + user-leakage audit — the time-series
     * counterpart of [[splitLeakage]]: events split at the 80% day
     * boundary (train strictly before, integer arithmetic on the

@@ -141,22 +141,6 @@ object Scale {
       .select(col("day"), col("n_big"), col("n_urgent"))
   }
 
-  /** Trailing 3-day moving average of daily revenue — the window-FRAME
-    * surface (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) the ranking
-    * queries don't exercise. The window runs over the AGGREGATED
-    * O(days) frame, never raw orders: aggregate first (partial+final
-    * on day), then one tiny ordered window — a global orderBy window
-    * over a thousand rows is free; over 100 TB of raw rows it would be
-    * the classic single-reducer sort this operator exists to avoid.
-    * Cross-engine float parity: EACH ORDER quantizes to integer CENTS
-    * (`floor(x·100 + 0.5)`, half-up) BEFORE the day sum, so both the
-    * day total and the frame sum are exact integer arithmetic
-    * (quantize-after-sum would leave the day total an order-dependent
-    * float sum — ~1e11 cents over ~1e5 orders at large SF accumulates
-    * error past the 0.5 half-up margin; windowed float sums are
-    * additionally evaluation-order-dependent — DuckDB's segment-tree
-    * windows sum in a different order than a sequential fold). The
-    * average is ONE IEEE division. */
   /** GROUPING SETS with a NON-hierarchical set list — the two
     * one-column margins only, the report neither ROLLUP (hierarchy)
     * nor CUBE (all four sets) expresses without waste: each requested
@@ -188,6 +172,22 @@ object Scale {
         sum(col("rev_c")).over(w).as("rev7_c"))
   }
 
+  /** Trailing 3-day moving average of daily revenue — the window-FRAME
+    * surface (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) the ranking
+    * queries don't exercise. The window runs over the AGGREGATED
+    * O(days) frame, never raw orders: aggregate first (partial+final
+    * on day), then one tiny ordered window — a global orderBy window
+    * over a thousand rows is free; over 100 TB of raw rows it would be
+    * the classic single-reducer sort this operator exists to avoid.
+    * Cross-engine float parity: EACH ORDER quantizes to integer CENTS
+    * (`floor(x·100 + 0.5)`, half-up) BEFORE the day sum, so both the
+    * day total and the frame sum are exact integer arithmetic
+    * (quantize-after-sum would leave the day total an order-dependent
+    * float sum — ~1e11 cents over ~1e5 orders at large SF accumulates
+    * error past the 0.5 half-up margin; windowed float sums are
+    * additionally evaluation-order-dependent — DuckDB's segment-tree
+    * windows sum in a different order than a sequential fold). The
+    * average is ONE IEEE division. */
   def movingAvgRevenue(orders: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("day")).rowsBetween(-2, 0)

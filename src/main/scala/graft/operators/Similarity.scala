@@ -512,9 +512,56 @@ object Similarity {
   def rangeSearchLsh(embeddings: DataFrame, minCos: Double = 0.25,
                      nQueries: Int = 20): DataFrame = {
     val vn = withVec(embeddings)
-    lshScoredCandidates(vn, bucketTableOf(vn), nQueries)
+    rangeLshCore(vn, bucketTableOf(vn), minCos, nQueries)
+  }
+
+  /** [[rangeSearchLsh]]'s SERVE path — the radius answered from a
+    * STORED [[lshBucketIndex]], no corpus re-hash in the search plan
+    * (the [[annLshOnBucketIndex]] contract applied to range
+    * semantics). `x2_range_lsh_serve` shares `x2_range_lsh`'s oracle
+    * by reference. */
+  def rangeSearchLshOnBuckets(embeddings: DataFrame, buckets: DataFrame,
+                              minCos: Double = 0.25,
+                              nQueries: Int = 20): DataFrame =
+    rangeLshCore(withVec(embeddings).select(col("vec_id"), col("v"), col("nrm")),
+      buckets, minCos, nQueries)
+
+  private def rangeLshCore(vn: DataFrame, buckets: DataFrame,
+                           minCos: Double, nQueries: Int): DataFrame =
+    lshScoredCandidates(vn, buckets, nQueries)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"))
       .filter(col("cos") >= minCos)
+
+  /** X2 RANGE-search recall audit — the measure-don't-guess gate for
+    * the radius path ([[lshRecallReport]]'s counterpart for
+    * SET-valued retrieval): per query, the brute radius set's size
+    * (`n_true`), how many of it the bucketed search returns
+    * (`n_found` — precision is 1.0 BY CONSTRUCTION since the LSH
+    * radius set is a subset of the brute one: same rounded-cosine
+    * threshold over a candidate subset), and the recall ratio (NULL
+    * when the radius set is empty — nothing to recall). Range
+    * semantics are the dedup-facing API where silent recall loss
+    * hurts most, so this report is the pre-flight before
+    * [[rangeSearchLsh]] replaces [[rangeSearch]]. One (q_id, n_id)
+    * equi join of two radius frames + the query-id left join so every
+    * query reports a row. */
+  def rangeRecallReport(embeddings: DataFrame, minCos: Double = 0.25,
+                        nQueries: Int = 20): DataFrame = {
+    val exact = rangeSearch(embeddings, minCos, nQueries)
+      .select(col("q_id"), col("n_id"))
+    val approx = rangeSearchLsh(embeddings, minCos, nQueries)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    val agg = exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+    embeddings.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"))
+      .join(agg, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        when(coalesce(col("n_true"), lit(0L)) > 0,
+          round(col("n_found").cast("double") / col("n_true").cast("double"), 4))
+          .as("recall"))
   }
 
   /** X2 LSH INDEX-HEALTH report — per hash table, how the corpus
@@ -948,10 +995,13 @@ object Similarity {
     annBinaryOnCodes(binaryCodes(embeddings), nQueries, k)
 
   /** [[binaryCodes]] over any (vec_id, v: array<double>) frame — the
-    * modality-agnostic encode the media path composes. */
-  def binaryCodesOnVectors(vecs: DataFrame): DataFrame =
+    * modality-agnostic encode the media path composes. `threshold`
+    * shifts the sign plane inside the compiled kernel (bit iff
+    * v > t ≡ (v − t) > 0): the [0,1] media stub centers at 0.5 with
+    * no per-element lambda. */
+  def binaryCodesOnVectors(vecs: DataFrame, threshold: Double = 0.0): DataFrame =
     vecs
-      .withColumn("b", graft.functions.SignPack.sign_pack(col("v")))
+      .withColumn("b", graft.functions.SignPack.sign_pack(col("v"), threshold))
       .select(col("vec_id"), col("b.w0").as("w0"), col("b.w1").as("w1"))
 
   /** [[annBinary]] against a STORED code table — the serve form
@@ -2105,5 +2155,189 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= kNn)
       .select(col("q_id"), col("n_id"), round(col("dist"), 6).as("dist"), col("rank"))
+  }
+
+  // --------------------------------------------------------------------
+  // RESIDUAL-encoded IVF-PQ — the true FAISS IVFPQ: within each trained
+  // cell the PQ codebook encodes the RESIDUAL (v − centroid[cell]), not
+  // the raw vector, concentrating the fixed code budget on WITHIN-cell
+  // variance (the between-cell component is already carried by the cell
+  // id). At fixed (nCells, m, kCodes) this is most of IVFPQ's recall
+  // advantage. Exactness: residuals snap to the dyadic 2⁻²⁰ grid inside
+  // one compiled kernel (ResidualDyadic) so the per-subspace Lloyd
+  // training stays fold-order-exact cross-engine (raw `v − round6(c)`
+  // residuals have full mantissas; the media dyadic-embed discipline).
+  // --------------------------------------------------------------------
+
+  /** Per-vector dyadic residual frame (vec_id, cell, v=residual): the
+    * argmax-cosine cell assignment (identical to [[ivfAssignmentsFor]])
+    * joined to its centroid — an O(nCells·dims) broadcast — with the
+    * subtraction + grid snap in the compiled kernel. */
+  private def residualVectors(all: DataFrame,
+                              cmodel: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val cents = cmodel.toDF("cell", "ccv")
+    argmaxCell(all, cmodel).select(col("vec_id"), col("cell"), col("v"))
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        graft.functions.ResidualDyadic.residual_dyadic(col("v"), col("ccv")).as("v"))
+  }
+
+  /** Train the residual-PQ codebook: [[trainPqModelOnVectors]] over the
+    * dyadic residual frame — same deterministic per-subspace Lloyd
+    * (seeds = residual subvectors of vec_id < kCodes, fixed rounds,
+    * round-6 means); the model a residual serve path keeps as driver
+    * state next to the IVF centroids. */
+  def trainResPqModel(embeddings: DataFrame, cmodel: Seq[(Long, Seq[Double])],
+                      m: Int = 8, kCodes: Int = 16, rounds: Int = 2,
+                      dims: Int = 64): Seq[(Int, Long, Seq[Double])] =
+    trainPqModelOnVectors(
+      residualVectors(withVec(embeddings), cmodel).select(col("vec_id"), col("v")),
+      m, kCodes, rounds, dims)
+
+  /** Corpus-side residual-PQ encoding against stored models — the
+    * (vec_id, sub, code) compressed corpus where each code indexes the
+    * RESIDUAL codebook of the vector's own cell assignment. */
+  def resPqCodesAgainst(embeddings: DataFrame, cmodel: Seq[(Long, Seq[Double])],
+                        codebook: Seq[(Int, Long, Seq[Double])],
+                        m: Int = 8, dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val resv = residualVectors(withVec(embeddings), cmodel)
+    argminCode(subvectors(resv, m, dims / m), pqCodebookDF(spark, codebook))
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** X2 RESIDUAL IVF-PQ search — [[annIvfPq]] with the FAISS residual
+    * refinement: the trained IVF coarse quantizer still bounds the
+    * candidate set to nProbe cells, but the code table stores
+    * per-subspace codewords of (v − centroid[cell]) and the query
+    * builds ONE ADC lookup table PER PROBED CELL from its own residual
+    * (q − centroid[cell]) — the distance estimate is then
+    * ‖(q−c) − r‖² per candidate, the within-cell geometry both sides
+    * share. Costs one LUT per (query, cell) instead of per query
+    * (nProbe× LUT arithmetic, still O(m·kCodes) driver-broadcast
+    * rows); candidate I/O is unchanged at m bytes per candidate.
+    * [[ivfPqRecallReport]] is the measured gate: at identical
+    * (nCells, m, kCodes, nProbe) the residual composition's recall is
+    * pinned ≥ the raw-vector one. */
+  def annIvfPqRes(embeddings: DataFrame, nCells: Int = 8, trainRounds: Int = 2,
+                  m: Int = 8, kCodes: Int = 16, dims: Int = 64,
+                  nQueries: Int = 20, k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    val all = withVec(embeddings)
+    val cmodel = trainIvfModel(embeddings, nCells, trainRounds)
+    val resv = residualVectors(all, cmodel)
+    val pq = trainPqModelOnVectors(resv.select(col("vec_id"), col("v")),
+      m, kCodes, trainRounds, dims)
+    val asg = resv.select(col("vec_id"), col("cell"))
+    val codes = argminCode(subvectors(resv, m, dims / m), pqCodebookDF(spark, pq))
+      .select(col("vec_id"), col("sub"), col("code"))
+    annIvfPqResCore(all, asg, codes, cmodel, pq, m, dims, nQueries, k, nProbe)
+  }
+
+  /** X2 residual IVF-PQ SERVE — [[annIvfPqRes]] over STORED artifacts:
+    * the (vec_id, cell) partition map, the (vec_id, sub, code)
+    * residual-code corpus, and both trained models as driver state.
+    * The search plan assigns/encodes nothing corpus-side; the query
+    * batch brings its raw vectors (probe ranking + per-cell residual
+    * LUTs are query-side arithmetic). `x2_ann_ivfpq_res_serve` shares
+    * `x2_ann_ivfpq_res`'s oracle by reference. */
+  def annIvfPqResOnArtifacts(embeddings: DataFrame, asg: DataFrame,
+                             codes: DataFrame,
+                             centroids: Seq[(Long, Seq[Double])],
+                             codebook: Seq[(Int, Long, Seq[Double])],
+                             m: Int = 8, dims: Int = 64, nQueries: Int = 20,
+                             k: Int = 3, nProbe: Int = 2): DataFrame =
+    annIvfPqResCore(withVec(embeddings), asg, codes, centroids, codebook,
+      m, dims, nQueries, k, nProbe)
+
+  private def annIvfPqResCore(all: DataFrame, asg: DataFrame, codes: DataFrame,
+                              centroids: Seq[(Long, Seq[Double])],
+                              codebook: Seq[(Int, Long, Seq[Double])],
+                              m: Int, dims: Int, nQueries: Int,
+                              k: Int, nProbe: Int): DataFrame = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val cents = centroids.toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val cdf = pqCodebookDF(spark, codebook)
+    val dsub = dims / m
+    val aw = Window.partitionBy(col("vec_id")).orderBy(
+      cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last,
+      col("c_id"))
+    // probes CARRY the query's dyadic residual against each probed
+    // centroid — the per-(query, cell) LUT input
+    val probes = all.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
+      .withColumn("arank", row_number().over(aw)).filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"),
+        graft.functions.ResidualDyadic.residual_dyadic(col("v"), col("cv")).as("qr"))
+    val qsubs = probes.select(col("q_id"), col("cell"),
+        posexplode(array((0 until m).map(t =>
+          slice(col("qr"), t * dsub + 1, dsub)): _*)))
+      .toDF("q_id", "cell", "sub", "sv")
+      .withColumn("sn2", dot_product(col("sv"), col("sv")))
+    val lut = qsubs.join(cdf, Seq("sub"))
+      .select(col("q_id"), col("cell"), col("sub"), col("code"),
+        floor((col("sn2") - lit(2.0) * dot_product(col("sv"), col("cv")) +
+          col("cn2")) * 1000000 + 0.5).cast("long").as("pd"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist_u"), col("n_id"))
+    // every candidate lives in exactly ONE cell, so the (q_id, cell,
+    // sub, code) LUT probe contributes exactly m rows per candidate
+    asg.join(broadcast(probes.select(col("q_id"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "cell", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("pd")).as("adist_u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"),
+        round(col("adist_u").cast("double") / 1000000.0, 6).as("adist"), col("rank"))
+  }
+
+  /** X2 IVF-PQ recall audit — the measured half of the residual claim:
+    * per query, how many of the EXACT-L2 top-k (the metric ADC
+    * approximates) each composition returns — `n_hits_raw` for the
+    * raw-vector codes ([[annIvfPq]]) and `n_hits_res` for the residual
+    * codes ([[annIvfPqRes]]), at IDENTICAL (nCells, m, kCodes,
+    * nProbe). The spec pins Σ n_hits_res ≥ Σ n_hits_raw — "residual
+    * encoding helps" as a regression gate, not a slogan. Ground truth
+    * uses the bounded-state top-k aggregate on −dist (expanded form,
+    * oracle fold order); both approximate legs are k-bounded, so the
+    * audit join is O(|Q|·k) rows beyond the two searches. */
+  def ivfPqRecallReport(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
+                        nCells: Int = 8, trainRounds: Int = 2, m: Int = 8,
+                        kCodes: Int = 16, dims: Int = 64,
+                        nProbe: Int = 2): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val vecs = withVec(embeddings)
+      .select(col("vec_id"), col("v"), dot_product(col("v"), col("v")).as("n2"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val exact = vecs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (-(col("n2") - lit(2.0) * dot_product(col("qv"), col("v")) + col("qn2")))
+          .as("nd"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("nd"), col("n_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+    val raw = annIvfPq(embeddings, nCells, trainRounds, m, kCodes, dims,
+        nQueries, k, nProbe)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit_raw"))
+    val res = annIvfPqRes(embeddings, nCells, trainRounds, m, kCodes, dims,
+        nQueries, k, nProbe)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit_res"))
+    exact.join(raw, Seq("q_id", "n_id"), "left")
+      .join(res, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit_raw"), lit(0L))).as("n_hits_raw"),
+        sum(coalesce(col("hit_res"), lit(0L))).as("n_hits_res"))
+      .select(col("q_id"), col("n_hits_raw"), col("n_hits_res"),
+        round(col("n_hits_raw").cast("double") / lit(k.toDouble), 4).as("recall_raw"),
+        round(col("n_hits_res").cast("double") / lit(k.toDouble), 4).as("recall_res"))
   }
 }

@@ -108,10 +108,25 @@ class OracleChainSpec extends AnyFunSuite {
   chainFamily("IVF Lloyd training c0..c2", "x2_ann_ivf",
     "c0 AS (SELECT vec_id AS c_id", "FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id)",
     Set("x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
+      "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
       "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia", "x2_ivf_recall",
       "x2_ood", "x2_semdedup", "x5_mm_ivf", "x5_mm_search_ivfpq",
       "x5_mm_search_ivfpq_serve"))
+
+  // residual IVF-PQ: the dyadic residual frame + r-prefixed PQ
+  // training chain, and the per-(query, cell) residual search tail —
+  // both copied verbatim between the search oracle and the recall
+  // audit (change together)
+  chainFamily("residual dyadic frame + r-PQ training", "x2_ann_ivfpq_res",
+    "resv AS (SELECT a.vec_id",
+    "rpa3 AS (SELECT vec_id, sub, code FROM rpr3 WHERE rn = 1),",
+    Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall"))
+
+  chainFamily("residual per-(query, cell) ADC tail", "x2_ann_ivfpq_res",
+    "qres AS (SELECT p.q_id",
+    "ORDER BY adist_u, n_id) AS rank FROM rsc)",
+    Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall"))
 
   chainFamily("PQ per-subspace Lloyd training sv..c2", "x2_pq_codebook",
     "sv AS (SELECT vec_id, tt AS sub",
@@ -119,6 +134,14 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_pq", "x2_ann_pq_rerank", "x2_ann_pq_serve", "x2_pq_codebook",
       "x2_pq_codes", "x2_pq_distortion", "x5_mm_pq", "x5_mm_search_pq",
       "x5_mm_search_pq_serve"))
+
+  // the p-prefixed spelling of the same PQ training chain, carried by
+  // the composed IVF-PQ oracles (and the recall audit's raw leg)
+  chainFamily("composed p-PQ training chain pc0..pa3", "x2_ann_ivfpq",
+    "pc0 AS (SELECT sub, vec_id AS code",
+    "pa3 AS (SELECT vec_id, sub, code FROM pr3 WHERE rn = 1),",
+    Set("x2_ann_ivfpq", "x2_ann_ivfpq_serve", "x2_ivfpq_recall",
+      "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve"))
 
   chainFamily("verbatim-span tokenize/hash head", "x4_span_dedup",
     "WITH tk AS", "FROM tk WHERE len(t) >= 8),",
@@ -179,7 +202,9 @@ class OracleChainSpec extends AnyFunSuite {
 
   formulaFamily("PQ argmin partial distance",
     "q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),",
-    Set("x2_ann_ivfpq", "x2_ann_ivfpq_serve", "x2_ann_pq", "x2_ann_pq_rerank",
+    Set("x2_ann_ivfpq", "x2_ann_ivfpq_serve", "x2_ann_ivfpq_res",
+      "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
+      "x2_ann_pq", "x2_ann_pq_rerank",
       "x2_ann_pq_serve", "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion",
       "x5_mm_pq", "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
       "x5_mm_search_pq", "x5_mm_search_pq_serve"))
@@ -188,6 +213,7 @@ class OracleChainSpec extends AnyFunSuite {
     "list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),\n" +
       "                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar",
     Set("x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
+      "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
       "x2_centroids", "x2_confusion", "x2_ivf_assign", "x2_ivf_inertia",
       "x2_ivf_recall", "x2_ood", "x2_semdedup", "x5_mm_ivf",
@@ -196,13 +222,15 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("LSH search hyperplane (8 tables x 4 bits)",
     "(CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)",
     Set("x2_ann_filtered", "x2_ann_lsh", "x2_ann_lsh_serve", "x2_bucket_stats",
-      "x2_incremental", "x2_range_lsh", "x2_recall", "x5_mm_bucket_stats",
+      "x2_incremental", "x2_range_lsh", "x2_range_lsh_serve", "x2_range_recall",
+      "x2_recall", "x5_mm_bucket_stats",
       "x5_mm_recall", "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
 
   formulaFamily("LSH Hamming-1 probe masks",
     "[0, 1, 2, 4, 8]",
     Set("x2_ann_filtered", "x2_ann_lsh", "x2_ann_lsh_serve", "x2_mips_lsh",
-      "x2_mips_lsh_serve", "x2_mips_recall", "x2_range_lsh", "x2_recall",
+      "x2_mips_lsh_serve", "x2_mips_recall", "x2_range_lsh", "x2_range_lsh_serve",
+      "x2_range_recall", "x2_recall",
       "x5_mm_recall", "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
 
   formulaFamily("MIPS augmented hyperplane (dim 65)",
@@ -284,7 +312,9 @@ class OracleChainSpec extends AnyFunSuite {
     val aliases = Map(
       "x2_ann_ivf_serve" -> "x2_ann_ivf",
       "x2_ann_ivfpq_serve" -> "x2_ann_ivfpq",
+      "x2_ann_ivfpq_res_serve" -> "x2_ann_ivfpq_res",
       "x2_ann_lsh_serve" -> "x2_ann_lsh",
+      "x2_range_lsh_serve" -> "x2_range_lsh",
       "x2_ann_pq_serve" -> "x2_ann_pq",
       "x2_mips_lsh_serve" -> "x2_mips_lsh",
       "x3_bigram_score_serve" -> "x3_bigram_logprob",

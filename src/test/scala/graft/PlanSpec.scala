@@ -430,6 +430,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("residual IVF-PQ: candidates join probed cells, codes, and per-cell LUT by hash join") {
+    val p = planOf("x2_ann_ivfpq_res")
+    // the only nested loop is the query batch crossing the broadcast
+    // centroid model (probe ranking); the candidate stream is
+    // (cell)-keyed then (q_id, cell, sub, code)-keyed hash joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("histogram sketch scan prunes to event_type and value") {
     val read = planOf("x6_hist_sketch").linesIterator
       .filter(_.contains("ReadSchema")).mkString

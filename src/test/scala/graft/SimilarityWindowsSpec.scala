@@ -1171,4 +1171,66 @@ class SimilarityWindowsSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Double)].collect().toSet
     assert(fromUnion === fromMerged)
   }
+
+  test("range LSH serve matches self-contained; recall report is consistent with both sets") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val self = Similarity.rangeSearchLsh(emb)
+      .as[(Long, Long, Double)].collect().toSet
+    val served = Similarity.rangeSearchLshOnBuckets(emb,
+        Similarity.lshBucketIndex(emb).localCheckpoint())
+      .as[(Long, Long, Double)].collect().toSet
+    assert(self.nonEmpty && served === self)
+    // the report's n_true/n_found must equal the two sets' sizes per
+    // query, and the subset property makes precision exactly 1
+    val brute = Similarity.rangeSearch(emb)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = self.map(r => (r._1, r._2))
+    assert(lsh.subsetOf(brute))
+    val rep = Similarity.rangeRecallReport(emb)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(rep.length === 20)
+    rep.foreach { case (q, nTrue, nFound, recall) =>
+      assert(nTrue === brute.count(_._1 == q).toLong)
+      assert(nFound === lsh.count(_._1 == q).toLong)
+      assert(nFound <= nTrue)
+      if (nTrue == 0) assert(recall.isEmpty) else assert(recall.nonEmpty)
+    }
+  }
+
+  test("annIvfPqResOnArtifacts (stored residual codes) matches self-contained annIvfPqRes") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val cmodel = Similarity.trainIvfModel(emb)
+    val pq = Similarity.trainResPqModel(emb, cmodel)
+    val asg = Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint()
+    val codes = Similarity.resPqCodesAgainst(emb, cmodel, pq)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+      .localCheckpoint()
+    val served = Similarity.annIvfPqResOnArtifacts(emb, asg, codes, cmodel, pq)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val self = Similarity.annIvfPqRes(emb)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(served.nonEmpty && served === self)
+    // serve reads the stored artifacts as LogicalRDDs
+    val plan = Similarity.annIvfPqResOnArtifacts(
+        emb.filter(col("vec_id") < 20), asg, codes, cmodel, pq)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+  }
+
+  test("residual IVF-PQ recall >= raw-vector IVF-PQ recall at identical params") {
+    // the measured FAISS-residual claim, pinned as a regression gate:
+    // at identical (nCells, m, kCodes, nProbe) the residual codes hit
+    // at least as many exact-L2 top-k neighbors as the raw codes
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val rep = Similarity.ivfPqRecallReport(emb)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rep.length === 20)
+    val sumRaw = rep.map(_._2).sum
+    val sumRes = rep.map(_._3).sum
+    assert(sumRes >= sumRaw,
+      s"residual encoding regressed recall: res=$sumRes raw=$sumRaw")
+    rep.foreach { case (_, hr, hs, _, _) =>
+      assert(hr >= 0 && hr <= 3 && hs >= 0 && hs <= 3)
+    }
+  }
 }
