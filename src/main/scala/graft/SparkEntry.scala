@@ -563,6 +563,16 @@ object SparkEntry {
       Similarity.hybridRrfAgainst(docs, t(s, d, "embeddings"),
         TextAnalysis.bm25Index(docs).localCheckpoint())
     }),
+    // the ALL-stored hybrid: dense leg over the STORED int8 code
+    // table (SQ asymmetric estimate), sparse leg over the STORED
+    // BM25 index, fusion unchanged — either leg swaps independently,
+    // proven end to end.
+    "x2_hybrid_rrf_stored" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Similarity.hybridRrfAllStored(docs,
+        Similarity.sqCodes(t(s, d, "embeddings")).localCheckpoint(),
+        TextAnalysis.bm25Index(docs).localCheckpoint())
+    }),
     // binary (sign-bit) codes: 8 bytes/vector, Hamming-distance top-k
     // — the cheapest quantization-ladder leg, pure integer arithmetic
     "x2_ann_binary" -> ((s, d) => Similarity.annBinary(t(s, d, "embeddings"))),
@@ -845,8 +855,9 @@ object SparkEntry {
     * this set empirically (jobs launched during construction at
     * sf0.001) and fails on any drift, so it cannot go stale. */
   val eagerQueries: Set[String] = Set(
-    "x1_budget_select", "x1_grouped_split", "x1_pack_contexts",
-    "x1_split_leakage", "x1_systematic_sample",
+    "x1_budget_select", "x1_grouped_kfold", "x1_grouped_split",
+    "x1_pack_contexts", "x1_split_audit", "x1_split_leakage",
+    "x1_systematic_sample",
     "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x5_mm_search_sq_serve",
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
     "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
@@ -863,6 +874,7 @@ object SparkEntry {
     "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
     "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
+    "x2_hybrid_rrf_stored",
     "x5_mm_search_binary_serve",
     "x6_anomaly_serve", "x6_cms_serve", "x6_hist_merge", "x6_hist_serve",
     "x6_hll_serve", "x6_kmv_serve",
@@ -4707,6 +4719,81 @@ object SparkEntry {
            FROM r2 WHERE rank <= 5),
          br AS (SELECT q_id, doc_id AS match_id, CAST(rank AS BIGINT) AS bm25_rank
            FROM rk WHERE rank <= 5),
+         fu AS (SELECT coalesce(dr.q_id, br.q_id) AS q_id,
+             coalesce(dr.match_id, br.match_id) AS match_id,
+             coalesce(dr.dense_rank, 0) AS dense_rank,
+             coalesce(br.bm25_rank, 0) AS bm25_rank
+           FROM dr FULL OUTER JOIN br
+             ON br.q_id = dr.q_id AND br.match_id = dr.match_id),
+         fs AS (SELECT q_id, match_id, dense_rank, bm25_rank,
+             CAST(CASE WHEN dense_rank > 0
+                 THEN floor(1000000::DOUBLE / (60 + dense_rank)) ELSE 0 END
+               + CASE WHEN bm25_rank > 0
+                 THEN floor(1000000::DOUBLE / (60 + bm25_rank)) ELSE 0 END
+               AS BIGINT) AS rrf6
+           FROM fu),
+         fr AS (SELECT q_id, match_id, dense_rank, bm25_rank, rrf6,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf6 DESC, match_id) AS rank FROM fs)
+         SELECT q_id, match_id, dense_rank, bm25_rank, rrf6,
+           CAST(rank AS INTEGER) AS rank
+         FROM fr WHERE rank <= 5""",
+    // ALL-stored hybrid: the x2_ann_sq encode chain (e/sc/qq, copied
+    // verbatim — change together) + its ADC top-k (s/r, carries the
+    // shared asymmetric-estimate formula) as the dense leg, the
+    // x3_bm25_search terms/dl/nd/dfs/idx chain (copied verbatim —
+    // change together) with the doc_id < 20 query CTE as the sparse
+    // leg (score CTEs renamed bsc/brk: `sc` is taken by the SQ
+    // chain), fused by the same integer RRF tail as x2_hybrid_rrf.
+    "x2_hybrid_rrf_stored" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc),
+         s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_reduce(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+               (x,y) -> x+y) AS DOUBLE) * a.scale * b.scale AS adot
+           FROM qq a, qq b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, adot, row_number() OVER (PARTITION BY q_id
+             ORDER BY adot DESC, n_id) AS rank FROM s),
+         terms AS (
+           SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY doc_id, token),
+         dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         dfs AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM terms GROUP BY token),
+         idx AS (SELECT t.doc_id, t.token, t.tf, dl.dl,
+             CAST(floor(ln((CAST(nd.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+               * 1000000 + 0.5) AS BIGINT) AS idf6,
+             CAST(nd.sum_dl AS DOUBLE) / nd.n_docs AS avgdl
+           FROM terms t JOIN dfs d ON d.token = t.token
+           JOIN dl ON dl.doc_id = t.doc_id, nd),
+         qt AS (SELECT DISTINCT doc_id AS q_id, token FROM terms
+           WHERE doc_id < 20),
+         hit AS (SELECT qt.q_id, i.doc_id,
+             CAST(floor(i.idf6 * ((i.tf * 2.2::DOUBLE) /
+               (i.tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * i.dl / i.avgdl)))
+               + 0.5) AS BIGINT) AS c6
+           FROM qt JOIN idx i ON i.token = qt.token AND i.doc_id <> qt.q_id
+           WHERE i.idf6 > 0),
+         bsc AS (SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+             CAST(sum(c6) AS BIGINT) AS s6
+           FROM hit GROUP BY q_id, doc_id),
+         brk AS (SELECT q_id, doc_id, n_hit, s6, row_number() OVER (
+             PARTITION BY q_id ORDER BY s6 DESC, doc_id) AS rank FROM bsc),
+         dr AS (SELECT q_id, n_id AS match_id, CAST(rank AS BIGINT) AS dense_rank
+           FROM r WHERE rank <= 5),
+         br AS (SELECT q_id, doc_id AS match_id, CAST(rank AS BIGINT) AS bm25_rank
+           FROM brk WHERE rank <= 5),
          fu AS (SELECT coalesce(dr.q_id, br.q_id) AS q_id,
              coalesce(dr.match_id, br.match_id) AS match_id,
              coalesce(dr.dense_rank, 0) AS dense_rank,

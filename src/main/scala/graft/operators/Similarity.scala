@@ -1088,17 +1088,54 @@ object Similarity {
   def hybridRrfAgainst(documents: DataFrame, embeddings: DataFrame,
                        index: DataFrame, nQueries: Int = 20,
                        kSide: Int = 5, k: Int = 5, c: Int = 60): DataFrame = {
-    def contrib(r: Column): Column =
-      when(r > 0, floor(lit(1000000).cast("double") / (lit(c) + r)).cast("long"))
-        .otherwise(0L)
     val dense = annBruteForce(embeddings, nQueries, kSide)
       .select(col("q_id"), col("n_id").as("match_id"),
         col("rank").cast("long").as("dense_rank"))
-    val sparse = TextAnalysis.bm25ScoreAgainst(
+    rrfFuse(dense, bm25Leg(documents, index, nQueries, kSide), k, c)
+  }
+
+  /** [[hybridRrf]] with BOTH legs on stored artifacts — the full
+    * production serving stack: the dense leg ranks by the SQ
+    * asymmetric estimate over the STORED int8 code table
+    * ([[annSqOnCodes]] — query vectors come from the code table too,
+    * raw floats nowhere in the plan) and the sparse leg scores
+    * against the STORED [[TextAnalysis.bm25Index]]; fusion is
+    * byte-identical to [[hybridRrfAgainst]]'s. This is the proof of
+    * the "either leg swaps independently" contract: `x2_hybrid_rrf`
+    * = brute + live index, `x2_hybrid_rrf_serve` = brute + stored
+    * index, this = stored + stored — the fused ranking changes only
+    * through the dense leg's quantization, never through fusion. At
+    * 100 TB neither corpus pass re-derives an artifact: the int8
+    * table and the postings index are the nightly builds, and the
+    * search plan touches only them. */
+  def hybridRrfAllStored(documents: DataFrame, codes: DataFrame,
+                         index: DataFrame, nQueries: Int = 20,
+                         kSide: Int = 5, k: Int = 5, c: Int = 60): DataFrame = {
+    val dense = annSqOnCodes(codes, nQueries, kSide)
+      .select(col("q_id"), col("n_id").as("match_id"),
+        col("rank").cast("long").as("dense_rank"))
+    rrfFuse(dense, bm25Leg(documents, index, nQueries, kSide), k, c)
+  }
+
+  /** The sparse leg shared by every hybrid form: the first `nQueries`
+    * docs query the (stored or live) BM25 index, self-matches
+    * excluded. */
+  private def bm25Leg(documents: DataFrame, index: DataFrame,
+                      nQueries: Int, kSide: Int): DataFrame =
+    TextAnalysis.bm25ScoreAgainst(
         documents.filter(col("doc_id") < nQueries),
         index, kSide, excludeSelf = true)
       .select(col("q_id"), col("match_id"),
         col("rank").cast("long").as("bm25_rank"))
+
+  /** RRF fusion of two k-bounded (q_id, match_id, *_rank) legs —
+    * integer micro-unit contributions, full-outer merge, fused rank
+    * window. O(|Q|·k) rows; never changes when a leg swaps. */
+  private def rrfFuse(dense: DataFrame, sparse: DataFrame,
+                      k: Int, c: Int): DataFrame = {
+    def contrib(r: Column): Column =
+      when(r > 0, floor(lit(1000000).cast("double") / (lit(c) + r)).cast("long"))
+        .otherwise(0L)
     val fused = dense.join(sparse, Seq("q_id", "match_id"), "full_outer")
       .select(col("q_id"), col("match_id"),
         coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),

@@ -62,8 +62,8 @@ class OracleChainSpec extends AnyFunSuite {
 
   chainFamily("minhash tk/t/sig/rep core", "x4_minhash_pairs",
     "WITH tk AS", "FROM sig GROUP BY s)",
-    Set("x1_grouped_split", "x1_split_leakage", "x4_cluster", "x4_dup_stats",
-      "x4_minhash_est", "x4_minhash_pairs", "x4_source_dup_rate",
+    Set("x1_grouped_kfold", "x1_grouped_split", "x1_split_leakage", "x4_cluster",
+      "x4_dup_stats", "x4_minhash_est", "x4_minhash_pairs", "x4_source_dup_rate",
       "x4_source_overlap", "x4_survivors"))
 
   chainFamily("MIPS augmented-LSH mm..r chain", "x2_mips_lsh",
@@ -87,13 +87,13 @@ class OracleChainSpec extends AnyFunSuite {
   chainFamily("BM25 index terms/dl/nd/dfs/idx", "x3_bm25_index",
     "terms AS (", "JOIN dl ON dl.doc_id = t.doc_id, nd)",
     Set("x3_bm25_index", "x3_bm25_rebuild", "x3_bm25_search", "x3_bm25_serve",
-      "x2_hybrid_rrf", "x2_hybrid_rrf_serve"))
+      "x2_hybrid_rrf", "x2_hybrid_rrf_serve", "x2_hybrid_rrf_stored"))
 
   chainFamily("SQ int8 encode chain sc/qq", "x2_quantize",
     "sc AS (SELECT vec_id, v,", "FROM sc)",
     Set("x2_quantize", "x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank",
       "x2_sq_recall", "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
-      "x5_mm_search_sq", "x5_mm_search_sq_serve"))
+      "x2_hybrid_rrf_stored", "x5_mm_search_sq", "x5_mm_search_sq_serve"))
 
   chainFamily("binary sign-pack b/s/r Hamming chain", "x2_ann_binary",
     "b AS (SELECT vec_id,", "ORDER BY hamming, n_id) AS rank FROM s)",
@@ -177,7 +177,8 @@ class OracleChainSpec extends AnyFunSuite {
 
   formulaFamily("minhash shingle hash",
     "s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs",
-    Set("x1_grouped_split", "x1_split_leakage", "x4_band_index", "x4_band_recall",
+    Set("x1_grouped_kfold", "x1_grouped_split", "x1_split_audit",
+      "x1_split_leakage", "x4_band_index", "x4_band_recall",
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_minhash_sig",
       "x4_source_dup_rate", "x4_source_overlap", "x4_survivors",
@@ -186,7 +187,8 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("minhash permutation",
     "((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + " +
       "(1103515245*(i+17) + 54321) % 2147483647) % 2147483647",
-    Set("x1_grouped_split", "x1_split_leakage", "x4_band_index", "x4_band_recall",
+    Set("x1_grouped_kfold", "x1_grouped_split", "x1_split_audit",
+      "x1_split_leakage", "x4_band_index", "x4_band_recall",
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_minhash_sig",
       "x4_source_dup_rate", "x4_source_overlap", "x4_survivors",
@@ -194,7 +196,8 @@ class OracleChainSpec extends AnyFunSuite {
 
   formulaFamily("minhash band key",
     "array_to_string(s[b*4+1:b*4+4]",
-    Set("x1_grouped_split", "x1_split_leakage", "x4_band_index", "x4_band_recall",
+    Set("x1_grouped_kfold", "x1_grouped_split", "x1_split_audit",
+      "x1_split_leakage", "x4_band_index", "x4_band_recall",
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_source_dup_rate",
       "x4_source_overlap", "x4_survivors", "x7_curate_incremental",
@@ -258,7 +261,8 @@ class OracleChainSpec extends AnyFunSuite {
 
   formulaFamily("composite quality score",
     "0.4 * least(1.0, len(string_split(text,' ')) / 50.0)",
-    Set("x1_budget_select", "x1_curriculum", "x3_quality", "x3_quality_deciles",
+    Set("x1_budget_select", "x1_curriculum", "x1_split_audit",
+      "x3_quality", "x3_quality_deciles",
       "x3_quality_filter", "x3_signal_corr", "x7_curate", "x7_curate_budget",
       "x7_curate_curriculum", "x7_curate_mixture", "x7_curate_neardup",
       "x7_curate_semantic", "x7_curate_split", "x7_curate_verbatim",
@@ -275,8 +279,8 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("SQ asymmetric ADC estimate",
     "AS DOUBLE) * a.scale * b.scale AS adot",
     Set("x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank", "x2_sq_recall",
-      "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x5_mm_search_sq",
-      "x5_mm_search_sq_serve"))
+      "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x2_hybrid_rrf_stored",
+      "x5_mm_search_sq", "x5_mm_search_sq_serve"))
 
   formulaFamily("histogram sketch bucket",
     "CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket",

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
+(optional query names restrict the compare — fast single-oracle iteration)
 
 Reads each <outDir>/<name> parquet (Spark result), runs the matching
 oracle_sql.json entry in DuckDB over the sfDir parquet tables, sorts
@@ -23,6 +24,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -30,6 +32,8 @@ def main():
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
     declared = set(oracle)
+    if only:
+        declared = declared & only
     for name in sorted(declared):
         mine_path = os.path.join(outdir, name)
         if not os.path.isdir(mine_path):
@@ -66,6 +70,8 @@ def main():
     # rows-only check — readable and non-empty, or it fails
     for d in sorted(glob.glob(os.path.join(outdir, "*"))):
         nm = os.path.basename(d)
+        if only and nm not in only:
+            continue
         if os.path.isdir(d) and nm not in declared:
             try:
                 nrows = len(pd.read_parquet(d))
