@@ -821,6 +821,22 @@ object SparkEntry {
     // sketch accuracy gate: exact centi-quantized order statistics vs
     // the estimates, error bounded by one bucket width
     "x6_hist_accuracy" -> ((s, d) => Profiling.histAccuracy(t(s, d, "events"))),
+    // LOG-width (dyadic) histogram sketch over inter-event gaps — the
+    // heavy-tail member: 4 buckets per power of two, integer bit
+    // arithmetic only (no libm log2)
+    "x6_hist_log_sketch" -> ((s, d) => Profiling.histLogSketch(t(s, d, "events"))),
+    // gap p50/p90/p99 from the dyadic bucket counts (upper-edge reads)
+    "x6_hist_log_quantiles" -> ((s, d) =>
+      Profiling.histLogQuantiles(t(s, d, "events"))),
+    // the log-sketch serve path: estimates from the MATERIALIZED
+    // sketch. Oracle = x6_hist_log_quantiles'.
+    "x6_hist_log_serve" -> ((s, d) =>
+      Profiling.histLogQuantilesFrom(
+        Profiling.histLogSketch(t(s, d, "events")).localCheckpoint())),
+    // log-sketch accuracy gate: exact integer-gap order statistics vs
+    // the dyadic estimates, error bounded by the PER-BUCKET width
+    "x6_hist_log_accuracy" -> ((s, d) =>
+      Profiling.histLogAccuracy(t(s, d, "events"))),
     // per-day quantile drift monitor from the daily sketch grain
     "x6_hist_daily" -> ((s, d) => Profiling.histDailyQuantiles(t(s, d, "events"))),
     // trailing-7-day quantiles by sum-merging stored daily sketches
@@ -876,7 +892,8 @@ object SparkEntry {
     "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
     "x2_hybrid_rrf_stored",
     "x5_mm_search_binary_serve",
-    "x6_anomaly_serve", "x6_cms_serve", "x6_hist_merge", "x6_hist_serve",
+    "x6_anomaly_serve", "x6_cms_serve", "x6_hist_log_serve",
+    "x6_hist_merge", "x6_hist_serve",
     "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
     "x7_curate_split",
@@ -6209,6 +6226,108 @@ object SparkEntry {
            round((min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
              THEN bucket END) + 1) * 5::DOUBLE, 2) AS p99_est
          FROM cu GROUP BY 1""",
+    // LOG-width (dyadic) gap histogram: the e/g/b gap stream is
+    // SHARED (copied) with x6_gap_hist, and the lb dyadic bucket CTE
+    // + the single-line upper-edge CASE are shared with
+    // x6_hist_log_quantiles / x6_hist_log_accuracy -- change together
+    "x6_hist_log_sketch" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS gap_us FROM e),
+         b AS (SELECT gap_us // 1000000 AS gap_s FROM g
+           WHERE gap_us IS NOT NULL),
+         lb AS (SELECT CASE WHEN gap_s <= 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(1 + (length(bin(gap_s)) - 1) * 4
+               + ((gap_s * 4) // (1::BIGINT << (length(bin(gap_s)) - 1)) - 4)
+               AS BIGINT) END AS bucket FROM b)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+           round(CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END, 2) AS hi_edge
+         FROM lb GROUP BY 1""",
+    // gap quantiles from the dyadic buckets: chain + sk/cu shared
+    // with x6_hist_log_accuracy (which wraps the same select as its
+    // es CTE) -- change together
+    "x6_hist_log_quantiles" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS gap_us FROM e),
+         b AS (SELECT gap_us // 1000000 AS gap_s FROM g
+           WHERE gap_us IS NOT NULL),
+         lb AS (SELECT CASE WHEN gap_s <= 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(1 + (length(bin(gap_s)) - 1) * 4
+               + ((gap_s * 4) // (1::BIGINT << (length(bin(gap_s)) - 1)) - 4)
+               AS BIGINT) END AS bucket FROM b),
+         sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM lb GROUP BY 1),
+         cu AS (SELECT bucket, c,
+             CAST(sum(c) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+           FROM sk)
+         SELECT CAST(max(n) AS BIGINT) AS n,
+           round(min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p50_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p90_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p99_est
+         FROM cu""",
+    // log-sketch accuracy: exact integer-gap order statistics (the
+    // shared e/g/b stream) vs the dyadic estimates (the shared
+    // lb/sk/cu chain + the quantiles select as es); error bound uses
+    // the PER-BUCKET width 2^octave/4 of the bucket the exact
+    // quantile lands in
+    "x6_hist_log_accuracy" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS gap_us FROM e),
+         b AS (SELECT gap_us // 1000000 AS gap_s FROM g
+           WHERE gap_us IS NOT NULL),
+         lb AS (SELECT CASE WHEN gap_s <= 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(1 + (length(bin(gap_s)) - 1) * 4
+               + ((gap_s * 4) // (1::BIGINT << (length(bin(gap_s)) - 1)) - 4)
+               AS BIGINT) END AS bucket FROM b),
+         sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM lb GROUP BY 1),
+         cu AS (SELECT bucket, c,
+             CAST(sum(c) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+           FROM sk),
+         es AS (SELECT CAST(max(n) AS BIGINT) AS n,
+           round(min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p50_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p90_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p99_est
+         FROM cu),
+         gg AS (SELECT gap_s, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         gc AS (SELECT gap_s, c,
+             CAST(sum(c) OVER (ORDER BY gap_s) AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+           FROM gg),
+         ex AS (SELECT CAST(max(n) AS BIGINT) AS n,
+             min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+               THEN gap_s END) AS p50_exact,
+             min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+               THEN gap_s END) AS p90_exact,
+             min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+               THEN gap_s END) AS p99_exact
+           FROM gc),
+         j AS (SELECT ex.n,
+             ex.p50_exact, es.p50_est,
+             round(es.p50_est - CAST(ex.p50_exact AS DOUBLE), 2) AS p50_err,
+             ex.p90_exact, es.p90_est,
+             round(es.p90_est - CAST(ex.p90_exact AS DOUBLE), 2) AS p90_err,
+             ex.p99_exact, es.p99_est,
+             round(es.p99_est - CAST(ex.p99_exact AS DOUBLE), 2) AS p99_err
+           FROM ex, es)
+         SELECT n, p50_exact, p50_est, p50_err,
+           p90_exact, p90_est, p90_err, p99_exact, p99_est, p99_err,
+           CAST(CASE WHEN p50_err >= 0 AND p50_err <=
+               (CASE WHEN p50_exact <= 0 THEN CAST(0 AS DOUBLE) ELSE CAST(1::BIGINT << (length(bin(p50_exact)) - 1) AS DOUBLE) / 4.0 END)
+             AND p90_err >= 0 AND p90_err <=
+               (CASE WHEN p90_exact <= 0 THEN CAST(0 AS DOUBLE) ELSE CAST(1::BIGINT << (length(bin(p90_exact)) - 1) AS DOUBLE) / 4.0 END)
+             AND p99_err >= 0 AND p99_err <=
+               (CASE WHEN p99_exact <= 0 THEN CAST(0 AS DOUBLE) ELSE CAST(1::BIGINT << (length(bin(p99_exact)) - 1) AS DOUBLE) / 4.0 END)
+             THEN 1 ELSE 0 END AS BIGINT) AS within_width
+         FROM j""",
     // per-(type, day) sketch quantiles: the dsk day CTE is SHARED
     // (copied) with x6_hist_rolling -- change together
     "x6_hist_daily" ->
@@ -6612,6 +6731,7 @@ object SparkEntry {
       "x5_mm_search_binary_serve" -> base("x5_mm_search_binary"),
       "x6_hist_merge" -> base("x6_hist_sketch"),
       "x6_hist_serve" -> base("x6_hist_quantiles"),
+      "x6_hist_log_serve" -> base("x6_hist_log_quantiles"),
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),
       "x5_mm_search_pq_serve" -> base("x5_mm_search_pq"),
       "x5_mm_search_ivfpq_serve" -> base("x5_mm_search_ivfpq"),

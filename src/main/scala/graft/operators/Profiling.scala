@@ -731,4 +731,133 @@ object Profiling {
              col("p90_err") >= 0 && col("p90_err") <= width &&
              col("p99_err") >= 0 && col("p99_err") <= width, 1L).otherwise(0L))
   }
+
+  /** The DYADIC log-width bucket: 0 for gap ≤ 0, else
+    * `1 + 4·octave + sub` where octave = bitlen(gap) − 1 =
+    * ⌊log₂ gap⌋ and sub = the 2 bits below the MSB
+    * (`(gap·4) div 2^octave − 4`) — 4 sub-buckets per power of two,
+    * i.e. `⌊log₂(gap)·4⌋`-style resolution with ≤25% relative bucket
+    * width at every magnitude. All INTEGER bit arithmetic
+    * (`length(bin(…))` + shifts, the HLL/gap-histogram string-op that
+    * is identical in both engines) — never libm `log2`, whose last
+    * ulp differs across engines and would flip `floor` at bucket
+    * boundaries. */
+  private val logBucket =
+    """CASE WHEN gap_s <= 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(1 + (length(bin(gap_s)) - 1) * 4
+         + ((gap_s * 4) div shiftleft(CAST(1 AS BIGINT), length(bin(gap_s)) - 1)
+            - 4) AS BIGINT) END"""
+
+  /** Upper edge of a dyadic bucket: 0 for bucket 0, else
+    * `2^octave · (sub + 5) / 4` — an exact dyadic rational (integer
+    * product then one divide-by-4), so estimates are exactly
+    * representable and `round(_, 2)` is drift-free. */
+  private val logEdge =
+    """CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE)
+       ELSE CAST(shiftleft(CAST(1 AS BIGINT), CAST((bucket - 1) div 4 AS INT))
+         * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END"""
+
+  /** X6 LOG-WIDTH (dyadic) HISTOGRAM SKETCH — the heavy-tail member
+    * of the histogram family: same-user inter-event gaps (seconds,
+    * [[graft.operators.Windows.gapSeconds]] — the domain
+    * `x6_gap_hist` showed is octave-spread) bucketed at 4 buckets per
+    * POWER OF TWO instead of [[histSketch]]'s fixed width 5, so one
+    * O(4·log₂ range) ≈ 100-row sketch covers seconds-to-months gap
+    * scales with ≤25% relative error everywhere — fixed width 5
+    * either loses the sub-minute structure or needs millions of rows
+    * for the month tail. Same mergeable contract: plain-sum counters,
+    * shard sketches fold by addition, quantiles served from stored
+    * rows. Build: one user-keyed lag window (the gap stream) + one
+    * map-side-combined aggregation. */
+  def histLogSketch(events: DataFrame): DataFrame =
+    Windows.gapSeconds(events)
+      .select(expr(logBucket).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .withColumn("hi_edge", round(expr(logEdge), 2))
+
+  /** Fold shard [[histLogSketch]] tables — counter addition by
+    * bucket, the same merge law as every sketch in the family
+    * (hi_edge is a pure function of bucket, so it rides the key). */
+  def histLogMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ union _)
+      .groupBy(col("bucket"), col("hi_edge"))
+      .agg(sum(col("n_gaps")).as("n_gaps"))
+      .select(col("bucket"), col("n_gaps"), col("hi_edge"))
+
+  /** Sketch-served gap quantiles: p50/p90/p99 from a [[histLogSketch]]
+    * table — estimate = UPPER EDGE of the first bucket whose
+    * cumulative count reaches `⌈p·n⌉` (the [[histQuantilesFrom]]
+    * convention on dyadic edges). The cumulative window runs over the
+    * ≤ 4·log₂(range) aggregated bucket rows — bounded domain, the
+    * house no-window-over-raw rule. Rank error is one dyadic bucket:
+    * ≤ 25% of the estimate, at every magnitude. */
+  def histLogQuantilesFrom(sketch: DataFrame): DataFrame = {
+    val cum = sketch
+      .withColumn("cum", sum(col("n_gaps")).over(
+        Window.partitionBy(lit(1)).orderBy(col("bucket"))))
+      .withColumn("n", sum(col("n_gaps")).over(Window.partitionBy(lit(1))))
+    def est(p: Double): Column =
+      round(min(when(col("cum") >=
+        ceil(lit(p) * col("n").cast("double")).cast("long"),
+        expr(logEdge))), 2)
+    cum.groupBy(lit(1).as("grp"))
+      .agg(max(col("n")).as("n"), est(0.5).as("p50_est"),
+        est(0.9).as("p90_est"), est(0.99).as("p99_est"))
+      .drop("grp")
+  }
+
+  /** X6 self-contained log-sketch quantiles; the serve form
+    * (`x6_hist_log_serve`) answers from the STORED sketch, pinned ≡
+    * this by aliased oracle. */
+  def histLogQuantiles(events: DataFrame): DataFrame =
+    histLogQuantilesFrom(histLogSketch(events))
+
+  /** X6 log-sketch ACCURACY audit — [[histAccuracy]]'s
+    * measure-don't-guess gate adapted to PER-BUCKET width: exact
+    * order-statistic gap quantiles (gaps are already integers — the
+    * cumulative window runs over aggregated per-value rows) next to
+    * the dyadic estimates; the bound check is
+    * `0 ≤ err ≤ width(bucket(exact))` where width = 2^octave/4 — the
+    * bucket the exact quantile lands in is by construction the bucket
+    * the estimate reads its edge from, so the error can never exceed
+    * that ONE bucket's own width (≤ 25% relative), not a global
+    * constant. */
+  def histLogAccuracy(events: DataFrame): DataFrame = {
+    val g = Windows.gapSeconds(events)
+      .groupBy(col("gap_s")).agg(count(lit(1)).as("c"))
+    val cu = g
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(lit(1)).orderBy(col("gap_s"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+    def exact(p: Double): Column =
+      min(when(col("cum") >=
+        ceil(lit(p) * col("n").cast("double")).cast("long"), col("gap_s")))
+    val ex = cu.groupBy(lit(1).as("grp"))
+      .agg(max(col("n")).as("n"), exact(0.5).as("p50_exact"),
+        exact(0.9).as("p90_exact"), exact(0.99).as("p99_exact"))
+      .drop("grp")
+    val est = histLogQuantiles(events)
+      .select(col("p50_est"), col("p90_est"), col("p99_est"))
+    // per-quantile bound: width of the dyadic bucket the exact gap
+    // falls in = 2^octave / 4 (octaves from the same bin() bit-length)
+    def width(tag: String): String =
+      s"CASE WHEN ${tag}_exact <= 0 THEN CAST(0 AS DOUBLE) " +
+        s"ELSE CAST(shiftleft(CAST(1 AS BIGINT), length(bin(${tag}_exact)) - 1) " +
+        "AS DOUBLE) / 4.0 END"
+    ex.crossJoin(est)
+      .select(col("n"),
+        col("p50_exact"), col("p50_est"),
+        round(col("p50_est") - col("p50_exact").cast("double"), 2).as("p50_err"),
+        col("p90_exact"), col("p90_est"),
+        round(col("p90_est") - col("p90_exact").cast("double"), 2).as("p90_err"),
+        col("p99_exact"), col("p99_est"),
+        round(col("p99_est") - col("p99_exact").cast("double"), 2).as("p99_err"))
+      .withColumn("within_width",
+        when(
+          col("p50_err") >= 0 && col("p50_err") <= expr(width("p50")) &&
+          col("p90_err") >= 0 && col("p90_err") <= expr(width("p90")) &&
+          col("p99_err") >= 0 && col("p99_err") <= expr(width("p99")),
+          1L).otherwise(0L))
+  }
 }

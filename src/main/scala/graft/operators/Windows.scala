@@ -432,7 +432,18 @@ object Windows {
     * per USER partition (keyed, never global; ties break on
     * event_id so the lag is deterministic), then an O(buckets)
     * rollup. */
-  def gapHistogram(events: DataFrame): DataFrame = {
+  def gapHistogram(events: DataFrame): DataFrame =
+    gapSeconds(events)
+      .groupBy(length(bin(col("gap_s"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+
+  /** The same-user inter-event gap stream (whole seconds) shared by
+    * [[gapHistogram]] and the log-width histogram sketch family
+    * ([[graft.operators.Profiling.histLogSketch]]): one lag window
+    * per USER partition (keyed, never global; ties break on event_id
+    * so the lag is deterministic), first event per user dropped. */
+  def gapSeconds(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
     events.select(col("user_id"), col("event_id"),
@@ -440,9 +451,6 @@ object Windows {
       .withColumn("prev", lag(col("us"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(expr("(us - prev) div 1000000").as("gap_s"))
-      .groupBy(length(bin(col("gap_s"))).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n_gaps"), min(col("gap_s")).as("min_gap_s"),
-        max(col("gap_s")).as("max_gap_s"))
   }
 
   /** X6 USER LIFETIME features — the per-user RFM-style profile

@@ -292,6 +292,29 @@ class OracleChainSpec extends AnyFunSuite {
     "WITH dsk AS", "FROM events GROUP BY 1, 2, 3),",
     Set("x6_hist_daily", "x6_hist_rolling"))
 
+  chainFamily("inter-event gap stream e/g/b", "x6_gap_hist",
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)",
+    "WHERE gap_us IS NOT NULL)",
+    Set("x6_gap_hist", "x6_hist_log_sketch", "x6_hist_log_quantiles",
+      "x6_hist_log_serve", "x6_hist_log_accuracy"))
+
+  chainFamily("dyadic log-bucket lb CTE", "x6_hist_log_sketch",
+    "lb AS (SELECT CASE WHEN gap_s <= 0", "END AS bucket FROM b)",
+    Set("x6_hist_log_sketch", "x6_hist_log_quantiles", "x6_hist_log_serve",
+      "x6_hist_log_accuracy"))
+
+  chainFamily("log-sketch cumulative read sk/cu", "x6_hist_log_quantiles",
+    "sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM lb GROUP BY 1)",
+    "CAST(sum(c) OVER () AS BIGINT) AS n\n           FROM sk)",
+    Set("x6_hist_log_quantiles", "x6_hist_log_serve", "x6_hist_log_accuracy"))
+
+  formulaFamily("dyadic bucket upper edge",
+    "CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << " +
+      "CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) " +
+      "AS DOUBLE) / 4.0 END",
+    Set("x6_hist_log_sketch", "x6_hist_log_quantiles", "x6_hist_log_serve",
+      "x6_hist_log_accuracy"))
+
   formulaFamily("class-mean prototype fold",
     "round(sum(val) / count(*), 6)",
     Set("x2_confusion", "x2_mean_pool"))

@@ -1130,6 +1130,44 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(!plan.contains("embedding#"), plan)
   }
 
+  test("log-width histogram: dyadic buckets, edge reads, per-bucket error bound, merge law") {
+    import spark.implicits._
+    // one user, events at seconds [0,0,1,3,6,11,20,120] ->
+    // gaps [0,1,2,3,5,9,100]
+    val secs = Seq(0L, 0L, 1L, 3L, 6L, 11L, 20L, 120L)
+    val ev = secs.zipWithIndex.map { case (s, i) =>
+      (i.toLong, new Timestamp(1704067200000L + s * 1000L), 1L, "click", 0.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // bucket = 1 + 4*octave + top-2-sub-bits; gap 0 -> 0, 1 -> 1,
+    // 2 -> 5, 3 -> 7, 5 -> 10, 9 -> 13, 100 -> 27 (octave 6, sub 2)
+    val sk = graft.operators.Profiling.histLogSketch(ev)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sk === Set((0L, 1L, 0.0), (1L, 1L, 1.25), (5L, 1L, 2.5),
+      (7L, 1L, 3.5), (10L, 1L, 6.0), (13L, 1L, 10.0), (27L, 1L, 112.0)))
+    // n=7: p50 thresh 4 -> bucket 7 edge 3.5; p90/p99 thresh 7 ->
+    // bucket 27 edge 112 (2^6 * (2+5) / 4)
+    val q = graft.operators.Profiling.histLogQuantiles(ev)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(q.toSeq === Seq((7L, 3.5, 112.0, 112.0)))
+    // per-bucket bound: p50 err 0.5 = width(3)=2^1/4; p90 err 12 <=
+    // width(100)=2^6/4=16 — a FIXED width-5 bound would reject it
+    val acc = graft.operators.Profiling.histLogAccuracy(ev)
+      .select("p50_exact", "p50_err", "p90_exact", "p90_err", "within_width")
+      .as[(Long, Double, Long, Double, Long)].collect()
+    assert(acc.toSeq === Seq((3L, 0.5, 100L, 12.0, 1L)))
+    // merge law: shard sketches fold by addition into the whole
+    val whole = graft.operators.Profiling.histLogSketch(ev)
+    val halves = graft.operators.Profiling.histLogMerge(
+      graft.operators.Profiling.histLogSketch(ev.filter($"event_id" < 4)),
+      graft.operators.Profiling.histLogSketch(ev.filter($"event_id" >= 3)))
+    // NOTE the shards overlap-free split must cut BETWEEN events of a
+    // user only if gaps are preserved; here shard 2 re-includes the
+    // boundary event (id 3) so the union of gap streams equals the
+    // whole stream's gaps
+    assert(halves.as[(Long, Long, Double)].collect().toSet ===
+      whole.as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("histogram sketch: merge law is exact and quantile estimates bound the data") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>
