@@ -687,6 +687,15 @@ object SparkEntry {
     // code table. Oracle = x5_mm_search_ivfpq's verbatim.
     "x5_mm_search_ivfpq_serve" -> ((s, d) =>
       Multimodal.mediaSearchIvfPqServe(t(s, d, "documents"))),
+    // the RESIDUAL media composition (true FAISS layout): PQ encodes
+    // (v - centroid[cell]) on the dyadic grid, one ADC LUT per
+    // (query, probed cell)
+    "x5_mm_search_ivfpq_res" -> ((s, d) =>
+      Multimodal.mediaSearchIvfPqRes(t(s, d, "documents"))),
+    // the residual serve path over stored cell map + residual codes.
+    // Oracle = x5_mm_search_ivfpq_res's verbatim.
+    "x5_mm_search_ivfpq_res_serve" -> ((s, d) =>
+      Multimodal.mediaSearchIvfPqResServe(t(s, d, "documents"))),
     // media index occupancy pre-flight (the modality where the
     // one-bucket collapse actually happened)
     "x5_mm_bucket_stats" -> ((s, d) =>
@@ -889,6 +898,7 @@ object SparkEntry {
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
     "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
+    "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
     "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
     "x2_hybrid_rrf_stored",
     "x5_mm_search_binary_serve",
@@ -5827,6 +5837,134 @@ object SparkEntry {
          SELECT q_id, n_id, round(CAST(adist_u AS DOUBLE) / 1000000.0, 6) AS adist,
            CAST(rank AS BIGINT) AS rank
          FROM fr WHERE rank <= 3""",
+    // the x2_ann_ivfpq_res RESIDUAL composed chain (shared CTE copy
+    // -- change together) over the dyadic-quantized media stub
+    // embedding: IVF training, dyadic residual frame, r-prefixed
+    // residual-PQ training + encoding, per-(query, cell) residual
+    // LUTs, ADC sums over the probed cells' residual codes
+    "x5_mm_search_ivfpq_res" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+           FROM e0),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1),
+         resv AS (SELECT a.vec_id, a.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS rv
+           FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN k2 k ON k.c_id = a.cell),
+         rsv AS (SELECT vec_id, tt AS sub, rv[tt*8+1 : tt*8+8] AS s
+           FROM resv, (SELECT unnest(range(8)) AS tt)),
+         rsn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM rsv),
+         rpc0 AS (SELECT sub, vec_id AS code, s AS cv FROM rsv WHERE vec_id < 16),
+         rpk0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc0),
+         rpr1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk0 c ON c.sub = q.sub),
+         rpa1 AS (SELECT vec_id, sub, code, s FROM rpr1 WHERE rn = 1),
+         rpd1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM rpa1),
+         rps1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM rpd1 GROUP BY sub, code, pos),
+         rpu1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM rps1 GROUP BY sub, code),
+         rpc1 AS (SELECT rpc0.sub, rpc0.code, coalesce(rpu1.cv, rpc0.cv) AS cv
+           FROM rpc0 LEFT JOIN rpu1 ON rpu1.sub = rpc0.sub AND rpu1.code = rpc0.code),
+         rpk1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc1),
+         rpr2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk1 c ON c.sub = q.sub),
+         rpa2 AS (SELECT vec_id, sub, code, s FROM rpr2 WHERE rn = 1),
+         rpd2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM rpa2),
+         rps2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM rpd2 GROUP BY sub, code, pos),
+         rpu2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM rps2 GROUP BY sub, code),
+         rpc2 AS (SELECT rpc1.sub, rpc1.code, coalesce(rpu2.cv, rpc1.cv) AS cv
+           FROM rpc1 LEFT JOIN rpu2 ON rpu2.sub = rpc1.sub AND rpu2.code = rpc1.code),
+         rpk2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc2),
+         rpr3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk2 c ON c.sub = q.sub),
+         rpa3 AS (SELECT vec_id, sub, code FROM rpr3 WHERE rn = 1),
+         pbr AS (SELECT t.vec_id, k.c_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+           FROM n t, k2 k WHERE t.vec_id < 20),
+         pb AS (SELECT vec_id AS q_id, c_id AS cell FROM pbr WHERE ar <= 2),
+         qres AS (SELECT p.q_id, p.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS qr
+           FROM pb p JOIN e ON e.vec_id = p.q_id JOIN k2 k ON k.c_id = p.cell),
+         rqs AS (SELECT q_id, cell, tt AS sub, qr[tt*8+1 : tt*8+8] AS s
+           FROM qres, (SELECT unnest(range(8)) AS tt)),
+         rqn AS (SELECT q_id, cell, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM rqs),
+         rlut AS (SELECT q.q_id, q.cell, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM rqn q JOIN rpk2 c ON c.sub = q.sub),
+         rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         rsc AS (SELECT c.q_id, c.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM rivfc c JOIN rpa3 a ON a.vec_id = c.vec_id
+           JOIN rlut l ON l.q_id = c.q_id AND l.cell = c.cell
+             AND l.sub = a.sub AND l.code = a.code
+           GROUP BY 1, 2),
+         rfr AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM rsc)
+         SELECT q_id, n_id, round(CAST(adist_u AS DOUBLE) / 1000000.0, 6) AS adist,
+           CAST(rank AS BIGINT) AS rank
+         FROM rfr WHERE rank <= 3""",
     // the x2_bucket_stats occupancy chain (shared CTE copy — change
     // together) over the raw media stub embedding (same vectors and
     // hyperplanes x5_mm_search_lsh hashes)
@@ -6735,6 +6873,7 @@ object SparkEntry {
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),
       "x5_mm_search_pq_serve" -> base("x5_mm_search_pq"),
       "x5_mm_search_ivfpq_serve" -> base("x5_mm_search_ivfpq"),
+      "x5_mm_search_ivfpq_res_serve" -> base("x5_mm_search_ivfpq_res"),
       "x6_anomaly_serve" -> base("x6_anomaly"),
     )
   }

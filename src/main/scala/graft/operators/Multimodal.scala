@@ -337,6 +337,49 @@ object Multimodal {
       m, dims, nQueries, kNn, nProbe)
   }
 
+  /** X5 media RESIDUAL IVF-PQ search — [[mediaSearchIvfPq]] upgraded
+    * to the true FAISS layout for the media modality: within each
+    * trained cell the PQ codebook encodes the RESIDUAL
+    * (v − centroid[cell]) snapped to the dyadic 2⁻²⁰ grid, so the
+    * fixed code budget prices WITHIN-cell variance (the between-cell
+    * component already rides in the cell id); the query builds one
+    * ADC lookup table per probed cell from its own residual. The
+    * embedding table got this composition as `x2_ann_ivfpq_res` —
+    * this is the same modality-agnostic core
+    * ([[Similarity.annIvfPqResOnVectors]]) over the dyadic media stub
+    * embeddings, completing the media index ladder's residual rung. */
+  def mediaSearchIvfPqRes(documents: DataFrame, nCells: Int = 8,
+                          trainRounds: Int = 2, m: Int = 8, kCodes: Int = 16,
+                          dims: Int = 64, nQueries: Int = 20, kNn: Int = 3,
+                          nProbe: Int = 2): DataFrame =
+    Similarity.annIvfPqResOnVectors(dyadicMediaVectors(documents, dims),
+      nCells, trainRounds, m, kCodes, dims, nQueries, kNn, nProbe)
+
+  /** [[mediaSearchIvfPqRes]]'s SERVE path — stored (vec_id, cell)
+    * partition map + stored (vec_id, sub, code) RESIDUAL-code
+    * collection + both trained models driver-side: nothing in the
+    * retrieval plan trains, assigns, or encodes the collection; the
+    * query batch brings raw stub vectors (probe ranking + per-cell
+    * residual LUTs are query-side arithmetic). Must equal
+    * [[mediaSearchIvfPqRes]] exactly: `x5_mm_search_ivfpq_res_serve`
+    * shares its oracle by reference. */
+  def mediaSearchIvfPqResServe(documents: DataFrame, nCells: Int = 8,
+                               trainRounds: Int = 2, m: Int = 8,
+                               kCodes: Int = 16, dims: Int = 64,
+                               nQueries: Int = 20, kNn: Int = 3,
+                               nProbe: Int = 2): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    val cmodel = Similarity.trainIvfModelOnVectors(vecs, nCells, trainRounds)
+    val pq = Similarity.trainResPqModelOnVectors(vecs, cmodel, m, kCodes,
+      trainRounds, dims)
+    val asg = Similarity.ivfAssignmentsForOnVectors(vecs, cmodel).localCheckpoint()
+    val codes = Similarity.resPqCodesAgainstOnVectors(vecs, cmodel, pq, m, dims)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+      .localCheckpoint()
+    Similarity.annIvfPqResOnArtifactsVectors(vecs, asg, codes, cmodel, pq,
+      m, dims, nQueries, kNn, nProbe)
+  }
+
   /** X5 media index-health audit — [[Similarity.lshBucketStatsOnVectors]]
     * over the SAME stub embeddings and hyperplanes the media LSH
     * search hashes: per table, how the collection spreads over

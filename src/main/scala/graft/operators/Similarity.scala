@@ -2289,6 +2289,66 @@ object Similarity {
     annIvfPqResCore(withVec(embeddings), asg, codes, centroids, codebook,
       m, dims, nQueries, k, nProbe)
 
+  /** [[annIvfPqRes]] over any (vec_id, v: array<double>) frame with
+    * both models trained in place — the modality-agnostic residual
+    * composition the media retrieval path mirrors
+    * (`x5_mm_search_ivfpq_res`). Caller supplies dyadic component
+    * values so the residual snap and both trainings stay
+    * fold-order-exact cross-engine. */
+  def annIvfPqResOnVectors(vecs: DataFrame, nCells: Int = 8,
+                           trainRounds: Int = 2, m: Int = 8, kCodes: Int = 16,
+                           dims: Int = 64, nQueries: Int = 20, k: Int = 3,
+                           nProbe: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    val all = vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    val cmodel = kmeansCentroids(all, nCells, trainRounds)
+    val resv = residualVectors(all, cmodel)
+    val pq = trainPqModelOnVectors(resv.select(col("vec_id"), col("v")),
+      m, kCodes, trainRounds, dims)
+    val asg = resv.select(col("vec_id"), col("cell"))
+    val codes = argminCode(subvectors(resv, m, dims / m), pqCodebookDF(spark, pq))
+      .select(col("vec_id"), col("sub"), col("code"))
+    annIvfPqResCore(all, asg, codes, cmodel, pq, m, dims, nQueries, k, nProbe)
+  }
+
+  /** [[trainResPqModel]] over any (vec_id, v) frame — the
+    * modality-agnostic residual-codebook training. */
+  def trainResPqModelOnVectors(vecs: DataFrame,
+                               cmodel: Seq[(Long, Seq[Double])],
+                               m: Int = 8, kCodes: Int = 16, rounds: Int = 2,
+                               dims: Int = 64): Seq[(Int, Long, Seq[Double])] =
+    trainPqModelOnVectors(
+      residualVectors(
+        vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v")))), cmodel)
+        .select(col("vec_id"), col("v")),
+      m, kCodes, rounds, dims)
+
+  /** [[resPqCodesAgainst]] over any (vec_id, v) frame. */
+  def resPqCodesAgainstOnVectors(vecs: DataFrame,
+                                 cmodel: Seq[(Long, Seq[Double])],
+                                 codebook: Seq[(Int, Long, Seq[Double])],
+                                 m: Int = 8, dims: Int = 64): DataFrame = {
+    val spark = vecs.sparkSession
+    val resv = residualVectors(
+      vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v")))), cmodel)
+    argminCode(subvectors(resv, m, dims / m), pqCodebookDF(spark, codebook))
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** [[annIvfPqResOnArtifacts]] over any (vec_id, v) frame — the
+    * modality-agnostic residual serve form
+    * (`x5_mm_search_ivfpq_res_serve`). */
+  def annIvfPqResOnArtifactsVectors(vecs: DataFrame, asg: DataFrame,
+                                    codes: DataFrame,
+                                    centroids: Seq[(Long, Seq[Double])],
+                                    codebook: Seq[(Int, Long, Seq[Double])],
+                                    m: Int = 8, dims: Int = 64,
+                                    nQueries: Int = 20, k: Int = 3,
+                                    nProbe: Int = 2): DataFrame =
+    annIvfPqResCore(
+      vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v")))),
+      asg, codes, centroids, codebook, m, dims, nQueries, k, nProbe)
+
   private def annIvfPqResCore(all: DataFrame, asg: DataFrame, codes: DataFrame,
                               centroids: Seq[(Long, Seq[Double])],
                               codebook: Seq[(Int, Long, Seq[Double])],

@@ -112,7 +112,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
       "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia", "x2_ivf_recall",
       "x2_ood", "x2_semdedup", "x5_mm_ivf", "x5_mm_search_ivfpq",
-      "x5_mm_search_ivfpq_serve"))
+      "x5_mm_search_ivfpq_serve", "x5_mm_search_ivfpq_res",
+      "x5_mm_search_ivfpq_res_serve"))
 
   // residual IVF-PQ: the dyadic residual frame + r-prefixed PQ
   // training chain, and the per-(query, cell) residual search tail —
@@ -121,12 +122,14 @@ class OracleChainSpec extends AnyFunSuite {
   chainFamily("residual dyadic frame + r-PQ training", "x2_ann_ivfpq_res",
     "resv AS (SELECT a.vec_id",
     "rpa3 AS (SELECT vec_id, sub, code FROM rpr3 WHERE rn = 1),",
-    Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall"))
+    Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve"))
 
   chainFamily("residual per-(query, cell) ADC tail", "x2_ann_ivfpq_res",
     "qres AS (SELECT p.q_id",
     "ORDER BY adist_u, n_id) AS rank FROM rsc)",
-    Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall"))
+    Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve"))
 
   chainFamily("PQ per-subspace Lloyd training sv..c2", "x2_pq_codebook",
     "sv AS (SELECT vec_id, tt AS sub",
@@ -210,6 +213,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_pq", "x2_ann_pq_rerank",
       "x2_ann_pq_serve", "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion",
       "x5_mm_pq", "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
       "x5_mm_search_pq", "x5_mm_search_pq_serve"))
 
   formulaFamily("IVF argmax-cosine cell assignment",
@@ -220,7 +224,9 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
       "x2_centroids", "x2_confusion", "x2_ivf_assign", "x2_ivf_inertia",
       "x2_ivf_recall", "x2_ood", "x2_semdedup", "x5_mm_ivf",
-      "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve", "x7_curate_semantic"))
+      "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
+      "x7_curate_semantic"))
 
   formulaFamily("LSH search hyperplane (8 tables x 4 bits)",
     "(CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)",
@@ -322,13 +328,15 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("media dyadic 2^-20 snap",
     "list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v",
     Set("x5_mm_ivf", "x5_mm_pq", "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
       "x5_mm_search_pq", "x5_mm_search_pq_serve"))
 
   formulaFamily("media stub embedding formula",
     "CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0",
     Set("x5_mm_align", "x5_mm_bucket_stats", "x5_mm_dedup", "x5_mm_incremental",
       "x5_mm_ivf", "x5_mm_pq", "x5_mm_recall", "x5_mm_search",
-      "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve", "x5_mm_search_lsh",
+      "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_search_pq", "x5_mm_search_pq_serve",
       "x5_mm_search_sq", "x5_mm_search_sq_serve", "x5_mm_search_binary",
       "x5_mm_search_binary_serve"))
@@ -362,6 +370,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_lsh_serve" -> "x5_mm_search_lsh",
       "x5_mm_search_pq_serve" -> "x5_mm_search_pq",
       "x5_mm_search_ivfpq_serve" -> "x5_mm_search_ivfpq",
+      "x5_mm_search_ivfpq_res_serve" -> "x5_mm_search_ivfpq_res",
       "x6_anomaly_serve" -> "x6_anomaly")
     aliases.foreach { case (serve, base) =>
       assert(sql.contains(serve), s"$serve missing from oracleSql")

@@ -161,6 +161,24 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(cServed.nonEmpty && cServed === cSelf)
   }
 
+  test("media residual IVF-PQ: serve over stored cell map + residual codes equals self-contained") {
+    val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val self = Multimodal.mediaSearchIvfPqRes(d)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(self.nonEmpty)
+    // ranks dense per query, self never retrieved
+    self.groupBy(_._1).values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length).map(_.toLong))
+      rs.foreach(r => assert(r._2 !== r._1))
+    }
+    val served = Multimodal.mediaSearchIvfPqResServe(d)
+    assert(served.as[(Long, Long, Double, Long)].collect().toSet === self.toSet)
+    // the serve plan reads the stored artifacts as LogicalRDDs
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+  }
+
   test("vector dedup serve form (stored bucket table) matches the inline index form") {
     val d = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val inc = Multimodal.mediaEmbedding(d.filter(col("doc_id") < 100))
