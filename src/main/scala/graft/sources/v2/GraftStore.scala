@@ -82,6 +82,24 @@ object GraftStore {
         epochs.put(k, epochId)
       }
     }
+
+  /** Epoch-idempotent COMPLETE-mode commit: Structured Streaming plans
+    * a complete-output aggregation sink through [[SupportsTruncate]] —
+    * each epoch carries the FULL result snapshot and must REPLACE the
+    * table, not append to it (an append-only read would show every
+    * epoch's snapshot concatenated). Same (table, queryId) epoch gate
+    * as [[appendEpoch]], so a replayed epoch is a no-op and the
+    * truncate+append pair is atomic under the registry lock. */
+  def replaceEpoch(name: String, queryId: String, schema: StructType,
+                   epochId: Long, rows: Seq[InternalRow]): Unit =
+    tables.synchronized {
+      val k = s"$name#$queryId"
+      if (epochs.get(k).forall(_ < epochId)) {
+        truncate(name, schema)
+        append(name, schema, rows)
+        epochs.put(k, epochId)
+      }
+    }
 }
 
 /** The table surfaced for `option("table", name)`: batch read + batch
@@ -136,20 +154,27 @@ private[v2] class MemWriteBuilder(table: String, wschema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new MemBatchWrite(table, wschema, doTruncate)
     override def toStreaming: StreamingWrite =
-      new MemStreamingWrite(table, wschema, queryId)
+      new MemStreamingWrite(table, wschema, queryId, doTruncate)
   }
 }
 
 /** Micro-batch sink flavor: same per-task buffering as the batch path,
-  * made exactly-once by [[GraftStore.appendEpoch]]'s epoch gate. */
+  * made exactly-once by [[GraftStore.appendEpoch]]'s epoch gate. In
+  * COMPLETE output mode (planned through truncate()) each epoch's
+  * snapshot REPLACES the table via [[GraftStore.replaceEpoch]] — the
+  * contract an aggregation stream (e.g. the daily histogram sketch)
+  * needs to serve reads from the physically stored table. */
 private[v2] class MemStreamingWrite(table: String, wschema: StructType,
-                                    queryId: String)
+                                    queryId: String, truncateEachEpoch: Boolean)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     MemStreamWriterFactory
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    GraftStore.appendEpoch(table, queryId, wschema, epochId,
-      messages.iterator.flatMap(_.asInstanceOf[MemCommit].rows).toVector)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.iterator.flatMap(_.asInstanceOf[MemCommit].rows).toVector
+    if (truncateEachEpoch)
+      GraftStore.replaceEpoch(table, queryId, wschema, epochId, rows)
+    else GraftStore.appendEpoch(table, queryId, wschema, epochId, rows)
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 

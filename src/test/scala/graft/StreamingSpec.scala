@@ -853,6 +853,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming daily histogram: rolling quantiles served from the PHYSICAL graft_orders store") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.v2.GraftStore
+    val mem = MemoryStream[UserEvent]
+    val dir = Files.createTempDirectory("graft-hist-store")
+    // complete-mode DSv2 sink: each epoch's snapshot REPLACES the
+    // stored table (SupportsTruncate), so the store always holds
+    // exactly the current daily sketch — the nightly artifact a
+    // resident pipeline serves rolling quantiles from
+    val q = StreamPipeline.histDailyStream(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("graft_orders").option("table", "hist_daily_store")
+      .option("checkpointLocation", dir.resolve("ck").toString)
+      .start()
+    try {
+      def ev(id: Long, day: Int, v: Double) =
+        UserEvent(id, Timestamp.valueOf(s"2024-01-0$day 00:01:00"),
+          id % 3, "click", v)
+      val b1 = (0 until 8).map(i => ev(i, 1, i.toDouble))
+      val b2 = (0 until 8).map(i => ev(8L + i, 2, 30.0 + i))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val all = (b1 ++ b2).toDF()
+      def stored() = spark.read.format("graft_orders")
+        .option("table", "hist_daily_store").load()
+      // the PHYSICALLY stored table is exactly the current sketch —
+      // the second epoch replaced the first's snapshot, no epoch
+      // concatenation
+      assert(stored().as[(String, Long, Long, Long)].collect().toSet ===
+        graft.operators.Profiling.histDaily(all)
+          .as[(String, Long, Long, Long)].collect().toSet)
+      // rolling quantiles served straight from the store (the DSv2
+      // read deduplicates its own leaf — no snapshot copy needed,
+      // unlike the MemorySink view in the previous test)
+      val served = graft.operators.Profiling.histRollingFromDaily(stored())
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+      val batch = graft.operators.Profiling.histRolling(all)
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+      assert(served === batch)
+    } finally { q.stop(); GraftStore.drop("hist_daily_store") }
+  }
+
   test("rolling vector index: assets accepted in generation N gate generation N+1 without restart") {
     implicit val sc = spark.sqlContext
     val dir = Files.createTempDirectory("graft-media-roll")
