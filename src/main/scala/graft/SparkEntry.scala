@@ -846,6 +846,17 @@ object SparkEntry {
     // the dyadic estimates, error bounded by the PER-BUCKET width
     "x6_hist_log_accuracy" -> ((s, d) =>
       Profiling.histLogAccuracy(t(s, d, "events"))),
+    // log-sketch shard fold: USER-sharded half-corpus sketches added
+    // into the whole (gap streams are per-user, so a user shard cuts
+    // between gap streams, never inside one — an event_id split would
+    // sever same-user adjacencies and change the gaps themselves).
+    // Oracle = x6_hist_log_sketch's verbatim.
+    "x6_hist_log_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Profiling.histLogMerge(
+        Profiling.histLogSketch(ev.filter("user_id % 2 = 0")).localCheckpoint(),
+        Profiling.histLogSketch(ev.filter("user_id % 2 = 1")).localCheckpoint())
+    }),
     // per-day quantile drift monitor from the daily sketch grain
     "x6_hist_daily" -> ((s, d) => Profiling.histDailyQuantiles(t(s, d, "events"))),
     // trailing-7-day quantiles by sum-merging stored daily sketches
@@ -902,8 +913,8 @@ object SparkEntry {
     "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
     "x2_hybrid_rrf_stored",
     "x5_mm_search_binary_serve",
-    "x6_anomaly_serve", "x6_cms_serve", "x6_hist_log_serve",
-    "x6_hist_merge", "x6_hist_serve",
+    "x6_anomaly_serve", "x6_cms_serve", "x6_hist_log_merge",
+    "x6_hist_log_serve", "x6_hist_merge", "x6_hist_serve",
     "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
     "x7_curate_split",
@@ -6868,6 +6879,7 @@ object SparkEntry {
       "x5_mm_search_sq_serve" -> base("x5_mm_search_sq"),
       "x5_mm_search_binary_serve" -> base("x5_mm_search_binary"),
       "x6_hist_merge" -> base("x6_hist_sketch"),
+      "x6_hist_log_merge" -> base("x6_hist_log_sketch"),
       "x6_hist_serve" -> base("x6_hist_quantiles"),
       "x6_hist_log_serve" -> base("x6_hist_log_quantiles"),
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),

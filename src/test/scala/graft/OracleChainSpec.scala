@@ -302,12 +302,12 @@ class OracleChainSpec extends AnyFunSuite {
     "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)",
     "WHERE gap_us IS NOT NULL)",
     Set("x6_gap_hist", "x6_hist_log_sketch", "x6_hist_log_quantiles",
-      "x6_hist_log_serve", "x6_hist_log_accuracy"))
+      "x6_hist_log_serve", "x6_hist_log_accuracy", "x6_hist_log_merge"))
 
   chainFamily("dyadic log-bucket lb CTE", "x6_hist_log_sketch",
     "lb AS (SELECT CASE WHEN gap_s <= 0", "END AS bucket FROM b)",
     Set("x6_hist_log_sketch", "x6_hist_log_quantiles", "x6_hist_log_serve",
-      "x6_hist_log_accuracy"))
+      "x6_hist_log_accuracy", "x6_hist_log_merge"))
 
   chainFamily("log-sketch cumulative read sk/cu", "x6_hist_log_quantiles",
     "sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM lb GROUP BY 1)",
@@ -319,7 +319,7 @@ class OracleChainSpec extends AnyFunSuite {
       "CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) " +
       "AS DOUBLE) / 4.0 END",
     Set("x6_hist_log_sketch", "x6_hist_log_quantiles", "x6_hist_log_serve",
-      "x6_hist_log_accuracy"))
+      "x6_hist_log_accuracy", "x6_hist_log_merge"))
 
   formulaFamily("class-mean prototype fold",
     "round(sum(val) / count(*), 6)",
@@ -366,6 +366,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x4_bloom_merge" -> "x4_bloom_bits",
       "x6_cms_merge" -> "x6_cms_sketch",
       "x6_hist_merge" -> "x6_hist_sketch",
+      "x6_hist_log_merge" -> "x6_hist_log_sketch",
       "x6_hist_serve" -> "x6_hist_quantiles",
       "x5_mm_search_lsh_serve" -> "x5_mm_search_lsh",
       "x5_mm_search_pq_serve" -> "x5_mm_search_pq",
