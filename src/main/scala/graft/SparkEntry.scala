@@ -424,6 +424,11 @@ object SparkEntry {
     "x2_ann_diverse" -> ((s, d) => Similarity.annDiverse(t(s, d, "embeddings"))),
     // per-query recall@3 of the LSH index vs brute-force ground truth
     "x2_recall" -> ((s, d) => Similarity.lshRecallReport(t(s, d, "embeddings"))),
+    // ranking-quality audit: graded recall (gain by exact rank) + MRR
+    // of the LSH leg vs brute ground truth — WHERE hits land, not
+    // just how many (integer gains / exact rationals, no libm log2)
+    "x2_rank_quality" ->
+      ((s, d) => Similarity.lshRankQualityReport(t(s, d, "embeddings"))),
     // per-table bucket-occupancy health report of the same LSH index
     "x2_bucket_stats" -> ((s, d) => Similarity.lshBucketStats(t(s, d, "embeddings"))),
     "x2_cosine_pairs" -> ((s, d) => Similarity.cosinePairsTopK(t(s, d, "embeddings"))),
@@ -728,6 +733,9 @@ object SparkEntry {
     "x6_sessions" -> ((s, d) => Windows.sessions(t(s, d, "events"))),
     // ordered view->click->purchase completion per user, greedy-earliest
     "x6_funnel" -> ((s, d) => Windows.funnel(t(s, d, "events"))),
+    // per-transition conversion-latency quantiles via the dyadic log
+    // sketch (conversion times are the canonical heavy-tail domain)
+    "x6_funnel_latency" -> ((s, d) => Profiling.funnelLatency(t(s, d, "events"))),
     // cohort retention triangle: distinct (user, day) first, sizes from cohorts
     "x6_retention" -> ((s, d) => Windows.cohortRetention(t(s, d, "events"))),
     // daily top-3 payload values by count (regex-extracted from props JSON)
@@ -3185,6 +3193,47 @@ object SparkEntry {
          approx AS (SELECT q_id, n_id, 1 AS hit FROM r WHERE rank <= 3)
          SELECT e.q_id, CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
            round(CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) / 3.0, 4) AS recall
+         FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+         GROUP BY e.q_id""",
+    // ranking-quality audit: x2_recall's brute + LSH chains (copied
+    // verbatim -- change together), keeping RANKS on both sides;
+    // graded recall weights hits by exact rank (gains 3/2/1, /6),
+    // mrr = 1/min approx rank holding an exact top-3 item
+    "x2_rank_quality" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id, rank FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 20),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s),
+         approx AS (SELECT q_id, n_id, rank FROM r WHERE rank <= 3)
+         SELECT e.q_id, CAST(count(a.rank) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN a.rank IS NOT NULL THEN 4 - e.rank
+             ELSE 0 END) AS DOUBLE) / 6.0, 4) AS graded_recall,
+           round(coalesce(1::DOUBLE / min(a.rank), 0::DOUBLE), 6) AS mrr
          FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
          GROUP BY e.q_id""",
     "x2_ann_lsh" ->
@@ -6189,6 +6238,45 @@ object SparkEntry {
               + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth
          FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
            LEFT JOIN s3 ON s3.user_id = s1.user_id""",
+    // funnel conversion-latency quantiles: x6_funnel's s1/s2/s3 head
+    // (copied verbatim -- change together) -> per-transition
+    // whole-second gaps -> the dyadic log-bucket + cumulative
+    // upper-edge read, partitioned by step (conversion latency is
+    // heavy-tailed: the log-width sketch's domain)
+    "x6_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us FROM events e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1_us
+             GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us FROM events e
+             JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2_us
+             GROUP BY e.user_id),
+         g AS (SELECT 'view_click' AS step, (t2_us - t1_us) // 1000000 AS gap_s
+             FROM s1 JOIN s2 ON s2.user_id = s1.user_id
+           UNION ALL
+           SELECT 'click_purchase' AS step, (t3_us - t2_us) // 1000000 AS gap_s
+             FROM s2 JOIN s3 ON s3.user_id = s2.user_id),
+         lb AS (SELECT step, CASE WHEN gap_s <= 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(1 + (length(bin(gap_s)) - 1) * 4
+               + ((gap_s * 4) // (1::BIGINT << (length(bin(gap_s)) - 1)) - 4)
+               AS BIGINT) END AS bucket FROM g),
+         sk AS (SELECT step, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM lb GROUP BY 1, 2),
+         cu AS (SELECT step, bucket, c,
+             CAST(sum(c) OVER (PARTITION BY step ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY step) AS BIGINT) AS n
+           FROM sk)
+         SELECT step, CAST(max(n) AS BIGINT) AS n,
+           round(min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p50_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p90_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p99_est
+         FROM cu GROUP BY step""",
     "x6_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
              FROM events),

@@ -860,4 +860,40 @@ object Profiling {
           col("p99_err") >= 0 && col("p99_err") <= expr(width("p99")),
           1L).otherwise(0L))
   }
+
+  /** X6 FUNNEL-LATENCY profile — [[Windows.funnel]]'s step-transition
+    * times summarized by the dyadic log sketch: per transition
+    * (view→click, click→purchase), n + p50/p90/p99 of the
+    * whole-second conversion latency. Conversion times are the
+    * canonical heavy-tail domain (seconds to weeks), exactly what the
+    * log-width buckets exist for — fixed width 5 either loses the
+    * minutes structure or needs millions of rows for the weeks tail.
+    * Build: the funnel frame (three keyed min-aggregations) → a
+    * two-rows-per-converting-user transition stream → the same
+    * integer-bit dyadic bucket + cumulative upper-edge read as
+    * [[histLogQuantilesFrom]], partitioned by step; the cumulative
+    * window runs over O(steps · 4·log₂ range) aggregated bucket rows,
+    * never raw events. */
+  def funnelLatency(events: DataFrame): DataFrame = {
+    val f = Windows.funnel(events)
+    val g = f.filter(col("t2_us").isNotNull)
+      .select(lit("view_click").as("step"),
+        expr("(t2_us - t1_us) div 1000000").as("gap_s"))
+      .union(f.filter(col("t3_us").isNotNull)
+        .select(lit("click_purchase").as("step"),
+          expr("(t3_us - t2_us) div 1000000").as("gap_s")))
+    val sk = g.select(col("step"), expr(logBucket).as("bucket"))
+      .groupBy(col("step"), col("bucket")).agg(count(lit(1)).as("c"))
+    val cum = sk
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("step")).orderBy(col("bucket"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("step"))))
+    def est(p: Double): Column =
+      round(min(when(col("cum") >=
+        ceil(lit(p) * col("n").cast("double")).cast("long"),
+        expr(logEdge))), 2)
+    cum.groupBy(col("step"))
+      .agg(max(col("n")).as("n"), est(0.5).as("p50_est"),
+        est(0.9).as("p90_est"), est(0.99).as("p99_est"))
+  }
 }

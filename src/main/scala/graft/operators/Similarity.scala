@@ -620,6 +620,36 @@ object Similarity {
         round(col("n_hits").cast("double") / lit(k.toDouble), 4).as("recall"))
   }
 
+  /** X2 RANKING-quality audit — [[lshRecallReport]] counts WHICH exact
+    * neighbors the bucketed search returns; this grades WHERE they
+    * land. Per query: graded recall (each exact top-k item carries
+    * gain k−rank+1, so losing the exact-rank-1 neighbor costs k× a
+    * rank-k miss; normalized by the max gain k(k+1)/2) and MRR (the
+    * reciprocal of the best approx rank holding ANY exact top-k item —
+    * "how far down the returned list is the first right answer", the
+    * standard retrieval-eval companion to recall). Gains are small
+    * integers and rr an exact rational, so both metrics are drift-free
+    * across engines — an nDCG log2 discount would put libm `log2` in
+    * the comparison path (the house ulp rule) while carrying the same
+    * signal at k=3. Cost: the two searches plus one k·nQueries-row
+    * equi join; at 100 TB the brute side is the same query-sample
+    * audit bound as [[lshRecallReport]]. */
+  def lshRankQualityReport(embeddings: DataFrame, nQueries: Int = 20,
+                           k: Int = 3): DataFrame = {
+    val exact = annBruteForce(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"), col("rank").as("e_rank"))
+    val approx = annLsh(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"), col("rank").as("a_rank"))
+    val gainSum = (k * (k + 1) / 2).toDouble
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("a_rank")).as("n_hits"),
+        round(sum(when(col("a_rank").isNotNull, lit(k + 1) - col("e_rank"))
+            .otherwise(lit(0))).cast("double") / lit(gainSum), 4)
+          .as("graded_recall"),
+        round(coalesce(lit(1.0) / min(col("a_rank")), lit(0.0)), 6).as("mrr"))
+  }
+
   /** X2 IVF recall audit — [[lshRecallReport]]'s counterpart for the
     * TRAINED-cell index: per query, how many of the brute-force top-k
     * the nProbe-cell IVF search returns. The recall/cost knob audit

@@ -232,14 +232,14 @@ class OracleChainSpec extends AnyFunSuite {
     "(CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)",
     Set("x2_ann_filtered", "x2_ann_lsh", "x2_ann_lsh_serve", "x2_bucket_stats",
       "x2_incremental", "x2_range_lsh", "x2_range_lsh_serve", "x2_range_recall",
-      "x2_recall", "x5_mm_bucket_stats",
+      "x2_rank_quality", "x2_recall", "x5_mm_bucket_stats",
       "x5_mm_recall", "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
 
   formulaFamily("LSH Hamming-1 probe masks",
     "[0, 1, 2, 4, 8]",
     Set("x2_ann_filtered", "x2_ann_lsh", "x2_ann_lsh_serve", "x2_mips_lsh",
       "x2_mips_lsh_serve", "x2_mips_recall", "x2_range_lsh", "x2_range_lsh_serve",
-      "x2_range_recall", "x2_recall",
+      "x2_range_recall", "x2_rank_quality", "x2_recall",
       "x5_mm_recall", "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
 
   formulaFamily("MIPS augmented hyperplane (dim 65)",
@@ -319,7 +319,22 @@ class OracleChainSpec extends AnyFunSuite {
       "CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) " +
       "AS DOUBLE) / 4.0 END",
     Set("x6_hist_log_sketch", "x6_hist_log_quantiles", "x6_hist_log_serve",
-      "x6_hist_log_accuracy", "x6_hist_log_merge"))
+      "x6_hist_log_accuracy", "x6_hist_log_merge", "x6_funnel_latency"))
+
+  chainFamily("funnel earliest-completion s1/s2/s3 head", "x6_funnel",
+    "WITH s1 AS", "epoch_us(e.ts) > s2.t2_us",
+    Set("x6_funnel", "x6_funnel_latency"))
+
+  // the bucket arithmetic alone (the lb-CTE chain pins it for the
+  // gap-stream family; the funnel-latency lb is step-keyed so only
+  // the CASE text is shared)
+  formulaFamily("dyadic log-bucket CASE",
+    "CASE WHEN gap_s <= 0 THEN CAST(0 AS BIGINT)\n" +
+      "             ELSE CAST(1 + (length(bin(gap_s)) - 1) * 4\n" +
+      "               + ((gap_s * 4) // (1::BIGINT << (length(bin(gap_s)) - 1)) - 4)\n" +
+      "               AS BIGINT) END AS bucket FROM ",
+    Set("x6_hist_log_sketch", "x6_hist_log_quantiles", "x6_hist_log_serve",
+      "x6_hist_log_accuracy", "x6_hist_log_merge", "x6_funnel_latency"))
 
   formulaFamily("class-mean prototype fold",
     "round(sum(val) / count(*), 6)",

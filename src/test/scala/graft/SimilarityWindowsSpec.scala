@@ -389,6 +389,47 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(t3 === ts(5).getTime * 1000)
   }
 
+  test("funnel latency: per-step dyadic quantiles, zero-second gap hits bucket 0") {
+    import spark.implicits._
+    def ms(m: Long) = new Timestamp(1704067200000L + m)
+    val fe = Seq(
+      // user 1: view -> +10 s click -> +64 s purchase
+      (1L, ms(0), 1L, "view", 0.0), (2L, ms(10000), 1L, "click", 0.0),
+      (3L, ms(74000), 1L, "purchase", 0.0),
+      // user 2: click 500 ms after view (strict > holds in µs, but the
+      // whole-second gap is 0 -> bucket 0, edge 0); never purchases
+      (4L, ms(0), 2L, "view", 0.0), (5L, ms(500), 2L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Profiling.funnelLatency(fe)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // view_click gaps [10, 0]: 10 s -> octave 3, sub 1 -> bucket 14,
+    // edge 2^3*6/4 = 12; p50 threshold 1 reads bucket 0's edge 0
+    assert(got("view_click") === ((2L, 0.0, 12.0, 12.0)))
+    // click_purchase gap [64]: octave 6, sub 0 -> bucket 25, edge 80
+    assert(got("click_purchase") === ((1L, 80.0, 80.0, 80.0)))
+  }
+
+  test("rank quality: graded recall + MRR agree with the recall report's hit sets") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val rq = graft.operators.Similarity.lshRankQualityReport(emb)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val rec = graft.operators.Similarity.lshRecallReport(emb)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(rq.keySet === rec.keySet)
+    rq.foreach { case (q, (hits, graded, mrr)) =>
+      // hit COUNTS must equal the recall report's (same join, same sets)
+      assert(hits === rec(q), s"q=$q")
+      assert(graded >= 0.0 && graded <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
+      // all-3 hits means identical top-3 sets: perfect graded + MRR;
+      // zero hits zeroes both
+      if (hits == 3L) assert(graded === 1.0 && mrr === 1.0, s"q=$q")
+      if (hits == 0L) assert(graded === 0.0 && mrr === 0.0, s"q=$q")
+      if (hits > 0L) assert(graded > 0.0 && mrr > 0.0, s"q=$q")
+    }
+  }
+
   test("cohort retention: first-day cohorts, distinct-day activity, exact ratios") {
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00")
     val fe = Seq(
