@@ -865,6 +865,11 @@ object SparkEntry {
         Profiling.histLogSketch(ev.filter("user_id % 2 = 0")).localCheckpoint(),
         Profiling.histLogSketch(ev.filter("user_id % 2 = 1")).localCheckpoint())
     }),
+    // per-day gap-quantile drift monitor at the dyadic daily grain
+    "x6_hist_log_daily" ->
+      ((s, d) => Profiling.histLogDailyQuantiles(t(s, d, "events"))),
+    // trailing-7-day gap quantiles by sum-merging daily dyadic sketches
+    "x6_hist_log_rolling" -> ((s, d) => Profiling.histLogRolling(t(s, d, "events"))),
     // per-day quantile drift monitor from the daily sketch grain
     "x6_hist_daily" -> ((s, d) => Profiling.histDailyQuantiles(t(s, d, "events"))),
     // trailing-7-day quantiles by sum-merging stored daily sketches
@@ -6565,6 +6570,66 @@ object SparkEntry {
                (CASE WHEN p99_exact <= 0 THEN CAST(0 AS DOUBLE) ELSE CAST(1::BIGINT << (length(bin(p99_exact)) - 1) AS DOUBLE) / 4.0 END)
              THEN 1 ELSE 0 END AS BIGINT) AS within_width
          FROM j""",
+    // per-day gap quantiles at the dyadic daily grain: the day-keyed
+    // gap head e..sk is SHARED (copied) with x6_hist_log_rolling --
+    // change together; a gap belongs to the day of its CLOSING event
+    "x6_hist_log_daily" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT us, us - lag(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS gap_us FROM e),
+         b AS (SELECT us // 86400000000 AS day, gap_us // 1000000 AS gap_s
+           FROM g WHERE gap_us IS NOT NULL),
+         lb AS (SELECT day, CASE WHEN gap_s <= 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(1 + (length(bin(gap_s)) - 1) * 4
+               + ((gap_s * 4) // (1::BIGINT << (length(bin(gap_s)) - 1)) - 4)
+               AS BIGINT) END AS bucket FROM b),
+         sk AS (SELECT day, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM lb GROUP BY 1, 2),
+         cu AS (SELECT day, bucket, c,
+             CAST(sum(c) OVER (PARTITION BY day ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS n
+           FROM sk)
+         SELECT CAST(day AS BIGINT) AS day, CAST(max(n) AS BIGINT) AS n,
+           round(min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p50_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p90_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p99_est
+         FROM cu GROUP BY 1""",
+    // rolling 7-day gap quantiles by SUM-MERGING the daily dyadic
+    // sketches -- head e..sk copied verbatim from x6_hist_log_daily
+    "x6_hist_log_rolling" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT us, us - lag(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS gap_us FROM e),
+         b AS (SELECT us // 86400000000 AS day, gap_us // 1000000 AS gap_s
+           FROM g WHERE gap_us IS NOT NULL),
+         lb AS (SELECT day, CASE WHEN gap_s <= 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(1 + (length(bin(gap_s)) - 1) * 4
+               + ((gap_s * 4) // (1::BIGINT << (length(bin(gap_s)) - 1)) - 4)
+               AS BIGINT) END AS bucket FROM b),
+         sk AS (SELECT day, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM lb GROUP BY 1, 2),
+         fan AS (SELECT day + o AS day, bucket, c
+           FROM sk, (SELECT unnest(range(7)) AS o)),
+         rs AS (SELECT day, bucket, CAST(sum(c) AS BIGINT) AS c
+           FROM fan GROUP BY 1, 2),
+         rd AS (SELECT DISTINCT day FROM sk),
+         rs2 AS (SELECT rs.day, rs.bucket, rs.c
+           FROM rs JOIN rd ON rd.day = rs.day),
+         rcu AS (SELECT day, bucket, c,
+             CAST(sum(c) OVER (PARTITION BY day ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS n
+           FROM rs2)
+         SELECT CAST(day AS BIGINT) AS day, CAST(max(n) AS BIGINT) AS n,
+           round(min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p50_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p90_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p99_est
+         FROM rcu GROUP BY 1""",
     // per-(type, day) sketch quantiles: the dsk day CTE is SHARED
     // (copied) with x6_hist_rolling -- change together
     "x6_hist_daily" ->

@@ -813,6 +813,64 @@ object Profiling {
   def histLogQuantiles(events: DataFrame): DataFrame =
     histLogQuantilesFrom(histLogSketch(events))
 
+  /** X6 time-bucketed log sketch: the dyadic gap counters at DAY
+    * grain ([[histDaily]]'s discipline on the heavy-tail domain) —
+    * the nightly artifact the rolling read merges. A gap belongs to
+    * the day of its CLOSING event ([[Windows.gapSecondsByDay]]), so
+    * the day cut never splits a gap. */
+  def histLogDaily(events: DataFrame): DataFrame =
+    Windows.gapSecondsByDay(events)
+      .select(col("day"), expr(logBucket).as("bucket"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The keyed dyadic quantile read shared by the daily and rolling
+    * grains — cumulative bucket mass per key, `⌈p·n⌉` threshold,
+    * dyadic upper-edge estimate (the [[histQuantilesKeyed]] shape on
+    * log buckets). */
+  private def histLogQuantilesKeyed(sketch: DataFrame,
+                                    keys: Seq[String]): DataFrame = {
+    val part = Window.partitionBy(keys.map(col): _*)
+    val cum = sketch
+      .withColumn("cum", sum(col("c")).over(part.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("c")).over(part))
+    def est(p: Double): Column =
+      round(min(when(col("cum") >=
+        ceil(lit(p) * col("n").cast("double")).cast("long"),
+        expr(logEdge))), 2)
+    cum.groupBy(keys.map(col): _*)
+      .agg(max(col("n")).as("n"), est(0.5).as("p50_est"),
+        est(0.9).as("p90_est"), est(0.99).as("p99_est"))
+  }
+
+  /** X6 per-day gap quantiles from the daily log sketches — the
+    * engagement-cadence drift monitor (is the p90 inter-event gap
+    * stretching day over day?), [[histDailyQuantiles]]'s heavy-tail
+    * twin. */
+  def histLogDailyQuantiles(events: DataFrame): DataFrame =
+    histLogQuantilesKeyed(histLogDaily(events), Seq("day"))
+
+  /** [[histLogRolling]] answered from a STORED daily log-sketch
+    * table — trailing-window gap quantiles with NO event re-scan
+    * (each day's ≤ 4·log₂(range) counter rows fan to the window ends
+    * they serve and add; observed-day join drops the overhang). */
+  def histLogRollingFromDaily(dsk: DataFrame,
+                              windowDays: Int = 7): DataFrame = {
+    val fan = dsk
+      .select(col("day"), col("bucket"), col("c"),
+        explode(array((0 until windowDays).map(o => lit(o.toLong)): _*)).as("o"))
+      .select((col("day") + col("o")).as("day"), col("bucket"), col("c"))
+    val merged = fan.groupBy(col("day"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    val observed = dsk.select(col("day")).distinct()
+    histLogQuantilesKeyed(merged.join(observed, Seq("day")), Seq("day"))
+  }
+
+  /** X6 trailing-7-day gap quantiles by sum-merging the daily dyadic
+    * sketches — [[histRolling]]'s heavy-tail twin. */
+  def histLogRolling(events: DataFrame): DataFrame =
+    histLogRollingFromDaily(histLogDaily(events))
+
   /** X6 log-sketch ACCURACY audit — [[histAccuracy]]'s
     * measure-don't-guess gate adapted to PER-BUCKET width: exact
     * order-statistic gap quantiles (gaps are already integers — the

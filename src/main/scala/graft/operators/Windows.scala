@@ -453,6 +453,22 @@ object Windows {
       .select(expr("(us - prev) div 1000000").as("gap_s"))
   }
 
+  /** [[gapSeconds]] tagged with the day of the gap-CLOSING event —
+    * the grain of the daily log-sketch family: a gap "happens" when
+    * its later event arrives, so day cuts can never change the gap
+    * values themselves (the same reason the merge law shards by
+    * user). Same single keyed lag window. */
+  def gapSecondsByDay(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(expr("us div 86400000000").as("day"),
+        expr("(us - prev) div 1000000").as("gap_s"))
+  }
+
   /** X6 USER LIFETIME features — the per-user RFM-style profile
     * (first/last active day, calendar span, active days, events,
     * distinct types, activity density = active/span): the feature

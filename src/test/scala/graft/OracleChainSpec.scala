@@ -319,7 +319,12 @@ class OracleChainSpec extends AnyFunSuite {
       "CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) " +
       "AS DOUBLE) / 4.0 END",
     Set("x6_hist_log_sketch", "x6_hist_log_quantiles", "x6_hist_log_serve",
-      "x6_hist_log_accuracy", "x6_hist_log_merge", "x6_funnel_latency"))
+      "x6_hist_log_accuracy", "x6_hist_log_merge", "x6_funnel_latency",
+      "x6_hist_log_daily", "x6_hist_log_rolling"))
+
+  chainFamily("day-grain log-gap head e..sk", "x6_hist_log_daily",
+    "WITH e AS", "FROM lb GROUP BY 1, 2),",
+    Set("x6_hist_log_daily", "x6_hist_log_rolling"))
 
   chainFamily("funnel earliest-completion s1/s2/s3 head", "x6_funnel",
     "WITH s1 AS", "epoch_us(e.ts) > s2.t2_us",
@@ -334,7 +339,8 @@ class OracleChainSpec extends AnyFunSuite {
       "               + ((gap_s * 4) // (1::BIGINT << (length(bin(gap_s)) - 1)) - 4)\n" +
       "               AS BIGINT) END AS bucket FROM ",
     Set("x6_hist_log_sketch", "x6_hist_log_quantiles", "x6_hist_log_serve",
-      "x6_hist_log_accuracy", "x6_hist_log_merge", "x6_funnel_latency"))
+      "x6_hist_log_accuracy", "x6_hist_log_merge", "x6_funnel_latency",
+      "x6_hist_log_daily", "x6_hist_log_rolling"))
 
   formulaFamily("class-mean prototype fold",
     "round(sum(val) / count(*), 6)",

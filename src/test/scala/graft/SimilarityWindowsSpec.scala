@@ -1227,6 +1227,41 @@ class SimilarityWindowsSpec extends AnyFunSuite {
       whole.as[(Long, Long, Double)].collect().toSet)
   }
 
+  test("log-width daily/rolling: closing-event day grain, trailing merge, overhang dropped") {
+    import spark.implicits._
+    // user 1: day 0 events at 0 s and 10 s (gap 10 closes day 0);
+    // day 1 events at 86405 s and 86415 s (gaps 86395 and 10 close day 1)
+    val secs = Seq(0L, 10L, 86405L, 86415L)
+    val ev = secs.zipWithIndex.map { case (s, i) =>
+      (i.toLong, new Timestamp(1704067200000L + s * 1000L), 1L, "click", 0.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val daily = graft.operators.Profiling.histLogDailyQuantiles(ev)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val d0 = daily.keys.min
+    assert(daily.keySet === Set(d0, d0 + 1))
+    // day 0: one gap of 10 s -> bucket 14, edge 12
+    assert(daily(d0) === ((1L, 12.0, 12.0, 12.0)))
+    // day 1: gaps [10, 86395]; 86395 -> octave 16, sub 1 -> bucket 66,
+    // edge 2^16*6/4 = 98304; p50 threshold 1 reads bucket 14
+    assert(daily(d0 + 1) === ((2L, 12.0, 98304.0, 98304.0)))
+    val roll = graft.operators.Profiling.histLogRolling(ev)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // trailing window: day 0 sees only itself; day 1 merges both days
+    // (n=3, p50 threshold 2 -> bucket 14); fan overhang past the
+    // corpus (days 2..7) is dropped by the observed-day join
+    assert(roll.keySet === Set(d0, d0 + 1))
+    assert(roll(d0) === ((1L, 12.0, 12.0, 12.0)))
+    assert(roll(d0 + 1) === ((3L, 12.0, 98304.0, 98304.0)))
+    // serve form: rolling from the STORED daily sketch is identical
+    val served = graft.operators.Profiling.histLogRollingFromDaily(
+        graft.operators.Profiling.histLogDaily(ev).localCheckpoint())
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(served === graft.operators.Profiling.histLogRolling(ev)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet)
+  }
+
   test("histogram sketch: merge law is exact and quantile estimates bound the data") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>
