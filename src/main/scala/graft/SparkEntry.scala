@@ -444,6 +444,14 @@ object SparkEntry {
     "x2_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     // filtered vector search: the predicate rides IN the bucket key
     "x2_ann_filtered" -> ((s, d) => Similarity.annLshFiltered(t(s, d, "embeddings"))),
+    // the filtered serve path: the labeled bucket index is the stored
+    // artifact; the probe carries the label in the join key. Oracle =
+    // x2_ann_filtered's verbatim (serve must equal self-contained).
+    "x2_ann_filtered_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Similarity.lshLabeledBucketIndex(emb).localCheckpoint()
+      Similarity.annLshFilteredOnIndex(emb, idx)
+    }),
     "x2_centroids" -> ((s, d) => Similarity.trainedCentroids(t(s, d, "embeddings"))),
     // PQ codebook: per-subspace L2 Lloyd, the model export (32× shrink)
     "x2_pq_codebook" -> ((s, d) => Similarity.pqCodebook(t(s, d, "embeddings"))),
@@ -910,7 +918,7 @@ object SparkEntry {
     "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x5_mm_search_sq_serve",
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
     "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
-    "x2_ann_lsh_serve", "x2_range_lsh_serve",
+    "x2_ann_filtered_serve", "x2_ann_lsh_serve", "x2_range_lsh_serve",
     "x2_ann_pq", "x2_ann_pq_serve", "x2_mips_lsh_serve",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
     "x2_ivf_recall", "x2_ood",
@@ -7015,6 +7023,7 @@ object SparkEntry {
       "x2_ann_ivfpq_serve" -> base("x2_ann_ivfpq"),
       "x2_ann_ivfpq_res_serve" -> base("x2_ann_ivfpq_res"),
       "x2_ann_lsh_serve" -> base("x2_ann_lsh"),
+      "x2_ann_filtered_serve" -> base("x2_ann_filtered"),
       "x2_range_lsh_serve" -> base("x2_range_lsh"),
       "x2_ann_pq_serve" -> base("x2_ann_pq"),
       "x3_bigram_score_serve" -> base("x3_bigram_logprob"),

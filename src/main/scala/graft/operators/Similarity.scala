@@ -813,13 +813,32 @@ object Similarity {
     * Hamming-1 multi-probe and the O(k)-state heap aggregation are
     * exactly [[annLshOnVectors]]'s. */
   def annLshFiltered(embeddings: DataFrame, nQueries: Int = 20,
-                     k: Int = 3): DataFrame = {
-    val vn = withVec(embeddings).select(
-      col("vec_id"), col("label"), col("v"), col("nrm"))
-    val buckets = vn.withColumn("bkts", bucketsCol)
+                     k: Int = 3): DataFrame =
+    annLshFilteredOnIndex(embeddings, lshLabeledBucketIndex(embeddings),
+      nQueries, k)
+
+  /** The STORED labeled LSH bucket index — [[lshBucketIndex]] with the
+    * filter attribute riding IN the row: one (vec_id, label, tbl,
+    * bucket) row per (vector, table). The artifact the filtered serve
+    * path probes; label is part of the bucket-join key there, so a
+    * selective predicate shrinks candidates instead of starving a
+    * post-filtered top-k (the vector-DB "filtered search"
+    * discipline). */
+  def lshLabeledBucketIndex(embeddings: DataFrame): DataFrame =
+    withVec(embeddings).withColumn("bkts", bucketsCol)
       .select(col("vec_id"), col("label"), posexplode(col("bkts")))
       .toDF("vec_id", "label", "tbl", "bucket")
       .repartition(col("tbl"), col("bucket"))
+
+  /** [[annLshFiltered]]'s SERVE path — answered from a STORED
+    * [[lshLabeledBucketIndex]] with no corpus re-hash in the search
+    * plan (the [[annLshOnBucketIndex]] contract for the filtered
+    * leg); the query side derives probe buckets AND its label by
+    * filtering the stored table. Must equal the self-contained form
+    * exactly — shared oracle (`x2_ann_filtered_serve`). */
+  def annLshFilteredOnIndex(embeddings: DataFrame, buckets: DataFrame,
+                            nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val vn = withVec(embeddings).select(col("vec_id"), col("v"), col("nrm"))
     val q = buckets.filter(col("vec_id") < nQueries)
       .withColumn("fl", explode(typedLit(ProbeMasks)))
       .select(col("vec_id").as("q_id"), col("label"), col("tbl"),

@@ -230,14 +230,16 @@ class OracleChainSpec extends AnyFunSuite {
 
   formulaFamily("LSH search hyperplane (8 tables x 4 bits)",
     "(CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)",
-    Set("x2_ann_filtered", "x2_ann_lsh", "x2_ann_lsh_serve", "x2_bucket_stats",
+    Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_ann_lsh",
+      "x2_ann_lsh_serve", "x2_bucket_stats",
       "x2_incremental", "x2_range_lsh", "x2_range_lsh_serve", "x2_range_recall",
       "x2_rank_quality", "x2_recall", "x5_mm_bucket_stats",
       "x5_mm_recall", "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
 
   formulaFamily("LSH Hamming-1 probe masks",
     "[0, 1, 2, 4, 8]",
-    Set("x2_ann_filtered", "x2_ann_lsh", "x2_ann_lsh_serve", "x2_mips_lsh",
+    Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_ann_lsh",
+      "x2_ann_lsh_serve", "x2_mips_lsh",
       "x2_mips_lsh_serve", "x2_mips_recall", "x2_range_lsh", "x2_range_lsh_serve",
       "x2_range_recall", "x2_rank_quality", "x2_recall",
       "x5_mm_recall", "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
@@ -370,6 +372,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_ivfpq_serve" -> "x2_ann_ivfpq",
       "x2_ann_ivfpq_res_serve" -> "x2_ann_ivfpq_res",
       "x2_ann_lsh_serve" -> "x2_ann_lsh",
+      "x2_ann_filtered_serve" -> "x2_ann_filtered",
       "x2_range_lsh_serve" -> "x2_range_lsh",
       "x2_ann_pq_serve" -> "x2_ann_pq",
       "x2_mips_lsh_serve" -> "x2_mips_lsh",

@@ -389,6 +389,21 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(t3 === ts(5).getTime * 1000)
   }
 
+  test("filtered serve: stored labeled bucket index reproduces the self-contained search") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val idx = graft.operators.Similarity.lshLabeledBucketIndex(emb).localCheckpoint()
+    val served = graft.operators.Similarity.annLshFilteredOnIndex(emb, idx)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val live = graft.operators.Similarity.annLshFiltered(emb)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served === live && served.nonEmpty)
+    // the stored path's plan probes the index (LogicalRDD) rather
+    // than re-deriving buckets from the corpus
+    val plan = graft.operators.Similarity.annLshFilteredOnIndex(emb, idx)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+  }
+
   test("funnel latency: per-step dyadic quantiles, zero-second gap hits bucket 0") {
     import spark.implicits._
     def ms(m: Long) = new Timestamp(1704067200000L + m)
