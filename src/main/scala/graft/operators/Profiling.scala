@@ -932,8 +932,16 @@ object Profiling {
     * [[histLogQuantilesFrom]], partitioned by step; the cumulative
     * window runs over O(steps · 4·log₂ range) aggregated bucket rows,
     * never raw events. */
-  def funnelLatency(events: DataFrame): DataFrame = {
-    val f = Windows.funnel(events)
+  def funnelLatency(events: DataFrame): DataFrame =
+    funnelLatencyFrom(Windows.funnel(events))
+
+  /** [[funnelLatency]] over any (t1_us, t2_us, t3_us) funnel frame —
+    * the serve form: a continuously-maintained conversion table
+    * ([[graft.streaming.StreamPipeline.funnelStream]]'s sink, or a
+    * stored batch funnel) feeds the same latency read without
+    * re-scanning events (spec pins stream-sink-served ≡ batch on the
+    * completed-conversion subset). */
+  def funnelLatencyFrom(f: DataFrame): DataFrame = {
     val g = f.filter(col("t2_us").isNotNull)
       .select(lit("view_click").as("step"),
         expr("(t2_us - t1_us) div 1000000").as("gap_s"))

@@ -977,6 +977,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel latency served from the streaming conversion sink equals batch on completions") {
+    implicit val sc = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(1), 1L, "click", 0.0),
+      (3L, ts(5), 1L, "purchase", 0.0),
+      (4L, ts(0), 2L, "view", 0.0), (5L, ts(8), 2L, "click", 0.0),
+      (6L, ts(9), 2L, "purchase", 0.0),
+      // user 3 never purchases: contributes a view_click gap to the
+      // BATCH profile but is invisible to the completed-conversion
+      // serve — the spec compares on the completed subset
+      (7L, ts(0), 3L, "view", 0.0), (8L, ts(2), 3L, "click", 0.0))
+    val mem = MemoryStream[UserEvent]
+    val q = StreamPipeline.funnelStream(mem.toDF())
+      .writeStream.format("memory").queryName("funnel_lat_mem")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.map(r => UserEvent(r._1, r._2, r._3, r._4, r._5)))
+      q.processAllAvailable()
+      val served = graft.operators.Profiling
+        .funnelLatencyFrom(spark.table("funnel_lat_mem"))
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      val completed = Windows.funnel(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .filter(col("depth") === 3)
+      val expect = graft.operators.Profiling.funnelLatencyFrom(completed)
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      assert(served === expect && served.nonEmpty)
+      // gaps: view->click 60 s (bucket 24, edge 64) and 480 s (bucket
+      // 36, edge 512); click->purchase 240 s (edge 256) and 60 s
+      assert(served === Set(("view_click", 2L, 64.0, 512.0, 512.0),
+        ("click_purchase", 2L, 64.0, 256.0, 256.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState milestone alerts: cross-threshold emission and batch-order independence (X6)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[UserEvent]
