@@ -715,6 +715,10 @@ object SparkEntry {
       Multimodal.mediaBucketStats(t(s, d, "documents"))),
     // media LSH recall vs the exact x5_mm_search ground truth
     "x5_mm_recall" -> ((s, d) => Multimodal.mediaRecallReport(t(s, d, "documents"))),
+    // media ranking-quality audit: graded recall + MRR of the bucketed
+    // media search vs the exact baseline (x2_rank_quality's metrics)
+    "x5_mm_rank_quality" ->
+      ((s, d) => Multimodal.mediaRankQualityReport(t(s, d, "documents"))),
     // incremental media near-dup: batch (ids < 100) vs indexed corpus
     // cross-collection alignment mining over media embeddings: best vs
     // runner-up margin suppresses hub assets (caption<->image shape)
@@ -6097,6 +6101,48 @@ object SparkEntry {
          approx AS (SELECT q_id, n_id, 1 AS hit FROM r WHERE rank <= 3)
          SELECT e.q_id, CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
            round(CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) / 3.0, 4) AS recall
+         FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+         GROUP BY e.q_id""",
+    // media ranking-quality audit: x5_mm_recall's brute + LSH chains
+    // (copied verbatim -- change together) keeping ranks on both
+    // sides, with x2_rank_quality's graded-recall/MRR tail
+    "x5_mm_rank_quality" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id, rank FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 5),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s),
+         approx AS (SELECT q_id, n_id, rank FROM r WHERE rank <= 3)
+         SELECT e.q_id, CAST(count(a.rank) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN a.rank IS NOT NULL THEN 4 - e.rank
+             ELSE 0 END) AS DOUBLE) / 6.0, 4) AS graded_recall,
+           round(coalesce(1::DOUBLE / min(a.rank), 0::DOUBLE), 6) AS mrr
          FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
          GROUP BY e.q_id""",
     "x5_mm_dedup" ->

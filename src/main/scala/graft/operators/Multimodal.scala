@@ -400,6 +400,15 @@ object Multimodal {
                         k: Int = 3): DataFrame =
     Similarity.lshRecallReportOnVectors(mediaEmbedding(documents), nQueries, k)
 
+  /** X5 media RANKING-quality audit — `x2_rank_quality`'s graded
+    * recall + MRR on the media modality: WHERE the bucketed media
+    * search's hits land against the exact baseline, not just how many
+    * ([[mediaRecallReport]]'s companion, same vectors and hyperplanes
+    * as production). */
+  def mediaRankQualityReport(documents: DataFrame, nQueries: Int = 5,
+                             k: Int = 3): DataFrame =
+    Similarity.rankQualityOnVectors(mediaEmbedding(documents), nQueries, k)
+
   /** X5 MEDIA IVF PARTITION MAP — the coarse-quantizer leg for the
     * media modality ([[mediaPqCodes]] is the compression leg): stub
     * embeddings train the spherical k-means cells and every asset

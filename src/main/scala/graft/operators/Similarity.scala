@@ -635,10 +635,19 @@ object Similarity {
     * equi join; at 100 TB the brute side is the same query-sample
     * audit bound as [[lshRecallReport]]. */
   def lshRankQualityReport(embeddings: DataFrame, nQueries: Int = 20,
+                           k: Int = 3): DataFrame =
+    rankQualityOnVectors(
+      withVec(embeddings).select(col("vec_id"), col("v")), nQueries, k)
+
+  /** [[lshRankQualityReport]] over any (vec_id, v: array<double>)
+    * frame — the media index's ranking audit (`x5_mm_rank_quality`),
+    * run on the SAME vectors and hyperplanes the media LSH search
+    * uses (the [[lshRecallReportOnVectors]] pattern). */
+  def rankQualityOnVectors(vectors: DataFrame, nQueries: Int = 20,
                            k: Int = 3): DataFrame = {
-    val exact = annBruteForce(embeddings, nQueries, k)
+    val exact = annOnVectors(vectors, nQueries, k)
       .select(col("q_id"), col("n_id"), col("rank").as("e_rank"))
-    val approx = annLsh(embeddings, nQueries, k)
+    val approx = annLshOnVectors(vectors, nQueries, k)
       .select(col("q_id"), col("n_id"), col("rank").as("a_rank"))
     val gainSum = (k * (k + 1) / 2).toDouble
     exact.join(approx, Seq("q_id", "n_id"), "left")

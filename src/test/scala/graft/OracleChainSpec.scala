@@ -234,7 +234,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_lsh_serve", "x2_bucket_stats",
       "x2_incremental", "x2_range_lsh", "x2_range_lsh_serve", "x2_range_recall",
       "x2_rank_quality", "x2_recall", "x5_mm_bucket_stats",
-      "x5_mm_recall", "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
+      "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
+      "x5_mm_search_lsh_serve"))
 
   formulaFamily("LSH Hamming-1 probe masks",
     "[0, 1, 2, 4, 8]",
@@ -242,7 +243,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_lsh_serve", "x2_mips_lsh",
       "x2_mips_lsh_serve", "x2_mips_recall", "x2_range_lsh", "x2_range_lsh_serve",
       "x2_range_recall", "x2_rank_quality", "x2_recall",
-      "x5_mm_recall", "x5_mm_search_lsh", "x5_mm_search_lsh_serve"))
+      "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
+      "x5_mm_search_lsh_serve"))
 
   formulaFamily("MIPS augmented hyperplane (dim 65)",
     "(CAST((1103515245::BIGINT * ((tt*4 + j)*65 + d) + 12345) % 2147483648 AS DOUBLE)",
@@ -357,7 +359,7 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("media stub embedding formula",
     "CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0",
     Set("x5_mm_align", "x5_mm_bucket_stats", "x5_mm_dedup", "x5_mm_incremental",
-      "x5_mm_ivf", "x5_mm_pq", "x5_mm_recall", "x5_mm_search",
+      "x5_mm_ivf", "x5_mm_pq", "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search",
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_search_pq", "x5_mm_search_pq_serve",

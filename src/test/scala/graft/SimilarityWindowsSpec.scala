@@ -445,6 +445,23 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     }
   }
 
+  test("media rank quality: hit counts and extremes match the media recall report") {
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val rq = graft.operators.Multimodal.mediaRankQualityReport(docs)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val rec = graft.operators.Multimodal.mediaRecallReport(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(rq.keySet === rec.keySet && rq.nonEmpty)
+    rq.foreach { case (q, (hits, graded, mrr)) =>
+      assert(hits === rec(q), s"q=$q")
+      assert(graded >= 0.0 && graded <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
+      if (hits == 3L) assert(graded === 1.0 && mrr === 1.0, s"q=$q")
+      if (hits == 0L) assert(graded === 0.0 && mrr === 0.0, s"q=$q")
+      if (hits > 0L) assert(graded > 0.0 && mrr > 0.0, s"q=$q")
+    }
+  }
+
   test("cohort retention: first-day cohorts, distinct-day activity, exact ratios") {
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00")
     val fe = Seq(
