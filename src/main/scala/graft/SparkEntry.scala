@@ -314,6 +314,11 @@ object SparkEntry {
     "x4_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(t(s, d, "documents"))),
     "x4_minhash_pairs" -> ((s, d) => Dedup.minhashBandPairs(t(s, d, "documents"))),
     "x4_cluster" -> ((s, d) => Dedup.clusterNearDups(t(s, d, "documents"))),
+    // cluster-cohesion audit: per multi-member cluster, each member's
+    // signature agreement with the ROOT (star-bounded, O(size) pairs)
+    // -- the transitive-drift gate on the clustering itself
+    "x4_cluster_cohesion" ->
+      ((s, d) => Dedup.clusterCohesion(t(s, d, "documents"))),
     // near-dup leakage across hash splits: clusters histogrammed by
     // the set of train/val/test splits their members touch
     "x1_split_leakage" -> ((s, d) => Sampling.splitLeakage(t(s, d, "documents"))),
@@ -930,7 +935,8 @@ object SparkEntry {
     "x3_bigram_score_serve", "x3_bm25_rebuild", "x3_bm25_serve",
     "x3_phrase_serve", "x3_unigram_score_serve", "x4_bloom_merge",
     "x6_cms_merge",
-    "x4_cluster", "x4_dup_stats", "x4_simhash_topk", "x4_source_dup_rate",
+    "x4_cluster", "x4_cluster_cohesion", "x4_dup_stats", "x4_simhash_topk",
+    "x4_source_dup_rate",
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
     "x5_mm_search_pq", "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
@@ -2169,6 +2175,59 @@ object SparkEntry {
              FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
            ON m.doc_id = l.doc_id)
          SELECT doc_id, cluster FROM l3""",
+    // cluster-cohesion audit: the x4_cluster chain through l3 (copied
+    // verbatim -- change together) + each non-root member's signature
+    // agreement with the cluster root (x4_minhash_est's n_agree
+    // formula), rolled up to mean/min per cluster
+    "x4_cluster_cohesion" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         t AS (SELECT doc_id, list_transform(
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])),
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+           FROM tk WHERE len(t) >= 3),
+         sig AS (SELECT doc_id, list_transform(range(16),
+             i -> list_min(list_transform(hs, h -> ((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + (1103515245*(i+17) + 54321) % 2147483647) % 2147483647))) AS s
+           FROM t),
+         rep AS (SELECT s, min(doc_id) AS rep FROM sig GROUP BY s),
+         stars AS (SELECT r.rep AS doc_a, g.doc_id AS doc_b
+           FROM sig g JOIN rep r ON g.s = r.s WHERE g.doc_id <> r.rep),
+         band AS (SELECT rep, b, array_to_string(s[b*4+1:b*4+4], ':') AS key
+           FROM rep, (SELECT unnest(range(4)) AS b)),
+         cp AS (SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b
+           FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+         p AS (SELECT doc_a, doc_b FROM stars UNION ALL SELECT doc_a, doc_b FROM cp),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         l1 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l0 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l0 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l2 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l1 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l1 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         l3 AS (SELECT l.doc_id,
+             least(l.cluster, coalesce(m.nmin, l.cluster)) AS cluster
+           FROM l2 l LEFT JOIN (SELECT e.src AS doc_id, min(x.cluster) AS nmin
+             FROM e JOIN l2 x ON x.doc_id = e.dst GROUP BY e.src) m
+           ON m.doc_id = l.doc_id),
+         mem AS (SELECT doc_id, cluster FROM l3 WHERE doc_id <> cluster),
+         ag AS (SELECT m.cluster, m.doc_id,
+             CAST(len(list_filter(range(16), i -> a.s[i+1] = b.s[i+1])) AS BIGINT)
+               AS n_agree
+           FROM mem m JOIN sig a ON a.doc_id = m.doc_id
+           JOIN sig b ON b.doc_id = m.cluster),
+         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size FROM l3 GROUP BY 1)
+         SELECT ag.cluster, sz.size, CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(n_agree) AS DOUBLE) / (16::DOUBLE * count(*)), 4)
+             AS mean_est_j,
+           round(CAST(min(n_agree) AS DOUBLE) / 16::DOUBLE, 4) AS min_est_j
+         FROM ag JOIN sz ON sz.cluster = ag.cluster
+         GROUP BY 1, 2""",
     "x1_epoch_shuffle" ->
       """WITH k AS (SELECT CAST(ep.epoch AS BIGINT) AS epoch, d.doc_id,
              CAST(('0x' || substr(md5(CAST(ep.epoch AS VARCHAR) || ':' ||

@@ -322,6 +322,42 @@ object Dedup {
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("cluster_size")).as("n_docs"))
 
+  /** X4 cluster-COHESION audit — the measure-don't-guess gate for the
+    * label-propagation clustering ITSELF: transitive closure happily
+    * chains A–B–C into one cluster even when A and C share nothing
+    * (the classic MinHash-cluster drift failure; every hop passes the
+    * band test but the endpoints don't). Per multi-member cluster:
+    * each non-root member's signature agreement with the cluster ROOT
+    * (the canonical survivor every other member is deduped against),
+    * reported as mean and WORST member agreement — a low min flags a
+    * chained-drift cluster before dedup deletes a non-duplicate.
+    * Star-bounded on purpose: O(cluster size) member↔root pairs,
+    * never pairwise, so a degenerate giant cluster costs linear work
+    * (the 100 TB shape). Narrow docs (< 3 tokens) have no signature
+    * but also no edges, so they are never non-root members — the
+    * inner joins are total. One division at the end (Σ n_agree over
+    * 16·members), the cross-engine rounding rule. */
+  def clusterCohesion(documents: DataFrame): DataFrame = {
+    val labels = clusterNearDups(documents)
+    val mem = labels.filter(col("doc_id") =!= col("cluster"))
+    val sigs = minhashSignatures(documents)
+    val ag = sigs.join(mem, Seq("doc_id"))
+      .join(sigs.select(col("doc_id").as("cluster"), col("perm"),
+        col("minhash").as("root_mh")), Seq("cluster", "perm"))
+      .groupBy(col("cluster"), col("doc_id"))
+      .agg(sum(when(col("minhash") === col("root_mh"), 1L).otherwise(0L))
+        .as("n_agree"))
+    val sz = labels.groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+    ag.join(sz, Seq("cluster"))
+      .groupBy(col("cluster"), col("size"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("n_agree")).cast("double") /
+          (lit(16.0) * count(lit(1))), 4).as("mean_est_j"),
+        round(min(col("n_agree")).cast("double") / lit(16.0), 4).as("min_est_j"))
+      .select(col("cluster"), col("size"), col("n_members"),
+        col("mean_est_j"), col("min_est_j"))
+  }
+
   /** X4 n-gram Jaccard: top-k most similar document pairs by word
     * 3-gram Jaccard, via the inverted shingle index (explode → self-join
     * on shingle → per-pair intersection count). This is both the exact

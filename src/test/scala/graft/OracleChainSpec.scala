@@ -63,8 +63,8 @@ class OracleChainSpec extends AnyFunSuite {
   chainFamily("minhash tk/t/sig/rep core", "x4_minhash_pairs",
     "WITH tk AS", "FROM sig GROUP BY s)",
     Set("x1_grouped_kfold", "x1_grouped_split", "x1_split_leakage", "x4_cluster",
-      "x4_dup_stats", "x4_minhash_est", "x4_minhash_pairs", "x4_source_dup_rate",
-      "x4_source_overlap", "x4_survivors"))
+      "x4_cluster_cohesion", "x4_dup_stats", "x4_minhash_est", "x4_minhash_pairs",
+      "x4_source_dup_rate", "x4_source_overlap", "x4_survivors"))
 
   chainFamily("MIPS augmented-LSH mm..r chain", "x2_mips_lsh",
     "mm AS (SELECT max(nrm) AS m FROM n)", "ORDER BY dp DESC, n_id) AS rank FROM s)",
@@ -180,7 +180,7 @@ class OracleChainSpec extends AnyFunSuite {
 
   formulaFamily("minhash shingle hash",
     "s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs",
-    Set("x1_grouped_kfold", "x1_grouped_split", "x1_split_audit",
+    Set("x4_cluster_cohesion", "x1_grouped_kfold", "x1_grouped_split", "x1_split_audit",
       "x1_split_leakage", "x4_band_index", "x4_band_recall",
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_minhash_sig",
@@ -190,7 +190,7 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("minhash permutation",
     "((((1103515245*(i+1) + 12345) % 2147483646) + 1)*h + " +
       "(1103515245*(i+17) + 54321) % 2147483647) % 2147483647",
-    Set("x1_grouped_kfold", "x1_grouped_split", "x1_split_audit",
+    Set("x4_cluster_cohesion", "x1_grouped_kfold", "x1_grouped_split", "x1_split_audit",
       "x1_split_leakage", "x4_band_index", "x4_band_recall",
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_minhash_sig",
@@ -199,7 +199,7 @@ class OracleChainSpec extends AnyFunSuite {
 
   formulaFamily("minhash band key",
     "array_to_string(s[b*4+1:b*4+4]",
-    Set("x1_grouped_kfold", "x1_grouped_split", "x1_split_audit",
+    Set("x4_cluster_cohesion", "x1_grouped_kfold", "x1_grouped_split", "x1_split_audit",
       "x1_split_leakage", "x4_band_index", "x4_band_recall",
       "x4_band_recall_sampled", "x4_cluster", "x4_dup_stats", "x4_incremental",
       "x4_minhash_est", "x4_minhash_pairs", "x4_source_dup_rate",

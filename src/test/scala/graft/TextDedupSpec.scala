@@ -119,6 +119,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(closed.nonEmpty && closed === enumerated)
   }
 
+  test("cluster cohesion: exact dups agree 16/16, rollup covers exactly the multi-member clusters") {
+    val d = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),   // exact pair
+      (3L, "q r s t u v w x"))                             // singleton
+      .toDF("doc_id", "text")
+    val got = Dedup.clusterCohesion(d)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // one multi-member cluster: root 1, size 2, one member at full
+    // signature agreement (identical text -> identical signature)
+    assert(got.toSeq === Seq((1L, 2L, 1L, 1.0, 1.0)))
+    // corpus property: rollup rows == multi-member clusters; mean >=
+    // min; both in [0, 1] (a low min is the chained-drift flag)
+    val corpus = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val labels = Dedup.clusterNearDups(corpus)
+    val multi = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("cluster").as[Long].collect().toSet
+    val coh = Dedup.clusterCohesion(corpus)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(coh.map(_._1).toSet === multi && coh.nonEmpty)
+    coh.foreach { case (c, size, nm, mean, mn) =>
+      assert(size === nm + 1, s"cluster $c")
+      assert(mean >= mn && mn >= 0.0 && mean <= 1.0, s"cluster $c")
+    }
+  }
+
   test("reuse forms over precomputed labels match the self-contained queries and skip re-clustering") {
     val d = Seq(
       (1L, "a b c d e f g h", "sA"), (2L, "a b c d e f g h", "sA"),
