@@ -753,6 +753,9 @@ object SparkEntry {
     // per-transition conversion-latency quantiles via the dyadic log
     // sketch (conversion times are the canonical heavy-tail domain)
     "x6_funnel_latency" -> ((s, d) => Profiling.funnelLatency(t(s, d, "events"))),
+    // stage conversion rates: users reaching each stage + rate vs the
+    // previous stage (the drop-off localizer)
+    "x6_funnel_rates" -> ((s, d) => Windows.funnelRates(t(s, d, "events"))),
     // cohort retention triangle: distinct (user, day) first, sizes from cohorts
     "x6_retention" -> ((s, d) => Windows.cohortRetention(t(s, d, "events"))),
     // daily top-3 payload values by count (regex-extracted from props JSON)
@@ -901,6 +904,14 @@ object SparkEntry {
     "x6_baseline" -> ((s, d) => Windows.rateBaseline(t(s, d, "events"))),
     // top event-type transitions inside sessions (navigation flows)
     "x6_session_paths" -> ((s, d) => Windows.sessionPaths(t(s, d, "events"))),
+    // full session Markov matrix: P(next | current) from exact counts
+    "x6_transitions" -> ((s, d) => Windows.sessionTransitions(t(s, d, "events"))),
+    // weekly seasonality profile: per (type, dow) mean + weekly share
+    "x6_seasonality" -> ((s, d) => Windows.dowProfile(t(s, d, "events"))),
+    // dow-aware volume anomaly: Sundays compared only to Sundays
+    "x6_seasonal_anomaly" -> ((s, d) => Windows.dowAnomaly(t(s, d, "events"))),
+    // first/last/linear multi-touch revenue attribution + unattributed
+    "x6_attribution" -> ((s, d) => Windows.attribution(t(s, d, "events"))),
     // the anomaly serve path, oracle-checked: score hourly counts
     // against the MATERIALIZED baseline artifact — the history scan
     // exists only in the stored table's build, not the scoring plan.
@@ -6340,6 +6351,26 @@ object SparkEntry {
          FROM t WHERE to_type IS NOT NULL
          GROUP BY 1, 2
          ORDER BY n_transitions DESC, from_type, to_type LIMIT 10""",
+    // Markov matrix: x6_session_paths' x/y/z/t session chain (copied
+    // verbatim -- change together), full (from, to) counts + the
+    // row-normalizing window over the O(types^2) aggregate
+    "x6_transitions" ->
+      """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 300000000
+           THEN 1 ELSE 0 END AS new_session FROM x),
+         z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM y),
+         t AS (SELECT event_type AS from_type, lead(event_type) OVER (
+             PARTITION BY user_id, session_seq ORDER BY ts_us, event_id) AS to_type
+           FROM z),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+           FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE) /
+             CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p_next
+         FROM c""",
     "x6_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events
              WHERE event_type = 'view' GROUP BY user_id),
@@ -6395,6 +6426,29 @@ object SparkEntry {
            round(min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
              THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p99_est
          FROM cu GROUP BY step""",
+    // stage conversion rates: x6_funnel's s1/s2/s3 head (copied
+    // verbatim -- change together) + per-stage reach counts and the
+    // rate vs the previous stage (null, not inf, on an empty stage)
+    "x6_funnel_rates" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us FROM events e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1_us
+             GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us FROM events e
+             JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2_us
+             GROUP BY e.user_id),
+         c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+             (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+             (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3)
+         SELECT CAST(1 AS INTEGER) AS stage, 'view' AS stage_name,
+           n1 AS n_reached, round(1::DOUBLE, 6) AS conv_rate FROM c
+         UNION ALL SELECT CAST(2 AS INTEGER), 'click', n2,
+           round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 6) FROM c
+         UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', n3,
+           round(CAST(n3 AS DOUBLE) / nullif(n2, 0), 6) FROM c""",
     "x6_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
              FROM events),
@@ -7067,6 +7121,81 @@ object SparkEntry {
          SELECT event_type, day, n, resid, z,
            CAST(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
          FROM z""",
+    // weekly seasonality: the c/d/g dow-moment head (shared with
+    // x6_seasonal_anomaly -- change together); dow = (day + 4) % 7
+    // so 0 = Sunday, pure int64 arithmetic; the share window runs
+    // over the O(types*7) profile frame
+    "x6_seasonality" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         d AS (SELECT *, (day + 4) % 7 AS dow FROM c),
+         g AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS s, CAST(sum(n*n) AS BIGINT) AS s2
+           FROM d GROUP BY 1, 2)
+         SELECT event_type, dow, n_days, s AS n_events,
+           round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 4) AS mean_daily,
+           round(CAST(s AS DOUBLE) /
+             CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share
+         FROM g""",
+    // dow-aware anomaly: the same c/d/g head + the exact-int64
+    // (n·q − S)/sqrt(n·Q − S²) z within each (type, dow) group
+    // (x6_trend_anomaly's form; counts are already integers so no
+    // quantization step)
+    "x6_seasonal_anomaly" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         d AS (SELECT *, (day + 4) % 7 AS dow FROM c),
+         g AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS s, CAST(sum(n*n) AS BIGINT) AS s2
+           FROM d GROUP BY 1, 2),
+         m AS (SELECT * FROM g WHERE n_days * s2 - s * s > 0),
+         z AS (SELECT d.event_type, d.day, d.dow, d.n,
+             round(CAST(m.n_days * d.n - m.s AS DOUBLE) /
+               sqrt(CAST(m.n_days * m.s2 - m.s * m.s AS DOUBLE)), 4) AS z
+           FROM d JOIN m ON m.event_type = d.event_type AND m.dow = d.dow)
+         SELECT event_type, day, dow, n, z,
+           CAST(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+         FROM z""",
+    // multi-touch attribution: user-keyed touch<->purchase join within
+    // the 7-day lookback, first/last via per-purchase row_number with
+    // full tie-breaks, linear via value/n_t; every per-row credit
+    // quantizes to 1e-4 int64 units BEFORE summing so the totals are
+    // addition-order-independent on both engines
+    "x6_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_us, user_id, value
+           FROM events WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id, event_id AS t_id, epoch_us(ts) AS t_us,
+             event_type AS touch_type
+           FROM events WHERE event_type IN ('view', 'click')),
+         j AS (SELECT p.p_id, p.value, t.touch_type, t.t_us, t.t_id
+           FROM p JOIN tch t ON t.user_id = p.user_id AND t.t_us < p.p_us
+             AND p.p_us - t.t_us <= 604800000000),
+         fl AS (SELECT *,
+             row_number() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rk_first,
+             row_number() OVER (PARTITION BY p_id ORDER BY t_us DESC, t_id DESC) AS rk_last,
+             CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_t
+           FROM j)
+         SELECT 'first_touch' AS model, touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 4) AS credit
+         FROM fl WHERE rk_first = 1 GROUP BY 2
+         UNION ALL SELECT 'last_touch', touch_type,
+           CAST(count(*) AS BIGINT),
+           round(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 4)
+         FROM fl WHERE rk_last = 1 GROUP BY 2
+         UNION ALL SELECT 'linear', touch_type,
+           CAST(count(DISTINCT p_id) AS BIGINT),
+           round(CAST(sum(CAST(floor(value / n_t * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 4)
+         FROM fl GROUP BY 2
+         UNION ALL SELECT 'unattributed', 'none',
+           CAST(count(*) AS BIGINT),
+           round(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 4)
+         FROM p LEFT JOIN (SELECT DISTINCT p_id FROM j) a ON a.p_id = p.p_id
+         WHERE a.p_id IS NULL""",
     "x6_gap_hist" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          g AS (SELECT us - lag(us) OVER (PARTITION BY user_id

@@ -131,7 +131,15 @@ object Windows {
     * same contract as [[sessions]]); the transition count is one
     * partial+final aggregation on O(types²) keys, and the top-k ranks
     * on the exact integer count with full lexicographic tie-breaks. */
-  def sessionPaths(events: DataFrame, gapMinutes: Int = 5, k: Int = 10): DataFrame = {
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 5, k: Int = 10): DataFrame =
+    transitionCounts(events, gapMinutes)
+      .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
+      .limit(k)
+
+  /** Shared core of [[sessionPaths]] and [[sessionTransitions]]: the
+    * full within-session (from, to) transition-count frame — O(types²)
+    * rows after one partial+final aggregation. */
+  private def transitionCounts(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes * 60L * 1000000L
@@ -149,8 +157,24 @@ object Windows {
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_transitions"))
-      .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
-      .limit(k)
+  }
+
+  /** X6 session MARKOV TRANSITION MATRIX — [[sessionPaths]]'s
+    * transition counts normalized into next-step probabilities
+    * P(to | from) = n(from,to) / Σ_to n(from,·): the first-order
+    * behavioral model behind "what do users do after an error?" and
+    * the generator for expected-path simulation. The normalizing
+    * window runs over the ALREADY-AGGREGATED O(types²) frame (at most
+    * |types| rows per partition), never over raw events; counts stay
+    * exact int64 on both engines so the single rounded division is
+    * the only float. Full matrix, no top-k — downstream consumers
+    * need the row-stochastic property (each from-row sums to 1). */
+  def sessionTransitions(events: DataFrame, gapMinutes: Int = 5): DataFrame = {
+    val byFrom = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    transitionCounts(events, gapMinutes)
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(byFrom).cast("double"), 6).as("p_next"))
   }
 
   /** X6 COHORT RETENTION matrix — for each acquisition cohort (users
@@ -559,5 +583,153 @@ object Windows {
         unix_micros(col("t3")).as("t3_us"),
         (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
           + when(col("t3").isNotNull, 1L).otherwise(0L)).as("depth"))
+  }
+
+  /** X6 funnel CONVERSION rates — the stage rollup every funnel chart
+    * draws: per stage, how many users reached it and the conversion
+    * rate from the PREVIOUS stage (the drop-off localizer; overall
+    * conversion is the product). One aggregation over [[funnel]]'s
+    * O(users) frame; rates are one rounded division each, null (not
+    * ∞/NaN) when the previous stage is empty. */
+  def funnelRates(events: DataFrame,
+                  stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelRatesFrom(funnel(events, stages), stages)
+
+  /** [[funnelRates]] over a precomputed funnel frame — the reuse form
+    * (one funnel build serves depth, latency, and rate reads). */
+  def funnelRatesFrom(f: DataFrame,
+                      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val c = f.agg(count(lit(1)).as("n1"),
+      sum(when(col("t2_us").isNotNull, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("t3_us").isNotNull, 1L).otherwise(0L)).as("n3"))
+    val r1 = c.select(lit(1).as("stage"), lit(stages(0)).as("stage_name"),
+      col("n1").as("n_reached"), round(lit(1.0), 6).as("conv_rate"))
+    val r2 = c.select(lit(2).as("stage"), lit(stages(1)).as("stage_name"),
+      col("n2").as("n_reached"),
+      round(col("n2").cast("double") / expr("nullif(n1, 0)"), 6).as("conv_rate"))
+    val r3 = c.select(lit(3).as("stage"), lit(stages(2)).as("stage_name"),
+      col("n3").as("n_reached"),
+      round(col("n3").cast("double") / expr("nullif(n2, 0)"), 6).as("conv_rate"))
+    r1.unionByName(r2).unionByName(r3)
+  }
+
+  /** Shared head of [[dowProfile]] and [[dowAnomaly]]: per
+    * (event_type, day-of-week) exact integer count moments over the
+    * daily-count frame. Day identity is the integer
+    * `unix_micros div 86_400_000_000` (the [[dailyTrend]] rule); dow
+    * is `(day + 4) % 7` so 0 = Sunday (epoch day 0 was a Thursday) —
+    * pure int64 arithmetic both engines reproduce bit-identically.
+    * Counts are integers, so the per-(type,dow) moments (n days, Σn,
+    * Σn²) are EXACT int64 sums — no float enters until the final
+    * rounded division of each consumer. */
+  private def dowMoments(events: DataFrame): (DataFrame, DataFrame) = {
+    val c = events.select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .withColumn("dow", (col("day") + 4) % 7)
+    val g = c.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("s2"))
+    (c, g)
+  }
+
+  /** X6 WEEKLY SEASONALITY PROFILE — per (event_type, day-of-week):
+    * observed days, total events, mean daily count, and the share of
+    * the type's weekly volume landing on that weekday. The flat-share
+    * null is 1/7 ≈ 0.142857; a dow whose share sits far from it IS
+    * the seasonality (traffic that dips every Sunday, crawls that
+    * batch on Mondays). Two partial+final aggregations (events →
+    * daily counts → dow moments) plus one window over the O(types·7)
+    * profile frame — raw events cross the wire once. */
+  def dowProfile(events: DataFrame): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val (_, g) = dowMoments(events)
+    g.select(col("event_type"), col("dow"), col("n_days"),
+      col("s").as("n_events"),
+      round(col("s").cast("double") / col("n_days").cast("double"), 4)
+        .as("mean_daily"),
+      round(col("s").cast("double") / sum(col("s")).over(byType).cast("double"), 6)
+        .as("share"))
+  }
+
+  /** X6 DOW-AWARE VOLUME ANOMALY — per (event_type, day): the z-score
+    * of the daily count against ITS OWN WEEKDAY's distribution within
+    * the type. [[trendAnomaly]] detrends growth but still pages every
+    * Sunday on weekly-seasonal traffic — comparing Sundays only to
+    * Sundays is the classic false-alarm killer. Counts are integers,
+    * so the z is computed in the exact-int64 `(n·q − S)/√(n·Q − S²)`
+    * form ([[trendAnomaly]]'s recipe, no quantization needed) and
+    * rounded once; groups with zero variance or a single day are
+    * excluded (z undefined). Joins the O(types·7) moment frame back
+    * by broadcast — the daily frame is never re-shuffled. */
+  def dowAnomaly(events: DataFrame, zBar: Double = 2.0): DataFrame = {
+    val (c, g) = dowMoments(events)
+    val m = g.filter(col("n_days") * col("s2") - col("s") * col("s") > 0L)
+    c.join(broadcast(m), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        round((col("n_days") * col("n") - col("s")).cast("double") /
+          sqrt((col("n_days") * col("s2") - col("s") * col("s")).cast("double")), 4)
+          .as("z"))
+      .withColumn("anomaly", when(abs(col("z")) > zBar, 1L).otherwise(0L))
+  }
+
+  /** X6 MULTI-TOUCH REVENUE ATTRIBUTION — credit each purchase's value
+    * to the view/click touches that preceded it within a lookback
+    * window, under the three standard models side by side: first-touch
+    * (all credit to the earliest touch), last-touch (to the latest),
+    * and linear (value/n to each touch). Purchases with no touch in
+    * the window surface as one 'unattributed' row — the sum over any
+    * model's credit column equals total purchase revenue minus nothing
+    * (conservation is the audit downstream marketing mix runs).
+    *
+    * Scale shape: the touch↔purchase join is USER-KEYED equi (the
+    * [[sessions]] contract — per-user volume is bounded) with the
+    * time-range predicate applied post-join; first/last rank and the
+    * touch count are windows over the per-PURCHASE partition (bounded
+    * by per-user touches in the window). Credit sums are exact: each
+    * per-row credit (value, or value/n for linear) quantizes to 1e-4
+    * int64 units BEFORE summing ([[trendAnomaly]]'s half-up recipe),
+    * so the totals are addition-order-independent and bit-identical
+    * across engines — a raw double sum over thousands of rows is NOT
+    * (the 1e-4 rounding boundary flips on reorder). */
+  def attribution(events: DataFrame, lookbackDays: Int = 7,
+                  touchTypes: Seq[String] = Seq("view", "click"),
+                  convType: String = "purchase"): DataFrame = {
+    val winUs = lookbackDays * 86400L * 1000000L
+    val p = events.filter(col("event_type") === convType)
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"),
+        col("user_id"), col("value"))
+    val tch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_type").as("touch_type"))
+    val j = p.join(tch, col("t_user") === col("user_id") &&
+        col("t_us") < col("p_us") && col("p_us") - col("t_us") <= winUs)
+      .select(col("p_id"), col("value"), col("touch_type"), col("t_us"), col("t_id"))
+    val byP = org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+    val fl = j.select(col("p_id"), col("value"), col("touch_type"),
+      row_number().over(byP.orderBy(col("t_us"), col("t_id"))).as("rk_first"),
+      row_number().over(byP.orderBy(col("t_us").desc, col("t_id").desc)).as("rk_last"),
+      count(lit(1)).over(byP).as("n_t"))
+    def vq(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5).cast("long")
+    def credit(qsum: org.apache.spark.sql.Column) =
+      round(qsum.cast("double") / lit(1e4), 4).as("credit")
+    val first = fl.filter(col("rk_first") === 1).groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"), credit(sum(vq(col("value")))))
+      .select(lit("first_touch").as("model"), col("touch_type"),
+        col("n_conversions"), col("credit"))
+    val last = fl.filter(col("rk_last") === 1).groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"), credit(sum(vq(col("value")))))
+      .select(lit("last_touch").as("model"), col("touch_type"),
+        col("n_conversions"), col("credit"))
+    val linear = fl.groupBy(col("touch_type"))
+      .agg(countDistinct(col("p_id")).as("n_conversions"),
+        credit(sum(vq(col("value") / col("n_t")))))
+      .select(lit("linear").as("model"), col("touch_type"),
+        col("n_conversions"), col("credit"))
+    val direct = p.join(j.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_conversions"), credit(sum(vq(col("value")))))
+      .select(lit("unattributed").as("model"), lit("none").as("touch_type"),
+        col("n_conversions"), col("credit"))
+    first.unionByName(last).unionByName(linear).unionByName(direct)
   }
 }

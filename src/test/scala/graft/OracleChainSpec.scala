@@ -159,6 +159,21 @@ class OracleChainSpec extends AnyFunSuite {
     "WITH", "HAVING count(*) >= 2)",
     Set("x6_trend", "x6_trend_anomaly"))
 
+  // the one-CTE daily-count head alone is ALSO copied by the dow
+  // seasonality pair (which diverges after c) — pin it across all four
+  formulaFamily("daily-count c head",
+    "c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,\n" +
+      "             CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)",
+    Set("x6_trend", "x6_trend_anomaly", "x6_seasonality", "x6_seasonal_anomaly"))
+
+  chainFamily("dow-moment c/d/g head", "x6_seasonality",
+    "WITH c AS", "FROM d GROUP BY 1, 2)",
+    Set("x6_seasonality", "x6_seasonal_anomaly"))
+
+  chainFamily("session gaps-and-islands x/y/z/t chain", "x6_session_paths",
+    "WITH x AS", "AS to_type\n           FROM z)",
+    Set("x6_session_paths", "x6_transitions"))
+
   chainFamily("shingle inverted-index head (df-capped)", "x4_band_recall",
     "WITH", "shingle FROM hot)",
     Set("x4_band_recall", "x4_band_recall_sampled", "x4_containment",
@@ -332,7 +347,7 @@ class OracleChainSpec extends AnyFunSuite {
 
   chainFamily("funnel earliest-completion s1/s2/s3 head", "x6_funnel",
     "WITH s1 AS", "epoch_us(e.ts) > s2.t2_us",
-    Set("x6_funnel", "x6_funnel_latency"))
+    Set("x6_funnel", "x6_funnel_latency", "x6_funnel_rates"))
 
   // the bucket arithmetic alone (the lb-CTE chain pins it for the
   // gap-stream family; the funnel-latency lb is step-keyed so only

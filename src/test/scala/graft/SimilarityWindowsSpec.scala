@@ -462,6 +462,111 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel rates: per-stage reach and conversion vs the previous stage") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val fe = Seq(
+      (1L, ts(1), 1L, "view", 0.0), (3L, ts(3), 1L, "click", 0.0),
+      (4L, ts(5), 1L, "purchase", 0.0),
+      (5L, ts(1), 2L, "click", 0.0), (6L, ts(2), 2L, "view", 0.0),
+      (7L, ts(1), 3L, "view", 0.0), (8L, ts(1), 3L, "click", 0.0),
+      (9L, ts(1), 4L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.funnelRates(fe)
+      .as[(Int, String, Long, Double)].collect().toSet
+    // 3 viewers; only user 1 converts through click and purchase
+    assert(got === Set((1, "view", 3L, 1.0),
+      (2, "click", 1L, 0.333333), (3, "purchase", 1L, 1.0)))
+    // reuse form over the precomputed funnel frame is identical
+    val viaFrame = Windows.funnelRatesFrom(Windows.funnel(fe))
+      .as[(Int, String, Long, Double)].collect().toSet
+    assert(viaFrame === got)
+  }
+
+  test("session transitions: row-stochastic Markov matrix from exact counts") {
+    val pe = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 0.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "click", 0.0),
+      // > 5 min gap: new session — (click -> view) must NOT appear
+      (3L, Timestamp.valueOf("2024-01-01 00:30:00"), 7L, "view", 0.0),
+      (4L, Timestamp.valueOf("2024-01-01 00:31:00"), 7L, "purchase", 0.0),
+      (5L, Timestamp.valueOf("2024-01-01 00:00:00"), 8L, "view", 0.0),
+      (6L, Timestamp.valueOf("2024-01-01 00:01:00"), 8L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.sessionTransitions(pe)
+      .as[(String, String, Long, Double)].collect().toSet
+    // from 'view': click twice, purchase once → 2/3 and 1/3
+    assert(got === Set(("view", "click", 2L, 0.666667),
+      ("view", "purchase", 1L, 0.333333)))
+    // the row-stochastic property downstream consumers rely on
+    val rowSums = Windows.sessionTransitions(pe).groupBy("from_type")
+      .agg(round(sum(col("p_next")), 5).as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(rowSums.values.forall(_ == 1.0))
+  }
+
+  test("dow profile: per-(type, weekday) mean daily count and weekly share") {
+    def at(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    // 2024-01-01 and 2024-01-08 are Mondays (dow 1); 2024-01-07 a Sunday (dow 0)
+    val fe = Seq(
+      (1L, at("2024-01-01"), 1L, "a", 0.0), (2L, at("2024-01-01"), 2L, "a", 0.0),
+      (3L, at("2024-01-08"), 1L, "a", 0.0), (4L, at("2024-01-08"), 2L, "a", 0.0),
+      (5L, at("2024-01-08"), 3L, "a", 0.0), (6L, at("2024-01-08"), 4L, "a", 0.0),
+      (7L, at("2024-01-07"), 1L, "a", 0.0), (8L, at("2024-01-07"), 2L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.dowProfile(fe)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got === Set(
+      ("a", 1L, 2L, 6L, 3.0, 0.75),   // Mondays: 2 days, 2+4 events
+      ("a", 0L, 1L, 2L, 2.0, 0.25)))  // Sunday: 1 day, 2 events
+  }
+
+  test("dow anomaly: a day is scored only against its own weekday; " +
+    "zero-variance groups drop") {
+    def at(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    // Mondays with daily counts [1, 1, 4]: moments n=3, S=6, Q=18 →
+    // z = (3n−6)/√18 = [−0.7071, −0.7071, 1.4142]
+    var id = 0L
+    val rows = Seq(("2024-01-01", 1), ("2024-01-08", 1), ("2024-01-15", 4))
+      .flatMap { case (d, cnt) =>
+        (1 to cnt).map { u => id += 1; (id, at(d), u.toLong, "a", 0.0) }
+      } ++ Seq({ id += 1; (id, at("2024-01-07"), 1L, "a", 0.0) }) // lone Sunday
+    val fe = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.dowAnomaly(fe, zBar = 1.0)
+      .select("dow", "n", "z", "anomaly")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.forall(_._1 == 1L)) // the single-day Sunday group is excluded
+    assert(got.map(r => (r._2, r._3, r._4)).toSet ===
+      Set((1L, -0.7071, 0L), (4L, 1.4142, 1L)))
+  }
+
+  test("attribution: first/last/linear credit conserves revenue; " +
+    "stale touches and touchless purchases route correctly") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val fe = Seq(
+      // u1: view, click, purchase 10.0 — plus a view 8 days stale
+      (1L, ts("2023-12-24 00:02:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (3L, ts("2024-01-01 00:01:00"), 1L, "click", 0.0),
+      (4L, ts("2024-01-01 00:02:00"), 1L, "purchase", 10.0),
+      // u2: purchase 5.0 with no touch at all
+      (5L, ts("2024-01-01 00:00:00"), 2L, "purchase", 5.0),
+      // u3: single view then purchase 3.0
+      (6L, ts("2024-01-01 00:00:00"), 3L, "view", 0.0),
+      (7L, ts("2024-01-01 00:01:00"), 3L, "purchase", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.attribution(fe)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("first_touch", "view", 2L, 13.0),
+      ("last_touch", "click", 1L, 10.0), ("last_touch", "view", 1L, 3.0),
+      ("linear", "view", 2L, 8.0), ("linear", "click", 1L, 5.0),
+      ("unattributed", "none", 1L, 5.0)))
+    // conservation: every model's credit sums to attributed revenue
+    val byModel = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(byModel("first_touch") == 13.0 && byModel("last_touch") == 13.0
+      && byModel("linear") == 13.0 && byModel("unattributed") == 5.0)
+  }
+
   test("cohort retention: first-day cohorts, distinct-day activity, exact ratios") {
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00")
     val fe = Seq(
