@@ -748,6 +748,9 @@ object SparkEntry {
     "x6_active_users" -> ((s, d) => Windows.activeUsers(t(s, d, "events"))),
     "x6_sliding" -> ((s, d) => Windows.sliding(t(s, d, "events"))),
     "x6_sessions" -> ((s, d) => Windows.sessions(t(s, d, "events"))),
+    // session-length p50/p90/p99 via the dyadic log sketch (durations
+    // are heavy-tailed: 0-second singletons to hour-long sessions)
+    "x6_session_lengths" -> ((s, d) => Profiling.sessionLengthProfile(t(s, d, "events"))),
     // ordered view->click->purchase completion per user, greedy-earliest
     "x6_funnel" -> ((s, d) => Windows.funnel(t(s, d, "events"))),
     // per-transition conversion-latency quantiles via the dyadic log
@@ -760,6 +763,10 @@ object SparkEntry {
     "x6_retention" -> ((s, d) => Windows.cohortRetention(t(s, d, "events"))),
     // daily top-3 payload values by count (regex-extracted from props JSON)
     "x6_trending" -> ((s, d) => Windows.trendingProps(t(s, d, "events"))),
+    // item co-visitation: capped per-user items, user-keyed pair counts
+    "x6_covisit" -> ((s, d) => Windows.covisit(t(s, d, "events"))),
+    // "also viewed": top-3 co-visited items per item, exact-count rank
+    "x6_also_viewed" -> ((s, d) => Windows.alsoViewed(t(s, d, "events"))),
     // longest consecutive-day run per user (gaps-and-islands, one window)
     "x6_streaks" -> ((s, d) => Windows.activityStreaks(t(s, d, "events"))),
     // traffic-quality gate: rate + type-entropy bot audit per user
@@ -906,12 +913,23 @@ object SparkEntry {
     "x6_session_paths" -> ((s, d) => Windows.sessionPaths(t(s, d, "events"))),
     // full session Markov matrix: P(next | current) from exact counts
     "x6_transitions" -> ((s, d) => Windows.sessionTransitions(t(s, d, "events"))),
+    // next-best-action: rank-1 of the matrix per from_type, exact-count rank
+    "x6_next_best" -> ((s, d) => Windows.sessionNextBest(t(s, d, "events"))),
     // weekly seasonality profile: per (type, dow) mean + weekly share
     "x6_seasonality" -> ((s, d) => Windows.dowProfile(t(s, d, "events"))),
     // dow-aware volume anomaly: Sundays compared only to Sundays
     "x6_seasonal_anomaly" -> ((s, d) => Windows.dowAnomaly(t(s, d, "events"))),
+    // the seasonal-anomaly serve path: score daily counts against the
+    // MATERIALIZED dow baseline — the history scan exists only in the
+    // stored artifact's build. Oracle = x6_seasonal_anomaly's verbatim.
+    "x6_seasonal_serve" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Windows.dowAnomalyAgainst(ev, Windows.dowBaseline(ev).localCheckpoint())
+    }),
     // first/last/linear multi-touch revenue attribution + unattributed
     "x6_attribution" -> ((s, d) => Windows.attribution(t(s, d, "events"))),
+    // exponential time-decay attribution: weight 2^(-age_days), exact int64
+    "x6_attribution_decay" -> ((s, d) => Windows.attributionDecay(t(s, d, "events"))),
     // the anomaly serve path, oracle-checked: score hourly counts
     // against the MATERIALIZED baseline artifact — the history scan
     // exists only in the stored table's build, not the scoring plan.
@@ -955,7 +973,8 @@ object SparkEntry {
     "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
     "x2_hybrid_rrf_stored",
     "x5_mm_search_binary_serve",
-    "x6_anomaly_serve", "x6_cms_serve", "x6_hist_log_merge",
+    "x6_anomaly_serve", "x6_cms_serve", "x6_seasonal_serve",
+    "x6_hist_log_merge",
     "x6_hist_log_serve", "x6_hist_merge", "x6_hist_serve",
     "x6_hll_serve", "x6_kmv_serve",
     "x7_curate_budget", "x7_curate_neardup", "x7_curate_semantic",
@@ -6336,6 +6355,40 @@ object SparkEntry {
            min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
            count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM z GROUP BY user_id, session_seq""",
+    // session-length profile: x6_sessions' value-carrying x/y/z chain
+    // + session agg (both copied verbatim -- change together), then
+    // the dyadic bucket CASE + x6_hist_log_quantiles' sk/cu cumulative
+    // read and estimate select (all guard-registered)
+    "x6_session_lengths" ->
+      """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 300000000
+           THEN 1 ELSE 0 END AS new_session FROM x),
+         z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM y),
+         s AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM z GROUP BY user_id, session_seq),
+         b AS (SELECT (session_end_us - session_start_us) // 1000000 AS gap_s FROM s),
+         lb AS (SELECT CASE WHEN gap_s <= 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(1 + (length(bin(gap_s)) - 1) * 4
+               + ((gap_s * 4) // (1::BIGINT << (length(bin(gap_s)) - 1)) - 4)
+               AS BIGINT) END AS bucket FROM b),
+         sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM lb GROUP BY 1),
+         cu AS (SELECT bucket, c,
+             CAST(sum(c) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+           FROM sk)
+         SELECT CAST(max(n) AS BIGINT) AS n,
+           round(min(CASE WHEN cum >= CAST(ceil(0.5::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p50_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.9::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p90_est,
+           round(min(CASE WHEN cum >= CAST(ceil(0.99::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+             THEN CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << CAST((bucket - 1) // 4 AS INTEGER)) * ((bucket - 1) % 4 + 5) AS DOUBLE) / 4.0 END END), 2) AS p99_est
+         FROM cu""",
     "x6_session_paths" ->
       """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
@@ -6371,6 +6424,31 @@ object SparkEntry {
            round(CAST(n_transitions AS DOUBLE) /
              CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p_next
          FROM c""",
+    // next-best-action: x6_transitions' full chain (x/y/z/t session
+    // chain + c count CTE + the p_next normalize formula, all copied
+    // verbatim -- change together) + rank 1 per from_type on the EXACT
+    // count with the to_type tie-break
+    "x6_next_best" ->
+      """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 300000000
+           THEN 1 ELSE 0 END AS new_session FROM x),
+         z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM y),
+         t AS (SELECT event_type AS from_type, lead(event_type) OVER (
+             PARTITION BY user_id, session_seq ORDER BY ts_us, event_id) AS to_type
+           FROM z),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+           FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         m AS (SELECT from_type, to_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE) /
+             CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p_next
+         FROM c)
+         SELECT from_type, to_type AS next_type, n_transitions, p_next
+         FROM (SELECT *, row_number() OVER (PARTITION BY from_type
+             ORDER BY n_transitions DESC, to_type) AS rk FROM m)
+         WHERE rk = 1""",
     "x6_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events
              WHERE event_type = 'view' GROUP BY user_id),
@@ -6472,6 +6550,47 @@ object SparkEntry {
              ORDER BY n DESC, prop_k) AS rank FROM g)
          SELECT day_idx, prop_k, n, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 3""",
+    // co-visitation: x6_trending's props item-extract formula; capped
+    // per-user items (rank by exact count, item tie-break) before the
+    // user-keyed pair self-join; the p/ui/cap/pr chain is shared with
+    // x6_also_viewed -- change together
+    "x6_covisit" ->
+      """WITH p AS (SELECT user_id,
+             CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)
+               AS item
+           FROM events),
+         ui AS (SELECT user_id, item, CAST(count(*) AS BIGINT) AS cnt
+           FROM p WHERE item IS NOT NULL GROUP BY 1, 2),
+         cap AS (SELECT user_id, item FROM (SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY cnt DESC, item) AS rk FROM ui)
+           WHERE rk <= 20),
+         pr AS (SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_users
+           FROM cap a JOIN cap b ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, n_users FROM pr WHERE n_users >= 2""",
+    // "also viewed": the same p/ui/cap/pr chain + symmetrize + rank
+    "x6_also_viewed" ->
+      """WITH p AS (SELECT user_id,
+             CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)
+               AS item
+           FROM events),
+         ui AS (SELECT user_id, item, CAST(count(*) AS BIGINT) AS cnt
+           FROM p WHERE item IS NOT NULL GROUP BY 1, 2),
+         cap AS (SELECT user_id, item FROM (SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY cnt DESC, item) AS rk FROM ui)
+           WHERE rk <= 20),
+         pr AS (SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_users
+           FROM cap a JOIN cap b ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2),
+         sp AS (SELECT item_a, item_b, n_users FROM pr WHERE n_users >= 2),
+         sym AS (SELECT item_a AS item, item_b AS rec, n_users FROM sp
+           UNION ALL SELECT item_b, item_a, n_users FROM sp)
+         SELECT item, rec, n_users, CAST(rank AS BIGINT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY item
+             ORDER BY n_users DESC, rec) AS rank FROM sym)
+         WHERE rank <= 3""",
     "x6_bot_score" ->
       """WITH e AS (SELECT user_id, event_type,
              epoch_us(ts) // 86400000000 AS day FROM events),
@@ -7196,6 +7315,27 @@ object SparkEntry {
              / 10000.0, 4)
          FROM p LEFT JOIN (SELECT DISTINCT p_id FROM j) a ON a.p_id = p.p_id
          WHERE a.p_id IS NULL""",
+    // time-decay attribution: x6_attribution's p/tch head (copied
+    // verbatim -- change together); weight = 1 << (7 - age_days) is an
+    // EXACT int64 (never libm pow), the per-purchase share w/sw an
+    // exact rational; credit quantizes to 1e-4 units before summing
+    "x6_attribution_decay" ->
+      """WITH p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_us, user_id, value
+           FROM events WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id, event_id AS t_id, epoch_us(ts) AS t_us,
+             event_type AS touch_type
+           FROM events WHERE event_type IN ('view', 'click')),
+         j AS (SELECT p.p_id, p.p_us, p.value, t.touch_type, t.t_us, t.t_id
+           FROM p JOIN tch t ON t.user_id = p.user_id AND t.t_us < p.p_us
+             AND p.p_us - t.t_us <= 604800000000),
+         w AS (SELECT p_id, value, touch_type,
+             (1::BIGINT << CAST(7 - (p_us - t_us) // 86400000000 AS INTEGER)) AS w
+           FROM j),
+         s AS (SELECT *, CAST(sum(w) OVER (PARTITION BY p_id) AS BIGINT) AS sw FROM w)
+         SELECT touch_type, CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions,
+           round(CAST(sum(CAST(floor(value * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)
+             * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS credit
+         FROM s GROUP BY 1""",
     "x6_gap_hist" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          g AS (SELECT us - lag(us) OVER (PARTITION BY user_id
@@ -7283,6 +7423,7 @@ object SparkEntry {
       "x5_mm_search_ivfpq_serve" -> base("x5_mm_search_ivfpq"),
       "x5_mm_search_ivfpq_res_serve" -> base("x5_mm_search_ivfpq_res"),
       "x6_anomaly_serve" -> base("x6_anomaly"),
+      "x6_seasonal_serve" -> base("x6_seasonal_anomaly"),
     )
   }
 }

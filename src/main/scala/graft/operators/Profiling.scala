@@ -776,6 +776,27 @@ object Profiling {
       .agg(count(lit(1)).as("n_gaps"))
       .withColumn("hi_edge", round(expr(logEdge), 2))
 
+  /** X6 SESSION-LENGTH PROFILE — whole-second session durations
+    * ([[graft.operators.Windows.sessions]]'s end − start) through the
+    * dyadic log sketch: a single-event session is 0 s, an engaged one
+    * runs to hours — heavy-tailed, exactly the log-width domain. One
+    * profile row (n sessions + p50/p90/p99 length) via the same
+    * [[histLogQuantilesFrom]] read the gap family serves. */
+  def sessionLengthProfile(events: DataFrame, gapMinutes: Int = 5): DataFrame =
+    histLogQuantilesFrom(sessionLengthSketch(events, gapMinutes))
+
+  /** The session-length dyadic sketch — mergeable counters over the
+    * session frame's duration seconds. Shard sketches fold with
+    * [[histLogMerge]] when sharded BY USER: sessions are per-user, so
+    * a user cut never splits a session (the gap-stream merge law). */
+  def sessionLengthSketch(events: DataFrame, gapMinutes: Int = 5): DataFrame =
+    Windows.sessions(events, gapMinutes)
+      .select(expr("(session_end_us - session_start_us) div 1000000").as("gap_s"))
+      .select(expr(logBucket).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .withColumn("hi_edge", round(expr(logEdge), 2))
+
   /** Fold shard [[histLogSketch]] tables — counter addition by
     * bucket, the same merge law as every sketch in the family
     * (hi_edge is a pure function of bucket, so it rides the key). */

@@ -177,6 +177,23 @@ object Windows {
           sum(col("n_transitions")).over(byFrom).cast("double"), 6).as("p_next"))
   }
 
+  /** X6 NEXT-BEST-ACTION read — per from_type, the single most likely
+    * next event inside a session: rank 1 of [[sessionTransitions]] by
+    * the EXACT integer count (never the rounded probability — equal
+    * counts round equal, and the house rule ranks on what can't
+    * drift) with the full to_type tie-break. The product surface a
+    * recommender polls ("user just did X — prefetch what?"); one
+    * row_number window over the O(types²) matrix. */
+  def sessionNextBest(events: DataFrame, gapMinutes: Int = 5): DataFrame = {
+    val byFrom = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+      .orderBy(col("n_transitions").desc, col("to_type"))
+    sessionTransitions(events, gapMinutes)
+      .withColumn("rk", row_number().over(byFrom))
+      .filter(col("rk") === 1)
+      .select(col("from_type"), col("to_type").as("next_type"),
+        col("n_transitions"), col("p_next"))
+  }
+
   /** X6 COHORT RETENTION matrix — for each acquisition cohort (users
     * whose FIRST event fell on day D), how many came back k days
     * later (the product-analytics retention triangle; for a training
@@ -543,6 +560,57 @@ object Windows {
       .select(col("day_idx"), col("prop_k"), col("n"), col("rank"))
   }
 
+  /** X6 ITEM CO-VISITATION — "users who touched item X also touched
+    * item Y": distinct-user co-occurrence counts over the payload item
+    * ids ([[trendingProps]]'s extraction), the statistic behind every
+    * "also viewed" shelf and the item-item edge weight collaborative
+    * filters start from.
+    *
+    * Scale shape: the ONLY safe way to build this at corpus scale is
+    * to bound the per-user fan-out BEFORE pairing — a power user with
+    * 10⁴ distinct items would alone emit 5·10⁷ pairs. Items rank per
+    * user by interaction count (exact ints, item tie-break) and only
+    * the top `capPerUser` survive into the USER-KEYED equi self-join
+    * (never a cross join): pairs are bounded at C(cap,2) per user
+    * forever. `a.item < b.item` canonicalizes the unordered pair; it
+    * rides the user-keyed hash join as a post-filter, not a join
+    * strategy. `minSupport` prunes the long noise tail before the
+    * pair frame is stored or served. */
+  def covisit(events: DataFrame, capPerUser: Int = 20,
+              minSupport: Int = 2): DataFrame = {
+    val extracted = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+    val ui = events.select(col("user_id"),
+        when(length(extracted) > 0, extracted.cast("long")).as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("cnt").desc, col("item"))
+    val capped = ui.withColumn("rk", row_number().over(byUser))
+      .filter(col("rk") <= capPerUser).select(col("user_id"), col("item"))
+    val b = capped.select(col("user_id").as("u2"), col("item").as("item_b"))
+    capped.select(col("user_id"), col("item").as("item_a"))
+      .join(b, col("user_id") === col("u2") && col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= minSupport)
+  }
+
+  /** X6 "ALSO VIEWED" read — per item, the top-k co-visited items by
+    * the EXACT distinct-user count (item-id tie-break): [[covisit]]'s
+    * canonical pairs symmetrized (each pair serves both endpoints)
+    * then one rank window over the aggregated pair frame — raw events
+    * were consumed once, in the covisit build. */
+  def alsoViewed(events: DataFrame, k: Int = 3, capPerUser: Int = 20,
+                 minSupport: Int = 2): DataFrame = {
+    val c = covisit(events, capPerUser, minSupport)
+    val sym = c.select(col("item_a").as("item"), col("item_b").as("rec"), col("n_users"))
+      .unionByName(
+        c.select(col("item_b").as("item"), col("item_a").as("rec"), col("n_users")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("n_users").desc, col("rec"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** X6 ordered event funnel — per user, the earliest STRICTLY
     * event-time-ordered completion of stage1 → stage2 → stage3 (the
     * product-analytics "view → click → purchase" question: not "did
@@ -622,16 +690,35 @@ object Windows {
     * Counts are integers, so the per-(type,dow) moments (n days, Σn,
     * Σn²) are EXACT int64 sums — no float enters until the final
     * rounded division of each consumer. */
-  private def dowMoments(events: DataFrame): (DataFrame, DataFrame) = {
-    val c = events.select(col("event_type"),
+  /** The (event_type, day) count grain under the dow family — also
+    * the exact shape [[graft.streaming.StreamPipeline.dowDailyStream]]
+    * maintains incrementally (state = O(types·days) rows). */
+  private[graft] def dailyCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
-      .withColumn("dow", (col("day") + 4) % 7)
-    val g = c.groupBy(col("event_type"), col("dow"))
+
+  private def dailyDowCounts(events: DataFrame): DataFrame =
+    dailyCounts(events).withColumn("dow", (col("day") + 4) % 7)
+
+  /** The per-(event_type, day-of-week) moment BASELINE — the stored
+    * model artifact of [[dowAnomaly]] ([[rateBaseline]]'s pattern one
+    * grain up): O(types·7) rows of exact integer moments (n_days, Σn,
+    * Σn²), trained once on a trusted period and then scoring any later
+    * slice through [[dowAnomalyAgainst]] without revisiting history.
+    * Integer moments keep the artifact mergeable — next week's
+    * (n_days, S, Q) ADDS to this week's. */
+  def dowBaseline(events: DataFrame): DataFrame =
+    dowBaselineFromDaily(dailyCounts(events))
+
+  /** [[dowBaseline]] folded from a PRECOMPUTED (event_type, day, n)
+    * daily-count table — the serve form over a streaming-maintained
+    * daily state (fold O(days·types) stored rows, re-scan nothing). */
+  def dowBaselineFromDaily(daily: DataFrame): DataFrame =
+    daily.withColumn("dow", (col("day") + 4) % 7)
+      .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s"),
         sum(col("n") * col("n")).as("s2"))
-    (c, g)
-  }
 
   /** X6 WEEKLY SEASONALITY PROFILE — per (event_type, day-of-week):
     * observed days, total events, mean daily count, and the share of
@@ -643,7 +730,7 @@ object Windows {
     * profile frame — raw events cross the wire once. */
   def dowProfile(events: DataFrame): DataFrame = {
     val byType = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
-    val (_, g) = dowMoments(events)
+    val g = dowBaseline(events)
     g.select(col("event_type"), col("dow"), col("n_days"),
       col("s").as("n_events"),
       round(col("s").cast("double") / col("n_days").cast("double"), 4)
@@ -662,10 +749,20 @@ object Windows {
     * rounded once; groups with zero variance or a single day are
     * excluded (z undefined). Joins the O(types·7) moment frame back
     * by broadcast — the daily frame is never re-shuffled. */
-  def dowAnomaly(events: DataFrame, zBar: Double = 2.0): DataFrame = {
-    val (c, g) = dowMoments(events)
-    val m = g.filter(col("n_days") * col("s2") - col("s") * col("s") > 0L)
-    c.join(broadcast(m), Seq("event_type", "dow"))
+  def dowAnomaly(events: DataFrame, zBar: Double = 2.0): DataFrame =
+    dowAnomalyAgainst(events, dowBaseline(events), zBar)
+
+  /** Serve path of [[dowAnomaly]]: score a batch's daily counts
+    * against a PRETRAINED [[dowBaseline]] — no history rescan; the
+    * O(types·7) baseline broadcasts into the batch's daily counts.
+    * (type, dow) cells absent from the baseline, or with zero
+    * variance / a single observed day, are unscorable and drop
+    * (inner join — an unknown weekday cell is a coverage event, not
+    * a seasonal anomaly). */
+  def dowAnomalyAgainst(events: DataFrame, baseline: DataFrame,
+                        zBar: Double = 2.0): DataFrame = {
+    val m = baseline.filter(col("n_days") * col("s2") - col("s") * col("s") > 0L)
+    dailyDowCounts(events).join(broadcast(m), Seq("event_type", "dow"))
       .select(col("event_type"), col("day"), col("dow"), col("n"),
         round((col("n_days") * col("n") - col("s")).cast("double") /
           sqrt((col("n_days") * col("s2") - col("s") * col("s")).cast("double")), 4)
@@ -692,19 +789,32 @@ object Windows {
     * so the totals are addition-order-independent and bit-identical
     * across engines — a raw double sum over thousands of rows is NOT
     * (the 1e-4 rounding boundary flips on reorder). */
-  def attribution(events: DataFrame, lookbackDays: Int = 7,
-                  touchTypes: Seq[String] = Seq("view", "click"),
-                  convType: String = "purchase"): DataFrame = {
-    val winUs = lookbackDays * 86400L * 1000000L
-    val p = events.filter(col("event_type") === convType)
+  private def purchases(events: DataFrame, convType: String): DataFrame =
+    events.filter(col("event_type") === convType)
       .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"),
         col("user_id"), col("value"))
+
+  /** Shared head of [[attribution]] and [[attributionDecay]]: every
+    * (purchase, preceding touch) pair inside the lookback window —
+    * USER-keyed equi-join with the time-range predicate post-join. */
+  private def touchPairs(events: DataFrame, lookbackDays: Int,
+                         touchTypes: Seq[String], convType: String): DataFrame = {
+    val winUs = lookbackDays * 86400L * 1000000L
     val tch = events.filter(col("event_type").isin(touchTypes: _*))
       .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
         unix_micros(col("ts")).as("t_us"), col("event_type").as("touch_type"))
-    val j = p.join(tch, col("t_user") === col("user_id") &&
+    purchases(events, convType)
+      .join(tch, col("t_user") === col("user_id") &&
         col("t_us") < col("p_us") && col("p_us") - col("t_us") <= winUs)
-      .select(col("p_id"), col("value"), col("touch_type"), col("t_us"), col("t_id"))
+      .select(col("p_id"), col("p_us"), col("value"), col("touch_type"),
+        col("t_us"), col("t_id"))
+  }
+
+  def attribution(events: DataFrame, lookbackDays: Int = 7,
+                  touchTypes: Seq[String] = Seq("view", "click"),
+                  convType: String = "purchase"): DataFrame = {
+    val p = purchases(events, convType)
+    val j = touchPairs(events, lookbackDays, touchTypes, convType)
     val byP = org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
     val fl = j.select(col("p_id"), col("value"), col("touch_type"),
       row_number().over(byP.orderBy(col("t_us"), col("t_id"))).as("rk_first"),
@@ -731,5 +841,33 @@ object Windows {
       .select(lit("unattributed").as("model"), lit("none").as("touch_type"),
         col("n_conversions"), col("credit"))
     first.unionByName(last).unionByName(linear).unionByName(direct)
+  }
+
+  /** X6 TIME-DECAY ATTRIBUTION — [[attribution]]'s fourth model, split
+    * out because its weights are position-free: each touch's credit
+    * share is ∝ 2^(−age_days), so a touch the day before the purchase
+    * carries 2× the weight of one two days before and 2^7× one at the
+    * lookback horizon — the industry-standard exponential-decay model
+    * with the half-life pinned to ONE DAY so the weight is an EXACT
+    * int64 (`1 << (lookback − age)`, age = integer-div days): the
+    * per-purchase share w/Σw is an exact rational, never a libm
+    * `pow(0.5, age/halflife)` whose last ulp differs across engines.
+    * Credit quantizes to 1e-4 int64 units per row BEFORE summing (the
+    * [[attribution]] recipe) — totals are addition-order-independent.
+    * Same USER-keyed join shape as [[attribution]]; the per-purchase
+    * weight sum is one window over the bounded touch partition. */
+  def attributionDecay(events: DataFrame, lookbackDays: Int = 7,
+                       touchTypes: Seq[String] = Seq("view", "click"),
+                       convType: String = "purchase"): DataFrame = {
+    val w = touchPairs(events, lookbackDays, touchTypes, convType)
+      .withColumn("w", expr(s"shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST($lookbackDays - (p_us - t_us) div 86400000000 AS INT))"))
+    val sw = w.withColumn("sw",
+      sum(col("w")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))))
+    sw.groupBy(col("touch_type"))
+      .agg(countDistinct(col("p_id")).as("n_conversions"),
+        round(sum(floor(col("value") * col("w").cast("double") /
+            col("sw").cast("double") * 10000 + 0.5).cast("long")).cast("double") /
+          lit(1e4), 4).as("credit"))
   }
 }

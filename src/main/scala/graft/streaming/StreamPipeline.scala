@@ -545,6 +545,22 @@ object StreamPipeline {
       .groupBy(col("event_type"), col("day"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** X6 streaming daily-count maintainer for the dow-seasonality
+    * family — the (event_type, day) counts [[graft.operators.Windows
+    * .dowBaselineFromDaily]] folds into the weekday moment baseline:
+    * the aggregation state is O(types · days) rows forever, the
+    * baseline fold and [[graft.operators.Windows.dowAnomalyAgainst]]
+    * scoring read the SINK table with no event replay (spec pins
+    * store-served baseline + scores ≡ batch, through the physical
+    * `graft_orders` complete-mode epoch-replace sink — the nightly
+    * artifact shape). */
+  def dowDailyStream(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+
   /** X6 streaming: tumbling event-time windows with watermarked late
     * data drop. Same expressions as the batch Windows.tumbling. */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",

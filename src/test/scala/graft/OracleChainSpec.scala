@@ -164,15 +164,38 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("daily-count c head",
     "c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,\n" +
       "             CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)",
-    Set("x6_trend", "x6_trend_anomaly", "x6_seasonality", "x6_seasonal_anomaly"))
+    Set("x6_trend", "x6_trend_anomaly", "x6_seasonality", "x6_seasonal_anomaly",
+      "x6_seasonal_serve"))
 
   chainFamily("dow-moment c/d/g head", "x6_seasonality",
     "WITH c AS", "FROM d GROUP BY 1, 2)",
-    Set("x6_seasonality", "x6_seasonal_anomaly"))
+    Set("x6_seasonality", "x6_seasonal_anomaly", "x6_seasonal_serve"))
 
   chainFamily("session gaps-and-islands x/y/z/t chain", "x6_session_paths",
     "WITH x AS", "AS to_type\n           FROM z)",
-    Set("x6_session_paths", "x6_transitions"))
+    Set("x6_session_paths", "x6_transitions", "x6_next_best"))
+
+  formulaFamily("transition count c CTE",
+    "c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions\n" +
+      "           FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)",
+    Set("x6_transitions", "x6_next_best"))
+
+  formulaFamily("transition p_next normalize",
+    "round(CAST(n_transitions AS DOUBLE) /\n" +
+      "             CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p_next",
+    Set("x6_transitions", "x6_next_best"))
+
+  chainFamily("attribution purchase/touch head", "x6_attribution",
+    "WITH p AS", "event_type IN ('view', 'click'))",
+    Set("x6_attribution", "x6_attribution_decay"))
+
+  chainFamily("covisit p/ui/cap/pr chain", "x6_covisit",
+    "WITH p AS", "AND a.item < b.item\n           GROUP BY 1, 2)",
+    Set("x6_covisit", "x6_also_viewed"))
+
+  formulaFamily("props item extract",
+    "CAST(nullif(regexp_extract(props, '\"k\": ([0-9]+)', 1), '') AS BIGINT)",
+    Set("x6_trending", "x6_covisit", "x6_also_viewed"))
 
   chainFamily("shingle inverted-index head (df-capped)", "x4_band_recall",
     "WITH", "shingle FROM hot)",
@@ -326,12 +349,23 @@ class OracleChainSpec extends AnyFunSuite {
   chainFamily("dyadic log-bucket lb CTE", "x6_hist_log_sketch",
     "lb AS (SELECT CASE WHEN gap_s <= 0", "END AS bucket FROM b)",
     Set("x6_hist_log_sketch", "x6_hist_log_quantiles", "x6_hist_log_serve",
-      "x6_hist_log_accuracy", "x6_hist_log_merge"))
+      "x6_hist_log_accuracy", "x6_hist_log_merge", "x6_session_lengths"))
 
   chainFamily("log-sketch cumulative read sk/cu", "x6_hist_log_quantiles",
     "sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM lb GROUP BY 1)",
     "CAST(sum(c) OVER () AS BIGINT) AS n\n           FROM sk)",
-    Set("x6_hist_log_quantiles", "x6_hist_log_serve", "x6_hist_log_accuracy"))
+    Set("x6_hist_log_quantiles", "x6_hist_log_serve", "x6_hist_log_accuracy",
+      "x6_session_lengths"))
+
+  chainFamily("session frame x/y/z (value-carrying)", "x6_sessions",
+    "WITH x AS", "ROWS UNBOUNDED PRECEDING) AS session_seq FROM y)",
+    Set("x6_sessions", "x6_session_lengths"))
+
+  formulaFamily("session agg select",
+    "min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,\n" +
+      "           count(*) AS n_events, round(sum(value), 4) AS sum_value\n" +
+      "         FROM z GROUP BY user_id, session_seq",
+    Set("x6_sessions", "x6_session_lengths"))
 
   formulaFamily("dyadic bucket upper edge",
     "CASE WHEN bucket = 0 THEN CAST(0 AS DOUBLE) ELSE CAST((1::BIGINT << " +
@@ -339,7 +373,7 @@ class OracleChainSpec extends AnyFunSuite {
       "AS DOUBLE) / 4.0 END",
     Set("x6_hist_log_sketch", "x6_hist_log_quantiles", "x6_hist_log_serve",
       "x6_hist_log_accuracy", "x6_hist_log_merge", "x6_funnel_latency",
-      "x6_hist_log_daily", "x6_hist_log_rolling"))
+      "x6_hist_log_daily", "x6_hist_log_rolling", "x6_session_lengths"))
 
   chainFamily("day-grain log-gap head e..sk", "x6_hist_log_daily",
     "WITH e AS", "FROM lb GROUP BY 1, 2),",
@@ -359,7 +393,7 @@ class OracleChainSpec extends AnyFunSuite {
       "               AS BIGINT) END AS bucket FROM ",
     Set("x6_hist_log_sketch", "x6_hist_log_quantiles", "x6_hist_log_serve",
       "x6_hist_log_accuracy", "x6_hist_log_merge", "x6_funnel_latency",
-      "x6_hist_log_daily", "x6_hist_log_rolling"))
+      "x6_hist_log_daily", "x6_hist_log_rolling", "x6_session_lengths"))
 
   formulaFamily("class-mean prototype fold",
     "round(sum(val) / count(*), 6)",

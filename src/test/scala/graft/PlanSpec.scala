@@ -471,6 +471,18 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("round-17 event operators: every join is keyed hash, never all-pairs") {
+    // attribution's lookback predicate and covisit's pair
+    // canonicalization must ride user-keyed equi joins as
+    // post-filters — an all-pairs plan here dies at corpus scale
+    for (q <- Seq("x6_attribution", "x6_attribution_decay",
+        "x6_covisit", "x6_also_viewed", "x6_seasonal_serve", "x6_next_best")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the pricing summary") {
     // codegen spans only appear on the executed plan once AQE finalizes
     val df = SparkEntry.queries("q_pricing_summary")(spark, SparkTestBase.sf0001)

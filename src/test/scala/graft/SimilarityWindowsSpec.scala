@@ -504,6 +504,73 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(rowSums.values.forall(_ == 1.0))
   }
 
+  test("session lengths: dyadic profile over durations, zero-length singles hit bucket 0") {
+    def ts(s: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 12:00:00").getTime + s * 1000L)
+    // three single-event sessions (0 s) + one 64 s session →
+    // durations [0,0,0,64]: p50 = 0.0 (bucket 0), p90/p99 = the
+    // 64-gap bucket's dyadic upper edge 80.0
+    val fe = Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(0), 2L, "view", 0.0),
+      (3L, ts(0), 3L, "view", 0.0),
+      (4L, ts(0), 4L, "view", 0.0), (5L, ts(64), 4L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Profiling.sessionLengthProfile(fe)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got.toSeq === Seq((4L, 0.0, 80.0, 80.0)))
+  }
+
+  test("covisit: canonical pair counts, per-user cap before pairing, min support") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    def ev(id: Long, u: Long, item: Int, n: Int = 1) =
+      (1 to n).map(r => (id * 100 + r, base, u, "view", 0.0, s"""{"k": $item}"""))
+    val fe = (ev(1, 1, 5) ++ ev(2, 1, 7) ++
+      ev(3, 2, 5) ++ ev(4, 2, 7) ++ ev(5, 2, 9) ++
+      ev(6, 3, 5) ++ ev(7, 3, 9) ++
+      // user 4: item counts 3/2/1 — a cap of 2 must drop item 3
+      ev(8, 4, 1, 3) ++ ev(9, 4, 2, 2) ++ ev(10, 4, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // support-2 pairs: (5,7) from users 1+2, (5,9) from users 2+3
+    val got = Windows.covisit(fe)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((5L, 7L, 2L), (5L, 9L, 2L)))
+    // the cap prunes user 4's weakest item BEFORE pairing
+    val capped = Windows.covisit(fe, capPerUser = 2, minSupport = 1)
+      .filter(col("item_a") < 5).as[(Long, Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L, 1L)))
+  }
+
+  test("also viewed: symmetrized top-k per item with exact-count rank") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    def ev(id: Long, u: Long, item: Int) =
+      (id, base, u, "view", 0.0, s"""{"k": $item}""")
+    val fe = Seq(ev(1, 1, 5), ev(2, 1, 7), ev(3, 2, 5), ev(4, 2, 7),
+      ev(5, 2, 9), ev(6, 3, 5), ev(7, 3, 9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Windows.alsoViewed(fe)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // item 5's shelf carries both ties, ranked by item id
+    assert(got === Set((5L, 7L, 2L, 1L), (5L, 9L, 2L, 2L),
+      (7L, 5L, 2L, 1L), (9L, 5L, 2L, 1L)))
+  }
+
+  test("next best action: rank-1 on the exact count, lexicographic tie-break") {
+    val pe = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 0.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "click", 0.0),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00"), 8L, "view", 0.0),
+      (4L, Timestamp.valueOf("2024-01-01 00:01:00"), 8L, "click", 0.0),
+      (5L, Timestamp.valueOf("2024-01-01 00:00:00"), 9L, "view", 0.0),
+      (6L, Timestamp.valueOf("2024-01-01 00:01:00"), 9L, "purchase", 0.0),
+      // from 'click': 'a' and 'b' tie at 1 — 'a' wins lexicographically
+      (7L, Timestamp.valueOf("2024-01-01 00:02:00"), 7L, "a", 0.0),
+      (8L, Timestamp.valueOf("2024-01-01 00:02:00"), 8L, "b", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.sessionNextBest(pe)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("view", "click", 2L, 0.666667), ("click", "a", 1L, 0.5)))
+  }
+
   test("dow profile: per-(type, weekday) mean daily count and weekly share") {
     def at(d: String) = Timestamp.valueOf(s"$d 12:00:00")
     // 2024-01-01 and 2024-01-08 are Mondays (dow 1); 2024-01-07 a Sunday (dow 0)
@@ -539,6 +606,23 @@ class SimilarityWindowsSpec extends AnyFunSuite {
       Set((1L, -0.7071, 0L), (4L, 1.4142, 1L)))
   }
 
+  test("dow anomaly serve: stored baseline reproduces self-contained; " +
+    "types unknown to the baseline drop") {
+    def at(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    var id = 0L
+    val rows = Seq(("2024-01-01", 1), ("2024-01-08", 1), ("2024-01-15", 4))
+      .flatMap { case (d, cnt) =>
+        (1 to cnt).map { u => id += 1; (id, at(d), u.toLong, "a", 0.0) }
+      }
+    val fe = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val self = Windows.dowAnomaly(fe).collect().toSet
+    val served = Windows.dowAnomalyAgainst(fe, Windows.dowBaseline(fe)).collect().toSet
+    assert(served === self && served.nonEmpty)
+    // a batch whose type the baseline never saw is unscorable
+    val unknown = fe.withColumn("event_type", lit("b"))
+    assert(Windows.dowAnomalyAgainst(unknown, Windows.dowBaseline(fe)).isEmpty)
+  }
+
   test("attribution: first/last/linear credit conserves revenue; " +
     "stale touches and touchless purchases route correctly") {
     def ts(s: String) = Timestamp.valueOf(s)
@@ -565,6 +649,24 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     val byModel = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
     assert(byModel("first_touch") == 13.0 && byModel("last_touch") == 13.0
       && byModel("linear") == 13.0 && byModel("unattributed") == 5.0)
+  }
+
+  test("time-decay attribution: exact 2^-age_days weights, hand-computed shares") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val fe = Seq(
+      // u1: view 2 days out (w = 2^5 = 32), click same-day (w = 2^7 = 128)
+      // → purchase 10.0 splits 2.0 / 8.0
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-03 00:00:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-03 00:01:00"), 1L, "purchase", 10.0),
+      // u2: a single view exactly at the 7-day horizon (w = 2^0 = 1,
+      // full credit — the boundary is inclusive)
+      (4L, ts("2024-01-01 00:00:00"), 2L, "view", 0.0),
+      (5L, ts("2024-01-08 00:00:00"), 2L, "purchase", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.attributionDecay(fe)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === Set(("view", 2L, 5.0), ("click", 1L, 8.0)))
   }
 
   test("cohort retention: first-day cohorts, distinct-day activity, exact ratios") {

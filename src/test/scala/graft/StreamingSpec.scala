@@ -895,6 +895,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); GraftStore.drop("hist_daily_store") }
   }
 
+  test("streaming dow baseline: scores served from the PHYSICAL graft_orders store equal batch") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.v2.GraftStore
+    import graft.operators.Windows
+    val mem = MemoryStream[UserEvent]
+    val dir = Files.createTempDirectory("graft-dow-store")
+    val q = StreamPipeline.dowDailyStream(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("graft_orders").option("table", "dow_daily_store")
+      .option("checkpointLocation", dir.resolve("ck").toString)
+      .start()
+    try {
+      // three Mondays with counts 1/1/4 + one Sunday (as the batch spec)
+      def ev(id: Long, d: String) =
+        UserEvent(id, Timestamp.valueOf(s"$d 12:00:00"), id % 3, "click", 0.0)
+      val b1 = Seq(ev(1, "2024-01-01"), ev(2, "2024-01-08"), ev(3, "2024-01-07"))
+      val b2 = (4 to 7).map(i => ev(i, "2024-01-15"))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val all = (b1 ++ b2).toDF()
+      def stored() = spark.read.format("graft_orders")
+        .option("table", "dow_daily_store").load()
+      // the stored daily state folds into exactly the batch baseline
+      val servedBase = Windows.dowBaselineFromDaily(stored())
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val batchBase = Windows.dowBaseline(all)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(servedBase === batchBase && servedBase.nonEmpty)
+      // and scoring a batch against the store-served baseline ≡ self-contained
+      val served = Windows.dowAnomalyAgainst(all, Windows.dowBaselineFromDaily(stored()))
+        .collect().toSet
+      assert(served === Windows.dowAnomaly(all).collect().toSet && served.nonEmpty)
+    } finally { q.stop(); GraftStore.drop("dow_daily_store") }
+  }
+
   test("rolling vector index: assets accepted in generation N gate generation N+1 without restart") {
     implicit val sc = spark.sqlContext
     val dir = Files.createTempDirectory("graft-media-roll")
