@@ -767,6 +767,22 @@ object SparkEntry {
     "x6_covisit" -> ((s, d) => Windows.covisit(t(s, d, "events"))),
     // "also viewed": top-3 co-visited items per item, exact-count rank
     "x6_also_viewed" -> ((s, d) => Windows.alsoViewed(t(s, d, "events"))),
+    // the shelf served from a MATERIALIZED pair table — the read plan
+    // touches only the stored artifact. Oracle = x6_also_viewed's.
+    "x6_also_viewed_serve" -> ((s, d) =>
+      Windows.alsoViewedFrom(Windows.covisit(t(s, d, "events")).localCheckpoint())),
+    // covisit shard fold: USER-sharded half-corpus pair tables added
+    // into the whole, support threshold AFTER the fold (a 1+1 pair is
+    // support-2; thresholding shards first would drop it). Oracle =
+    // x6_covisit's verbatim.
+    "x6_covisit_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Windows.covisitMerge(Seq(
+        Windows.covisitPairs(ev.filter("user_id % 2 = 0")).localCheckpoint(),
+        Windows.covisitPairs(ev.filter("user_id % 2 = 1")).localCheckpoint()))
+    }),
+    // association-rule stats: support / confidence / lift per pair
+    "x6_item_lift" -> ((s, d) => Windows.itemLift(t(s, d, "events"))),
     // longest consecutive-day run per user (gaps-and-islands, one window)
     "x6_streaks" -> ((s, d) => Windows.activityStreaks(t(s, d, "events"))),
     // traffic-quality gate: rate + type-entropy bot audit per user
@@ -973,7 +989,8 @@ object SparkEntry {
     "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
     "x2_hybrid_rrf_stored",
     "x5_mm_search_binary_serve",
-    "x6_anomaly_serve", "x6_cms_serve", "x6_seasonal_serve",
+    "x6_also_viewed_serve", "x6_anomaly_serve", "x6_cms_serve",
+    "x6_covisit_merge", "x6_seasonal_serve",
     "x6_hist_log_merge",
     "x6_hist_log_serve", "x6_hist_merge", "x6_hist_serve",
     "x6_hll_serve", "x6_kmv_serve",
@@ -6591,6 +6608,33 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY item
              ORDER BY n_users DESC, rec) AS rank FROM sym)
          WHERE rank <= 3""",
+    // association rules: the same p/ui/cap/pr chain + per-item
+    // marginals and the user universe from the SAME capped frame;
+    // confidence and lift are the only floats (one rounded division
+    // each, identical operand order on both engines)
+    "x6_item_lift" ->
+      """WITH p AS (SELECT user_id,
+             CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)
+               AS item
+           FROM events),
+         ui AS (SELECT user_id, item, CAST(count(*) AS BIGINT) AS cnt
+           FROM p WHERE item IS NOT NULL GROUP BY 1, 2),
+         cap AS (SELECT user_id, item FROM (SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY cnt DESC, item) AS rk FROM ui)
+           WHERE rk <= 20),
+         pr AS (SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_users
+           FROM cap a JOIN cap b ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2),
+         sp AS (SELECT item_a, item_b, n_users FROM pr WHERE n_users >= 2),
+         ma AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM cap GROUP BY 1),
+         nn AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_u FROM cap)
+         SELECT item_a, item_b, n_users AS n_ab, a.n_i AS n_a, b.n_i AS n_b,
+           round(CAST(n_users AS DOUBLE) / CAST(a.n_i AS DOUBLE), 6) AS confidence,
+           round(CAST(n_users AS DOUBLE) * CAST(n_u AS DOUBLE) /
+             (CAST(a.n_i AS DOUBLE) * CAST(b.n_i AS DOUBLE)), 6) AS lift
+         FROM sp JOIN ma a ON a.item = sp.item_a
+           JOIN ma b ON b.item = sp.item_b CROSS JOIN nn""",
     "x6_bot_score" ->
       """WITH e AS (SELECT user_id, event_type,
              epoch_us(ts) // 86400000000 AS day FROM events),
@@ -7424,6 +7468,8 @@ object SparkEntry {
       "x5_mm_search_ivfpq_res_serve" -> base("x5_mm_search_ivfpq_res"),
       "x6_anomaly_serve" -> base("x6_anomaly"),
       "x6_seasonal_serve" -> base("x6_seasonal_anomaly"),
+      "x6_also_viewed_serve" -> base("x6_also_viewed"),
+      "x6_covisit_merge" -> base("x6_covisit"),
     )
   }
 }

@@ -577,7 +577,12 @@ object Windows {
     * strategy. `minSupport` prunes the long noise tail before the
     * pair frame is stored or served. */
   def covisit(events: DataFrame, capPerUser: Int = 20,
-              minSupport: Int = 2): DataFrame = {
+              minSupport: Int = 2): DataFrame =
+    covisitPairs(events, capPerUser).filter(col("n_users") >= minSupport)
+
+  /** The capped per-user item set feeding [[covisitPairs]] and
+    * [[itemLift]]'s marginals — one row per surviving (user, item). */
+  private def cappedItems(events: DataFrame, capPerUser: Int): DataFrame = {
     val extracted = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
     val ui = events.select(col("user_id"),
         when(length(extracted) > 0, extracted.cast("long")).as("item"))
@@ -585,13 +590,61 @@ object Windows {
       .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("cnt").desc, col("item"))
-    val capped = ui.withColumn("rk", row_number().over(byUser))
+    ui.withColumn("rk", row_number().over(byUser))
       .filter(col("rk") <= capPerUser).select(col("user_id"), col("item"))
+  }
+
+  /** [[covisit]]'s UNTHRESHOLDED pair counts — the mergeable artifact:
+    * each user contributes its indicator to a pair's count, so pair
+    * tables from USER-DISJOINT shards fold by plain addition
+    * ([[covisitMerge]]); the support threshold must apply only AFTER
+    * the fold (a pair at 1+1 across shards is support-2). */
+  def covisitPairs(events: DataFrame, capPerUser: Int = 20): DataFrame = {
+    val capped = cappedItems(events, capPerUser)
     val b = capped.select(col("user_id").as("u2"), col("item").as("item_b"))
     capped.select(col("user_id"), col("item").as("item_a"))
       .join(b, col("user_id") === col("u2") && col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Fold user-shard [[covisitPairs]] tables — counter addition by
+    * pair, thresholding after (the sketch-family merge law on the
+    * co-occurrence domain; valid only for USER-disjoint shards — an
+    * item shard would sever within-user pairs). */
+  def covisitMerge(shards: Seq[DataFrame], minSupport: Int = 2): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("n_users")).as("n_users"))
       .filter(col("n_users") >= minSupport)
+
+  /** X6 MARKET-BASKET RULE STATS — per qualifying pair, the classic
+    * association-rule triple over the capped item sets: support
+    * (co-occurring users), confidence P(b | a) = n_ab/n_a, and lift
+    * n_ab·N/(n_a·n_b) (how much more often the pair co-occurs than
+    * independence predicts — lift > 1 is the "frequently bought
+    * together" signal, < 1 substitution). Marginals and N come from
+    * the SAME capped frame as the pairs (internal consistency: a rule
+    * is judged against the universe that generated it). All counts
+    * exact int64; the two rounded divisions are the only floats. The
+    * O(items) marginal table broadcasts into the pair frame; N is one
+    * broadcast scalar row. */
+  def itemLift(events: DataFrame, capPerUser: Int = 20,
+               minSupport: Int = 2): DataFrame = {
+    val capped = cappedItems(events, capPerUser)
+    val ma = capped.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val nn = capped.agg(countDistinct(col("user_id")).as("n_u"))
+    covisit(events, capPerUser, minSupport)
+      .join(broadcast(ma.select(col("item").as("item_a"), col("n_i").as("n_a"))),
+        Seq("item_a"))
+      .join(broadcast(ma.select(col("item").as("item_b"), col("n_i").as("n_b"))),
+        Seq("item_b"))
+      .crossJoin(broadcast(nn))
+      .select(col("item_a"), col("item_b"), col("n_users").as("n_ab"),
+        col("n_a"), col("n_b"),
+        round(col("n_users").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_users").cast("double") * col("n_u").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
   }
 
   /** X6 "ALSO VIEWED" read — per item, the top-k co-visited items by
@@ -600,11 +653,17 @@ object Windows {
     * then one rank window over the aggregated pair frame — raw events
     * were consumed once, in the covisit build. */
   def alsoViewed(events: DataFrame, k: Int = 3, capPerUser: Int = 20,
-                 minSupport: Int = 2): DataFrame = {
-    val c = covisit(events, capPerUser, minSupport)
-    val sym = c.select(col("item_a").as("item"), col("item_b").as("rec"), col("n_users"))
+                 minSupport: Int = 2): DataFrame =
+    alsoViewedFrom(covisit(events, capPerUser, minSupport), k)
+
+  /** [[alsoViewed]] over a PRECOMPUTED (item_a, item_b, n_users) pair
+    * table — the serve form: the shelf read touches only the stored
+    * O(pairs) artifact, raw events were consumed once in its build. */
+  def alsoViewedFrom(pairs: DataFrame, k: Int = 3): DataFrame = {
+    val sym = pairs
+      .select(col("item_a").as("item"), col("item_b").as("rec"), col("n_users"))
       .unionByName(
-        c.select(col("item_b").as("item"), col("item_a").as("rec"), col("n_users")))
+        pairs.select(col("item_b").as("item"), col("item_a").as("rec"), col("n_users")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("item")).orderBy(col("n_users").desc, col("rec"))
     sym.withColumn("rank", row_number().over(w).cast("long"))

@@ -191,11 +191,13 @@ class OracleChainSpec extends AnyFunSuite {
 
   chainFamily("covisit p/ui/cap/pr chain", "x6_covisit",
     "WITH p AS", "AND a.item < b.item\n           GROUP BY 1, 2)",
-    Set("x6_covisit", "x6_also_viewed"))
+    Set("x6_covisit", "x6_also_viewed", "x6_also_viewed_serve",
+      "x6_covisit_merge", "x6_item_lift"))
 
   formulaFamily("props item extract",
     "CAST(nullif(regexp_extract(props, '\"k\": ([0-9]+)', 1), '') AS BIGINT)",
-    Set("x6_trending", "x6_covisit", "x6_also_viewed"))
+    Set("x6_trending", "x6_covisit", "x6_also_viewed", "x6_also_viewed_serve",
+      "x6_covisit_merge", "x6_item_lift"))
 
   chainFamily("shingle inverted-index head (df-capped)", "x4_band_recall",
     "WITH", "shingle FROM hot)",

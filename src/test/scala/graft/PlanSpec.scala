@@ -481,6 +481,15 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
+    // item_lift's ONLY nested loop is the sanctioned 1-row scalar
+    // broadcast (crossJoin(broadcast(N)) — the house pattern); the
+    // pair and marginal joins stay keyed hash
+    val p = planOf("x6_item_lift")
+    assert(!p.contains("CartesianProduct"), p)
+    // one BNLJ in the tree + its detail block repeat — and it is the
+    // Cross BuildRight scalar broadcast, nothing else
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2 &&
+      p.contains("BroadcastNestedLoopJoin Cross BuildRight"), p)
   }
 
   test("whole-stage codegen covers the pricing summary") {

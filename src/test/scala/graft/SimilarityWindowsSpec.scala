@@ -539,6 +539,40 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(capped === Set((1L, 2L, 1L)))
   }
 
+  test("covisit merge: user-shard pair tables fold by addition, threshold after") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    def ev(id: Long, u: Long, item: Int) =
+      (id, base, u, "view", 0.0, s"""{"k": $item}""")
+    val fe = Seq(ev(1, 1, 5), ev(2, 1, 7), ev(3, 2, 5), ev(4, 2, 7),
+      ev(5, 2, 9), ev(6, 3, 5), ev(7, 3, 9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // pair (5,7) has support 1 in EACH parity shard — only
+    // threshold-after-fold recovers it at support 2
+    val merged = Windows.covisitMerge(Seq(
+      Windows.covisitPairs(fe.filter(col("user_id") % 2 === 0)),
+      Windows.covisitPairs(fe.filter(col("user_id") % 2 === 1))))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === Windows.covisit(fe).as[(Long, Long, Long)].collect().toSet)
+    assert(merged.contains((5L, 7L, 2L)))
+  }
+
+  test("item lift: support/confidence/lift from capped-frame marginals, hand-computed") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    def ev(id: Long, u: Long, item: Int) =
+      (id, base, u, "view", 0.0, s"""{"k": $item}""")
+    val fe = Seq(ev(1, 1, 5), ev(2, 1, 7), ev(3, 2, 5), ev(4, 2, 7),
+      ev(5, 2, 9), ev(6, 3, 5), ev(7, 3, 9), ev(8, 4, 7), ev(9, 4, 9),
+      ev(10, 5, 7))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // marginals: n(5)=3, n(7)=4, n(9)=3 over N=5 users
+    val got = Windows.itemLift(fe)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got === Set(
+      (5L, 7L, 2L, 3L, 4L, 0.666667, 0.833333),
+      (5L, 9L, 2L, 3L, 3L, 0.666667, 1.111111),
+      (7L, 9L, 2L, 4L, 3L, 0.5, 0.833333)))
+  }
+
   test("also viewed: symmetrized top-k per item with exact-count rank") {
     val base = Timestamp.valueOf("2024-01-01 12:00:00")
     def ev(id: Long, u: Long, item: Int) =
