@@ -6,11 +6,13 @@ import scala.collection.concurrent.TrieMap
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** In-memory table registry backing the `graft_orders` connector's
@@ -112,26 +114,121 @@ private[v2] class GraftMemTable(tableName: String, tschema: StructType)
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new MemScan(tableName, tschema)
-    }
+    new MemScanBuilder(tableName, tschema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(tableName, info.schema(), info.queryId())
 }
 
-private[v2] class MemScan(table: String, tschema: StructType) extends Scan with Batch {
-  override def readSchema(): StructType = tschema
+/** Read-side pushdown for the stored-artifact serve path: a plan that
+  * probes a stored sketch/pair/baseline table projects and filters
+  * INSIDE the scan — partitions ship only the surviving columns of
+  * the surviving rows, the property every serve query's "reads only
+  * the stored artifact" claim rests on. Comparison filters evaluate
+  * EXACTLY here (same int64/double/string semantics as the engine),
+  * so Spark plans no re-filter for what was pushed; anything the
+  * store can't prove (nested types, unknown predicates) is returned
+  * to Spark for post-scan evaluation — correctness never depends on
+  * the pushdown. */
+private[v2] class MemScanBuilder(table: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(MemScan.evaluable(full, _))
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new MemScan(table, full, required, pushed)
+}
+
+private[v2] class MemScan(table: String, full: StructType,
+                          required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft_mem($table)"
+  override def description(): String =
+    s"graft_mem($table) ReadSchema: ${required.fieldNames.mkString(",")}" +
+      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]")
   override def planInputPartitions(): Array[InputPartition] = {
-    val rows = GraftStore.rowsOf(table)
+    val all = GraftStore.rowsOf(table)
+    val kept =
+      if (pushed.isEmpty) all
+      else all.filter(r => pushed.forall(MemScan.eval(full, r, _)))
+    val rows =
+      if (required == full) kept
+      else {
+        val ords = required.fields.map(f => (full.fieldIndex(f.name), f.dataType))
+        kept.map { r =>
+          new GenericInternalRow(ords.map { case (i, dt) =>
+            if (r.isNullAt(i)) null else r.get(i, dt)
+          }): InternalRow
+        }
+      }
     if (rows.isEmpty) Array.empty
     else rows.grouped(math.max(1, (rows.size + 7) / 8)).map(MemPartition(_)).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = MemReaderFactory
 }
 
-private[v2] case class MemPartition(rows: Seq[InternalRow]) extends InputPartition
+private[v2] object MemScan {
+  /** A filter is pushable iff the store can evaluate it EXACTLY:
+    * comparison/null tests on flat int/long/timestamp/double/string
+    * fields. Everything else goes back to Spark. */
+  def evaluable(full: StructType, f: Filter): Boolean = {
+    def flat(attr: String, v: Any): Boolean =
+      full.fieldNames.contains(attr) && ((full(attr).dataType, v) match {
+        case (LongType | IntegerType | TimestampType, _: Number) => true
+        case (DoubleType, _: Number) => true
+        case (StringType, _: String) => true
+        case _ => false
+      })
+    f match {
+      case EqualTo(a, v) => flat(a, v)
+      case GreaterThan(a, v) => flat(a, v)
+      case GreaterThanOrEqual(a, v) => flat(a, v)
+      case LessThan(a, v) => flat(a, v)
+      case LessThanOrEqual(a, v) => flat(a, v)
+      case IsNotNull(a) => full.fieldNames.contains(a)
+      case IsNull(a) => full.fieldNames.contains(a)
+      case _ => false
+    }
+  }
+
+  /** SQL comparison semantics: NULL fails every comparison. */
+  private def cmp(full: StructType, row: InternalRow,
+                  attr: String, v: Any): Option[Int] = {
+    val i = full.fieldIndex(attr)
+    if (row.isNullAt(i)) None
+    else full(i).dataType match {
+      case LongType | TimestampType =>
+        Some(java.lang.Long.compare(row.getLong(i), v.asInstanceOf[Number].longValue))
+      case IntegerType =>
+        Some(java.lang.Long.compare(row.getInt(i).toLong, v.asInstanceOf[Number].longValue))
+      case DoubleType =>
+        Some(java.lang.Double.compare(row.getDouble(i), v.asInstanceOf[Number].doubleValue))
+      case StringType =>
+        Some(row.getUTF8String(i).toString.compareTo(v.asInstanceOf[String]))
+      case _ => None
+    }
+  }
+
+  def eval(full: StructType, row: InternalRow, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => cmp(full, row, a, v).contains(0)
+    case GreaterThan(a, v) => cmp(full, row, a, v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(full, row, a, v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(full, row, a, v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(full, row, a, v).exists(_ <= 0)
+    case IsNotNull(a) => !row.isNullAt(full.fieldIndex(a))
+    case IsNull(a) => row.isNullAt(full.fieldIndex(a))
+    case _ => false
+  }
+}
+
+private[graft] case class MemPartition(rows: Seq[InternalRow]) extends InputPartition
 
 private[v2] object MemReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

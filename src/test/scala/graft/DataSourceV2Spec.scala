@@ -155,6 +155,43 @@ class DataSourceV2Spec extends AnyFunSuite {
     } finally GraftStore.drop("ep")
   }
 
+  test("mem-table read: filter pushdown + column pruning reach the store scan") {
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5), (4L, "a", 4.5))
+      .toDF("k", "s", "v")
+      .write.format("graft_orders").option("table", "push_t")
+      .mode("overwrite").save()
+    val df = spark.read.format("graft_orders").option("table", "push_t").load()
+      .where($"s" === "a" && $"k" >= 2).select("k", "v")
+    assert(df.as[(Long, Double)].collect().toSet === Set((3L, 3.5), (4L, 4.5)))
+    val scan = df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+    // pruning: partitions carry only the projected columns
+    assert(scan.output.map(_.name) === Seq("k", "v"))
+    assert(scan.scan.readSchema().fieldNames.toSeq === Seq("k", "v"))
+    // pushdown: both predicates absorbed by the scan, visible in its
+    // description, and the surviving partitions hold ONLY matching rows
+    val d = scan.scan.description()
+    assert(d.contains("PushedFilters") && d.contains("EqualTo(s,a)") &&
+      d.contains("GreaterThanOrEqual(k,2)"), d)
+    assert(scan.scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().map(_.asInstanceOf[graft.sources.v2.MemPartition].rows.size)
+      .sum === 2)
+    graft.sources.v2.GraftStore.drop("push_t")
+  }
+
+  test("mem-table read: unsupported predicates fall back to post-scan, results exact") {
+    Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0)))
+      .toDF("k", "arr")
+      .write.format("graft_orders").option("table", "push_u")
+      .mode("overwrite").save()
+    // array equality is not store-evaluable — must survive via Spark's
+    // post-scan filter, never silently dropped
+    val df = spark.read.format("graft_orders").option("table", "push_u").load()
+      .where($"arr" === array(lit(3.0), lit(4.0)))
+    assert(df.select("k").as[Long].collect().toSeq === Seq(2L))
+    graft.sources.v2.GraftStore.drop("push_u")
+  }
+
   test("mem-table append rejects a conflicting schema instead of corrupting stored rows") {
     import graft.sources.v2.GraftStore
     val a = orders(10, 2)
