@@ -429,6 +429,9 @@ object SparkEntry {
     "x2_ann_diverse" -> ((s, d) => Similarity.annDiverse(t(s, d, "embeddings"))),
     // per-query recall@3 of the LSH index vs brute-force ground truth
     "x2_recall" -> ((s, d) => Similarity.lshRecallReport(t(s, d, "embeddings"))),
+    // probe-budget tuning curve: recall@k per probe budget from one
+    // candidate pass (min mask index per candidate)
+    "x2_probe_curve" -> ((s, d) => Similarity.lshProbeCurve(t(s, d, "embeddings"))),
     // ranking-quality audit: graded recall (gain by exact rank) + MRR
     // of the LSH leg vs brute ground truth — WHERE hits land, not
     // just how many (integer gains / exact rationals, no libm log2)
@@ -724,6 +727,9 @@ object SparkEntry {
     // media search vs the exact baseline (x2_rank_quality's metrics)
     "x5_mm_rank_quality" ->
       ((s, d) => Multimodal.mediaRankQualityReport(t(s, d, "documents"))),
+    // media probe-budget tuning curve (x2_probe_curve on the media index)
+    "x5_mm_probe_curve" ->
+      ((s, d) => Multimodal.mediaProbeCurve(t(s, d, "documents"))),
     // incremental media near-dup: batch (ids < 100) vs indexed corpus
     // cross-collection alignment mining over media embeddings: best vs
     // runner-up margin suppresses hub assets (caption<->image shape)
@@ -3318,6 +3324,44 @@ object SparkEntry {
            round(CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) / 3.0, 4) AS recall
          FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
          GROUP BY e.q_id""",
+    // probe-budget curve: x2_recall's brute e..exact head + bb bucket
+    // CTE (copied verbatim -- change together); the qp probe CTE adds
+    // the mask INDEX (zipped unnest), candidates keep their cheapest
+    // discovery, the curve is a conditional count per budget
+    "x2_probe_curve" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket, idx
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl,
+               unnest([0, 1, 2, 3, 4]) AS idx) WHERE vec_id < 20),
+         cm AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id, min(q.idx) AS min_idx
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         j AS (SELECT e.q_id, e.n_id, c.min_idx FROM exact e
+           LEFT JOIN cm c ON c.q_id = e.q_id AND c.n_id = e.n_id)
+         SELECT CAST(m AS BIGINT) AS n_probes, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN min_idx < m THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN min_idx < m THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 4) AS recall
+         FROM j, (SELECT unnest([1, 2, 3, 4, 5]) AS m)
+         GROUP BY m""",
     // ranking-quality audit: x2_recall's brute + LSH chains (copied
     // verbatim -- change together), keeping RANKS on both sides;
     // graded recall weights hits by exact rank (gains 3/2/1, /6),
@@ -6209,6 +6253,46 @@ object SparkEntry {
            round(CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) / 3.0, 4) AS recall
          FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
          GROUP BY e.q_id""",
+    // media probe-budget curve: x5_mm_recall's media brute e..exact
+    // head + bb (copied verbatim -- change together) + the
+    // mask-indexed qp and the per-budget conditional count, on the
+    // media query sample (vec_id < 5)
+    "x5_mm_probe_curve" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, tt, xor(bucket, fl) AS bucket, idx
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl,
+               unnest([0, 1, 2, 3, 4]) AS idx) WHERE vec_id < 5),
+         cm AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id, min(q.idx) AS min_idx
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND t.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         j AS (SELECT e.q_id, e.n_id, c.min_idx FROM exact e
+           LEFT JOIN cm c ON c.q_id = e.q_id AND c.n_id = e.n_id)
+         SELECT CAST(m AS BIGINT) AS n_probes, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN min_idx < m THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN min_idx < m THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 4) AS recall
+         FROM j, (SELECT unnest([1, 2, 3, 4, 5]) AS m)
+         GROUP BY m""",
     // media ranking-quality audit: x5_mm_recall's brute + LSH chains
     // (copied verbatim -- change together) keeping ranks on both
     // sides, with x2_rank_quality's graded-recall/MRR tail

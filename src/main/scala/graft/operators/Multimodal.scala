@@ -409,6 +409,15 @@ object Multimodal {
                              k: Int = 3): DataFrame =
     Similarity.rankQualityOnVectors(mediaEmbedding(documents), nQueries, k)
 
+  /** X5 media PROBE-BUDGET tuning curve — `x2_probe_curve` on the
+    * media modality: recall per probe budget from one candidate pass,
+    * on the same vectors and hyperplanes as the production media
+    * search ([[mediaRecallReport]]'s companion; completes the media
+    * audit set: occupancy + recall + ranking + tuning). */
+  def mediaProbeCurve(documents: DataFrame, nQueries: Int = 5,
+                      k: Int = 3): DataFrame =
+    Similarity.probeCurveOnVectors(mediaEmbedding(documents), nQueries, k)
+
   /** X5 MEDIA IVF PARTITION MAP — the coarse-quantizer leg for the
     * media modality ([[mediaPqCodes]] is the compression leg): stub
     * embeddings train the spherical k-means cells and every asset

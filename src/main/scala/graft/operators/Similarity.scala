@@ -659,6 +659,52 @@ object Similarity {
         round(coalesce(lit(1.0) / min(col("a_rank")), lit(0.0)), 6).as("mrr"))
   }
 
+  /** X2 PROBE-BUDGET TUNING CURVE — recall@k as a function of how many
+    * probe masks the multi-probe search spends, from ONE candidate
+    * pass: each (query, candidate) keeps the CHEAPEST probe index that
+    * reaches it (a bucket hit under the identity probe is hit under
+    * every larger budget), so the whole curve is a conditional count
+    * per budget over the k·nQueries exact pairs — "how many probes do
+    * I actually need" answered by measurement, without re-running the
+    * search once per budget. Monotone by construction; n_probes = 1
+    * is the no-probe (identity-bucket) search and n_probes = 5
+    * reproduces [[lshRecallReport]]'s hit total exactly (spec-pinned).
+    * Cost: the production bucket join once + the brute ground truth
+    * on the bounded query sample. */
+  def lshProbeCurve(embeddings: DataFrame, nQueries: Int = 20,
+                    k: Int = 3): DataFrame =
+    probeCurveOnVectors(
+      withVec(embeddings).select(col("vec_id"), col("v")), nQueries, k)
+
+  /** [[lshProbeCurve]] over any (vec_id, v: array<double>) frame —
+    * the media index's tuning curve (`x5_mm_probe_curve`), run on the
+    * SAME vectors and hyperplanes the media LSH search uses (the
+    * [[lshRecallReportOnVectors]] pattern). */
+  def probeCurveOnVectors(vectors: DataFrame, nQueries: Int,
+                          k: Int): DataFrame = {
+    val vn = vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    val buckets = bucketTableOf(vn)
+    val q = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"),
+        posexplode(typedLit(ProbeMasks)))
+      .select(col("q_id"), col("tbl"),
+        col("bucket").bitwiseXOR(col("col")).as("bucket"), col("pos").as("m_idx"))
+    val cm = buckets.join(q, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(min(col("m_idx")).as("min_idx"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("min_idx"))
+    annOnVectors(vectors, nQueries, k).select(col("q_id"), col("n_id"))
+      .join(cm, Seq("q_id", "n_id"), "left")
+      .withColumn("m", explode(typedLit((1 to ProbeMasks.size).toList)))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("min_idx") < col("m"), 1L).otherwise(0L)).as("n_hits"))
+      .select(col("m").cast("long").as("n_probes"), col("n_true"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall"))
+  }
+
   /** X2 IVF recall audit — [[lshRecallReport]]'s counterpart for the
     * TRAINED-cell index: per query, how many of the brute-force top-k
     * the nProbe-cell IVF search returns. The recall/cost knob audit

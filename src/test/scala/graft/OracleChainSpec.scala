@@ -273,18 +273,28 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_ann_lsh",
       "x2_ann_lsh_serve", "x2_bucket_stats",
       "x2_incremental", "x2_range_lsh", "x2_range_lsh_serve", "x2_range_recall",
-      "x2_rank_quality", "x2_recall", "x5_mm_bucket_stats",
+      "x2_rank_quality", "x2_recall", "x2_probe_curve", "x5_mm_bucket_stats",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
-      "x5_mm_search_lsh_serve"))
+      "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
 
   formulaFamily("LSH Hamming-1 probe masks",
     "[0, 1, 2, 4, 8]",
     Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_ann_lsh",
       "x2_ann_lsh_serve", "x2_mips_lsh",
       "x2_mips_lsh_serve", "x2_mips_recall", "x2_range_lsh", "x2_range_lsh_serve",
-      "x2_range_recall", "x2_rank_quality", "x2_recall",
+      "x2_range_recall", "x2_rank_quality", "x2_recall", "x2_probe_curve",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
-      "x5_mm_search_lsh_serve"))
+      "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
+
+  chainFamily("brute exact-top-3 head e..exact", "x2_recall",
+    "WITH e AS (SELECT vec_id, list_transform(embedding",
+    "exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3)",
+    Set("x2_recall", "x2_probe_curve"))
+
+  chainFamily("media brute e..exact head", "x5_mm_recall",
+    "WITH e AS (SELECT doc_id AS vec_id",
+    "exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3)",
+    Set("x5_mm_recall", "x5_mm_probe_curve"))
 
   formulaFamily("MIPS augmented hyperplane (dim 65)",
     "(CAST((1103515245::BIGINT * ((tt*4 + j)*65 + d) + 12345) % 2147483648 AS DOUBLE)",
@@ -415,7 +425,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_search_pq", "x5_mm_search_pq_serve",
       "x5_mm_search_sq", "x5_mm_search_sq_serve", "x5_mm_search_binary",
-      "x5_mm_search_binary_serve"))
+      "x5_mm_search_binary_serve", "x5_mm_probe_curve"))
 
   // ---- serve aliases: shared BY REFERENCE, pinned here ----
 

@@ -781,6 +781,31 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(recall >= 0.85, f"LSH recall@3 dropped to $recall%.2f")
   }
 
+  test("probe curve: monotone recall per budget, full budget equals the recall report") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val curve = Similarity.lshProbeCurve(emb)
+      .orderBy("n_probes").as[(Long, Long, Long, Double)].collect()
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(curve.forall(_._2 == 60L)) // k·nQueries exact pairs at every budget
+    assert(curve.sliding(2).forall(p => p(0)._3 <= p(1)._3)) // monotone in budget
+    // the full budget IS the production multi-probe search
+    val full = Similarity.lshRecallReport(emb)
+      .agg(sum(col("n_hits"))).as[Long].head()
+    assert(curve.last._3 === full)
+  }
+
+  test("media probe curve: monotone, full budget equals the media recall report") {
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val curve = Multimodal.mediaProbeCurve(docs)
+      .orderBy("n_probes").as[(Long, Long, Long, Double)].collect()
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(curve.forall(_._2 == 15L)) // k·nQueries = 3·5 exact pairs
+    assert(curve.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    val full = Multimodal.mediaRecallReport(docs)
+      .agg(sum(col("n_hits"))).as[Long].head()
+    assert(curve.last._3 === full)
+  }
+
   test("MIPS: bucketed search scores equal brute-force dots, recall above the floor") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     val bf = Similarity.mipsBruteForce(emb, 20, 3)
