@@ -179,6 +179,33 @@ class DataSourceV2Spec extends AnyFunSuite {
     graft.sources.v2.GraftStore.drop("push_t")
   }
 
+  test("stored covisit shelf: the item filter pushes through the union into both scans") {
+    Seq((5L, 7L, 2L), (5L, 9L, 2L), (7L, 9L, 3L)).toDF("item_a", "item_b", "n_users")
+      .write.format("graft_orders").option("table", "covisit_pairs")
+      .mode("overwrite").save()
+    val stored = spark.read.format("graft_orders")
+      .option("table", "covisit_pairs").load()
+    // one item's shelf: the partition-key predicate pushes below the
+    // rank window, splits across the symmetrizing union, and lands in
+    // BOTH store scans as item_a=5 / item_b=5 — the serve plan reads
+    // only the queried item's pair rows
+    val shelf = graft.operators.Windows.alsoViewedFrom(stored)
+      .where(col("item") === 5L)
+    assert(shelf.as[(Long, Long, Long, Long)].collect().toSet ===
+      Set((5L, 7L, 2L, 1L), (5L, 9L, 2L, 2L)))
+    // the window forces an exchange, so the physical plan is adaptive —
+    // the scans live inside the AQE plan, not on the wrapper
+    val top = shelf.queryExecution.executedPlan
+    val inner = top.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(top)
+    val scans = inner.collect { case b: BatchScanExec => b }.map(_.scan.description())
+    assert(scans.exists(_.contains("EqualTo(item_a,5)")) &&
+      scans.exists(_.contains("EqualTo(item_b,5)")), scans.mkString("\n"))
+    graft.sources.v2.GraftStore.drop("covisit_pairs")
+  }
+
   test("mem-table read: unsupported predicates fall back to post-scan, results exact") {
     Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0)))
       .toDF("k", "arr")
