@@ -270,4 +270,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     val one = Seq((7L, "solitary words only here")).toDF("doc_id", "text")
     assert(graft.operators.Sampling.groupedSplit(one).count() === 1)
   }
+
+  test("round-17 operators survive degenerate inputs") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // garbage props: the item extract matches nothing → covisit family empty
+    val garbage = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0, "not json"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "view", 1.0, """{"other": 3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Windows.covisit(garbage).isEmpty)
+    assert(Windows.alsoViewed(garbage).isEmpty)
+    assert(Windows.itemLift(garbage).isEmpty)
+    // no purchases: attribution models are empty except the
+    // unattributed ledger row (count 0, credit null — never a throw)
+    val touchesOnly = garbage.drop("props")
+    val att = Windows.attribution(touchesOnly)
+      .as[(String, String, Long, Option[Double])].collect()
+    assert(att.toSeq === Seq(("unattributed", "none", 0L, None)))
+    assert(Windows.attributionDecay(touchesOnly).isEmpty)
+    // one observed day per weekday: zero variance everywhere → no rows
+    assert(Windows.dowAnomaly(touchesOnly).isEmpty)
+    assert(Windows.dowProfile(touchesOnly).count() === 1)
+    // single-event users only: no transitions, no next-best rows,
+    // funnel rates still emit the 3-stage ledger (rates null past stage 1)
+    val singles = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 00:00:00"), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Windows.sessionTransitions(singles).isEmpty)
+    assert(Windows.sessionNextBest(singles).isEmpty)
+    assert(Windows.funnelRates(singles).count() === 3)
+    // all-singleton sessions: every duration 0, quantiles pin to 0.0
+    val sl = Profiling.sessionLengthProfile(singles)
+      .as[(Long, Double, Double, Double)].head()
+    assert(sl === ((2L, 0.0, 0.0, 0.0)))
+  }
 }
