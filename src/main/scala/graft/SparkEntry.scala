@@ -631,6 +631,10 @@ object SparkEntry {
     // flagship composition: dedup -> quality filter -> decontaminate ->
     // shard pack, hash-verified END TO END (stage coupling included)
     "x7_curate" -> ((s, d) => Curation.curate(t(s, d, "documents"))),
+    // perplexity-gated curation: the quality stage swapped for a
+    // corpus-LM per-token logprob percentile (drop the most surprising
+    // 10% per language)
+    "x7_curate_lm" -> ((s, d) => Curation.curateLm(t(s, d, "documents"))),
     // dataset-release build: curate survivors -> near-dup cluster ->
     // leakage-safe grouped split (the row-level release manifest)
     "x7_curate_split" -> ((s, d) => Curation.curateSplit(t(s, d, "documents"))),
@@ -5124,6 +5128,50 @@ object SparkEntry {
            FROM d1 d JOIN q ON d.doc_id = q.doc_id),
          d2 AS (SELECT d1.* FROM d1 JOIN r ON d1.doc_id = r.doc_id
            WHERE r.pr >= 0.5 AND d1.doc_id >= 50),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+           FROM tk WHERE len(t) >= 3),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         ov AS (SELECT c.doc_id FROM inv c JOIN inv b ON c.shingle = b.shingle
+           WHERE c.doc_id >= 50 AND b.doc_id < 50
+           GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+         d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM ov)),
+         packed AS (SELECT doc_id, lang, source,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(text,' '))) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM d3)
+         SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 500 AS BIGINT) AS shard, lang
+         FROM packed""",
+    // perplexity-gated curation: x7_curate's keep1/d1 exact-dedup head
+    // + the x3_unigram_logprob arithmetic (l-prefixed CTEs; integer
+    // micro-nats, one division, one rounding) as the stage-2 gate
+    // (drop the bottom 10% avg logprob per language) + x7_curate's
+    // tk..ov decontam block and packed tail (copied verbatim --
+    // change together)
+    "x7_curate_lm" ->
+      """WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
+         ltk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+         lpd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+           FROM ltk GROUP BY doc_id, tok),
+         lc AS (SELECT tok, CAST(sum(k) AS BIGINT) AS c FROM lpd GROUP BY tok),
+         lnn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lc),
+         ls AS (SELECT lpd.doc_id, lpd.k,
+             CAST(floor(ln(CAST(lc.c AS DOUBLE) / CAST(lnn.n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp6
+           FROM lpd JOIN lc ON lc.tok = lpd.tok, lnn),
+         la AS (SELECT doc_id, round(CAST(sum(k * lp6) AS DOUBLE) /
+             (CAST(sum(k) AS BIGINT) * 1000000.0), 6) AS alp
+           FROM ls GROUP BY doc_id),
+         r AS (SELECT d.doc_id,
+             round(percent_rank() OVER (PARTITION BY d.lang
+               ORDER BY la.alp, d.doc_id), 6) AS pr
+           FROM d1 d JOIN la ON la.doc_id = d.doc_id),
+         d2 AS (SELECT d1.* FROM d1 JOIN r ON d1.doc_id = r.doc_id
+           WHERE r.pr >= 0.1 AND d1.doc_id >= 50),
          tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles

@@ -157,6 +157,40 @@ object Curation {
     * fraction (house rule), and the drop is a left-anti join against
     * an O(flagged) frame — one extra broadcast-size probe on the lazy
     * chain. */
+  /** [[curate]] with the heuristic quality gate swapped for a
+    * LANGUAGE-MODEL (perplexity) gate — the industry-standard
+    * curation filter: score every exact-dedup survivor's per-token
+    * unigram log-probability against the corpus LM
+    * ([[graft.operators.TextAnalysis.unigramLogProb]]'s integer
+    * micro-nat arithmetic) and drop the most surprising `minPct`
+    * tail PER LANGUAGE (gibberish, wrong-language fragments, binary
+    * spill —
+    * exactly what a heuristic length/stopword score misses when the
+    * junk is well-shaped). Ordering uses the ROUNDED average with the
+    * doc-id tie-break (the house top-k rule), the percentile window
+    * runs over the O(docs) scored frame, and the decontamination and
+    * packing stages are [[curate]]'s own. At 100 TB the model side is
+    * the stored [[graft.operators.TextAnalysis.unigramModel]]
+    * artifact — the scoring join broadcasts the vocabulary, the
+    * corpus is read once. */
+  def curateLm(documents: DataFrame, nBench: Long = 50L,
+               shardBudget: Long = 500L, minPct: Double = 0.1): DataFrame = {
+    val exact = documents.join(
+      Dedup.fingerprintDedup(documents).select(col("keep_id").as("doc_id")),
+      "doc_id")
+    val lp = TextAnalysis.unigramLogProb(documents)
+      .select(col("doc_id"), round(col("avg_logprob"), 6).as("alp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("alp"), col("doc_id"))
+    val gated = exact.join(lp, "doc_id")
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .filter(col("pr") >= minPct && col("doc_id") >= nBench)
+      .drop("alp", "pr")
+    val flagged = Dedup.decontaminate(documents, nBench).select("doc_id").distinct()
+    Sampling.packShards(gated.join(flagged, Seq("doc_id"), "left_anti"),
+      shardBudget, extraCols = Seq("lang"))
+  }
+
   def curateVerbatim(documents: DataFrame, nBench: Long = 50L,
                      shardBudget: Long = 500L,
                      maxDupFrac: Double = 0.5): DataFrame = {

@@ -319,6 +319,19 @@ class OracleChainSpec extends AnyFunSuite {
     "CAST(SUM(CAST(1 AS BIGINT) << (26 - reg)) AS BIGINT) AS z",
     Set("x6_hll_global", "x6_hll_serve", "x6_hll_users", "x6_rolling_hll"))
 
+  formulaFamily("exact-dedup keep1 head",
+    "keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))",
+    Set("x7_curate", "x7_curate_split", "x1_split_audit", "x7_curate_mixture",
+      "x7_curate_verbatim", "x7_curate_curriculum", "x7_curate_semantic",
+      "x7_curate_budget", "x7_report", "x7_curate_neardup", "x7_curate_lm"))
+
+  chainFamily("curate decontam tk..ov gate", "x7_curate",
+    "tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)",
+    "GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5)",
+    Set("x7_curate", "x7_curate_split", "x1_split_audit", "x7_curate_mixture",
+      "x7_curate_verbatim", "x7_curate_curriculum", "x7_curate_semantic",
+      "x7_curate_budget", "x7_report", "x7_curate_lm"))
+
   formulaFamily("composite quality score",
     "0.4 * least(1.0, len(string_split(text,' ')) / 50.0)",
     Set("x1_budget_select", "x1_curriculum", "x1_split_audit",

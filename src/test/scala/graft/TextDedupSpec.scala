@@ -1115,6 +1115,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(sem.contains(0L) && !sem.contains(8L), s"semantic mode kept $sem")
   }
 
+  test("LM-gated curation drops exactly the most-surprising tail per language") {
+    // ten well-formed docs sharing a common vocabulary + one gibberish
+    // doc (55) of corpus-unique tokens: its avg unigram logprob is the
+    // language's minimum, so the pr >= 0.1 gate drops it — and with 11
+    // docs the SECOND-lowest sits exactly at pr = 1/10 = 0.1 and stays
+    val rows = (50L to 60L).map { id =>
+      val text = if (id == 55L) "zxq wvu qqa ppb"
+      else s"the cat sat on the mat t$id"
+      (id, text, "en", "s0")
+    }
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    val kept = Curation.curateLm(d, nBench = 50L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === ((50L to 60L).toSet - 55L), s"kept $kept")
+  }
+
   test("int8 quantization reconstructs within one scale step") {
     val e = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     val q = graft.operators.Similarity.quantizeInt8(e)
