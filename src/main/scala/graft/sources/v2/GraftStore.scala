@@ -8,7 +8,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
@@ -131,9 +132,10 @@ private[v2] class GraftMemTable(tableName: String, tschema: StructType)
   * the pushdown. */
 private[v2] class MemScanBuilder(table: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var nCounts = 0
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -142,7 +144,52 @@ private[v2] class MemScanBuilder(table: String, full: StructType)
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new MemScan(table, full, required, pushed)
+
+  /** COUNT(*) with no grouping answers from the registry — the scan
+    * ships ONE row and deserializes nothing (the [[OrdersGenerator
+    * Source]] closed-form-count pattern on the store side). Complete
+    * pushdown is safe because the pushed filters are evaluated
+    * EXACTLY (see [[MemScan.eval]]); anything fancier (group-by,
+    * distinct, other functions) stays in Spark. */
+  private def canPushAgg(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case _ => false
+      }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPushAgg(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPushAgg(agg)) return false
+    nCounts = agg.aggregateExpressions().length
+    true
+  }
+
+  override def build(): Scan =
+    if (nCounts > 0) new MemCountScan(table, full, pushed, nCounts)
+    else new MemScan(table, full, required, pushed)
+}
+
+/** The COUNT(*)-pushdown scan: one row, no data movement. */
+private[v2] class MemCountScan(table: String, full: StructType,
+                               pushed: Array[Filter], nCounts: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((0 until nCounts).map(i =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_mem($table) PushedAggregates: [COUNT(*)]" +
+      (if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]")
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = GraftStore.rowsOf(table)
+    val n =
+      if (pushed.isEmpty) all.size.toLong
+      else all.count(r => pushed.forall(MemScan.eval(full, r, _))).toLong
+    // ALWAYS one partition — an empty table still answers count 0
+    Array(MemPartition(Seq(
+      new GenericInternalRow(Array.fill[Any](nCounts)(n)))))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = MemReaderFactory
 }
 
 private[v2] class MemScan(table: String, full: StructType,

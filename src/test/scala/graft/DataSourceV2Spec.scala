@@ -206,6 +206,31 @@ class DataSourceV2Spec extends AnyFunSuite {
     graft.sources.v2.GraftStore.drop("covisit_pairs")
   }
 
+  test("mem-table read: COUNT(*) answers from the registry, filters included") {
+    Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "a")).toDF("k", "s")
+      .write.format("graft_orders").option("table", "cnt_t")
+      .mode("overwrite").save()
+    def load() = spark.read.format("graft_orders").option("table", "cnt_t").load()
+    assert(load().count() === 4L)
+    // filter + count: the pushed predicate gates the pushed count
+    val df = load().where($"s" === "a")
+    assert(df.count() === 3L)
+    val scan = df.groupBy().count().queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get.scan
+    assert(scan.description().contains("PushedAggregates: [COUNT(*)]") &&
+      scan.description().contains("EqualTo(s,a)"), scan.description())
+    // one single-row partition ships — no data movement
+    assert(scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().toSeq match {
+        case Seq(p: graft.sources.v2.MemPartition) => p.rows.size == 1
+        case _ => false
+      })
+    // empty table still answers count 0
+    graft.sources.v2.GraftStore.truncate("cnt_t", load().schema)
+    assert(load().count() === 0L)
+    graft.sources.v2.GraftStore.drop("cnt_t")
+  }
+
   test("mem-table read: unsupported predicates fall back to post-scan, results exact") {
     Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0)))
       .toDF("k", "arr")
