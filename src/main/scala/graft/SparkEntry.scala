@@ -773,6 +773,8 @@ object SparkEntry {
     "x6_retention" -> ((s, d) => Windows.cohortRetention(t(s, d, "events"))),
     // daily top-3 payload values by count (regex-extracted from props JSON)
     "x6_trending" -> ((s, d) => Windows.trendingProps(t(s, d, "events"))),
+    // A/B readout: Welch z between user-parity arms per event type
+    "x6_ab_test" -> ((s, d) => Windows.abTest(t(s, d, "events"))),
     // item co-visitation: capped per-user items, user-keyed pair counts
     "x6_covisit" -> ((s, d) => Windows.covisit(t(s, d, "events"))),
     // "also viewed": top-3 co-visited items per item, exact-count rank
@@ -6699,6 +6701,35 @@ object SparkEntry {
              ORDER BY n DESC, prop_k) AS rank FROM g)
          SELECT day_idx, prop_k, n, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 3""",
+    // A/B analysis: exact centi-quantized per-arm moments, then the
+    // Welch z in doubles with IDENTICAL operand order (each IEEE op
+    // correctly rounded => fixed order is bit-identical cross-engine);
+    // the significance flag tests the ROUNDED z
+    "x6_ab_test" ->
+      """WITH m AS (SELECT event_type, user_id % 2 AS variant,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) *
+               CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS q
+           FROM events GROUP BY 1, 2),
+         a AS (SELECT event_type, n AS n_a, s AS s_a, q AS q_a FROM m WHERE variant = 0),
+         b AS (SELECT event_type, n AS n_b, s AS s_b, q AS q_b FROM m WHERE variant = 1),
+         j AS (SELECT * FROM a JOIN b USING (event_type)
+           WHERE n_a > 1 AND n_b > 1 AND
+             (n_a * q_a - s_a * s_a > 0 OR n_b * q_b - s_b * s_b > 0)),
+         zc AS (SELECT event_type, n_a, n_b,
+             round(CAST(s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100), 4) AS mean_a,
+             round(CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100), 4) AS mean_b,
+             round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+                 CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+               sqrt(CAST(n_a * q_a - s_a * s_a AS DOUBLE) /
+                   (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))
+                 + CAST(n_b * q_b - s_b * s_b AS DOUBLE) /
+                   (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))), 4) AS z
+           FROM j)
+         SELECT event_type, n_a, n_b, mean_a, mean_b, z,
+           CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+         FROM zc""",
     // co-visitation: x6_trending's props item-extract formula; capped
     // per-user items (rank by exact count, item tie-break) before the
     // user-keyed pair self-join; the p/ui/cap/pr chain is shared with

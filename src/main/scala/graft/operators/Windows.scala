@@ -560,6 +560,53 @@ object Windows {
       .select(col("day_idx"), col("prop_k"), col("n"), col("rank"))
   }
 
+  /** X6 A/B EXPERIMENT ANALYSIS — per event type, the two-sample
+    * Welch z-test between the user-parity cohorts (variant =
+    * `user_id % 2`, the deterministic stand-in for a real assignment
+    * hash): arm sizes, arm means, the z statistic, and the
+    * significance flag at `zBar` — the readout every experimentation
+    * platform serves. Values quantize to exact 1e-2 int64 units
+    * (cents) so the per-arm moments (n, Σv, Σv²) are EXACT integer
+    * sums; the z formula then runs in doubles with IDENTICAL operand
+    * order on both engines (each IEEE op is correctly rounded, so
+    * fixed order ⇒ bit-identical), and the flag tests the ROUNDED z
+    * (house rule). Arms with fewer than 2 observations or zero
+    * pooled variance drop (z undefined). One partial+final moment
+    * aggregation over events, then an O(types) self-join — raw
+    * events cross the wire once. At extreme corpus scale the Σv²
+    * moment outgrows int64 and moves to a wider type; the shape
+    * (mergeable integer moments per arm) is what survives. */
+  def abTest(events: DataFrame, zBar: Double = 1.96): DataFrame = {
+    val vq = floor(col("value") * 100 + 0.5).cast("long")
+    val m = events
+      .select(col("event_type"), (col("user_id") % 2).as("variant"), vq.as("v"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+    val a = m.filter(col("variant") === 0).select(col("event_type"),
+      col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
+    val b = m.filter(col("variant") === 1).select(col("event_type"),
+      col("n").as("n_b"), col("s").as("s_b"), col("q").as("q_b"))
+    def sq(n: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
+           q: org.apache.spark.sql.Column) =
+      (n * q - s * s).cast("double") /
+        (n.cast("double") * n.cast("double") * (n - 1).cast("double"))
+    a.join(b, "event_type")
+      .filter(col("n_a") > 1 && col("n_b") > 1 &&
+        (col("n_a") * col("q_a") - col("s_a") * col("s_a") > 0 ||
+          col("n_b") * col("q_b") - col("s_b") * col("s_b") > 0))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("s_a").cast("double") / (col("n_a").cast("double") * 100), 4)
+          .as("mean_a"),
+        round(col("s_b").cast("double") / (col("n_b").cast("double") * 100), 4)
+          .as("mean_b"),
+        round((col("s_a").cast("double") / col("n_a").cast("double") -
+            col("s_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(sq(col("n_a"), col("s_a"), col("q_a")) +
+            sq(col("n_b"), col("s_b"), col("q_b"))), 4).as("z"))
+      .withColumn("significant", when(abs(col("z")) > zBar, 1L).otherwise(0L))
+  }
+
   /** X6 ITEM CO-VISITATION — "users who touched item X also touched
     * item Y": distinct-user co-occurrence counts over the payload item
     * ids ([[trendingProps]]'s extraction), the statistic behind every

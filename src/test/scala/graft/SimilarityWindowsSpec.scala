@@ -519,6 +519,24 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((4L, 0.0, 80.0, 80.0)))
   }
 
+  test("ab test: hand-computed Welch z per event type, parity-assigned arms") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    val fe = Seq(
+      // type a: identical arms [1.0, 3.0] → z exactly 0
+      (1L, base, 2L, "a", 1.0), (2L, base, 4L, "a", 3.0),
+      (3L, base, 1L, "a", 1.0), (4L, base, 3L, "a", 3.0),
+      // type b: arm0 [1.0, 2.0] vs arm1 [5.0, 6.0] →
+      // z = −400/√5000 centi-units = −5.656854… → −5.6569
+      (5L, base, 2L, "b", 1.0), (6L, base, 4L, "b", 2.0),
+      (7L, base, 1L, "b", 5.0), (8L, base, 3L, "b", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.abTest(fe)
+      .as[(String, Long, Long, Double, Double, Double, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 2L, 2L, 2.0, 2.0, 0.0, 0L),
+      ("b", 2L, 2L, 1.5, 5.5, -5.6569, 1L)))
+  }
+
   test("covisit: canonical pair counts, per-user cap before pairing, min support") {
     val base = Timestamp.valueOf("2024-01-01 12:00:00")
     def ev(id: Long, u: Long, item: Int, n: Int = 1) =
