@@ -576,13 +576,27 @@ object Windows {
     * events cross the wire once. At extreme corpus scale the Σv²
     * moment outgrows int64 and moves to a wider type; the shape
     * (mergeable integer moments per arm) is what survives. */
-  def abTest(events: DataFrame, zBar: Double = 1.96): DataFrame = {
+  def abTest(events: DataFrame, zBar: Double = 1.96): DataFrame =
+    abTestFromMoments(abMoments(events), zBar)
+
+  /** The per-(event_type, variant) moment grain under [[abTest]] —
+    * also the exact shape [[graft.streaming.StreamPipeline
+    * .abMomentsStream]] maintains incrementally (state = O(types·2)
+    * counter rows forever). */
+  private[graft] def abMoments(events: DataFrame): DataFrame = {
     val vq = floor(col("value") * 100 + 0.5).cast("long")
-    val m = events
+    events
       .select(col("event_type"), (col("user_id") % 2).as("variant"), vq.as("v"))
       .groupBy(col("event_type"), col("variant"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
         sum(col("v") * col("v")).as("q"))
+  }
+
+  /** [[abTest]] over a PRECOMPUTED (event_type, variant, n, s, q)
+    * moment table — the serve form over a streaming-maintained or
+    * stored moment state: the readout touches O(types·2) counter
+    * rows, raw events were consumed once in the maintainer. */
+  def abTestFromMoments(m: DataFrame, zBar: Double = 1.96): DataFrame = {
     val a = m.filter(col("variant") === 0).select(col("event_type"),
       col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
     val b = m.filter(col("variant") === 1).select(col("event_type"),

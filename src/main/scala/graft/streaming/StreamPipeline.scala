@@ -561,6 +561,22 @@ object StreamPipeline {
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
 
+  /** X6 streaming A/B moment maintainer — the per-(event_type,
+    * variant) exact centi-quantized counters [[graft.operators
+    * .Windows.abTestFromMoments]] reads: the aggregation state is
+    * O(types · 2) rows forever (counts and integer sums just add —
+    * the mergeable-moment property the batch operator documents), so
+    * the experimentation readout is served from the SINK table with
+    * no event replay (spec pins store-served ≡ batch through the
+    * physical `graft_orders` complete-mode sink). */
+  def abMomentsStream(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), (col("user_id") % 2).as("variant"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+
   /** X6 streaming: tumbling event-time windows with watermarked late
     * data drop. Same expressions as the batch Windows.tumbling. */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",

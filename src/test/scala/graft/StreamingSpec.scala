@@ -930,6 +930,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); GraftStore.drop("dow_daily_store") }
   }
 
+  test("streaming A/B moments: readout served from the PHYSICAL graft_orders store equals batch") {
+    implicit val sc = spark.sqlContext
+    import graft.sources.v2.GraftStore
+    import graft.operators.Windows
+    val mem = MemoryStream[UserEvent]
+    val dir = Files.createTempDirectory("graft-ab-store")
+    val q = StreamPipeline.abMomentsStream(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("graft_orders").option("table", "ab_moments_store")
+      .option("checkpointLocation", dir.resolve("ck").toString)
+      .start()
+    try {
+      def ev(id: Long, u: Long, t: String, v: Double) =
+        UserEvent(id, Timestamp.valueOf("2024-01-01 12:00:00"), u, t, v)
+      // the hand-computed batch fixture, split across two micro-batches
+      val b1 = Seq(ev(1, 2, "a", 1.0), ev(2, 4, "a", 3.0),
+        ev(3, 1, "a", 1.0), ev(4, 3, "a", 3.0))
+      val b2 = Seq(ev(5, 2, "b", 1.0), ev(6, 4, "b", 2.0),
+        ev(7, 1, "b", 5.0), ev(8, 3, "b", 6.0))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val all = (b1 ++ b2).toDF()
+      def stored() = spark.read.format("graft_orders")
+        .option("table", "ab_moments_store").load()
+      val served = Windows.abTestFromMoments(stored()).collect().toSet
+      assert(served === Windows.abTest(all).collect().toSet && served.size === 2)
+    } finally { q.stop(); GraftStore.drop("ab_moments_store") }
+  }
+
   test("rolling vector index: assets accepted in generation N gate generation N+1 without restart") {
     implicit val sc = spark.sqlContext
     val dir = Files.createTempDirectory("graft-media-roll")
