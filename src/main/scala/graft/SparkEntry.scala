@@ -545,6 +545,9 @@ object SparkEntry {
     // recall@k of the trained-cell IVF search vs brute force (the
     // probe-count knob audit, mirroring x2_recall for LSH)
     "x2_ivf_recall" -> ((s, d) => Similarity.ivfRecallReport(t(s, d, "embeddings"))),
+    // IVF nProbe tuning curve: recall per probe budget from one pass
+    // (budget = rank of the exact neighbor's cell in the query's order)
+    "x2_ivf_probe_curve" -> ((s, d) => Similarity.ivfProbeCurve(t(s, d, "embeddings"))),
     // class-prototype mean pooling over the labeled embedding corpus
     "x2_mean_pool" -> ((s, d) => Similarity.meanPoolByLabel(t(s, d, "embeddings"))),
     // nearest-class-mean confusion matrix (embedding label audit)
@@ -987,7 +990,7 @@ object SparkEntry {
     "x2_ann_filtered_serve", "x2_ann_lsh_serve", "x2_range_lsh_serve",
     "x2_ann_pq", "x2_ann_pq_serve", "x2_mips_lsh_serve",
     "x2_ann_pq_rerank", "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
-    "x2_ivf_recall", "x2_ood",
+    "x2_ivf_recall", "x2_ivf_probe_curve", "x2_ood",
     "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion", "x2_semdedup",
     "x3_bigram_score_serve", "x3_bm25_rebuild", "x3_bm25_serve",
     "x3_phrase_serve", "x3_unigram_score_serve", "x4_bloom_merge",
@@ -3698,6 +3701,68 @@ object SparkEntry {
              AS BIGINT) / 3.0, 4) AS recall
          FROM ex LEFT JOIN ivf ON ivf.q_id = ex.q_id AND ivf.n_id = ex.n_id
          GROUP BY ex.q_id""",
+    // IVF probe curve: x2_ivf_recall's full training chain e..asg and
+    // its brute bs/br/ex ground truth (copied verbatim -- change
+    // together); the budget that first reaches an exact neighbor is
+    // the rank (ar) of its cell in the query's centroid order, so the
+    // curve is one conditional count per budget
+    "x2_ivf_probe_curve" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, t.v, t.nrm, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM rk WHERE ar = 1),
+         cr AS (SELECT vec_id AS q_id, c_id AS cell, ar FROM rk WHERE vec_id < 20),
+         bs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         br AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM bs),
+         ex AS (SELECT q_id, n_id FROM br WHERE rank <= 3),
+         cm AS (SELECT ex.q_id, ex.n_id, cr.ar FROM ex
+           JOIN asg t ON t.vec_id = ex.n_id
+           JOIN cr ON cr.q_id = ex.q_id AND cr.cell = t.cell)
+         SELECT CAST(p AS BIGINT) AS n_probes, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN ar <= p THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN ar <= p THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 4) AS recall
+         FROM cm, (SELECT unnest([1, 2, 3, 4]) AS p)
+         GROUP BY p""",
     "x2_mean_pool" ->
       """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -727,6 +727,48 @@ object Similarity {
         round(col("n_hits").cast("double") / lit(k.toDouble), 4).as("recall"))
   }
 
+  /** X2 IVF PROBE-BUDGET tuning curve — [[lshProbeCurve]]'s companion
+    * for the trained-cell index: recall@k as a function of nProbe,
+    * from ONE pass. The budget that first reaches an exact neighbor
+    * is the RANK of its assigned cell in the query's centroid-cosine
+    * cell ordering; an exact top-k neighbor that enters the candidate
+    * pool always survives the pool's own exact-cosine top-k (its
+    * global rank bounds its subset rank), so reached ⟺ hit and the
+    * whole curve is a conditional count per budget over the
+    * k·nQueries exact pairs. nProbe = `maxProbe` reproduces
+    * [[ivfRecallReport]]'s hit total exactly (spec-pinned) — the
+    * "probe more cells or train more rounds?" knob answered by
+    * measurement. Eager (trains the coarse quantizer). */
+  def ivfProbeCurve(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
+                    nCells: Int = 8, maxProbe: Int = 4,
+                    trainRounds: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = withVec(embeddings)
+    val centroids = kmeansCentroids(all, nCells, trainRounds)
+    val cents = centroids.toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(
+      cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last,
+      col("c_id"))
+    val cellRank = all.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("arank", row_number().over(aw))
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"), col("arank"))
+    val assigned = argmaxCell(all, centroids)
+      .select(col("vec_id").as("n_id"), col("cell"))
+    annBruteForce(embeddings, nQueries, k).select(col("q_id"), col("n_id"))
+      .join(assigned, Seq("n_id"))
+      .join(cellRank, Seq("q_id", "cell"))
+      .withColumn("p", explode(typedLit((1 to maxProbe).toList)))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("arank") <= col("p"), 1L).otherwise(0L)).as("n_hits"))
+      .select(col("p").cast("long").as("n_probes"), col("n_true"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall"))
+  }
+
   /** Sign-LSH bucketed SELF-dedup over any (vec_id, v: array<double>)
     * frame: a vector is a duplicate iff some LOWER-id vector sharing a
     * bucket in ANY of the 8 tables reaches rounded cosine ≥ `tau`

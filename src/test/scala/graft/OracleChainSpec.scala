@@ -111,9 +111,14 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
       "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia", "x2_ivf_recall",
+      "x2_ivf_probe_curve",
       "x2_ood", "x2_semdedup", "x5_mm_ivf", "x5_mm_search_ivfpq",
       "x5_mm_search_ivfpq_serve", "x5_mm_search_ivfpq_res",
       "x5_mm_search_ivfpq_res_serve"))
+
+  chainFamily("IVF brute ground truth bs/br/ex", "x2_ivf_recall",
+    "bs AS (SELECT q.vec_id AS q_id", "ex AS (SELECT q_id, n_id FROM br WHERE rank <= 3)",
+    Set("x2_ivf_recall", "x2_ivf_probe_curve"))
 
   // residual IVF-PQ: the dyadic residual frame + r-prefixed PQ
   // training chain, and the per-(query, cell) residual search tail —
@@ -263,7 +268,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
       "x2_centroids", "x2_confusion", "x2_ivf_assign", "x2_ivf_inertia",
-      "x2_ivf_recall", "x2_ood", "x2_semdedup", "x5_mm_ivf",
+      "x2_ivf_recall", "x2_ivf_probe_curve", "x2_ood", "x2_semdedup", "x5_mm_ivf",
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
       "x7_curate_semantic"))

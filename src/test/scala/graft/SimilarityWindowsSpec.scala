@@ -812,6 +812,19 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(curve.last._3 === full)
   }
 
+  test("ivf probe curve: monotone, full budget equals the ivf recall report") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val curve = Similarity.ivfProbeCurve(emb)
+      .orderBy("n_probes").as[(Long, Long, Long, Double)].collect()
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(curve.forall(_._2 == 60L))
+    assert(curve.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    // reached == hit: nProbe=4 IS ivfRecallReport's configuration
+    val full = Similarity.ivfRecallReport(emb)
+      .agg(sum(col("n_hits"))).as[Long].head()
+    assert(curve.last._3 === full)
+  }
+
   test("media probe curve: monotone, full budget equals the media recall report") {
     val docs = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
     val curve = Multimodal.mediaProbeCurve(docs)
