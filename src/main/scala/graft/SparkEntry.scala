@@ -778,6 +778,11 @@ object SparkEntry {
     "x6_trending" -> ((s, d) => Windows.trendingProps(t(s, d, "events"))),
     // A/B readout: Welch z between user-parity arms per event type
     "x6_ab_test" -> ((s, d) => Windows.abTest(t(s, d, "events"))),
+    // the A/B serve path: readout from the MATERIALIZED moment table —
+    // the event scan exists only in the artifact's build. Oracle =
+    // x6_ab_test's verbatim.
+    "x6_ab_serve" -> ((s, d) =>
+      Windows.abTestFromMoments(Windows.abMoments(t(s, d, "events")).localCheckpoint())),
     // item co-visitation: capped per-user items, user-keyed pair counts
     "x6_covisit" -> ((s, d) => Windows.covisit(t(s, d, "events"))),
     // "also viewed": top-3 co-visited items per item, exact-count rank
@@ -1004,6 +1009,7 @@ object SparkEntry {
     "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
     "x2_hybrid_rrf_stored",
     "x5_mm_search_binary_serve",
+    "x6_ab_serve",
     "x6_also_viewed_serve", "x6_anomaly_serve", "x6_cms_serve",
     "x6_covisit_merge", "x6_seasonal_serve",
     "x6_hist_log_merge",
@@ -7694,6 +7700,7 @@ object SparkEntry {
       "x5_mm_search_pq_serve" -> base("x5_mm_search_pq"),
       "x5_mm_search_ivfpq_serve" -> base("x5_mm_search_ivfpq"),
       "x5_mm_search_ivfpq_res_serve" -> base("x5_mm_search_ivfpq_res"),
+      "x6_ab_serve" -> base("x6_ab_test"),
       "x6_anomaly_serve" -> base("x6_anomaly"),
       "x6_seasonal_serve" -> base("x6_seasonal_anomaly"),
       "x6_also_viewed_serve" -> base("x6_also_viewed"),
