@@ -460,6 +460,16 @@ object SparkEntry {
       val idx = Similarity.lshLabeledBucketIndex(emb).localCheckpoint()
       Similarity.annLshFilteredOnIndex(emb, idx)
     }),
+    // the filtered leg's measured recall gate: per query, recall of the
+    // labeled-bucket search vs brute ground truth under the SAME label
+    // predicate (n_true rides along -- a rare label can hold < k mates)
+    "x2_filtered_recall" ->
+      ((s, d) => Similarity.lshFilteredRecallReport(t(s, d, "embeddings"))),
+    // filtered probe-budget curve: one candidate pass over the labeled
+    // index (min mask index per same-label pair); max budget reproduces
+    // x2_filtered_recall's hit total (spec-pinned)
+    "x2_filtered_probe_curve" ->
+      ((s, d) => Similarity.lshFilteredProbeCurve(t(s, d, "embeddings"))),
     "x2_centroids" -> ((s, d) => Similarity.trainedCentroids(t(s, d, "embeddings"))),
     // PQ codebook: per-subspace L2 Lloyd, the model export (32× shrink)
     "x2_pq_codebook" -> ((s, d) => Similarity.pqCodebook(t(s, d, "embeddings"))),
@@ -3304,6 +3314,88 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // filtered recall: the labeled e/n head + a brute chain RESTRICTED
+    // to the query's label (the filtered ground truth) + x2_ann_filtered's
+    // bb..r labeled chain verbatim (change together -- OracleChainSpec)
+    "x2_filtered_recall" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q JOIN n t ON t.label = q.label AND t.vec_id <> q.vec_id
+           WHERE q.vec_id < 20),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, label, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 20),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND q.label = t.label AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s),
+         approx AS (SELECT q_id, n_id, 1 AS hit FROM r WHERE rank <= 3)
+         SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
+           round(CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 4) AS recall
+         FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+         GROUP BY e.q_id""",
+    // filtered probe-budget curve: x2_filtered_recall's e..exact head
+    // (copied verbatim -- change together) + the labeled bb CTE; the qp
+    // probe CTE adds the mask INDEX (zipped unnest), candidates keep
+    // their cheapest discovery, the curve is a conditional count
+    "x2_filtered_probe_curve" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q JOIN n t ON t.label = q.label AND t.vec_id <> q.vec_id
+           WHERE q.vec_id < 20),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, label, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket, idx
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl,
+               unnest([0, 1, 2, 3, 4]) AS idx) WHERE vec_id < 20),
+         cm AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id, min(q.idx) AS min_idx
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND q.label = t.label AND t.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         j AS (SELECT e.q_id, e.n_id, c.min_idx FROM exact e
+           LEFT JOIN cm c ON c.q_id = e.q_id AND c.n_id = e.n_id)
+         SELECT CAST(m AS BIGINT) AS n_probes, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN min_idx < m THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN min_idx < m THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 4) AS recall
+         FROM j, (SELECT unnest([1, 2, 3, 4, 5]) AS m)
+         GROUP BY m""",
     "x2_recall" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -953,6 +953,86 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** Brute-force top-k restricted to the query's OWN label — the
+    * ground truth of the filtered-ANN audits. Label-keyed equi join
+    * (a selective predicate shrinks the scored stream instead of the
+    * crossJoin-then-filter shape); same raw-cos/id-tie-break rule. */
+  private def filteredExactTopK(embeddings: DataFrame, nQueries: Int,
+                                k: Int): DataFrame = {
+    val all = withVec(embeddings)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = all.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
+    topKPerGroup(scored, k).select(col("q_id"), col("n_id"))
+  }
+
+  /** X2 FILTERED-ANN RECALL audit — [[lshRecallReport]]'s counterpart
+    * for the labeled index: per query, how many of the brute-force
+    * top-k UNDER THE SAME LABEL PREDICATE the filtered search returns.
+    * The filtered leg is exactly where recall can silently collapse —
+    * a selective label thins every bucket's candidate population, so
+    * unfiltered recall says nothing about it; this is the
+    * measure-don't-guess gate for the "WHERE clause on a vector index"
+    * path. n_true rides along because a rare label can hold fewer than
+    * k same-label neighbors — recall normalizes by what exists, not by
+    * k. Same one (q_id, n_id) equi join of two bounded frames; at
+    * 100 TB the brute side is the query-sample audit, the approx side
+    * the production labeled-bucket plan. */
+  def lshFilteredRecallReport(embeddings: DataFrame, nQueries: Int = 20,
+                              k: Int = 3): DataFrame = {
+    val exact = filteredExactTopK(embeddings, nQueries, k)
+    val approx = annLshFiltered(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_true"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall"))
+  }
+
+  /** X2 FILTERED probe-budget tuning curve — [[lshProbeCurve]]'s
+    * one-pass min-probe-index trick on the LABELED index: each
+    * (query, same-label candidate) keeps the cheapest probe mask that
+    * reaches it, and the curve counts filtered-exact pairs reached per
+    * budget. Reached ⟺ hit by the same subset-rank argument (a
+    * filtered-exact top-k neighbor's rank within any same-label
+    * candidate subset is bounded by its filtered-global rank ≤ k), so
+    * no re-search per budget. The max budget reproduces
+    * [[lshFilteredRecallReport]]'s hit total exactly (spec-pinned) —
+    * "how many probes does the filtered path need" answered by
+    * measurement, where a selective label makes extra probes matter
+    * most. */
+  def lshFilteredProbeCurve(embeddings: DataFrame, nQueries: Int = 20,
+                            k: Int = 3): DataFrame = {
+    val buckets = lshLabeledBucketIndex(embeddings)
+    val q = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label"), col("tbl"), col("bucket"),
+        posexplode(typedLit(ProbeMasks)))
+      .select(col("q_id"), col("label"), col("tbl"),
+        col("bucket").bitwiseXOR(col("col")).as("bucket"), col("pos").as("m_idx"))
+    val cm = buckets.join(q, Seq("tbl", "bucket", "label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(min(col("m_idx")).as("min_idx"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("min_idx"))
+    filteredExactTopK(embeddings, nQueries, k)
+      .join(cm, Seq("q_id", "n_id"), "left")
+      .withColumn("m", explode(typedLit((1 to ProbeMasks.size).toList)))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("min_idx") < col("m"), 1L).otherwise(0L)).as("n_hits"))
+      .select(col("m").cast("long").as("n_probes"), col("n_true"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall"))
+  }
+
   /** X2 INCREMENTAL embedding dedup: flag incoming vectors whose
     * cosine to some vector of an already-indexed corpus reaches `tau`
     * — the embedding-side counterpart of

@@ -895,9 +895,13 @@ object Windows {
     * window, under the three standard models side by side: first-touch
     * (all credit to the earliest touch), last-touch (to the latest),
     * and linear (value/n to each touch). Purchases with no touch in
-    * the window surface as one 'unattributed' row — the sum over any
-    * model's credit column equals total purchase revenue minus nothing
-    * (conservation is the audit downstream marketing mix runs).
+    * the window surface as one 'unattributed' row. Conservation (the
+    * audit downstream marketing mix runs): first/last/unattributed
+    * credit sums equal attributed revenue EXACTLY; the linear model
+    * quantizes each value/n share to 1e-4 units independently, so a
+    * purchase split n ways can leave up to ~(n−1)·0.5e-4 of residue
+    * (e.g. 0.01 split 3 ways sums to 0.0099) — conservation holds to
+    * that quantization bound, not to the last unit.
     *
     * Scale shape: the touch↔purchase join is USER-KEYED equi (the
     * [[sessions]] contract — per-user volume is bounded) with the

@@ -256,7 +256,12 @@ private[v2] object MemScan {
       case IntegerType =>
         Some(java.lang.Long.compare(row.getInt(i).toLong, v.asInstanceOf[Number].longValue))
       case DoubleType =>
-        Some(java.lang.Double.compare(row.getDouble(i), v.asInstanceOf[Number].doubleValue))
+        // Spark's nanSafeCompareDoubles treats -0.0 == 0.0 (plain == short-
+        // circuit) while java.lang.Double.compare orders -0.0 < 0.0; pushed
+        // filters are not re-evaluated post-scan, so the == check must come
+        // first or a stored -0.0 row is dropped by EqualTo(col, 0.0).
+        val x = row.getDouble(i); val y = v.asInstanceOf[Number].doubleValue
+        Some(if (x == y) 0 else java.lang.Double.compare(x, y))
       case StringType =>
         Some(row.getUTF8String(i).toString.compareTo(v.asInstanceOf[String]))
       case _ => None

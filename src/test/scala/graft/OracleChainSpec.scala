@@ -278,7 +278,8 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_ann_lsh",
       "x2_ann_lsh_serve", "x2_bucket_stats",
       "x2_incremental", "x2_range_lsh", "x2_range_lsh_serve", "x2_range_recall",
-      "x2_rank_quality", "x2_recall", "x2_probe_curve", "x5_mm_bucket_stats",
+      "x2_rank_quality", "x2_recall", "x2_probe_curve", "x2_filtered_recall",
+      "x2_filtered_probe_curve", "x5_mm_bucket_stats",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
 
@@ -288,8 +289,32 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_lsh_serve", "x2_mips_lsh",
       "x2_mips_lsh_serve", "x2_mips_recall", "x2_range_lsh", "x2_range_lsh_serve",
       "x2_range_recall", "x2_rank_quality", "x2_recall", "x2_probe_curve",
+      "x2_filtered_recall", "x2_filtered_probe_curve",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
+
+  // the labeled index's bucket CTE (label rides IN the row): shared by
+  // the filtered search, its serve alias, and both filtered audits
+  chainFamily("labeled LSH bucket bb CTE", "x2_ann_filtered",
+    "bb AS (SELECT vec_id, label, tt,",
+    "FROM n, (SELECT unnest(range(8)) AS tt)),",
+    Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_filtered_recall",
+      "x2_filtered_probe_curve"))
+
+  // the filtered search's probe/candidate/score tail (label in the
+  // candidate key); the probe curve's qp adds the mask index so it
+  // carries only the bb CTE above, not this tail
+  chainFamily("labeled qp..r probe/score tail", "x2_ann_filtered",
+    "qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket\n",
+    "ORDER BY cos DESC, n_id) AS rank FROM s)",
+    Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_filtered_recall"))
+
+  // brute ground truth RESTRICTED to the query's label — the filtered
+  // audits' shared head (same-label join in xs)
+  chainFamily("filtered brute head e..exact", "x2_filtered_recall",
+    "WITH e AS (SELECT vec_id, label,",
+    "exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3)",
+    Set("x2_filtered_recall", "x2_filtered_probe_curve"))
 
   chainFamily("brute exact-top-3 head e..exact", "x2_recall",
     "WITH e AS (SELECT vec_id, list_transform(embedding",

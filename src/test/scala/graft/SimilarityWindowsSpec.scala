@@ -812,6 +812,32 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(curve.last._3 === full)
   }
 
+  test("filtered probe curve: monotone, full budget equals the filtered recall report") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val curve = Similarity.lshFilteredProbeCurve(emb)
+      .orderBy("n_probes").as[(Long, Long, Long, Double)].collect()
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // n_true is the FILTERED ground-truth pair count (a rare label can
+    // hold < k same-label mates), constant across budgets
+    assert(curve.map(_._2).distinct.length === 1)
+    assert(curve.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    val full = Similarity.lshFilteredRecallReport(emb)
+      .agg(sum(col("n_hits"))).as[Long].head()
+    assert(curve.last._3 === full)
+  }
+
+  test("filtered recall: every hit satisfies the label predicate, recall above floor") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val rep = Similarity.lshFilteredRecallReport(emb)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rep.length === 20)
+    assert(rep.forall(r => r._3 <= r._2)) // hits never exceed ground truth
+    // the measured gate: selective labels thin buckets, so this is the
+    // leg where recall silently collapses — pin the floor
+    val recall = rep.map(_._3).sum.toDouble / rep.map(_._2).sum
+    assert(recall >= 0.85, f"filtered recall dropped to $recall%.2f")
+  }
+
   test("ivf probe curve: monotone, full budget equals the ivf recall report") {
     val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
     val curve = Similarity.ivfProbeCurve(emb)

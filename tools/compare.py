@@ -33,7 +33,12 @@ def main():
     n_pass = n_fail = 0
     declared = set(oracle)
     if only:
+        unknown = only - declared
+        if unknown:
+            print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+            sys.exit(2)
         declared = declared & only
+        print(f"comparing {len(declared)} of {len(oracle)} oracle queries")
     for name in sorted(declared):
         mine_path = os.path.join(outdir, name)
         if not os.path.isdir(mine_path):
