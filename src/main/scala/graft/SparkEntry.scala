@@ -512,14 +512,20 @@ object SparkEntry {
     // the TRUE FAISS IVFPQ: PQ codes encode the dyadic RESIDUAL
     // (v - centroid[cell]); the query builds one ADC LUT per probed
     // cell from its own residual against that centroid
-    "x2_ann_ivfpq_res" -> ((s, d) => Similarity.annIvfPqRes(t(s, d, "embeddings"))),
+    // both residual rows share ONE deterministic training via
+    // Similarity.resModels (ModelCache) -- train once, serve twice;
+    // plans unchanged, only the duplicate Lloyd collects are skipped
+    "x2_ann_ivfpq_res" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (cmodel, pq) = Similarity.resModels(emb, d)
+      Similarity.annIvfPqResWithModels(emb, cmodel, pq)
+    }),
     // residual composition's SERVE path: stored cell map + stored
     // residual-code table + both models driver-side. Oracle =
     // x2_ann_ivfpq_res's verbatim.
     "x2_ann_ivfpq_res_serve" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cmodel = Similarity.trainIvfModel(emb)
-      val pq = Similarity.trainResPqModel(emb, cmodel)
+      val (cmodel, pq) = Similarity.resModels(emb, d)
       val asg = Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint()
       import org.apache.spark.sql.functions.col
       val codes = Similarity.resPqCodesAgainst(emb, cmodel, pq)
@@ -728,12 +734,20 @@ object SparkEntry {
     // the RESIDUAL media composition (true FAISS layout): PQ encodes
     // (v - centroid[cell]) on the dyadic grid, one ADC LUT per
     // (query, probed cell)
-    "x5_mm_search_ivfpq_res" -> ((s, d) =>
-      Multimodal.mediaSearchIvfPqRes(t(s, d, "documents"))),
+    // (both media residual rows share ONE training via
+    // Multimodal.mediaResModels -- the ModelCache discipline)
+    "x5_mm_search_ivfpq_res" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (cmodel, pq) = Multimodal.mediaResModels(docs, d)
+      Multimodal.mediaSearchIvfPqResWithModels(docs, cmodel, pq)
+    }),
     // the residual serve path over stored cell map + residual codes.
     // Oracle = x5_mm_search_ivfpq_res's verbatim.
-    "x5_mm_search_ivfpq_res_serve" -> ((s, d) =>
-      Multimodal.mediaSearchIvfPqResServe(t(s, d, "documents"))),
+    "x5_mm_search_ivfpq_res_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (cmodel, pq) = Multimodal.mediaResModels(docs, d)
+      Multimodal.mediaSearchIvfPqResServeWithModels(docs, cmodel, pq)
+    }),
     // media index occupancy pre-flight (the modality where the
     // one-bucket collapse actually happened)
     "x5_mm_bucket_stats" -> ((s, d) =>
@@ -795,6 +809,10 @@ object SparkEntry {
       Windows.abTestFromMoments(Windows.abMoments(t(s, d, "events")).localCheckpoint())),
     // item co-visitation: capped per-user items, user-keyed pair counts
     "x6_covisit" -> ((s, d) => Windows.covisit(t(s, d, "events"))),
+    // session-scoped co-visitation: items co-occurring in the SAME
+    // session (cap-before-pairing one grain down; the key includes
+    // session_seq so a cross-session pair can never form)
+    "x6_covisit_session" -> ((s, d) => Windows.covisitSession(t(s, d, "events"))),
     // "also viewed": top-3 co-visited items per item, exact-count rank
     "x6_also_viewed" -> ((s, d) => Windows.alsoViewed(t(s, d, "events"))),
     // the shelf served from a MATERIALIZED pair table — the read plan
@@ -6912,6 +6930,35 @@ object SparkEntry {
            FROM cap a JOIN cap b ON a.user_id = b.user_id AND a.item < b.item
            GROUP BY 1, 2)
          SELECT item_a, item_b, n_users FROM pr WHERE n_users >= 2""",
+    // session-scoped co-visitation: a props-carrying session x/y/z head
+    // (the gaps-and-islands rule with props in place of event_type) +
+    // the covisit discipline one grain down -- items rank per (user,
+    // session), the pair join keys on (user, session) so a
+    // cross-session pair can never form; carries the props item-extract
+    // formula (guard family)
+    "x6_covisit_session" ->
+      """WITH x AS (SELECT user_id, event_id, props, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 300000000
+           THEN 1 ELSE 0 END AS new_session FROM x),
+         z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM y),
+         p AS (SELECT user_id, session_seq,
+             CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)
+               AS item
+           FROM z),
+         ui AS (SELECT user_id, session_seq, item, CAST(count(*) AS BIGINT) AS cnt
+           FROM p WHERE item IS NOT NULL GROUP BY 1, 2, 3),
+         cap AS (SELECT user_id, session_seq, item FROM (SELECT *, row_number() OVER (
+             PARTITION BY user_id, session_seq ORDER BY cnt DESC, item) AS rk FROM ui)
+           WHERE rk <= 20),
+         pr AS (SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_sessions
+           FROM cap a JOIN cap b ON a.user_id = b.user_id
+             AND a.session_seq = b.session_seq AND a.item < b.item
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, n_sessions FROM pr WHERE n_sessions >= 2""",
     // "also viewed": the same p/ui/cap/pr chain + symmetrize + rank
     "x6_also_viewed" ->
       """WITH p AS (SELECT user_id,

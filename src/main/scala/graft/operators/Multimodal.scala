@@ -355,6 +355,55 @@ object Multimodal {
     Similarity.annIvfPqResOnVectors(dyadicMediaVectors(documents, dims),
       nCells, trainRounds, m, kCodes, dims, nQueries, kNn, nProbe)
 
+  /** The media residual pair's TRAIN-ONCE entry ([[Similarity.resModels]]'
+    * media twin): IVF centroids + residual-PQ codebook over the dyadic
+    * stub embeddings, memoized by corpus path — `x5_mm_search_ivfpq_res`
+    * and its serve twin used to each re-run the identical deterministic
+    * trainings at construction (the two most expensive bench rows);
+    * sharing the driver-side models removes the duplicate without
+    * touching any plan. */
+  def mediaResModels(documents: DataFrame, modelKey: String, nCells: Int = 8,
+                     trainRounds: Int = 2, m: Int = 8, kCodes: Int = 16,
+                     dims: Int = 64)
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) =
+    ModelCache.memo(s"$modelKey#media-res-$nCells-$trainRounds-$m-$kCodes-$dims") {
+      val vecs = dyadicMediaVectors(documents, dims)
+      val cmodel = Similarity.trainIvfModelOnVectors(vecs, nCells, trainRounds)
+      (cmodel, Similarity.trainResPqModelOnVectors(vecs, cmodel, m, kCodes,
+        trainRounds, dims))
+    }
+
+  /** [[mediaSearchIvfPqRes]] with both models supplied — assignment and
+    * residual encoding stay lazy in the plan exactly as in the
+    * self-contained form; only the training collects are skipped. */
+  def mediaSearchIvfPqResWithModels(documents: DataFrame,
+                                    cmodel: Seq[(Long, Seq[Double])],
+                                    codebook: Seq[(Int, Long, Seq[Double])],
+                                    m: Int = 8, dims: Int = 64,
+                                    nQueries: Int = 20, kNn: Int = 3,
+                                    nProbe: Int = 2): DataFrame =
+    Similarity.annIvfPqResWithModelsOnVectors(dyadicMediaVectors(documents, dims),
+      cmodel, codebook, m, dims, nQueries, kNn, nProbe)
+
+  /** [[mediaSearchIvfPqResServe]] with both models supplied — the
+    * stored-artifact serve plan unchanged (cell map + residual codes
+    * localCheckpointed, models driver-side); only the training collects
+    * are skipped. */
+  def mediaSearchIvfPqResServeWithModels(documents: DataFrame,
+                                         cmodel: Seq[(Long, Seq[Double])],
+                                         codebook: Seq[(Int, Long, Seq[Double])],
+                                         m: Int = 8, dims: Int = 64,
+                                         nQueries: Int = 20, kNn: Int = 3,
+                                         nProbe: Int = 2): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    val asg = Similarity.ivfAssignmentsForOnVectors(vecs, cmodel).localCheckpoint()
+    val codes = Similarity.resPqCodesAgainstOnVectors(vecs, cmodel, codebook, m, dims)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+      .localCheckpoint()
+    Similarity.annIvfPqResOnArtifactsVectors(vecs, asg, codes, cmodel, codebook,
+      m, dims, nQueries, kNn, nProbe)
+  }
+
   /** [[mediaSearchIvfPqRes]]'s SERVE path — stored (vec_id, cell)
     * partition map + stored (vec_id, sub, code) RESIDUAL-code
     * collection + both trained models driver-side: nothing in the

@@ -2499,6 +2499,42 @@ object Similarity {
     annIvfPqResCore(all, asg, codes, cmodel, pq, m, dims, nQueries, k, nProbe)
   }
 
+  /** The residual pair's TRAIN-ONCE entry: IVF centroids + residual-PQ
+    * codebook through [[ModelCache]], keyed by corpus path — the
+    * self-contained query (`x2_ann_ivfpq_res`) and its serve twin used
+    * to each re-run the identical deterministic trainings at
+    * construction; sharing the driver-side models halves the pair's
+    * training cost without touching any plan (results are
+    * bit-identical — the trainings have no RNG). */
+  def resModels(embeddings: DataFrame, modelKey: String, nCells: Int = 8,
+                trainRounds: Int = 2, m: Int = 8, kCodes: Int = 16,
+                dims: Int = 64)
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) =
+    ModelCache.memo(s"$modelKey#emb-res-$nCells-$trainRounds-$m-$kCodes-$dims") {
+      val cmodel = trainIvfModel(embeddings, nCells, trainRounds)
+      (cmodel, trainResPqModel(embeddings, cmodel, m, kCodes, trainRounds, dims))
+    }
+
+  /** [[annIvfPqRes]] with BOTH models supplied (pre-trained or memoized
+    * via [[resModels]]) — the corpus-side assignment and residual
+    * encoding stay lazy in the plan exactly as in the self-contained
+    * form, so the query plan is unchanged; only the driver-side
+    * training collects are skipped. */
+  def annIvfPqResWithModels(embeddings: DataFrame,
+                            cmodel: Seq[(Long, Seq[Double])],
+                            codebook: Seq[(Int, Long, Seq[Double])],
+                            m: Int = 8, dims: Int = 64, nQueries: Int = 20,
+                            k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    val all = withVec(embeddings)
+    val resv = residualVectors(all, cmodel)
+    val asg = resv.select(col("vec_id"), col("cell"))
+    val codes = argminCode(subvectors(resv, m, dims / m),
+        pqCodebookDF(spark, codebook))
+      .select(col("vec_id"), col("sub"), col("code"))
+    annIvfPqResCore(all, asg, codes, cmodel, codebook, m, dims, nQueries, k, nProbe)
+  }
+
   /** X2 residual IVF-PQ SERVE — [[annIvfPqRes]] over STORED artifacts:
     * the (vec_id, cell) partition map, the (vec_id, sub, code)
     * residual-code corpus, and both trained models as driver state.
@@ -2535,6 +2571,25 @@ object Similarity {
     val codes = argminCode(subvectors(resv, m, dims / m), pqCodebookDF(spark, pq))
       .select(col("vec_id"), col("sub"), col("code"))
     annIvfPqResCore(all, asg, codes, cmodel, pq, m, dims, nQueries, k, nProbe)
+  }
+
+  /** [[annIvfPqResWithModels]] over any (vec_id, v) frame — the
+    * modality-agnostic train-once self-contained form
+    * (`x5_mm_search_ivfpq_res` through [[Multimodal.mediaResModels]]). */
+  def annIvfPqResWithModelsOnVectors(vecs: DataFrame,
+                                     cmodel: Seq[(Long, Seq[Double])],
+                                     codebook: Seq[(Int, Long, Seq[Double])],
+                                     m: Int = 8, dims: Int = 64,
+                                     nQueries: Int = 20, k: Int = 3,
+                                     nProbe: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    val all = vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    val resv = residualVectors(all, cmodel)
+    val asg = resv.select(col("vec_id"), col("cell"))
+    val codes = argminCode(subvectors(resv, m, dims / m),
+        pqCodebookDF(spark, codebook))
+      .select(col("vec_id"), col("sub"), col("code"))
+    annIvfPqResCore(all, asg, codes, cmodel, codebook, m, dims, nQueries, k, nProbe)
   }
 
   /** [[trainResPqModel]] over any (vec_id, v) frame — the

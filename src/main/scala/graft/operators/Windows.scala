@@ -668,6 +668,64 @@ object Windows {
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** X6 SESSION-SCOPED CO-VISITATION — [[covisit]] at the grain real
+    * "also viewed" shelves start from: items co-occurring within the
+    * SAME SESSION (the user's one sitting), not merely in the same
+    * lifetime history — a pair the user touched months apart says
+    * nothing about intent; a pair inside one 5-minute-gap session
+    * does. Sessions come from the [[sessions]] gaps-and-islands rule
+    * over the FULL event stream (non-item events still glue a session
+    * together), items from [[trendingProps]]'s extraction; the
+    * cap-before-pairing discipline moves one grain down — items rank
+    * per (user, session) by exact count with item tie-break, only the
+    * top `capPerSession` survive into the (user, session)-KEYED equi
+    * self-join, so pairs stay bounded at C(cap,2) per session forever
+    * and a cross-session pair can never form (the key includes
+    * session_seq). `n_sessions` counts co-occurrence CONTEXTS (each
+    * session votes once per pair), mergeable by addition across
+    * user-disjoint shards like [[covisitPairs]]; the support threshold
+    * applies after aggregation. */
+  def covisitSession(events: DataFrame, gapMinutes: Int = 5,
+                     capPerSession: Int = 20, minSupport: Int = 2): DataFrame = {
+    val capped = cappedSessionItems(events, gapMinutes, capPerSession)
+    val b = capped.select(col("user_id").as("u2"), col("session_seq").as("s2"),
+      col("item").as("item_b"))
+    capped.select(col("user_id"), col("session_seq"), col("item").as("item_a"))
+      .join(b, col("user_id") === col("u2") && col("session_seq") === col("s2") &&
+        col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_sessions"))
+      .filter(col("n_sessions") >= minSupport)
+  }
+
+  /** [[cappedItems]] one grain down: the capped per-(user, session)
+    * item set feeding [[covisitSession]] — sessionize first (the
+    * [[sessions]] windows), then rank items within each session. */
+  private def cappedSessionItems(events: DataFrame, gapMinutes: Int,
+                                 capPerSession: Int): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val extracted = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+    val ui = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("session_seq"),
+        when(length(extracted) > 0, extracted.cast("long")).as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("session_seq"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+    val bySess = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("cnt").desc, col("item"))
+    ui.withColumn("rk", row_number().over(bySess))
+      .filter(col("rk") <= capPerSession)
+      .select(col("user_id"), col("session_seq"), col("item"))
+  }
+
   /** Fold user-shard [[covisitPairs]] tables — counter addition by
     * pair, thresholding after (the sketch-family merge law on the
     * co-occurrence domain; valid only for USER-disjoint shards — an

@@ -27,6 +27,10 @@ class EagerQueriesSpec extends AnyFunSuite {
       // make every query look eager
       graft.sources.Tables.names.foreach(n =>
         graft.sources.Tables(spark, SparkTestBase.sf0001, n))
+      // the trained-model memo must start empty: a suite that ran a
+      // residual query earlier would otherwise make the pair's base
+      // query look lazy here (detection must be order-independent)
+      graft.operators.ModelCache.clear()
       val detected = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
         ListenerBridge.drain(sc)
         val before = jobs.get()

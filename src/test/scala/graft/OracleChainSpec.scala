@@ -202,7 +202,7 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("props item extract",
     "CAST(nullif(regexp_extract(props, '\"k\": ([0-9]+)', 1), '') AS BIGINT)",
     Set("x6_trending", "x6_covisit", "x6_also_viewed", "x6_also_viewed_serve",
-      "x6_covisit_merge", "x6_item_lift"))
+      "x6_covisit_merge", "x6_item_lift", "x6_covisit_session"))
 
   chainFamily("shingle inverted-index head (df-capped)", "x4_band_recall",
     "WITH", "shingle FROM hot)",

@@ -557,6 +557,36 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(capped === Set((1L, 2L, 1L)))
   }
 
+  test("covisit session: cross-session pairs are excluded, sessions vote once") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def ev(id: Long, u: Long, offsetMin: Int, item: Int) =
+      (id, new Timestamp(base + offsetMin * 60000L), u, "view", 0.0,
+        s"""{"k": $item}""")
+    val fe = Seq(
+      // user 1, session 1: items 5 and 7 (2 min apart); then a >5 min
+      // gap; session 2: items 5 and 9 — (5,9) and (7,9) must NOT pair
+      // with session 1's items even though the USER touched both
+      ev(1, 1, 0, 5), ev(2, 1, 2, 7),
+      ev(3, 1, 20, 5), ev(4, 1, 22, 9),
+      // user 2, one session: items 5, 7, 9 — supplies the second vote
+      ev(5, 2, 0, 5), ev(6, 2, 1, 7), ev(7, 2, 2, 9),
+      // user 3, one session: 5 and 9 — second vote for (5,9)
+      ev(8, 3, 0, 5), ev(9, 3, 3, 9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Windows.covisitSession(fe)
+      .as[(Long, Long, Long)].collect().toSet
+    // (5,7): user1 session1 + user2 = 2; (5,9): user1 session2 + user2
+    // + user3 = 3; (7,9): ONLY user2's session (user1's 7 and 9 live in
+    // different sessions) = 1 < minSupport → excluded
+    assert(got === Set((5L, 7L, 2L), (5L, 9L, 3L)))
+    // at minSupport=1 the cross-session pair is still absent while the
+    // within-session singleton surfaces — the key includes session_seq
+    val all = Windows.covisitSession(fe, minSupport = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all.contains((7L, 9L, 1L)))
+    assert(!all.exists(p => p._1 == 7L && p._2 == 9L && p._3 > 1L))
+  }
+
   test("covisit merge: user-shard pair tables fold by addition, threshold after") {
     val base = Timestamp.valueOf("2024-01-01 12:00:00")
     def ev(id: Long, u: Long, item: Int) =
