@@ -639,6 +639,22 @@ object SparkEntry {
         Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint(),
         Similarity.sqCodes(emb).localCheckpoint(), cmodel)
     }),
+    // the RESIDUAL IVF x SQ composition: int8 quantizes the dyadic
+    // residual (v - centroid[cell]); ranking = estimated residual L2,
+    // comparable across probed cells. Coarse quantizer shared with the
+    // res-PQ pair via ModelCache (one Lloyd run per corpus).
+    "x2_ann_ivfsq_res" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.annIvfSqRes(emb, Similarity.ivfModelCached(emb, d))
+    }),
+    // its serve path: the STORED (vec_id, cell, scale, q) residual code
+    // table + driver centroids only. Oracle = x2_ann_ivfsq_res's verbatim.
+    "x2_ann_ivfsq_res_serve" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cmodel = Similarity.ivfModelCached(emb, d)
+      Similarity.annIvfSqResOnArtifacts(emb,
+        Similarity.resSqCodesFor(emb, cmodel).localCheckpoint(), cmodel)
+    }),
     // per-dimension mean/variance/dead-unit audit in exact integer moments
     "x2_dim_stats" -> ((s, d) => Similarity.dimStats(t(s, d, "embeddings"))),
     // row-wise norm audit: z of each vector's L2 norm vs the corpus
@@ -1018,6 +1034,12 @@ object SparkEntry {
     "x1_pack_contexts", "x1_split_audit", "x1_split_leakage",
     "x1_systematic_sample",
     "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x5_mm_search_sq_serve",
+    // x2_ann_ivfsq_res itself is NOT eager: it sorts after
+    // x2_ann_ivfpq_res, whose resModels call has already memoized the
+    // shared coarse quantizer by the time it constructs (Bench and
+    // EagerQueriesSpec both run in sorted order), and its residual
+    // encode is lazy in the plan; the serve twin localCheckpoints
+    "x2_ann_ivfsq_res_serve",
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
     "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
     "x2_ann_filtered_serve", "x2_ann_lsh_serve", "x2_range_lsh_serve",
@@ -3753,6 +3775,93 @@ object SparkEntry {
              ORDER BY adot DESC, n_id) AS rank FROM sq)
          SELECT q_id, n_id, cell, round(adot, 6) AS adot, CAST(rank AS INTEGER) AS rank
          FROM rr WHERE rank <= 3""",
+    // residual IVF x SQ: the IVF chain + x2_ann_ivfpq_res's slim
+    // rk/asg head, resv residual frame, and pbr/pb/qres probe head
+    // (copied verbatim -- change together, guard families) + an int8
+    // encode of the residuals on BOTH sides; ranking = estimated
+    // residual L2 (exact int dots + exact dyadic ||qr||^2; the scale
+    // products are the only rounding IEEE ops, fixed operand order)
+    "x2_ann_ivfsq_res" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1),
+         resv AS (SELECT a.vec_id, a.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS rv
+           FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN k2 k ON k.c_id = a.cell),
+         dsc AS (SELECT vec_id, cell, rv,
+             list_max(list_transform(rv, x -> abs(x))) / 127.0 AS scale FROM resv),
+         dq AS (SELECT vec_id, cell, scale,
+             CASE WHEN scale = 0 THEN list_transform(rv, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(rv, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM dsc),
+         pbr AS (SELECT t.vec_id, k.c_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+           FROM n t, k2 k WHERE t.vec_id < 20),
+         pb AS (SELECT vec_id AS q_id, c_id AS cell FROM pbr WHERE ar <= 2),
+         qres AS (SELECT p.q_id, p.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS qr
+           FROM pb p JOIN e ON e.vec_id = p.q_id JOIN k2 k ON k.c_id = p.cell),
+         qsc AS (SELECT q_id, cell, qr,
+             list_reduce(list_transform(qr, x -> x*x), (x,y) -> x+y) AS qn2,
+             list_max(list_transform(qr, x -> abs(x))) / 127.0 AS scale FROM qres),
+         qsq AS (SELECT q_id, cell, qn2, scale,
+             CASE WHEN scale = 0 THEN list_transform(qr, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(qr, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM qsc),
+         rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         ssc AS (SELECT c.q_id, c.vec_id AS n_id, c.cell,
+             a.qn2 - 2 * (a.scale * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> a.q[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE)) + b.scale * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> b.q[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE) AS adist
+           FROM rivfc c JOIN qsq a ON a.q_id = c.q_id AND a.cell = c.cell
+           JOIN dq b ON b.vec_id = c.vec_id),
+         srr AS (SELECT q_id, n_id, cell, adist, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist, n_id) AS rank FROM ssc)
+         SELECT q_id, n_id, cell, round(adist, 6) AS adist, CAST(rank AS INTEGER) AS rank
+         FROM srr WHERE rank <= 3""",
     "x2_ivf_recall" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -6887,7 +6996,9 @@ object SparkEntry {
     // correctly rounded => fixed order is bit-identical cross-engine);
     // the significance flag tests the ROUNDED z
     "x6_ab_test" ->
-      """WITH m AS (SELECT event_type, user_id % 2 AS variant,
+      """WITH m AS (SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 2 AS variant,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) *
@@ -7829,6 +7940,7 @@ object SparkEntry {
       "x2_hybrid_rrf_serve" -> base("x2_hybrid_rrf"),
       "x2_ann_binary_serve" -> base("x2_ann_binary"),
       "x2_ann_ivfsq_serve" -> base("x2_ann_ivfsq"),
+      "x2_ann_ivfsq_res_serve" -> base("x2_ann_ivfsq_res"),
       "x5_mm_search_sq_serve" -> base("x5_mm_search_sq"),
       "x5_mm_search_binary_serve" -> base("x5_mm_search_binary"),
       "x6_hist_merge" -> base("x6_hist_sketch"),

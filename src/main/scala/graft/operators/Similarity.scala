@@ -1431,6 +1431,77 @@ object Similarity {
         round(col("adot"), 6).as("adot"), col("rank").cast("int").as("rank"))
   }
 
+  /** X2 RESIDUAL IVF×SQ search — the one asymmetry left in the
+    * composition matrix closed: PQ got its residual rung
+    * ([[annIvfPqRes]]) while SQ encoded raw vectors; here the int8
+    * code quantizes the dyadic RESIDUAL (v − centroid[cell]), so the
+    * full ±127 range prices WITHIN-cell variance (the between-cell
+    * component already rides in the cell id — exactly why residual
+    * encoding beats raw at a fixed byte budget). Ranking is the
+    * estimated residual L2 ‖(q−c) − (d−c)‖² = ‖q−d‖² — residuals
+    * against the SAME centroid cancel it, so the estimate is
+    * comparable ACROSS probed cells (a raw residual dot would not
+    * be): adist = ‖qr‖² − 2·s_q·s_d·⟨qr_int, dr_int⟩ +
+    * s_d²·⟨dr_int, dr_int⟩, where both int dots are exact integers,
+    * ‖qr‖² is an exact dyadic fold, and the scale products are the
+    * only rounding IEEE ops (fixed operand order — engine-identical).
+    * The query encodes ONE residual per probed cell (the
+    * [[annIvfPqResCore]] per-(query, cell) discipline); the corpus
+    * side reads 1 byte/dim + one scale per candidate. */
+  def annIvfSqRes(embeddings: DataFrame, cmodel: Seq[(Long, Seq[Double])],
+                  nQueries: Int = 20, k: Int = 3, nProbe: Int = 2): DataFrame =
+    annIvfSqResOnArtifacts(embeddings, resSqCodesFor(embeddings, cmodel),
+      cmodel, nQueries, k, nProbe)
+
+  /** The residual int8 artifact: one (vec_id, cell, scale, q) row per
+    * vector — cell map and residual codes in a single slim table, what
+    * the res-SQ serve path stores per generation. */
+  def resSqCodesFor(embeddings: DataFrame,
+                    cmodel: Seq[(Long, Seq[Double])]): DataFrame =
+    residualVectors(withVec(embeddings), cmodel)
+      .withColumn("sq", graft.functions.SqEncode.sq_encode(col("v")))
+      .select(col("vec_id"), col("cell"),
+        col("sq.scale").as("scale"), col("sq.q").as("q"))
+
+  /** [[annIvfSqRes]]'s SERVE form — search over the STORED residual
+    * code table with the centroids as driver state: nothing in the
+    * plan assigns or encodes the corpus; the query slice ranks cells
+    * and encodes its own per-cell residuals. `x2_ann_ivfsq_res_serve`
+    * shares `x2_ann_ivfsq_res`'s oracle by reference. */
+  def annIvfSqResOnArtifacts(embeddings: DataFrame, codes: DataFrame,
+                             centroids: Seq[(Long, Seq[Double])],
+                             nQueries: Int = 20, k: Int = 3,
+                             nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = withVec(embeddings)
+    val cents = centroids.toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(
+      cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last,
+      col("c_id"))
+    val probes = all.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
+      .withColumn("arank", row_number().over(aw)).filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"),
+        graft.functions.ResidualDyadic.residual_dyadic(col("v"), col("cv")).as("qr"))
+    val qsq = probes
+      .withColumn("sq", graft.functions.SqEncode.sq_encode(col("qr")))
+      .select(col("q_id"), col("cell"),
+        dot_product(col("qr"), col("qr")).as("qn2"),
+        col("sq.scale").as("qs"), col("sq.q").as("qq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    codes.join(broadcast(qsq), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cell"),
+        (col("qn2") -
+          lit(2) * (col("qs") * col("scale") * dot_product(col("qq"), col("q"))) +
+          col("scale") * col("scale") * dot_product(col("q"), col("q")))
+          .as("adist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cell"),
+        round(col("adist"), 6).as("adist"), col("rank").cast("int").as("rank"))
+  }
+
   /** X2 SQ recall audit — [[mipsRecallReport]]'s shape for the int8
     * path: exact MIPS top-k left-joined with the SQ top-k, per-query
     * hit count and recall@k. The number that decides whether int8
@@ -2509,10 +2580,25 @@ object Similarity {
   def resModels(embeddings: DataFrame, modelKey: String, nCells: Int = 8,
                 trainRounds: Int = 2, m: Int = 8, kCodes: Int = 16,
                 dims: Int = 64)
-      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) =
-    ModelCache.memo(s"$modelKey#emb-res-$nCells-$trainRounds-$m-$kCodes-$dims") {
-      val cmodel = trainIvfModel(embeddings, nCells, trainRounds)
-      (cmodel, trainResPqModel(embeddings, cmodel, m, kCodes, trainRounds, dims))
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) = {
+    // NOT one nested memo: computeIfAbsent inside computeIfAbsent on
+    // the same map is a recursive update — the two models memoize
+    // under separate keys, sequentially
+    val cmodel = ivfModelCached(embeddings, modelKey, nCells, trainRounds)
+    val pq = ModelCache.memo(
+        s"$modelKey#emb-respq-$nCells-$trainRounds-$m-$kCodes-$dims") {
+      trainResPqModel(embeddings, cmodel, m, kCodes, trainRounds, dims)
+    }
+    (cmodel, pq)
+  }
+
+  /** The coarse quantizer alone through [[ModelCache]] — shared by
+    * every residual composition over the same corpus (res-PQ pair,
+    * res-SQ pair): one Lloyd run per (corpus, hyperparams), ever. */
+  def ivfModelCached(embeddings: DataFrame, modelKey: String, nCells: Int = 8,
+                     trainRounds: Int = 2): Seq[(Long, Seq[Double])] =
+    ModelCache.memo(s"$modelKey#emb-ivf-$nCells-$trainRounds") {
+      trainIvfModel(embeddings, nCells, trainRounds)
     }
 
   /** [[annIvfPqRes]] with BOTH models supplied (pre-trained or memoized

@@ -561,11 +561,15 @@ object Windows {
   }
 
   /** X6 A/B EXPERIMENT ANALYSIS — per event type, the two-sample
-    * Welch z-test between the user-parity cohorts (variant =
-    * `user_id % 2`, the deterministic stand-in for a real assignment
-    * hash): arm sizes, arm means, the z statistic, and the
-    * significance flag at `zBar` — the readout every experimentation
-    * platform serves. Values quantize to exact 1e-2 int64 units
+    * Welch z-test between hash-assigned cohorts (variant =
+    * `md5-hash60(user_id) % 2`, the SAME house assignment rule as
+    * `x1_sample_split` — how real platforms assign: deterministic,
+    * reproducible under retries, uncorrelated with user-id assignment
+    * order, where a naive `user_id % 2` parity inherits any
+    * odd/even structure in id allocation): arm sizes, arm means, the
+    * z statistic, and the significance flag at `zBar` — the readout
+    * every experimentation platform serves. Values quantize to exact
+    * 1e-2 int64 units
     * (cents) so the per-arm moments (n, Σv, Σv²) are EXACT integer
     * sums; the z formula then runs in doubles with IDENTICAL operand
     * order on both engines (each IEEE op is correctly rounded, so
@@ -585,8 +589,13 @@ object Windows {
     * counter rows forever). */
   private[graft] def abMoments(events: DataFrame): DataFrame = {
     val vq = floor(col("value") * 100 + 0.5).cast("long")
+    // the house md5-hash60 assignment (Sampling.hash60's expression) —
+    // change together with StreamPipeline.abMomentsStream and the
+    // x6_ab_test oracle
+    val arm = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 2
     events
-      .select(col("event_type"), (col("user_id") % 2).as("variant"), vq.as("v"))
+      .select(col("event_type"), arm.as("variant"), vq.as("v"))
       .groupBy(col("event_type"), col("variant"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
         sum(col("v") * col("v")).as("q"))

@@ -571,7 +571,11 @@ object StreamPipeline {
     * physical `graft_orders` complete-mode sink). */
   def abMomentsStream(events: DataFrame): DataFrame =
     events
-      .select(col("event_type"), (col("user_id") % 2).as("variant"),
+      .select(col("event_type"),
+        // the house md5-hash60 arm assignment — change together with
+        // Windows.abMoments and the x6_ab_test oracle
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).as("variant"),
         floor(col("value") * 100 + 0.5).cast("long").as("v"))
       .groupBy(col("event_type"), col("variant"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),

@@ -110,6 +110,7 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
       "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve",
       "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia", "x2_ivf_recall",
       "x2_ivf_probe_curve",
       "x2_ood", "x2_semdedup", "x5_mm_ivf", "x5_mm_search_ivfpq",
@@ -135,6 +136,48 @@ class OracleChainSpec extends AnyFunSuite {
     "ORDER BY adist_u, n_id) AS rank FROM rsc)",
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve"))
+
+  // the residual IVF×SQ composition copies the residual FRAME and the
+  // per-query probe head but swaps the PQ training/ADC for an int8
+  // encode — three finer-grained guards pin the copied spans
+  formulaFamily("dyadic residual snap",
+    "floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE",
+    Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve"))
+
+  chainFamily("residual corpus frame resv", "x2_ann_ivfpq_res",
+    "resv AS (SELECT a.vec_id",
+    "JOIN k2 k ON k.c_id = a.cell),",
+    Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve"))
+
+  // pbr/pb and qres pinned separately: x2_ivfpq_recall interposes its
+  // raw-PQ lut CTE between pb and qres, so the span is not contiguous
+  // in every carrier
+  chainFamily("residual probe head pbr/pb", "x2_ann_ivfpq_res",
+    "pbr AS (SELECT t.vec_id",
+    "pb AS (SELECT vec_id AS q_id, c_id AS cell FROM pbr WHERE ar <= 2),",
+    Set("x2_ann_ivfpq", "x2_ann_ivfpq_serve",
+      "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
+      "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve"))
+
+  chainFamily("query residual frame qres", "x2_ann_ivfpq_res",
+    "qres AS (SELECT p.q_id",
+    "JOIN k2 k ON k.c_id = p.cell),",
+    Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve"))
+
+  formulaFamily("residual candidate join rivfc",
+    "rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell\n" +
+      "           AND a.vec_id <> p.q_id),",
+    Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve"))
 
   chainFamily("PQ per-subspace Lloyd training sv..c2", "x2_pq_codebook",
     "sv AS (SELECT vec_id, tt AS sub",
@@ -267,6 +310,7 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
       "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve",
       "x2_centroids", "x2_confusion", "x2_ivf_assign", "x2_ivf_inertia",
       "x2_ivf_recall", "x2_ivf_probe_curve", "x2_ood", "x2_semdedup", "x5_mm_ivf",
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
@@ -491,6 +535,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_binary_serve" -> "x2_ann_binary",
       "x2_hybrid_rrf_serve" -> "x2_hybrid_rrf",
       "x2_ann_ivfsq_serve" -> "x2_ann_ivfsq",
+      "x2_ann_ivfsq_res_serve" -> "x2_ann_ivfsq_res",
       "x5_mm_search_sq_serve" -> "x5_mm_search_sq",
       "x5_mm_search_binary_serve" -> "x5_mm_search_binary",
       "x4_bloom_merge" -> "x4_bloom_bits",

@@ -430,6 +430,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("residual IVF x SQ: candidates join the per-cell query codes by hash join") {
+    val p = planOf("x2_ann_ivfsq_res")
+    // the only nested loop is the query batch crossing the broadcast
+    // centroid model (probe ranking); candidates come from the
+    // cell-keyed join of the residual code table with the broadcast
+    // per-(query, cell) encoded residuals
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("residual IVF-PQ: candidates join probed cells, codes, and per-cell LUT by hash join") {
     val p = planOf("x2_ann_ivfpq_res")
     // the only nested loop is the query batch crossing the broadcast

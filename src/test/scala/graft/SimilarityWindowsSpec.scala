@@ -519,16 +519,17 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((4L, 0.0, 80.0, 80.0)))
   }
 
-  test("ab test: hand-computed Welch z per event type, parity-assigned arms") {
+  test("ab test: hand-computed Welch z per event type, md5-hash-assigned arms") {
     val base = Timestamp.valueOf("2024-01-01 12:00:00")
+    // md5-hash60 % 2 arm map for small ids: users 1,2 → arm 0; 3,4 → arm 1
     val fe = Seq(
       // type a: identical arms [1.0, 3.0] → z exactly 0
-      (1L, base, 2L, "a", 1.0), (2L, base, 4L, "a", 3.0),
-      (3L, base, 1L, "a", 1.0), (4L, base, 3L, "a", 3.0),
+      (1L, base, 1L, "a", 1.0), (2L, base, 2L, "a", 3.0),
+      (3L, base, 3L, "a", 1.0), (4L, base, 4L, "a", 3.0),
       // type b: arm0 [1.0, 2.0] vs arm1 [5.0, 6.0] →
       // z = −400/√5000 centi-units = −5.656854… → −5.6569
-      (5L, base, 2L, "b", 1.0), (6L, base, 4L, "b", 2.0),
-      (7L, base, 1L, "b", 5.0), (8L, base, 3L, "b", 6.0))
+      (5L, base, 1L, "b", 1.0), (6L, base, 2L, "b", 2.0),
+      (7L, base, 3L, "b", 5.0), (8L, base, 4L, "b", 6.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     val got = Windows.abTest(fe)
       .as[(String, Long, Long, Double, Double, Double, Long)].collect().toSet
@@ -1491,6 +1492,36 @@ class SimilarityWindowsSpec extends AnyFunSuite {
         nQueries = 2, k = 2, nProbe = 1)
       .as[(Long, Long, Long, Double, Int)].collect().toSet
     assert(served === self)
+  }
+
+  test("residual IVF x SQ: candidates stay in probed cells, serve equals self-contained") {
+    import spark.implicits._
+    // same two tight direction groups as the flat IVF x SQ spec
+    val emb = (Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0f, 1f, 0f, 0f), 0),
+      (2L, Seq(0.98f, 0.02f, 0f, 0f), 0), (3L, Seq(0.97f, 0.01f, 0f, 0f), 0),
+      (4L, Seq(0.02f, 0.99f, 0f, 0f), 0), (5L, Seq(0.01f, 0.98f, 0f, 0f), 0))
+    ).toDF("vec_id", "embedding", "label")
+    val cmodel = Similarity.trainIvfModel(emb, nCells = 2, trainRounds = 2)
+    val self = Similarity.annIvfSqRes(emb, cmodel,
+        nQueries = 2, k = 2, nProbe = 1)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(self.nonEmpty)
+    // nProbe=1: probed-cell containment — the +x query's neighbors are
+    // the +x group, never the +y group (and vice versa)
+    val q0 = self.filter(_._1 == 0L).map(_._2)
+    assert(q0.subsetOf(Set(2L, 3L)), q0.toString)
+    val q1 = self.filter(_._1 == 1L).map(_._2)
+    assert(q1.subsetOf(Set(4L, 5L)), q1.toString)
+    // serve over the STORED residual code table = self-contained
+    val served = Similarity.annIvfSqResOnArtifacts(emb,
+        Similarity.resSqCodesFor(emb, cmodel).localCheckpoint(), cmodel,
+        nQueries = 2, k = 2, nProbe = 1)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(served === self)
+    // within a tight cell the residual estimate still ranks the closer
+    // raw neighbor first: 2 (0.98, 0.02) beats 3 (0.97, 0.01) for q0
+    assert(self.find(r => r._1 == 0L && r._5 == 1).get._2 === 2L)
   }
 
   test("media SQ search: serve over the stored code table equals self-contained") {

@@ -945,10 +945,11 @@ class StreamingSpec extends AnyFunSuite {
       def ev(id: Long, u: Long, t: String, v: Double) =
         UserEvent(id, Timestamp.valueOf("2024-01-01 12:00:00"), u, t, v)
       // the hand-computed batch fixture, split across two micro-batches
-      val b1 = Seq(ev(1, 2, "a", 1.0), ev(2, 4, "a", 3.0),
-        ev(3, 1, "a", 1.0), ev(4, 3, "a", 3.0))
-      val b2 = Seq(ev(5, 2, "b", 1.0), ev(6, 4, "b", 2.0),
-        ev(7, 1, "b", 5.0), ev(8, 3, "b", 6.0))
+      // (md5-hash60 % 2 arms: users 1,2 → arm 0; 3,4 → arm 1)
+      val b1 = Seq(ev(1, 1, "a", 1.0), ev(2, 2, "a", 3.0),
+        ev(3, 3, "a", 1.0), ev(4, 4, "a", 3.0))
+      val b2 = Seq(ev(5, 1, "b", 1.0), ev(6, 2, "b", 2.0),
+        ev(7, 3, "b", 5.0), ev(8, 4, "b", 6.0))
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
       val all = (b1 ++ b2).toDF()
