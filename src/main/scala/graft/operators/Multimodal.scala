@@ -312,6 +312,84 @@ object Multimodal {
     Similarity.annIvfPqOnVectors(dyadicMediaVectors(documents, dims),
       nCells, trainRounds, m, kCodes, dims, nQueries, kNn, nProbe)
 
+  /** The media PQ codebook through [[ModelCache]] — shared by the
+    * flat-ADC and IVF×PQ media search pairs (one per-subspace Lloyd
+    * run per collection, ever); the model-BUILD query `x5_mm_pq`
+    * keeps its own training (re-proving the build is its role). */
+  def mediaPqModelCached(documents: DataFrame, modelKey: String, m: Int = 8,
+                         kCodes: Int = 16, rounds: Int = 2,
+                         dims: Int = 64): Seq[(Int, Long, Seq[Double])] =
+    ModelCache.memo(s"$modelKey#media-pq-$m-$kCodes-$rounds-$dims") {
+      Similarity.trainPqModelOnVectors(dyadicMediaVectors(documents, dims),
+        m, kCodes, rounds, dims)
+    }
+
+  /** Both media raw-composition models via the memo — the media
+    * IVF×PQ pair's train-once entry ([[mediaResModels]]' raw twin). */
+  def mediaIvfPqModels(documents: DataFrame, modelKey: String, nCells: Int = 8,
+                       trainRounds: Int = 2, m: Int = 8, kCodes: Int = 16,
+                       dims: Int = 64)
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) = {
+    val cmodel = ModelCache.memo(s"$modelKey#media-ivf-$nCells-$trainRounds") {
+      Similarity.trainIvfModelOnVectors(dyadicMediaVectors(documents, dims),
+        nCells, trainRounds)
+    }
+    (cmodel, mediaPqModelCached(documents, modelKey, m, kCodes, trainRounds, dims))
+  }
+
+  /** [[mediaSearchIvfPq]] with both models supplied — assignment and
+    * encoding stay lazy; only the training collects are skipped. */
+  def mediaSearchIvfPqWithModels(documents: DataFrame,
+                                 cmodel: Seq[(Long, Seq[Double])],
+                                 codebook: Seq[(Int, Long, Seq[Double])],
+                                 m: Int = 8, dims: Int = 64,
+                                 nQueries: Int = 20, kNn: Int = 3,
+                                 nProbe: Int = 2): DataFrame =
+    Similarity.annIvfPqWithModelsOnVectors(dyadicMediaVectors(documents, dims),
+      cmodel, codebook, m, dims, nQueries, kNn, nProbe)
+
+  /** [[mediaSearchIvfPqServe]] with both models supplied — the stored
+    * cell-map + code-table serve plan unchanged. */
+  def mediaSearchIvfPqServeWithModels(documents: DataFrame,
+                                      cmodel: Seq[(Long, Seq[Double])],
+                                      codebook: Seq[(Int, Long, Seq[Double])],
+                                      m: Int = 8, dims: Int = 64,
+                                      nQueries: Int = 20, kNn: Int = 3,
+                                      nProbe: Int = 2): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    val asg = Similarity.ivfAssignmentsForOnVectors(vecs, cmodel).localCheckpoint()
+    val codes = Similarity.pqCodesAgainstOnVectors(vecs, codebook, m, dims)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+      .localCheckpoint()
+    Similarity.annIvfPqOnArtifactsVectors(vecs, asg, codes, cmodel, codebook,
+      m, dims, nQueries, kNn, nProbe)
+  }
+
+  /** [[mediaSearchPq]] with the codebook supplied — encoding stays
+    * lazy; only the training collects are skipped. */
+  def mediaSearchPqWithModel(documents: DataFrame,
+                             codebook: Seq[(Int, Long, Seq[Double])],
+                             m: Int = 8, dims: Int = 64,
+                             nQueries: Int = 20, kNn: Int = 3): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    val codes = Similarity.pqCodesAgainstOnVectors(vecs, codebook, m, dims)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+    Similarity.pqAdcTopKOnVectors(vecs, codes, codebook, m, dims, nQueries, kNn)
+  }
+
+  /** [[mediaSearchPqServe]] with the codebook supplied — the stored
+    * code-table serve plan unchanged. */
+  def mediaSearchPqServeWithModel(documents: DataFrame,
+                                  codebook: Seq[(Int, Long, Seq[Double])],
+                                  m: Int = 8, dims: Int = 64,
+                                  nQueries: Int = 20, kNn: Int = 3): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    val codes = Similarity.pqCodesAgainstOnVectors(vecs, codebook, m, dims)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+      .localCheckpoint()
+    Similarity.pqAdcTopKOnVectors(vecs, codes, codebook, m, dims, nQueries, kNn)
+  }
+
   /** [[mediaSearchIvfPq]]'s SERVE path — the search over STORED
     * artifacts: the (vec_id, cell) partition map and the (vec_id,
     * sub, code) compressed collection materialize at ingest, both

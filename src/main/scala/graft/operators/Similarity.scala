@@ -2593,13 +2593,113 @@ object Similarity {
   }
 
   /** The coarse quantizer alone through [[ModelCache]] — shared by
-    * every residual composition over the same corpus (res-PQ pair,
-    * res-SQ pair): one Lloyd run per (corpus, hyperparams), ever. */
+    * every SEARCH composition over the same corpus (IVF flat, IVF×PQ,
+    * IVF×SQ and both residual rungs): one Lloyd run per (corpus,
+    * hyperparams), ever. Audit and model-build queries
+    * (`x2_centroids`, `x2_ivf_recall`, `x2_ivfpq_recall`, …) keep
+    * their own trainings — re-proving the build per invocation is
+    * their role; the search pairs' role is train-once-serve-many. */
   def ivfModelCached(embeddings: DataFrame, modelKey: String, nCells: Int = 8,
                      trainRounds: Int = 2): Seq[(Long, Seq[Double])] =
     ModelCache.memo(s"$modelKey#emb-ivf-$nCells-$trainRounds") {
       trainIvfModel(embeddings, nCells, trainRounds)
     }
+
+  /** The raw-vector PQ codebook through [[ModelCache]] —
+    * [[ivfModelCached]]'s twin for the compression leg, shared by the
+    * flat-ADC, rerank, and IVF×PQ search forms. */
+  def pqModelCached(embeddings: DataFrame, modelKey: String, m: Int = 8,
+                    kCodes: Int = 16, rounds: Int = 2,
+                    dims: Int = 64): Seq[(Int, Long, Seq[Double])] =
+    ModelCache.memo(s"$modelKey#emb-pq-$m-$kCodes-$rounds-$dims") {
+      trainPqModel(embeddings, m, kCodes, rounds, dims)
+    }
+
+  /** Both raw-composition models via the memo — the IVF×PQ pair's
+    * train-once entry ([[resModels]]' raw twin). */
+  def ivfPqModels(embeddings: DataFrame, modelKey: String, nCells: Int = 8,
+                  trainRounds: Int = 2, m: Int = 8, kCodes: Int = 16,
+                  dims: Int = 64)
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) =
+    (ivfModelCached(embeddings, modelKey, nCells, trainRounds),
+      pqModelCached(embeddings, modelKey, m, kCodes, trainRounds, dims))
+
+  /** [[annIvfPq]] with both models supplied — assignment and encoding
+    * stay lazy in the plan exactly as in the self-contained form; only
+    * the training collects are skipped. */
+  def annIvfPqWithModels(embeddings: DataFrame,
+                         cmodel: Seq[(Long, Seq[Double])],
+                         codebook: Seq[(Int, Long, Seq[Double])],
+                         m: Int = 8, dims: Int = 64, nQueries: Int = 20,
+                         k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    val all = withVec(embeddings)
+    val asg = argmaxCell(all, cmodel).select(col("vec_id"), col("cell"))
+    val codes = argminCode(subvectors(all, m, dims / m),
+        pqCodebookDF(spark, codebook))
+      .select(col("vec_id"), col("sub"), col("code"))
+    annIvfPqOnArtifacts(embeddings, asg, codes, cmodel, codebook,
+      m, dims, nQueries, k, nProbe)
+  }
+
+  /** [[annIvfPqOnVectors]] with both models supplied — the
+    * modality-agnostic train-once self-contained form
+    * (`x5_mm_search_ivfpq` through [[Multimodal.mediaIvfPqModels]]). */
+  def annIvfPqWithModelsOnVectors(vecs: DataFrame,
+                                  cmodel: Seq[(Long, Seq[Double])],
+                                  codebook: Seq[(Int, Long, Seq[Double])],
+                                  m: Int = 8, dims: Int = 64,
+                                  nQueries: Int = 20, k: Int = 3,
+                                  nProbe: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    val all = vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    val asg = argmaxCell(all, cmodel).select(col("vec_id"), col("cell"))
+    val codes = argminCode(subvectors(all, m, dims / m),
+        pqCodebookDF(spark, codebook))
+      .select(col("vec_id"), col("sub"), col("code"))
+    annIvfPqOnArtifactsCore(all, asg, codes, cmodel, codebook,
+      m, dims, nQueries, k, nProbe)
+  }
+
+  /** [[pqAdcTopK]] with the codebook supplied — corpus encoding stays
+    * lazy; only the training collects are skipped. */
+  def pqAdcTopKWithModel(embeddings: DataFrame,
+                         codebook: Seq[(Int, Long, Seq[Double])],
+                         m: Int = 8, dims: Int = 64,
+                         nQueries: Int = 20, kNn: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val codes = argminCode(subvectors(withVec(embeddings), m, dims / m),
+        pqCodebookDF(spark, codebook))
+      .select(col("vec_id"), col("sub"), col("code"))
+    pqAdcTopKOnCodes(embeddings, codes, codebook, m, dims, nQueries, kNn)
+  }
+
+  /** [[pqRerankTopK]] with the codebook supplied — same two-stage
+    * shortlist → exact-L2 rerank, training collects skipped. */
+  def pqRerankTopKWithModel(embeddings: DataFrame,
+                            codebook: Seq[(Int, Long, Seq[Double])],
+                            m: Int = 8, dims: Int = 64, nQueries: Int = 20,
+                            shortlist: Int = 64, kNn: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val codes = argminCode(subvectors(withVec(embeddings), m, dims / m),
+        pqCodebookDF(spark, codebook))
+      .select(col("vec_id"), col("sub"), col("code"))
+    val vecs = withVec(embeddings)
+      .select(col("vec_id"), col("v"), dot_product(col("v"), col("v")).as("n2"))
+    val short = adcRankedOnCodes(embeddings, codes, codebook, m, dims, nQueries)
+      .filter(col("rank") <= shortlist).select(col("q_id"), col("n_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("n_id"))
+    short
+      .join(vecs.select(col("vec_id").as("n_id"), col("v"), col("n2")), Seq("n_id"))
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2")), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (col("n2") - lit(2.0) * dot_product(col("qv"), col("v")) + col("qn2"))
+          .as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("n_id"), round(col("dist"), 6).as("dist"), col("rank"))
+  }
 
   /** [[annIvfPqRes]] with BOTH models supplied (pre-trained or memoized
     * via [[resModels]]) — the corpus-side assignment and residual
