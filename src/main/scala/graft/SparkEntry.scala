@@ -476,6 +476,16 @@ object SparkEntry {
     // x2_filtered_recall's hit total (spec-pinned)
     "x2_filtered_probe_curve" ->
       ((s, d) => Similarity.lshFilteredProbeCurve(t(s, d, "embeddings"))),
+    // filtered ranking audit: graded recall (normalized by the query's
+    // OWN max gain -- a rare label can hold < k mates) + MRR of the
+    // labeled-bucket search vs same-label brute ground truth
+    "x2_filtered_rank_quality" ->
+      ((s, d) => Similarity.lshFilteredRankQuality(t(s, d, "embeddings"))),
+    // per-(table, label) occupancy of the labeled index: the filtered
+    // leg's pre-flight (one label collapsing into one bucket turns ITS
+    // candidate join quadratic while the unlabeled report looks healthy)
+    "x2_filtered_bucket_stats" ->
+      ((s, d) => Similarity.lshLabeledBucketStats(t(s, d, "embeddings"))),
     "x2_centroids" -> ((s, d) => Similarity.trainedCentroids(t(s, d, "embeddings"))),
     // PQ codebook: per-subspace L2 Lloyd, the model export (32× shrink)
     "x2_pq_codebook" -> ((s, d) => Similarity.pqCodebook(t(s, d, "embeddings"))),
@@ -865,6 +875,11 @@ object SparkEntry {
     // session (cap-before-pairing one grain down; the key includes
     // session_seq so a cross-session pair can never form)
     "x6_covisit_session" -> ((s, d) => Windows.covisitSession(t(s, d, "events"))),
+    // the session shelf read: top-k co-visited items per item by the
+    // exact same-session context count (the grain production shelves
+    // actually rank on)
+    "x6_also_viewed_session" ->
+      ((s, d) => Windows.alsoViewedSession(t(s, d, "events"))),
     // "also viewed": top-3 co-visited items per item, exact-count rank
     "x6_also_viewed" -> ((s, d) => Windows.alsoViewed(t(s, d, "events"))),
     // the shelf served from a MATERIALIZED pair table — the read plan
@@ -3433,6 +3448,71 @@ object SparkEntry {
              CAST(count(*) AS DOUBLE), 4) AS recall
          FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
          GROUP BY e.q_id""",
+    // filtered ranking audit: the filtered brute head e..xr + the
+    // labeled bb + qp..r chains (copied verbatim -- change together),
+    // keeping RANKS on both sides; graded recall normalizes by the
+    // query's OWN max gain (sum of 4 - e.rank over its exact rows)
+    "x2_filtered_rank_quality" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q JOIN n t ON t.label = q.label AND t.vec_id <> q.vec_id
+           WHERE q.vec_id < 20),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id, rank FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, label, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 20),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND q.label = t.label AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s),
+         approx AS (SELECT q_id, n_id, rank FROM r WHERE rank <= 3)
+         SELECT e.q_id, CAST(count(a.rank) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN a.rank IS NOT NULL THEN 4 - e.rank
+             ELSE 0 END) AS DOUBLE) / CAST(sum(4 - e.rank) AS DOUBLE), 4)
+             AS graded_recall,
+           round(coalesce(1::DOUBLE / min(a.rank), 0::DOUBLE), 6) AS mrr
+         FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+         GROUP BY e.q_id""",
+    // labeled occupancy pre-flight: the labeled e/n head + bb chain
+    // (copied verbatim -- change together) rolled up per (table, label)
+    "x2_filtered_bucket_stats" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         bb AS (SELECT vec_id, label, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         g AS (SELECT tt, label, bucket, CAST(count(*) AS BIGINT) AS n
+           FROM bb GROUP BY 1, 2, 3)
+         SELECT tt AS tbl, label, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_vecs, max(n) AS max_load,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS mean_load
+         FROM g GROUP BY tt, label""",
     // filtered probe-budget curve: x2_filtered_recall's e..exact head
     // (copied verbatim -- change together) + the labeled bb CTE; the qp
     // probe CTE adds the mask INDEX (zipped unnest), candidates keep
@@ -7107,6 +7187,37 @@ object SparkEntry {
              AND a.session_seq = b.session_seq AND a.item < b.item
            GROUP BY 1, 2)
          SELECT item_a, item_b, n_sessions FROM pr WHERE n_sessions >= 2""",
+    // the session shelf: x6_covisit_session's full x..pr chain (copied
+    // verbatim -- change together) + symmetrize + exact-count rank
+    "x6_also_viewed_session" ->
+      """WITH x AS (SELECT user_id, event_id, props, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 300000000
+           THEN 1 ELSE 0 END AS new_session FROM x),
+         z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM y),
+         p AS (SELECT user_id, session_seq,
+             CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)
+               AS item
+           FROM z),
+         ui AS (SELECT user_id, session_seq, item, CAST(count(*) AS BIGINT) AS cnt
+           FROM p WHERE item IS NOT NULL GROUP BY 1, 2, 3),
+         cap AS (SELECT user_id, session_seq, item FROM (SELECT *, row_number() OVER (
+             PARTITION BY user_id, session_seq ORDER BY cnt DESC, item) AS rk FROM ui)
+           WHERE rk <= 20),
+         pr AS (SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_sessions
+           FROM cap a JOIN cap b ON a.user_id = b.user_id
+             AND a.session_seq = b.session_seq AND a.item < b.item
+           GROUP BY 1, 2),
+         sp AS (SELECT item_a, item_b, n_sessions FROM pr WHERE n_sessions >= 2),
+         sym AS (SELECT item_a AS item, item_b AS rec, n_sessions FROM sp
+           UNION ALL SELECT item_b, item_a, n_sessions FROM sp)
+         SELECT item, rec, n_sessions, CAST(rank AS BIGINT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY item
+             ORDER BY n_sessions DESC, rec) AS rank FROM sym)
+         WHERE rank <= 3""",
     // "also viewed": the same p/ui/cap/pr chain + symmetrize + rank
     "x6_also_viewed" ->
       """WITH p AS (SELECT user_id,

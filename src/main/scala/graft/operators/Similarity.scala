@@ -968,7 +968,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
-    topKPerGroup(scored, k).select(col("q_id"), col("n_id"))
+    topKPerGroup(scored, k).select(col("q_id"), col("n_id"), col("rank"))
   }
 
   /** X2 FILTERED-ANN RECALL audit — [[lshRecallReport]]'s counterpart
@@ -1032,6 +1032,47 @@ object Similarity {
         round(col("n_hits").cast("double") / col("n_true").cast("double"), 4)
           .as("recall"))
   }
+
+  /** X2 FILTERED ranking-quality audit — [[rankQualityOnVectors]]'s
+    * counterpart for the labeled leg, completing the filtered audit
+    * set (recall + probe curve + ranking): per query, graded recall
+    * over the SAME-LABEL ground truth and MRR of the filtered search.
+    * Unlike the unfiltered audit, the normalizer is the query's OWN
+    * max gain Σ(k−rank+1) over its filtered-exact rows — a rare label
+    * can hold fewer than k same-label mates, and a fixed k(k+1)/2
+    * floor would under-grade exactly those queries. Integer gains +
+    * exact rationals, no libm in the comparison path. */
+  def lshFilteredRankQuality(embeddings: DataFrame, nQueries: Int = 20,
+                             k: Int = 3): DataFrame = {
+    val exact = filteredExactTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"), col("rank").as("e_rank"))
+    val approx = annLshFiltered(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"), col("rank").as("a_rank"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("a_rank")).as("n_hits"),
+        round(sum(when(col("a_rank").isNotNull, lit(k + 1) - col("e_rank"))
+            .otherwise(lit(0))).cast("double") /
+          sum(lit(k + 1) - col("e_rank")).cast("double"), 4).as("graded_recall"),
+        round(coalesce(lit(1.0) / min(col("a_rank")), lit(0.0)), 6).as("mrr"))
+  }
+
+  /** X2 LABELED index-health report — [[lshBucketStats]] at the
+    * (table, label) grain: how each LABEL's population spreads over
+    * the labeled index's buckets. The filtered leg's pre-flight — the
+    * bucket join keys on (tbl, bucket, label), so a single label
+    * collapsing into one bucket turns ITS candidate join quadratic
+    * even while the unlabeled occupancy report looks healthy; this is
+    * how that is caught before the filtered search runs. All integers
+    * except the display division; two partial+final aggregations,
+    * O(tables · labels) rows out. */
+  def lshLabeledBucketStats(embeddings: DataFrame): DataFrame =
+    lshLabeledBucketIndex(embeddings)
+      .groupBy(col("tbl"), col("label"), col("bucket")).agg(count(lit(1)).as("n"))
+      .groupBy(col("tbl").cast("long").as("tbl"), col("label"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_vecs"),
+        max(col("n")).as("max_load"),
+        round(sum(col("n")).cast("double") / count(lit(1)), 4).as("mean_load"))
 
   /** X2 INCREMENTAL embedding dedup: flag incoming vectors whose
     * cosine to some vector of an already-indexed corpus reaches `tau`

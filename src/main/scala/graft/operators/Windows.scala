@@ -706,6 +706,27 @@ object Windows {
       .filter(col("n_sessions") >= minSupport)
   }
 
+  /** X6 SESSION "ALSO VIEWED" shelf — [[alsoViewed]] read from the
+    * SESSION-scoped pair table: per item, the top-k co-visited items
+    * by the exact same-session context count (item tie-break).
+    * [[covisitSession]]'s canonical pairs symmetrize (each pair serves
+    * both endpoints) and one rank window runs over the aggregated
+    * O(pairs) frame — raw events were consumed once, in the session
+    * covisit build; this is the grain production shelves actually
+    * rank on. */
+  def alsoViewedSession(events: DataFrame, k: Int = 3, gapMinutes: Int = 5,
+                        capPerSession: Int = 20, minSupport: Int = 2): DataFrame = {
+    val pairs = covisitSession(events, gapMinutes, capPerSession, minSupport)
+    val sym = pairs
+      .select(col("item_a").as("item"), col("item_b").as("rec"), col("n_sessions"))
+      .unionByName(pairs.select(col("item_b").as("item"), col("item_a").as("rec"),
+        col("n_sessions")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("n_sessions").desc, col("rec"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** [[cappedItems]] one grain down: the capped per-(user, session)
     * item set feeding [[covisitSession]] — sessionize first (the
     * [[sessions]] windows), then rank items within each session. */

@@ -245,7 +245,16 @@ class OracleChainSpec extends AnyFunSuite {
   formulaFamily("props item extract",
     "CAST(nullif(regexp_extract(props, '\"k\": ([0-9]+)', 1), '') AS BIGINT)",
     Set("x6_trending", "x6_covisit", "x6_also_viewed", "x6_also_viewed_serve",
-      "x6_covisit_merge", "x6_item_lift", "x6_covisit_session"))
+      "x6_covisit_merge", "x6_item_lift", "x6_covisit_session",
+      "x6_also_viewed_session"))
+
+  // the props-carrying session x..pr chain (gaps-and-islands with
+  // props in place of event_type, items ranked per session) — shared
+  // by the session covisit build and its shelf read
+  chainFamily("session covisit x..pr chain", "x6_covisit_session",
+    "WITH x AS (SELECT user_id, event_id, props,",
+    "AND a.session_seq = b.session_seq AND a.item < b.item\n           GROUP BY 1, 2)",
+    Set("x6_covisit_session", "x6_also_viewed_session"))
 
   chainFamily("shingle inverted-index head (df-capped)", "x4_band_recall",
     "WITH", "shingle FROM hot)",
@@ -323,7 +332,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_lsh_serve", "x2_bucket_stats",
       "x2_incremental", "x2_range_lsh", "x2_range_lsh_serve", "x2_range_recall",
       "x2_rank_quality", "x2_recall", "x2_probe_curve", "x2_filtered_recall",
-      "x2_filtered_probe_curve", "x5_mm_bucket_stats",
+      "x2_filtered_probe_curve", "x2_filtered_rank_quality",
+      "x2_filtered_bucket_stats", "x5_mm_bucket_stats",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
 
@@ -334,27 +344,47 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_mips_lsh_serve", "x2_mips_recall", "x2_range_lsh", "x2_range_lsh_serve",
       "x2_range_recall", "x2_rank_quality", "x2_recall", "x2_probe_curve",
       "x2_filtered_recall", "x2_filtered_probe_curve",
+      "x2_filtered_rank_quality",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
 
+  // the labeled e/n head: every filtered-leg oracle starts here (the
+  // diversified-retrieval oracle shares the same labeled head too)
+  chainFamily("labeled e/n head", "x2_ann_filtered",
+    "WITH e AS (SELECT vec_id, label,",
+    "AS nrm FROM e),",
+    Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_ann_diverse",
+      "x2_filtered_recall", "x2_filtered_probe_curve",
+      "x2_filtered_rank_quality", "x2_filtered_bucket_stats"))
+
   // the labeled index's bucket CTE (label rides IN the row): shared by
-  // the filtered search, its serve alias, and both filtered audits
+  // the filtered search, its serve alias, and every filtered audit
   chainFamily("labeled LSH bucket bb CTE", "x2_ann_filtered",
     "bb AS (SELECT vec_id, label, tt,",
     "FROM n, (SELECT unnest(range(8)) AS tt)),",
     Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_filtered_recall",
-      "x2_filtered_probe_curve"))
+      "x2_filtered_probe_curve", "x2_filtered_rank_quality",
+      "x2_filtered_bucket_stats"))
 
   // the filtered search's probe/candidate/score tail (label in the
-  // candidate key); the probe curve's qp adds the mask index so it
-  // carries only the bb CTE above, not this tail
+  // candidate key); the probe curve's qp adds the mask index and the
+  // bucket-stats report stops at bb, so neither carries this tail
   chainFamily("labeled qp..r probe/score tail", "x2_ann_filtered",
     "qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket\n",
     "ORDER BY cos DESC, n_id) AS rank FROM s)",
-    Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_filtered_recall"))
+    Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_filtered_recall",
+      "x2_filtered_rank_quality"))
 
   // brute ground truth RESTRICTED to the query's label — the filtered
-  // audits' shared head (same-label join in xs)
+  // audits' shared head; the rank-quality oracle keeps rank in its
+  // exact CTE, so the full e..exact span pins only recall + curve
+  // while the e..xr span pins all three
+  chainFamily("filtered brute head e..xr", "x2_filtered_recall",
+    "WITH e AS (SELECT vec_id, label,",
+    "ORDER BY cos DESC, n_id) AS rank FROM xs),",
+    Set("x2_filtered_recall", "x2_filtered_probe_curve",
+      "x2_filtered_rank_quality"))
+
   chainFamily("filtered brute head e..exact", "x2_filtered_recall",
     "WITH e AS (SELECT vec_id, label,",
     "exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3)",

@@ -586,6 +586,13 @@ class SimilarityWindowsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(all.contains((7L, 9L, 1L)))
     assert(!all.exists(p => p._1 == 7L && p._2 == 9L && p._3 > 1L))
+    // the session shelf symmetrizes the same pairs and ranks on the
+    // exact context count: item 5's shelf leads with 9 (3 sessions)
+    val shelf = Windows.alsoViewedSession(fe)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(shelf.contains((5L, 9L, 3L, 1L)))
+    assert(shelf.contains((5L, 7L, 2L, 2L)))
+    assert(!shelf.exists(r => r._1 == 7L && r._2 == 9L)) // support-1 pruned
   }
 
   test("covisit merge: user-shard pair tables fold by addition, threshold after") {
@@ -867,6 +874,37 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     // leg where recall silently collapses — pin the floor
     val recall = rep.map(_._3).sum.toDouble / rep.map(_._2).sum
     assert(recall >= 0.85, f"filtered recall dropped to $recall%.2f")
+  }
+
+  test("filtered rank quality: hits agree with the recall report, extremes pinned") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val rq = Similarity.lshFilteredRankQuality(emb)
+      .as[(Long, Long, Double, Double)].collect()
+    val rec = Similarity.lshFilteredRecallReport(emb)
+      .select("q_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(rq.length === 20)
+    // n_hits is the SAME set intersection the recall report counts
+    rq.foreach { case (q, h, g, m) =>
+      assert(h === rec(q))
+      assert(g >= 0.0 && g <= 1.0 && m >= 0.0 && m <= 1.0)
+      if (h == 0) assert(g == 0.0 && m == 0.0)
+      if (g == 1.0) assert(m == 1.0) // all exact found ⟹ rank-1 item found
+    }
+  }
+
+  test("labeled bucket stats: per-label occupancy sums to the label's population") {
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val byLabel = emb.groupBy(col("label")).count()
+      .as[(Long, Long)].collect().toMap
+    val stats = Similarity.lshLabeledBucketStats(emb)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // 8 tables × |labels| rows; each (table, label) row accounts for
+    // every vector of that label exactly once
+    assert(stats.length === 8 * byLabel.size)
+    stats.foreach { case (_, label, nB, nV, maxL, _) =>
+      assert(nV === byLabel(label))
+      assert(maxL <= nV && nB <= nV)
+    }
   }
 
   test("ivf probe curve: monotone, full budget equals the ivf recall report") {
