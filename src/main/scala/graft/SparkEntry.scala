@@ -880,6 +880,16 @@ object SparkEntry {
     // actually rank on)
     "x6_also_viewed_session" ->
       ((s, d) => Windows.alsoViewedSession(t(s, d, "events"))),
+    // the session merge law: USER-disjoint shard pair tables fold by
+    // addition (sessions are per-user, so a user cut never splits a
+    // session), support threshold AFTER the fold. Oracle =
+    // x6_covisit_session's verbatim (merged ≡ whole-corpus build).
+    "x6_covisit_session_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Windows.covisitSessionMerge(Seq(
+        Windows.covisitSessionPairs(ev.filter("user_id % 2 = 0")).localCheckpoint(),
+        Windows.covisitSessionPairs(ev.filter("user_id % 2 = 1")).localCheckpoint()))
+    }),
     // "also viewed": top-3 co-visited items per item, exact-count rank
     "x6_also_viewed" -> ((s, d) => Windows.alsoViewed(t(s, d, "events"))),
     // the shelf served from a MATERIALIZED pair table — the read plan
@@ -1113,7 +1123,7 @@ object SparkEntry {
     "x5_mm_search_binary_serve",
     "x6_ab_serve",
     "x6_also_viewed_serve", "x6_anomaly_serve", "x6_cms_serve",
-    "x6_covisit_merge", "x6_seasonal_serve",
+    "x6_covisit_merge", "x6_covisit_session_merge", "x6_seasonal_serve",
     "x6_hist_log_merge",
     "x6_hist_log_serve", "x6_hist_merge", "x6_hist_serve",
     "x6_hll_serve", "x6_kmv_serve",
@@ -8104,6 +8114,7 @@ object SparkEntry {
       "x6_seasonal_serve" -> base("x6_seasonal_anomaly"),
       "x6_also_viewed_serve" -> base("x6_also_viewed"),
       "x6_covisit_merge" -> base("x6_covisit"),
+      "x6_covisit_session_merge" -> base("x6_covisit_session"),
     )
   }
 }

@@ -695,7 +695,18 @@ object Windows {
     * user-disjoint shards like [[covisitPairs]]; the support threshold
     * applies after aggregation. */
   def covisitSession(events: DataFrame, gapMinutes: Int = 5,
-                     capPerSession: Int = 20, minSupport: Int = 2): DataFrame = {
+                     capPerSession: Int = 20, minSupport: Int = 2): DataFrame =
+    covisitSessionPairs(events, gapMinutes, capPerSession)
+      .filter(col("n_sessions") >= minSupport)
+
+  /** [[covisitSession]]'s UNTHRESHOLDED pair counts — the mergeable
+    * artifact at the session grain: sessions are PER-USER (the
+    * [[sessions]] key), so a user-disjoint shard cut can never split
+    * a session, and pair tables fold by plain addition
+    * ([[covisitSessionMerge]]) with the support threshold after the
+    * fold — the [[covisitPairs]] merge law carried down one grain. */
+  def covisitSessionPairs(events: DataFrame, gapMinutes: Int = 5,
+                          capPerSession: Int = 20): DataFrame = {
     val capped = cappedSessionItems(events, gapMinutes, capPerSession)
     val b = capped.select(col("user_id").as("u2"), col("session_seq").as("s2"),
       col("item").as("item_b"))
@@ -703,8 +714,17 @@ object Windows {
       .join(b, col("user_id") === col("u2") && col("session_seq") === col("s2") &&
         col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_sessions"))
-      .filter(col("n_sessions") >= minSupport)
   }
+
+  /** Fold user-shard [[covisitSessionPairs]] tables — counter addition
+    * by pair, thresholding after (a pair at 1+1 across shards is
+    * support-2; valid only for USER-disjoint shards — an item or TIME
+    * shard would sever within-session pairs). */
+  def covisitSessionMerge(shards: Seq[DataFrame], minSupport: Int = 2): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("n_sessions")).as("n_sessions"))
+      .filter(col("n_sessions") >= minSupport)
 
   /** X6 SESSION "ALSO VIEWED" shelf — [[alsoViewed]] read from the
     * SESSION-scoped pair table: per item, the top-k co-visited items

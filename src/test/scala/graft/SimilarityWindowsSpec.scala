@@ -593,6 +593,15 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(shelf.contains((5L, 9L, 3L, 1L)))
     assert(shelf.contains((5L, 7L, 2L, 2L)))
     assert(!shelf.exists(r => r._1 == 7L && r._2 == 9L)) // support-1 pruned
+    // merge law: user-disjoint shard pair tables fold by addition with
+    // the threshold AFTER — (5,7) has support 1 in EACH parity shard
+    // (user 1 even? 1,3 odd / 2 even) and only threshold-after-fold
+    // recovers it; merged ≡ whole-corpus build
+    val merged = Windows.covisitSessionMerge(Seq(
+      Windows.covisitSessionPairs(fe.filter(col("user_id") % 2 === 0)),
+      Windows.covisitSessionPairs(fe.filter(col("user_id") % 2 === 1))))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === got)
   }
 
   test("covisit merge: user-shard pair tables fold by addition, threshold after") {
