@@ -771,6 +771,15 @@ object SparkEntry {
     // never re-embedded/re-hashed. Oracle = x5_mm_search_lsh's verbatim.
     "x5_mm_search_lsh_serve" -> ((s, d) =>
       Multimodal.mediaSearchLshServe(t(s, d, "documents"))),
+    // filtered media retrieval: the language predicate rides IN the
+    // labeled media bucket key (the x2_ann_filtered discipline on the
+    // media modality -- the one x2 leg that had no media twin)
+    "x5_mm_search_filtered" -> ((s, d) =>
+      Multimodal.mediaSearchFiltered(t(s, d, "documents"))),
+    // its serve path over the STORED labeled media bucket table.
+    // Oracle = x5_mm_search_filtered's verbatim.
+    "x5_mm_search_filtered_serve" -> ((s, d) =>
+      Multimodal.mediaSearchFilteredServe(t(s, d, "documents"))),
     // the media flat-ADC serve path: stored code table + driver
     // codebook only. Oracle = x5_mm_search_pq's verbatim.
     "x5_mm_search_pq_serve" -> ((s, d) => {
@@ -1115,7 +1124,7 @@ object SparkEntry {
     "x4_cluster", "x4_cluster_cohesion", "x4_dup_stats", "x4_simhash_topk",
     "x4_source_dup_rate",
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
-    "x5_mm_search_lsh_serve", "x5_mm_search_pq_serve",
+    "x5_mm_search_lsh_serve", "x5_mm_search_filtered_serve", "x5_mm_search_pq_serve",
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
     "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
     "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
@@ -6241,6 +6250,36 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // filtered media retrieval: the media stub head with lang AS label
+    // + x2_ann_filtered's labeled bb CTE and cand/s/r discipline (the
+    // qp CTE narrows to the media query batch, vec_id < 5)
+    "x5_mm_search_filtered" ->
+      """WITH e AS (SELECT doc_id AS vec_id, lang AS label,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         bb AS (SELECT vec_id, label, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 5),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND q.label = t.label AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s)
+         SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
     // the x2_ivf_assign training/assign chain (shared CTE copy — change
     // together) over the dyadic-quantized media stub embedding
     "x5_mm_ivf" ->
@@ -8106,6 +8145,7 @@ object SparkEntry {
       "x6_hist_serve" -> base("x6_hist_quantiles"),
       "x6_hist_log_serve" -> base("x6_hist_log_quantiles"),
       "x5_mm_search_lsh_serve" -> base("x5_mm_search_lsh"),
+      "x5_mm_search_filtered_serve" -> base("x5_mm_search_filtered"),
       "x5_mm_search_pq_serve" -> base("x5_mm_search_pq"),
       "x5_mm_search_ivfpq_serve" -> base("x5_mm_search_ivfpq"),
       "x5_mm_search_ivfpq_res_serve" -> base("x5_mm_search_ivfpq_res"),

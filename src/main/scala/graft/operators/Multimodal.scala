@@ -125,6 +125,43 @@ object Multimodal {
   def mediaSearchLsh(documents: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame =
     Similarity.annLshOnVectors(mediaEmbedding(documents), nQueries, k)
 
+  /** The media corpus with its filter attribute: (vec_id, label, v)
+    * where label = the asset's LANGUAGE — the predicate a filtered
+    * media search restricts to ("same-language assets only", the
+    * media twin of the embedding table's label column). */
+  private def mediaLabeledVectors(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id").as("vec_id"), col("lang").as("label"),
+      graft.functions.MediaEmbed.media_embed(col("text"), 64, 7).as("v"))
+
+  /** X5 FILTERED media retrieval — [[mediaSearchLsh]] under a metadata
+    * predicate (same language), completing the media twin of the
+    * filtered vector-search leg: the label rides IN the (tbl, bucket,
+    * label) candidate key of the labeled media bucket index, so a
+    * selective language PRUNES candidate generation instead of
+    * post-filtering a truncated top-k (the x2_ann_filtered discipline
+    * on the media modality — the one x2 index leg that had no media
+    * twin). Same modality-agnostic core
+    * ([[Similarity.annLshFilteredOnIndexVectors]]). */
+  def mediaSearchFiltered(documents: DataFrame, nQueries: Int = 5,
+                          k: Int = 3): DataFrame = {
+    val vecs = mediaLabeledVectors(documents)
+    Similarity.annLshFilteredOnIndexVectors(vecs,
+      Similarity.lshLabeledBucketIndexOnVectors(vecs), nQueries, k)
+  }
+
+  /** [[mediaSearchFiltered]]'s SERVE path — the STORED labeled media
+    * bucket table is the ingest-time artifact; the search plan never
+    * re-embeds or re-hashes the collection (only the O(candidates)
+    * scoring join touches embeddings). Must equal
+    * [[mediaSearchFiltered]] exactly: `x5_mm_search_filtered_serve`
+    * shares its oracle by reference. */
+  def mediaSearchFilteredServe(documents: DataFrame, nQueries: Int = 5,
+                               k: Int = 3): DataFrame = {
+    val vecs = mediaLabeledVectors(documents)
+    val idx = Similarity.lshLabeledBucketIndexOnVectors(vecs).localCheckpoint()
+    Similarity.annLshFilteredOnIndexVectors(vecs, idx, nQueries, k)
+  }
+
   /** The media LSH SERVE path — [[mediaSearchLsh]] answered from a
     * STORED media bucket table: a resident pipeline embeds and
     * sign-hashes each asset ONCE at ingest ([[mediaBucketIndex]], 8·N

@@ -922,7 +922,13 @@ object Similarity {
     * post-filtered top-k (the vector-DB "filtered search"
     * discipline). */
   def lshLabeledBucketIndex(embeddings: DataFrame): DataFrame =
-    withVec(embeddings).withColumn("bkts", bucketsCol)
+    lshLabeledBucketIndexOnVectors(withVec(embeddings))
+
+  /** [[lshLabeledBucketIndex]] over any (vec_id, label, v) frame — the
+    * media modality's labeled index (`x5_mm_search_filtered`: label =
+    * the asset's language). */
+  def lshLabeledBucketIndexOnVectors(vectors: DataFrame): DataFrame =
+    vectors.withColumn("bkts", bucketsCol)
       .select(col("vec_id"), col("label"), posexplode(col("bkts")))
       .toDF("vec_id", "label", "tbl", "bucket")
       .repartition(col("tbl"), col("bucket"))
@@ -934,8 +940,16 @@ object Similarity {
     * filtering the stored table. Must equal the self-contained form
     * exactly — shared oracle (`x2_ann_filtered_serve`). */
   def annLshFilteredOnIndex(embeddings: DataFrame, buckets: DataFrame,
-                            nQueries: Int = 20, k: Int = 3): DataFrame = {
-    val vn = withVec(embeddings).select(col("vec_id"), col("v"), col("nrm"))
+                            nQueries: Int = 20, k: Int = 3): DataFrame =
+    annLshFilteredOnIndexVectors(withVec(embeddings), buckets, nQueries, k)
+
+  /** [[annLshFilteredOnIndex]] over any (vec_id, label, v) frame — the
+    * modality-agnostic filtered search core the media retrieval path
+    * composes (`x5_mm_search_filtered`). */
+  def annLshFilteredOnIndexVectors(vectors: DataFrame, buckets: DataFrame,
+                                   nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val vn = vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      .select(col("vec_id"), col("v"), col("nrm"))
     val q = buckets.filter(col("vec_id") < nQueries)
       .withColumn("fl", explode(typedLit(ProbeMasks)))
       .select(col("vec_id").as("q_id"), col("label"), col("tbl"),

@@ -334,7 +334,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_incremental", "x2_range_lsh", "x2_range_lsh_serve", "x2_range_recall",
       "x2_rank_quality", "x2_recall", "x2_probe_curve", "x2_filtered_recall",
       "x2_filtered_probe_curve", "x2_filtered_rank_quality",
-      "x2_filtered_bucket_stats", "x5_mm_bucket_stats",
+      "x2_filtered_bucket_stats", "x5_mm_search_filtered",
+      "x5_mm_search_filtered_serve", "x5_mm_bucket_stats",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
 
@@ -345,7 +346,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_mips_lsh_serve", "x2_mips_recall", "x2_range_lsh", "x2_range_lsh_serve",
       "x2_range_recall", "x2_rank_quality", "x2_recall", "x2_probe_curve",
       "x2_filtered_recall", "x2_filtered_probe_curve",
-      "x2_filtered_rank_quality",
+      "x2_filtered_rank_quality", "x5_mm_search_filtered",
+      "x5_mm_search_filtered_serve",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
 
@@ -365,7 +367,8 @@ class OracleChainSpec extends AnyFunSuite {
     "FROM n, (SELECT unnest(range(8)) AS tt)),",
     Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_filtered_recall",
       "x2_filtered_probe_curve", "x2_filtered_rank_quality",
-      "x2_filtered_bucket_stats"))
+      "x2_filtered_bucket_stats", "x5_mm_search_filtered",
+      "x5_mm_search_filtered_serve"))
 
   // the filtered search's probe/candidate/score tail (label in the
   // candidate key); the probe curve's qp adds the mask index and the
@@ -543,7 +546,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_search_pq", "x5_mm_search_pq_serve",
       "x5_mm_search_sq", "x5_mm_search_sq_serve", "x5_mm_search_binary",
-      "x5_mm_search_binary_serve", "x5_mm_probe_curve"))
+      "x5_mm_search_binary_serve", "x5_mm_probe_curve",
+      "x5_mm_search_filtered", "x5_mm_search_filtered_serve"))
 
   // ---- serve aliases: shared BY REFERENCE, pinned here ----
 
@@ -575,6 +579,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x6_hist_log_merge" -> "x6_hist_log_sketch",
       "x6_hist_serve" -> "x6_hist_quantiles",
       "x5_mm_search_lsh_serve" -> "x5_mm_search_lsh",
+      "x5_mm_search_filtered_serve" -> "x5_mm_search_filtered",
       "x5_mm_search_pq_serve" -> "x5_mm_search_pq",
       "x5_mm_search_ivfpq_serve" -> "x5_mm_search_ivfpq",
       "x5_mm_search_ivfpq_res_serve" -> "x5_mm_search_ivfpq_res",

@@ -1571,6 +1571,24 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(self.find(r => r._1 == 0L && r._5 == 1).get._2 === 2L)
   }
 
+  test("media filtered search: results satisfy the language predicate, serve equals self") {
+    import spark.implicits._
+    val docs = (0L to 9L)
+      .map(i => (i, s"media payload nr $i " + ("x" * (i.toInt + 3)),
+        if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val self = graft.operators.Multimodal.mediaSearchFiltered(docs, nQueries = 2, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(self.nonEmpty)
+    // the label rides IN the candidate key: an en query (even id) can
+    // only surface en neighbors (even ids), a de query only de
+    self.foreach { case (q, n, _, _) => assert(q % 2 === n % 2, s"($q,$n)") }
+    val served = graft.operators.Multimodal
+      .mediaSearchFilteredServe(docs, nQueries = 2, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served === self)
+  }
+
   test("media SQ search: serve over the stored code table equals self-contained") {
     import spark.implicits._
     val docs = (0L to 9L)
