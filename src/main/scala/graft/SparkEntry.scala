@@ -780,6 +780,10 @@ object SparkEntry {
     // Oracle = x5_mm_search_filtered's verbatim.
     "x5_mm_search_filtered_serve" -> ((s, d) =>
       Multimodal.mediaSearchFilteredServe(t(s, d, "documents"))),
+    // the filtered media leg's measured recall gate: per query, recall
+    // vs brute ground truth restricted to the SAME language
+    "x5_mm_filtered_recall" -> ((s, d) =>
+      Multimodal.mediaFilteredRecall(t(s, d, "documents"))),
     // the media flat-ADC serve path: stored code table + driver
     // codebook only. Oracle = x5_mm_search_pq's verbatim.
     "x5_mm_search_pq_serve" -> ((s, d) => {
@@ -6280,6 +6284,50 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM s)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // the filtered media leg's recall gate: the media labeled head +
+    // a brute chain restricted to the query's LANGUAGE + the labeled
+    // bb/qp/cand/s/r chains of x5_mm_search_filtered (copied verbatim
+    // -- change together) + the n_true/n_hits recall tail
+    "x5_mm_filtered_recall" ->
+      """WITH e AS (SELECT doc_id AS vec_id, lang AS label,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q JOIN n t ON t.label = q.label AND t.vec_id <> q.vec_id
+           WHERE q.vec_id < 5),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, label, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 5),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND q.label = t.label AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s),
+         approx AS (SELECT q_id, n_id, 1 AS hit FROM r WHERE rank <= 3)
+         SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
+           round(CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 4) AS recall
+         FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+         GROUP BY e.q_id""",
     // the x2_ivf_assign training/assign chain (shared CTE copy — change
     // together) over the dyadic-quantized media stub embedding
     "x5_mm_ivf" ->

@@ -149,6 +149,19 @@ object Multimodal {
       Similarity.lshLabeledBucketIndexOnVectors(vecs), nQueries, k)
   }
 
+  /** X5 FILTERED media recall audit — the measure-don't-guess gate for
+    * [[mediaSearchFiltered]]: per query, recall of the labeled media
+    * search vs brute-force ground truth restricted to the SAME
+    * language, on the SAME vectors and hyperplanes the production
+    * filtered search uses (the `x2_filtered_recall` discipline on the
+    * media modality). A selective language thins every bucket's
+    * candidate population, so the unfiltered media recall
+    * (`x5_mm_recall`) says nothing about this leg. */
+  def mediaFilteredRecall(documents: DataFrame, nQueries: Int = 5,
+                          k: Int = 3): DataFrame =
+    Similarity.filteredRecallOnVectors(mediaLabeledVectors(documents),
+      nQueries, k)
+
   /** [[mediaSearchFiltered]]'s SERVE path — the STORED labeled media
     * bucket table is the ingest-time artifact; the search plan never
     * re-embeds or re-hashes the collection (only the O(candidates)

@@ -972,8 +972,13 @@ object Similarity {
     * (a selective predicate shrinks the scored stream instead of the
     * crossJoin-then-filter shape); same raw-cos/id-tie-break rule. */
   private def filteredExactTopK(embeddings: DataFrame, nQueries: Int,
-                                k: Int): DataFrame = {
-    val all = withVec(embeddings)
+                                k: Int): DataFrame =
+    filteredExactTopKOnVectors(withVec(embeddings), nQueries, k)
+
+  /** [[filteredExactTopK]] over any (vec_id, label, v) frame. */
+  private def filteredExactTopKOnVectors(vectors: DataFrame, nQueries: Int,
+                                         k: Int): DataFrame = {
+    val all = vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
     val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("label"),
@@ -983,6 +988,25 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
     topKPerGroup(scored, k).select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  /** [[lshFilteredRecallReport]] over any (vec_id, label, v) frame —
+    * the media filtered leg's measure-don't-guess gate
+    * (`x5_mm_filtered_recall`): same vectors, labels, and hyperplanes
+    * the filtered media search uses. */
+  def filteredRecallOnVectors(vectors: DataFrame, nQueries: Int,
+                              k: Int): DataFrame = {
+    val exact = filteredExactTopKOnVectors(vectors, nQueries, k)
+    val approx = annLshFilteredOnIndexVectors(vectors,
+        lshLabeledBucketIndexOnVectors(vectors), nQueries, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_true"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall"))
   }
 
   /** X2 FILTERED-ANN RECALL audit — [[lshRecallReport]]'s counterpart

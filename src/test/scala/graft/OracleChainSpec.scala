@@ -335,7 +335,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_rank_quality", "x2_recall", "x2_probe_curve", "x2_filtered_recall",
       "x2_filtered_probe_curve", "x2_filtered_rank_quality",
       "x2_filtered_bucket_stats", "x5_mm_search_filtered",
-      "x5_mm_search_filtered_serve", "x5_mm_bucket_stats",
+      "x5_mm_search_filtered_serve", "x5_mm_filtered_recall",
+      "x5_mm_bucket_stats",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
 
@@ -347,7 +348,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_range_recall", "x2_rank_quality", "x2_recall", "x2_probe_curve",
       "x2_filtered_recall", "x2_filtered_probe_curve",
       "x2_filtered_rank_quality", "x5_mm_search_filtered",
-      "x5_mm_search_filtered_serve",
+      "x5_mm_search_filtered_serve", "x5_mm_filtered_recall",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
 
@@ -368,7 +369,23 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_filtered_recall",
       "x2_filtered_probe_curve", "x2_filtered_rank_quality",
       "x2_filtered_bucket_stats", "x5_mm_search_filtered",
-      "x5_mm_search_filtered_serve"))
+      "x5_mm_search_filtered_serve", "x5_mm_filtered_recall"))
+
+  // the media labeled head + the (vec_id < 5) probe/score tail —
+  // shared by the filtered media search, its serve alias, and its
+  // recall gate
+  chainFamily("media labeled head e/n", "x5_mm_search_filtered",
+    "WITH e AS (SELECT doc_id AS vec_id, lang AS label,",
+    "AS nrm FROM e),",
+    Set("x5_mm_search_filtered", "x5_mm_search_filtered_serve",
+      "x5_mm_filtered_recall"))
+
+  chainFamily("media labeled qp..r tail (vec_id < 5)", "x5_mm_search_filtered",
+    "qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket\n" +
+      "           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 5),",
+    "ORDER BY cos DESC, n_id) AS rank FROM s)",
+    Set("x5_mm_search_filtered", "x5_mm_search_filtered_serve",
+      "x5_mm_filtered_recall"))
 
   // the filtered search's probe/candidate/score tail (label in the
   // candidate key); the probe curve's qp adds the mask index and the
@@ -547,7 +564,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_lsh_serve", "x5_mm_search_pq", "x5_mm_search_pq_serve",
       "x5_mm_search_sq", "x5_mm_search_sq_serve", "x5_mm_search_binary",
       "x5_mm_search_binary_serve", "x5_mm_probe_curve",
-      "x5_mm_search_filtered", "x5_mm_search_filtered_serve"))
+      "x5_mm_search_filtered", "x5_mm_search_filtered_serve",
+      "x5_mm_filtered_recall"))
 
   // ---- serve aliases: shared BY REFERENCE, pinned here ----
 

@@ -1589,6 +1589,18 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(served === self)
   }
 
+  test("media filtered recall: hits bounded by same-language ground truth, floor holds") {
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val rep = graft.operators.Multimodal.mediaFilteredRecall(docs)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rep.length === 5)
+    assert(rep.forall(r => r._3 <= r._2))
+    // measured 1.0 at sf0.001; the floor guards against silently
+    // degrading the labeled bucketing for this modality
+    val recall = rep.map(_._3).sum.toDouble / rep.map(_._2).sum
+    assert(recall >= 0.8, f"media filtered recall dropped to $recall%.2f")
+  }
+
   test("media SQ search: serve over the stored code table equals self-contained") {
     import spark.implicits._
     val docs = (0L to 9L)
