@@ -686,6 +686,12 @@ object SparkEntry {
       Similarity.annIvfSqResOnArtifacts(emb,
         Similarity.resSqCodesFor(emb, cmodel).localCheckpoint(), cmodel)
     }),
+    // the measured residual claim for the SQ composition: recall@k of
+    // raw-code vs residual-code IVF x SQ against exact L2 at identical
+    // (nCells, nProbe); trains its own model BY DESIGN (the audit
+    // re-proves the claim -- ModelCache would make it circular); spec
+    // pins sum(n_hits_res) >= sum(n_hits_raw)
+    "x2_ivfsq_recall" -> ((s, d) => Similarity.ivfSqRecallReport(t(s, d, "embeddings"))),
     // per-dimension mean/variance/dead-unit audit in exact integer moments
     "x2_dim_stats" -> ((s, d) => Similarity.dimStats(t(s, d, "embeddings"))),
     // row-wise norm audit: z of each vector's L2 norm vs the corpus
@@ -784,6 +790,17 @@ object SparkEntry {
     // vs brute ground truth restricted to the SAME language
     "x5_mm_filtered_recall" -> ((s, d) =>
       Multimodal.mediaFilteredRecall(t(s, d, "documents"))),
+    // the filtered media leg's probe-budget tuning curve (max budget
+    // reproduces the recall gate's hit total, spec-pinned)
+    "x5_mm_filtered_probe_curve" -> ((s, d) =>
+      Multimodal.mediaFilteredProbeCurve(t(s, d, "documents"))),
+    // the filtered media leg's ranking audit: graded recall normalized
+    // by the query's own max gain + MRR
+    "x5_mm_filtered_rank_quality" -> ((s, d) =>
+      Multimodal.mediaFilteredRankQuality(t(s, d, "documents"))),
+    // labeled media occupancy pre-flight at the (table, LANGUAGE) grain
+    "x5_mm_filtered_bucket_stats" -> ((s, d) =>
+      Multimodal.mediaLabeledBucketStats(t(s, d, "documents"))),
     // the media flat-ADC serve path: stored code table + driver
     // codebook only. Oracle = x5_mm_search_pq's verbatim.
     "x5_mm_search_pq_serve" -> ((s, d) => {
@@ -1117,6 +1134,7 @@ object SparkEntry {
     "x2_ann_ivfsq_res_serve",
     "x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
     "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
+    "x2_ivfsq_recall",
     "x2_ann_filtered_serve", "x2_ann_lsh_serve", "x2_range_lsh_serve",
     "x2_ann_pq_serve", "x2_mips_lsh_serve",
     "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia",
@@ -4002,6 +4020,137 @@ object SparkEntry {
              ORDER BY adist, n_id) AS rank FROM ssc)
          SELECT q_id, n_id, cell, round(adist, 6) AS adist, CAST(rank AS INTEGER) AS rank
          FROM srr WHERE rank <= 3""",
+    // IVF x SQ recall audit: x2_ann_ivfsq_res's FULL chain (IVF
+    // training + residual frame/encode/estimate through srr, copied
+    // verbatim -- change together, guard families) + a raw-code L2
+    // leg over the SAME rivfc candidates (x2_quantize's sc/qq encode
+    // chain + the asymmetric L2 estimate with the exact query norm)
+    // + x2_ivfpq_recall's exact ground-truth chain (xn..ex) and hits
+    // tail. Holding the metric (L2) and (nCells, nProbe) fixed
+    // isolates raw-vs-residual encoding as the only variable.
+    "x2_ivfsq_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1),
+         resv AS (SELECT a.vec_id, a.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS rv
+           FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN k2 k ON k.c_id = a.cell),
+         dsc AS (SELECT vec_id, cell, rv,
+             list_max(list_transform(rv, x -> abs(x))) / 127.0 AS scale FROM resv),
+         dq AS (SELECT vec_id, cell, scale,
+             CASE WHEN scale = 0 THEN list_transform(rv, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(rv, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM dsc),
+         pbr AS (SELECT t.vec_id, k.c_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+           FROM n t, k2 k WHERE t.vec_id < 20),
+         pb AS (SELECT vec_id AS q_id, c_id AS cell FROM pbr WHERE ar <= 2),
+         qres AS (SELECT p.q_id, p.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS qr
+           FROM pb p JOIN e ON e.vec_id = p.q_id JOIN k2 k ON k.c_id = p.cell),
+         qsc AS (SELECT q_id, cell, qr,
+             list_reduce(list_transform(qr, x -> x*x), (x,y) -> x+y) AS qn2,
+             list_max(list_transform(qr, x -> abs(x))) / 127.0 AS scale FROM qres),
+         qsq AS (SELECT q_id, cell, qn2, scale,
+             CASE WHEN scale = 0 THEN list_transform(qr, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(qr, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM qsc),
+         rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         ssc AS (SELECT c.q_id, c.vec_id AS n_id, c.cell,
+             a.qn2 - 2 * (a.scale * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> a.q[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE)) + b.scale * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> b.q[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE) AS adist
+           FROM rivfc c JOIN qsq a ON a.q_id = c.q_id AND a.cell = c.cell
+           JOIN dq b ON b.vec_id = c.vec_id),
+         srr AS (SELECT q_id, n_id, cell, adist, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist, n_id) AS rank FROM ssc),
+         sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc),
+         rq AS (SELECT e.vec_id AS q_id,
+             list_reduce(list_transform(e.v, x -> x*x), (x,y) -> x+y) AS qn2,
+             qq.scale AS qs, qq.q AS qv8
+           FROM e JOIN qq ON qq.vec_id = e.vec_id WHERE e.vec_id < 20),
+         wsc AS (SELECT c.q_id, c.vec_id AS n_id,
+             a.qn2 - 2 * (a.qs * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> a.qv8[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE)) + b.scale * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> b.q[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE) AS adist
+           FROM rivfc c JOIN rq a ON a.q_id = c.q_id
+           JOIN qq b ON b.vec_id = c.vec_id),
+         wrr AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist, n_id) AS rank FROM wsc),
+         rawk AS (SELECT q_id, n_id FROM wrr WHERE rank <= 3),
+         resk AS (SELECT q_id, n_id FROM srr WHERE rank <= 3),
+         xn AS (SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y) AS n2 FROM e),
+         gs AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             b.n2 - 2 * list_reduce(list_transform(range(1, len(a.v)+1),
+               i -> a.v[i]*b.v[i]), (x,y) -> x+y) + a.n2 AS dist
+           FROM xn a, xn b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         gr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY dist, n_id) AS rank FROM gs),
+         ex AS (SELECT q_id, n_id FROM gr WHERE rank <= 3)
+         SELECT ex.q_id,
+           CAST(sum(CASE WHEN rw.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits_raw,
+           CAST(sum(CASE WHEN rs.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits_res,
+           round(CAST(sum(CASE WHEN rw.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall_raw,
+           round(CAST(sum(CASE WHEN rs.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall_res
+         FROM ex LEFT JOIN rawk rw ON rw.q_id = ex.q_id AND rw.n_id = ex.n_id
+         LEFT JOIN resk rs ON rs.q_id = ex.q_id AND rs.n_id = ex.n_id
+         GROUP BY ex.q_id""",
     "x2_ivf_recall" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -6328,6 +6477,115 @@ object SparkEntry {
              CAST(count(*) AS DOUBLE), 4) AS recall
          FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
          GROUP BY e.q_id""",
+    // the filtered media probe curve: x5_mm_filtered_recall's media
+    // brute head e..exact (copied verbatim -- change together) + the
+    // labeled bb CTE + x2_filtered_probe_curve's qp-with-mask-index
+    // (vec_id < 5) and cm..curve tail (copied verbatim)
+    "x5_mm_filtered_probe_curve" ->
+      """WITH e AS (SELECT doc_id AS vec_id, lang AS label,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q JOIN n t ON t.label = q.label AND t.vec_id <> q.vec_id
+           WHERE q.vec_id < 5),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, label, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket, idx
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl,
+               unnest([0, 1, 2, 3, 4]) AS idx) WHERE vec_id < 5),
+         cm AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id, min(q.idx) AS min_idx
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND q.label = t.label AND t.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         j AS (SELECT e.q_id, e.n_id, c.min_idx FROM exact e
+           LEFT JOIN cm c ON c.q_id = e.q_id AND c.n_id = e.n_id)
+         SELECT CAST(m AS BIGINT) AS n_probes, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN min_idx < m THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN min_idx < m THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 4) AS recall
+         FROM j, (SELECT unnest([1, 2, 3, 4, 5]) AS m)
+         GROUP BY m""",
+    // the filtered media ranking audit: the media brute head keeping
+    // RANK in its exact CTE + x5_mm_search_filtered's labeled
+    // bb/qp/cand/s/r chains (copied verbatim -- change together) +
+    // x2_filtered_rank_quality's graded-recall/MRR tail
+    "x5_mm_filtered_rank_quality" ->
+      """WITH e AS (SELECT doc_id AS vec_id, lang AS label,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q JOIN n t ON t.label = q.label AND t.vec_id <> q.vec_id
+           WHERE q.vec_id < 5),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id, rank FROM xr WHERE rank <= 3),
+         bb AS (SELECT vec_id, label, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket
+           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 5),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, t.vec_id AS n_id
+           FROM qp q JOIN bb t ON q.tt = t.tt AND q.bucket = t.bucket
+             AND q.label = t.label AND t.vec_id <> q.vec_id),
+         s AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM s),
+         approx AS (SELECT q_id, n_id, rank FROM r WHERE rank <= 3)
+         SELECT e.q_id, CAST(count(a.rank) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN a.rank IS NOT NULL THEN 4 - e.rank
+             ELSE 0 END) AS DOUBLE) / CAST(sum(4 - e.rank) AS DOUBLE), 4)
+             AS graded_recall,
+           round(coalesce(1::DOUBLE / min(a.rank), 0::DOUBLE), 6) AS mrr
+         FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+         GROUP BY e.q_id""",
+    // labeled media occupancy pre-flight: the media labeled head + bb
+    // chain (copied verbatim -- change together) rolled up per
+    // (table, LANGUAGE) with x2_filtered_bucket_stats' g/report tail
+    "x5_mm_filtered_bucket_stats" ->
+      """WITH e AS (SELECT doc_id AS vec_id, lang AS label,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         bb AS (SELECT vec_id, label, tt,
+             list_reduce(list_transform(range(4), j -> CASE WHEN
+               list_reduce(list_transform(range(64), d -> v[d+1] *
+                 (CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5)), (x,y) -> x+y) > 0
+               THEN (1 << j) ELSE 0 END), (x,y) -> x+y) AS bucket
+           FROM n, (SELECT unnest(range(8)) AS tt)),
+         g AS (SELECT tt, label, bucket, CAST(count(*) AS BIGINT) AS n
+           FROM bb GROUP BY 1, 2, 3)
+         SELECT tt AS tbl, label, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_vecs, max(n) AS max_load,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS mean_load
+         FROM g GROUP BY tt, label""",
     // the x2_ivf_assign training/assign chain (shared CTE copy — change
     // together) over the dyadic-quantized media stub embedding
     "x5_mm_ivf" ->

@@ -175,6 +175,39 @@ object Multimodal {
     Similarity.annLshFilteredOnIndexVectors(vecs, idx, nQueries, k)
   }
 
+  /** X5 FILTERED media probe-budget curve — the tuning knob for
+    * [[mediaSearchFiltered]], completing the media twin of the
+    * filtered audit set (recall + CURVE + ranking + occupancy): the
+    * one-pass min-probe-index trick of
+    * [[Similarity.filteredProbeCurveOnVectors]] on the labeled MEDIA
+    * index — same vectors, labels, and hyperplanes the production
+    * filtered media search uses; the max budget reproduces
+    * [[mediaFilteredRecall]]'s hit total exactly (spec-pinned). */
+  def mediaFilteredProbeCurve(documents: DataFrame, nQueries: Int = 5,
+                              k: Int = 3): DataFrame =
+    Similarity.filteredProbeCurveOnVectors(mediaLabeledVectors(documents),
+      nQueries, k)
+
+  /** X5 FILTERED media ranking audit — graded recall (normalized by
+    * the query's OWN max gain — a rare language can hold fewer than k
+    * same-language mates) + MRR of the filtered media search vs the
+    * same-language brute ground truth
+    * ([[Similarity.filteredRankQualityOnVectors]] on the media
+    * modality). */
+  def mediaFilteredRankQuality(documents: DataFrame, nQueries: Int = 5,
+                               k: Int = 3): DataFrame =
+    Similarity.filteredRankQualityOnVectors(mediaLabeledVectors(documents),
+      nQueries, k)
+
+  /** X5 LABELED media index-health report — bucket occupancy of the
+    * labeled media index at the (table, LANGUAGE) grain
+    * ([[Similarity.labeledBucketStatsOnVectors]]): the filtered media
+    * leg's pre-flight — one language collapsing into one bucket turns
+    * ITS candidate join quadratic while the unlabeled media occupancy
+    * report (`x5_mm_bucket_stats`) looks healthy. */
+  def mediaLabeledBucketStats(documents: DataFrame): DataFrame =
+    Similarity.labeledBucketStatsOnVectors(mediaLabeledVectors(documents))
+
   /** The media LSH SERVE path — [[mediaSearchLsh]] answered from a
     * STORED media bucket table: a resident pipeline embeds and
     * sign-hashes each asset ONCE at ingest ([[mediaBucketIndex]], 8·N

@@ -1048,8 +1048,16 @@ object Similarity {
     * measurement, where a selective label makes extra probes matter
     * most. */
   def lshFilteredProbeCurve(embeddings: DataFrame, nQueries: Int = 20,
-                            k: Int = 3): DataFrame = {
-    val buckets = lshLabeledBucketIndex(embeddings)
+                            k: Int = 3): DataFrame =
+    filteredProbeCurveOnVectors(withVec(embeddings), nQueries, k)
+
+  /** [[lshFilteredProbeCurve]] over any (vec_id, label, v) frame — the
+    * media filtered leg's tuning curve (`x5_mm_filtered_probe_curve`):
+    * same vectors, labels, and hyperplanes the filtered media search
+    * uses. */
+  def filteredProbeCurveOnVectors(vectors: DataFrame, nQueries: Int,
+                                  k: Int): DataFrame = {
+    val buckets = lshLabeledBucketIndexOnVectors(vectors)
     val q = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("label"), col("tbl"), col("bucket"),
         posexplode(typedLit(ProbeMasks)))
@@ -1060,7 +1068,7 @@ object Similarity {
       .groupBy(col("q_id"), col("vec_id"))
       .agg(min(col("m_idx")).as("min_idx"))
       .select(col("q_id"), col("vec_id").as("n_id"), col("min_idx"))
-    filteredExactTopK(embeddings, nQueries, k)
+    filteredExactTopKOnVectors(vectors, nQueries, k)
       .join(cm, Seq("q_id", "n_id"), "left")
       .withColumn("m", explode(typedLit((1 to ProbeMasks.size).toList)))
       .groupBy(col("m"))
@@ -1081,10 +1089,18 @@ object Similarity {
     * floor would under-grade exactly those queries. Integer gains +
     * exact rationals, no libm in the comparison path. */
   def lshFilteredRankQuality(embeddings: DataFrame, nQueries: Int = 20,
-                             k: Int = 3): DataFrame = {
-    val exact = filteredExactTopK(embeddings, nQueries, k)
+                             k: Int = 3): DataFrame =
+    filteredRankQualityOnVectors(withVec(embeddings), nQueries, k)
+
+  /** [[lshFilteredRankQuality]] over any (vec_id, label, v) frame —
+    * the media filtered leg's ranking audit
+    * (`x5_mm_filtered_rank_quality`). */
+  def filteredRankQualityOnVectors(vectors: DataFrame, nQueries: Int,
+                                   k: Int): DataFrame = {
+    val exact = filteredExactTopKOnVectors(vectors, nQueries, k)
       .select(col("q_id"), col("n_id"), col("rank").as("e_rank"))
-    val approx = annLshFiltered(embeddings, nQueries, k)
+    val approx = annLshFilteredOnIndexVectors(vectors,
+        lshLabeledBucketIndexOnVectors(vectors), nQueries, k)
       .select(col("q_id"), col("n_id"), col("rank").as("a_rank"))
     exact.join(approx, Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
@@ -1105,7 +1121,13 @@ object Similarity {
     * except the display division; two partial+final aggregations,
     * O(tables · labels) rows out. */
   def lshLabeledBucketStats(embeddings: DataFrame): DataFrame =
-    lshLabeledBucketIndex(embeddings)
+    labeledBucketStatsOnVectors(withVec(embeddings))
+
+  /** [[lshLabeledBucketStats]] over any (vec_id, label, v) frame — the
+    * media filtered leg's occupancy pre-flight
+    * (`x5_mm_filtered_bucket_stats`). */
+  def labeledBucketStatsOnVectors(vectors: DataFrame): DataFrame =
+    lshLabeledBucketIndexOnVectors(vectors)
       .groupBy(col("tbl"), col("label"), col("bucket")).agg(count(lit(1)).as("n"))
       .groupBy(col("tbl").cast("long").as("tbl"), col("label"))
       .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_vecs"),
@@ -2982,5 +3004,96 @@ object Similarity {
       .select(col("q_id"), col("n_hits_raw"), col("n_hits_res"),
         round(col("n_hits_raw").cast("double") / lit(k.toDouble), 4).as("recall_raw"),
         round(col("n_hits_res").cast("double") / lit(k.toDouble), 4).as("recall_res"))
+  }
+
+  /** X2 IVF×SQ recall audit — the measured half of the residual claim
+    * for the SQ composition, mirroring [[ivfPqRecallReport]]: per
+    * query, how many of the EXACT-L2 top-k each int8 composition
+    * returns — `n_hits_raw` for raw-vector codes and `n_hits_res` for
+    * residual codes ([[annIvfSqRes]]) — at IDENTICAL (nCells, nProbe)
+    * and an identical 1-byte/dim code budget. The production raw rung
+    * (`x2_ann_ivfsq`) serves MIPS (asymmetric dot), so the raw leg
+    * here re-prices the SAME probed candidates by the asymmetric L2
+    * estimate ‖q‖² − 2·s_q·s_d·⟨q,d⟩ + s_d²·⟨d,d⟩ — holding the
+    * METRIC fixed is what isolates the encoding (raw vs residual) as
+    * the only variable. Trains its own model BY DESIGN (never
+    * [[ModelCache]] — the audit re-proves the claim from scratch;
+    * memoizing would make the proof circular). Ground truth is the
+    * bounded-state top-k aggregate on −dist (oracle fold order); both
+    * approximate legs are k-bounded, so the audit join is O(|Q|·k)
+    * rows beyond the two searches. Spec pins Σ n_hits_res ≥
+    * Σ n_hits_raw. */
+  def ivfSqRecallReport(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
+                        nCells: Int = 8, trainRounds: Int = 2,
+                        nProbe: Int = 2): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val cmodel = trainIvfModel(embeddings, nCells, trainRounds)
+    val vecs = withVec(embeddings)
+      .select(col("vec_id"), col("v"), dot_product(col("v"), col("v")).as("n2"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val exact = vecs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (-(col("n2") - lit(2.0) * dot_product(col("qv"), col("v")) + col("qn2")))
+          .as("nd"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("nd"), col("n_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+    val raw = annIvfSqL2(embeddings, cmodel, nQueries, k, nProbe)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit_raw"))
+    val res = annIvfSqRes(embeddings, cmodel, nQueries, k, nProbe)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit_res"))
+    exact.join(raw, Seq("q_id", "n_id"), "left")
+      .join(res, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit_raw"), lit(0L))).as("n_hits_raw"),
+        sum(coalesce(col("hit_res"), lit(0L))).as("n_hits_res"))
+      .select(col("q_id"), col("n_hits_raw"), col("n_hits_res"),
+        round(col("n_hits_raw").cast("double") / lit(k.toDouble), 4).as("recall_raw"),
+        round(col("n_hits_res").cast("double") / lit(k.toDouble), 4).as("recall_res"))
+  }
+
+  /** [[ivfSqRecallReport]]'s raw-code leg: [[annIvfSq]]'s candidate
+    * plan (same trained cells, same cosine probe ranking) priced by
+    * [[annIvfSqResOnArtifacts]]'s asymmetric L2 estimate over RAW
+    * [[sqCodes]] — the exact query norm stands where the residual
+    * norm stood, candidate codes/scales come from the raw int8 table.
+    * Private because only the audit wants L2-from-raw-codes:
+    * production raw IVF×SQ serves MIPS and the production L2 rung is
+    * the residual one. */
+  private def annIvfSqL2(embeddings: DataFrame,
+                         centroids: Seq[(Long, Seq[Double])],
+                         nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = withVec(embeddings)
+    val cents = centroids.toDF("c_id", "cv")
+      .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(
+      cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")).desc_nulls_last,
+      col("c_id"))
+    val probes = all.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
+      .withColumn("arank", row_number().over(aw)).filter(col("arank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val codes = sqCodes(embeddings)
+    val qside = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), dot_product(col("v"), col("v")).as("qn2"))
+      .join(codes.select(col("vec_id").as("q_id"), col("scale").as("qs"),
+        col("q").as("qq")), Seq("q_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    ivfAssignmentsFor(embeddings, centroids)
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(qside), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (col("qn2") -
+          lit(2) * (col("qs") * col("scale") * dot_product(col("qq"), col("q"))) +
+          col("scale") * col("scale") * dot_product(col("q"), col("q")))
+          .as("adist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"))
   }
 }

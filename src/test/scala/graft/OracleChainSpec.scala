@@ -92,7 +92,7 @@ class OracleChainSpec extends AnyFunSuite {
   chainFamily("SQ int8 encode chain sc/qq", "x2_quantize",
     "sc AS (SELECT vec_id, v,", "FROM sc)",
     Set("x2_quantize", "x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank",
-      "x2_sq_recall", "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
+      "x2_sq_recall", "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x2_ivfsq_recall",
       "x2_hybrid_rrf_stored", "x5_mm_search_sq", "x5_mm_search_sq_serve"))
 
   chainFamily("binary sign-pack b/s/r Hamming chain", "x2_ann_binary",
@@ -110,7 +110,7 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
       "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve",
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
       "x2_centroids", "x2_ivf_assign", "x2_ivf_inertia", "x2_ivf_recall",
       "x2_ivf_probe_curve",
       "x2_ood", "x2_semdedup", "x5_mm_ivf", "x5_mm_search_ivfpq",
@@ -144,14 +144,14 @@ class OracleChainSpec extends AnyFunSuite {
     "floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE",
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve"))
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
 
   chainFamily("residual corpus frame resv", "x2_ann_ivfpq_res",
     "resv AS (SELECT a.vec_id",
     "JOIN k2 k ON k.c_id = a.cell),",
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve"))
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
 
   // pbr/pb and qres pinned separately: x2_ivfpq_recall interposes its
   // raw-PQ lut CTE between pb and qres, so the span is not contiguous
@@ -163,21 +163,37 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve"))
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
 
   chainFamily("query residual frame qres", "x2_ann_ivfpq_res",
     "qres AS (SELECT p.q_id",
     "JOIN k2 k ON k.c_id = p.cell),",
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve"))
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
 
   formulaFamily("residual candidate join rivfc",
     "rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell\n" +
       "           AND a.vec_id <> p.q_id),",
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve"))
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
+
+  // the residual int8 encode + residual-L2 estimate chain (dsc..srr):
+  // shared verbatim between the residual IVF×SQ search and the SQ
+  // recall audit's residual leg — change together
+  chainFamily("residual SQ encode + estimate dsc..srr", "x2_ann_ivfsq_res",
+    "dsc AS (SELECT vec_id, cell, rv,",
+    "ORDER BY adist, n_id) AS rank FROM ssc)",
+    Set("x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
+
+  // the exact-L2 ground-truth chain + hits/recall tail shared by the
+  // two composed-recall audits (raw vs residual at fixed params) —
+  // change together
+  chainFamily("composed-recall exact L2 ground truth xn..tail", "x2_ivfpq_recall",
+    "xn AS (SELECT vec_id, v,",
+    "GROUP BY ex.q_id",
+    Set("x2_ivfpq_recall", "x2_ivfsq_recall"))
 
   chainFamily("PQ per-subspace Lloyd training sv..c2", "x2_pq_codebook",
     "sv AS (SELECT vec_id, tt AS sub",
@@ -320,7 +336,7 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_ivf", "x2_ann_ivf_serve", "x2_ann_ivfpq", "x2_ann_ivfpq_serve",
       "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve",
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
       "x2_centroids", "x2_confusion", "x2_ivf_assign", "x2_ivf_inertia",
       "x2_ivf_recall", "x2_ivf_probe_curve", "x2_ood", "x2_semdedup", "x5_mm_ivf",
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
@@ -336,6 +352,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_filtered_probe_curve", "x2_filtered_rank_quality",
       "x2_filtered_bucket_stats", "x5_mm_search_filtered",
       "x5_mm_search_filtered_serve", "x5_mm_filtered_recall",
+      "x5_mm_filtered_probe_curve", "x5_mm_filtered_rank_quality",
+      "x5_mm_filtered_bucket_stats",
       "x5_mm_bucket_stats",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
@@ -349,6 +367,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_filtered_recall", "x2_filtered_probe_curve",
       "x2_filtered_rank_quality", "x5_mm_search_filtered",
       "x5_mm_search_filtered_serve", "x5_mm_filtered_recall",
+      "x5_mm_filtered_probe_curve", "x5_mm_filtered_rank_quality",
       "x5_mm_rank_quality", "x5_mm_recall", "x5_mm_search_lsh",
       "x5_mm_search_lsh_serve", "x5_mm_probe_curve"))
 
@@ -369,7 +388,9 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_filtered", "x2_ann_filtered_serve", "x2_filtered_recall",
       "x2_filtered_probe_curve", "x2_filtered_rank_quality",
       "x2_filtered_bucket_stats", "x5_mm_search_filtered",
-      "x5_mm_search_filtered_serve", "x5_mm_filtered_recall"))
+      "x5_mm_search_filtered_serve", "x5_mm_filtered_recall",
+      "x5_mm_filtered_probe_curve", "x5_mm_filtered_rank_quality",
+      "x5_mm_filtered_bucket_stats"))
 
   // the media labeled head + the (vec_id < 5) probe/score tail —
   // shared by the filtered media search, its serve alias, and its
@@ -378,14 +399,51 @@ class OracleChainSpec extends AnyFunSuite {
     "WITH e AS (SELECT doc_id AS vec_id, lang AS label,",
     "AS nrm FROM e),",
     Set("x5_mm_search_filtered", "x5_mm_search_filtered_serve",
-      "x5_mm_filtered_recall"))
+      "x5_mm_filtered_recall", "x5_mm_filtered_probe_curve",
+      "x5_mm_filtered_rank_quality", "x5_mm_filtered_bucket_stats"))
 
   chainFamily("media labeled qp..r tail (vec_id < 5)", "x5_mm_search_filtered",
     "qp AS (SELECT vec_id, label, tt, xor(bucket, fl) AS bucket\n" +
       "           FROM bb, (SELECT unnest([0, 1, 2, 4, 8]) AS fl) WHERE vec_id < 5),",
     "ORDER BY cos DESC, n_id) AS rank FROM s)",
     Set("x5_mm_search_filtered", "x5_mm_search_filtered_serve",
-      "x5_mm_filtered_recall"))
+      "x5_mm_filtered_recall", "x5_mm_filtered_rank_quality"))
+
+  // the media filtered audits' shared brute head (ground truth
+  // restricted to the query's LANGUAGE) — the media twin of the x2
+  // filtered-brute pair below: rank_quality keeps rank in its exact
+  // CTE, so e..xr pins all three while e..exact pins recall + curve
+  chainFamily("media filtered brute head e..xr", "x5_mm_filtered_recall",
+    "WITH e AS (SELECT doc_id AS vec_id, lang AS label,",
+    "ORDER BY cos DESC, n_id) AS rank FROM xs),",
+    Set("x5_mm_filtered_recall", "x5_mm_filtered_probe_curve",
+      "x5_mm_filtered_rank_quality"))
+
+  chainFamily("media filtered brute head e..exact", "x5_mm_filtered_recall",
+    "WITH e AS (SELECT doc_id AS vec_id, lang AS label,",
+    "exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3)",
+    Set("x5_mm_filtered_recall", "x5_mm_filtered_probe_curve"))
+
+  // the filtered probe curve's min-probe-index + budget-count tail
+  // (label in the cm join key) — shared verbatim between the x2 and
+  // media filtered curves; the unfiltered curves' cm has no label
+  chainFamily("filtered probe-curve cm..curve tail", "x2_filtered_probe_curve",
+    "cm AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id, min(q.idx) AS min_idx",
+    "GROUP BY m",
+    Set("x2_filtered_probe_curve", "x5_mm_filtered_probe_curve"))
+
+  // the filtered rank-quality normalizer: the query's OWN max gain
+  // (the unfiltered audits divide by the fixed 6.0 floor instead)
+  formulaFamily("filtered graded-recall own-max-gain tail",
+    "/ CAST(sum(4 - e.rank) AS DOUBLE), 4)",
+    Set("x2_filtered_rank_quality", "x5_mm_filtered_rank_quality"))
+
+  // the labeled occupancy rollup (g + report tail at (table, label)
+  // grain) — shared verbatim between the x2 and media pre-flights
+  chainFamily("labeled bucket-stats g/report tail", "x2_filtered_bucket_stats",
+    "g AS (SELECT tt, label, bucket, CAST(count(*) AS BIGINT) AS n",
+    "FROM g GROUP BY tt, label",
+    Set("x2_filtered_bucket_stats", "x5_mm_filtered_bucket_stats"))
 
   // the filtered search's probe/candidate/score tail (label in the
   // candidate key); the probe curve's qp adds the mask index and the
@@ -565,7 +623,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_sq", "x5_mm_search_sq_serve", "x5_mm_search_binary",
       "x5_mm_search_binary_serve", "x5_mm_probe_curve",
       "x5_mm_search_filtered", "x5_mm_search_filtered_serve",
-      "x5_mm_filtered_recall"))
+      "x5_mm_filtered_recall", "x5_mm_filtered_probe_curve",
+      "x5_mm_filtered_rank_quality", "x5_mm_filtered_bucket_stats"))
 
   // ---- serve aliases: shared BY REFERENCE, pinned here ----
 

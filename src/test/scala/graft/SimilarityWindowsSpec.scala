@@ -1601,6 +1601,49 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"media filtered recall dropped to $recall%.2f")
   }
 
+  test("media filtered probe curve: monotone, full budget equals the media filtered recall") {
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val curve = graft.operators.Multimodal.mediaFilteredProbeCurve(docs)
+      .orderBy("n_probes").as[(Long, Long, Long, Double)].collect()
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // n_true = the same-language ground-truth pair count, constant
+    // across budgets
+    assert(curve.map(_._2).distinct.length === 1)
+    assert(curve.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    // the max budget IS the production filtered media search
+    val full = graft.operators.Multimodal.mediaFilteredRecall(docs)
+      .agg(sum(col("n_hits"))).as[Long].head()
+    assert(curve.last._3 === full)
+  }
+
+  test("media filtered rank quality: hits agree with the media recall gate, extremes pinned") {
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val rq = graft.operators.Multimodal.mediaFilteredRankQuality(docs)
+      .as[(Long, Long, Double, Double)].collect()
+    val rec = graft.operators.Multimodal.mediaFilteredRecall(docs)
+      .select("q_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(rq.length === 5)
+    rq.foreach { case (q, h, g, m) =>
+      assert(h === rec(q))
+      assert(g >= 0.0 && g <= 1.0 && m >= 0.0 && m <= 1.0)
+      if (h == 0) assert(g == 0.0 && m == 0.0)
+      if (g == 1.0) assert(m == 1.0)
+    }
+  }
+
+  test("media labeled bucket stats: per-language occupancy sums to the language's population") {
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val byLang = docs.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val stats = graft.operators.Multimodal.mediaLabeledBucketStats(docs)
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+    assert(stats.length === 8 * byLang.size)
+    stats.foreach { case (_, lang, nB, nV, maxL, _) =>
+      assert(nV === byLang(lang))
+      assert(maxL <= nV && nB <= nV)
+    }
+  }
+
   test("media SQ search: serve over the stored code table equals self-contained") {
     import spark.implicits._
     val docs = (0L to 9L)
@@ -1896,6 +1939,28 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     val sumRes = rep.map(_._3).sum
     assert(sumRes >= sumRaw,
       s"residual encoding regressed recall: res=$sumRes raw=$sumRaw")
+    rep.foreach { case (_, hr, hs, _, _) =>
+      assert(hr >= 0 && hr <= 3 && hs >= 0 && hs <= 3)
+    }
+  }
+
+  test("residual IVF-SQ recall >= raw-code IVF-SQ recall at identical params") {
+    // the SQ composition's measured residual-vs-raw claim, mirroring
+    // the IVF-PQ gate above: at identical (nCells, nProbe) and the
+    // same 1-byte/dim budget, residual int8 codes hit at least as
+    // many exact-L2 top-k neighbors as raw int8 codes re-priced by
+    // the same asymmetric L2 estimate. DATA-DEPENDENT on the
+    // generated corpus (measured margin, not a theorem) — diagnose a
+    // failure here as data drift first, like the x7_curate_neardup
+    // 3-round assumption.
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val rep = Similarity.ivfSqRecallReport(emb)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rep.length === 20)
+    val sumRaw = rep.map(_._2).sum
+    val sumRes = rep.map(_._3).sum
+    assert(sumRes >= sumRaw,
+      s"residual int8 encoding regressed recall: res=$sumRes raw=$sumRaw")
     rep.foreach { case (_, hr, hs, _, _) =>
       assert(hr >= 0 && hr <= 3 && hs >= 0 && hs <= 3)
     }
