@@ -910,6 +910,12 @@ object SparkEntry {
     // actually rank on)
     "x6_also_viewed_session" ->
       ((s, d) => Windows.alsoViewedSession(t(s, d, "events"))),
+    // the session shelf served from a MATERIALIZED session pair table —
+    // no event re-scan in the read plan (the x6_also_viewed_serve
+    // pattern one grain down). Oracle = x6_also_viewed_session's.
+    "x6_also_viewed_session_serve" -> ((s, d) =>
+      Windows.alsoViewedSessionFrom(
+        Windows.covisitSession(t(s, d, "events")).localCheckpoint())),
     // the session merge law: USER-disjoint shard pair tables fold by
     // addition (sessions are per-user, so a user cut never splits a
     // session), support threshold AFTER the fold. Oracle =
@@ -1153,7 +1159,8 @@ object SparkEntry {
     "x2_hybrid_rrf_stored",
     "x5_mm_search_binary_serve",
     "x6_ab_serve",
-    "x6_also_viewed_serve", "x6_anomaly_serve", "x6_cms_serve",
+    "x6_also_viewed_serve", "x6_also_viewed_session_serve",
+    "x6_anomaly_serve", "x6_cms_serve",
     "x6_covisit_merge", "x6_covisit_session_merge", "x6_seasonal_serve",
     "x6_hist_log_merge",
     "x6_hist_log_serve", "x6_hist_merge", "x6_hist_serve",
@@ -8459,6 +8466,7 @@ object SparkEntry {
       "x6_anomaly_serve" -> base("x6_anomaly"),
       "x6_seasonal_serve" -> base("x6_seasonal_anomaly"),
       "x6_also_viewed_serve" -> base("x6_also_viewed"),
+      "x6_also_viewed_session_serve" -> base("x6_also_viewed_session"),
       "x6_covisit_merge" -> base("x6_covisit"),
       "x6_covisit_session_merge" -> base("x6_covisit_session"),
     )

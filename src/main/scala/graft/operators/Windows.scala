@@ -735,8 +735,19 @@ object Windows {
     * covisit build; this is the grain production shelves actually
     * rank on. */
   def alsoViewedSession(events: DataFrame, k: Int = 3, gapMinutes: Int = 5,
-                        capPerSession: Int = 20, minSupport: Int = 2): DataFrame = {
-    val pairs = covisitSession(events, gapMinutes, capPerSession, minSupport)
+                        capPerSession: Int = 20, minSupport: Int = 2): DataFrame =
+    alsoViewedSessionFrom(
+      covisitSession(events, gapMinutes, capPerSession, minSupport), k)
+
+  /** [[alsoViewedSession]] over a PRECOMPUTED (item_a, item_b,
+    * n_sessions) pair table — the serve form at the session grain
+    * ([[alsoViewedFrom]]'s contract one grain down): the shelf read
+    * touches only the stored O(pairs) artifact; raw events were
+    * consumed once, in the session covisit build (or never on the
+    * serving cluster — the pair table is the nightly artifact, and
+    * it merges by addition across user-disjoint shards via
+    * [[covisitSessionMerge]] before the threshold). */
+  def alsoViewedSessionFrom(pairs: DataFrame, k: Int = 3): DataFrame = {
     val sym = pairs
       .select(col("item_a").as("item"), col("item_b").as("rec"), col("n_sessions"))
       .unionByName(pairs.select(col("item_b").as("item"), col("item_a").as("rec"),

@@ -766,6 +766,101 @@ object StreamPipeline {
       "events_per_day", "type_entropy", "bot_flag")
   }
 
+  /** X6 STREAMING SESSION-COVISIT maintainer — the continuous form of
+    * [[graft.operators.Windows.covisitSessionPairs]]: per-user custom
+    * state (`flatMapGroupsWithState`, Update mode) holds the batch
+    * sessionizer's sufficient statistics — the last event time (the
+    * gap rule's cursor), the OPEN session's item→count map (bounded by
+    * the session's distinct items, what the batch build would hold for
+    * the same rows), and the user's closed-session pair counters (the
+    * same O(pairs-per-user) the batch pair table stores). Each batch
+    * folds the user's events in (ts, event_id) order — the batch
+    * gaps-and-islands order — closing a session exactly when the
+    * strict `gap > gapMinutes` rule fires; a closing session's
+    * top-`capPerSession` items (count desc, item tie-break — the
+    * cap-before-pairing discipline) pair once into the closed
+    * counters.
+    *
+    * After folding, the user re-emits its CURRENT cumulative pair
+    * table: closed counters + the open session's pairs computed FRESH
+    * from the live item counts — the open session's provisional
+    * contribution is recomputed every batch, never accumulated, so
+    * re-ranking as counts grow cannot double-count; a provisional
+    * pair that drops out of the cap re-emits as an explicit ZERO row
+    * (the state tracks the previously-emitted provisional keys,
+    * ≤ C(cap,2) of them) so the keyed store never holds a stale
+    * nonzero. Rows carry a composite `pair_key` for the merge-on-key
+    * store ([[upsertEnriched]]/[[upsertBatch]] with
+    * `keyCol = "pair_key"`): per-user pair tables are USER-DISJOINT
+    * shards by construction, so the served shelf folds the store by
+    * plain addition with the threshold after
+    * ([[graft.operators.Windows.covisitSessionMerge]]'s law) and
+    * equals the batch build exactly — StreamingSpec pins shelf and
+    * pair counts through the physical upsert store.
+    *
+    * Same in-order contract as [[funnelStream]]: each batch sorts its
+    * group before folding, so within-batch progression is exact; a
+    * late cross-batch event folds from the state it finds, and the
+    * batch build is the retrospective truth. Complete mode is not an
+    * option here (flatMapGroupsWithState forbids it), which is why
+    * this maintainer upserts per-key rows instead of epoch-replacing
+    * a snapshot like [[histDailyStream]]. No timeout: the pair
+    * counters are the thing you keep (eviction would follow the
+    * [[milestoneAlerts]] timer discipline). */
+  def covisitSessionStream(events: DataFrame, gapMinutes: Int = 5,
+                           capPerSession: Int = 20): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val extracted = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+    // item = -1 marks a non-item event: it advances the gap cursor
+    // (non-item events glue a session together, the batch rule) but
+    // never enters the item counts
+    val slim = events.select(col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_id"),
+        coalesce(when(length(extracted) > 0, extracted.cast("long")),
+          lit(-1L)).as("item"))
+      .as[(Long, Long, Long, Long)]
+    slim.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (user: Long, it: Iterator[(Long, Long, Long, Long)],
+       state: GroupState[(Long, Map[Long, Long], Map[String, Long], Seq[String])]) =>
+        var (lastUs, open, closed, prevProv) = state.getOption.getOrElse(
+          (Long.MinValue, Map.empty[Long, Long], Map.empty[String, Long],
+            Seq.empty[String]))
+        // the closing session's canonical pairs: top-cap items by
+        // (count desc, item), all a < b — the batch cap-before-pairing
+        def sessionPairs(items: Map[Long, Long]): Seq[String] = {
+          val top = items.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
+            .take(capPerSession).map(_._1).sorted
+          for { i <- top.indices; j <- (i + 1) until top.length }
+            yield s"${top(i)}|${top(j)}"
+        }
+        it.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, us, _, item) =>
+          if (lastUs != Long.MinValue && us - lastUs > gapUs) {
+            sessionPairs(open).foreach { k =>
+              closed = closed.updated(k, closed.getOrElse(k, 0L) + 1L)
+            }
+            open = Map.empty
+          }
+          lastUs = us
+          if (item >= 0L) open = open.updated(item, open.getOrElse(item, 0L) + 1L)
+        }
+        val prov = sessionPairs(open)
+        val cur = prov.foldLeft(closed) { (m, k) =>
+          m.updated(k, m.getOrElse(k, 0L) + 1L)
+        }
+        state.update((lastUs, open, closed, prov))
+        def row(k: String, n: Long): (Long, String, Long, Long, Long) = {
+          val Array(a, b) = k.split('|')
+          (user, s"$user:$k", a.toLong, b.toLong, n)
+        }
+        cur.iterator.map { case (k, n) => row(k, n) } ++
+          prevProv.filterNot(cur.contains).iterator.map(row(_, 0L))
+    }.toDF("user_id", "pair_key", "item_a", "item_b", "n_sessions")
+  }
+
   /** X6 STREAMING ANOMALY SCORER — [[graft.operators.Windows
     * .rateAnomalyAgainst]] running ON the stream: hourly per-type
     * counts score against the STORED moment baseline and the alarm

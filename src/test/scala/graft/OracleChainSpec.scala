@@ -262,7 +262,8 @@ class OracleChainSpec extends AnyFunSuite {
     "CAST(nullif(regexp_extract(props, '\"k\": ([0-9]+)', 1), '') AS BIGINT)",
     Set("x6_trending", "x6_covisit", "x6_also_viewed", "x6_also_viewed_serve",
       "x6_covisit_merge", "x6_item_lift", "x6_covisit_session",
-      "x6_also_viewed_session", "x6_covisit_session_merge"))
+      "x6_also_viewed_session", "x6_also_viewed_session_serve",
+      "x6_covisit_session_merge"))
 
   // the props-carrying session x..pr chain (gaps-and-islands with
   // props in place of event_type, items ranked per session) — shared
@@ -271,7 +272,7 @@ class OracleChainSpec extends AnyFunSuite {
     "WITH x AS (SELECT user_id, event_id, props,",
     "AND a.session_seq = b.session_seq AND a.item < b.item\n           GROUP BY 1, 2)",
     Set("x6_covisit_session", "x6_also_viewed_session",
-      "x6_covisit_session_merge"))
+      "x6_also_viewed_session_serve", "x6_covisit_session_merge"))
 
   chainFamily("shingle inverted-index head (df-capped)", "x4_band_recall",
     "WITH", "shingle FROM hot)",
@@ -661,6 +662,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_ivfpq_serve" -> "x5_mm_search_ivfpq",
       "x5_mm_search_ivfpq_res_serve" -> "x5_mm_search_ivfpq_res",
       "x6_covisit_session_merge" -> "x6_covisit_session",
+      "x6_also_viewed_session_serve" -> "x6_also_viewed_session",
       "x6_anomaly_serve" -> "x6_anomaly")
     aliases.foreach { case (serve, base) =>
       assert(sql.contains(serve), s"$serve missing from oracleSql")

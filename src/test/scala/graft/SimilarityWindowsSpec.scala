@@ -593,6 +593,14 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(shelf.contains((5L, 9L, 3L, 1L)))
     assert(shelf.contains((5L, 7L, 2L, 2L)))
     assert(!shelf.exists(r => r._1 == 7L && r._2 == 9L)) // support-1 pruned
+    // serve ≡ self-contained: the shelf read from the MATERIALIZED
+    // session pair table (no event re-scan in the read plan) equals
+    // the end-to-end build
+    val served = Windows.alsoViewedSessionFrom(
+        Windows.covisitSession(fe).localCheckpoint())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served === Windows.alsoViewedSession(fe)
+      .as[(Long, Long, Long, Long)].collect().toSet)
     // merge law: user-disjoint shard pair tables fold by addition with
     // the threshold AFTER — (5,7) has support 1 in EACH parity shard
     // (user 1 even? 1,3 odd / 2 even) and only threshold-after-fold

@@ -15,6 +15,8 @@ case class DocEvent(doc_id: Long, text: String, lang: String,
                     source: String, ts: Timestamp)
 case class UserEvent(event_id: Long, ts: Timestamp, user_id: Long,
                      event_type: String, value: Double)
+case class PropsEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double, props: String)
 
 /** End-to-end Structured Streaming tests: the reference pipeline shape
   * (source → decode → stream-static join → foreachBatch sink) driven
@@ -1074,6 +1076,64 @@ class StreamingSpec extends AnyFunSuite {
       // 36, edge 512); click->purchase 240 s (edge 256) and 60 s
       assert(served === Set(("view_click", 2L, 64.0, 512.0, 512.0),
         ("click_purchase", 2L, 64.0, 256.0, 256.0)))
+    } finally q.stop()
+  }
+
+  test("streaming session covisit: store-served pairs and shelf equal the batch build, stale provisionals tombstone") {
+    implicit val sc = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def ev(id: Long, u: Long, m: Int, item: Int) =
+      PropsEvent(id, ts(m), u, "view", 0.0, s"""{"k": $item}""")
+    // capPerSession = 2 so within-session re-ranking is exercisable
+    // with a handful of items
+    val b1 = Seq(
+      // user 1, open session: 5:1, 7:2 → provisional pair (5,7)
+      ev(1, 1, 0, 5), ev(2, 1, 1, 7), ev(3, 1, 2, 7),
+      // user 2, open session: 5, 7
+      ev(4, 2, 0, 5), ev(5, 2, 1, 7))
+    val b2 = Seq(
+      // user 1, same session: 9 arrives ×3 → counts 5:1, 7:2, 9:3, the
+      // cap-2 survivors become {7, 9} and the provisional (5,7) must
+      // TOMBSTONE; then a >5 min gap closes the session (closed pair
+      // (7,9)) and a new session opens on {5, 9}
+      ev(6, 1, 3, 9), ev(7, 1, 4, 9), ev(8, 1, 5, 9),
+      ev(9, 1, 20, 5), ev(10, 1, 21, 9),
+      // user 2: the gap closes session 1 (pair (5,7)) and session 2
+      // re-pairs (5,7) — cumulative 2
+      ev(11, 2, 20, 5), ev(12, 2, 21, 7),
+      // user 3, one session: {5, 9}
+      ev(13, 3, 0, 5), ev(14, 3, 1, 9))
+    val mem = MemoryStream[PropsEvent]
+    val dir = Files.createTempDirectory("graft-covisit-store")
+    val out = dir.resolve("store").toString
+    val q = StreamPipeline.upsertEnriched(
+        StreamPipeline.covisitSessionStream(mem.toDF(), capPerSession = 2),
+        out, dir.resolve("ck").toString, keyCol = "pair_key")
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val stored = StreamPipeline.readUpserted(spark, out)
+      // the stale provisional (user 1's (5,7)) was overwritten with an
+      // explicit zero — never a stale nonzero in the keyed store
+      assert(stored.filter(col("user_id") === 1 && col("item_a") === 5 &&
+        col("item_b") === 7).select("n_sessions").as[Long].collect().toSeq === Seq(0L))
+      // per-user rows are user-disjoint shards: the covisit merge law
+      // folds the store into the corpus pair table — ≡ batch build
+      val all = (b1 ++ b2).toDF()
+      val merged = Windows.covisitSessionMerge(
+        Seq(stored.select("item_a", "item_b", "n_sessions")))
+      assert(merged.as[(Long, Long, Long)].collect().toSet ===
+        Windows.covisitSession(all, capPerSession = 2)
+          .as[(Long, Long, Long)].collect().toSet)
+      assert(merged.as[(Long, Long, Long)].collect().toSet ===
+        Set((5L, 7L, 2L), (5L, 9L, 2L)))
+      // the shelf read from the store-served pair table ≡ the batch
+      // shelf — no event replay anywhere in the serve plan
+      assert(Windows.alsoViewedSessionFrom(merged)
+          .as[(Long, Long, Long, Long)].collect().toSet ===
+        Windows.alsoViewedSession(all, capPerSession = 2)
+          .as[(Long, Long, Long, Long)].collect().toSet)
     } finally q.stop()
   }
 
