@@ -24,4 +24,14 @@ object ModelCache {
   /** Test hook: EagerQueriesSpec clears the memo so its construction-
     * launches-jobs detection is independent of suite ordering. */
   def clear(): Unit = cache.clear()
+
+  /** Growth bound: entries are NEVER reused across corpus dirs (the
+    * dir is in every key), so a long-lived driver serving many
+    * corpora accumulates O(corpora × model families) small Seqs —
+    * ~10 entries of a few KB per corpus for the current families.
+    * Verify/Bench sessions touch a single corpus dir, so the bound is
+    * a constant there; a resident multi-corpus driver evicts a
+    * retired corpus's entries here when it switches or drops one. */
+  def evictCorpus(corpusKey: String): Unit =
+    cache.keySet.removeIf(_.startsWith(corpusKey + "#"))
 }

@@ -407,18 +407,26 @@ object Multimodal {
         m, kCodes, rounds, dims)
     }
 
+  /** The media coarse quantizer through [[ModelCache]] —
+    * [[Similarity.ivfModelCached]]'s media twin, shared by the raw
+    * IVF×PQ pair AND the residual pair: one media Lloyd run per
+    * (collection, hyperparams), ever. */
+  def mediaIvfModelCached(documents: DataFrame, modelKey: String,
+                          nCells: Int = 8, trainRounds: Int = 2,
+                          dims: Int = 64): Seq[(Long, Seq[Double])] =
+    ModelCache.memo(s"$modelKey#media-ivf-$nCells-$trainRounds") {
+      Similarity.trainIvfModelOnVectors(dyadicMediaVectors(documents, dims),
+        nCells, trainRounds)
+    }
+
   /** Both media raw-composition models via the memo — the media
     * IVF×PQ pair's train-once entry ([[mediaResModels]]' raw twin). */
   def mediaIvfPqModels(documents: DataFrame, modelKey: String, nCells: Int = 8,
                        trainRounds: Int = 2, m: Int = 8, kCodes: Int = 16,
                        dims: Int = 64)
-      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) = {
-    val cmodel = ModelCache.memo(s"$modelKey#media-ivf-$nCells-$trainRounds") {
-      Similarity.trainIvfModelOnVectors(dyadicMediaVectors(documents, dims),
-        nCells, trainRounds)
-    }
-    (cmodel, mediaPqModelCached(documents, modelKey, m, kCodes, trainRounds, dims))
-  }
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) =
+    (mediaIvfModelCached(documents, modelKey, nCells, trainRounds, dims),
+      mediaPqModelCached(documents, modelKey, m, kCodes, trainRounds, dims))
 
   /** [[mediaSearchIvfPq]] with both models supplied — assignment and
     * encoding stay lazy; only the training collects are skipped. */
@@ -526,13 +534,21 @@ object Multimodal {
   def mediaResModels(documents: DataFrame, modelKey: String, nCells: Int = 8,
                      trainRounds: Int = 2, m: Int = 8, kCodes: Int = 16,
                      dims: Int = 64)
-      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) =
-    ModelCache.memo(s"$modelKey#media-res-$nCells-$trainRounds-$m-$kCodes-$dims") {
-      val vecs = dyadicMediaVectors(documents, dims)
-      val cmodel = Similarity.trainIvfModelOnVectors(vecs, nCells, trainRounds)
-      (cmodel, Similarity.trainResPqModelOnVectors(vecs, cmodel, m, kCodes,
-        trainRounds, dims))
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) = {
+    // the coarse quantizer comes from the SHARED media-ivf memo entry
+    // (one Lloyd run per collection across the raw AND residual
+    // pairs); only the res-PQ codebook memoizes under its own key.
+    // NOT one nested memo: computeIfAbsent inside computeIfAbsent on
+    // the same map is a recursive update — sequential, like resModels.
+    val cmodel = mediaIvfModelCached(documents, modelKey, nCells, trainRounds,
+      dims)
+    val pq = ModelCache.memo(
+        s"$modelKey#media-respq-$nCells-$trainRounds-$m-$kCodes-$dims") {
+      Similarity.trainResPqModelOnVectors(dyadicMediaVectors(documents, dims),
+        cmodel, m, kCodes, trainRounds, dims)
     }
+    (cmodel, pq)
+  }
 
   /** [[mediaSearchIvfPqRes]] with both models supplied — assignment and
     * residual encoding stay lazy in the plan exactly as in the

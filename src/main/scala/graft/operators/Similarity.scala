@@ -715,10 +715,23 @@ object Similarity {
     * chain inside the comparison. */
   def ivfRecallReport(embeddings: DataFrame, nQueries: Int = 20,
                       k: Int = 3, nCells: Int = 8, nProbe: Int = 4,
-                      trainRounds: Int = 2): DataFrame = {
+                      trainRounds: Int = 2): DataFrame =
+    ivfRecallReportWithModel(embeddings,
+      trainIvfModel(embeddings, nCells, trainRounds), nQueries, k, nProbe)
+
+  /** [[ivfRecallReport]] over a PRETRAINED model — the memo entry
+    * (`x2_ivf_recall` passes [[ivfModelCached]]): this audit measures
+    * the trained index's RECALL, not the training itself, so sharing
+    * the deterministic Lloyd run changes cost only — hits are
+    * bit-identical ([[ivfPqRecallReport]]-style audits that PROVE a
+    * training property keep their own runs). */
+  def ivfRecallReportWithModel(embeddings: DataFrame,
+                               cmodel: Seq[(Long, Seq[Double])],
+                               nQueries: Int = 20, k: Int = 3,
+                               nProbe: Int = 4): DataFrame = {
     val exact = annBruteForce(embeddings, nQueries, k)
       .select(col("q_id"), col("n_id"))
-    val approx = annIvf(embeddings, nCells, nQueries, k, nProbe, trainRounds)
+    val approx = annIvfWithCentroids(embeddings, cmodel, nQueries, k, nProbe)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
@@ -741,11 +754,21 @@ object Similarity {
     * measurement. Eager (trains the coarse quantizer). */
   def ivfProbeCurve(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
                     nCells: Int = 8, maxProbe: Int = 4,
-                    trainRounds: Int = 2): DataFrame = {
+                    trainRounds: Int = 2): DataFrame =
+    ivfProbeCurveWithModel(embeddings,
+      trainIvfModel(embeddings, nCells, trainRounds), nQueries, k, maxProbe)
+
+  /** [[ivfProbeCurve]] over a PRETRAINED model — the memo entry
+    * (`x2_ivf_probe_curve` passes [[ivfModelCached]]; cost-only, same
+    * curve — and the max-budget ≡ [[ivfRecallReport]] consistency pin
+    * holds a fortiori when both read the SAME memoized model). */
+  def ivfProbeCurveWithModel(embeddings: DataFrame,
+                             centroids: Seq[(Long, Seq[Double])],
+                             nQueries: Int = 20, k: Int = 3,
+                             maxProbe: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val all = withVec(embeddings)
-    val centroids = kmeansCentroids(all, nCells, trainRounds)
     val cents = centroids.toDF("c_id", "cv")
       .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
     val aw = Window.partitionBy(col("vec_id")).orderBy(
@@ -2044,9 +2067,18 @@ object Similarity {
     * the audit itself is one map-side-combined aggregation plus a
     * broadcast join — no extra corpus shuffle. */
   def ivfOutliers(embeddings: DataFrame, nCells: Int = 8,
-                  trainRounds: Int = 2, threshold: Double = 2.0): DataFrame = {
-    val asg = argmaxCell(withVec(embeddings),
-        trainIvfModel(embeddings, nCells, trainRounds))
+                  trainRounds: Int = 2, threshold: Double = 2.0): DataFrame =
+    ivfOutliersWithModel(embeddings,
+      trainIvfModel(embeddings, nCells, trainRounds), threshold)
+
+  /** [[ivfOutliers]] over a PRETRAINED model — the memo entry
+    * (`x2_ood` passes [[ivfModelCached]]; the audit z-scores rows
+    * against their cell's moments — it measures the DATA, not the
+    * training, so the shared deterministic model changes cost only). */
+  def ivfOutliersWithModel(embeddings: DataFrame,
+                           cmodel: Seq[(Long, Seq[Double])],
+                           threshold: Double = 2.0): DataFrame = {
+    val asg = argmaxCell(withVec(embeddings), cmodel)
       .select(col("vec_id"), col("cell"),
         floor(col("best") * 1e6 + 0.5).cast("long").as("q6"))
       .withColumn("q4", expr("q6 div 100"))
@@ -2083,13 +2115,22 @@ object Similarity {
     * a bare id< pair join plans to); the per-vector verdict is one
     * `max_by` hash aggregation. */
   def semDedup(embeddings: DataFrame, nCells: Int = 8,
-               trainRounds: Int = 2, tau: Double = 0.38): DataFrame = {
-    val cents = trainIvfModel(embeddings, nCells, trainRounds)
+               trainRounds: Int = 2, tau: Double = 0.38): DataFrame =
+    semDedupWithModel(embeddings,
+      trainIvfModel(embeddings, nCells, trainRounds), tau)
+
+  /** [[semDedup]] over a PRETRAINED model — the memo entry
+    * (`x2_semdedup` passes [[ivfModelCached]]; the cells are only the
+    * candidate generator here, so sharing the deterministic model
+    * changes cost only — verdicts are bit-identical). */
+  def semDedupWithModel(embeddings: DataFrame,
+                        cmodel: Seq[(Long, Seq[Double])],
+                        tau: Double = 0.38): DataFrame = {
     // the corpus argmax is referenced on BOTH sides of the pair join —
     // materialize it ONCE (budgetSelect's persist → derive →
     // localCheckpoint → unpersist discipline) so the per-cell scoring
     // projection never evaluates twice (round 9's double-window lesson)
-    val asg = argmaxCell(withVec(embeddings), cents).persist()
+    val asg = argmaxCell(withVec(embeddings), cmodel).persist()
     val out = semDedupPairs(asg, tau).localCheckpoint()
     asg.unpersist(false)
     out
@@ -2695,11 +2736,15 @@ object Similarity {
 
   /** The coarse quantizer alone through [[ModelCache]] — shared by
     * every SEARCH composition over the same corpus (IVF flat, IVF×PQ,
-    * IVF×SQ and both residual rungs): one Lloyd run per (corpus,
-    * hyperparams), ever. Audit and model-build queries
-    * (`x2_centroids`, `x2_ivf_recall`, `x2_ivfpq_recall`, …) keep
-    * their own trainings — re-proving the build per invocation is
-    * their role; the search pairs' role is train-once-serve-many. */
+    * IVF×SQ and both residual rungs) AND by the audit-ADJACENT
+    * queries that measure the trained index or the data, not the
+    * training (`x2_ivf_recall`, `x2_ivf_probe_curve`, `x2_ood`,
+    * `x2_semdedup` — round 19): one Lloyd run per (corpus,
+    * hyperparams), ever. Queries whose POINT is the training or a
+    * training property keep their own runs (`x2_centroids`,
+    * `x2_ivf_inertia`, `x2_pq_codebook`, `x2_ivfpq_recall`,
+    * `x2_ivfsq_recall` — memoizing those would make the proof
+    * circular). */
   def ivfModelCached(embeddings: DataFrame, modelKey: String, nCells: Int = 8,
                      trainRounds: Int = 2): Seq[(Long, Seq[Double])] =
     ModelCache.memo(s"$modelKey#emb-ivf-$nCells-$trainRounds") {

@@ -265,6 +265,27 @@ class OracleChainSpec extends AnyFunSuite {
       "x6_also_viewed_session", "x6_also_viewed_session_serve",
       "x6_covisit_session_merge"))
 
+  // the canonical session RULE itself — the 5-minute gap literal and
+  // the new_session CASE + session_seq window text — pinned as
+  // formulas ACROSS the session-paths, value-session, and
+  // session-covisit chain groups (whose x heads differ, so the chain
+  // families above cannot catch a one-sided gap-rule edit)
+  formulaFamily("session gap rule y CASE (300000000 µs)",
+    "y AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 300000000\n" +
+      "           THEN 1 ELSE 0 END AS new_session FROM x),",
+    Set("x6_sessions", "x6_session_lengths", "x6_session_paths",
+      "x6_transitions", "x6_next_best", "x6_covisit_session",
+      "x6_also_viewed_session", "x6_also_viewed_session_serve",
+      "x6_covisit_session_merge"))
+
+  formulaFamily("session_seq running-sum z window",
+    "z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id\n" +
+      "           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM y)",
+    Set("x6_sessions", "x6_session_lengths", "x6_session_paths",
+      "x6_transitions", "x6_next_best", "x6_covisit_session",
+      "x6_also_viewed_session", "x6_also_viewed_session_serve",
+      "x6_covisit_session_merge"))
+
   // the props-carrying session x..pr chain (gaps-and-islands with
   // props in place of event_type, items ranked per session) — shared
   // by the session covisit build and its shelf read

@@ -440,6 +440,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("IVF x SQ recall audit: both approximate legs candidate by hash join") {
+    val p = planOf("x2_ivfsq_recall")
+    // the only nested loops are the query batch crossing the broadcast
+    // centroid model (probe ranking) and the brute ground truth's
+    // corpus × broadcast-query-batch scoring (exact BY ROLE); the raw
+    // and residual legs both draw candidates from cell-keyed hash
+    // joins of the code tables with broadcast query-side frames
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("filtered media probe curve: label rides in the bucket hash join key") {
+    val p = planOf("x5_mm_filtered_probe_curve")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("residual IVF-PQ: candidates join probed cells, codes, and per-cell LUT by hash join") {
     val p = planOf("x2_ann_ivfpq_res")
     // the only nested loop is the query batch crossing the broadcast
