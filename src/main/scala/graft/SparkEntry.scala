@@ -850,6 +850,37 @@ object SparkEntry {
       val (cmodel, pq) = Multimodal.mediaResModels(docs, d)
       Multimodal.mediaSearchIvfPqResWithModels(docs, cmodel, pq)
     }),
+    // the media IVF x SQ composition (x2_ann_ivfsq's twin): probed
+    // trained cells bound candidates, the int8 code table prices them
+    // by the asymmetric estimate; coarse quantizer via the shared
+    // media-ivf memo (codebook-free encode — SQ never retrains)
+    "x5_mm_search_ivfsq" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Multimodal.mediaSearchIvfSqWithModel(docs,
+        Multimodal.mediaIvfModelCached(docs, d))
+    }),
+    // its serve path: stored cell map + stored int8 code table +
+    // driver centroids only. Oracle = x5_mm_search_ivfsq's verbatim.
+    "x5_mm_search_ivfsq_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Multimodal.mediaSearchIvfSqServeWithModel(docs,
+        Multimodal.mediaIvfModelCached(docs, d))
+    }),
+    // the media RESIDUAL IVF x SQ composition (x2_ann_ivfsq_res's
+    // twin): int8 codes over the dyadic residuals, ranking = estimated
+    // residual L2 — completes the media composition matrix
+    "x5_mm_search_ivfsq_res" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Multimodal.mediaSearchIvfSqResWithModel(docs,
+        Multimodal.mediaIvfModelCached(docs, d))
+    }),
+    // its serve path: the STORED (vec_id, cell, scale, q) residual
+    // code table. Oracle = x5_mm_search_ivfsq_res's verbatim.
+    "x5_mm_search_ivfsq_res_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Multimodal.mediaSearchIvfSqResServeWithModel(docs,
+        Multimodal.mediaIvfModelCached(docs, d))
+    }),
     // the residual serve path over stored cell map + residual codes.
     // Oracle = x5_mm_search_ivfpq_res's verbatim.
     "x5_mm_search_ivfpq_res_serve" -> ((s, d) => {
@@ -1175,6 +1206,7 @@ object SparkEntry {
     "x5_mm_search_lsh_serve", "x5_mm_search_filtered_serve", "x5_mm_search_pq_serve",
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
     "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
+    "x5_mm_search_ivfsq_serve", "x5_mm_search_ivfsq_res_serve",
     "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
     "x2_hybrid_rrf_stored",
     "x5_mm_search_binary_serve",
@@ -3581,6 +3613,164 @@ object SparkEntry {
            CAST(sum(n) AS BIGINT) AS n_vecs, max(n) AS max_load,
            round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS mean_load
          FROM g GROUP BY tt, label""",
+    // media IVF x SQ: x2_ann_ivfsq's FULL chain (IVF training +
+    // rk/asg/prb + sc/qq int8 encode + the adot candidate tail, copied
+    // verbatim -- change together, guard families) over the dyadic
+    // media stub head e0/e
+    "x5_mm_search_ivfsq" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+           FROM e0),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, t.v, t.nrm, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM rk WHERE ar = 1),
+         prb AS (SELECT vec_id AS q_id, c_id AS cell FROM rk
+           WHERE ar <= 4 AND vec_id < 20),
+                  sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc),
+         cnd AS (SELECT p.q_id, t.vec_id AS n_id, t.cell
+           FROM asg t JOIN prb p ON t.cell = p.cell AND t.vec_id <> p.q_id),
+         sq AS (SELECT c.q_id, c.n_id, c.cell,
+             CAST(list_reduce(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+               (x,y) -> x+y) AS DOUBLE) * a.scale * b.scale AS adot
+           FROM cnd c JOIN qq a ON a.vec_id = c.q_id JOIN qq b ON b.vec_id = c.n_id),
+         rr AS (SELECT q_id, n_id, cell, adot, row_number() OVER (PARTITION BY q_id
+             ORDER BY adot DESC, n_id) AS rank FROM sq)
+         SELECT q_id, n_id, cell, round(adot, 6) AS adot, CAST(rank AS INTEGER) AS rank
+         FROM rr WHERE rank <= 3""",
+    // media residual IVF x SQ: x2_ann_ivfsq_res's FULL chain (IVF
+    // training + resv/dsc-dq residual encode + pbr/pb/qres probe head +
+    // rivfc/ssc/srr estimate, copied verbatim -- change together, guard
+    // families) over the dyadic media stub head e0/e
+    "x5_mm_search_ivfsq_res" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+           FROM e0),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1),
+         resv AS (SELECT a.vec_id, a.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS rv
+           FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN k2 k ON k.c_id = a.cell),
+         dsc AS (SELECT vec_id, cell, rv,
+             list_max(list_transform(rv, x -> abs(x))) / 127.0 AS scale FROM resv),
+         dq AS (SELECT vec_id, cell, scale,
+             CASE WHEN scale = 0 THEN list_transform(rv, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(rv, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM dsc),
+         pbr AS (SELECT t.vec_id, k.c_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+           FROM n t, k2 k WHERE t.vec_id < 20),
+         pb AS (SELECT vec_id AS q_id, c_id AS cell FROM pbr WHERE ar <= 2),
+         qres AS (SELECT p.q_id, p.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS qr
+           FROM pb p JOIN e ON e.vec_id = p.q_id JOIN k2 k ON k.c_id = p.cell),
+         qsc AS (SELECT q_id, cell, qr,
+             list_reduce(list_transform(qr, x -> x*x), (x,y) -> x+y) AS qn2,
+             list_max(list_transform(qr, x -> abs(x))) / 127.0 AS scale FROM qres),
+         qsq AS (SELECT q_id, cell, qn2, scale,
+             CASE WHEN scale = 0 THEN list_transform(qr, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(qr, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM qsc),
+         rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         ssc AS (SELECT c.q_id, c.vec_id AS n_id, c.cell,
+             a.qn2 - 2 * (a.scale * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> a.q[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE)) + b.scale * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> b.q[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE) AS adist
+           FROM rivfc c JOIN qsq a ON a.q_id = c.q_id AND a.cell = c.cell
+           JOIN dq b ON b.vec_id = c.vec_id),
+         srr AS (SELECT q_id, n_id, cell, adist, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist, n_id) AS rank FROM ssc)
+         SELECT q_id, n_id, cell, round(adist, 6) AS adist, CAST(rank AS INTEGER) AS rank
+         FROM srr WHERE rank <= 3""",
     // filtered probe-budget curve: x2_filtered_recall's e..exact head
     // (copied verbatim -- change together) + the labeled bb CTE; the qp
     // probe CTE adds the mask INDEX (zipped unnest), candidates keep
@@ -8482,6 +8672,8 @@ object SparkEntry {
       "x5_mm_search_pq_serve" -> base("x5_mm_search_pq"),
       "x5_mm_search_ivfpq_serve" -> base("x5_mm_search_ivfpq"),
       "x5_mm_search_ivfpq_res_serve" -> base("x5_mm_search_ivfpq_res"),
+      "x5_mm_search_ivfsq_serve" -> base("x5_mm_search_ivfsq"),
+      "x5_mm_search_ivfsq_res_serve" -> base("x5_mm_search_ivfsq_res"),
       "x6_ab_serve" -> base("x6_ab_test"),
       "x6_anomaly_serve" -> base("x6_anomaly"),
       "x6_seasonal_serve" -> base("x6_seasonal_anomaly"),

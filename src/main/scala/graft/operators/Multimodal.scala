@@ -337,7 +337,7 @@ object Multimodal {
     * encoder kernel (one pass; the former post-hoc `transform` lambda
     * re-walked 64 elements interpreted per row in every trained-index
     * path). */
-  private def dyadicMediaVectors(documents: DataFrame, dims: Int): DataFrame =
+  private[graft] def dyadicMediaVectors(documents: DataFrame, dims: Int): DataFrame =
     documents.select(col("doc_id").as("vec_id"),
       graft.functions.MediaEmbed.media_embed_dyadic(col("text"), dims, 7).as("v"))
 
@@ -523,6 +523,79 @@ object Multimodal {
                           nProbe: Int = 2): DataFrame =
     Similarity.annIvfPqResOnVectors(dyadicMediaVectors(documents, dims),
       nCells, trainRounds, m, kCodes, dims, nQueries, kNn, nProbe)
+
+  /** X5 media IVF×SQ — the composed third index leg on the media
+    * modality (`x2_ann_ivfsq`'s twin, FAISS IVF_SQ8 for a media
+    * collection): the trained coarse quantizer bounds candidates to
+    * the probed cells and the int8 code table prices each candidate by
+    * the asymmetric SQ estimate — 1 byte/dim + one scale per
+    * candidate, codebook-free encode (SQ's operational edge: ingest
+    * never retrains the compressor, only the coarse quantizer is a
+    * model). Same modality-agnostic core
+    * ([[Similarity.annIvfSqOnArtifactsVectors]]) over the dyadic stub
+    * embeddings; the coarse quantizer comes through the shared
+    * `#media-ivf` memo ([[mediaIvfModelCached]] — one media Lloyd run
+    * per collection across the PQ, residual, and SQ compositions). */
+  def mediaSearchIvfSqWithModel(documents: DataFrame,
+                                cmodel: Seq[(Long, Seq[Double])],
+                                dims: Int = 64, nQueries: Int = 20,
+                                kNn: Int = 3, nProbe: Int = 4): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    Similarity.annIvfSqOnArtifactsVectors(vecs,
+      Similarity.ivfAssignmentsForOnVectors(vecs, cmodel),
+      Similarity.sqCodesOnVectors(vecs), cmodel, nQueries, kNn, nProbe)
+  }
+
+  /** [[mediaSearchIvfSqWithModel]]'s SERVE path — the STORED (vec_id,
+    * cell) partition map and STORED int8 code table with the centroids
+    * as driver state: nothing in the search plan assigns or encodes
+    * the collection. `x5_mm_search_ivfsq_serve` shares
+    * `x5_mm_search_ivfsq`'s oracle by reference. */
+  def mediaSearchIvfSqServeWithModel(documents: DataFrame,
+                                     cmodel: Seq[(Long, Seq[Double])],
+                                     dims: Int = 64, nQueries: Int = 20,
+                                     kNn: Int = 3, nProbe: Int = 4): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    Similarity.annIvfSqOnArtifactsVectors(vecs,
+      Similarity.ivfAssignmentsForOnVectors(vecs, cmodel).localCheckpoint(),
+      Similarity.sqCodesOnVectors(vecs).localCheckpoint(),
+      cmodel, nQueries, kNn, nProbe)
+  }
+
+  /** X5 media RESIDUAL IVF×SQ — the residual rung of the media SQ
+    * composition (`x2_ann_ivfsq_res`'s twin): the int8 code quantizes
+    * the dyadic residual (v − centroid[cell]) so the full ±127 range
+    * prices within-cell variance; ranking is the estimated residual
+    * L2, comparable across probed cells. Completes the media index
+    * ladder's composition matrix — every x2 rung (exact, LSH,
+    * filtered, PQ, IVF×PQ, residual IVF×PQ, SQ, IVF×SQ, residual
+    * IVF×SQ, binary) now has its media twin. Same modality-agnostic
+    * core ([[Similarity.annIvfSqResOnArtifactsVectors]] /
+    * [[Similarity.resSqCodesForOnVectors]]); coarse quantizer via the
+    * shared `#media-ivf` memo. */
+  def mediaSearchIvfSqResWithModel(documents: DataFrame,
+                                   cmodel: Seq[(Long, Seq[Double])],
+                                   dims: Int = 64, nQueries: Int = 20,
+                                   kNn: Int = 3, nProbe: Int = 2): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    Similarity.annIvfSqResOnArtifactsVectors(vecs,
+      Similarity.resSqCodesForOnVectors(vecs, cmodel), cmodel,
+      nQueries, kNn, nProbe)
+  }
+
+  /** [[mediaSearchIvfSqResWithModel]]'s SERVE path — the STORED
+    * (vec_id, cell, scale, q) residual code table with driver
+    * centroids. `x5_mm_search_ivfsq_res_serve` shares
+    * `x5_mm_search_ivfsq_res`'s oracle by reference. */
+  def mediaSearchIvfSqResServeWithModel(documents: DataFrame,
+                                        cmodel: Seq[(Long, Seq[Double])],
+                                        dims: Int = 64, nQueries: Int = 20,
+                                        kNn: Int = 3, nProbe: Int = 2): DataFrame = {
+    val vecs = dyadicMediaVectors(documents, dims)
+    Similarity.annIvfSqResOnArtifactsVectors(vecs,
+      Similarity.resSqCodesForOnVectors(vecs, cmodel).localCheckpoint(),
+      cmodel, nQueries, kNn, nProbe)
+  }
 
   /** The media residual pair's TRAIN-ONCE entry ([[Similarity.resModels]]'
     * media twin): IVF centroids + residual-PQ codebook over the dyadic

@@ -1528,10 +1528,21 @@ object Similarity {
                           codes: DataFrame,
                           centroids: Seq[(Long, Seq[Double])],
                           nQueries: Int = 20, k: Int = 3,
-                          nProbe: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
+                          nProbe: Int = 4): DataFrame =
+    annIvfSqOnArtifactsVectors(withVec(embeddings), assignments, codes,
+      centroids, nQueries, k, nProbe)
+
+  /** [[annIvfSqOnArtifacts]] over any (vec_id, v) frame — the
+    * modality-agnostic IVF×SQ core the media index ladder composes
+    * (`x5_mm_search_ivfsq`: dyadic media stub embeddings). */
+  def annIvfSqOnArtifactsVectors(vectors: DataFrame, assignments: DataFrame,
+                                 codes: DataFrame,
+                                 centroids: Seq[(Long, Seq[Double])],
+                                 nQueries: Int = 20, k: Int = 3,
+                                 nProbe: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
     import spark.implicits._
-    val all = withVec(embeddings)
+    val all = vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
     val cents = centroids.toDF("c_id", "cv")
       .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
     val aw = Window.partitionBy(col("vec_id")).orderBy(
@@ -1582,7 +1593,14 @@ object Similarity {
     * the res-SQ serve path stores per generation. */
   def resSqCodesFor(embeddings: DataFrame,
                     cmodel: Seq[(Long, Seq[Double])]): DataFrame =
-    residualVectors(withVec(embeddings), cmodel)
+    resSqCodesForOnVectors(withVec(embeddings), cmodel)
+
+  /** [[resSqCodesFor]] over any (vec_id, v) frame — the media residual
+    * int8 artifact (`x5_mm_search_ivfsq_res`'s stored table). */
+  def resSqCodesForOnVectors(vectors: DataFrame,
+                             cmodel: Seq[(Long, Seq[Double])]): DataFrame =
+    residualVectors(
+        vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v")))), cmodel)
       .withColumn("sq", graft.functions.SqEncode.sq_encode(col("v")))
       .select(col("vec_id"), col("cell"),
         col("sq.scale").as("scale"), col("sq.q").as("q"))
@@ -1595,10 +1613,20 @@ object Similarity {
   def annIvfSqResOnArtifacts(embeddings: DataFrame, codes: DataFrame,
                              centroids: Seq[(Long, Seq[Double])],
                              nQueries: Int = 20, k: Int = 3,
-                             nProbe: Int = 2): DataFrame = {
-    val spark = embeddings.sparkSession
+                             nProbe: Int = 2): DataFrame =
+    annIvfSqResOnArtifactsVectors(withVec(embeddings), codes, centroids,
+      nQueries, k, nProbe)
+
+  /** [[annIvfSqResOnArtifacts]] over any (vec_id, v) frame — the
+    * modality-agnostic residual IVF×SQ core
+    * (`x5_mm_search_ivfsq_res`: dyadic media stub embeddings). */
+  def annIvfSqResOnArtifactsVectors(vectors: DataFrame, codes: DataFrame,
+                                    centroids: Seq[(Long, Seq[Double])],
+                                    nQueries: Int = 20, k: Int = 3,
+                                    nProbe: Int = 2): DataFrame = {
+    val spark = vectors.sparkSession
     import spark.implicits._
-    val all = withVec(embeddings)
+    val all = vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
     val cents = centroids.toDF("c_id", "cv")
       .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
     val aw = Window.partitionBy(col("vec_id")).orderBy(

@@ -93,7 +93,8 @@ class OracleChainSpec extends AnyFunSuite {
     "sc AS (SELECT vec_id, v,", "FROM sc)",
     Set("x2_quantize", "x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank",
       "x2_sq_recall", "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x2_ivfsq_recall",
-      "x2_hybrid_rrf_stored", "x5_mm_search_sq", "x5_mm_search_sq_serve"))
+      "x2_hybrid_rrf_stored", "x5_mm_search_sq", "x5_mm_search_sq_serve",
+      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve"))
 
   chainFamily("binary sign-pack b/s/r Hamming chain", "x2_ann_binary",
     "b AS (SELECT vec_id,", "ORDER BY hamming, n_id) AS rank FROM s)",
@@ -115,7 +116,9 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ivf_probe_curve",
       "x2_ood", "x2_semdedup", "x5_mm_ivf", "x5_mm_search_ivfpq",
       "x5_mm_search_ivfpq_serve", "x5_mm_search_ivfpq_res",
-      "x5_mm_search_ivfpq_res_serve"))
+      "x5_mm_search_ivfpq_res_serve",
+      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
 
   chainFamily("IVF brute ground truth bs/br/ex", "x2_ivf_recall",
     "bs AS (SELECT q.vec_id AS q_id", "ex AS (SELECT q_id, n_id FROM br WHERE rank <= 3)",
@@ -144,14 +147,16 @@ class OracleChainSpec extends AnyFunSuite {
     "floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE",
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
 
   chainFamily("residual corpus frame resv", "x2_ann_ivfpq_res",
     "resv AS (SELECT a.vec_id",
     "JOIN k2 k ON k.c_id = a.cell),",
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
 
   // pbr/pb and qres pinned separately: x2_ivfpq_recall interposes its
   // raw-PQ lut CTE between pb and qres, so the span is not contiguous
@@ -163,29 +168,42 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
 
   chainFamily("query residual frame qres", "x2_ann_ivfpq_res",
     "qres AS (SELECT p.q_id",
     "JOIN k2 k ON k.c_id = p.cell),",
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
 
   formulaFamily("residual candidate join rivfc",
     "rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell\n" +
       "           AND a.vec_id <> p.q_id),",
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
+      "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
 
   // the residual int8 encode + residual-L2 estimate chain (dsc..srr):
-  // shared verbatim between the residual IVF×SQ search and the SQ
-  // recall audit's residual leg — change together
+  // shared verbatim between the residual IVF×SQ search, the SQ recall
+  // audit's residual leg, and the media twin — change together
   chainFamily("residual SQ encode + estimate dsc..srr", "x2_ann_ivfsq_res",
     "dsc AS (SELECT vec_id, cell, rv,",
     "ORDER BY adist, n_id) AS rank FROM ssc)",
-    Set("x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall"))
+    Set("x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
+
+  // the raw IVF×SQ candidate/estimate tail (rk with v/nrm, asg, the
+  // ar<=4 probe head, the sc/qq encode, and the adot candidate
+  // pricing) — shared verbatim between x2_ann_ivfsq and its media twin
+  chainFamily("IVF×SQ rk..rr tail", "x2_ann_ivfsq",
+    "rk AS (SELECT t.vec_id, t.v, t.nrm, k.c_id,",
+    "ORDER BY adot DESC, n_id) AS rank FROM sq)",
+    Set("x2_ann_ivfsq", "x2_ann_ivfsq_serve",
+      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve"))
 
   // the exact-L2 ground-truth chain + hits/recall tail shared by the
   // two composed-recall audits (raw vs residual at fixed params) —
@@ -359,6 +377,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve",
       "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
+      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
       "x2_centroids", "x2_confusion", "x2_ivf_assign", "x2_ivf_inertia",
       "x2_ivf_recall", "x2_ivf_probe_curve", "x2_ood", "x2_semdedup", "x5_mm_ivf",
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
@@ -558,7 +578,8 @@ class OracleChainSpec extends AnyFunSuite {
     "AS DOUBLE) * a.scale * b.scale AS adot",
     Set("x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank", "x2_sq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x2_hybrid_rrf_stored",
-      "x5_mm_search_sq", "x5_mm_search_sq_serve"))
+      "x5_mm_search_sq", "x5_mm_search_sq_serve",
+      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve"))
 
   formulaFamily("histogram sketch bucket",
     "CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket",
@@ -633,7 +654,9 @@ class OracleChainSpec extends AnyFunSuite {
     "list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v",
     Set("x5_mm_ivf", "x5_mm_pq", "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x5_mm_search_pq", "x5_mm_search_pq_serve"))
+      "x5_mm_search_pq", "x5_mm_search_pq_serve",
+      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
 
   formulaFamily("media stub embedding formula",
     "CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0",
@@ -646,7 +669,9 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_binary_serve", "x5_mm_probe_curve",
       "x5_mm_search_filtered", "x5_mm_search_filtered_serve",
       "x5_mm_filtered_recall", "x5_mm_filtered_probe_curve",
-      "x5_mm_filtered_rank_quality", "x5_mm_filtered_bucket_stats"))
+      "x5_mm_filtered_rank_quality", "x5_mm_filtered_bucket_stats",
+      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
 
   // ---- serve aliases: shared BY REFERENCE, pinned here ----
 
@@ -684,6 +709,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_ivfpq_res_serve" -> "x5_mm_search_ivfpq_res",
       "x6_covisit_session_merge" -> "x6_covisit_session",
       "x6_also_viewed_session_serve" -> "x6_also_viewed_session",
+      "x5_mm_search_ivfsq_serve" -> "x5_mm_search_ivfsq",
+      "x5_mm_search_ivfsq_res_serve" -> "x5_mm_search_ivfsq_res",
       "x6_anomaly_serve" -> "x6_anomaly")
     aliases.foreach { case (serve, base) =>
       assert(sql.contains(serve), s"$serve missing from oracleSql")

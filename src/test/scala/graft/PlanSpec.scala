@@ -458,6 +458,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("media IVF x SQ (+residual): candidates by hash join on both rungs") {
+    // the media twins compose the same audited cores, so the same
+    // shape contract holds: the only nested loop is the query batch
+    // crossing the broadcast centroid model
+    for (q <- Seq("x5_mm_search_ivfsq", "x5_mm_search_ivfsq_res")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+    }
+  }
+
   test("residual IVF-PQ: candidates join probed cells, codes, and per-cell LUT by hash join") {
     val p = planOf("x2_ann_ivfpq_res")
     // the only nested loop is the query batch crossing the broadcast

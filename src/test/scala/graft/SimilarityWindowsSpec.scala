@@ -1666,6 +1666,32 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(served === self)
   }
 
+  test("media IVF x SQ: serve over stored cell map + code tables equals self-contained") {
+    import spark.implicits._
+    val docs = (0L to 29L)
+      .map(i => (i, s"media payload nr $i " + ("x" * (i.toInt % 7 + 3))))
+      .toDF("doc_id", "text")
+    val cmodel = Similarity.trainIvfModelOnVectors(
+      graft.operators.Multimodal.dyadicMediaVectors(docs, 64))
+    val self = graft.operators.Multimodal
+      .mediaSearchIvfSqWithModel(docs, cmodel, nQueries = 3, kNn = 2)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(self.nonEmpty && self.forall(_._5 <= 2))
+    val served = graft.operators.Multimodal
+      .mediaSearchIvfSqServeWithModel(docs, cmodel, nQueries = 3, kNn = 2)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(served === self)
+    // residual rung: serve over the stored residual code table too
+    val rSelf = graft.operators.Multimodal
+      .mediaSearchIvfSqResWithModel(docs, cmodel, nQueries = 3, kNn = 2)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(rSelf.nonEmpty && rSelf.forall(_._5 <= 2))
+    val rServed = graft.operators.Multimodal
+      .mediaSearchIvfSqResServeWithModel(docs, cmodel, nQueries = 3, kNn = 2)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(rServed === rSelf)
+  }
+
   test("hybrid RRF: consensus doc wins, integer contributions add, absent side is 0") {
     import spark.implicits._
     // doc 0 is the query. Dense side: doc 1 nearly parallel (rank 1).

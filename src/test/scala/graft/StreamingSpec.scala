@@ -1111,8 +1111,11 @@ class StreamingSpec extends AnyFunSuite {
         out, dir.resolve("ck").toString, keyCol = "pair_key")
       .start()
     try {
-      mem.addData(b1: _*); q.processAllAvailable()
-      mem.addData(b2: _*); q.processAllAvailable()
+      // deliberately out of event-time order WITHIN each batch: the
+      // maintainer sorts its group by (ts, event_id) before folding,
+      // so arrival order inside a micro-batch must not matter
+      mem.addData(b1.reverse: _*); q.processAllAvailable()
+      mem.addData(b2.reverse: _*); q.processAllAvailable()
       val stored = StreamPipeline.readUpserted(spark, out)
       // the stale provisional (user 1's (5,7)) was overwritten with an
       // explicit zero — never a stale nonzero in the keyed store
