@@ -206,6 +206,31 @@ class DataSourceV2Spec extends AnyFunSuite {
     graft.sources.v2.GraftStore.drop("covisit_pairs")
   }
 
+  test("stored session shelf: the item filter pushes through the union into both scans") {
+    // the session-grain twin of the covisit-shelf pushdown pin: the
+    // serve read over a stored session pair table must also touch only
+    // the queried item's rows
+    Seq((5L, 7L, 2L), (5L, 9L, 3L), (7L, 9L, 2L))
+      .toDF("item_a", "item_b", "n_sessions")
+      .write.format("graft_orders").option("table", "covisit_session_pairs")
+      .mode("overwrite").save()
+    val stored = spark.read.format("graft_orders")
+      .option("table", "covisit_session_pairs").load()
+    val shelf = graft.operators.Windows.alsoViewedSessionFrom(stored)
+      .where(col("item") === 5L)
+    assert(shelf.as[(Long, Long, Long, Long)].collect().toSet ===
+      Set((5L, 9L, 3L, 1L), (5L, 7L, 2L, 2L)))
+    val top = shelf.queryExecution.executedPlan
+    val inner = top.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(top)
+    val scans = inner.collect { case b: BatchScanExec => b }.map(_.scan.description())
+    assert(scans.exists(_.contains("EqualTo(item_a,5)")) &&
+      scans.exists(_.contains("EqualTo(item_b,5)")), scans.mkString("\n"))
+    graft.sources.v2.GraftStore.drop("covisit_session_pairs")
+  }
+
   test("mem-table read: COUNT(*) answers from the registry, filters included") {
     Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "a")).toDF("k", "s")
       .write.format("graft_orders").option("table", "cnt_t")
