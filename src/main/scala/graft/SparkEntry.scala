@@ -866,6 +866,14 @@ object SparkEntry {
       Multimodal.mediaSearchIvfSqServeWithModel(docs,
         Multimodal.mediaIvfModelCached(docs, d))
     }),
+    // the measured residual claims ON THE MEDIA DISTRIBUTION: raw vs
+    // residual codes against exact L2 at identical params (the margins
+    // are data-dependent, so the media rungs don't inherit x2's gates);
+    // both train their own models BY DESIGN (never ModelCache)
+    "x5_mm_ivfpq_recall" -> ((s, d) =>
+      Multimodal.mediaIvfPqRecall(t(s, d, "documents"))),
+    "x5_mm_ivfsq_recall" -> ((s, d) =>
+      Multimodal.mediaIvfSqRecall(t(s, d, "documents"))),
     // the media RESIDUAL IVF x SQ composition (x2_ann_ivfsq_res's
     // twin): int8 codes over the dyadic residuals, ranking = estimated
     // residual L2 — completes the media composition matrix
@@ -1207,6 +1215,7 @@ object SparkEntry {
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
     "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
     "x5_mm_search_ivfsq_serve", "x5_mm_search_ivfsq_res_serve",
+    "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall",
     "x2_ann_sq_serve", "x2_ann_binary_serve", "x2_hybrid_rrf_serve",
     "x2_hybrid_rrf_stored",
     "x5_mm_search_binary_serve",
@@ -3771,6 +3780,343 @@ object SparkEntry {
              ORDER BY adist, n_id) AS rank FROM ssc)
          SELECT q_id, n_id, cell, round(adist, 6) AS adist, CAST(rank AS INTEGER) AS rank
          FROM srr WHERE rank <= 3""",
+    // the media IVF-PQ recall audit: x2_ivfpq_recall's FULL composed
+    // oracle (IVF chain + raw p-PQ chain + residual r-PQ chain + exact
+    // ground truth + hits tail, copied verbatim -- change together,
+    // guard families) over the dyadic media stub head e0/e
+    "x5_mm_ivfpq_recall" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+           FROM e0),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         pc0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         pk0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc0),
+         pr1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk0 c ON c.sub = q.sub),
+         pa1 AS (SELECT vec_id, sub, code, s FROM pr1 WHERE rn = 1),
+         pd1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM pa1),
+         ps1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM pd1 GROUP BY sub, code, pos),
+         pu1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM ps1 GROUP BY sub, code),
+         pc1 AS (SELECT pc0.sub, pc0.code, coalesce(pu1.cv, pc0.cv) AS cv
+           FROM pc0 LEFT JOIN pu1 ON pu1.sub = pc0.sub AND pu1.code = pc0.code),
+         pk1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc1),
+         pr2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk1 c ON c.sub = q.sub),
+         pa2 AS (SELECT vec_id, sub, code, s FROM pr2 WHERE rn = 1),
+         pd2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM pa2),
+         ps2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM pd2 GROUP BY sub, code, pos),
+         pu2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM ps2 GROUP BY sub, code),
+         pc2 AS (SELECT pc1.sub, pc1.code, coalesce(pu2.cv, pc1.cv) AS cv
+           FROM pc1 LEFT JOIN pu2 ON pu2.sub = pc1.sub AND pu2.code = pc1.code),
+         pk2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM pc2),
+         pr3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN pk2 c ON c.sub = q.sub),
+         pa3 AS (SELECT vec_id, sub, code FROM pr3 WHERE rn = 1),
+         pbr AS (SELECT t.vec_id, k.c_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+           FROM n t, k2 k WHERE t.vec_id < 20),
+         pb AS (SELECT vec_id AS q_id, c_id AS cell FROM pbr WHERE ar <= 2),
+         lut AS (SELECT q.vec_id AS q_id, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM sn q JOIN pk2 c ON c.sub = q.sub WHERE q.vec_id < 20),
+         ivfc AS (SELECT p.q_id, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         sc AS (SELECT c.q_id, c.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM ivfc c JOIN pa3 a ON a.vec_id = c.vec_id
+           JOIN lut l ON l.q_id = c.q_id AND l.sub = a.sub AND l.code = a.code
+           GROUP BY 1, 2),
+         fr AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM sc),
+         resv AS (SELECT a.vec_id, a.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS rv
+           FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN k2 k ON k.c_id = a.cell),
+         rsv AS (SELECT vec_id, tt AS sub, rv[tt*8+1 : tt*8+8] AS s
+           FROM resv, (SELECT unnest(range(8)) AS tt)),
+         rsn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM rsv),
+         rpc0 AS (SELECT sub, vec_id AS code, s AS cv FROM rsv WHERE vec_id < 16),
+         rpk0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc0),
+         rpr1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk0 c ON c.sub = q.sub),
+         rpa1 AS (SELECT vec_id, sub, code, s FROM rpr1 WHERE rn = 1),
+         rpd1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM rpa1),
+         rps1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM rpd1 GROUP BY sub, code, pos),
+         rpu1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM rps1 GROUP BY sub, code),
+         rpc1 AS (SELECT rpc0.sub, rpc0.code, coalesce(rpu1.cv, rpc0.cv) AS cv
+           FROM rpc0 LEFT JOIN rpu1 ON rpu1.sub = rpc0.sub AND rpu1.code = rpc0.code),
+         rpk1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc1),
+         rpr2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk1 c ON c.sub = q.sub),
+         rpa2 AS (SELECT vec_id, sub, code, s FROM rpr2 WHERE rn = 1),
+         rpd2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM rpa2),
+         rps2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM rpd2 GROUP BY sub, code, pos),
+         rpu2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM rps2 GROUP BY sub, code),
+         rpc2 AS (SELECT rpc1.sub, rpc1.code, coalesce(rpu2.cv, rpc1.cv) AS cv
+           FROM rpc1 LEFT JOIN rpu2 ON rpu2.sub = rpc1.sub AND rpu2.code = rpc1.code),
+         rpk2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM rpc2),
+         rpr3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM rsn q JOIN rpk2 c ON c.sub = q.sub),
+         rpa3 AS (SELECT vec_id, sub, code FROM rpr3 WHERE rn = 1),
+         qres AS (SELECT p.q_id, p.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS qr
+           FROM pb p JOIN e ON e.vec_id = p.q_id JOIN k2 k ON k.c_id = p.cell),
+         rqs AS (SELECT q_id, cell, tt AS sub, qr[tt*8+1 : tt*8+8] AS s
+           FROM qres, (SELECT unnest(range(8)) AS tt)),
+         rqn AS (SELECT q_id, cell, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM rqs),
+         rlut AS (SELECT q.q_id, q.cell, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM rqn q JOIN rpk2 c ON c.sub = q.sub),
+         rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         rsc AS (SELECT c.q_id, c.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM rivfc c JOIN rpa3 a ON a.vec_id = c.vec_id
+           JOIN rlut l ON l.q_id = c.q_id AND l.cell = c.cell
+             AND l.sub = a.sub AND l.code = a.code
+           GROUP BY 1, 2),
+         rfr AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM rsc),
+         rawk AS (SELECT q_id, n_id FROM fr WHERE rank <= 3),
+         resk AS (SELECT q_id, n_id FROM rfr WHERE rank <= 3),
+         xn AS (SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y) AS n2 FROM e),
+         gs AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             b.n2 - 2 * list_reduce(list_transform(range(1, len(a.v)+1),
+               i -> a.v[i]*b.v[i]), (x,y) -> x+y) + a.n2 AS dist
+           FROM xn a, xn b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         gr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY dist, n_id) AS rank FROM gs),
+         ex AS (SELECT q_id, n_id FROM gr WHERE rank <= 3)
+         SELECT ex.q_id,
+           CAST(sum(CASE WHEN rw.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits_raw,
+           CAST(sum(CASE WHEN rs.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits_res,
+           round(CAST(sum(CASE WHEN rw.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall_raw,
+           round(CAST(sum(CASE WHEN rs.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall_res
+         FROM ex LEFT JOIN rawk rw ON rw.q_id = ex.q_id AND rw.n_id = ex.n_id
+         LEFT JOIN resk rs ON rs.q_id = ex.q_id AND rs.n_id = ex.n_id
+         GROUP BY ex.q_id""",
+    // the media IVF-SQ recall audit: x2_ivfsq_recall's FULL composed
+    // oracle (IVF chain + residual SQ chain + raw sc/qq L2 leg + exact
+    // ground truth + hits tail, copied verbatim -- change together,
+    // guard families) over the dyadic media stub head e0/e
+    "x5_mm_ivfsq_recall" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+           FROM e0),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < 8),
+         k0 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c0),
+         r1 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k0 k),
+         a1 AS (SELECT vec_id, v, c_id AS cell FROM r1 WHERE ar = 1),
+         d1 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1),
+         s1 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d1 GROUP BY cell, pos),
+         u1 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s1 GROUP BY cell),
+         c1 AS (SELECT c0.c_id, coalesce(u1.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN u1 ON u1.cell = c0.c_id),
+         k1 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c1),
+         r2 AS (SELECT t.vec_id, t.v, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k1 k),
+         a2 AS (SELECT vec_id, v, c_id AS cell FROM r2 WHERE ar = 1),
+         d2 AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a2),
+         s2 AS (SELECT cell, pos, sum(val) AS s, count(*) AS cnt FROM d2 GROUP BY cell, pos),
+         u2 AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cv FROM s2 GROUP BY cell),
+         c2 AS (SELECT c1.c_id, coalesce(u2.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id),
+         k2 AS (SELECT c_id, cv,
+             sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cn FROM c2),
+         rk AS (SELECT t.vec_id, k.c_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                   (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+             FROM n t, k2 k),
+         asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE ar = 1),
+         resv AS (SELECT a.vec_id, a.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS rv
+           FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN k2 k ON k.c_id = a.cell),
+         dsc AS (SELECT vec_id, cell, rv,
+             list_max(list_transform(rv, x -> abs(x))) / 127.0 AS scale FROM resv),
+         dq AS (SELECT vec_id, cell, scale,
+             CASE WHEN scale = 0 THEN list_transform(rv, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(rv, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM dsc),
+         pbr AS (SELECT t.vec_id, k.c_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),
+                 (x,y) -> x+y) / (k.cn * t.nrm) DESC, k.c_id) AS ar
+           FROM n t, k2 k WHERE t.vec_id < 20),
+         pb AS (SELECT vec_id AS q_id, c_id AS cell FROM pbr WHERE ar <= 2),
+         qres AS (SELECT p.q_id, p.cell, list_transform(range(64),
+             i -> floor((e.v[i+1] - k.cv[i+1]) * 1048576::DOUBLE + 0.5) / 1048576::DOUBLE) AS qr
+           FROM pb p JOIN e ON e.vec_id = p.q_id JOIN k2 k ON k.c_id = p.cell),
+         qsc AS (SELECT q_id, cell, qr,
+             list_reduce(list_transform(qr, x -> x*x), (x,y) -> x+y) AS qn2,
+             list_max(list_transform(qr, x -> abs(x))) / 127.0 AS scale FROM qres),
+         qsq AS (SELECT q_id, cell, qn2, scale,
+             CASE WHEN scale = 0 THEN list_transform(qr, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(qr, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM qsc),
+         rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell
+           AND a.vec_id <> p.q_id),
+         ssc AS (SELECT c.q_id, c.vec_id AS n_id, c.cell,
+             a.qn2 - 2 * (a.scale * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> a.q[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE)) + b.scale * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> b.q[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE) AS adist
+           FROM rivfc c JOIN qsq a ON a.q_id = c.q_id AND a.cell = c.cell
+           JOIN dq b ON b.vec_id = c.vec_id),
+         srr AS (SELECT q_id, n_id, cell, adist, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist, n_id) AS rank FROM ssc),
+         sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc),
+         rq AS (SELECT e.vec_id AS q_id,
+             list_reduce(list_transform(e.v, x -> x*x), (x,y) -> x+y) AS qn2,
+             qq.scale AS qs, qq.q AS qv8
+           FROM e JOIN qq ON qq.vec_id = e.vec_id WHERE e.vec_id < 20),
+         wsc AS (SELECT c.q_id, c.vec_id AS n_id,
+             a.qn2 - 2 * (a.qs * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> a.qv8[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE)) + b.scale * b.scale * CAST(list_reduce(
+               list_transform(range(1, 65), i -> b.q[i]*b.q[i]), (x,y) -> x+y)
+               AS DOUBLE) AS adist
+           FROM rivfc c JOIN rq a ON a.q_id = c.q_id
+           JOIN qq b ON b.vec_id = c.vec_id),
+         wrr AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist, n_id) AS rank FROM wsc),
+         rawk AS (SELECT q_id, n_id FROM wrr WHERE rank <= 3),
+         resk AS (SELECT q_id, n_id FROM srr WHERE rank <= 3),
+         xn AS (SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y) AS n2 FROM e),
+         gs AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             b.n2 - 2 * list_reduce(list_transform(range(1, len(a.v)+1),
+               i -> a.v[i]*b.v[i]), (x,y) -> x+y) + a.n2 AS dist
+           FROM xn a, xn b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         gr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY dist, n_id) AS rank FROM gs),
+         ex AS (SELECT q_id, n_id FROM gr WHERE rank <= 3)
+         SELECT ex.q_id,
+           CAST(sum(CASE WHEN rw.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits_raw,
+           CAST(sum(CASE WHEN rs.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits_res,
+           round(CAST(sum(CASE WHEN rw.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall_raw,
+           round(CAST(sum(CASE WHEN rs.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall_res
+         FROM ex LEFT JOIN rawk rw ON rw.q_id = ex.q_id AND rw.n_id = ex.n_id
+         LEFT JOIN resk rs ON rs.q_id = ex.q_id AND rs.n_id = ex.n_id
+         GROUP BY ex.q_id""",
     // filtered probe-budget curve: x2_filtered_recall's e..exact head
     // (copied verbatim -- change together) + the labeled bb CTE; the qp
     // probe CTE adds the mask INDEX (zipped unnest), candidates keep

@@ -597,6 +597,26 @@ object Multimodal {
       cmodel, nQueries, kNn, nProbe)
   }
 
+  /** X5 media IVF-PQ recall audit — the measured residual claim ON THE
+    * MEDIA DISTRIBUTION (`x5_mm_ivfpq_recall`): per query, hits of the
+    * raw-code vs residual-code media IVF×PQ against exact-L2 ground
+    * truth at identical (nCells, m, kCodes, nProbe). The margin is
+    * data-dependent (the x2 gate measures the embedding table; dyadic
+    * stub embeddings are a different geometry), so the media rungs get
+    * their own measurement instead of inheriting x2's. Trains its own
+    * models BY DESIGN — never [[ModelCache]]. */
+  def mediaIvfPqRecall(documents: DataFrame, dims: Int = 64): DataFrame =
+    Similarity.ivfPqRecallReportOnVectors(dyadicMediaVectors(documents, dims),
+      dims = dims)
+
+  /** X5 media IVF-SQ recall audit — `x5_mm_ivfsq_recall`, the SQ
+    * composition's residual-vs-raw measurement on the media
+    * distribution ([[mediaIvfPqRecall]]'s twin for the int8 rungs):
+    * raw codes re-priced by the asymmetric L2 estimate vs residual
+    * codes, exact-L2 ground truth, identical (nCells, nProbe). */
+  def mediaIvfSqRecall(documents: DataFrame, dims: Int = 64): DataFrame =
+    Similarity.ivfSqRecallReportOnVectors(dyadicMediaVectors(documents, dims))
+
   /** The media residual pair's TRAIN-ONCE entry ([[Similarity.resModels]]'
     * media twin): IVF centroids + residual-PQ codebook over the dyadic
     * stub embeddings, memoized by corpus path — `x5_mm_search_ivfpq_res`

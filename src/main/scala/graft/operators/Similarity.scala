@@ -3048,9 +3048,41 @@ object Similarity {
   def ivfPqRecallReport(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
                         nCells: Int = 8, trainRounds: Int = 2, m: Int = 8,
                         kCodes: Int = 16, dims: Int = 64,
-                        nProbe: Int = 2): DataFrame = {
+                        nProbe: Int = 2): DataFrame =
+    ivfPqRecallReportOnVectors(withVec(embeddings), nQueries, k, nCells,
+      trainRounds, m, kCodes, dims, nProbe)
+
+  /** [[ivfPqRecallReport]] over any (vec_id, v) frame — the media
+    * modality's measured residual-PQ claim (`x5_mm_ivfpq_recall`): the
+    * residual-vs-raw margin is DATA-DEPENDENT, so the media
+    * distribution (dyadic stub embeddings) gets its own measurement
+    * rather than inheriting the embedding table's. Trains its own
+    * models BY DESIGN (the audit re-proves the claim — [[ModelCache]]
+    * would make it circular). */
+  def ivfPqRecallReportOnVectors(vectors: DataFrame, nQueries: Int = 20,
+                                 k: Int = 3, nCells: Int = 8,
+                                 trainRounds: Int = 2, m: Int = 8,
+                                 kCodes: Int = 16, dims: Int = 64,
+                                 nProbe: Int = 2): DataFrame = {
+    val slim = vectors.select(col("vec_id"), col("v"))
+    val raw = annIvfPqOnVectors(slim, nCells, trainRounds, m, kCodes, dims,
+        nQueries, k, nProbe)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit_raw"))
+    val res = annIvfPqResOnVectors(slim, nCells, trainRounds, m, kCodes, dims,
+        nQueries, k, nProbe)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit_res"))
+    composedRecallReport(slim, raw, res, nQueries, k)
+  }
+
+  /** The composed-recall audits' shared tail: exact-L2 ground truth
+    * over the supplied vectors (bounded-state top-k on −dist, oracle
+    * fold order) left-joined with the two k-bounded approximate legs,
+    * per-query hit counts and recall. */
+  private def composedRecallReport(slim: DataFrame, raw: DataFrame,
+                                   res: DataFrame, nQueries: Int,
+                                   k: Int): DataFrame = {
     import graft.functions.TopKByScore.top_k_by_score
-    val vecs = withVec(embeddings)
+    val vecs = slim
       .select(col("vec_id"), col("v"), dot_product(col("v"), col("v")).as("n2"))
     val q = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
@@ -3063,12 +3095,6 @@ object Similarity {
       .agg(top_k_by_score(col("nd"), col("n_id"), k).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t.id").as("n_id"))
-    val raw = annIvfPq(embeddings, nCells, trainRounds, m, kCodes, dims,
-        nQueries, k, nProbe)
-      .select(col("q_id"), col("n_id"), lit(1L).as("hit_raw"))
-    val res = annIvfPqRes(embeddings, nCells, trainRounds, m, kCodes, dims,
-        nQueries, k, nProbe)
-      .select(col("q_id"), col("n_id"), lit(1L).as("hit_res"))
     exact.join(raw, Seq("q_id", "n_id"), "left")
       .join(res, Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
@@ -3098,34 +3124,27 @@ object Similarity {
     * Σ n_hits_raw. */
   def ivfSqRecallReport(embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
                         nCells: Int = 8, trainRounds: Int = 2,
-                        nProbe: Int = 2): DataFrame = {
-    import graft.functions.TopKByScore.top_k_by_score
-    val cmodel = trainIvfModel(embeddings, nCells, trainRounds)
-    val vecs = withVec(embeddings)
-      .select(col("vec_id"), col("v"), dot_product(col("v"), col("v")).as("n2"))
-    val q = vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
-    val exact = vecs.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        (-(col("n2") - lit(2.0) * dot_product(col("qv"), col("v")) + col("qn2")))
-          .as("nd"))
-      .groupBy(col("q_id"))
-      .agg(top_k_by_score(col("nd"), col("n_id"), k).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.id").as("n_id"))
-    val raw = annIvfSqL2(embeddings, cmodel, nQueries, k, nProbe)
+                        nProbe: Int = 2): DataFrame =
+    ivfSqRecallReportOnVectors(withVec(embeddings), nQueries, k, nCells,
+      trainRounds, nProbe)
+
+  /** [[ivfSqRecallReport]] over any (vec_id, v) frame — the media
+    * modality's measured residual-SQ claim (`x5_mm_ivfsq_recall`);
+    * like the PQ gate, the margin is data-dependent, so the media
+    * distribution gets its own measurement. Trains its own model BY
+    * DESIGN. */
+  def ivfSqRecallReportOnVectors(vectors: DataFrame, nQueries: Int = 20,
+                                 k: Int = 3, nCells: Int = 8,
+                                 trainRounds: Int = 2,
+                                 nProbe: Int = 2): DataFrame = {
+    val slim = vectors.select(col("vec_id"), col("v"))
+    val cmodel = trainIvfModelOnVectors(slim, nCells, trainRounds)
+    val raw = annIvfSqL2OnVectors(slim, cmodel, nQueries, k, nProbe)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit_raw"))
-    val res = annIvfSqRes(embeddings, cmodel, nQueries, k, nProbe)
+    val res = annIvfSqResOnArtifactsVectors(slim,
+        resSqCodesForOnVectors(slim, cmodel), cmodel, nQueries, k, nProbe)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit_res"))
-    exact.join(raw, Seq("q_id", "n_id"), "left")
-      .join(res, Seq("q_id", "n_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(sum(coalesce(col("hit_raw"), lit(0L))).as("n_hits_raw"),
-        sum(coalesce(col("hit_res"), lit(0L))).as("n_hits_res"))
-      .select(col("q_id"), col("n_hits_raw"), col("n_hits_res"),
-        round(col("n_hits_raw").cast("double") / lit(k.toDouble), 4).as("recall_raw"),
-        round(col("n_hits_res").cast("double") / lit(k.toDouble), 4).as("recall_res"))
+    composedRecallReport(slim, raw, res, nQueries, k)
   }
 
   /** [[ivfSqRecallReport]]'s raw-code leg: [[annIvfSq]]'s candidate
@@ -3136,12 +3155,12 @@ object Similarity {
     * Private because only the audit wants L2-from-raw-codes:
     * production raw IVF×SQ serves MIPS and the production L2 rung is
     * the residual one. */
-  private def annIvfSqL2(embeddings: DataFrame,
-                         centroids: Seq[(Long, Seq[Double])],
-                         nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    val spark = embeddings.sparkSession
+  private def annIvfSqL2OnVectors(vectors: DataFrame,
+                                  centroids: Seq[(Long, Seq[Double])],
+                                  nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val spark = vectors.sparkSession
     import spark.implicits._
-    val all = withVec(embeddings)
+    val all = vectors.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
     val cents = centroids.toDF("c_id", "cv")
       .withColumn("cn", sqrt(dot_product(col("cv"), col("cv"))))
     val aw = Window.partitionBy(col("vec_id")).orderBy(
@@ -3150,13 +3169,13 @@ object Similarity {
     val probes = all.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
       .withColumn("arank", row_number().over(aw)).filter(col("arank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
-    val codes = sqCodes(embeddings)
+    val codes = sqCodesOnVectors(vectors)
     val qside = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), dot_product(col("v"), col("v")).as("qn2"))
       .join(codes.select(col("vec_id").as("q_id"), col("scale").as("qs"),
         col("q").as("qq")), Seq("q_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
-    ivfAssignmentsFor(embeddings, centroids)
+    ivfAssignmentsForOnVectors(vectors, centroids)
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(codes, "vec_id")

@@ -94,7 +94,8 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_quantize", "x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank",
       "x2_sq_recall", "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x2_ivfsq_recall",
       "x2_hybrid_rrf_stored", "x5_mm_search_sq", "x5_mm_search_sq_serve",
-      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve"))
+      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
+      "x5_mm_ivfsq_recall"))
 
   chainFamily("binary sign-pack b/s/r Hamming chain", "x2_ann_binary",
     "b AS (SELECT vec_id,", "ORDER BY hamming, n_id) AS rank FROM s)",
@@ -118,7 +119,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_ivfpq_serve", "x5_mm_search_ivfpq_res",
       "x5_mm_search_ivfpq_res_serve",
       "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
-      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
 
   chainFamily("IVF brute ground truth bs/br/ex", "x2_ivf_recall",
     "bs AS (SELECT q.vec_id AS q_id", "ex AS (SELECT q_id, n_id FROM br WHERE rank <= 3)",
@@ -132,13 +134,15 @@ class OracleChainSpec extends AnyFunSuite {
     "resv AS (SELECT a.vec_id",
     "rpa3 AS (SELECT vec_id, sub, code FROM rpr3 WHERE rn = 1),",
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
-      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve"))
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
+      "x5_mm_ivfpq_recall"))
 
   chainFamily("residual per-(query, cell) ADC tail", "x2_ann_ivfpq_res",
     "qres AS (SELECT p.q_id",
     "ORDER BY adist_u, n_id) AS rank FROM rsc)",
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
-      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve"))
+      "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
+      "x5_mm_ivfpq_recall"))
 
   // the residual IVF×SQ composition copies the residual FRAME and the
   // per-query probe head but swaps the PQ training/ADC for an int8
@@ -148,7 +152,8 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
       "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
-      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
 
   chainFamily("residual corpus frame resv", "x2_ann_ivfpq_res",
     "resv AS (SELECT a.vec_id",
@@ -156,7 +161,8 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
       "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
-      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
 
   // pbr/pb and qres pinned separately: x2_ivfpq_recall interposes its
   // raw-PQ lut CTE between pb and qres, so the span is not contiguous
@@ -169,7 +175,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
       "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
-      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
 
   chainFamily("query residual frame qres", "x2_ann_ivfpq_res",
     "qres AS (SELECT p.q_id",
@@ -177,7 +184,8 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
       "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
-      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
 
   formulaFamily("residual candidate join rivfc",
     "rivfc AS (SELECT p.q_id, p.cell, a.vec_id FROM asg a JOIN pb p ON a.cell = p.cell\n" +
@@ -185,7 +193,8 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_ivfpq_res", "x2_ann_ivfpq_res_serve", "x2_ivfpq_recall",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
       "x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
-      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
 
   // the residual int8 encode + residual-L2 estimate chain (dsc..srr):
   // shared verbatim between the residual IVF×SQ search, the SQ recall
@@ -194,7 +203,8 @@ class OracleChainSpec extends AnyFunSuite {
     "dsc AS (SELECT vec_id, cell, rv,",
     "ORDER BY adist, n_id) AS rank FROM ssc)",
     Set("x2_ann_ivfsq_res", "x2_ann_ivfsq_res_serve", "x2_ivfsq_recall",
-      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
+      "x5_mm_ivfsq_recall"))
 
   // the raw IVF×SQ candidate/estimate tail (rk with v/nrm, asg, the
   // ar<=4 probe head, the sc/qq encode, and the adot candidate
@@ -211,7 +221,8 @@ class OracleChainSpec extends AnyFunSuite {
   chainFamily("composed-recall exact L2 ground truth xn..tail", "x2_ivfpq_recall",
     "xn AS (SELECT vec_id, v,",
     "GROUP BY ex.q_id",
-    Set("x2_ivfpq_recall", "x2_ivfsq_recall"))
+    Set("x2_ivfpq_recall", "x2_ivfsq_recall",
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
 
   chainFamily("PQ per-subspace Lloyd training sv..c2", "x2_pq_codebook",
     "sv AS (SELECT vec_id, tt AS sub",
@@ -226,7 +237,8 @@ class OracleChainSpec extends AnyFunSuite {
     "pc0 AS (SELECT sub, vec_id AS code",
     "pa3 AS (SELECT vec_id, sub, code FROM pr3 WHERE rn = 1),",
     Set("x2_ann_ivfpq", "x2_ann_ivfpq_serve", "x2_ivfpq_recall",
-      "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve"))
+      "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
+      "x5_mm_ivfpq_recall"))
 
   chainFamily("verbatim-span tokenize/hash head", "x4_span_dedup",
     "WITH tk AS", "FROM tk WHERE len(t) >= 8),",
@@ -368,7 +380,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ann_pq_serve", "x2_pq_codebook", "x2_pq_codes", "x2_pq_distortion",
       "x5_mm_pq", "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x5_mm_search_pq", "x5_mm_search_pq_serve"))
+      "x5_mm_search_pq", "x5_mm_search_pq_serve",
+      "x5_mm_ivfpq_recall"))
 
   formulaFamily("IVF argmax-cosine cell assignment",
     "list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),\n" +
@@ -383,7 +396,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_ivf_recall", "x2_ivf_probe_curve", "x2_ood", "x2_semdedup", "x5_mm_ivf",
       "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
-      "x7_curate_semantic"))
+      "x7_curate_semantic",
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
 
   formulaFamily("LSH search hyperplane (8 tables x 4 bits)",
     "(CAST((1103515245::BIGINT * ((tt*4 + j)*64 + d) + 12345) % 2147483648 AS DOUBLE)",
@@ -656,7 +670,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
       "x5_mm_search_pq", "x5_mm_search_pq_serve",
       "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
-      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
 
   formulaFamily("media stub embedding formula",
     "CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0",
@@ -671,7 +686,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_filtered_recall", "x5_mm_filtered_probe_curve",
       "x5_mm_filtered_rank_quality", "x5_mm_filtered_bucket_stats",
       "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
-      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve"))
+      "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
 
   // ---- serve aliases: shared BY REFERENCE, pinned here ----
 

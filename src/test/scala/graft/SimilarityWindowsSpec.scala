@@ -1666,6 +1666,35 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(served === self)
   }
 
+  test("media composed recall gates: measured per-distribution, bounded, consistent") {
+    // the media twins of the x2 composed-recall gates — and the reason
+    // they exist: the residual-vs-raw margin is DATA-DEPENDENT, and on
+    // the media stub geometry at sf0.001 raw PQ actually BEATS
+    // residual PQ (28 vs 26 hits measured; at sf0.01/sf0.1 residual
+    // wins 23→26 / 14→17), so unlike the x2 gate this spec pins SHAPE,
+    // not the inequality — pinning res ≥ raw here would enshrine a
+    // claim the measurement refutes. SQ ties at every SF.
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val pq = graft.operators.Multimodal.mediaIvfPqRecall(docs)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(pq.length === 20)
+    pq.foreach { case (_, hr, hs, rr, rs) =>
+      assert(hr >= 0 && hr <= 3 && hs >= 0 && hs <= 3)
+      assert(rr >= 0.0 && rr <= 1.0 && rs >= 0.0 && rs <= 1.0)
+    }
+    // the measured sf0.001 margins, pinned so silent drift surfaces
+    // (corpus regeneration shows up here as data drift, like the
+    // x7_curate_neardup 3-round note)
+    assert(pq.map(_._2).sum === 28L && pq.map(_._3).sum === 26L)
+    val sq = graft.operators.Multimodal.mediaIvfSqRecall(docs)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(sq.length === 20)
+    sq.foreach { case (_, hr, hs, _, _) =>
+      assert(hr >= 0 && hr <= 3 && hs >= 0 && hs <= 3)
+    }
+    assert(sq.map(_._2).sum === sq.map(_._3).sum) // SQ raw/res tie, measured
+  }
+
   test("media IVF x SQ: serve over stored cell map + code tables equals self-contained") {
     import spark.implicits._
     val docs = (0L to 29L)
