@@ -458,6 +458,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("media composed-recall gates: approximate legs candidate by hash join") {
+    // the two heaviest audit queries: train-from-scratch by design, but
+    // the candidate streams must still be cell-keyed hash joins — the
+    // only nested loops are the probe rankings and the brute ground
+    // truth's corpus × broadcast-query-batch scoring (exact by role)
+    for (q <- Seq("x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+    }
+  }
+
   test("media IVF x SQ (+residual): candidates by hash join on both rungs") {
     // the media twins compose the same audited cores, so the same
     // shape contract holds: the only nested loop is the query batch
