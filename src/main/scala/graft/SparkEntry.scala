@@ -902,6 +902,13 @@ object SparkEntry {
       Multimodal.mediaBucketStats(t(s, d, "documents"))),
     // media LSH recall vs the exact x5_mm_search ground truth
     "x5_mm_recall" -> ((s, d) => Multimodal.mediaRecallReport(t(s, d, "documents"))),
+    // media flat-SQ recall gate: int8 asymmetric top-3 vs exact MIPS
+    // on the stub distribution (margins are distribution-dependent)
+    "x5_mm_sq_recall" -> ((s, d) => Multimodal.mediaSqRecall(t(s, d, "documents"))),
+    // media flat-binary recall gate: centered Hamming top-3 vs exact
+    // cosine at the production rung's 0.5 sign threshold
+    "x5_mm_binary_recall" -> ((s, d) =>
+      Multimodal.mediaBinaryRecall(t(s, d, "documents"))),
     // media ranking-quality audit: graded recall + MRR of the bucketed
     // media search vs the exact baseline (x2_rank_quality's metrics)
     "x5_mm_rank_quality" ->
@@ -7623,6 +7630,78 @@ object SparkEntry {
            FROM cand c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
          r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, n_id) AS rank FROM s),
+         approx AS (SELECT q_id, n_id, 1 AS hit FROM r WHERE rank <= 3)
+         SELECT e.q_id, CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
+           round(CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) / 3.0, 4) AS recall
+         FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+         GROUP BY e.q_id""",
+    // media flat-SQ recall gate: the x2_sq_recall structure head-swapped
+    // onto the media stub e source -- the sc/qq encode chain (copied
+    // verbatim -- change together) + the SQ asymmetric scoring at the
+    // media grain (vec_id < 5, top-3) vs the brute MIPS dp stream over
+    // the same e, rolled up to per-query hits
+    "x5_mm_sq_recall" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc),
+         qs2 AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_reduce(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+               (x,y) -> x+y) AS DOUBLE) * a.scale * b.scale AS adot
+           FROM qq a, qq b WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         qr2 AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY adot DESC, n_id) AS rank FROM qs2),
+         sb AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) AS dp
+           FROM e q, e t WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id),
+         rb AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY dp DESC, n_id) AS rank FROM sb),
+         ov AS (SELECT b.q_id, b.n_id,
+             CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM (SELECT q_id, n_id FROM rb WHERE rank <= 3) b
+           LEFT JOIN (SELECT q_id, n_id FROM qr2 WHERE rank <= 3) l
+             ON l.q_id = b.q_id AND l.n_id = b.n_id)
+         SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+           round(CAST(CAST(sum(hit) AS BIGINT) AS DOUBLE) / 3.0, 4) AS recall
+         FROM ov GROUP BY q_id""",
+    // media flat-binary recall gate: x5_mm_recall's media brute
+    // e..exact head (copied verbatim -- change together) + the
+    // centered (v-0.5) sign-pack words at the production rung's 0.5
+    // threshold + Hamming top-3, rolled up to per-query hits
+    "x5_mm_binary_recall" ->
+      """WITH e AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         xs AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id),
+         xr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM xs),
+         exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3),
+         ec AS (SELECT vec_id, list_transform(v, x -> x - 0.5) AS v FROM e),
+         b AS (SELECT vec_id,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+1] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w0,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+33] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w1
+           FROM ec),
+         s AS (SELECT a.vec_id AS q_id, t.vec_id AS n_id,
+             CAST(bit_count(xor(a.w0, t.w0)) + bit_count(xor(a.w1, t.w1)) AS BIGINT) AS hamming
+           FROM b a, b t WHERE a.vec_id < 5 AND t.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, hamming, row_number() OVER (PARTITION BY q_id
+             ORDER BY hamming, n_id) AS rank FROM s),
          approx AS (SELECT q_id, n_id, 1 AS hit FROM r WHERE rank <= 3)
          SELECT e.q_id, CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
            round(CAST(sum(coalesce(a.hit, 0)) AS DOUBLE) / 3.0, 4) AS recall

@@ -617,6 +617,30 @@ object Multimodal {
   def mediaIvfSqRecall(documents: DataFrame, dims: Int = 64): DataFrame =
     Similarity.ivfSqRecallReportOnVectors(dyadicMediaVectors(documents, dims))
 
+  /** X5 media flat-SQ recall audit — `x5_mm_sq_recall`: the
+    * [[Similarity.sqRecallReportOnVectors]] gate over the SAME stub
+    * embeddings `x5_mm_search_sq` encodes — exact-MIPS ground truth vs
+    * the int8 asymmetric-estimate top-k, per-query hits. The composed
+    * media gates ([[mediaIvfPqRecall]]/[[mediaIvfSqRecall]]) proved
+    * recall margins are distribution-dependent; this closes the same
+    * measurement gap for the flat int8 rung (the media stub geometry
+    * is all-positive [0,1] — a regime the x2 gate never measures). */
+  def mediaSqRecall(documents: DataFrame, nQueries: Int = 5,
+                    k: Int = 3): DataFrame =
+    Similarity.sqRecallReportOnVectors(mediaEmbedding(documents), nQueries, k)
+
+  /** X5 media flat-binary recall audit — `x5_mm_binary_recall`:
+    * [[Similarity.binaryRecallReportOnVectors]] over the stub
+    * embeddings at the production rung's centering threshold (0.5 —
+    * the sign plane [[mediaBinaryCodes]] packs against): exact-cosine
+    * ground truth vs the centered Hamming top-k. Completes the media
+    * audit symmetry — every deployed media search form now carries a
+    * measured recall gate on its own distribution. */
+  def mediaBinaryRecall(documents: DataFrame, nQueries: Int = 5,
+                        k: Int = 3): DataFrame =
+    Similarity.binaryRecallReportOnVectors(mediaEmbedding(documents),
+      threshold = 0.5, nQueries, k)
+
   /** The media residual pair's TRAIN-ONCE entry ([[Similarity.resModels]]'
     * media twin): IVF centroids + residual-PQ codebook over the dyadic
     * stub embeddings, memoized by corpus path — `x5_mm_search_ivfpq_res`

@@ -334,11 +334,18 @@ object Similarity {
     * heap aggregation as [[annBruteForce]]; dots fold sequentially so
     * scores are engine-identical, output rounded, ties on id. */
   def mipsBruteForce(embeddings: DataFrame, nQueries: Int = 20,
-                     k: Int = 5): DataFrame = {
-    val all = withVec(embeddings).select(col("vec_id"), col("v"))
-    val q = all.filter(col("vec_id") < nQueries)
+                     k: Int = 5): DataFrame =
+    mipsOnVectors(withVec(embeddings).select(col("vec_id"), col("v")),
+      nQueries, k)
+
+  /** [[mipsBruteForce]] over any (vec_id, v: array<double>) frame —
+    * the modality-agnostic exact-MIPS leg ([[annOnVectors]]'s twin for
+    * the dot-product metric), the ground truth the SQ recall gates
+    * measure against on EVERY source distribution. */
+  def mipsOnVectors(vectors: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = vectors.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val scored = all.crossJoin(broadcast(q))
+    val scored = vectors.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         dot(col("qv"), col("v")).as("cos"))
@@ -1397,17 +1404,40 @@ object Similarity {
     * ([[annBruteForce]]) left-joined with the Hamming top-k: how much
     * angular fidelity 8 bytes/vector keeps on this corpus. */
   def binaryRecallReport(embeddings: DataFrame, nQueries: Int = 20,
-                         k: Int = 5): DataFrame = {
-    val exact = annBruteForce(embeddings, nQueries, k)
+                         k: Int = 5): DataFrame =
+    binaryRecallReportOnVectors(
+      withVec(embeddings).select(col("vec_id"), col("v")),
+      threshold = 0.0, nQueries, k)
+
+  /** [[binaryRecallReport]] over any (vec_id, v: array<double>) frame —
+    * the modality-agnostic flat-binary recall gate (`x5_mm_binary_recall`
+    * composes it over the media stub source with the production
+    * rung's centering threshold): exact-cosine ground truth vs the
+    * Hamming top-k of [[binaryCodesOnVectors]] at the SAME threshold
+    * the deployed search uses. The media composed gates proved recall
+    * margins are distribution-dependent — every deployed rung gets its
+    * own measurement, never an inherited one. */
+  def binaryRecallReportOnVectors(vecs: DataFrame, threshold: Double = 0.0,
+                                  nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val exact = annOnVectors(vecs, nQueries, k)
       .select(col("q_id"), col("n_id"))
-    val approx = annBinary(embeddings, nQueries, k)
+    val approx = annBinaryOnCodes(binaryCodesOnVectors(vecs, threshold),
+        nQueries, k)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    recallRollup(exact, approx, k)
+  }
+
+  /** The per-query hit rollup every flat recall gate shares: exact
+    * top-k left-joined with the approximate top-k, hits summed, recall
+    * = hits/k rounded to 4. Both inputs are k-bounded (|Q|·k rows) —
+    * the rollup never touches the corpus. */
+  private def recallRollup(exact: DataFrame, approx: DataFrame,
+                           k: Int): DataFrame =
     exact.join(approx, Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("q_id"), col("n_hits"),
         round(col("n_hits").cast("double") / lit(k.toDouble), 4).as("recall"))
-  }
 
   /** X2/X3 HYBRID RETRIEVAL — reciprocal-rank fusion of the dense
     * cosine top-k ([[annBruteForce]]) and sparse BM25 top-k
@@ -1659,16 +1689,23 @@ object Similarity {
     * hit count and recall@k. The number that decides whether int8
     * storage is free accuracy-wise for this corpus. */
   def sqRecallReport(embeddings: DataFrame, nQueries: Int = 20,
-                     k: Int = 5): DataFrame = {
-    val exact = mipsBruteForce(embeddings, nQueries, k)
+                     k: Int = 5): DataFrame =
+    sqRecallReportOnVectors(
+      withVec(embeddings).select(col("vec_id"), col("v")), nQueries, k)
+
+  /** [[sqRecallReport]] over any (vec_id, v: array<double>) frame —
+    * the modality-agnostic flat-SQ recall gate (`x5_mm_sq_recall`
+    * composes it over the media stub source): exact-MIPS ground truth
+    * ([[mipsOnVectors]]) vs the asymmetric-estimate top-k over
+    * [[sqCodesOnVectors]]' int8 table, per-query hits and recall@k —
+    * measured per distribution, never inherited across sources. */
+  def sqRecallReportOnVectors(vecs: DataFrame, nQueries: Int = 20,
+                              k: Int = 5): DataFrame = {
+    val exact = mipsOnVectors(vecs, nQueries, k)
       .select(col("q_id"), col("n_id"))
-    val approx = annSq(embeddings, nQueries, k)
+    val approx = annSqOnCodes(sqCodesOnVectors(vecs), nQueries, k)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("q_id", "n_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .select(col("q_id"), col("n_hits"),
-        round(col("n_hits").cast("double") / lit(k.toDouble), 4).as("recall"))
+    recallRollup(exact, approx, k)
   }
 
   /** X2 PER-DIMENSION EMBEDDING HEALTH — mean, variance, and a

@@ -781,15 +781,20 @@ object StreamPipeline {
     * cap-before-pairing discipline) pair once into the closed
     * counters.
     *
-    * After folding, the user re-emits its CURRENT cumulative pair
-    * table: closed counters + the open session's pairs computed FRESH
-    * from the live item counts — the open session's provisional
-    * contribution is recomputed every batch, never accumulated, so
-    * re-ranking as counts grow cannot double-count; a provisional
-    * pair that drops out of the cap re-emits as an explicit ZERO row
-    * (the state tracks the previously-emitted provisional keys,
-    * ≤ C(cap,2) of them) so the keyed store never holds a stale
-    * nonzero. Rows carry a composite `pair_key` for the merge-on-key
+    * After folding, the user emits only the keys whose STORED value
+    * changed this batch (round-19 advice — the full-cumulative-table
+    * re-emission made upsert write volume per batch grow with the
+    * user's lifetime pair count): a key's stored value is
+    * closed(k) + [k ∈ provisional], so the changed set is exactly the
+    * keys a closing session touched plus the provisional symmetric
+    * difference (both O(C(cap,2)) per batch, independent of history).
+    * The open session's provisional contribution is recomputed every
+    * batch, never accumulated, so re-ranking as counts grow cannot
+    * double-count; a provisional pair that drops out of the cap
+    * re-emits as an explicit ZERO row (the state tracks the
+    * previously-emitted provisional keys, ≤ C(cap,2) of them) so the
+    * keyed store never holds a stale nonzero. Rows carry a composite
+    * `pair_key` for the merge-on-key
     * store ([[upsertEnriched]]/[[upsertBatch]] with
     * `keyCol = "pair_key"`): per-user pair tables are USER-DISJOINT
     * shards by construction, so the served shelf folds the store by
@@ -805,8 +810,18 @@ object StreamPipeline {
     * option here (flatMapGroupsWithState forbids it), which is why
     * this maintainer upserts per-key rows instead of epoch-replacing
     * a snapshot like [[histDailyStream]]. No timeout: the pair
-    * counters are the thing you keep (eviction would follow the
-    * [[milestoneAlerts]] timer discipline). */
+    * counters are the thing you keep — state per user is bounded at
+    * the gap cursor + the open session's item counts + ≤ C(cap,2)
+    * closed counters per DISTINCT capped pair the user ever formed +
+    * ≤ C(cap,2) provisional keys. The distinct-pair term grows with
+    * user lifetime; a long-lived deployment bounds it by retiring
+    * dormant users — a PROCESSING-time timeout that drops the user's
+    * state AFTER re-keying its stored rows under a retirement
+    * generation (e.g. `gen:user:a|b`), so a returning user's fresh
+    * counters upsert under the live key and can never overwrite the
+    * retired totals; generations are disjoint shards, so the merge
+    * law folds them by the same addition. Never an event-time timeout
+    * armed off the initial zero watermark (the 1970 trap). */
   def covisitSessionStream(events: DataFrame, gapMinutes: Int = 5,
                            capPerSession: Int = 20): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -837,10 +852,15 @@ object StreamPipeline {
           for { i <- top.indices; j <- (i + 1) until top.length }
             yield s"${top(i)}|${top(j)}"
         }
+        // keys whose CLOSED counter moved this batch — with the
+        // provisional symmetric difference below, exactly the keys
+        // whose stored value (closed + [k ∈ prov]) can have changed
+        val touched = scala.collection.mutable.Set.empty[String]
         it.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, us, _, item) =>
           if (lastUs != Long.MinValue && us - lastUs > gapUs) {
             sessionPairs(open).foreach { k =>
               closed = closed.updated(k, closed.getOrElse(k, 0L) + 1L)
+              touched += k
             }
             open = Map.empty
           }
@@ -848,17 +868,79 @@ object StreamPipeline {
           if (item >= 0L) open = open.updated(item, open.getOrElse(item, 0L) + 1L)
         }
         val prov = sessionPairs(open)
-        val cur = prov.foldLeft(closed) { (m, k) =>
-          m.updated(k, m.getOrElse(k, 0L) + 1L)
-        }
         state.update((lastUs, open, closed, prov))
+        val provSet = prov.toSet
+        val changed = touched ++ (provSet diff prevProv.toSet) ++
+          (prevProv.toSet diff provSet)
         def row(k: String, n: Long): (Long, String, Long, Long, Long) = {
           val Array(a, b) = k.split('|')
           (user, s"$user:$k", a.toLong, b.toLong, n)
         }
-        cur.iterator.map { case (k, n) => row(k, n) } ++
-          prevProv.filterNot(cur.contains).iterator.map(row(_, 0L))
+        changed.iterator.map { k =>
+          row(k, closed.getOrElse(k, 0L) + (if (provSet(k)) 1L else 0L))
+        }
     }.toDF("user_id", "pair_key", "item_a", "item_b", "n_sessions")
+  }
+
+  /** X6 STREAMING LIFETIME-COVISIT maintainer — the continuous form of
+    * [[graft.operators.Windows.covisitPairs]], one grain up from
+    * [[covisitSessionStream]]: at the lifetime grain each user
+    * contributes an INDICATOR (0/1) per pair of its top-`capPerUser`
+    * items, so the per-user state is the batch ranker's sufficient
+    * statistic — the full item→count map (ranking is by LIFETIME
+    * interaction counts; an item outside today's top cap can re-enter
+    * it later, so the map cannot be truncated without changing the
+    * batch semantics) plus the currently-asserted pair keys
+    * (≤ C(cap,2)). Counts are fold-order-independent, so unlike the
+    * session maintainer no per-batch sort is needed and late events
+    * are handled exactly, not best-effort.
+    *
+    * Emission is delta-only from birth ([[covisitSessionStream]]'s
+    * round-19 discipline): a pair entering the capped set upserts 1,
+    * a pair re-ranked out of it tombstones to 0, an unchanged pair
+    * writes nothing — per-batch write volume is bounded by the cap
+    * churn, never by history. Per-user rows are user-disjoint shards,
+    * so the served shelf folds the store by
+    * [[graft.operators.Windows.covisitMerge]]'s law (addition, support
+    * threshold after) and equals the batch [[graft.operators.Windows
+    * .covisit]] exactly — StreamingSpec pins shelf and pair counts
+    * through the physical upsert store. State growth and dormant-user
+    * retirement follow [[covisitSessionStream]]'s note (re-key stored
+    * rows under a retirement generation BEFORE dropping state; the
+    * indicator is per-generation and generations add). */
+  def covisitStream(events: DataFrame, capPerUser: Int = 20): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val extracted = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+    val slim = events.select(col("user_id"),
+        when(length(extracted) > 0, extracted.cast("long")).as("item"))
+      .filter(col("item").isNotNull)
+      .as[(Long, Long)]
+    slim.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (user: Long, it: Iterator[(Long, Long)],
+       state: GroupState[(Map[Long, Long], Seq[String])]) =>
+        var (counts, prevPairs) = state.getOption.getOrElse(
+          (Map.empty[Long, Long], Seq.empty[String]))
+        it.foreach { case (_, item) =>
+          counts = counts.updated(item, counts.getOrElse(item, 0L) + 1L)
+        }
+        // the batch cap-before-pairing rule verbatim: top-cap items by
+        // (lifetime count desc, item), canonical a < b pairs
+        val top = counts.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
+          .take(capPerUser).map(_._1).sorted
+        val pairSet = (for { i <- top.indices; j <- (i + 1) until top.length }
+          yield s"${top(i)}|${top(j)}").toSet
+        val prevSet = prevPairs.toSet
+        state.update((counts, pairSet.toSeq))
+        def row(k: String, n: Long): (Long, String, Long, Long, Long) = {
+          val Array(a, b) = k.split('|')
+          (user, s"$user:$k", a.toLong, b.toLong, n)
+        }
+        (pairSet diff prevSet).iterator.map(row(_, 1L)) ++
+          (prevSet diff pairSet).iterator.map(row(_, 0L))
+    }.toDF("user_id", "pair_key", "item_a", "item_b", "n_users")
   }
 
   /** X6 STREAMING ANOMALY SCORER — [[graft.operators.Windows

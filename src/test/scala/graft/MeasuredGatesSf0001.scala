@@ -1,0 +1,40 @@
+package graft
+
+/** The MEASURED sf0.001 recall-gate constants, centralized (round-19
+  * ADVICE): every drift-tripwire pin reads from here, so a corpus
+  * regeneration — the only legitimate reason these move — updates ONE
+  * object instead of constants scattered across suites. These are
+  * measurements, NOT invariants: a failure means the test corpus or an
+  * encode formula changed, so diagnose as data drift first (the
+  * x7_curate_neardup 3-round-convergence discipline). The composed
+  * gates exist precisely because the residual-vs-raw margin is
+  * data-dependent — on the embeddings table residual wins (PQ) or ties
+  * (SQ), while on the media stub geometry raw PQ BEATS residual —
+  * so no inequality may be assumed across distributions.
+  */
+object MeasuredGatesSf0001 {
+  /** x2_ivfpq_recall: Σ hits over 20 queries × 3 slots, embeddings table. */
+  val ivfPqRawHits = 12L
+  val ivfPqResHits = 14L
+
+  /** x2_ivfsq_recall: raw int8 re-priced by the asymmetric L2 estimate
+    * ties residual int8 on this corpus (43 = 43 of 60 slots). */
+  val ivfSqRawHits = 43L
+  val ivfSqResHits = 43L
+
+  /** x5_mm_ivfpq_recall: the measured INVERSION — raw PQ beats residual
+    * on the dyadic media stub geometry (28 > 26 of 60 slots). */
+  val mediaIvfPqRawHits = 28L
+  val mediaIvfPqResHits = 26L
+
+  /** x5_mm_sq_recall: the flat int8 rung keeps 14 of 15 slots on the
+    * media stub distribution — int8 storage is near-free here. */
+  val mediaFlatSqHits = 14L
+
+  /** x5_mm_binary_recall: the flat binary rung COLLAPSES on the
+    * all-positive [0,1] stub geometry — 0 of 15 slots. Centered sign
+    * bits lose the uncentered-cosine order entirely, so on this
+    * distribution the 8-byte rung is a rerank feeder only, never a
+    * standalone search. The gate finding this is why it exists. */
+  val mediaFlatBinaryHits = 0L
+}

@@ -95,7 +95,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_sq_recall", "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x2_ivfsq_recall",
       "x2_hybrid_rrf_stored", "x5_mm_search_sq", "x5_mm_search_sq_serve",
       "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
-      "x5_mm_ivfsq_recall"))
+      "x5_mm_ivfsq_recall", "x5_mm_sq_recall"))
 
   chainFamily("binary sign-pack b/s/r Hamming chain", "x2_ann_binary",
     "b AS (SELECT vec_id,", "ORDER BY hamming, n_id) AS rank FROM s)",
@@ -533,7 +533,7 @@ class OracleChainSpec extends AnyFunSuite {
   chainFamily("media brute e..exact head", "x5_mm_recall",
     "WITH e AS (SELECT doc_id AS vec_id",
     "exact AS (SELECT q_id, n_id FROM xr WHERE rank <= 3)",
-    Set("x5_mm_recall", "x5_mm_probe_curve"))
+    Set("x5_mm_recall", "x5_mm_probe_curve", "x5_mm_binary_recall"))
 
   formulaFamily("MIPS augmented hyperplane (dim 65)",
     "(CAST((1103515245::BIGINT * ((tt*4 + j)*65 + d) + 12345) % 2147483648 AS DOUBLE)",
@@ -593,7 +593,7 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank", "x2_sq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x2_hybrid_rrf_stored",
       "x5_mm_search_sq", "x5_mm_search_sq_serve",
-      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve"))
+      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve", "x5_mm_sq_recall"))
 
   formulaFamily("histogram sketch bucket",
     "CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket",
@@ -687,7 +687,28 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_filtered_rank_quality", "x5_mm_filtered_bucket_stats",
       "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
       "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
-      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall",
+      "x5_mm_sq_recall", "x5_mm_binary_recall"))
+
+  // the binary sign-pack WORD fold and Hamming estimate are shared by
+  // every binary carrier on BOTH modalities (the x2 chain family can't
+  // span the media copies — query bounds differ), so the formulas get
+  // their own cross-modality families: a one-sided edit to the packing
+  // or the distance fails here no matter which side moved
+  formulaFamily("binary sign-pack word fold",
+    "list_reduce(list_transform(range(32), i -> CASE WHEN v[i+1] > 0\n" +
+      "               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w0,\n" +
+      "             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+33] > 0\n" +
+      "               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w1",
+    Set("x2_ann_binary", "x2_ann_binary_serve", "x2_binary_recall",
+      "x2_ann_binary_rerank", "x5_mm_search_binary",
+      "x5_mm_search_binary_serve", "x5_mm_binary_recall"))
+
+  formulaFamily("binary Hamming estimate",
+    "CAST(bit_count(xor(a.w0, t.w0)) + bit_count(xor(a.w1, t.w1)) AS BIGINT) AS hamming",
+    Set("x2_ann_binary", "x2_ann_binary_serve", "x2_binary_recall",
+      "x2_ann_binary_rerank", "x5_mm_search_binary",
+      "x5_mm_search_binary_serve", "x5_mm_binary_recall"))
 
   // ---- serve aliases: shared BY REFERENCE, pinned here ----
 

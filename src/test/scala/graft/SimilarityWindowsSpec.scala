@@ -1684,8 +1684,10 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     }
     // the measured sf0.001 margins, pinned so silent drift surfaces
     // (corpus regeneration shows up here as data drift, like the
-    // x7_curate_neardup 3-round note)
-    assert(pq.map(_._2).sum === 28L && pq.map(_._3).sum === 26L)
+    // x7_curate_neardup 3-round note); constants live in
+    // MeasuredGatesSf0001 so a regen updates one object
+    assert(pq.map(_._2).sum === MeasuredGatesSf0001.mediaIvfPqRawHits &&
+      pq.map(_._3).sum === MeasuredGatesSf0001.mediaIvfPqResHits)
     val sq = graft.operators.Multimodal.mediaIvfSqRecall(docs)
       .as[(Long, Long, Long, Double, Double)].collect()
     assert(sq.length === 20)
@@ -2002,6 +2004,12 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     val sumRes = rep.map(_._3).sum
     assert(sumRes >= sumRaw,
       s"residual encoding regressed recall: res=$sumRes raw=$sumRaw")
+    // the measured sums too (round-19 ADVICE): a drift that moves the
+    // margin without flipping the inequality still surfaces, and a
+    // failure reads as "the data moved", not "the theorem broke"
+    assert(sumRaw === MeasuredGatesSf0001.ivfPqRawHits &&
+      sumRes === MeasuredGatesSf0001.ivfPqResHits,
+      s"measured sf0.001 margins moved: raw=$sumRaw res=$sumRes — data drift?")
     rep.foreach { case (_, hr, hs, _, _) =>
       assert(hr >= 0 && hr <= 3 && hs >= 0 && hs <= 3)
     }
@@ -2024,8 +2032,41 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     val sumRes = rep.map(_._3).sum
     assert(sumRes >= sumRaw,
       s"residual int8 encoding regressed recall: res=$sumRes raw=$sumRaw")
+    // measured sums pinned too (round-19 ADVICE) — on this corpus the
+    // two encodings tie, and a drift should say so explicitly
+    assert(sumRaw === MeasuredGatesSf0001.ivfSqRawHits &&
+      sumRes === MeasuredGatesSf0001.ivfSqResHits,
+      s"measured sf0.001 margins moved: raw=$sumRaw res=$sumRes — data drift?")
     rep.foreach { case (_, hr, hs, _, _) =>
       assert(hr >= 0 && hr <= 3 && hs >= 0 && hs <= 3)
     }
+  }
+
+  test("media flat recall gates: SQ keeps the order, binary collapses — measured") {
+    // the flat-tier twins of the composed media gates: every deployed
+    // media search form now carries a recall measurement on its own
+    // distribution. The two findings pinned here: int8 SQ is near-free
+    // (14/15 slots), and the centered binary rung scores ZERO against
+    // the production cosine baseline on the all-positive stub geometry
+    // — on this modality it can only ever feed a rerank, and shipping
+    // it as a standalone search would silently return garbage. Pinned
+    // MEASURED values (MeasuredGatesSf0001), never inherited from x2.
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val sq = graft.operators.Multimodal.mediaSqRecall(docs)
+      .as[(Long, Long, Double)].collect()
+    assert(sq.length === 5)
+    sq.foreach { case (_, h, r) =>
+      assert(h >= 0 && h <= 3 && r >= 0.0 && r <= 1.0)
+    }
+    assert(sq.map(_._2).sum === MeasuredGatesSf0001.mediaFlatSqHits,
+      s"media flat-SQ hits moved: ${sq.map(_._2).sum} — data drift?")
+    val bin = graft.operators.Multimodal.mediaBinaryRecall(docs)
+      .as[(Long, Long, Double)].collect()
+    assert(bin.length === 5)
+    bin.foreach { case (_, h, r) =>
+      assert(h >= 0 && h <= 3 && r >= 0.0 && r <= 1.0)
+    }
+    assert(bin.map(_._2).sum === MeasuredGatesSf0001.mediaFlatBinaryHits,
+      s"media flat-binary hits moved: ${bin.map(_._2).sum} — data drift?")
   }
 }

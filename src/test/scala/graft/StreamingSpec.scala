@@ -1140,6 +1140,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming lifetime covisit: store-served pairs and shelf equal the batch build, re-ranked pairs tombstone") {
+    implicit val sc = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def ev(id: Long, u: Long, m: Int, item: Int) =
+      PropsEvent(id, ts(m), u, "view", 0.0, s"""{"k": $item}""")
+    // capPerUser = 2 so lifetime re-ranking is exercisable
+    val b1 = Seq(
+      // user 1: items 5, 7 → indicator pair (5,7)
+      ev(1, 1, 0, 5), ev(2, 1, 1, 7),
+      // user 2: items 5, 7
+      ev(3, 2, 0, 5), ev(4, 2, 1, 7))
+    val b2 = Seq(
+      // user 1: 9 arrives ×3 → lifetime counts 5:1, 7:1, 9:3; cap-2
+      // survivors {9, 5} (count desc, item tie-break keeps 5 over 7),
+      // so (5,7) must TOMBSTONE and (5,9) assert — an indicator flip,
+      // not a count bump
+      ev(5, 1, 2, 9), ev(6, 1, 3, 9), ev(7, 1, 4, 9),
+      // user 3: items 7, 9; user 4: items 5, 9 → (5,9) reaches
+      // support 2 across user-disjoint shards
+      ev(8, 3, 0, 7), ev(9, 3, 1, 9),
+      ev(10, 4, 0, 5), ev(11, 4, 1, 9))
+    val mem = MemoryStream[PropsEvent]
+    val dir = Files.createTempDirectory("graft-covisit-life-store")
+    val out = dir.resolve("store").toString
+    val q = StreamPipeline.upsertEnriched(
+        StreamPipeline.covisitStream(mem.toDF(), capPerUser = 2),
+        out, dir.resolve("ck").toString, keyCol = "pair_key")
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val stored = StreamPipeline.readUpserted(spark, out)
+      // the re-ranked pair (user 1's (5,7)) was overwritten with an
+      // explicit zero — never a stale nonzero in the keyed store
+      assert(stored.filter(col("user_id") === 1 && col("item_a") === 5 &&
+        col("item_b") === 7).select("n_users").as[Long].collect().toSeq === Seq(0L))
+      // indicator semantics: 9 interacted 3× but (5,9) asserts as 1
+      assert(stored.filter(col("user_id") === 1 && col("item_a") === 5 &&
+        col("item_b") === 9).select("n_users").as[Long].collect().toSeq === Seq(1L))
+      // user-disjoint shards fold by the covisit merge law ≡ batch
+      val all = (b1 ++ b2).toDF()
+      val merged = Windows.covisitMerge(
+        Seq(stored.select("item_a", "item_b", "n_users")))
+      assert(merged.as[(Long, Long, Long)].collect().toSet ===
+        Windows.covisit(all, capPerUser = 2)
+          .as[(Long, Long, Long)].collect().toSet)
+      assert(merged.as[(Long, Long, Long)].collect().toSet ===
+        Set((5L, 9L, 2L)))
+      // the shelf read from the store-served pair table ≡ the batch shelf
+      assert(Windows.alsoViewedFrom(merged)
+          .as[(Long, Long, Long, Long)].collect().toSet ===
+        Windows.alsoViewed(all, capPerUser = 2)
+          .as[(Long, Long, Long, Long)].collect().toSet)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState milestone alerts: cross-threshold emission and batch-order independence (X6)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[UserEvent]
