@@ -21,6 +21,23 @@ object ModelCache {
   def memo[T <: AnyRef](key: String)(build: => T): T =
     cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
 
+  /** THE key builder — every memo entry keyed to a corpus dir must be
+    * built through this, so [[evictCorpus]] and the memo callers can
+    * never disagree on path spelling (round-19 advice: a trailing
+    * slash on one side used to make eviction silently miss). */
+  def key(corpusDir: String, suffix: String): String =
+    normalize(corpusDir) + "#" + suffix
+
+  /** Trailing path separators stripped — "…/sf0.01" and "…/sf0.01/"
+    * name the same corpus, so they must build (and evict) the same
+    * entries. Deliberately NOT a filesystem canonicalization (no
+    * symlink resolution/IO): keys must be cheap and deterministic. */
+  private def normalize(dir: String): String = {
+    var d = dir
+    while (d.length > 1 && (d.endsWith("/") || d.endsWith("\\"))) d = d.dropRight(1)
+    d
+  }
+
   /** Test hook: EagerQueriesSpec clears the memo so its construction-
     * launches-jobs detection is independent of suite ordering. */
   def clear(): Unit = cache.clear()
@@ -31,7 +48,9 @@ object ModelCache {
     * ~10 entries of a few KB per corpus for the current families.
     * Verify/Bench sessions touch a single corpus dir, so the bound is
     * a constant there; a resident multi-corpus driver evicts a
-    * retired corpus's entries here when it switches or drops one. */
+    * retired corpus's entries here when it switches or drops one.
+    * The prefix match normalizes the dir exactly as [[key]] does, so
+    * a path-spelling variant cannot make eviction miss. */
   def evictCorpus(corpusKey: String): Unit =
-    cache.keySet.removeIf(_.startsWith(corpusKey + "#"))
+    cache.keySet.removeIf(_.startsWith(normalize(corpusKey) + "#"))
 }

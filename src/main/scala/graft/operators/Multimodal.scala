@@ -402,7 +402,7 @@ object Multimodal {
   def mediaPqModelCached(documents: DataFrame, modelKey: String, m: Int = 8,
                          kCodes: Int = 16, rounds: Int = 2,
                          dims: Int = 64): Seq[(Int, Long, Seq[Double])] =
-    ModelCache.memo(s"$modelKey#media-pq-$m-$kCodes-$rounds-$dims") {
+    ModelCache.memo(ModelCache.key(modelKey, s"media-pq-$m-$kCodes-$rounds-$dims")) {
       Similarity.trainPqModelOnVectors(dyadicMediaVectors(documents, dims),
         m, kCodes, rounds, dims)
     }
@@ -414,7 +414,7 @@ object Multimodal {
   def mediaIvfModelCached(documents: DataFrame, modelKey: String,
                           nCells: Int = 8, trainRounds: Int = 2,
                           dims: Int = 64): Seq[(Long, Seq[Double])] =
-    ModelCache.memo(s"$modelKey#media-ivf-$nCells-$trainRounds") {
+    ModelCache.memo(ModelCache.key(modelKey, s"media-ivf-$nCells-$trainRounds")) {
       Similarity.trainIvfModelOnVectors(dyadicMediaVectors(documents, dims),
         nCells, trainRounds)
     }
@@ -659,8 +659,8 @@ object Multimodal {
     // the same map is a recursive update — sequential, like resModels.
     val cmodel = mediaIvfModelCached(documents, modelKey, nCells, trainRounds,
       dims)
-    val pq = ModelCache.memo(
-        s"$modelKey#media-respq-$nCells-$trainRounds-$m-$kCodes-$dims") {
+    val pq = ModelCache.memo(ModelCache.key(modelKey,
+        s"media-respq-$nCells-$trainRounds-$m-$kCodes-$dims")) {
       Similarity.trainResPqModelOnVectors(dyadicMediaVectors(documents, dims),
         cmodel, m, kCodes, trainRounds, dims)
     }

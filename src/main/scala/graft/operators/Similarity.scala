@@ -2792,8 +2792,8 @@ object Similarity {
     // the same map is a recursive update — the two models memoize
     // under separate keys, sequentially
     val cmodel = ivfModelCached(embeddings, modelKey, nCells, trainRounds)
-    val pq = ModelCache.memo(
-        s"$modelKey#emb-respq-$nCells-$trainRounds-$m-$kCodes-$dims") {
+    val pq = ModelCache.memo(ModelCache.key(modelKey,
+        s"emb-respq-$nCells-$trainRounds-$m-$kCodes-$dims")) {
       trainResPqModel(embeddings, cmodel, m, kCodes, trainRounds, dims)
     }
     (cmodel, pq)
@@ -2812,7 +2812,7 @@ object Similarity {
     * circular). */
   def ivfModelCached(embeddings: DataFrame, modelKey: String, nCells: Int = 8,
                      trainRounds: Int = 2): Seq[(Long, Seq[Double])] =
-    ModelCache.memo(s"$modelKey#emb-ivf-$nCells-$trainRounds") {
+    ModelCache.memo(ModelCache.key(modelKey, s"emb-ivf-$nCells-$trainRounds")) {
       trainIvfModel(embeddings, nCells, trainRounds)
     }
 
@@ -2822,7 +2822,7 @@ object Similarity {
   def pqModelCached(embeddings: DataFrame, modelKey: String, m: Int = 8,
                     kCodes: Int = 16, rounds: Int = 2,
                     dims: Int = 64): Seq[(Int, Long, Seq[Double])] =
-    ModelCache.memo(s"$modelKey#emb-pq-$m-$kCodes-$rounds-$dims") {
+    ModelCache.memo(ModelCache.key(modelKey, s"emb-pq-$m-$kCodes-$rounds-$dims")) {
       trainPqModel(embeddings, m, kCodes, rounds, dims)
     }
 
