@@ -509,6 +509,13 @@ object SparkEntry {
         .localCheckpoint()
       Similarity.pqAdcTopKOnCodes(emb, codes, pq)
     }),
+    // flat-ADC recall gate: how many exact-L2 top-3 the code-table
+    // ranking keeps (the deployed codebook via the shared memo —
+    // audit-adjacent, like x2_ivf_recall)
+    "x2_pq_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqRecallReportWithModel(emb, Similarity.pqModelCached(emb, d))
+    }),
     // the production serve shape: ADC shortlist -> exact re-rank of S rows
     "x2_ann_pq_rerank" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -902,6 +909,10 @@ object SparkEntry {
       Multimodal.mediaBucketStats(t(s, d, "documents"))),
     // media LSH recall vs the exact x5_mm_search ground truth
     "x5_mm_recall" -> ((s, d) => Multimodal.mediaRecallReport(t(s, d, "documents"))),
+    // media flat-ADC recall gate: the deployed media codebook's ADC
+    // ranking vs exact L2 on the dyadic stub distribution
+    "x5_mm_pq_recall" -> ((s, d) =>
+      Multimodal.mediaPqRecall(t(s, d, "documents"), d)),
     // media flat-SQ recall gate: int8 asymmetric top-3 vs exact MIPS
     // on the stub distribution (margins are distribution-dependent)
     "x5_mm_sq_recall" -> ((s, d) => Multimodal.mediaSqRecall(t(s, d, "documents"))),
@@ -1217,6 +1228,9 @@ object SparkEntry {
     "x6_cms_merge",
     "x4_cluster", "x4_cluster_cohesion", "x4_dup_stats", "x4_simhash_topk",
     "x4_source_dup_rate",
+    // round 20: x5_mm_pq_recall sorts BEFORE every other media-pq memo
+    // user, so it is the one that trains the shared media codebook
+    "x5_mm_pq_recall",
     "x4_source_overlap", "x4_survivors", "x5_mm_ivf", "x5_mm_pq",
     "x5_mm_search_lsh_serve", "x5_mm_search_filtered_serve", "x5_mm_search_pq_serve",
     "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
@@ -5399,6 +5413,86 @@ object SparkEntry {
          SELECT q_id, n_id, round(CAST(adist_u AS DOUBLE) / 1000000.0, 6) AS adist,
            CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 3""",
+    // flat-ADC recall gate: the FULL x2_ann_pq chain (train/encode/
+    // LUT/ADC rank, copied verbatim -- change together) kept through r,
+    // + the composed gates' exact-L2 xn..ex head (copied verbatim) +
+    // a single-leg hit rollup
+    "x2_pq_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         c0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         k0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c0),
+         r1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k0 c ON c.sub = q.sub),
+         a1 AS (SELECT vec_id, sub, code, s FROM r1 WHERE rn = 1),
+         d1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a1),
+         s1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d1 GROUP BY sub, code, pos),
+         u1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s1 GROUP BY sub, code),
+         c1 AS (SELECT c0.sub, c0.code, coalesce(u1.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code),
+         k1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c1),
+         r2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k1 c ON c.sub = q.sub),
+         a2 AS (SELECT vec_id, sub, code, s FROM r2 WHERE rn = 1),
+         d2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a2),
+         s2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d2 GROUP BY sub, code, pos),
+         u2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s2 GROUP BY sub, code),
+         c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u2 ON u2.sub = c1.sub AND u2.code = c1.code),
+         k2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c2),
+         r3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k2 c ON c.sub = q.sub),
+         a3 AS (SELECT vec_id, sub, code FROM r3 WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS q_id, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM sn q JOIN k2 c ON c.sub = q.sub WHERE q.vec_id < 20),
+         sc AS (SELECT l.q_id, a.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM a3 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+             AND a.vec_id <> l.q_id
+           GROUP BY 1, 2),
+         r AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM sc),
+         ak AS (SELECT q_id, n_id FROM r WHERE rank <= 3),
+         xn AS (SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y) AS n2 FROM e),
+         gs AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             b.n2 - 2 * list_reduce(list_transform(range(1, len(a.v)+1),
+               i -> a.v[i]*b.v[i]), (x,y) -> x+y) + a.n2 AS dist
+           FROM xn a, xn b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         gr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY dist, n_id) AS rank FROM gs),
+         ex AS (SELECT q_id, n_id FROM gr WHERE rank <= 3)
+         SELECT ex.q_id AS q_id,
+           CAST(sum(CASE WHEN ak.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN ak.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall
+         FROM ex LEFT JOIN ak ON ak.q_id = ex.q_id AND ak.n_id = ex.n_id
+         GROUP BY ex.q_id""",
     "x2_ann_pq_rerank" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -7330,6 +7424,91 @@ object SparkEntry {
          SELECT q_id, n_id, round(CAST(adist_u AS DOUBLE) / 1000000.0, 6) AS adist,
            CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 3""",
+    // media flat-ADC recall gate: the FULL x5_mm_search_pq chain over
+    // the dyadic media head (copied verbatim -- change together)
+    // through r + the exact-L2 xn..ex head over the SAME dyadic e +
+    // the single-leg rollup
+    "x5_mm_pq_recall" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+           FROM e0),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         c0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         k0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c0),
+         r1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k0 c ON c.sub = q.sub),
+         a1 AS (SELECT vec_id, sub, code, s FROM r1 WHERE rn = 1),
+         d1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a1),
+         s1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d1 GROUP BY sub, code, pos),
+         u1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s1 GROUP BY sub, code),
+         c1 AS (SELECT c0.sub, c0.code, coalesce(u1.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code),
+         k1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c1),
+         r2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k1 c ON c.sub = q.sub),
+         a2 AS (SELECT vec_id, sub, code, s FROM r2 WHERE rn = 1),
+         d2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a2),
+         s2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d2 GROUP BY sub, code, pos),
+         u2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s2 GROUP BY sub, code),
+         c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u2 ON u2.sub = c1.sub AND u2.code = c1.code),
+         k2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c2),
+         r3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k2 c ON c.sub = q.sub),
+         a3 AS (SELECT vec_id, sub, code FROM r3 WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS q_id, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM sn q JOIN k2 c ON c.sub = q.sub WHERE q.vec_id < 20),
+         sc AS (SELECT l.q_id, a.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM a3 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+             AND a.vec_id <> l.q_id
+           GROUP BY 1, 2),
+         r AS (SELECT q_id, n_id, adist_u, row_number() OVER (PARTITION BY q_id
+             ORDER BY adist_u, n_id) AS rank FROM sc),
+         ak AS (SELECT q_id, n_id FROM r WHERE rank <= 3),
+         xn AS (SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y) AS n2 FROM e),
+         gs AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             b.n2 - 2 * list_reduce(list_transform(range(1, len(a.v)+1),
+               i -> a.v[i]*b.v[i]), (x,y) -> x+y) + a.n2 AS dist
+           FROM xn a, xn b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         gr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY dist, n_id) AS rank FROM gs),
+         ex AS (SELECT q_id, n_id FROM gr WHERE rank <= 3)
+         SELECT ex.q_id AS q_id,
+           CAST(sum(CASE WHEN ak.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN ak.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall
+         FROM ex LEFT JOIN ak ON ak.q_id = ex.q_id AND ak.n_id = ex.n_id
+         GROUP BY ex.q_id""",
     // the x2_ann_ivfpq composed chain (shared CTE copy — change
     // together) over the dyadic-quantized media stub embedding: IVF
     // training + assignment, p-prefixed PQ training + encoding, probe

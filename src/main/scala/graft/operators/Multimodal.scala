@@ -407,6 +407,21 @@ object Multimodal {
         m, kCodes, rounds, dims)
     }
 
+  /** X5 media flat-ADC recall audit — `x5_mm_pq_recall`:
+    * [[Similarity.pqRecallReportOnVectors]] over the SAME dyadic stub
+    * vectors and the SAME shared codebook `x5_mm_search_pq` serves
+    * from (audit-adjacent — the gate measures the deployed artifact's
+    * retrieval quality, so the memoized model is the right input;
+    * the model-BUILD query `x5_mm_pq` keeps its own training): per
+    * query, how many exact-L2 top-k neighbors the 8-byte ADC ranking
+    * keeps on the media distribution. */
+  def mediaPqRecall(documents: DataFrame, modelKey: String, m: Int = 8,
+                    kCodes: Int = 16, rounds: Int = 2, dims: Int = 64,
+                    nQueries: Int = 20, k: Int = 3): DataFrame =
+    Similarity.pqRecallReportOnVectors(dyadicMediaVectors(documents, dims),
+      mediaPqModelCached(documents, modelKey, m, kCodes, rounds, dims),
+      m, dims, nQueries, k)
+
   /** The media coarse quantizer through [[ModelCache]] —
     * [[Similarity.ivfModelCached]]'s media twin, shared by the raw
     * IVF×PQ pair AND the residual pair: one media Lloyd run per

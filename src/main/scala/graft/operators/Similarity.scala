@@ -3118,20 +3118,7 @@ object Similarity {
   private def composedRecallReport(slim: DataFrame, raw: DataFrame,
                                    res: DataFrame, nQueries: Int,
                                    k: Int): DataFrame = {
-    import graft.functions.TopKByScore.top_k_by_score
-    val vecs = slim
-      .select(col("vec_id"), col("v"), dot_product(col("v"), col("v")).as("n2"))
-    val q = vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
-    val exact = vecs.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        (-(col("n2") - lit(2.0) * dot_product(col("qv"), col("v")) + col("qn2")))
-          .as("nd"))
-      .groupBy(col("q_id"))
-      .agg(top_k_by_score(col("nd"), col("n_id"), k).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.id").as("n_id"))
+    val exact = exactL2TopK(slim, nQueries, k)
     exact.join(raw, Seq("q_id", "n_id"), "left")
       .join(res, Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
@@ -3140,6 +3127,60 @@ object Similarity {
       .select(col("q_id"), col("n_hits_raw"), col("n_hits_res"),
         round(col("n_hits_raw").cast("double") / lit(k.toDouble), 4).as("recall_raw"),
         round(col("n_hits_res").cast("double") / lit(k.toDouble), 4).as("recall_res"))
+  }
+
+  /** Exact-L2 top-k over any (vec_id, v) frame — the ground truth
+    * every composed and flat recall gate measures against:
+    * bounded-state top-k on −dist via the TopKByScore aggregate
+    * (oracle fold order; partial aggregation keeps map-side state at
+    * O(k) per query), ties on id. */
+  private def exactL2TopK(slim: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val vecs = slim
+      .select(col("vec_id"), col("v"), dot_product(col("v"), col("v")).as("n2"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    vecs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (-(col("n2") - lit(2.0) * dot_product(col("qv"), col("v")) + col("qn2")))
+          .as("nd"))
+      .groupBy(col("q_id"))
+      .agg(top_k_by_score(col("nd"), col("n_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"))
+  }
+
+  /** X2 flat-ADC recall audit — the measured gate for the FLAT PQ rung
+    * (`x2_pq_recall`): per query, how many of the exact-L2 top-k the
+    * ADC ranking over the code table keeps. [[pqDistortion]] measures
+    * reconstruction error and the composed gates measure raw-vs-
+    * residual UNDER IVF — neither answers "how good is the flat ADC
+    * search itself", which was the one deployed search form left
+    * without a recall measurement. Takes the TRAINED codebook (the
+    * deployed artifact — audit-adjacent, so [[ModelCache]]'s shared
+    * model is the right input, like `x2_ivf_recall`); encode + ADC +
+    * ground truth are all lazy plans over it. */
+  def pqRecallReportWithModel(embeddings: DataFrame,
+                              codebook: Seq[(Int, Long, Seq[Double])],
+                              m: Int = 8, dims: Int = 64,
+                              nQueries: Int = 20, k: Int = 3): DataFrame =
+    pqRecallReportOnVectors(withVec(embeddings).select(col("vec_id"), col("v")),
+      codebook, m, dims, nQueries, k)
+
+  /** [[pqRecallReportWithModel]] over any (vec_id, v) frame — the
+    * modality-agnostic flat-ADC gate (`x5_mm_pq_recall` composes it
+    * over the dyadic media head with the shared media codebook);
+    * measured per distribution, never inherited. */
+  def pqRecallReportOnVectors(vecs: DataFrame,
+                              codebook: Seq[(Int, Long, Seq[Double])],
+                              m: Int = 8, dims: Int = 64,
+                              nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val slim = vecs.select(col("vec_id"), col("v"))
+    val codes = pqCodesAgainstOnVectors(slim, codebook, m, dims)
+    val approx = pqAdcTopKOnVectors(slim, codes, codebook, m, dims, nQueries, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    recallRollup(exactL2TopK(slim, nQueries, k), approx, k)
   }
 
   /** X2 IVF×SQ recall audit — the measured half of the residual claim

@@ -27,6 +27,16 @@ object MeasuredGatesSf0001 {
   val mediaIvfPqRawHits = 28L
   val mediaIvfPqResHits = 26L
 
+  /** x2_pq_recall: the flat ADC ranking keeps 15 of 60 exact-L2 slots
+    * on the embeddings table — the 8-byte code is a SHORTLIST tier
+    * here (the rerank form recovers exact order), consistent with the
+    * composed gate's raw leg (12). */
+  val flatPqHits = 15L
+
+  /** x5_mm_pq_recall: 27 of 60 on the dyadic media stub — in line with
+    * the media composed raw-PQ leg (28). */
+  val mediaFlatPqHits = 27L
+
   /** x5_mm_sq_recall: the flat int8 rung keeps 14 of 15 slots on the
     * media stub distribution — int8 storage is near-free here. */
   val mediaFlatSqHits = 14L

@@ -224,12 +224,32 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ivfpq_recall", "x2_ivfsq_recall",
       "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
 
+  // the exact-L2 ground-truth HEAD alone (xn/gs/gr/ex) — the flat-ADC
+  // recall gates carry it with a single-leg rollup, so the two-leg
+  // tail family above cannot span them (round 20)
+  chainFamily("exact L2 ground truth head xn..ex", "x2_ivfpq_recall",
+    "xn AS (SELECT vec_id, v,",
+    "ex AS (SELECT q_id, n_id FROM gr WHERE rank <= 3)",
+    Set("x2_ivfpq_recall", "x2_ivfsq_recall",
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall",
+      "x2_pq_recall", "x5_mm_pq_recall"))
+
+  // the flat ADC broadcast-LUT tail (lut/sc/r, contiguous) — shared
+  // verbatim by the flat PQ search on both modalities and their
+  // recall gates (the composed IVF×PQ oracles interpose the cell
+  // restriction inside sc, so they are NOT carriers of this span)
+  chainFamily("flat ADC lut..r tail", "x2_ann_pq",
+    "lut AS (SELECT q.vec_id AS q_id, q.sub, c.code,",
+    "ORDER BY adist_u, n_id) AS rank FROM sc)",
+    Set("x2_ann_pq", "x2_ann_pq_serve", "x2_pq_recall",
+      "x5_mm_search_pq", "x5_mm_search_pq_serve", "x5_mm_pq_recall"))
+
   chainFamily("PQ per-subspace Lloyd training sv..c2", "x2_pq_codebook",
     "sv AS (SELECT vec_id, tt AS sub",
     "c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv",
     Set("x2_ann_pq", "x2_ann_pq_rerank", "x2_ann_pq_serve", "x2_pq_codebook",
       "x2_pq_codes", "x2_pq_distortion", "x5_mm_pq", "x5_mm_search_pq",
-      "x5_mm_search_pq_serve"))
+      "x5_mm_search_pq_serve", "x2_pq_recall", "x5_mm_pq_recall"))
 
   // the p-prefixed spelling of the same PQ training chain, carried by
   // the composed IVF-PQ oracles (and the recall audit's raw leg)
@@ -381,7 +401,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_pq", "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
       "x5_mm_search_pq", "x5_mm_search_pq_serve",
-      "x5_mm_ivfpq_recall"))
+      "x5_mm_ivfpq_recall", "x2_pq_recall", "x5_mm_pq_recall"))
 
   formulaFamily("IVF argmax-cosine cell assignment",
     "list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),\n" +
@@ -671,7 +691,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_pq", "x5_mm_search_pq_serve",
       "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
       "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
-      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall"))
+      "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall", "x5_mm_pq_recall"))
 
   formulaFamily("media stub embedding formula",
     "CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0",
@@ -688,7 +708,7 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
       "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
       "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall",
-      "x5_mm_sq_recall", "x5_mm_binary_recall"))
+      "x5_mm_sq_recall", "x5_mm_binary_recall", "x5_mm_pq_recall"))
 
   // the binary sign-pack WORD fold and Hamming estimate are shared by
   // every binary carrier on BOTH modalities (the x2 chain family can't

@@ -2069,4 +2069,35 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(bin.map(_._2).sum === MeasuredGatesSf0001.mediaFlatBinaryHits,
       s"media flat-binary hits moved: ${bin.map(_._2).sum} — data drift?")
   }
+
+  test("flat ADC recall gates: measured on both modalities against exact L2") {
+    // the flat-PQ rung was the last deployed search form without a
+    // recall gate on either modality (distortion measures
+    // reconstruction, the composed gates measure raw-vs-res UNDER
+    // IVF). Measured: the 8-byte flat ADC is a shortlist tier on the
+    // embeddings table (15/60 — the rerank form exists for exactly
+    // this reason) and holds 27/60 on the media stub, in line with
+    // the composed raw legs (12 and 28). Pinned MEASURED values
+    // (MeasuredGatesSf0001) — data drift shows up here first.
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val rep = Similarity.pqRecallReportWithModel(emb,
+        Similarity.pqModelCached(emb, SparkTestBase.sf0001))
+      .as[(Long, Long, Double)].collect()
+    assert(rep.length === 20)
+    rep.foreach { case (_, h, r) =>
+      assert(h >= 0 && h <= 3 && r >= 0.0 && r <= 1.0)
+    }
+    assert(rep.map(_._2).sum === MeasuredGatesSf0001.flatPqHits,
+      s"flat-ADC hits moved: ${rep.map(_._2).sum} — data drift?")
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf0001, "documents")
+    val mrep = graft.operators.Multimodal
+      .mediaPqRecall(docs, SparkTestBase.sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(mrep.length === 20)
+    mrep.foreach { case (_, h, r) =>
+      assert(h >= 0 && h <= 3 && r >= 0.0 && r <= 1.0)
+    }
+    assert(mrep.map(_._2).sum === MeasuredGatesSf0001.mediaFlatPqHits,
+      s"media flat-ADC hits moved: ${mrep.map(_._2).sum} — data drift?")
+  }
 }
