@@ -516,6 +516,12 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.pqRecallReportWithModel(emb, Similarity.pqModelCached(emb, d))
     }),
+    // shortlist->rerank recall gate: exact-L2 top-3 kept by the
+    // two-stage plan (candidate-boundary loss only; flat 15 -> ~50/60)
+    "x2_pq_rerank_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqRerankRecallWithModel(emb, Similarity.pqModelCached(emb, d))
+    }),
     // the production serve shape: ADC shortlist -> exact re-rank of S rows
     "x2_ann_pq_rerank" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -641,6 +647,9 @@ object SparkEntry {
     "x2_ann_sq_rerank" -> ((s, d) => Similarity.annSqRerank(t(s, d, "embeddings"))),
     // recall@5 of the int8 ranking vs exact MIPS ground truth
     "x2_sq_recall" -> ((s, d) => Similarity.sqRecallReport(t(s, d, "embeddings"))),
+    // recall@5 of the int8-shortlist -> exact-dot rerank pipeline
+    "x2_sq_rerank_recall" -> ((s, d) =>
+      Similarity.sqRerankRecallReport(t(s, d, "embeddings"))),
     // hybrid retrieval: dense cosine top-5 + BM25 top-5 fused by
     // integer reciprocal-rank contributions (RRF, c = 60)
     "x2_hybrid_rrf" -> ((s, d) =>
@@ -676,6 +685,9 @@ object SparkEntry {
     // two-stage binary serve: Hamming shortlist -> exact cosine rerank
     "x2_ann_binary_rerank" -> ((s, d) =>
       Similarity.annBinaryRerank(t(s, d, "embeddings"))),
+    // recall@5 of the Hamming-shortlist -> exact-cosine rerank pipeline
+    "x2_binary_rerank_recall" -> ((s, d) =>
+      Similarity.binaryRerankRecallReport(t(s, d, "embeddings"))),
     // composed IVF x SQ index (FAISS IVF_SQ8): trained cells bound the
     // candidate set, int8 codes price each candidate
     "x2_ann_ivfsq" -> ((s, d) => {
@@ -5563,6 +5575,95 @@ object SparkEntry {
              ORDER BY dist, n_id) AS rank FROM rr)
          SELECT q_id, n_id, round(dist, 6) AS dist, CAST(rank AS BIGINT) AS rank
          FROM fr WHERE rank <= 3""",
+    // shortlist->rerank recall gate: the FULL x2_ann_pq_rerank chain
+    // (copied verbatim -- change together) kept through fr + the
+    // exact-L2 xn..ex ground-truth head (copied verbatim -- change
+    // together) + the single-leg rollup
+    "x2_pq_rerank_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sv AS (SELECT vec_id, tt AS sub, v[tt*8+1 : tt*8+8] AS s
+           FROM e, (SELECT unnest(range(8)) AS tt)),
+         sn AS (SELECT vec_id, sub, s,
+             list_reduce(list_transform(s, x -> x*x), (x,y) -> x+y) AS n2 FROM sv),
+         c0 AS (SELECT sub, vec_id AS code, s AS cv FROM sv WHERE vec_id < 16),
+         k0 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c0),
+         r1 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k0 c ON c.sub = q.sub),
+         a1 AS (SELECT vec_id, sub, code, s FROM r1 WHERE rn = 1),
+         d1 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a1),
+         s1 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d1 GROUP BY sub, code, pos),
+         u1 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s1 GROUP BY sub, code),
+         c1 AS (SELECT c0.sub, c0.code, coalesce(u1.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code),
+         k1 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c1),
+         r2 AS (SELECT q.vec_id, q.sub, c.code, q.s,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k1 c ON c.sub = q.sub),
+         a2 AS (SELECT vec_id, sub, code, s FROM r2 WHERE rn = 1),
+         d2 AS (SELECT sub, code, generate_subscripts(s, 1) AS pos, unnest(s) AS val
+           FROM a2),
+         s2 AS (SELECT sub, code, pos, sum(val) AS sm, count(*) AS cnt
+           FROM d2 GROUP BY sub, code, pos),
+         u2 AS (SELECT sub, code, list(round(sm / cnt, 6) ORDER BY pos) AS cv
+           FROM s2 GROUP BY sub, code),
+         c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN u2 ON u2.sub = c1.sub AND u2.code = c1.code),
+         k2 AS (SELECT sub, code, cv,
+             list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y) AS cn2 FROM c2),
+         r3 AS (SELECT q.vec_id, q.sub, c.code,
+             row_number() OVER (PARTITION BY q.vec_id, q.sub ORDER BY
+               q.n2 - 2 * list_reduce(list_transform(range(1, 9), i -> q.s[i]*c.cv[i]),
+                 (x,y) -> x+y) + c.cn2, c.code) AS rn
+           FROM sn q JOIN k2 c ON c.sub = q.sub),
+         a3 AS (SELECT vec_id, sub, code FROM r3 WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS q_id, q.sub, c.code,
+             CAST(floor((q.n2 - 2 * list_reduce(list_transform(range(1, 9),
+                 i -> q.s[i]*c.cv[i]), (x,y) -> x+y) + c.cn2) * 1000000 + 0.5)
+               AS BIGINT) AS pd
+           FROM sn q JOIN k2 c ON c.sub = q.sub WHERE q.vec_id < 20),
+         sc AS (SELECT l.q_id, a.vec_id AS n_id, CAST(sum(l.pd) AS BIGINT) AS adist_u
+           FROM a3 a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+             AND a.vec_id <> l.q_id
+           GROUP BY 1, 2),
+         sl AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY adist_u, n_id) AS rnk
+           FROM sc) z WHERE rnk <= 64),
+         vv AS (SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y) AS n2 FROM e),
+         rr AS (SELECT s.q_id, s.n_id,
+             t.n2 - 2 * list_reduce(list_transform(range(1, 65), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) + q.n2 AS dist
+           FROM sl s JOIN vv q ON q.vec_id = s.q_id JOIN vv t ON t.vec_id = s.n_id),
+         fr AS (SELECT q_id, n_id, dist, row_number() OVER (PARTITION BY q_id
+             ORDER BY dist, n_id) AS rank FROM rr),
+         ak AS (SELECT q_id, n_id FROM fr WHERE rank <= 3),
+         xn AS (SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y) AS n2 FROM e),
+         gs AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             b.n2 - 2 * list_reduce(list_transform(range(1, len(a.v)+1),
+               i -> a.v[i]*b.v[i]), (x,y) -> x+y) + a.n2 AS dist
+           FROM xn a, xn b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         gr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY dist, n_id) AS rank FROM gs),
+         ex AS (SELECT q_id, n_id FROM gr WHERE rank <= 3)
+         SELECT ex.q_id AS q_id,
+           CAST(sum(CASE WHEN ak.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN ak.n_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) / 3.0, 4) AS recall
+         FROM ex LEFT JOIN ak ON ak.q_id = ex.q_id AND ak.n_id = ex.n_id
+         GROUP BY ex.q_id""",
     "x2_ann_ivfpq" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -6079,6 +6180,48 @@ object SparkEntry {
              ORDER BY cos DESC, n_id) AS rank FROM ex)
          SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
          FROM rr WHERE rank <= 5""",
+    // Hamming-shortlist -> exact-cosine rerank recall gate: the FULL
+    // x2_ann_binary_rerank chain (copied verbatim -- change together)
+    // kept through rr (its n CTE already carries the norms) + the
+    // x2_binary_recall brute cosine sb/rb chain (copied verbatim --
+    // change together) + the hit rollup
+    "x2_binary_rerank_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         b AS (SELECT vec_id,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+1] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w0,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+33] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w1
+           FROM e),
+         s AS (SELECT a.vec_id AS q_id, t.vec_id AS n_id,
+             CAST(bit_count(xor(a.w0, t.w0)) + bit_count(xor(a.w1, t.w1)) AS BIGINT) AS hamming
+           FROM b a, b t WHERE a.vec_id < 20 AND t.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, hamming, row_number() OVER (PARTITION BY q_id
+             ORDER BY hamming, n_id) AS rank FROM s),
+         cd AS (SELECT q_id, n_id FROM r WHERE rank <= 20),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+         ex AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cd c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         rr AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM ex),
+         ak AS (SELECT q_id, n_id FROM rr WHERE rank <= 5),
+         sb AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         rb AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM sb),
+         ov AS (SELECT b.q_id, b.n_id,
+             CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM (SELECT q_id, n_id FROM rb WHERE rank <= 5) b
+           LEFT JOIN ak l ON l.q_id = b.q_id AND l.n_id = b.n_id)
+         SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+           round(CAST(CAST(sum(hit) AS BIGINT) AS DOUBLE) / 5.0, 4) AS recall
+         FROM ov GROUP BY q_id""",
     // binary recall audit: the SAME b/s/r Hamming chain + the exact
     // cosine brute-force chain as ground truth
     "x2_binary_recall" ->
@@ -6139,6 +6282,47 @@ object SparkEntry {
              ORDER BY dp DESC, n_id) AS rank FROM ex)
          SELECT q_id, n_id, round(dp, 6) AS dp, CAST(rank AS INTEGER) AS rank
          FROM rr WHERE rank <= 5""",
+    // int8-shortlist -> exact-dot rerank recall gate: the FULL
+    // x2_ann_sq_rerank chain (copied verbatim -- change together)
+    // kept through rr + the x2_sq_recall brute MIPS sb/rb chain
+    // (copied verbatim -- change together) + the hit rollup
+    "x2_sq_rerank_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+         sc AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         qq AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(least(greatest(
+                    floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) END AS q
+           FROM sc),
+         s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_reduce(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]),
+               (x,y) -> x+y) AS DOUBLE) * a.scale * b.scale AS adot
+           FROM qq a, qq b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, adot, row_number() OVER (PARTITION BY q_id
+             ORDER BY adot DESC, n_id) AS rank FROM s),
+         cd AS (SELECT q_id, n_id FROM r WHERE rank <= 20),
+         ex AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) AS dp
+           FROM cd c JOIN e q ON q.vec_id = c.q_id JOIN e t ON t.vec_id = c.n_id),
+         rr AS (SELECT q_id, n_id, dp, row_number() OVER (PARTITION BY q_id
+             ORDER BY dp DESC, n_id) AS rank FROM ex),
+         ak AS (SELECT q_id, n_id FROM rr WHERE rank <= 5),
+         sb AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) AS dp
+           FROM e q, e t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+         rb AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY dp DESC, n_id) AS rank FROM sb),
+         ov AS (SELECT b.q_id, b.n_id,
+             CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM (SELECT q_id, n_id FROM rb WHERE rank <= 5) b
+           LEFT JOIN ak l ON l.q_id = b.q_id AND l.n_id = b.n_id)
+         SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+           round(CAST(CAST(sum(hit) AS BIGINT) AS DOUBLE) / 5.0, 4) AS recall
+         FROM ov GROUP BY q_id""",
     // SQ recall audit: exact-MIPS ground truth (the x2_mips_recall
     // sb/rb brute-force chain, copied verbatim — change together)
     // left-joined with the SQ top-5 (qs2/qr2 = the x2_ann_sq scoring

@@ -3183,6 +3183,59 @@ object Similarity {
     recallRollup(exactL2TopK(slim, nQueries, k), approx, k)
   }
 
+  /** X2 PQ shortlist→rerank recall gate (`x2_pq_rerank_recall`) — the
+    * measured proof of the two-stage contract: the rerank's final
+    * order is EXACT L2 over the `shortlist`-bounded candidates, so any
+    * recall lost versus [[pqRecallReportWithModel]]'s flat-ADC number
+    * is purely candidate-boundary loss, and the recovery (flat 15/60 →
+    * rerank ~50/60 at sf0.001, S=64) is what buys keeping raw vectors
+    * to S point lookups per query. Same deployed codebook through the
+    * shared memo (audit-adjacent). */
+  def pqRerankRecallWithModel(embeddings: DataFrame,
+                              codebook: Seq[(Int, Long, Seq[Double])],
+                              m: Int = 8, dims: Int = 64, nQueries: Int = 20,
+                              shortlist: Int = 64, k: Int = 3): DataFrame = {
+    val approx = pqRerankTopKWithModel(embeddings, codebook, m, dims,
+        nQueries, shortlist, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    recallRollup(
+      exactL2TopK(withVec(embeddings).select(col("vec_id"), col("v")),
+        nQueries, k),
+      approx, k)
+  }
+
+  /** X2 SQ shortlist→rerank recall gate (`x2_sq_rerank_recall`) —
+    * [[annSqRerank]]'s top-k against exact-MIPS ground truth: the
+    * rerank's final order is the exact dot product over the int8
+    * shortlist, so this measures what the kCand candidate boundary
+    * costs (the flat gate [[sqRecallReport]] measures the int8 RANKING
+    * itself). */
+  def sqRerankRecallReport(embeddings: DataFrame, nQueries: Int = 20,
+                           kCand: Int = 20, k: Int = 5): DataFrame = {
+    val exact = mipsBruteForce(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = annSqRerank(embeddings, nQueries, kCand, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    recallRollup(exact, approx, k)
+  }
+
+  /** X2 binary shortlist→rerank recall gate
+    * (`x2_binary_rerank_recall`) — [[annBinaryRerank]]'s top-k against
+    * exact-cosine ground truth: the 8-byte Hamming scan proposes, the
+    * exact cosine re-orders, so the measured number is the candidate-
+    * boundary cost of binarization — the production question for the
+    * cheapest tier (the flat gate [[binaryRecallReport]] measures the
+    * Hamming RANKING itself — which scores ZERO on the media
+    * geometry, where only this rerank shape could ever serve). */
+  def binaryRerankRecallReport(embeddings: DataFrame, nQueries: Int = 20,
+                               kCand: Int = 20, k: Int = 5): DataFrame = {
+    val exact = annBruteForce(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = annBinaryRerank(embeddings, nQueries, kCand, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    recallRollup(exact, approx, k)
+  }
+
   /** X2 IVF×SQ recall audit — the measured half of the residual claim
     * for the SQ composition, mirroring [[ivfPqRecallReport]]: per
     * query, how many of the EXACT-L2 top-k each int8 composition

@@ -37,6 +37,23 @@ object MeasuredGatesSf0001 {
     * the media composed raw-PQ leg (28). */
   val mediaFlatPqHits = 27L
 
+  /** x2_pq_rerank_recall: shortlist S=64 → exact-L2 rerank recovers
+    * 50 of 60 slots (0.833) from the flat ADC's 15 — the SURVEY-cited
+    * 0.25 → 0.83 recovery, now an oracle-checked measurement. */
+  val pqRerankHits = 50L
+
+  /** x2_sq_recall / x2_sq_rerank_recall: flat int8 ranking keeps
+    * 98 of 100; the kCand=20 shortlist → exact-dot rerank is PERFECT
+    * (100/100) — int8 is a free candidate generator on this corpus. */
+  val flatSqHits = 98L
+  val sqRerankHits = 100L
+
+  /** x2_binary_recall / x2_binary_rerank_recall: the Hamming ranking
+    * keeps 22 of 100 and the kCand=20 exact-cosine rerank doubles it
+    * to 45 — 8 bytes/vector buys a shortlist, never a final order. */
+  val flatBinaryHits = 22L
+  val binaryRerankHits = 45L
+
   /** x5_mm_sq_recall: the flat int8 rung keeps 14 of 15 slots on the
     * media stub distribution — int8 storage is near-free here. */
   val mediaFlatSqHits = 14L

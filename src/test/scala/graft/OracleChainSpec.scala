@@ -95,17 +95,18 @@ class OracleChainSpec extends AnyFunSuite {
       "x2_sq_recall", "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x2_ivfsq_recall",
       "x2_hybrid_rrf_stored", "x5_mm_search_sq", "x5_mm_search_sq_serve",
       "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
-      "x5_mm_ivfsq_recall", "x5_mm_sq_recall"))
+      "x5_mm_ivfsq_recall", "x5_mm_sq_recall", "x2_sq_rerank_recall"))
 
   chainFamily("binary sign-pack b/s/r Hamming chain", "x2_ann_binary",
     "b AS (SELECT vec_id,", "ORDER BY hamming, n_id) AS rank FROM s)",
     Set("x2_ann_binary", "x2_ann_binary_serve", "x2_binary_recall",
-      "x2_ann_binary_rerank"))
+      "x2_ann_binary_rerank", "x2_binary_rerank_recall"))
 
   chainFamily("brute MIPS dp stream", "x2_mips_topk",
     "FROM e q, e t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)",
     "FROM e q, e t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)",
-    Set("x2_mips_topk", "x2_mips_recall", "x2_sq_recall"))
+    Set("x2_mips_topk", "x2_mips_recall", "x2_sq_recall",
+      "x2_sq_rerank_recall"))
 
   chainFamily("IVF Lloyd training c0..c2", "x2_ann_ivf",
     "c0 AS (SELECT vec_id AS c_id", "FROM c1 LEFT JOIN u2 ON u2.cell = c1.c_id)",
@@ -232,7 +233,17 @@ class OracleChainSpec extends AnyFunSuite {
     "ex AS (SELECT q_id, n_id FROM gr WHERE rank <= 3)",
     Set("x2_ivfpq_recall", "x2_ivfsq_recall",
       "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall",
-      "x2_pq_recall", "x5_mm_pq_recall"))
+      "x2_pq_recall", "x5_mm_pq_recall", "x2_pq_rerank_recall"))
+
+  // the exact-cosine brute sb/rb ground truth shared by the binary
+  // flat and rerank recall gates (round 20) — change together
+  chainFamily("binary brute cosine sb/rb", "x2_binary_recall",
+    "sb AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,\n" +
+      "             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),\n" +
+      "               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos\n" +
+      "           FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id)",
+    "ORDER BY cos DESC, n_id) AS rank FROM sb)",
+    Set("x2_binary_recall", "x2_binary_rerank_recall"))
 
   // the flat ADC broadcast-LUT tail (lut/sc/r, contiguous) — shared
   // verbatim by the flat PQ search on both modalities and their
@@ -249,7 +260,8 @@ class OracleChainSpec extends AnyFunSuite {
     "c2 AS (SELECT c1.sub, c1.code, coalesce(u2.cv, c1.cv) AS cv",
     Set("x2_ann_pq", "x2_ann_pq_rerank", "x2_ann_pq_serve", "x2_pq_codebook",
       "x2_pq_codes", "x2_pq_distortion", "x5_mm_pq", "x5_mm_search_pq",
-      "x5_mm_search_pq_serve", "x2_pq_recall", "x5_mm_pq_recall"))
+      "x5_mm_search_pq_serve", "x2_pq_recall", "x5_mm_pq_recall",
+      "x2_pq_rerank_recall"))
 
   // the p-prefixed spelling of the same PQ training chain, carried by
   // the composed IVF-PQ oracles (and the recall audit's raw leg)
@@ -401,7 +413,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_pq", "x5_mm_search_ivfpq", "x5_mm_search_ivfpq_serve",
       "x5_mm_search_ivfpq_res", "x5_mm_search_ivfpq_res_serve",
       "x5_mm_search_pq", "x5_mm_search_pq_serve",
-      "x5_mm_ivfpq_recall", "x2_pq_recall", "x5_mm_pq_recall"))
+      "x5_mm_ivfpq_recall", "x2_pq_recall", "x5_mm_pq_recall",
+      "x2_pq_rerank_recall"))
 
   formulaFamily("IVF argmax-cosine cell assignment",
     "list_reduce(list_transform(range(1, len(k.cv)+1), i -> k.cv[i]*t.v[i]),\n" +
@@ -613,7 +626,8 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_sq", "x2_ann_sq_serve", "x2_ann_sq_rerank", "x2_sq_recall",
       "x2_ann_ivfsq", "x2_ann_ivfsq_serve", "x2_hybrid_rrf_stored",
       "x5_mm_search_sq", "x5_mm_search_sq_serve",
-      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve", "x5_mm_sq_recall"))
+      "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve", "x5_mm_sq_recall",
+      "x2_sq_rerank_recall"))
 
   formulaFamily("histogram sketch bucket",
     "CAST(floor(value / 5::DOUBLE) AS BIGINT) AS bucket",
@@ -722,13 +736,15 @@ class OracleChainSpec extends AnyFunSuite {
       "               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w1",
     Set("x2_ann_binary", "x2_ann_binary_serve", "x2_binary_recall",
       "x2_ann_binary_rerank", "x5_mm_search_binary",
-      "x5_mm_search_binary_serve", "x5_mm_binary_recall"))
+      "x5_mm_search_binary_serve", "x5_mm_binary_recall",
+      "x2_binary_rerank_recall"))
 
   formulaFamily("binary Hamming estimate",
     "CAST(bit_count(xor(a.w0, t.w0)) + bit_count(xor(a.w1, t.w1)) AS BIGINT) AS hamming",
     Set("x2_ann_binary", "x2_ann_binary_serve", "x2_binary_recall",
       "x2_ann_binary_rerank", "x5_mm_search_binary",
-      "x5_mm_search_binary_serve", "x5_mm_binary_recall"))
+      "x5_mm_search_binary_serve", "x5_mm_binary_recall",
+      "x2_binary_rerank_recall"))
 
   // ---- serve aliases: shared BY REFERENCE, pinned here ----
 

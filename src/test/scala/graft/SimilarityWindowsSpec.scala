@@ -2100,4 +2100,35 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     assert(mrep.map(_._2).sum === MeasuredGatesSf0001.mediaFlatPqHits,
       s"media flat-ADC hits moved: ${mrep.map(_._2).sum} — data drift?")
   }
+
+  test("rerank recall gates: the two-stage recovery is measured, not assumed") {
+    // the shortlist→exact-rerank forms existed since rounds 13-15 but
+    // their recovery was never an oracle-checked number. Measured at
+    // sf0.001: PQ 15 → 50/60 (the SURVEY 0.25 → 0.83 claim, now
+    // pinned), SQ 98 → 100/100 (int8 candidates are free here),
+    // binary 22 → 45/100 (8 bytes buys a shortlist, never a final
+    // order). Pins are MEASURED constants (MeasuredGatesSf0001);
+    // rerank ≥ flat is asserted as arithmetic over them, so a corpus
+    // regen that breaks the recovery story fails loudly.
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf0001, "embeddings")
+    val pq = Similarity.pqRerankRecallWithModel(emb,
+        Similarity.pqModelCached(emb, SparkTestBase.sf0001))
+      .as[(Long, Long, Double)].collect()
+    assert(pq.length === 20)
+    assert(pq.map(_._2).sum === MeasuredGatesSf0001.pqRerankHits,
+      s"PQ rerank hits moved: ${pq.map(_._2).sum} — data drift?")
+    assert(MeasuredGatesSf0001.pqRerankHits > MeasuredGatesSf0001.flatPqHits)
+    val sq = Similarity.sqRerankRecallReport(emb)
+      .as[(Long, Long, Double)].collect()
+    assert(sq.length === 20)
+    assert(sq.map(_._2).sum === MeasuredGatesSf0001.sqRerankHits,
+      s"SQ rerank hits moved: ${sq.map(_._2).sum} — data drift?")
+    assert(MeasuredGatesSf0001.sqRerankHits >= MeasuredGatesSf0001.flatSqHits)
+    val bin = Similarity.binaryRerankRecallReport(emb)
+      .as[(Long, Long, Double)].collect()
+    assert(bin.length === 20)
+    assert(bin.map(_._2).sum === MeasuredGatesSf0001.binaryRerankHits,
+      s"binary rerank hits moved: ${bin.map(_._2).sum} — data drift?")
+    assert(MeasuredGatesSf0001.binaryRerankHits > MeasuredGatesSf0001.flatBinaryHits)
+  }
 }
