@@ -809,6 +809,15 @@ object SparkEntry {
     // Oracle = x5_mm_search_binary's verbatim.
     "x5_mm_search_binary_serve" -> ((s, d) =>
       Multimodal.mediaSearchBinaryServe(t(s, d, "documents"))),
+    // the only binary shape that could serve on this modality: Hamming
+    // shortlist -> exact-cosine rerank (the flat rung's measured media
+    // recall is ZERO - x5_mm_binary_recall)
+    "x5_mm_search_binary_rerank" -> ((s, d) =>
+      Multimodal.mediaSearchBinaryRerank(t(s, d, "documents"))),
+    // the measurement that says DON'T: even two-stage recovers ~0 here
+    // (candidate generation is the broken part) - use the SQ tier
+    "x5_mm_binary_rerank_recall" -> ((s, d) =>
+      Multimodal.mediaBinaryRerankRecall(t(s, d, "documents"))),
     // the media LSH serve path: stored bucket table probed, collection
     // never re-embedded/re-hashed. Oracle = x5_mm_search_lsh's verbatim.
     "x5_mm_search_lsh_serve" -> ((s, d) =>
@@ -7203,6 +7212,80 @@ object SparkEntry {
              ORDER BY hamming, n_id) AS rank FROM s)
          SELECT q_id, n_id, hamming, CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 3""",
+    // media two-stage binary: the FULL x5_mm_search_binary chain
+    // (copied verbatim -- change together) kept through r proposes 20
+    // Hamming candidates; exact cosine over the RAW stub vectors (e0)
+    // re-orders -- the only serviceable binary deployment on media
+    "x5_mm_search_binary_rerank" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id, list_transform(v, x -> x - 0.5) AS v FROM e0),
+         b AS (SELECT vec_id,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+1] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w0,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+33] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w1
+           FROM e),
+         s AS (SELECT a.vec_id AS q_id, t.vec_id AS n_id,
+             CAST(bit_count(xor(a.w0, t.w0)) + bit_count(xor(a.w1, t.w1)) AS BIGINT) AS hamming
+           FROM b a, b t WHERE a.vec_id < 5 AND t.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, hamming, row_number() OVER (PARTITION BY q_id
+             ORDER BY hamming, n_id) AS rank FROM s),
+         cd AS (SELECT q_id, n_id FROM r WHERE rank <= 20),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e0),
+         ex AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cd c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         rr AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM ex)
+         SELECT q_id, n_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+         FROM rr WHERE rank <= 3""",
+    // its measured recall gate: the rerank chain + the exact-cosine
+    // brute stream over the SAME n (raw e0 norms) + the hit rollup
+    "x5_mm_binary_rerank_recall" ->
+      """WITH e0 AS (SELECT doc_id AS vec_id,
+             list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(ord(text[(i * 7) % length(text) + 1]) AS DOUBLE) / 255.0 END) AS v
+           FROM documents),
+         e AS (SELECT vec_id, list_transform(v, x -> x - 0.5) AS v FROM e0),
+         b AS (SELECT vec_id,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+1] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w0,
+             list_reduce(list_transform(range(32), i -> CASE WHEN v[i+33] > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END), (x,y) -> x+y) AS w1
+           FROM e),
+         s AS (SELECT a.vec_id AS q_id, t.vec_id AS n_id,
+             CAST(bit_count(xor(a.w0, t.w0)) + bit_count(xor(a.w1, t.w1)) AS BIGINT) AS hamming
+           FROM b a, b t WHERE a.vec_id < 5 AND t.vec_id <> a.vec_id),
+         r AS (SELECT q_id, n_id, hamming, row_number() OVER (PARTITION BY q_id
+             ORDER BY hamming, n_id) AS rank FROM s),
+         cd AS (SELECT q_id, n_id FROM r WHERE rank <= 20),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e0),
+         ex AS (SELECT c.q_id, c.n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM cd c JOIN n q ON q.vec_id = c.q_id JOIN n t ON t.vec_id = c.n_id),
+         rr AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM ex),
+         ak AS (SELECT q_id, n_id FROM rr WHERE rank <= 3),
+         sb AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*t.v[i]),
+               (x,y) -> x+y) / (q.nrm * t.nrm) AS cos
+           FROM n q, n t WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id),
+         rb AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS rank FROM sb),
+         ov AS (SELECT b.q_id, b.n_id,
+             CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM (SELECT q_id, n_id FROM rb WHERE rank <= 3) b
+           LEFT JOIN ak l ON l.q_id = b.q_id AND l.n_id = b.n_id)
+         SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+           round(CAST(CAST(sum(hit) AS BIGINT) AS DOUBLE) / 3.0, 4) AS recall
+         FROM ov GROUP BY q_id""",
     "x5_mm_align" ->
       """WITH e AS (SELECT doc_id AS vec_id,
              list_transform(range(64), i -> CASE WHEN length(text) = 0 THEN 0.0

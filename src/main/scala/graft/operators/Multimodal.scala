@@ -331,6 +331,32 @@ object Multimodal {
     Similarity.annBinaryOnCodes(
       mediaBinaryCodes(documents).localCheckpoint(), nQueries, k)
 
+  /** X5 media binary shortlist→rerank (`x5_mm_search_binary_rerank`)
+    * — the only binary shape that could EVER serve on this modality:
+    * `x5_mm_binary_recall` measured the flat Hamming ranking at ZERO
+    * recall on the all-positive stub geometry, so if the 8-byte tier
+    * serves at all here, it is as a candidate generator with an
+    * exact-cosine re-order ([[Similarity.annBinaryRerankOnVectors]] at
+    * the production 0.5 threshold) — the standard two-stage form the
+    * x2 modality deploys at 45/100. */
+  def mediaSearchBinaryRerank(documents: DataFrame, nQueries: Int = 5,
+                              kCand: Int = 20, k: Int = 3): DataFrame =
+    Similarity.annBinaryRerankOnVectors(mediaEmbedding(documents),
+      threshold = 0.5, nQueries, kCand, k)
+
+  /** X5 media binary RERANK recall gate (`x5_mm_binary_rerank_recall`)
+    * — and the measurement says DON'T: even the two-stage form
+    * recovers only 2/15 at sf0.001 (0/15 at sf0.01) at kCand=20 —
+    * barely above a random shortlist — because the centered sign bits
+    * carry almost no cosine signal on this geometry, so the candidate
+    * generation itself is broken, not just the ranking. The deployable
+    * cheap tier on this modality is int8 SQ (14/15); per-distribution
+    * gates exist precisely to steer that tier choice before launch. */
+  def mediaBinaryRerankRecall(documents: DataFrame, nQueries: Int = 5,
+                              kCand: Int = 20, k: Int = 3): DataFrame =
+    Similarity.binaryRerankRecallReportOnVectors(mediaEmbedding(documents),
+      threshold = 0.5, nQueries, kCand, k)
+
   /** Media stub embeddings snapped to the dyadic 2⁻²⁰ grid — the
     * exactness precondition of every trained index on this modality
     * (see [[mediaPqCodes]]). The snap rides INSIDE the compiled

@@ -1386,18 +1386,51 @@ object Similarity {
     * binarization costs recall only at the candidate boundary — the
     * [[annSqRerank]] contract one compression level down. */
   def annBinaryRerank(embeddings: DataFrame, nQueries: Int = 20,
-                      kCand: Int = 20, k: Int = 5): DataFrame = {
-    val cand = annBinary(embeddings, nQueries, kCand)
+                      kCand: Int = 20, k: Int = 5): DataFrame =
+    annBinaryRerankOnVectors(
+      withVec(embeddings).select(col("vec_id"), col("v")),
+      threshold = 0.0, nQueries, kCand, k)
+
+  /** [[annBinaryRerank]] over any (vec_id, v: array<double>) frame at
+    * a configurable sign threshold — the modality-agnostic two-stage
+    * binary form (`x5_mm_search_binary_rerank` composes it over the
+    * media stub source at the production 0.5 centering): the 8-byte
+    * Hamming scan proposes `kCand` candidates, exact cosine over the
+    * raw vectors re-orders — on the media geometry this is the ONLY
+    * serviceable binary deployment (the flat rung's measured recall
+    * is zero there; the gate that found it is why this form exists on
+    * that modality). */
+  def annBinaryRerankOnVectors(vecs: DataFrame, threshold: Double = 0.0,
+                               nQueries: Int = 20, kCand: Int = 20,
+                               k: Int = 5): DataFrame = {
+    val cand = annBinaryOnCodes(binaryCodesOnVectors(vecs, threshold),
+        nQueries, kCand)
       .select(col("q_id"), col("n_id"))
-    val vecs = withVec(embeddings).select(col("vec_id"), col("v"), col("nrm"))
-    val q = vecs.filter(col("vec_id") < nQueries)
+    val all = vecs.select(col("vec_id"), col("v"))
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = cand
       .join(broadcast(q), "q_id")
-      .join(vecs.withColumnRenamed("vec_id", "n_id"), "n_id")
+      .join(all.withColumnRenamed("vec_id", "n_id"), "n_id")
       .select(col("q_id"), col("n_id"),
         cosine(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos"))
     topKPerGroup(scored, k)
+  }
+
+  /** [[binaryRerankRecallReport]] over any (vec_id, v) frame — the
+    * two-stage binary gate the media modality composes
+    * (`x5_mm_binary_rerank_recall`): exact-cosine ground truth vs the
+    * rerank pipeline's top-k at the production threshold. */
+  def binaryRerankRecallReportOnVectors(vecs: DataFrame,
+                                        threshold: Double = 0.0,
+                                        nQueries: Int = 20, kCand: Int = 20,
+                                        k: Int = 5): DataFrame = {
+    val exact = annOnVectors(vecs, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = annBinaryRerankOnVectors(vecs, threshold, nQueries, kCand, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    recallRollup(exact, approx, k)
   }
 
   /** X2 binary recall audit — exact-cosine ground truth
@@ -3228,13 +3261,10 @@ object Similarity {
     * Hamming RANKING itself — which scores ZERO on the media
     * geometry, where only this rerank shape could ever serve). */
   def binaryRerankRecallReport(embeddings: DataFrame, nQueries: Int = 20,
-                               kCand: Int = 20, k: Int = 5): DataFrame = {
-    val exact = annBruteForce(embeddings, nQueries, k)
-      .select(col("q_id"), col("n_id"))
-    val approx = annBinaryRerank(embeddings, nQueries, kCand, k)
-      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
-    recallRollup(exact, approx, k)
-  }
+                               kCand: Int = 20, k: Int = 5): DataFrame =
+    binaryRerankRecallReportOnVectors(
+      withVec(embeddings).select(col("vec_id"), col("v")),
+      threshold = 0.0, nQueries, kCand, k)
 
   /** X2 IVF×SQ recall audit — the measured half of the residual claim
     * for the SQ composition, mirroring [[ivfPqRecallReport]]: per

@@ -60,8 +60,13 @@ object MeasuredGatesSf0001 {
 
   /** x5_mm_binary_recall: the flat binary rung COLLAPSES on the
     * all-positive [0,1] stub geometry — 0 of 15 slots. Centered sign
-    * bits lose the uncentered-cosine order entirely, so on this
-    * distribution the 8-byte rung is a rerank feeder only, never a
-    * standalone search. The gate finding this is why it exists. */
+    * bits lose the uncentered-cosine order entirely. The gate finding
+    * this is why it exists. */
   val mediaFlatBinaryHits = 0L
+
+  /** x5_mm_binary_rerank_recall: even the two-stage form recovers only
+    * 2 of 15 at kCand=20 (0/15 at sf0.01) — barely above a random
+    * shortlist, so the CANDIDATE GENERATION is what's broken on this
+    * geometry, not just the ranking. Deploy the int8 tier here. */
+  val mediaBinaryRerankHits = 2L
 }

@@ -235,6 +235,23 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall",
       "x2_pq_recall", "x5_mm_pq_recall", "x2_pq_rerank_recall"))
 
+  // the media centered-binary chain (raw e0 head, v−0.5 centering,
+  // sign-pack words, Hamming rank) shared by the flat search, its
+  // serve alias, and the round-20 rerank pair — change together
+  chainFamily("media centered binary e0..r chain", "x5_mm_search_binary",
+    "WITH e0 AS (SELECT doc_id AS vec_id",
+    "ORDER BY hamming, n_id) AS rank FROM s)",
+    Set("x5_mm_search_binary", "x5_mm_search_binary_serve",
+      "x5_mm_search_binary_rerank", "x5_mm_binary_rerank_recall"))
+
+  // the media binary rerank tail (20-candidate shortlist, raw-e0 norms,
+  // exact-cosine re-rank) shared by the rerank search and its recall
+  // gate — change together
+  chainFamily("media binary rerank cd..rr tail", "x5_mm_search_binary_rerank",
+    "cd AS (SELECT q_id, n_id FROM r WHERE rank <= 20)",
+    "ORDER BY cos DESC, n_id) AS rank FROM ex)",
+    Set("x5_mm_search_binary_rerank", "x5_mm_binary_rerank_recall"))
+
   // the exact-cosine brute sb/rb ground truth shared by the binary
   // flat and rerank recall gates (round 20) — change together
   chainFamily("binary brute cosine sb/rb", "x2_binary_recall",
@@ -722,7 +739,8 @@ class OracleChainSpec extends AnyFunSuite {
       "x5_mm_search_ivfsq", "x5_mm_search_ivfsq_serve",
       "x5_mm_search_ivfsq_res", "x5_mm_search_ivfsq_res_serve",
       "x5_mm_ivfpq_recall", "x5_mm_ivfsq_recall",
-      "x5_mm_sq_recall", "x5_mm_binary_recall", "x5_mm_pq_recall"))
+      "x5_mm_sq_recall", "x5_mm_binary_recall", "x5_mm_pq_recall",
+      "x5_mm_search_binary_rerank", "x5_mm_binary_rerank_recall"))
 
   // the binary sign-pack WORD fold and Hamming estimate are shared by
   // every binary carrier on BOTH modalities (the x2 chain family can't
@@ -737,14 +755,16 @@ class OracleChainSpec extends AnyFunSuite {
     Set("x2_ann_binary", "x2_ann_binary_serve", "x2_binary_recall",
       "x2_ann_binary_rerank", "x5_mm_search_binary",
       "x5_mm_search_binary_serve", "x5_mm_binary_recall",
-      "x2_binary_rerank_recall"))
+      "x2_binary_rerank_recall", "x5_mm_search_binary_rerank",
+      "x5_mm_binary_rerank_recall"))
 
   formulaFamily("binary Hamming estimate",
     "CAST(bit_count(xor(a.w0, t.w0)) + bit_count(xor(a.w1, t.w1)) AS BIGINT) AS hamming",
     Set("x2_ann_binary", "x2_ann_binary_serve", "x2_binary_recall",
       "x2_ann_binary_rerank", "x5_mm_search_binary",
       "x5_mm_search_binary_serve", "x5_mm_binary_recall",
-      "x2_binary_rerank_recall"))
+      "x2_binary_rerank_recall", "x5_mm_search_binary_rerank",
+      "x5_mm_binary_rerank_recall"))
 
   // ---- serve aliases: shared BY REFERENCE, pinned here ----
 

@@ -2068,6 +2068,16 @@ class SimilarityWindowsSpec extends AnyFunSuite {
     }
     assert(bin.map(_._2).sum === MeasuredGatesSf0001.mediaFlatBinaryHits,
       s"media flat-binary hits moved: ${bin.map(_._2).sum} — data drift?")
+    // the two-stage form barely improves (2/15) — the Hamming
+    // CANDIDATE GENERATION is what's broken on this geometry, so the
+    // measured deployment guidance is the int8 tier, not binary+rerank
+    val brr = graft.operators.Multimodal.mediaBinaryRerankRecall(docs)
+      .as[(Long, Long, Double)].collect()
+    assert(brr.length === 5)
+    assert(brr.map(_._2).sum === MeasuredGatesSf0001.mediaBinaryRerankHits,
+      s"media binary-rerank hits moved: ${brr.map(_._2).sum} — data drift?")
+    assert(MeasuredGatesSf0001.mediaBinaryRerankHits <
+      MeasuredGatesSf0001.mediaFlatSqHits)
   }
 
   test("flat ADC recall gates: measured on both modalities against exact L2") {
