@@ -245,11 +245,13 @@ object SparkEntry {
     // x3_bm25_index's verbatim.
     "x3_bm25_rebuild" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      TextAnalysis.bm25IndexFromPostings(
+      // independent shard builds overlap as concurrent jobs (Par.both)
+      val (even, odd) = graft.operators.Par.both(
         TextAnalysis.bm25RawPostings(docs.filter("doc_id % 2 = 0"))
-          .localCheckpoint()
-          .union(TextAnalysis.bm25RawPostings(docs.filter("doc_id % 2 = 1"))
-            .localCheckpoint()))
+          .localCheckpoint(),
+        TextAnalysis.bm25RawPostings(docs.filter("doc_id % 2 = 1"))
+          .localCheckpoint())
+      TextAnalysis.bm25IndexFromPostings(even.union(odd))
     }),
     // BM25 serve path: the same queries scored against the
     // MATERIALIZED index table, no corpus aggregation in the scoring
@@ -354,9 +356,11 @@ object SparkEntry {
     // unioned into the corpus bit set. Oracle = x4_bloom_bits's verbatim.
     "x4_bloom_merge" -> ((s, d) => {
       val idx = t(s, d, "documents").filter("doc_id >= 100")
-      Dedup.bloomMergeBits(
+      // independent shard builds overlap as concurrent jobs (Par.both)
+      val (even, odd) = graft.operators.Par.both(
         Dedup.bloomBitSet(idx.filter("doc_id % 2 = 0")).localCheckpoint(),
         Dedup.bloomBitSet(idx.filter("doc_id % 2 = 1")).localCheckpoint())
+      Dedup.bloomMergeBits(even, odd)
     }),
     // Bloom-gate audit on the x4_incremental split: per incoming doc
     // the k-bit verdict vs ground truth (is_dup -> bloom_hit always;
@@ -540,11 +544,13 @@ object SparkEntry {
     "x2_ann_ivfpq_serve" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val (cmodel, pq) = Similarity.ivfPqModels(emb, d)
-      val asg = Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint()
       import org.apache.spark.sql.functions.col
-      val codes = Similarity.pqCodesAgainst(emb, pq)
-        .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
-        .localCheckpoint()
+      // the two stored artifacts build as concurrent jobs (Par.both)
+      val (asg, codes) = graft.operators.Par.both(
+        Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint(),
+        Similarity.pqCodesAgainst(emb, pq)
+          .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+          .localCheckpoint())
       Similarity.annIvfPqOnArtifacts(emb, asg, codes, cmodel, pq)
     }),
     // the TRUE FAISS IVFPQ: PQ codes encode the dyadic RESIDUAL
@@ -564,11 +570,13 @@ object SparkEntry {
     "x2_ann_ivfpq_res_serve" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val (cmodel, pq) = Similarity.resModels(emb, d)
-      val asg = Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint()
       import org.apache.spark.sql.functions.col
-      val codes = Similarity.resPqCodesAgainst(emb, cmodel, pq)
-        .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
-        .localCheckpoint()
+      // the two stored artifacts build as concurrent jobs (Par.both)
+      val (asg, codes) = graft.operators.Par.both(
+        Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint(),
+        Similarity.resPqCodesAgainst(emb, cmodel, pq)
+          .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+          .localCheckpoint())
       Similarity.annIvfPqResOnArtifacts(emb, asg, codes, cmodel, pq)
     }),
     // the measured residual claim: recall@k of BOTH compositions vs
@@ -667,9 +675,11 @@ object SparkEntry {
     // proven end to end.
     "x2_hybrid_rrf_stored" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      Similarity.hybridRrfAllStored(docs,
+      // dense- and sparse-leg artifacts build as concurrent jobs
+      val (codes, idx) = graft.operators.Par.both(
         Similarity.sqCodes(t(s, d, "embeddings")).localCheckpoint(),
         TextAnalysis.bm25Index(docs).localCheckpoint())
+      Similarity.hybridRrfAllStored(docs, codes, idx)
     }),
     // binary (sign-bit) codes: 8 bytes/vector, Hamming-distance top-k
     // — the cheapest quantization-ladder leg, pure integer arithmetic
@@ -702,9 +712,11 @@ object SparkEntry {
     "x2_ann_ivfsq_serve" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val cmodel = Similarity.ivfModelCached(emb, d)
-      Similarity.annIvfSqOnArtifacts(emb,
+      // the two stored artifacts build as concurrent jobs (Par.both)
+      val (asg, codes) = graft.operators.Par.both(
         Similarity.ivfAssignmentsFor(emb, cmodel).localCheckpoint(),
-        Similarity.sqCodes(emb).localCheckpoint(), cmodel)
+        Similarity.sqCodes(emb).localCheckpoint())
+      Similarity.annIvfSqOnArtifacts(emb, asg, codes, cmodel)
     }),
     // the RESIDUAL IVF x SQ composition: int8 quantizes the dyadic
     // residual (v - centroid[cell]); ranking = estimated residual L2,
@@ -1017,9 +1029,11 @@ object SparkEntry {
     // x6_covisit_session's verbatim (merged ≡ whole-corpus build).
     "x6_covisit_session_merge" -> ((s, d) => {
       val ev = t(s, d, "events")
-      Windows.covisitSessionMerge(Seq(
+      // independent shard builds overlap as concurrent jobs (Par.both)
+      val (even, odd) = graft.operators.Par.both(
         Windows.covisitSessionPairs(ev.filter("user_id % 2 = 0")).localCheckpoint(),
-        Windows.covisitSessionPairs(ev.filter("user_id % 2 = 1")).localCheckpoint()))
+        Windows.covisitSessionPairs(ev.filter("user_id % 2 = 1")).localCheckpoint())
+      Windows.covisitSessionMerge(Seq(even, odd))
     }),
     // "also viewed": top-3 co-visited items per item, exact-count rank
     "x6_also_viewed" -> ((s, d) => Windows.alsoViewed(t(s, d, "events"))),
@@ -1033,9 +1047,11 @@ object SparkEntry {
     // x6_covisit's verbatim.
     "x6_covisit_merge" -> ((s, d) => {
       val ev = t(s, d, "events")
-      Windows.covisitMerge(Seq(
+      // independent shard builds overlap as concurrent jobs (Par.both)
+      val (even, odd) = graft.operators.Par.both(
         Windows.covisitPairs(ev.filter("user_id % 2 = 0")).localCheckpoint(),
-        Windows.covisitPairs(ev.filter("user_id % 2 = 1")).localCheckpoint()))
+        Windows.covisitPairs(ev.filter("user_id % 2 = 1")).localCheckpoint())
+      Windows.covisitMerge(Seq(even, odd))
     }),
     // association-rule stats: support / confidence / lift per pair
     "x6_item_lift" -> ((s, d) => Windows.itemLift(t(s, d, "events"))),

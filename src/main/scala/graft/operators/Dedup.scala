@@ -152,28 +152,35 @@ object Dedup {
     // direction) when the cache materializes. Symmetrize over the
     // cache is two cheap cache scans per round instead.
     val pairs = minhashBandPairs(documents).persist()
+    // SELF-LOOPED edges, cached PRE-PARTITIONED on the join key:
+    // min over (neighbors ∪ {self}) ≡ least(own label, neighbor min),
+    // so with an (x, x) edge per node each propagation round is ONE
+    // lookup join + ONE min rollup — the outer join that re-read the
+    // label table per round (and forced a per-round lazy persist,
+    // because labels were referenced twice and the round plans nested
+    // exponentially) disappears. Labels now flow through each round
+    // exactly once, the whole cascade is one flat linear plan, and
+    // the only per-round shuffle is the groupBy(src) rollup: the
+    // pre-partitioned edge cache and the label side (partitioned by
+    // doc_id = src from the previous round's rollup) both line up
+    // with the dst join key. Round-20's shape paid three exchanges
+    // per round plus a cache materialization per round; at 100 TB
+    // those were full passes of the edge list over the network.
     val edges = symmetrize(pairs)
-    // each round persists LAZILY: propagateRound references its input
-    // labels twice (neighbor-min join + outer join), so an unpersisted
-    // fold nests the round plans exponentially and their codegen
-    // dominated cold time (~5 s at sf0.1 for work that executes warm
-    // in <1 s). Marking each round cacheable substitutes an
-    // InMemoryRelation at PLANNING time — every round's plan stays
-    // flat — while the single checkpoint job materializes the whole
-    // cascade at once (eager per-round counts would pay 3 jobs'
-    // scheduling every run, tripling warm time).
+      .unionByName(documents.select(col("doc_id").as("src"),
+        col("doc_id").as("dst")))
+      .repartition(col("dst")).persist()
     val init = documents.select(col("doc_id"), col("doc_id").as("cluster"))
-    val rounds_ = (1 to rounds).scanLeft(init)((labels, _) =>
-      propagateRound(labels, edges).persist())
-    // materialize-and-DETACH: localCheckpoint runs the cascade once
-    // (the per-round lazy caches keep that job's plans flat) and
-    // returns a lineage-free frame whose blocks the ContextCleaner
-    // reclaims once the frame is dropped — returning the persisted
-    // round instead would pin it in the CacheManager for the session
-    // (and re-persisting the same plan on the next call logs "Asked
-    // to cache already cached data").
-    val out = rounds_.last.localCheckpoint()
-    rounds_.drop(1).foreach(_.unpersist(false))
+    // materialize-and-DETACH: localCheckpoint runs the whole cascade
+    // as one job and returns a lineage-free frame whose blocks the
+    // ContextCleaner reclaims once the frame is dropped — returning a
+    // persisted round instead would pin it in the CacheManager for
+    // the session (and re-persisting the same plan on the next call
+    // logs "Asked to cache already cached data").
+    val out = (1 to rounds).foldLeft(init)((labels, _) =>
+        propagateRound(labels, edges))
+      .localCheckpoint()
+    edges.unpersist(false)
     pairs.unpersist(false)
     out
   }
@@ -183,17 +190,15 @@ object Dedup {
     pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
 
-  /** One min-label-propagation round: every node takes the minimum of
-    * its own and its neighbors' labels. One join + one aggregation,
-    * all shuffles keyed on doc ids. */
-  private def propagateRound(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val nbrMin = edges
-      .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-      .groupBy(col("src").as("doc_id")).agg(min(col("cluster")).as("nmin"))
-    labels.join(nbrMin, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-  }
+  /** One min-label-propagation round over a SELF-LOOPED edge set:
+    * every node takes the minimum label over its neighbors AND itself
+    * (the (x, x) edges make the self term part of the same rollup, so
+    * no second label lookup is needed — see [[clusterNearDups]]).
+    * One lookup join + one min aggregation; bit-identical to the
+    * least(own, neighbor-min) outer-join formulation. */
+  private def propagateRound(labels: DataFrame, edges: DataFrame): DataFrame =
+    edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+      .groupBy(col("src").as("doc_id")).agg(min(col("cluster")).as("cluster"))
 
   /** Run-to-FIXPOINT connected components over an explicit edge set:
     * the production form of [[clusterNearDups]], for graphs whose
@@ -212,9 +217,18 @@ object Dedup {
         .getOrElse(java.math.BigDecimal.ZERO)
     // persist the directed pairs, symmetrize over the cache — see
     // clusterNearDups for why persisting only the symmetrized union
-    // would evaluate the pair pipeline twice
+    // would evaluate the pair pipeline twice; self-loops + dst
+    // pre-partitioning for the same reasons as there (one join + one
+    // rollup per round, no per-round edge re-shuffle — at fixpoint
+    // depth both multiply with the component diameter). Per-round
+    // persists STAY here (unlike the bounded form): the labelSum
+    // convergence collect materializes every round anyway, and an
+    // unpersisted chain would recompute all prior rounds per check.
     val cached = pairs.persist()
     val edges = symmetrize(cached)
+      .unionByName(nodes.select(col("doc_id").as("src"),
+        col("doc_id").as("dst")))
+      .repartition(col("dst")).persist()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster")).persist()
     var prevSum = labelSum(labels)
     var round = 0
@@ -232,6 +246,7 @@ object Dedup {
         round += 1
       }
     }
+    edges.unpersist(false)
     cached.unpersist(false)
     // detach as in clusterNearDups: the checkpoint job reads the
     // already-materialized label cache, then the cache entry itself is

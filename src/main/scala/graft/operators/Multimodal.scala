@@ -488,11 +488,16 @@ object Multimodal {
                                       m: Int = 8, dims: Int = 64,
                                       nQueries: Int = 20, kNn: Int = 3,
                                       nProbe: Int = 2): DataFrame = {
-    val vecs = dyadicMediaVectors(documents, dims)
-    val asg = Similarity.ivfAssignmentsForOnVectors(vecs, cmodel).localCheckpoint()
-    val codes = Similarity.pqCodesAgainstOnVectors(vecs, codebook, m, dims)
-      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
-      .localCheckpoint()
+    // embed the collection ONCE: both artifact builds and the
+    // query-side derivation read the same checkpointed frame instead
+    // of re-running the embed kernel per consumer; the two artifacts
+    // then build as concurrent jobs (Par.both)
+    val vecs = dyadicMediaVectors(documents, dims).localCheckpoint()
+    val (asg, codes) = Par.both(
+      Similarity.ivfAssignmentsForOnVectors(vecs, cmodel).localCheckpoint(),
+      Similarity.pqCodesAgainstOnVectors(vecs, codebook, m, dims)
+        .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+        .localCheckpoint())
     Similarity.annIvfPqOnArtifactsVectors(vecs, asg, codes, cmodel, codebook,
       m, dims, nQueries, kNn, nProbe)
   }
@@ -596,10 +601,12 @@ object Multimodal {
                                      cmodel: Seq[(Long, Seq[Double])],
                                      dims: Int = 64, nQueries: Int = 20,
                                      kNn: Int = 3, nProbe: Int = 4): DataFrame = {
-    val vecs = dyadicMediaVectors(documents, dims)
-    Similarity.annIvfSqOnArtifactsVectors(vecs,
+    // one embed pass + concurrent artifact builds (see the IVF×PQ serve)
+    val vecs = dyadicMediaVectors(documents, dims).localCheckpoint()
+    val (asg, codes) = Par.both(
       Similarity.ivfAssignmentsForOnVectors(vecs, cmodel).localCheckpoint(),
-      Similarity.sqCodesOnVectors(vecs).localCheckpoint(),
+      Similarity.sqCodesOnVectors(vecs).localCheckpoint())
+    Similarity.annIvfSqOnArtifactsVectors(vecs, asg, codes,
       cmodel, nQueries, kNn, nProbe)
   }
 
@@ -730,11 +737,13 @@ object Multimodal {
                                          m: Int = 8, dims: Int = 64,
                                          nQueries: Int = 20, kNn: Int = 3,
                                          nProbe: Int = 2): DataFrame = {
-    val vecs = dyadicMediaVectors(documents, dims)
-    val asg = Similarity.ivfAssignmentsForOnVectors(vecs, cmodel).localCheckpoint()
-    val codes = Similarity.resPqCodesAgainstOnVectors(vecs, cmodel, codebook, m, dims)
-      .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
-      .localCheckpoint()
+    // one embed pass + concurrent artifact builds (see the IVF×PQ serve)
+    val vecs = dyadicMediaVectors(documents, dims).localCheckpoint()
+    val (asg, codes) = Par.both(
+      Similarity.ivfAssignmentsForOnVectors(vecs, cmodel).localCheckpoint(),
+      Similarity.resPqCodesAgainstOnVectors(vecs, cmodel, codebook, m, dims)
+        .select(col("vec_id"), col("sub").cast("int").as("sub"), col("code"))
+        .localCheckpoint())
     Similarity.annIvfPqResOnArtifactsVectors(vecs, asg, codes, cmodel, codebook,
       m, dims, nQueries, kNn, nProbe)
   }

@@ -386,7 +386,6 @@ object Similarity {
     mipsAugBuckets(vn.crossJoin(broadcast(m))
       .select(col("vec_id"), concat(col("v"), array(sqrt(greatest(lit(0.0),
         col("m") * col("m") - col("nrm") * col("nrm"))))).as("av")))
-      .repartition(col("tbl"), col("bucket"))
   }
 
   /** [[mipsLsh]] answered from a STORED [[mipsBucketIndex]]: queries
@@ -440,13 +439,19 @@ object Similarity {
     annLshCore(vn, bucketTableOf(vn), nQueries, k)
   }
 
-  /** The (vec_id, tbl, bucket) sign-hash table of a vector frame,
-    * pre-partitioned on the bucket key. */
+  /** The (vec_id, tbl, bucket) sign-hash table of a vector frame.
+    * NOT pre-shuffled on the bucket key: every consumer joins it
+    * against a BROADCAST query/probe side (the query batch is bounded
+    * by construction), so a hash exchange here is a full shuffle of
+    * the index that no downstream operator requires — at 100 TB that
+    * was the single largest avoidable data movement in the LSH serve
+    * plans (storage bucketing is a WRITE-time layout concern, not a
+    * query-plan step). Round 21 measured the exchange at ~1 wasted
+    * shuffle of 8·N rows per LSH query with zero plan benefit. */
   private def bucketTableOf(vn: DataFrame): DataFrame =
     vn.withColumn("bkts", bucketsCol)
       .select(col("vec_id"), posexplode(col("bkts")))
       .toDF("vec_id", "tbl", "bucket")
-      .repartition(col("tbl"), col("bucket"))
 
   /** The STORED LSH bucket index — the [[Dedup.bandIndex]] discipline
     * for vectors: a resident pipeline materializes this 8-table
@@ -834,7 +839,6 @@ object Similarity {
           col("v"), nTables, bits, 64, center))
       .select(col("vec_id"), posexplode(col("bkts")))
       .toDF("vec_id", "tbl", "bucket")
-      .repartition(col("tbl"), col("bucket"))
     val cands = buckets
       .join(buckets.toDF("keep_id", "tbl", "bucket"), Seq("tbl", "bucket"))
       .filter(col("keep_id") < col("vec_id"))
@@ -870,8 +874,7 @@ object Similarity {
     val idxV = dedupNorm(indexed)
     lshDedupAgainstStoredBuckets(incoming,
       dedupBucketize(idxV, nTables, bits, center)
-        .toDF("match_id", "tbl", "bucket")
-        .repartition(col("tbl"), col("bucket")),
+        .toDF("match_id", "tbl", "bucket"),
       idxV, tau, nTables, bits, center)
   }
 
@@ -895,7 +898,6 @@ object Similarity {
                           bits: Int = 16, center: Double = 0.5): DataFrame =
     dedupBucketize(dedupNorm(vectors), nTables, bits, center)
       .toDF("match_id", "tbl", "bucket")
-      .repartition(col("tbl"), col("bucket"))
 
   /** [[lshDedupAgainstIndexOnVectors]]'s SERVE form: the index side
     * arrives as the PRE-BUILT (match_id, tbl, bucket) table of
@@ -961,7 +963,6 @@ object Similarity {
     vectors.withColumn("bkts", bucketsCol)
       .select(col("vec_id"), col("label"), posexplode(col("bkts")))
       .toDF("vec_id", "label", "tbl", "bucket")
-      .repartition(col("tbl"), col("bucket"))
 
   /** [[annLshFiltered]]'s SERVE path — answered from a STORED
     * [[lshLabeledBucketIndex]] with no corpus re-hash in the search
@@ -1185,7 +1186,6 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("bkts"))).toDF("vec_id", "tbl", "bucket")
     val idxB = idxV.withColumn("bkts", bucketsCol)
       .select(col("vec_id"), posexplode(col("bkts"))).toDF("match_id", "tbl", "bucket")
-      .repartition(col("tbl"), col("bucket"))
     val cands = incB.join(idxB, Seq("tbl", "bucket"))
       .select(col("vec_id"), col("match_id")).distinct()
     val scored = cands
@@ -3134,11 +3134,48 @@ object Similarity {
                                  trainRounds: Int = 2, m: Int = 8,
                                  kCodes: Int = 16, dims: Int = 64,
                                  nProbe: Int = 2): DataFrame = {
-    val slim = vectors.select(col("vec_id"), col("v"))
-    val raw = annIvfPqOnVectors(slim, nCells, trainRounds, m, kCodes, dims,
+    // Materialize the vector frame ONCE for the whole audit: the two
+    // trainings each persist a derivative of it and the final plan
+    // reads it from ~8 separate subtrees (assignments, codes, probes,
+    // residual snap, exact ground truth) — for the media twin each of
+    // those re-ran the embed kernel over the collection. One
+    // lineage-free checkpoint replaces three separate persist cycles
+    // (strictly fewer corpus passes at any scale); blocks are
+    // reclaimed when the frame is dropped (the eager-operator rule —
+    // this is a localCheckpoint, never an escaping persist).
+    val slim = vectors.select(col("vec_id"), col("v")).localCheckpoint()
+    // ONE coarse-quantizer training shared by both legs: the raw and
+    // residual compositions use the SAME (nCells, trainRounds) Lloyd
+    // run over the same vectors, and training is deterministic, so the
+    // shared model is bit-identical to each leg training its own —
+    // the round-20 form ran kmeansCentroids twice per invocation (a
+    // full extra training: seeds collect + one means job per round +
+    // a second corpus materialization) for byte-identical centroids.
+    // Sharing WITHIN the invocation is a cost fix, not ModelCache
+    // memoization: every invocation still re-proves the claim from
+    // scratch (the x2_ivfsq_recall precedent — its legs always shared
+    // one training). What stays per-leg is everything the claim is
+    // ABOUT: the raw-PQ and residual-PQ codebooks.
+    // The raw-PQ training is independent of the IVF → residual-PQ
+    // chain (it reads only the checkpointed vectors), so the two
+    // training chains run as CONCURRENT driver jobs — each training's
+    // own rounds stay driver-synchronized, but the chains' job
+    // latencies overlap instead of summing. Each training is
+    // deterministic on its own inputs, so interleaving cannot change
+    // any model.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rawPqF = Future(trainPqModelOnVectors(slim, m, kCodes, trainRounds,
+      dims))
+    val cmodel = trainIvfModelOnVectors(slim, nCells, trainRounds)
+    val resPq = trainResPqModelOnVectors(slim, cmodel, m, kCodes, trainRounds,
+      dims)
+    val rawPq = Await.result(rawPqF, Duration.Inf)
+    val raw = annIvfPqWithModelsOnVectors(slim, cmodel, rawPq, m, dims,
         nQueries, k, nProbe)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit_raw"))
-    val res = annIvfPqResOnVectors(slim, nCells, trainRounds, m, kCodes, dims,
+    val res = annIvfPqResWithModelsOnVectors(slim, cmodel, resPq, m, dims,
         nQueries, k, nProbe)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit_res"))
     composedRecallReport(slim, raw, res, nQueries, k)
@@ -3298,7 +3335,9 @@ object Similarity {
                                  k: Int = 3, nCells: Int = 8,
                                  trainRounds: Int = 2,
                                  nProbe: Int = 2): DataFrame = {
-    val slim = vectors.select(col("vec_id"), col("v"))
+    // one materialization feeds the training persist and every
+    // consume-time subtree (see ivfPqRecallReportOnVectors)
+    val slim = vectors.select(col("vec_id"), col("v")).localCheckpoint()
     val cmodel = trainIvfModelOnVectors(slim, nCells, trainRounds)
     val raw = annIvfSqL2OnVectors(slim, cmodel, nQueries, k, nProbe)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit_raw"))
