@@ -1265,6 +1265,9 @@ object SparkEntry {
     "x6_cms_merge",
     "x4_cluster", "x4_cluster_cohesion", "x4_dup_stats", "x4_simhash_topk",
     "x4_source_dup_rate",
+    // round 22: the signature-array localCheckpoint makes the three
+    // MinHash audits eager (one sig pass feeds every subtree)
+    "x4_minhash_est", "x4_band_recall", "x4_band_recall_sampled",
     // round 20: x5_mm_pq_recall sorts BEFORE every other media-pq memo
     // user, so it is the one that trains the shared media codebook
     "x5_mm_pq_recall",

@@ -105,11 +105,23 @@ object Dedup {
     * all-pairs formulation. The repartition on the signature is the
     * exchange the group-by AND the star join both reuse
     * (ReuseExchange), so signatures are computed once. */
-  def minhashBandPairs(documents: DataFrame): DataFrame = {
-    val sigs = wideEnough(documents, 3)
+  def minhashBandPairs(documents: DataFrame): DataFrame =
+    minhashBandPairsFromSigs(sigArrays(documents))
+
+  /** The (doc_id, sig: array<long>) signature frame every MinHash
+    * consumer derives from — single-sourced so an audit that needs
+    * BOTH the pair set and the raw signatures ([[minhashCalibration]],
+    * [[bandRecallReport]]) can materialize this one frame per
+    * invocation and feed every subtree from it instead of re-running
+    * the signature kernel per reference. */
+  private def sigArrays(documents: DataFrame): DataFrame =
+    wideEnough(documents, 3)
       .withColumn("sig", minhash_sig(shingle_hashes(col("text"), 3, P), NumPerms, P))
       .select(col("doc_id"), col("sig"))
-      .repartition(col("sig"))
+
+  /** [[minhashBandPairs]] over a PRECOMPUTED signature frame. */
+  private def minhashBandPairsFromSigs(sigArr: DataFrame): DataFrame = {
+    val sigs = sigArr.repartition(col("sig"))
     val reps = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
     val stars = sigs.join(reps, Seq("sig"))
       .filter(col("doc_id") =!= col("rep"))
@@ -196,7 +208,7 @@ object Dedup {
     * no second label lookup is needed — see [[clusterNearDups]]).
     * One lookup join + one min aggregation; bit-identical to the
     * least(own, neighbor-min) outer-join formulation. */
-  private def propagateRound(labels: DataFrame, edges: DataFrame): DataFrame =
+  private[graft] def propagateRound(labels: DataFrame, edges: DataFrame): DataFrame =
     edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
       .groupBy(col("src").as("doc_id")).agg(min(col("cluster")).as("cluster"))
 
@@ -209,7 +221,14 @@ object Dedup {
     * diff join). Round count to converge = max component diameter
     * (tiny for near-dup graphs); `maxRounds` is a runaway guard, not a
     * semantic bound. Decimal(38) sum: a 64-bit sum of 10^11 doc ids
-    * overflows long. */
+    * overflows long.
+    *
+    * PRECONDITION: every `pairs` endpoint must appear in `nodes` (and
+    * `nodes` must be id-unique). The self-looped propagation keys its
+    * output on edge src, so an edge endpoint absent from `nodes` would
+    * EMIT a label row the contract never promised (the pre-round-21
+    * outer-join form silently ignored such edges); every in-repo
+    * caller derives `pairs` from the node frame itself. */
   def clusterEdgesFixpoint(nodes: DataFrame, pairs: DataFrame,
                            maxRounds: Int = 50): DataFrame = {
     def labelSum(labels: DataFrame): java.math.BigDecimal =
@@ -488,14 +507,28 @@ object Dedup {
     val exact = jaccardPairs(documents, n, freqCapInv, minDf, samplePct)
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val bk = bandKeys(documents)
+    // ONE signature pass, materialized once (localCheckpoint — the
+    // eager-operator rule), feeding both pair endpoints. The band-hit
+    // test is per-band slice equality on the signature arrays — the
+    // same predicate as joining the 4-row band-key fan-out (the
+    // concat_ws key of a band is injective in its 4 longs), but as a
+    // codegen'd row-local expression: the per-pair ×bands fan-out
+    // join, its (doc_b, band, key) exchange, and the pair-grain
+    // max(hit) re-aggregation all disappear, and the corpus is signed
+    // once instead of twice. Every exact-pair endpoint has ≥1 shingle
+    // (jaccardPairs is shingle-sourced), hence a signature row, so
+    // the inner joins lose nothing.
+    val sigA = sigArrays(documents).localCheckpoint()
+    val bandHit = (0 until NumPerms / BandRows)
+      .map(b => when(slice(col("sa"), b * BandRows + 1, BandRows) ===
+        slice(col("sb"), b * BandRows + 1, BandRows), 1L).otherwise(0L))
+      .reduce(greatest(_, _))
     exact
-      .join(bk.select(col("doc_id").as("doc_a"), col("band"), col("key")),
+      .join(sigA.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
         Seq("doc_a"))
-      .join(bk.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-        .withColumn("hit", lit(1L)), Seq("doc_b", "band", "key"), "left")
-      .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
-      .agg(max(coalesce(col("hit"), lit(0L))).as("hit"))
+      .join(sigA.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), bandHit.as("hit"))
       .groupBy(least(floor(col("jaccard") * 10), lit(9)).cast("long").as("decile"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("hit")).as("n_caught"),
         round(sum(col("hit")).cast("double") / count(lit(1)), 4).as("recall"))
@@ -984,15 +1017,27 @@ object Dedup {
     * signature rows; the exact side is the audited capped
     * inverted-index frame. Bounded by candidates, not corpus². */
   def minhashCalibration(documents: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(documents)
-      .toDF("doc_id", "perm", "mh")
-    val agree = minhashBandPairs(documents)
-      .join(sigs.select(col("doc_id").as("doc_a"), col("perm"),
-        col("mh").as("ma")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("perm"),
-        col("mh").as("mb")), Seq("doc_b", "perm"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("n_agree"))
+    // ONE signature pass for the whole audit (localCheckpoint — the
+    // eager-operator rule): the round-21 plan re-ran the signature
+    // kernel over the corpus four times (band-pair subtree + two
+    // long-format sides of the agreement self-join) and shuffled the
+    // 16·N exploded signature rows twice plus a pair-grain
+    // re-aggregation. The agreement count is now a codegen'd
+    // row-local fold over the two 16-slot arrays — identical to
+    // sum(ma = mb) over the exploded join by construction — so the
+    // exploded frame, both its exchanges, and the groupBy disappear;
+    // what shuffles is one slim array row per pair endpoint.
+    val sigA = sigArrays(documents).localCheckpoint()
+    val nAgree = (0 until NumPerms)
+      .map(i => when(element_at(col("sa"), i + 1) ===
+        element_at(col("sb"), i + 1), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val agree = minhashBandPairsFromSigs(sigA)
+      .join(sigA.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+        Seq("doc_a"))
+      .join(sigA.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nAgree.as("n_agree"))
     agree
       .join(jaccardPairs(documents).select(col("doc_a"), col("doc_b"),
         col("jaccard")), Seq("doc_a", "doc_b"), "left")

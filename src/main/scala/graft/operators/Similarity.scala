@@ -3163,15 +3163,10 @@ object Similarity {
     // latencies overlap instead of summing. Each training is
     // deterministic on its own inputs, so interleaving cannot change
     // any model.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val rawPqF = Future(trainPqModelOnVectors(slim, m, kCodes, trainRounds,
-      dims))
-    val cmodel = trainIvfModelOnVectors(slim, nCells, trainRounds)
-    val resPq = trainResPqModelOnVectors(slim, cmodel, m, kCodes, trainRounds,
-      dims)
-    val rawPq = Await.result(rawPqF, Duration.Inf)
+    val (rawPq, (cmodel, resPq)) = Par.both(
+      trainPqModelOnVectors(slim, m, kCodes, trainRounds, dims),
+      { val c = trainIvfModelOnVectors(slim, nCells, trainRounds)
+        (c, trainResPqModelOnVectors(slim, c, m, kCodes, trainRounds, dims)) })
     val raw = annIvfPqWithModelsOnVectors(slim, cmodel, rawPq, m, dims,
         nQueries, k, nProbe)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit_raw"))

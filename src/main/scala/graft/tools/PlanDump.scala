@@ -6,11 +6,16 @@ import org.apache.spark.sql.SparkSession
   * SparkEntry queries. Usage:
   *   runMain graft.tools.PlanDump <sfDir> <query1> [query2 ...]
   * Add `--time` to also execute each query and report seconds.
+  * Add `--final` to execute the query's OWN QueryExecution (collect)
+  * before printing, so the dump is the AQE FINAL plan
+  * (isFinalPlan=true) including ReusedExchange / AQEShuffleRead nodes
+  * — the only form in which runtime exchange reuse is visible.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val time = args.contains("--time")
-    val rest = args.filterNot(_ == "--time")
+    val finalPlan = args.contains("--final")
+    val rest = args.filterNot(a => a == "--time" || a == "--final")
     val sfDir = rest.head
     val names = rest.tail
     val spark = SparkSession.builder()
@@ -51,6 +56,11 @@ object PlanDump {
         println(s"[jobs] $name: ${js.length} jobs, " +
           js.map { case (id, ms) => s"#$id=${ms}ms" }.mkString(" "))
       }
+      // --final: run THIS df's QueryExecution (collect executes the
+      // df's own plan, unlike count/noop which plan a new query), so
+      // explainString below prints the adaptively re-optimized final
+      // plan with ReusedExchange nodes
+      if (finalPlan) { df.collect(); () }
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
