@@ -259,11 +259,17 @@ object Curation {
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
         countDistinct(col("source")).as("n_sources"))
-    val tot = agg.agg(sum(col("sum_tokens")).as("tot_tokens"))
-    agg.crossJoin(broadcast(tot))
+    // total as an all-rows window over the O(splits)-row aggregate —
+    // the former agg-then-crossJoin form referenced `agg` twice, so
+    // the whole curateSplit chain subtree (manifest join + rollup)
+    // appeared twice in the plan; the window reads the 3-row frame
+    // once (its single-partition move is 3 rows by construction)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    agg
       .select(col("split"), col("n_docs"), col("sum_tokens"), col("n_sources"),
         round(col("sum_tokens").cast("double") /
-          col("tot_tokens").cast("double"), 6).as("token_pct"))
+          sum(col("sum_tokens")).over(tot).cast("double"), 6).as("token_pct"))
   }
 
   /** Stages 1–3 shared by [[curate]] and [[curateBudget]]: exact (or

@@ -3183,6 +3183,13 @@ object Similarity {
   private def composedRecallReport(slim: DataFrame, raw: DataFrame,
                                    res: DataFrame, nQueries: Int,
                                    k: Int): DataFrame = {
+    // MEASURED (round 22): materializing the three k-bounded legs as
+    // concurrent checkpointed jobs (Par.both per leg) is SLOWER than
+    // this single lazy cascade at sf0.1 (x2 gate 2.6 → 3.2 s steady,
+    // media 3.0 → 4.0 s) — the one-query form shares the slim scans /
+    // assignment subtrees and AQE-reused exchanges across the legs,
+    // which separate jobs forfeit, and the three checkpoint syncs add
+    // driver latency. Keep the legs in ONE adaptive plan.
     val exact = exactL2TopK(slim, nQueries, k)
     exact.join(raw, Seq("q_id", "n_id"), "left")
       .join(res, Seq("q_id", "n_id"), "left")

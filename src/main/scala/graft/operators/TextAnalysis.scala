@@ -1021,6 +1021,15 @@ object TextAnalysis {
     * rare-token-first anchor rotation or df cap bounds it, the BM25
     * stop-term discipline. */
   def phraseSearchAgainst(queries: DataFrame, index: DataFrame): DataFrame = {
+    // MEASURED (round 22): a broadcast semi-join pruning each postings
+    // leg to the query set's distinct tokens (guide §3.2) does NOT
+    // prune on this corpus — the query trigrams' distinct-token set
+    // (~30) covers the whole small vocabulary, so the "pruned" legs
+    // kept 2.70E+5 of 2.71E+5 postings while adding three broadcast
+    // stages (steady 1.8 → 2.5 s); reverted. The dominant job is the
+    // genuine anchor fan-out (Σ df(p1) ≈ 3M probe rows on a
+    // 30-token vocabulary), which the scaladoc's rare-token-first /
+    // df-cap discipline — not token pruning — bounds at scale.
     def idx(pi: Int) = index.toDF(s"d$pi", s"pos$pi", s"t$pi")
     queries
       .join(idx(1), col("t1") === col("p1"))
