@@ -1877,8 +1877,12 @@ object Similarity {
   /** Per-vector argmax-cosine cell assignment, fully MAP-SIDE: the
     * centroids are k-means MODEL state (O(nCells·dims) driver
     * doubles), so each vector scores every cell inside one projection
-    * — `array_max` over (cosine, -c_id) structs replicates the
-    * max-cosine / tie→lowest-centroid-id rule — and NO shuffle runs.
+    * — the compiled [[graft.functions.ArgmaxCell]] kernel replicates
+    * the max-cosine / tie→lowest-centroid-id rule (it replaced the
+    * `array_max` over (cosine, -c_id) structs, which allocated
+    * nCells structs per row per evaluation and was re-evaluated
+    * whole by the constraint-inferred isnotnull filter under every
+    * assignment→centroid join) — and NO shuffle runs.
     * The previous crossJoin + groupBy(vec_id) `max_by` form
     * re-shuffled the full vector set (carrying the 64-double vectors)
     * once per training round and once per assignment; at 100 TB the
@@ -1891,14 +1895,10 @@ object Similarity {
     * desc_nulls_last; cosine itself is in [-1, 1]. Output carries
     * `best` (the winning cosine) for the inertia audit. */
   private def argmaxCell(all: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
-    all.withColumn("am", array_max(array(cents.map { case (id, cv) =>
-        struct(
-          coalesce(cosine(dot(typedlit(cv), col("v")), lit(l2norm(cv)), col("nrm")),
-            lit(-2.0)).as("acos"),
-          lit(-id).as("nid"))
-      }: _*)))
-      .select(col("vec_id"), (-col("am.nid")).as("cell"),
-        col("v"), col("nrm"), col("am.acos").as("best"))
+    all.withColumn("am",
+        graft.functions.ArgmaxCell.argmax_cell(col("v"), col("nrm"), cents))
+      .select(col("vec_id"), col("am.cell").as("cell"),
+        col("v"), col("nrm"), col("am.best").as("best"))
 
   /** The trained IVF coarse-quantizer MODEL itself, exploded to
     * (c_id, pos, val) rows (pos 1-based) — exposed as a query so the
