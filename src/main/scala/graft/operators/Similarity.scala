@@ -2342,20 +2342,20 @@ object Similarity {
       .withColumn("cn2", dot_product(col("cv"), col("cv")))
   }
 
-  /** Argmin-L2 code per (vector, subspace) as ONE hash aggregation:
-    * `min_by` over (dist, code) — nearest codeword, tie → lowest code
-    * (the `ORDER BY dist, code` rule). The distance is the expanded
-    * form ‖x‖² − 2·x·c + ‖c‖²: all three terms come from the compiled
-    * sequential-fold kernel, so the float is the same on both engines;
-    * the (x−c)² fold would be a second per-element pass per candidate
-    * pair. Codebook is O(m·k·dsub) and broadcast. */
-  private def argminCode(subs: DataFrame, cdf: DataFrame): DataFrame =
-    subs.join(broadcast(cdf), Seq("sub"))
-      .withColumn("dist",
-        col("sn2") - lit(2.0) * dot_product(col("sv"), col("cv")) + col("cn2"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
-        first(col("sv")).as("sv"))
+  /** Argmin-L2 code per (vector, subspace) row via the compiled
+    * [[graft.functions.ArgminCode]] kernel — nearest codeword by the
+    * expanded ‖x‖² − 2·x·c + ‖c‖² distance, tie → lowest code (the
+    * `ORDER BY dist, code` rule), bit-identical to the former
+    * broadcast-join + `min_by` re-aggregation form (which fanned every
+    * subvector row out ×k codewords and folded them back through an
+    * exchange that existed only to compute a per-row argmin). Pure
+    * map: no join, no shuffle; codebook is O(m·k·dsub) expression
+    * state. */
+  private def argminCode(subs: DataFrame,
+                         cb: Seq[(Int, Long, Seq[Double])]): DataFrame =
+    subs.withColumn("code",
+        graft.functions.ArgminCode.argmin_code(col("sub"), col("sv"), cb))
+      .select(col("vec_id"), col("sub"), col("code"), col("sv"))
 
   /** Train the PQ codebook: independent k-means per subspace,
     * deterministic like [[trainIvfModel]] (seeds = subvectors of the
@@ -2388,7 +2388,7 @@ object Similarity {
         .select(col("sub"), col("vec_id").as("code"), col("sv"))
         .as[(Int, Long, Seq[Double])].collect().sortBy(x => (x._1, x._2)).toSeq
       for (_ <- 1 to rounds) {
-        val assigned = argminCode(subs, pqCodebookDF(spark, cb))
+        val assigned = argminCode(subs, cb)
         // float32 inputs have 24-bit mantissas: every partial sum below
         // stays exactly representable in double, so the mean is
         // order-independent without quantization (the IVF precedent).
@@ -2486,7 +2486,7 @@ object Similarity {
                               m: Int = 8, dims: Int = 64): DataFrame = {
     val spark = vecs.sparkSession
     val subs = subvectors(vecs, m, dims / m)
-    argminCode(subs, pqCodebookDF(spark, codebook))
+    argminCode(subs, codebook)
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
   }
 
@@ -2519,8 +2519,7 @@ object Similarity {
                         rounds: Int, dims: Int, nQueries: Int): DataFrame = {
     val spark = embeddings.sparkSession
     val pq = trainPqModel(embeddings, m, k, rounds, dims)
-    val codes = argminCode(subvectors(withVec(embeddings), m, dims / m),
-        pqCodebookDF(spark, pq))
+    val codes = argminCode(subvectors(withVec(embeddings), m, dims / m), pq)
       .select(col("vec_id"), col("sub"), col("code"))
     adcRankedOnCodes(embeddings, codes, pq, m, dims, nQueries)
   }
@@ -2600,7 +2599,7 @@ object Similarity {
     val cmodel = trainIvfModel(embeddings, nCells, trainRounds)
     val pq = trainPqModel(embeddings, m, kCodes, trainRounds, dims)
     val asg = argmaxCell(all, cmodel).select(col("vec_id"), col("cell"))
-    val codes = argminCode(subvectors(all, m, dims / m), pqCodebookDF(spark, pq))
+    val codes = argminCode(subvectors(all, m, dims / m), pq)
       .select(col("vec_id"), col("sub"), col("code"))
     annIvfPqOnArtifacts(embeddings, asg, codes, cmodel, pq,
       m, dims, nQueries, k, nProbe)
@@ -2655,7 +2654,7 @@ object Similarity {
     val cmodel = kmeansCentroids(all, nCells, trainRounds)
     val pq = trainPqModelOnVectors(vecs, m, kCodes, trainRounds, dims)
     val asg = argmaxCell(all, cmodel).select(col("vec_id"), col("cell"))
-    val codes = argminCode(subvectors(all, m, dims / m), pqCodebookDF(spark, pq))
+    val codes = argminCode(subvectors(all, m, dims / m), pq)
       .select(col("vec_id"), col("sub"), col("code"))
     annIvfPqOnArtifactsCore(all, asg, codes, cmodel, pq,
       m, dims, nQueries, k, nProbe)
@@ -2778,7 +2777,7 @@ object Similarity {
                         m: Int = 8, dims: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     val resv = residualVectors(withVec(embeddings), cmodel)
-    argminCode(subvectors(resv, m, dims / m), pqCodebookDF(spark, codebook))
+    argminCode(subvectors(resv, m, dims / m), codebook)
       .select(col("vec_id"), col("sub"), col("code"))
   }
 
@@ -2805,7 +2804,7 @@ object Similarity {
     val pq = trainPqModelOnVectors(resv.select(col("vec_id"), col("v")),
       m, kCodes, trainRounds, dims)
     val asg = resv.select(col("vec_id"), col("cell"))
-    val codes = argminCode(subvectors(resv, m, dims / m), pqCodebookDF(spark, pq))
+    val codes = argminCode(subvectors(resv, m, dims / m), pq)
       .select(col("vec_id"), col("sub"), col("code"))
     annIvfPqResCore(all, asg, codes, cmodel, pq, m, dims, nQueries, k, nProbe)
   }
@@ -2879,8 +2878,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val all = withVec(embeddings)
     val asg = argmaxCell(all, cmodel).select(col("vec_id"), col("cell"))
-    val codes = argminCode(subvectors(all, m, dims / m),
-        pqCodebookDF(spark, codebook))
+    val codes = argminCode(subvectors(all, m, dims / m), codebook)
       .select(col("vec_id"), col("sub"), col("code"))
     annIvfPqOnArtifacts(embeddings, asg, codes, cmodel, codebook,
       m, dims, nQueries, k, nProbe)
@@ -2898,8 +2896,7 @@ object Similarity {
     val spark = vecs.sparkSession
     val all = vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
     val asg = argmaxCell(all, cmodel).select(col("vec_id"), col("cell"))
-    val codes = argminCode(subvectors(all, m, dims / m),
-        pqCodebookDF(spark, codebook))
+    val codes = argminCode(subvectors(all, m, dims / m), codebook)
       .select(col("vec_id"), col("sub"), col("code"))
     annIvfPqOnArtifactsCore(all, asg, codes, cmodel, codebook,
       m, dims, nQueries, k, nProbe)
@@ -2912,8 +2909,7 @@ object Similarity {
                          m: Int = 8, dims: Int = 64,
                          nQueries: Int = 20, kNn: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
-    val codes = argminCode(subvectors(withVec(embeddings), m, dims / m),
-        pqCodebookDF(spark, codebook))
+    val codes = argminCode(subvectors(withVec(embeddings), m, dims / m), codebook)
       .select(col("vec_id"), col("sub"), col("code"))
     pqAdcTopKOnCodes(embeddings, codes, codebook, m, dims, nQueries, kNn)
   }
@@ -2925,8 +2921,7 @@ object Similarity {
                             m: Int = 8, dims: Int = 64, nQueries: Int = 20,
                             shortlist: Int = 64, kNn: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
-    val codes = argminCode(subvectors(withVec(embeddings), m, dims / m),
-        pqCodebookDF(spark, codebook))
+    val codes = argminCode(subvectors(withVec(embeddings), m, dims / m), codebook)
       .select(col("vec_id"), col("sub"), col("code"))
     val vecs = withVec(embeddings)
       .select(col("vec_id"), col("v"), dot_product(col("v"), col("v")).as("n2"))
@@ -2959,8 +2954,7 @@ object Similarity {
     val all = withVec(embeddings)
     val resv = residualVectors(all, cmodel)
     val asg = resv.select(col("vec_id"), col("cell"))
-    val codes = argminCode(subvectors(resv, m, dims / m),
-        pqCodebookDF(spark, codebook))
+    val codes = argminCode(subvectors(resv, m, dims / m), codebook)
       .select(col("vec_id"), col("sub"), col("code"))
     annIvfPqResCore(all, asg, codes, cmodel, codebook, m, dims, nQueries, k, nProbe)
   }
@@ -2998,7 +2992,7 @@ object Similarity {
     val pq = trainPqModelOnVectors(resv.select(col("vec_id"), col("v")),
       m, kCodes, trainRounds, dims)
     val asg = resv.select(col("vec_id"), col("cell"))
-    val codes = argminCode(subvectors(resv, m, dims / m), pqCodebookDF(spark, pq))
+    val codes = argminCode(subvectors(resv, m, dims / m), pq)
       .select(col("vec_id"), col("sub"), col("code"))
     annIvfPqResCore(all, asg, codes, cmodel, pq, m, dims, nQueries, k, nProbe)
   }
@@ -3016,8 +3010,7 @@ object Similarity {
     val all = vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
     val resv = residualVectors(all, cmodel)
     val asg = resv.select(col("vec_id"), col("cell"))
-    val codes = argminCode(subvectors(resv, m, dims / m),
-        pqCodebookDF(spark, codebook))
+    val codes = argminCode(subvectors(resv, m, dims / m), codebook)
       .select(col("vec_id"), col("sub"), col("code"))
     annIvfPqResCore(all, asg, codes, cmodel, codebook, m, dims, nQueries, k, nProbe)
   }
@@ -3042,7 +3035,7 @@ object Similarity {
     val spark = vecs.sparkSession
     val resv = residualVectors(
       vecs.withColumn("nrm", sqrt(dot_product(col("v"), col("v")))), cmodel)
-    argminCode(subvectors(resv, m, dims / m), pqCodebookDF(spark, codebook))
+    argminCode(subvectors(resv, m, dims / m), codebook)
       .select(col("vec_id"), col("sub"), col("code"))
   }
 

@@ -670,10 +670,19 @@ object Windows {
     * ([[covisitMerge]]); the support threshold must apply only AFTER
     * the fold (a pair at 1+1 across shards is support-2). */
   def covisitPairs(events: DataFrame, capPerUser: Int = 20): DataFrame = {
+    // pair generation is MAP-SIDE over the per-user capped item SET
+    // (items are distinct by construction, so the double generator +
+    // a<b filter emits exactly the old equi-self-join's pair multiset,
+    // order-free regardless of collect order): the capped-items
+    // subtree — two full event-table window passes — runs ONCE
+    // instead of twice and the pair-side join shuffle disappears;
+    // only the final (item_a, item_b) rollup (partial-agg'd, the
+    // skew-safe shape SkewSpec pins) exchanges anything.
     val capped = cappedItems(events, capPerUser)
-    val b = capped.select(col("user_id").as("u2"), col("item").as("item_b"))
-    capped.select(col("user_id"), col("item").as("item_a"))
-      .join(b, col("user_id") === col("u2") && col("item_a") < col("item_b"))
+    capped.groupBy(col("user_id")).agg(collect_list(col("item")).as("items"))
+      .select(explode(col("items")).as("item_a"), col("items"))
+      .select(col("item_a"), explode(col("items")).as("item_b"))
+      .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_users"))
   }
 
@@ -707,12 +716,17 @@ object Windows {
     * fold — the [[covisitPairs]] merge law carried down one grain. */
   def covisitSessionPairs(events: DataFrame, gapMinutes: Int = 5,
                           capPerSession: Int = 20): DataFrame = {
+    // same map-side pair generation as [[covisitPairs]], keyed one
+    // grain down: the sessionization subtree (two event-table window
+    // passes) runs once, the (user, session)-keyed self-join shuffle
+    // disappears, and the a<b filter over the distinct per-session
+    // item set reproduces the join's pair multiset exactly.
     val capped = cappedSessionItems(events, gapMinutes, capPerSession)
-    val b = capped.select(col("user_id").as("u2"), col("session_seq").as("s2"),
-      col("item").as("item_b"))
-    capped.select(col("user_id"), col("session_seq"), col("item").as("item_a"))
-      .join(b, col("user_id") === col("u2") && col("session_seq") === col("s2") &&
-        col("item_a") < col("item_b"))
+    capped.groupBy(col("user_id"), col("session_seq"))
+      .agg(collect_list(col("item")).as("items"))
+      .select(explode(col("items")).as("item_a"), col("items"))
+      .select(col("item_a"), explode(col("items")).as("item_b"))
+      .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_sessions"))
   }
 

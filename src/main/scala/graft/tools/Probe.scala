@@ -43,6 +43,12 @@ object Probe {
     for (i <- 1 to 3)
       time(s"res-sq codes from LAZY $i") { noop(
         graft.operators.Similarity.resSqCodesForOnVectors(dyadic, cmodel)) }
+    for (i <- 1 to 3) {
+      val pq = time(s"pq train (from ckpt) $i") {
+        graft.operators.Similarity.trainPqModelOnVectors(vecs, 8, 16, 2, 64) }
+      time(s"pq encode (from ckpt) $i") { noop(
+        graft.operators.Similarity.pqCodesAgainstOnVectors(vecs, pq, 8, 64)) }
+    }
     // bisect: argmax+join / +residual / +sq over the checkpointed frame
     import org.apache.spark.sql.DataFrame
     import spark.implicits._

@@ -234,9 +234,11 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("x2_ann_pq")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
-    // the per-(vec, sub) argmin and the per-(q, vec) ADC sum both
-    // partial-aggregate map-side
-    assert("partial_min_by|partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
+    // the per-(vec, sub) argmin is the compiled ArgminCode kernel — a
+    // pure map, no join fan-out or re-aggregation (round 22); the
+    // per-(q, vec) ADC sum still partial-aggregates map-side
+    assert(p.contains("argmincode"), p.take(3000))
+    assert("partial_sum".r.findAllIn(p).size >= 1, p.take(3000))
   }
 
   test("band recall: pair-driven band probe, never an all-pairs band self-join") {
