@@ -831,7 +831,7 @@ object Multimodal {
     * broadcast when one side is small); norm is a narrow per-row fold. */
   def docEmbeddingJoin(documents: DataFrame, embeddings: DataFrame): DataFrame = {
     val emb = embeddings
-      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .select(col("vec_id"), col("label"),
         size(col("embedding")).cast("long").as("dim"),
         round(sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))), 6)

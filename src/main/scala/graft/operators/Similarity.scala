@@ -28,7 +28,7 @@ object Similarity {
     * sequential fold as the DuckDB oracle's list_reduce). */
   private def withVec(embeddings: DataFrame): DataFrame =
     embeddings
-      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
 
   /** Sequential-fold dot product via the native codegen expression —
@@ -1228,7 +1228,7 @@ object Similarity {
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     import graft.functions.QuantizeStats.quantize_stats
     embeddings
-      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("qs", quantize_stats(col("v")))
       .select(col("vec_id"), round(col("qs.scale"), 6).as("scale"),
         col("qs.q_l1").as("q_l1"), col("qs.q_sum").as("q_sum"),
@@ -1244,7 +1244,7 @@ object Similarity {
     * to the search tier while raw floats stay in cold storage. */
   def sqCodes(embeddings: DataFrame): DataFrame =
     sqCodesOnVectors(embeddings
-      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .select(col("vec_id"), col("v")))
 
   /** [[sqCodes]] over any (vec_id, v: array<double>) frame — the
@@ -1335,7 +1335,7 @@ object Similarity {
     * so neither engine touches the sign bit. */
   def binaryCodes(embeddings: DataFrame): DataFrame =
     embeddings
-      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("b", graft.functions.SignPack.sign_pack(col("v")))
       .select(col("vec_id"), col("b.w0").as("w0"), col("b.w1").as("w1"))
 
