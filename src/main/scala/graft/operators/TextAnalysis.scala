@@ -272,14 +272,18 @@ object TextAnalysis {
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
       toks.as("t"))
-    // zip t with its tail; the last slot pairs with NULL (concat → NULL)
-    // and is filtered — robust for 0/1-token docs where sequence() would
-    // run descending
-    val bigrams = filter(
-      zip_with(col("t"), slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      x => x.isNotNull)
-    val counts = base.select(col("doc_id"), explode(bigrams).as("bg"))
+    // zip t with its tail via arrays_zip (a regular codegen'd
+    // expression — the zip_with/filter higher-order form ran an
+    // interpreted lambda per TOKEN on the corpus scan; same rows, the
+    // concat happens post-explode as a plain projection): the last
+    // slot pairs with NULL and is dropped by the b-not-null filter —
+    // robust for 0/1-token docs where sequence() would run descending
+    val counts = base
+      .select(col("doc_id"), col("t"),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))).as("r"))
+      .select(col("doc_id"), explode(arrays_zip(col("t"), col("r"))).as("p"))
+      .filter(col("p.r").isNotNull)
+      .select(col("doc_id"), concat(col("p.t"), lit(" "), col("p.r")).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
     // argmin over (−count, bigram) ≡ highest count, lexicographically
     // smallest bigram on ties — a hash aggregate with O(1) state per
