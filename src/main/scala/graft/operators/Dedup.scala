@@ -912,10 +912,11 @@ object Dedup {
     // gap > maxDist already implies distance > maxDist) rides in the
     // join condition, and the DP itself runs THRESHOLDED — Spark's
     // 3-arg levenshtein computes only the 2·maxDist+1 band and bails
-    // early (returns -1 above the bar), ~d/len of the full matrix. The
-    // exact distance is re-computed only for the survivors (a
-    // vanishing fraction), keeping the hot path banded. 10× on the
-    // bench corpus vs the naive full-matrix filter.
+    // early (returns -1 above the bar), ~d/len of the full matrix.
+    // 10× on the bench corpus vs the naive full-matrix filter. The
+    // banded form returns the EXACT distance whenever it is ≤ maxDist,
+    // so the one banded DP serves as both the filter and the output
+    // value — survivors never pay a second full-matrix pass.
     def block(key: String) =
       t.as("x").join(t.as("y"),
           col(s"x.$key") === col(s"y.$key") && col("x.doc_id") < col("y.doc_id") &&
@@ -923,9 +924,9 @@ object Dedup {
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
           col("x.title").as("ta"), col("y.title").as("tb"))
     block("tok1").unionByName(block("tokL")).distinct()
-      .filter(levenshtein(col("ta"), col("tb"), maxDist) >= 0)
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** Span window width for [[duplicatedSpans]]/[[spanSharedPairs]] —
